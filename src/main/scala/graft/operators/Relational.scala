@@ -2,22 +2,188 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Relational core — SURVEY.md §2.2 (project/filter), §2.3 (joins),
   * §2.4 (aggregation), §2.5 (windows), §2.6 (sort/limit/set ops).
   *
   * Determinism rules (SURVEY §2 preamble): every query ends in a total
-  * ORDER BY, double aggregates are `round(_, 2)`, and no nondeterministic
-  * ids/partition info ever reach the output — so the DuckDB oracle
-  * hash-matches bit-for-bit.
+  * ORDER BY, double aggregates are `round(_, 2)` (or 4 for statistics),
+  * int-typed window ranks are cast to long to match DuckDB's BIGINT, and
+  * no nondeterministic ids/partition info ever reach the output — so the
+  * DuckDB oracle hash-matches bit-for-bit.
+  *
+  * Scale notes are inline per operator: the grading criterion is that each
+  * plan survives 1000 executors × 100 TB, not just local[32] × sf0.1.
   */
 object Relational {
   private type Q = (SparkSession, String) => DataFrame
 
-  // --- §2.4 agg_hash: TPC-H Q1 shape --------------------------------------
-  // groupBy → HashAggregateExec with partial (map-side) + final aggregation;
-  // only the 2 grouping keys shuffle, so this scales linearly with input.
+  // ======================================================================
+  // §2.2 projection / filter / predicates
+  // ======================================================================
+
+  /** Column select/rename/compute. Catalyst prunes the parquet scan to the
+    * 4 referenced columns (ReadSchema) — nothing else leaves storage.
+    */
+  val opProject: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("part_name"),
+        col("p_size").as("size"),
+        (col("p_retailprice") * lit(0.9)).as("discounted"))
+      .withColumn("discounted", round(col("discounted"), 2))
+      .orderBy(col("p_partkey"))
+
+  /** Predicate filter: null-safe eq (`<=>`), IN, BETWEEN, >= on timestamp.
+    * All conjuncts are pushdown-able parquet filters (verified via
+    * PushedFilters in explain) — at 100 TB this is row-group pruning.
+    */
+  val opFilter: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(
+        (col("o_orderstatus") <=> lit("O")) &&
+        col("o_totalprice").between(1000.0, 200000.0) &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderpriority").like("%-%"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  /** Conditional projection via CASE WHEN, aggregated per band. */
+  val opCaseWhen: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("band",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("cnt"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("band"))
+
+  // ======================================================================
+  // §2.3 joins
+  // ======================================================================
+
+  /** Fact-fact equi-join; Spark shuffles both sides on the key (sort-merge
+    * or shuffled-hash per AQE). At 100 TB this is the canonical shuffle
+    * join — co-partitioning/bucketing on orderkey would remove the shuffle
+    * entirely if both tables were written bucketed.
+    */
+  val joinInnerEqui: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Dim-table broadcast join: nation (25) and region (5) are broadcast to
+    * every executor, so the 100 TB fact side never shuffles.
+    */
+  val joinBroadcast: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Outer joins with null extension both ways: FULL OUTER between two
+    * disjoint aggregates, then LEFT from customer so key-less customers
+    * survive. Aggregate-before-join keeps the outer join input small.
+    */
+  val joinLeftRightFull: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("ok")).agg(count(lit(1)).as("n_open"))
+    val closed = o.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("ck")).agg(count(lit(1)).as("n_closed"))
+    val fo = open.join(closed, col("ok") === col("ck"), "full")
+      .select(coalesce(col("ok"), col("ck")).as("k"),
+        col("n_open"), col("n_closed"))
+    Tables.customer(s, d)
+      .join(fo, col("c_custkey") === col("k"), "left")
+      .select(col("c_custkey").as("custkey"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Existence / not-exists via LEFT SEMI / LEFT ANTI — no payload columns
+    * from the right side ever materialize, so the build side is keys-only.
+    */
+  val joinSemiAnti: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val has = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey")).withColumn("tag", lit("has_order"))
+    val not = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey")).withColumn("tag", lit("no_order"))
+    has.unionByName(not).orderBy(col("tag"), col("c_custkey"))
+  }
+
+  /** Non-equi predicate on top of an equi conjunct: Catalyst hash-joins on
+    * r1=r2 and applies k1<k2 as a post-condition — a pure cartesian BNLJ
+    * never appears even though the user wrote a theta predicate.
+    */
+  val joinThetaRange: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+    val n1 = n.select(col("n_nationkey").as("k1"), col("n_name").as("name1"),
+      col("n_regionkey").as("r1"))
+    val n2 = n.select(col("n_nationkey").as("k2"), col("n_name").as("name2"),
+      col("n_regionkey").as("r2"))
+    n1.join(n2, col("r1") === col("r2") && col("k1") < col("k2"))
+      .select(col("r1").as("regionkey"), col("name1"), col("name2"))
+      .orderBy(col("regionkey"), col("name1"), col("name2"))
+  }
+
+  /** As-of join (latest click at-or-before each purchase, per user),
+    * implemented scalably: union both sides with a kind tag, one
+    * shuffle+sort per user, then a running `last(click_ts)` window — linear
+    * in input, no per-key quadratic blowup like the naive range-join +
+    * row_number pattern. DuckDB's native ASOF JOIN is the oracle.
+    * At equal timestamps the click sorts first (kind 0 < 1), matching the
+    * oracle's `p.ts >= c.ts` inclusive semantics.
+    */
+  val joinAsof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Cartesian product — legitimate only for tiny dims (25 × 5 rows). */
+  val joinCross: Q = (s, d) =>
+    Tables.nation(s, d).crossJoin(Tables.region(s, d))
+      .select(col("n_name"), col("r_name"))
+      .orderBy(col("n_name"), col("r_name"))
+
+  // ======================================================================
+  // §2.4 aggregation
+  // ======================================================================
+
+  /** TPC-H Q1 shape: partial (map-side) + final HashAggregate; only the two
+    * grouping keys cross the shuffle.
+    */
   val aggHash: Q = (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
@@ -31,11 +197,292 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Multi-distinct aggregation — Catalyst's RewriteDistinctAggregates
+    * expands to one Expand + two-phase agg; no driver-side dedup.
+    */
+  val aggDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL++ cardinality. The sketch estimate can't hash-match an oracle, so
+    * the query *asserts its own error bound*: it emits the exact count and
+    * a boolean `approx - exact within 5%`; the oracle emits the exact count
+    * and literal TRUE. Spark's HLL is deterministic for fixed rsd, so this
+    * is a stable, genuinely-checking oracle. At 100 TB the approx path is
+    * the one you'd run: it never shuffles distinct values, only sketches.
+    */
+  val aggApproxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .select(
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) / col("exact_parts") < 0.05)
+          .as("approx_within_5pct"))
+
+  /** ROLLUP grouping sets; sentinel 'ALL' replaces grouping nulls so the
+    * total ORDER BY is null-free (Spark and DuckDB disagree on default
+    * null ordering).
+    */
+  val aggGroupingSets: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Statistical aggregates: stddev/variance/corr/exact percentile.
+    * Rounded to 4 places — Spark (Welford-style) and DuckDB accumulate in
+    * different orders, so the last few double bits legitimately differ.
+    */
+  val aggStats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev(col("l_quantity")), 4).as("std_qty"),
+        round(variance(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(percentile(col("l_discount"), lit(0.5)), 4).as("med_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** collect_list / collect_set — always sort_array'd: Spark's collection
+    * order is partition-dependent and would never hash-match otherwise.
+    */
+  val aggCollect: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sort_array(collect_list(col("n_name"))).as("nations"),
+        sort_array(collect_set(col("n_regionkey"))).as("regionkeys"))
+      .orderBy(col("r_name"))
+  }
+
+  // ======================================================================
+  // §2.5 window functions
+  // ======================================================================
+
+  /** Ranking functions per partition. Ordering includes the unique key as a
+    * tiebreak so row_number is deterministic; rank outputs are cast to long
+    * to match DuckDB's BIGINT.
+    */
+  val winRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .filter(col("rn") <= 100)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** lag/lead/first/last analytics over per-user event time. */
+  val winAnalytic: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 2).as("value"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_value"),
+        round(lead(col("value"), 1).over(w), 2).as("next_value"),
+        first(col("event_type")).over(wf).as("first_type"),
+        last(col("event_type")).over(wf).as("last_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Running sum: ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW. */
+  val winFrameRows: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** RANGE frame over event-time seconds: 1-hour trailing sum per user.
+    * Epoch seconds computed by flooring (unix_timestamp) — the oracle must
+    * floor too (`epoch_us // 1_000_000`), not round.
+    */
+  val winFrameRange: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-3599L, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("trailing_1h", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("epoch_s"), col("trailing_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Top-k per group — window rank + filter (DuckDB: QUALIFY). */
+  val winTopkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // ======================================================================
+  // §2.6 sort / limit / set ops
+  // ======================================================================
+
+  /** Total order + limit → TakeOrderedAndProject: each partition keeps only
+    * its local top-100, the driver merges 32×100 rows — never a full sort.
+    */
+  val opSortLimit: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** Bag union by name (columns aligned by name, not position). */
+  val opUnionAll: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        round(col("c_acctbal"), 2).as("acctbal"), lit("customer").as("kind"))
+    val sup = Tables.supplier(s, d)
+      .select(lit("supplier").as("kind"), col("s_suppkey").as("key"),
+        col("s_name").as("name"), round(col("s_acctbal"), 2).as("acctbal"))
+    c.unionByName(sup).orderBy(col("kind"), col("key"))
+  }
+
+  /** Set intersect / except (distinct semantics) with provenance tags. */
+  val opIntersectExcept: Q = (s, d) => {
+    val custNations = Tables.customer(s, d)
+      .select(col("c_nationkey").as("nationkey"))
+    val suppNations = Tables.supplier(s, d)
+      .select(col("s_nationkey").as("nationkey"))
+    val both = custNations.intersect(suppNations)
+      .withColumn("tag", lit("both"))
+    val custOnly = custNations.except(suppNations)
+      .withColumn("tag", lit("cust_only"))
+    both.unionByName(custOnly).orderBy(col("tag"), col("nationkey"))
+  }
+
+  // ======================================================================
+
   def queries: Map[String, Q] = Map(
-    "agg_hash" -> aggHash
+    "op_project" -> opProject,
+    "op_filter" -> opFilter,
+    "op_case_when" -> opCaseWhen,
+    "join_inner_equi" -> joinInnerEqui,
+    "join_broadcast" -> joinBroadcast,
+    "join_left_right_full" -> joinLeftRightFull,
+    "join_semi_anti" -> joinSemiAnti,
+    "join_theta_range" -> joinThetaRange,
+    "join_asof" -> joinAsof,
+    "join_cross" -> joinCross,
+    "agg_hash" -> aggHash,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_stats" -> aggStats,
+    "agg_collect" -> aggCollect,
+    "win_rank" -> winRank,
+    "win_analytic" -> winAnalytic,
+    "win_frame_rows" -> winFrameRows,
+    "win_frame_range" -> winFrameRange,
+    "win_topk_per_group" -> winTopkPerGroup,
+    "op_sort_limit" -> opSortLimit,
+    "op_union_all" -> opUnionAll,
+    "op_intersect_except" -> opIntersectExcept
   )
 
   def oracles: Map[String, String] = Map(
+    "op_project" ->
+      """SELECT p_partkey, upper(p_name) AS part_name, p_size AS size,
+        | round(p_retailprice * 0.9, 2) AS discounted
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "op_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IS NOT DISTINCT FROM 'O'
+        |  AND o_totalprice BETWEEN 1000.0 AND 200000.0
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderpriority LIKE '%-%'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "op_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS band,
+        | count(*) AS cnt, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "join_inner_equi" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "join_left_right_full" ->
+      """WITH open AS (
+        |  SELECT o_custkey AS k, count(*) AS n_open FROM orders
+        |  WHERE o_orderstatus = 'O' GROUP BY 1),
+        |closed AS (
+        |  SELECT o_custkey AS k, count(*) AS n_closed FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY 1),
+        |fo AS (
+        |  SELECT coalesce(open.k, closed.k) AS k, n_open, n_closed
+        |  FROM open FULL JOIN closed ON open.k = closed.k)
+        |SELECT c_custkey AS custkey,
+        | coalesce(n_open, 0) AS n_open, coalesce(n_closed, 0) AS n_closed
+        |FROM customer LEFT JOIN fo ON c_custkey = fo.k
+        |ORDER BY custkey""".stripMargin,
+
+    "join_semi_anti" ->
+      """SELECT c_custkey, 'has_order' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_order' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag, c_custkey""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT n1.n_regionkey AS regionkey, n1.n_name AS name1, n2.n_name AS name2
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+        |ORDER BY regionkey, name1, name2""".stripMargin,
+
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        | CAST(c.ts AS TIMESTAMP) AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "join_cross" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
+
     "agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
@@ -46,6 +493,114 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS approx_within_5pct
+        |FROM lineitem""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS std_qty,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        | round(quantile_cont(l_discount, 0.5), 4) AS med_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT r_name,
+        | list(n_name ORDER BY n_name) AS nations,
+        | list(DISTINCT n_regionkey ORDER BY n_regionkey) AS regionkeys
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "win_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |   row_number() OVER w AS rn,
+        |   rank() OVER w AS rnk,
+        |   dense_rank() OVER w AS drnk,
+        |   ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 100
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "win_analytic" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        | round(value, 2) AS value,
+        | round(lag(value, 1) OVER w, 2) AS prev_value,
+        | round(lead(value, 1) OVER w, 2) AS next_value,
+        | first_value(event_type) OVER wf AS first_type,
+        | last_value(event_type) OVER wf AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        | wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_frame_rows" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "win_frame_range" ->
+      """SELECT event_id, user_id, epoch_s,
+        | round(sum(value) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_s
+        |   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2) AS trailing_1h
+        |FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders
+        |QUALIFY rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "op_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "op_union_all" ->
+      """SELECT c_custkey AS key, c_name AS name,
+        |  round(c_acctbal, 2) AS acctbal, 'customer' AS kind FROM customer
+        |UNION ALL BY NAME
+        |SELECT 'supplier' AS kind, s_suppkey AS key, s_name AS name,
+        |  round(s_acctbal, 2) AS acctbal FROM supplier
+        |ORDER BY kind, key""".stripMargin,
+
+    "op_intersect_except" ->
+      """(SELECT nationkey, 'both' AS tag FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier))
+        |UNION ALL
+        |(SELECT nationkey, 'cust_only' AS tag FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier))
+        |ORDER BY tag, nationkey""".stripMargin
   )
 }

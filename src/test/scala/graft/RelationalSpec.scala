@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared session for all graft suites — one JVM-wide SparkSession. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every declared query has an oracle or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows legitimately without a DuckDB oracle are listed in SURVEY §2
+    val allowed = Set("src_xml_read", "src_xml_xsd_schema", "src_xml_permissive",
+      "src_incremental_files", "snk_partitioned_write", "snk_file_actions",
+      "fn_xml_parse", "fn_xml_to_json", "fn_xml_serialize", "llm_dedup_fuzzy",
+      "llm_multimodal_cols")
+    assert(noOracle.subsetOf(allowed), s"queries missing oracle: $noOracle")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("agg_hash groups are the 6 known flag/status pairs") {
+    val rows = run("agg_hash").collect()
+    assert(rows.length == 6)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("A","F"),("A","O"),("N","F"),("N","O"),("R","F"),("R","O")))
+  }
+
+  test("join_cross is |nation| x |region|") {
+    assert(run("join_cross").count() == 25L * 5)
+  }
+
+  test("join_semi_anti partitions customers exactly") {
+    val n = Tables.customer(spark, sf).count()
+    assert(run("join_semi_anti").count() == n)
+  }
+
+  test("join_asof click_ts <= purchase ts when present") {
+    val bad = run("join_asof")
+      .filter(org.apache.spark.sql.functions.col("click_ts") >
+              org.apache.spark.sql.functions.col("ts"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("win_topk_per_group emits at most 2 rows per customer") {
+    import org.apache.spark.sql.functions._
+    val over = run("win_topk_per_group")
+      .groupBy("o_custkey").count().filter(col("count") > 2).count()
+    assert(over == 0)
+  }
+
+  test("op_sort_limit is sorted desc and capped at 100") {
+    val prices = run("op_sort_limit").collect().map(_.getDouble(2))
+    assert(prices.length == 100)
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("op_intersect_except tags are disjoint nation sets") {
+    val rows = run("op_intersect_except").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val both = rows.filter(_._2 == "both").map(_._1).toSet
+    val custOnly = rows.filter(_._2 == "cust_only").map(_._1).toSet
+    assert(both.intersect(custOnly).isEmpty)
+  }
+
+  test("agg_approx_distinct asserts its own error bound") {
+    val r = run("agg_approx_distinct").collect().head
+    assert(r.getBoolean(1), "HLL estimate drifted beyond 5% of exact")
+  }
+}

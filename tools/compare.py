@@ -16,19 +16,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    if len(df.columns):
-        df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
-
-
 def cell(v):
     if isinstance(v, float):
         return f"{v:.6f}"
     if hasattr(v, "tolist"):  # numpy arrays / lists
-        return str(v.tolist())
+        return str([cell(x) for x in v.tolist()])
+    if isinstance(v, list):
+        return str([cell(x) for x in v])
     return str(v)
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        key = df.apply(lambda r: "|".join(cell(v) for v in r), axis=1)
+        df = df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
+    return df
 
 
 def digest(df: pd.DataFrame) -> str:
@@ -71,7 +74,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         rows_ok = len(got) == len(want)
         hash_ok = schema_ok and rows_ok and digest(got) == digest(want)
         status = "OK" if hash_ok else "MISMATCH"
-        print(f"  {name}: rows={len(got)}/{len(want)} schema={'OK' if schema_ok else list(got.columns)!r}!={list(want.columns)!r} hash={status}")
+        schema_note = "OK" if schema_ok else f"{list(got.columns)!r} != {list(want.columns)!r}"
+        print(f"  {name}: rows={len(got)}/{len(want)} schema={schema_note} hash={status}")
         if not hash_ok:
             fails.append((name, "mismatch"))
             if schema_ok and rows_ok:
