@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar function surface — SURVEY.md §2.7 (string / date / math / array /
+  * map / json). Everything is `org.apache.spark.sql.functions._` builtins —
+  * fully whole-stage-codegen'd, zero UDFs — so each query is a single
+  * narrow-dependency scan stage at any scale.
+  *
+  * Dialect traps encoded in the oracles (cost one debug cycle each if
+  * rediscovered): Spark `log` is ln (DuckDB `log` is log10 — use `ln`);
+  * Spark `regexp_replace` replaces all matches (DuckDB needs the 'g' flag);
+  * Spark `ceil/floor` return LONG (DuckDB keeps DOUBLE — cast); Spark
+  * `posexplode` is 0-based (DuckDB `generate_subscripts` is 1-based);
+  * int-returning Spark funcs (year, size, datediff) are cast to long to
+  * match DuckDB's BIGINT.
+  */
+object Scalars {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** concat / substring / case / trim / split / regexp / levenshtein. */
+  val fnString: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit(":"), upper(col("p_name"))).as("brand_name"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        lower(trim(col("p_type"))).as("type_lc"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        levenshtein(col("p_brand"), lit("Brand#1")).cast("long").as("lev"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"))
+      .orderBy(col("p_partkey"))
+
+  /** date_trunc / extract / datediff / date_add / epoch. */
+  val fnDate: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))
+          .cast("long").as("days_to_2002"),
+        date_add(col("o_orderdate"), 30).cast("timestamp").as("plus_30d"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
+  /** round / abs / ceil / floor / ln / pow / pmod / try_divide. */
+  val fnMath: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_quantity")).as("qty_floor"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        pmod(col("l_orderkey"), lit(7)).as("okey_mod7"),
+        round(try_divide(col("l_extendedprice"), col("l_tax")), 2).as("price_per_tax"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Array ops + lambda HOFs + posexplode, over whitespace-tokenized text.
+    * HOFs (`transform`/`filter`/`aggregate`) run inside codegen — this is
+    * the "functions, not UDFs" path for per-document token math at 100 TB.
+    */
+  val fnArray: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("sorted_distinct", sort_array(array_distinct(col("words"))))
+      .select(
+        col("doc_id"),
+        posexplode(slice(col("sorted_distinct"), 1, 3)).as(Seq("pos", "word")),
+        size(col("words")).cast("long").as("n_words"),
+        size(filter(col("words"), w => length(w) > 5)).cast("long").as("long_words"),
+        aggregate(col("words"), lit(0L), (acc, w) => acc + length(w)).as("total_chars"),
+        array_contains(col("words"), "data").as("has_data"))
+      .withColumn("pos", col("pos").cast("long") + 1)
+      .select(col("doc_id"), col("pos"), col("word"), col("n_words"),
+        col("long_words"), col("total_chars"), col("has_data"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Map creation / keys / values / element_at / explode-to-rows. */
+  val fnMap: Q = (s, d) => {
+    val m = Tables.orders(s, d)
+      .withColumn("m", map(
+        lit("status"), col("o_orderstatus"),
+        lit("priority"), col("o_orderpriority")))
+    m.select(
+        col("o_orderkey"),
+        explode(col("m")).as(Seq("k", "v")),
+        element_at(col("m"), "status").as("status_val"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"))
+      .select(col("o_orderkey"), col("k"), col("v"), col("status_val"), col("n_keys"))
+      .orderBy(col("o_orderkey"), col("k"))
+  }
+
+  /** JSON: path extraction, schema-full parse, serialization, schema
+    * inference — over the `events.props` payloads.
+    */
+  val fnJson: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_by_path"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k_by_schema"),
+        to_json(struct(col("event_id"), col("event_type"))).as("as_json"),
+        schema_of_json(lit("""{"k": 87}""")).as("inferred_schema"))
+      .orderBy(col("event_id"))
+
+  def queries: Map[String, Q] = Map(
+    "fn_string" -> fnString,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_array" -> fnArray,
+    "fn_map" -> fnMap,
+    "fn_json" -> fnJson
+  )
+
+  def oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        | p_brand || ':' || upper(p_name) AS brand_name,
+        | substring(p_name, 1, 5) AS name5,
+        | lower(trim(p_type)) AS type_lc,
+        | regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        | levenshtein(p_brand, 'Brand#1') AS lev,
+        | len(string_split(p_name, ' ')) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | year(o_orderdate) AS yr,
+        | month(o_orderdate) AS mon,
+        | day(o_orderdate) AS dom,
+        | datediff('day', o_orderdate, DATE '2002-01-01') AS days_to_2002,
+        | o_orderdate + INTERVAL 30 DAY AS plus_30d,
+        | epoch_us(o_orderdate) // 1000000 AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice, 1) AS price_r1,
+        | round(abs(l_discount - 0.05), 4) AS disc_dev,
+        | CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        | CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        | round(ln(l_extendedprice), 4) AS ln_price,
+        | round(pow(l_discount, 2), 6) AS disc_sq,
+        | l_orderkey % 7 AS okey_mod7,
+        | round(l_extendedprice / nullif(l_tax, 0), 2) AS price_per_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_array" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |   string_split(text, ' ') AS words,
+        |   list_sort(list_distinct(string_split(text, ' '))) AS sd
+        |  FROM documents)
+        |SELECT doc_id,
+        | generate_subscripts(sd[1:3], 1) AS pos,
+        | unnest(sd[1:3]) AS word,
+        | len(words) AS n_words,
+        | len(list_filter(words, w -> length(w) > 5)) AS long_words,
+        | CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_chars,
+        | list_contains(words, 'data') AS has_data
+        |FROM base ORDER BY doc_id, pos""".stripMargin,
+
+    "fn_map" ->
+      """WITH m AS (SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders)
+        |SELECT * FROM (
+        |  SELECT o_orderkey, 'status' AS k, o_orderstatus AS v,
+        |    o_orderstatus AS status_val, CAST(2 AS BIGINT) AS n_keys FROM m
+        |  UNION ALL
+        |  SELECT o_orderkey, 'priority' AS k, o_orderpriority AS v,
+        |    o_orderstatus AS status_val, CAST(2 AS BIGINT) AS n_keys FROM m)
+        |ORDER BY o_orderkey, k""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        | CAST(props->>'k' AS BIGINT) AS k_by_path,
+        | CAST(props->>'k' AS BIGINT) AS k_by_schema,
+        | '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS as_json,
+        | 'STRUCT<k: BIGINT>' AS inferred_schema
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
