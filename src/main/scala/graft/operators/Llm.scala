@@ -1,0 +1,601 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** LLM-training-data pipeline operators — SURVEY.md §2.9 plus the extended
+  * dedup/similarity/text-analysis suite the north star mandates.
+  *
+  * Design for 100 TB is explicit in each operator:
+  *  - dedup never compares all pairs globally — candidate generation is
+  *    always a *blocked* or *bucketed* equi-join (hash of normalized text,
+  *    (lang, length-band) blocks, LSH buckets), so the shuffle key space
+  *    bounds pair explosion;
+  *  - similarity search broadcasts the (small) query side and keeps the
+  *    corpus side partition-local;
+  *  - all token math is builtin HOFs (codegen), no UDFs anywhere.
+  */
+object Llm {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Word 3-gram shingle set of the `text` column — shared by the Jaccard
+    * dedup operators. `sequence` + `transform` + `element_at` are all
+    * codegen'd builtins.
+    */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    // Guard: Spark's sequence(1, n) flips to a DESCENDING range when n < 1
+    // (step defaults to -1), so short docs must short-circuit to [].
+    when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+  }
+
+  // =====================================================================
+  // Deduplication suite
+  // =====================================================================
+
+  /** Exact dedup: normalize → sha256 → keep min(doc_id) per hash.
+    * One hash-partitioned aggregation; at 100 TB the shuffle carries only
+    * (64-byte hash, id) pairs, never the documents.
+    */
+  val dedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("h"))
+      .orderBy(col("keep_id"))
+
+  /** Near-dup detection by exact word-3-gram Jaccard, with candidate pairs
+    * *blocked* on (lang, n_chars ÷ 50): the equi-join on the block key is
+    * what keeps this from being an all-pairs cartesian at scale — standard
+    * blocking, the exact-scoring stage of a MinHash pipeline. Emits the
+    * top-20 most similar pairs (total order) so output is stable and
+    * non-empty at every sf.
+    */
+  val dedupNgram: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 50).as("band"), shingles(col("text")).as("sh"))
+    val a = base.select(col("doc_id").as("id1"), col("lang").as("lang1"),
+      col("band").as("band1"), col("sh").as("sh1"))
+    val b = base.select(col("doc_id").as("id2"), col("lang").as("lang2"),
+      col("band").as("band2"), col("sh").as("sh2"))
+    a.join(b, col("lang1") === col("lang2") && col("band1") === col("band2") &&
+        col("id1") < col("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sh1")) + size(col("sh2"))).cast("double") - col("inter"))
+      .withColumn("jaccard",
+        round(when(col("uni") === 0.0, 1.0).otherwise(col("inter") / col("uni")), 4))
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      .limit(20)
+  }
+
+  /** Embedding-cosine near-dup: top-20 closest pairs across the embeddings
+    * table. Float vectors are cast to double *before* any arithmetic so
+    * Spark and DuckDB fold identically. The O(n²) pair join is acceptable
+    * for near-dup candidate *verification*; candidate *generation* at scale
+    * is llm_simsearch_ivf's bucketed path.
+    */
+  val dedupEmbed: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = base.select(col("vec_id").as("id1"), col("v").as("v1"))
+    val b = base.select(col("vec_id").as("id2"), col("v").as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", round(cosine(col("v1"), col("v2")), 4))
+      .select(col("id1"), col("id2"), col("cos"))
+      .orderBy(col("cos").desc, col("id1"), col("id2"))
+      .limit(20)
+  }
+
+  /** dot(a,b) / (|a| |b|) via codegen'd HOFs: zip_with for the products,
+    * aggregate for the left-fold sums (same fold order as DuckDB's
+    * list_cosine_similarity, so rounded values agree).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  // =====================================================================
+  // Similarity search
+  // =====================================================================
+
+  /** Brute-force cosine top-k: 5 query vectors against the whole table.
+    * The query side is broadcast (tiny), the corpus side never shuffles
+    * until the final per-query top-k — at 100 TB this is one scan +
+    * a 5×k-row shuffle.
+    */
+  val simsearchTopk: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // =====================================================================
+  // Text analysis
+  // =====================================================================
+
+  /** Corpus statistics per language: doc/token/distinct-token counts and
+    * the modal token (ties broken lexicographically). Exploded token
+    * stream → two hash aggregations + a top-1 window — no data ever
+    * collects to the driver.
+    */
+  val textStats: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+    val stats = toks.groupBy(col("lang")).agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("total_tokens"),
+      countDistinct(col("tok")).as("n_distinct_tokens"))
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("tok"))
+    val top = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("tok").as("top_token"), col("cnt").as("top_token_cnt"))
+    stats.join(top, "lang")
+      .withColumn("avg_tokens_per_doc",
+        round(col("total_tokens") / col("n_docs"), 2))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("avg_tokens_per_doc"), col("n_distinct_tokens"),
+        col("top_token"), col("top_token_cnt"))
+      .orderBy(col("lang"))
+  }
+
+  /** Token counting three ways: whitespace, BPE-ish regex word/number/
+    * punctuation classes, and the chars/4 length heuristic.
+    */
+  val tokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+          .as("re_tokens"),
+        ceil(length(col("text")) / 4.0).as("bpe_est"),
+        length(col("text")).cast("long").as("n_chars_live"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: token-length / stopword / whitespace ratios folded
+    * into one deterministic score per document.
+    */
+  val qualityScore: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("double"))
+      .withColumn("n_stop",
+        size(filter(toks, t => t.isin("the", "a", "of", "and", "to")))
+          .cast("double"))
+      .withColumn("chars_no_ws",
+        length(regexp_replace(col("text"), "\\s", "")).cast("double"))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("chars_no_ws") / col("n_tokens"), 4).as("avg_token_len"),
+        round(col("n_stop") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(
+          lit(0.5) * (col("n_stop") / col("n_tokens")) +
+          lit(0.5) * least(col("n_tokens") / 100.0, lit(1.0)), 4)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-(lang, source) corpus curation stats — the aggregation that backs
+    * a `write.partitionBy("lang")` layout (the write itself is the
+    * snk_partitioned_write row).
+    */
+  val langPartition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  // =====================================================================
+  // Advanced dedup: MinHash-LSH, SimHash, fingerprinting
+  // =====================================================================
+
+  /** MinHash-LSH near-dup candidates (MLlib): shingles → binary HashingTF →
+    * 8 minhash tables (fixed seed) → approxSimilarityJoin. This is THE
+    * 100 TB dedup path: candidate generation is a join on LSH bucket keys,
+    * never an all-pairs product; the emitted distance is the exact Jaccard
+    * of the feature vectors, thresholded at sim ≥ 0.5 (the testdata's
+    * planted near-dups sit at 0.95+, the random floor at ≤0.04).
+    * No DuckDB oracle — LSH recall isn't SQL-reproducible (SURVEY §2.9);
+    * exact-Jaccard scoring is oracled by llm_dedup_ngram instead.
+    */
+  val dedupFuzzy: Q = (s, d) => {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val docs = Tables.documents(s, d)
+      .withColumn("sh", shingles(col("text")))
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(docs)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = mh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("id1"), col("datasetB.doc_id").as("id2"),
+        round(lit(1.0) - col("jaccard_dist"), 4).as("minhash_sim"))
+      .filter(col("id1") < col("id2"))
+      .orderBy(col("minhash_sim").desc, col("id1"), col("id2"))
+      .limit(50)
+  }
+
+  /** 64-bit SimHash over the distinct-token set, emitted as 16 hex chars.
+    * The per-token hash is md5 — the one hash both engines compute
+    * identically — and each hex nibble contributes 4 sign-vote bits, so the
+    * whole signature is integer arithmetic: bit-exact across engines, fully
+    * oracled. Two hash aggregations; explodes tokens ×16 positions.
+    */
+  val dedupSimhash: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("md", md5(col("tok")))
+      .select(col("doc_id"), col("md"), explode(sequence(lit(1), lit(16))).as("i"))
+      .withColumn("v", expr("instr('0123456789abcdef', substring(md, i, 1)) - 1"))
+    def bitSum(j: Int) =
+      sum(shiftright(col("v"), j).bitwiseAND(lit(1)) * 2 - 1).as(s"s$j")
+    val votes = toks.groupBy(col("doc_id"), col("i"))
+      .agg(bitSum(0), bitSum(1), bitSum(2), bitSum(3))
+      .withColumn("nib",
+        when(col("s3") > 0, 8).otherwise(0) + when(col("s2") > 0, 4).otherwise(0) +
+        when(col("s1") > 0, 2).otherwise(0) + when(col("s0") > 0, 1).otherwise(0))
+      .withColumn("hc", expr("substring('0123456789abcdef', nib + 1, 1)"))
+    votes.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("i"), col("hc")))),
+          e => e.getField("hc")), "").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: min-md5 over the word-3-gram shingle window —
+    * single-permutation MinHash. Docs sharing a fingerprint are dedup
+    * candidates; `n_same` counts the cluster.
+    */
+  val fingerprint: Q = (s, d) => {
+    val fp = Tables.documents(s, d)
+      .withColumn("fp",
+        array_min(transform(shingles(col("text")), sh => md5(sh))))
+      .select(col("doc_id"), col("fp"))
+    fp.withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .orderBy(col("doc_id"))
+  }
+
+  // =====================================================================
+  // Language ID and LSH-bucketed similarity (scale path)
+  // =====================================================================
+
+  /** N-gram-profile language ID: the per-language top-20 token profile is
+    * derived from the corpus itself (deterministic ties), each document is
+    * scored by profile overlap of its distinct tokens, argmax wins. Both
+    * profile build and scoring are joins + window top-1 — no driver loops.
+    */
+  val langId: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val profile = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rn") <= 20)
+      .select(col("lang").as("p_lang"), col("tok").as("p_tok"))
+    val docToks = toks.select(col("doc_id"), col("tok")).distinct()
+    val scored = docToks.join(broadcast(profile), col("tok") === col("p_tok"))
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("p_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("s_doc"), col("p_lang").as("predicted"), col("score"))
+    docs.join(scored, col("doc_id") === col("s_doc"), "left")
+      .select(col("doc_id"), col("lang").as("actual"),
+        coalesce(col("predicted"), lit("unknown")).as("predicted"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (col("lang") === coalesce(col("predicted"), lit("unknown"))).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The SQL literal for Planes.planes — renders the oracle from the same
+    * array the Spark side uses, one source of truth for both engines.
+    */
+  private def planesSqlLiteral: String =
+    Planes.planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Random-projection sign bucket (0..255) of a double vector — the
+    * LSH partitioning key for llm_simsearch_ivf.
+    */
+  private def rpBucket(v: Column): Column =
+    Planes.planes.zipWithIndex.map { case (p, j) =>
+      when(dot(v, typedLit(p.toSeq)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN — the 100 TB similarity-search path: every vector is
+    * assigned an 8-bit random-projection sign bucket; queries only join
+    * their own bucket (equi-join on the bucket key → hash-partitionable,
+    * no all-pairs). Recall < 1 by construction, but both engines compute
+    * the identical bucketing (fixed ±1 planes, double arithmetic, 2e-4
+    * minimum sign margin), so results hash-match exactly.
+    */
+  val simsearchIvf: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", rpBucket(col("v")))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    base.join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // =====================================================================
+  // Multimodal columns
+  // =====================================================================
+
+  /** Opaque binary payload + typed metadata struct traveling through
+    * relational ops: byte length, md5, hex prefix, struct field access.
+    * The imperative decode path lives in Multimodal.pipeline (mapPartitions
+    * with a stubbed codec); this query is the declarative plumbing.
+    * Text is ASCII in the testdata, so DuckDB's char-based substring
+    * equals Spark's byte-based one.
+    */
+  val multimodalCols: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("meta", struct(col("lang"), col("n_chars")))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        hex(substring(col("payload"), 1, 4)).as("prefix_hex"),
+        col("meta").getField("lang").as("meta_lang"),
+        col("meta").getField("n_chars").as("meta_chars"))
+      .orderBy(col("doc_id"))
+
+  // =====================================================================
+
+  def queries: Map[String, Q] = Map(
+    "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_ngram" -> dedupNgram,
+    "llm_dedup_embed" -> dedupEmbed,
+    "llm_simsearch_topk" -> simsearchTopk,
+    "llm_text_stats" -> textStats,
+    "llm_token_count" -> tokenCount,
+    "llm_quality_score" -> qualityScore,
+    "llm_lang_partition" -> langPartition,
+    "llm_dedup_fuzzy" -> dedupFuzzy,
+    "llm_dedup_simhash" -> dedupSimhash,
+    "llm_fingerprint" -> fingerprint,
+    "llm_lang_id" -> langId,
+    "llm_simsearch_ivf" -> simsearchIvf,
+    "llm_multimodal_cols" -> multimodalCols
+  )
+
+  def oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        | sha256(lower(trim(text))) AS h
+        |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
+
+    "llm_dedup_ngram" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars // 50 AS band,
+        |   list_distinct(list_transform(
+        |     range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+        |     i -> string_split(text,' ')[i] || ' ' ||
+        |          string_split(text,' ')[i+1] || ' ' ||
+        |          string_split(text,' ')[i+2])) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | round(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
+        |   THEN 1.0
+        |   ELSE len(list_intersect(a.sh, b.sh)) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |  END, 4) AS jaccard
+        |FROM base a JOIN base b
+        |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        |ORDER BY jaccard DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    "llm_dedup_embed" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        | round(list_cosine_similarity(
+        |   CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    "llm_simsearch_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5)
+        |SELECT query_id, rank, vec_id, cos FROM (
+        |  SELECT q.query_id,
+        |   row_number() OVER (PARTITION BY q.query_id
+        |     ORDER BY round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) DESC,
+        |              e.vec_id) AS rank,
+        |   e.vec_id,
+        |   round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "llm_text_stats" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |stats AS (
+        |  SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS total_tokens,
+        |   count(DISTINCT tok) AS n_distinct_tokens
+        |  FROM toks GROUP BY lang),
+        |top AS (
+        |  SELECT lang, tok AS top_token, cnt AS top_token_cnt FROM (
+        |    SELECT lang, tok, count(*) AS cnt,
+        |     row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rn
+        |    FROM toks GROUP BY lang, tok)
+        |  WHERE rn = 1)
+        |SELECT stats.lang, n_docs, total_tokens,
+        | round(total_tokens / n_docs, 2) AS avg_tokens_per_doc,
+        | n_distinct_tokens, top_token, top_token_cnt
+        |FROM stats JOIN top ON stats.lang = top.lang
+        |ORDER BY stats.lang""".stripMargin,
+
+    "llm_token_count" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+        | CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est,
+        | length(text) AS n_chars_live
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','of','and','to'))) AS DOUBLE) AS n_stop,
+        |   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS chars_no_ws
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(chars_no_ws / n_tokens, 4) AS avg_token_len,
+        | round(n_stop / n_tokens, 4) AS stopword_ratio,
+        | round(0.5 * (n_stop / n_tokens) +
+        |       0.5 * least(n_tokens / 100.0, 1.0), 4) AS quality
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "llm_lang_partition" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "llm_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |ex AS (
+        |  SELECT doc_id, md5(tok) AS md, i
+        |  FROM toks CROSS JOIN (SELECT unnest(range(1, 17)) AS i)),
+        |nib AS (
+        |  SELECT doc_id, i,
+        |   strpos('0123456789abcdef', substring(md, i, 1)) - 1 AS v FROM ex),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |   sum(((v >> 0) & 1) * 2 - 1) AS s0, sum(((v >> 1) & 1) * 2 - 1) AS s1,
+        |   sum(((v >> 2) & 1) * 2 - 1) AS s2, sum(((v >> 3) & 1) * 2 - 1) AS s3
+        |  FROM nib GROUP BY doc_id, i),
+        |hexn AS (
+        |  SELECT doc_id, i, substring('0123456789abcdef',
+        |    (CASE WHEN s3 > 0 THEN 8 ELSE 0 END + CASE WHEN s2 > 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN s1 > 0 THEN 2 ELSE 0 END + CASE WHEN s0 > 0 THEN 1 ELSE 0 END)
+        |    + 1, 1) AS hc
+        |  FROM bits)
+        |SELECT doc_id, string_agg(hc, '' ORDER BY i) AS simhash
+        |FROM hexn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |   list_min(list_transform(
+        |     list_distinct(list_transform(
+        |       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |       i -> string_split(text, ' ')[i] || ' ' ||
+        |            string_split(text, ' ')[i+1] || ' ' ||
+        |            string_split(text, ' ')[i+2])),
+        |     s -> md5(s))) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "llm_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang AS p_lang, tok AS p_tok FROM (
+        |    SELECT lang, tok, count(*) AS cnt,
+        |     row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rn
+        |    FROM toks GROUP BY lang, tok)
+        |  WHERE rn <= 20),
+        |doctoks AS (SELECT DISTINCT doc_id, tok FROM toks),
+        |pred AS (
+        |  SELECT doc_id AS s_doc, p_lang AS predicted, score FROM (
+        |    SELECT doc_id, p_lang, count(*) AS score,
+        |     row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY count(*) DESC, p_lang) AS rn
+        |    FROM doctoks JOIN profile ON tok = p_tok
+        |    GROUP BY doc_id, p_lang)
+        |  WHERE rn = 1)
+        |SELECT doc_id, lang AS actual,
+        | coalesce(predicted, 'unknown') AS predicted,
+        | coalesce(score, 0) AS score,
+        | lang = coalesce(predicted, 'unknown') AS correct
+        |FROM documents LEFT JOIN pred ON doc_id = s_doc
+        |ORDER BY doc_id""".stripMargin,
+
+    "llm_simsearch_ivf" -> {
+      val planes = planesSqlLiteral
+      s"""WITH planes AS (SELECT CAST($planes AS DOUBLE[][]) AS p),
+         |base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |   (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p[1]) > 0 THEN 1 ELSE 0 END
+         |  + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p[2]) > 0 THEN 2 ELSE 0 END
+         |  + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p[3]) > 0 THEN 4 ELSE 0 END
+         |  + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p[4]) > 0 THEN 8 ELSE 0 END
+         |  + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p[5]) > 0 THEN 16 ELSE 0 END
+         |  + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p[6]) > 0 THEN 32 ELSE 0 END
+         |  + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p[7]) > 0 THEN 64 ELSE 0 END
+         |  + CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p[8]) > 0 THEN 128 ELSE 0 END)
+         |   AS bucket
+         |  FROM embeddings CROSS JOIN planes),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+         |      FROM base WHERE vec_id < 5)
+         |SELECT query_id, rank, vec_id, cos FROM (
+         |  SELECT q.query_id,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |     ORDER BY round(list_cosine_similarity(qv, b.v), 4) DESC, b.vec_id) AS rank,
+         |   b.vec_id, round(list_cosine_similarity(qv, b.v), 4) AS cos
+         |  FROM base b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "llm_multimodal_cols" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | md5(text) AS payload_md5,
+        | hex(encode(substring(text, 1, 4))) AS prefix_hex,
+        | lang AS meta_lang,
+        | n_chars AS meta_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Typed multimodal ingestion path: opaque binary payloads + metadata
+  * flowing through a `mapPartitions` decode/feature-extract stage.
+  *
+  * The decode itself is a STUB — no image/audio codecs exist in this
+  * container — but it is a *deterministic* stub derived from the payload
+  * bytes, so the whole pipeline (schema, encoders, partition-local batch
+  * loop, output shape) is real, tested, and DuckDB-oracled. A production
+  * deployment swaps `decodeStub` for a codec call; nothing else changes.
+  *
+  * Partitioning note for 100 TB: payloads stay inside their input
+  * partition through decode (mapPartitions is a narrow dependency — zero
+  * shuffle); only the small fixed-width feature rows ever move.
+  */
+object Multimodal {
+
+  /** One media record entering the pipeline. */
+  case class MediaIn(doc_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features leaving the decode stage. */
+  case class MediaFeat(
+      doc_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** STUB codec: real impl would hand `bytes` to an image/audio decoder.
+    * Deterministic fake: dimensions from the first/last byte, so tests and
+    * the DuckDB oracle can verify the plumbing end-to-end.
+    */
+  private def decodeStub(bytes: Array[Byte]): (Int, Int) = {
+    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    val bn = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
+    (64 + b0 % 64, 64 + bn % 64)
+  }
+
+  /** Frame sampling stub: one "frame" per KiB of payload. */
+  private def frameSample(nBytes: Long): Int = (nBytes / 1000 + 1).toInt
+
+  /** The typed decode stage: one pass over each partition, batch-style. */
+  def pipeline(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaIn].mapPartitions { it =>
+      it.map { m =>
+        val (w, h) = decodeStub(m.payload)
+        MediaFeat(
+          doc_id = m.doc_id,
+          kind = m.kind,
+          n_bytes = m.payload.length.toLong,
+          width = w,
+          height = h,
+          n_frames = frameSample(m.payload.length.toLong),
+          checksum = m.payload.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+      }
+    }.toDF()
+  }
+
+  /** Query entry: documents.text as the stand-in payload (ASCII in the
+    * testdata, so the byte-level oracle is expressible over chars).
+    */
+  val multimodalPipeline: (SparkSession, String) => DataFrame = (s, d) => {
+    val media = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(lit("media/"), col("source")).as("kind"),
+      col("text").cast("binary").as("payload"))
+    pipeline(s, media)
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_multimodal_pipeline" -> multimodalPipeline
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_multimodal_pipeline" ->
+      """SELECT doc_id,
+        | 'media/' || source AS kind,
+        | octet_length(encode(text)) AS n_bytes,
+        | 64 + ascii(substring(text, 1, 1)) % 64 AS width,
+        | 64 + ascii(substring(text, length(text), 1)) % 64 AS height,
+        | octet_length(encode(text)) // 1000 + 1 AS n_frames,
+        | CAST(list_sum(list_transform(string_split_regex(text, ''),
+        |   c -> ascii(c))) AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
