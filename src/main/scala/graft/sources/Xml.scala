@@ -1,0 +1,411 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, Paths}
+import java.util.Comparator
+import scala.util.Try
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.xml.XSDToSchema
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** XML / file-source / sink surface — SURVEY.md §2.1 (sources & sinks) and
+  * §2.7 fn_xml_* rows, i.e. the XML Reader / XML Parser / XML-to-JSON
+  * capability of the reference (SURVEY §0.4, public CDAP surface).
+  *
+  * Oracle scheme (FIXTURES.md §B): DuckDB has no XML, so every query here
+  * generates its XML/CSV/JSON input *from the driver's parquet tables* with
+  * a distributed Spark write, reads it back through the datasource under
+  * test, and outputs the extracted values — which DuckDB then reproduces
+  * from the plain parquet columns. Extraction correctness is thereby
+  * hash-verified end-to-end without DuckDB ever parsing XML.
+  *
+  * Scale: fixture writes/reads are `df.write`/`spark.read` — fully
+  * distributed, no driver collect. At 100 TB the same plans apply
+  * unchanged; only `src_xml_permissive`'s 10-record malformed fixture and
+  * the XSD literal are driver-side (schema work is driver-side by nature).
+  */
+object Xml {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic per-(query,sf) scratch dir under java.io.tmpdir, wiped on
+    * entry so reruns are idempotent (Verify and Bench both re-invoke fns).
+    */
+  private def fresh(tag: String, sfDir: String): String = {
+    val sf  = Paths.get(sfDir).getFileName.toString
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_fixtures", s"${tag}_$sf")
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(Comparator.reverseOrder[JPath]()).forEach(p => Files.delete(p))
+    Files.createDirectories(dir)
+    dir.toString
+  }
+
+  // ======================================================================
+  // §2.1 sources
+  // ======================================================================
+
+  /** Plain parquet scan: 2-column projection + aggregate. Catalyst prunes
+    * the scan to exactly l_orderkey/l_quantity (ReadSchema) — the other 9
+    * columns never leave storage, which at 100 TB is the difference between
+    * reading ~18% of the table and all of it.
+    */
+  val srcParquetScan: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** XML Reader semantics: chunk files into records by row tag. We write
+    * nation as XML (one attribute + two elements per record, exercising the
+    * `_`-prefixed attribute convention), then read it back with
+    * rowTag-chunked parallel input. One huge file splits at tag boundaries
+    * across tasks — the same property the reference's StAX chunker provides.
+    */
+  val srcXmlRead: Q = (s, d) => {
+    val dir = fresh("src_xml_read", d)
+    Tables.nation(s, d)
+      .select(
+        col("n_nationkey").as("_key"),
+        col("n_name").as("name"),
+        col("n_regionkey").as("regionkey"))
+      .write.mode("overwrite")
+      .option("rowTag", "nation").option("rootTag", "nations")
+      .format("xml").save(dir)
+    s.read.option("rowTag", "nation").format("xml").load(dir)
+      .select(
+        col("_key").as("n_nationkey"),
+        col("name").as("n_name"),
+        col("regionkey").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Derive a Spark schema from an XSD (XML Reader's schema declaration
+    * path). Output is the flattened (field, type, nullable) triple list so
+    * the mapping itself is what gets hash-verified.
+    */
+  val srcXmlXsdSchema: Q = (s, _) => {
+    val xsd =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="book">
+        |    <xs:complexType>
+        |      <xs:sequence>
+        |        <xs:element name="title" type="xs:string"/>
+        |        <xs:element name="pages" type="xs:int"/>
+        |        <xs:element name="isbn" type="xs:long"/>
+        |        <xs:element name="price" type="xs:double"/>
+        |        <xs:element name="weight" type="xs:float"/>
+        |        <xs:element name="in_print" type="xs:boolean"/>
+        |        <xs:element name="published" type="xs:date" minOccurs="0"/>
+        |      </xs:sequence>
+        |      <xs:attribute name="id" type="xs:string" use="required"/>
+        |    </xs:complexType>
+        |  </xs:element>
+        |</xs:schema>""".stripMargin
+    val root = XSDToSchema.read(xsd)
+    val book = root.fields.head.dataType.asInstanceOf[StructType]
+    import s.implicits._
+    book.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("field", "dtype", "nullable")
+      .orderBy(col("field"))
+  }
+
+  /** Malformed-record policy ≙ the reference XML Parser's ignore / stop /
+    * error-port modes: PERMISSIVE routes broken records to a corrupt-record
+    * column (error port), DROPMALFORMED ignores them, FAILFAST stops.
+    * Fixture: 8 well-formed + 2 broken records (unclosed tag, bad entity).
+    */
+  val srcXmlPermissive: Q = (s, d) => {
+    val dir  = fresh("src_xml_permissive", d)
+    val recs = (1 to 8).map(i => s"  <rec><id>$i</id><v>ok$i</v></rec>")
+    val broken = Seq(
+      "  <rec><id>9</id><v>unclosed</rec>",
+      "  <rec><id>10</id><v>&badent;</v></rec>")
+    val doc = ("<recs>" +: (recs ++ broken) :+ "</recs>").mkString("\n")
+    Files.write(Paths.get(dir, "mixed.xml"), doc.getBytes("UTF-8"))
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt", StringType)))
+    val perm = s.read.schema(schema)
+      .option("rowTag", "rec").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .format("xml").load(dir).cache()
+    val good    = perm.filter(col("_corrupt").isNull).count()
+    val corrupt = perm.filter(col("_corrupt").isNotNull).count()
+    val dropped = s.read.schema(StructType(schema.dropRight(1)))
+      .option("rowTag", "rec").option("mode", "DROPMALFORMED")
+      .format("xml").load(dir).count()
+    val failfastThrew = Try(
+      s.read.schema(StructType(schema.dropRight(1)))
+        .option("rowTag", "rec").option("mode", "FAILFAST")
+        .format("xml").load(dir).count()).isFailure
+    perm.unpersist()
+    import s.implicits._
+    Seq(
+      ("PERMISSIVE", "good", good),
+      ("PERMISSIVE", "corrupt", corrupt),
+      ("DROPMALFORMED", "good", dropped),
+      ("FAILFAST", "threw", if (failfastThrew) 1L else 0L))
+      .toDF("mode", "bucket", "cnt")
+      .orderBy(col("mode"), col("bucket"))
+  }
+
+  /** CSV / JSON / text scans with schema inference: supplier round-tripped
+    * through both formats (doubles survive via shortest-repr printing), plus
+    * a text-source line count over the JSON files (1 object per line).
+    */
+  val srcCsvJsonText: Q = (s, d) => {
+    val base = fresh("src_csv_json_text", d)
+    val sup  = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    sup.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    sup.write.mode("overwrite").json(s"$base/json")
+    val fromCsv = s.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$base/csv")
+    val fromJson = s.read.json(s"$base/json")
+      .select(fromCsv.columns.map(col).toSeq: _*)
+    val textLines = s.read.text(s"$base/json").count() // rows == suppliers
+    import s.implicits._
+    val textRow = Seq(("text", textLines)).toDF("fmt", "s_suppkey")
+      .withColumn("s_name", lit(null).cast("string"))
+      .withColumn("s_nationkey", lit(null).cast("long"))
+      .withColumn("s_acctbal", lit(null).cast("double"))
+    fromCsv.withColumn("fmt", lit("csv"))
+      .unionByName(fromJson.withColumn("fmt", lit("json")))
+      .withColumn("s_suppkey", col("s_suppkey").cast("long"))
+      .withColumn("s_nationkey", col("s_nationkey").cast("long"))
+      .unionByName(textRow.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal", "fmt"))
+      .orderBy(col("fmt"), col("s_suppkey"))
+  }
+
+  /** XML Reader's processed-file tracking ≙ idempotent incremental
+    * ingestion, batch analogue (SURVEY §2.1): new files are discovered by
+    * anti-joining the scanned file inventory against a processed-file
+    * ledger. Here orders is laid out as two "arrival batches"; the ledger
+    * says batch file1 was already ingested, so only file2 contributes.
+    * At 100 TB the ledger join is a broadcast (file inventory is tiny
+    * relative to data) — exactly what Spark picks here.
+    */
+  val srcIncrementalFiles: Q = (s, d) => {
+    val base = fresh("src_incremental_files", d)
+    val o = Tables.orders(s, d)
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$base/file1")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$base/file2")
+    import s.implicits._
+    val ledger = Seq("file1").toDF("processed_dir")
+    val scanned = s.read.parquet(s"$base/file1", s"$base/file2")
+      .withColumn("src_dir", regexp_extract(input_file_name(), "(file1|file2)", 1))
+    scanned
+      .join(broadcast(ledger), scanned("src_dir") === ledger("processed_dir"), "left_anti")
+      .agg(
+        count(lit(1)).as("n_new_rows"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
+  // ======================================================================
+  // §2.1 sinks
+  // ======================================================================
+
+  /** Write an aggregate result to parquet and read it back — the harness's
+    * own sink path, verified round-trip.
+    */
+  val snkParquetWrite: Q = (s, d) => {
+    val dir = fresh("snk_parquet_write", d)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir).orderBy(col("l_returnflag"))
+  }
+
+  /** Hive-style partitioned layout for 100 TB corpora: documents written
+    * `partitionBy(lang)`, read back with partition discovery. Downstream
+    * per-language queries then scan a single partition directory
+    * (partition pruning) instead of the whole corpus.
+    */
+  val snkPartitionedWrite: Q = (s, d) => {
+    val dir = fresh("snk_partitioned_write", d)
+    Tables.documents(s, d)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Post-read file action (XML Reader: none/delete/move/archive) —
+    * explicitly a driver-side FileSystem action after a successful read,
+    * not a plan node. Files land in an inbox, are read, then archived.
+    */
+  val snkFileActions: Q = (s, d) => {
+    val base    = fresh("snk_file_actions", d)
+    val inbox   = new HPath(s"$base/inbox")
+    val archive = new HPath(s"$base/archive")
+    Tables.supplier(s, d).repartition(4)
+      .write.mode("overwrite").parquet(inbox.toString)
+    val rowsRead = s.read.parquet(inbox.toString).count()
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(archive)
+    val parts = fs.listStatus(inbox).filter(_.getPath.getName.endsWith(".parquet"))
+    parts.foreach(p => fs.rename(p.getPath, new HPath(archive, p.getPath.getName)))
+    val moved = fs.listStatus(archive).count(_.getPath.getName.endsWith(".parquet"))
+    import s.implicits._
+    Seq(("archive", moved.toLong, rowsRead)).toDF("action", "files_moved", "rows_read")
+  }
+
+  // ======================================================================
+  // §2.7 fn_xml_* — XML Parser / XML-to-JSON transforms
+  // ======================================================================
+
+  /** XML Parser transform: string column → typed columns via XPath
+    * mappings with type coercion (xpath_long / xpath_string / xpath_double
+    * / xpath_boolean — the reference's outputField:xpath + field:type
+    * config). The XML is built per-row from orders, so DuckDB oracles the
+    * extraction against the original columns. All xpath_* calls are
+    * codegen'd Catalyst expressions — no UDFs in the hot path.
+    */
+  val fnXmlParse: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("xml", concat(
+        lit("<order id=\""), col("o_orderkey"),
+        lit("\" urgent=\""),
+        when(col("o_orderpriority") === "1-URGENT", "true").otherwise("false"),
+        lit("\"><cust>"), col("o_custkey"),
+        lit("</cust><status>"), col("o_orderstatus"),
+        lit("</status><total>"), col("o_totalprice"),
+        lit("</total></order>")))
+      .select(
+        expr("xpath_long(xml, '/order/@id')").as("o_orderkey"),
+        expr("xpath_long(xml, '/order/cust/text()')").as("o_custkey"),
+        expr("xpath_string(xml, '/order/status/text()')").as("o_orderstatus"),
+        expr("xpath_double(xml, '/order/total/text()')").as("o_totalprice"),
+        expr("xpath_boolean(xml, '/order/@urgent=\"true\"')").as("urgent"))
+      .orderBy(col("o_orderkey"))
+
+  /** XML-to-JSON transform: from_xml → struct → to_json. Output is
+    * re-extracted from the JSON with get_json_object so the oracle compares
+    * typed values, not engine-specific JSON formatting.
+    */
+  val fnXmlToJson: Q = (s, d) => {
+    val schema = StructType(Seq(
+      StructField("_key", LongType),
+      StructField("name", StringType),
+      StructField("region", LongType)))
+    Tables.nation(s, d)
+      .withColumn("xml", concat(
+        lit("<nation key=\""), col("n_nationkey"),
+        lit("\"><name>"), col("n_name"),
+        lit("</name><region>"), col("n_regionkey"),
+        lit("</region></nation>")))
+      .withColumn("parsed", from_xml(col("xml"), schema))
+      .withColumn("js", to_json(col("parsed")))
+      .select(
+        get_json_object(col("js"), "$._key").cast("long").as("n_nationkey"),
+        get_json_object(col("js"), "$.name").as("n_name"),
+        get_json_object(col("js"), "$.region").cast("long").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** struct → XML string (to_xml) and back (from_xml): the serialization
+    * inverse, verified as a full round-trip whose output equals the input
+    * columns.
+    */
+  val fnXmlSerialize: Q = (s, d) => {
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("name", StringType)))
+    Tables.region(s, d)
+      .withColumn("x", to_xml(struct(
+        col("r_regionkey").cast("long").as("key"), col("r_name").as("name"))))
+      .withColumn("back", from_xml(col("x"), schema))
+      .select(
+        col("back.key").as("r_regionkey"),
+        col("back.name").as("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  // ======================================================================
+  // registry
+  // ======================================================================
+
+  val queries: Map[String, Q] = Map(
+    "src_parquet_scan"      -> srcParquetScan,
+    "src_xml_read"          -> srcXmlRead,
+    "src_xml_xsd_schema"    -> srcXmlXsdSchema,
+    "src_xml_permissive"    -> srcXmlPermissive,
+    "src_csv_json_text"     -> srcCsvJsonText,
+    "src_incremental_files" -> srcIncrementalFiles,
+    "snk_parquet_write"     -> snkParquetWrite,
+    "snk_partitioned_write" -> snkPartitionedWrite,
+    "snk_file_actions"      -> snkFileActions,
+    "fn_xml_parse"          -> fnXmlParse,
+    "fn_xml_to_json"        -> fnXmlToJson,
+    "fn_xml_serialize"      -> fnXmlSerialize)
+
+  val oracles: Map[String, String] = Map(
+    "src_parquet_scan" ->
+      """SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
+        |       max(l_orderkey) AS max_key, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem""".stripMargin,
+    "src_xml_read" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "src_xml_xsd_schema" ->
+      """SELECT * FROM (VALUES
+        |  ('_id', 'string', false), ('title', 'string', false),
+        |  ('pages', 'int', false), ('isbn', 'bigint', false),
+        |  ('price', 'double', false), ('weight', 'float', false),
+        |  ('in_print', 'boolean', false), ('published', 'date', true))
+        |  AS t(field, dtype, nullable)
+        |ORDER BY field""".stripMargin,
+    "src_xml_permissive" ->
+      """SELECT * FROM (VALUES
+        |  ('DROPMALFORMED', 'good', 8), ('FAILFAST', 'threw', 1),
+        |  ('PERMISSIVE', 'corrupt', 2), ('PERMISSIVE', 'good', 8))
+        |  AS t(mode, bucket, cnt)
+        |ORDER BY mode, bucket""".stripMargin,
+    "src_csv_json_text" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal, fmt
+        |FROM (
+        |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 'csv' AS fmt FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 'json' AS fmt FROM supplier
+        |  UNION ALL
+        |  SELECT count(*), NULL, NULL, NULL, 'text' FROM supplier)
+        |ORDER BY fmt, s_suppkey""".stripMargin,
+    "src_incremental_files" ->
+      """SELECT count(*) AS n_new_rows, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    "snk_parquet_write" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "snk_partitioned_write" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "snk_file_actions" ->
+      """SELECT 'archive' AS action, CAST(4 AS BIGINT) AS files_moved,
+        |       count(*) AS rows_read
+        |FROM supplier""".stripMargin,
+    "fn_xml_parse" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       (o_orderpriority = '1-URGENT') AS urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_xml_to_json" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "fn_xml_serialize" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name AS r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin)
+}
