@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Plan/parallelism probe for local iteration: prints the formatted physical
+  * plan and timing for the named queries, plus input-partition diagnostics.
+  *
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Probe <query> [query...]"
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Warm the session (codegen compiler, broadcast machinery) so per-query
+    // timings aren't polluted by one-time startup.
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count().count()
+
+    for (t <- Seq("lineitem", "documents", "embeddings"))
+      println(s"[probe] $t partitions: " +
+        spark.read.parquet(s"$sfDir/$t.parquet").rdd.getNumPartitions)
+
+    if (args.contains("fuzzy_debug")) fuzzyDebug(spark, sfDir)
+
+    for (name <- args.filterNot(_ == "fuzzy_debug")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"===== $name =====")
+      df.explain("formatted")
+      val t0 = System.nanoTime()
+      val n  = df.count()
+      println(f"[probe] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+
+  /** Stage-wise timing of the MinHash dedup pipeline. */
+  private def fuzzyDebug(spark: SparkSession, sfDir: String): Unit = {
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] fuzzy/$tag: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val dp = spark.sparkContext.defaultParallelism
+    val toks = split(col("text"), " ")
+    val sh = when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(dp).withColumn("sh", sh)
+      .filter(size(col("sh")) > 0).select(col("doc_id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("shingles+persist") { docs.count() }
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    time("explode+md5") { ex.withColumn("md", md5(col("g"))).count() }
+    val mh = ex.withColumn("md", md5(col("g"))).groupBy(col("doc_id"))
+      .agg(min(substring(col("md"), 1, 4)).as("m0"),
+        min(substring(col("md"), 5, 4)).as("m1"),
+        min(substring(col("md"), 9, 4)).as("m2"),
+        min(substring(col("md"), 13, 4)).as("m3"),
+        min(substring(col("md"), 17, 4)).as("m4"),
+        min(substring(col("md"), 21, 4)).as("m5"),
+        min(substring(col("md"), 25, 4)).as("m6"),
+        min(substring(col("md"), 29, 4)).as("m7"))
+    time("minhash") { mh.count() }
+    val bands = mh.select(col("doc_id"), explode(array(
+        (0 until 4).map(i => struct(lit(i).as("band_id"),
+          concat(col(s"m${2 * i}"), col(s"m${2 * i + 1}")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+    println("[probe] fuzzy/candidates: " + time("cand") { cand.count() })
+    val verified = cand
+      .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+    println("[probe] fuzzy/verified: " + time("verify") { verified.count() })
+  }
+}

@@ -21,19 +21,12 @@ object Llm {
   private type Q = (SparkSession, String) => DataFrame
 
   /** Word 3-gram shingle set of the `text` column — shared by the Jaccard
-    * dedup operators. `sequence` + `transform` + `element_at` are all
-    * codegen'd builtins.
+    * dedup operators. Backed by the custom codegen'd WordShingles
+    * expression (graft.functions.ShingleExpressions — see there for the
+    * HOF-equivalence argument and why the builtin HOFs are too slow here).
     */
-  private def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    // Guard: Spark's sequence(1, n) flips to a DESCENDING range when n < 1
-    // (step defaults to -1), so short docs must short-circuit to [].
-    when(size(toks) < 3, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-  }
+  private def shingles(text: Column): Column =
+    graft.functions.ShingleFunctions.wordShingles3(text)
 
   // =====================================================================
   // Deduplication suite
@@ -51,28 +44,39 @@ object Llm {
       .select(col("keep_id"), col("n_copies"), col("h"))
       .orderBy(col("keep_id"))
 
-  /** Near-dup detection by exact word-3-gram Jaccard, with candidate pairs
-    * *blocked* on (lang, n_chars ÷ 50): the equi-join on the block key is
-    * what keeps this from being an all-pairs cartesian at scale — standard
-    * blocking, the exact-scoring stage of a MinHash pipeline. Emits the
-    * top-20 most similar pairs (total order) so output is stable and
-    * non-empty at every sf.
+  /** Near-dup detection by exact word-3-gram Jaccard via an inverted index:
+    * explode each document's distinct shingles and equi-join on
+    * (lang, length-band, shingle), so the only pairs that ever materialize
+    * are those *sharing at least one shingle* — the candidate definition.
+    * Common-shingle counts come from one hash aggregation; Jaccard is then
+    * |∩| / (|A|+|B|−|∩|). Contrast with the naive blocked pair join
+    * (315 k pairs × array_intersect at sf0.1, quadratic in block size):
+    * this formulation's cost is Σ_shingle (docs-per-shingle)², which stays
+    * linear-ish when shingles are discriminative — the property that makes
+    * it the 100 TB-safe exact-scoring stage. Everything is codegen'd
+    * (explode/join/agg); both join inputs share one exchange (ReuseExchange).
     */
   val dedupNgram: Q = (s, d) => {
-    val base = Tables.documents(s, d)
+    // Persisted for the same reason as dedupFuzzy: the a/b sides of the
+    // self-join do not share an exchange, so without materialization the
+    // interpreted shingle build would run twice.
+    val ex = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 50).as("band"), shingles(col("text")).as("sh"))
-    val a = base.select(col("doc_id").as("id1"), col("lang").as("lang1"),
-      col("band").as("band1"), col("sh").as("sh1"))
-    val b = base.select(col("doc_id").as("id2"), col("lang").as("lang2"),
-      col("band").as("band2"), col("sh").as("sh2"))
-    a.join(b, col("lang1") === col("lang2") && col("band1") === col("band2") &&
-        col("id1") < col("id2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("uni",
-        (size(col("sh1")) + size(col("sh2"))).cast("double") - col("inter"))
+      .select(col("doc_id"), col("lang"), col("band"),
+        size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = ex.select(col("doc_id").as("id1"), col("lang").as("lang1"),
+      col("band").as("band1"), col("sz").as("sz1"), col("g").as("g1"))
+    val b = ex.select(col("doc_id").as("id2"), col("lang").as("lang2"),
+      col("band").as("band2"), col("sz").as("sz2"), col("g").as("g2"))
+    a.join(b, col("g1") === col("g2") && col("lang1") === col("lang2") &&
+        col("band1") === col("band2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
+      .agg(count(lit(1)).cast("double").as("inter"))
       .withColumn("jaccard",
-        round(when(col("uni") === 0.0, 1.0).otherwise(col("inter") / col("uni")), 4))
+        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 4))
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("id1"), col("id2"))
       .limit(20)
@@ -85,29 +89,39 @@ object Llm {
     * is llm_simsearch_ivf's bucketed path.
     */
   val dedupEmbed: Q = (s, d) => {
+    // Norms are computed ONCE per vector here (2 000 folds), not per pair
+    // (2 M folds); the per-pair work is a single dot product + divide. The
+    // small parquet file arrives as 1 split, so the streamed side of the
+    // nested-loop pair join is explicitly repartitioned to use every core —
+    // at cluster scale the scan is naturally multi-split and this repartition
+    // is a cheap no-op-sized shuffle of (id, vec, norm) rows.
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = base.select(col("vec_id").as("id1"), col("v").as("v1"))
-    val b = base.select(col("vec_id").as("id2"), col("v").as("v2"))
+      .withColumn("n", norm2(col("v")))
+    val a = base.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
+    val b = base.select(col("vec_id").as("id2"), col("v").as("v2"), col("n").as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", round(cosine(col("v1"), col("v2")), 4))
+      .withColumn("cos", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
       .select(col("id1"), col("id2"), col("cos"))
       .orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(20)
   }
 
-  /** dot(a,b) / (|a| |b|) via codegen'd HOFs: zip_with for the products,
-    * aggregate for the left-fold sums (same fold order as DuckDB's
-    * list_cosine_similarity, so rounded values agree).
+  /** Vector kernel: the custom codegen'd DotProduct expression
+    * (graft.functions.VectorExpressions) — ascending-index fold, identical
+    * rounding behavior to DuckDB's list functions. See that file for why
+    * the builtin HOFs (CodegenFallback, ~200µs/pair) don't survive a
+    * 2M-pair join.
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   private def norm2(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    graft.functions.VectorFunctions.vecNorm(a)
 
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+    graft.functions.VectorFunctions.vecCosine(a, b)
 
   // =====================================================================
   // Similarity search
@@ -218,31 +232,69 @@ object Llm {
   // Advanced dedup: MinHash-LSH, SimHash, fingerprinting
   // =====================================================================
 
-  /** MinHash-LSH near-dup candidates (MLlib): shingles → binary HashingTF →
-    * 8 minhash tables (fixed seed) → approxSimilarityJoin. This is THE
-    * 100 TB dedup path: candidate generation is a join on LSH bucket keys,
-    * never an all-pairs product; the emitted distance is the exact Jaccard
-    * of the feature vectors, thresholded at sim ≥ 0.5 (the testdata's
-    * planted near-dups sit at 0.95+, the random floor at ≤0.04).
-    * No DuckDB oracle — LSH recall isn't SQL-reproducible (SURVEY §2.9);
-    * exact-Jaccard scoring is oracled by llm_dedup_ngram instead.
+  /** MinHash-LSH near-dup pipeline, Spark-first: shingle → 8 minhash
+    * signatures → 4 bands × 2 rows (AND×OR amplification) → band-key
+    * equi-join for candidates → exact-Jaccard verification ≥ 0.5.
+    *
+    * This is THE 100 TB dedup path: candidate generation is an equi-join on
+    * the band key, never an all-pairs product, and the banding controls the
+    * candidate count analytically — P(candidate) = 1−(1−j²)⁴, i.e. ≈0.6%
+    * of random pairs (j≈0.04) vs ≈100% of planted near-dups (j≥0.95).
+    * (MLlib's MinHashLSH can only OR its hash tables — 1−(1−j)⁸ admits
+    * ~25% of *random* pairs as candidates, which measured 20-30 s at sf0.1;
+    * AND-amplification is why this version is both faster and scale-safe.)
+    *
+    * The 8 minhash functions are the 8 disjoint 4-hex-char slots of one
+    * md5 per shingle, min'd lexicographically — deterministic and
+    * engine-portable, so unlike the MLlib version this query is fully
+    * DuckDB-oracled end-to-end. Every stage is codegen'd (md5/substring/
+    * min/explode/join); the only HOF is the per-doc shingle build.
     */
   val dedupFuzzy: Q = (s, d) => {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    // The shingle table is consumed by THREE branches (minhash path + both
+    // verification joins); exchange reuse does not dedup them (measured), so
+    // the interpreted-HOF shingle build would run per branch. Persist the
+    // (doc_id, shingles) projection once — the standard "materialize the
+    // shared expensive intermediate" step; at 100 TB this is a checkpoint
+    // of (id, shingle-set), a tiny fraction of corpus bytes.
     val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("sh", shingles(col("text")))
       .filter(size(col("sh")) > 0)
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(docs)
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
-    val model = mh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("id1"), col("datasetB.doc_id").as("id2"),
-        round(lit(1.0) - col("jaccard_dist"), 4).as("minhash_sim"))
-      .filter(col("id1") < col("id2"))
-      .orderBy(col("minhash_sim").desc, col("id1"), col("id2"))
+      .select(col("doc_id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mh = docs
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("md", md5(col("g")))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(substring(col("md"), 1, 4)).as("m0"),
+        min(substring(col("md"), 5, 4)).as("m1"),
+        min(substring(col("md"), 9, 4)).as("m2"),
+        min(substring(col("md"), 13, 4)).as("m3"),
+        min(substring(col("md"), 17, 4)).as("m4"),
+        min(substring(col("md"), 21, 4)).as("m5"),
+        min(substring(col("md"), 25, 4)).as("m6"),
+        min(substring(col("md"), 29, 4)).as("m7"))
+    val bands = mh.select(col("doc_id"), explode(array(
+        (0 until 4).map(i => struct(
+          lit(i).as("band_id"),
+          concat(col(s"m${2 * i}"), col(s"m${2 * i + 1}")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
       .limit(50)
   }
 
@@ -420,14 +472,15 @@ object Llm {
         |          string_split(text,' ')[i+1] || ' ' ||
         |          string_split(text,' ')[i+2])) AS sh
         |  FROM documents)
-        |SELECT a.doc_id AS id1, b.doc_id AS id2,
-        | round(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
-        |   THEN 1.0
-        |   ELSE len(list_intersect(a.sh, b.sh)) /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-        |  END, 4) AS jaccard
-        |FROM base a JOIN base b
-        |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        |SELECT id1, id2, jaccard FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |   len(list_intersect(a.sh, b.sh)) AS inter,
+        |   round(len(list_intersect(a.sh, b.sh)) /
+        |         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |     4) AS jaccard
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+        |WHERE inter >= 1
         |ORDER BY jaccard DESC, id1, id2 LIMIT 20""".stripMargin,
 
     "llm_dedup_embed" ->
@@ -498,6 +551,44 @@ object Llm {
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "llm_dedup_fuzzy" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(
+        |     range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+        |     i -> string_split(text,' ')[i] || ' ' ||
+        |          string_split(text,' ')[i+1] || ' ' ||
+        |          string_split(text,' ')[i+2])) AS sh
+        |  FROM documents),
+        |nonempty AS (SELECT * FROM docs WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, md5(unnest(sh)) AS md FROM nonempty),
+        |mh AS (
+        |  SELECT doc_id,
+        |   min(substring(md, 1, 4)) AS m0, min(substring(md, 5, 4)) AS m1,
+        |   min(substring(md, 9, 4)) AS m2, min(substring(md, 13, 4)) AS m3,
+        |   min(substring(md, 17, 4)) AS m4, min(substring(md, 21, 4)) AS m5,
+        |   min(substring(md, 25, 4)) AS m6, min(substring(md, 29, 4)) AS m7
+        |  FROM ex GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, i AS band_id,
+        |   CASE i WHEN 0 THEN m0 || m1 WHEN 1 THEN m2 || m3
+        |          WHEN 2 THEN m4 || m5 ELSE m6 || m7 END AS key
+        |  FROM mh CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT id1, id2, jaccard FROM (
+        |  SELECT id1, id2,
+        |   round(len(list_intersect(a.sh, b.sh)) /
+        |         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+        |     4) AS jaccard
+        |  FROM cand
+        |    JOIN nonempty a ON a.doc_id = cand.id1
+        |    JOIN nonempty b ON b.doc_id = cand.id2)
+        |WHERE jaccard >= 0.5
+        |ORDER BY jaccard DESC, id1, id2 LIMIT 50""".stripMargin,
 
     "llm_dedup_simhash" ->
       """WITH toks AS (

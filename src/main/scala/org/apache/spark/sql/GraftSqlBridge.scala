@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` API surface, the standard pattern for Spark
+  * extension libraries: `classic.ExpressionUtils.column/expression` are the
+  * supported way to wrap a custom Catalyst Expression as a user-facing
+  * Column in Spark 4.x, but they are package-private to org.apache.spark.sql.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
