@@ -1,0 +1,280 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — SURVEY.md §2.8: the realtime-pipeline
+  * capability of the reference re-expressed as Structured Streaming.
+  *
+  * Verification scheme (SURVEY §2.8/§5.4): `events.parquet` is replayed as a
+  * file-source stream and drained with `Trigger.AvailableNow()`, which gives
+  * deterministic, batch-equivalent output — so every query is oracled by the
+  * equivalent batch SQL in DuckDB. Window aggregations use complete-mode to
+  * a memory sink (all windows emitted; harness-scale only — documents/
+  * events fit the driver at every sf). The production 100 TB path is the
+  * append-mode + watermark + parquet-sink pipeline that st_watermark_late
+  * and st_dedup exercise: state is bounded by the watermark, the sink is
+  * distributed, and the same code runs continuously (replace AvailableNow
+  * with a processing-time trigger).
+  */
+/** Row/state types for stStatefulCustom — top-level and public because the
+  * generated encoder/projection code must access them.
+  */
+case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
+case class SessState(lastTsMs: Long, nSessions: Long, nEvents: Long, total: Double)
+case class UserSummary(user_id: Long, n_events: Long, n_sessions: Long,
+    total_value: Double)
+
+object Streaming {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def fresh(tag: String, sfDir: String): String = {
+    val sf  = Paths.get(sfDir).getFileName.toString
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_fixtures", s"${tag}_$sf")
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(Comparator.reverseOrder[JPath]()).forEach(p => Files.delete(p))
+    Files.createDirectories(dir)
+    dir.toString
+  }
+
+  /** `events.ts` arrives as Long nanos under nanosAsLong (SURVEY §7.4.1). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source replay of events.parquet: copy into a scratch input dir,
+    * readStream with the explicit schema, truncate ns→µs with integer
+    * division (same rule as Tables.events).
+    */
+  private def eventsStream(s: SparkSession, d: String, tag: String): (DataFrame, String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = fresh(tag, d)
+    Files.createDirectories(Paths.get(base, "input"))
+    Files.copy(Paths.get(d, "events.parquet"),
+      Paths.get(base, "input", "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val ev = s.readStream.schema(rawSchema).parquet(s"$base/input")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    (ev, base)
+  }
+
+  /** Drain a complete-mode aggregation to a memory sink and return the
+    * final table.
+    */
+  private def runComplete(s: SparkSession, df: DataFrame, tag: String,
+      base: String): DataFrame = {
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory").queryName(tag)
+      .option("checkpointLocation", s"$base/cp")
+      .start()
+    q.awaitTermination()
+    s.table(tag)
+  }
+
+  /** Drain an append-mode stream to a parquet sink and read the result back
+    * — the production-shaped path.
+    */
+  private def runAppend(s: SparkSession, df: DataFrame, base: String): DataFrame = {
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/cp")
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+  }
+
+  // ======================================================================
+  // §2.8 queries
+  // ======================================================================
+
+  /** Per-event-type counts in 1 h tumbling windows. */
+  val stTumbling: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_tumbling")
+    val agg = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    runComplete(s, agg, "st_tumbling", base)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** 1 h windows sliding every 15 min — each event lands in 4 windows. */
+  val stSliding: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_sliding")
+    val agg = ev.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+    runComplete(s, agg, "st_sliding", base)
+      .select(col("window.start").as("window_start"), col("cnt"))
+      .orderBy(col("window_start"))
+  }
+
+  /** Session windows, 30 min gap, per user: count + value total + bounds.
+    * Session end = last event + gap (Spark semantics; oracle reproduces).
+    */
+  val stSession: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_session")
+    val agg = ev
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    runComplete(s, agg, "st_session", base)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Watermark + append mode — the production pipeline shape: only windows
+    * finalized by the closing watermark (max event time − 10 min) are
+    * emitted; the trailing open windows stay in state. The oracle applies
+    * the identical finalization predicate in SQL.
+    */
+  val stWatermarkLate: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_watermark_late")
+    val agg = ev
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("cnt"), col("sum_value"))
+    runAppend(s, agg, base)
+      .orderBy(col("window_start"))
+  }
+
+  /** Streaming exact dedup on event_id (append, unbounded state here;
+    * `dropDuplicatesWithinWatermark` bounds it at scale). The aggregate
+    * over the deduped sink output proves no row was lost or duplicated.
+    */
+  val stDedup: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_dedup")
+    val deduped = ev.dropDuplicates("event_id")
+    runAppend(s, deduped, base)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  // --- st_stateful_custom -------------------------------------------------
+
+  /** Custom per-key state via flatMapGroupsWithState — the analogue of a
+    * CDAP stateful transform: per user, a running session summary (30 min
+    * gap rule) maintained imperatively in GroupState. Events are processed
+    * in (ts, event_id) order inside each invocation and the state merges
+    * across invocations, so the logic is correct under any batch split; with
+    * AvailableNow draining in one batch the emitted summary is final and
+    * batch-equivalent (oracled by gaps-and-islands SQL).
+    */
+  val stStatefulCustom: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_stateful_custom")
+    import s.implicits._
+    val typed: Dataset[Ev] = ev
+      .select(col("event_id"), col("user_id"), col("ts"), col("value")).as[Ev]
+
+    val summarized = typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, UserSummary](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val evs = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L, 0.0))
+          for (e <- evs) {
+            val t = e.ts.getTime
+            val newSession = st.lastTsMs == Long.MinValue ||
+              t - st.lastTsMs > 30L * 60 * 1000
+            st = SessState(
+              lastTsMs = t,
+              nSessions = st.nSessions + (if (newSession) 1 else 0),
+              nEvents = st.nEvents + 1,
+              total = st.total + e.value)
+          }
+          state.update(st)
+          Iterator(UserSummary(uid, st.nEvents, st.nSessions,
+            math.rint(st.total * 100) / 100))
+      }
+    runAppend(s, summarized.toDF(), base)
+      .orderBy(col("user_id"))
+  }
+
+  // ======================================================================
+  // registry
+  // ======================================================================
+
+  val queries: Map[String, Q] = Map(
+    "st_tumbling"        -> stTumbling,
+    "st_sliding"         -> stSliding,
+    "st_session"         -> stSession,
+    "st_watermark_late"  -> stWatermarkLate,
+    "st_dedup"           -> stDedup,
+    "st_stateful_custom" -> stStatefulCustom)
+
+  val oracles: Map[String, String] = Map(
+    "st_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "st_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |         - k * INTERVAL '15 minutes' AS window_start,
+        |       count(*) AS cnt
+        |FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+        |GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "st_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL '30 minutes' AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "st_watermark_late" ->
+      """WITH wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes' AS w
+        |  FROM events)
+        |SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |         + INTERVAL '1 hour' AS window_end,
+        |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events, wm
+        |GROUP BY 1, 2
+        |HAVING window_end <= (SELECT w FROM wm)
+        |ORDER BY window_start""".stripMargin,
+    "st_dedup" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_ids,
+        |       round(sum(value), 2) AS sum_value
+        |FROM (SELECT DISTINCT ON (event_id) event_id, value FROM events)""".stripMargin,
+    "st_stateful_custom" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |       round(sum(value), 2) AS total_value
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin)
+}
