@@ -11,6 +11,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session once (codegen compiler, broadcast machinery, FS
+    // metadata) so the first measured query isn't charged ~5s of JVM/session
+    // startup that belongs to no query.
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count().count()
     // Optional comma-separated key filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=llm_dedup_embed,llm_dedup_fuzzy
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale-readiness properties SURVEY §4/§6
+  * call out are pinned here so a regression (lost pushdown, lost broadcast,
+  * a surprise cartesian) fails CI, not the 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Simple-mode plan: shows `*(n)` whole-stage-codegen stage markers and
+    * inline Exchange arguments, which formatted mode elides.
+    */
+  private def simplePlan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+  }
+
+  test("op_filter predicates reach the parquet scan (PushedFilters)") {
+    val p = plan("op_filter")
+    assert(p.contains("PushedFilters"), "no pushdown section in scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "timestamp range predicate not pushed to parquet")
+    assert(p.contains("In(o_orderpriority"),
+      "IN-list predicate not pushed to parquet")
+  }
+
+  test("op_project prunes the scan to referenced columns only") {
+    val p = plan("op_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey") && readSchema.contains("p_name"))
+    assert(!readSchema.contains("p_brand") && !readSchema.contains("p_type"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("join_broadcast uses a BroadcastHashJoin") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_inner_equi is a shuffle join, never a nested loop") {
+    val p = plan("join_inner_equi")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("agg_hash does partial (map-side) aggregation before the shuffle") {
+    val p = simplePlan("agg_hash")
+    assert("HashAggregate\\(keys=".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    val codegen = SparkEntry.queries("agg_hash")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen subtrees"),
+      "aggregation fell out of whole-stage codegen")
+  }
+
+  test("llm_dedup_fuzzy candidate generation is equi-join based (no cartesian)") {
+    val p = plan("llm_dedup_fuzzy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate generation degenerated into an all-pairs join")
+  }
+
+  test("llm_simsearch_topk broadcasts the query side") {
+    assert(plan("llm_simsearch_topk").contains("BroadcastExchange"))
+  }
+
+  test("win_topk_per_group plans exactly one shuffle for partitioning") {
+    val p = simplePlan("win_topk_per_group")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 hash exchange, found $shuffles")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based laws — SURVEY §5.3. Generators are ScalaCheck with a fixed
+  * seed (deterministic CI) and each law is checked over one generated
+  * DataFrame rather than per-sample Spark jobs.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def sample[T](g: Gen[T]): T =
+    g.apply(Gen.Parameters.default, Seed(42L)).get
+
+  // Strings exercising XML/JSON escaping: letters plus markup specials.
+  // Bracketed by letters: the XML datasource trims surrounding whitespace
+  // and reads empty elements as null, so only interior-whitespace, non-empty
+  // strings are round-trippable by design.
+  private val trickyString: Gen[String] = for {
+    head <- Gen.alphaNumChar
+    mid  <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+              Gen.oneOf('&', '<', '>', '"', '\'', ' ')))
+    last <- Gen.alphaNumChar
+  } yield (head +: mid.take(18) :+ last).mkString
+
+  private val rowGen: Gen[(Long, String, Double, Boolean)] = for {
+    k <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+    s <- trickyString
+    d <- Gen.choose(-1e6, 1e6)
+    b <- Gen.oneOf(true, false)
+  } yield (k, s, d, b)
+
+  test("to_xml then from_xml is identity on 200 generated structs") {
+    import spark.implicits._
+    val rows = sample(Gen.listOfN(200, rowGen)).zipWithIndex
+      .map { case ((k, s, d, b), i) => (i.toLong, k, s, d, b) }
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("flag", BooleanType)))
+    val df = rows.toDF("id", "k", "name", "score", "flag")
+    val back = df
+      .withColumn("x", to_xml(struct(col("k"), col("name"), col("score"), col("flag"))))
+      .withColumn("b", from_xml(col("x"), schema))
+      .select(col("id"), col("b.k").as("k"), col("b.name").as("name"),
+        col("b.score").as("score"), col("b.flag").as("flag"))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("to_json then from_json is identity on 200 generated structs") {
+    import spark.implicits._
+    val rows = sample(Gen.listOfN(200, rowGen)).zipWithIndex
+      .map { case ((k, s, d, b), i) => (i.toLong, k, s, d, b) }
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("flag", BooleanType)))
+    val df = rows.toDF("id", "k", "name", "score", "flag")
+    val back = df
+      .withColumn("j", to_json(struct(col("k"), col("name"), col("score"), col("flag"))))
+      .withColumn("b", from_json(col("j"), schema))
+      .select(col("id"), col("b.k").as("k"), col("b.name").as("name"),
+        col("b.score").as("score"), col("b.flag").as("flag"))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    import spark.implicits._
+    // Texts drawn from a small pool so duplicates are guaranteed.
+    val texts = sample(Gen.listOfN(300,
+      Gen.oneOf("alpha beta", "Alpha  Beta", "gamma", " gamma ", "delta e f")))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def dedup(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .groupBy("h").agg(min("doc_id").as("doc_id"), first("text").as("text"))
+      .select("doc_id", "text", "h")
+    val once  = dedup(df).orderBy("doc_id").collect().toSeq
+    val twice = dedup(dedup(df)).orderBy("doc_id").collect().toSeq
+    assert(once.map(r => (r.getLong(0), r.getString(2))) ==
+           twice.map(r => (r.getLong(0), r.getString(2))))
+  }
+
+  test("window top-k per group equals per-group sort-take in plain Scala") {
+    import spark.implicits._
+    val pairs = sample(Gen.listOfN(500, for {
+      g <- Gen.choose(0, 9)
+      v <- Gen.choose(0, 1000000)
+    } yield (g, v)))
+    val df = pairs.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("id"))
+    val spark_topk = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("g", "id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val scala_topk = pairs.zipWithIndex
+      .map { case ((g, v), i) => (g, v, i.toLong) }
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._2, r._3)).take(3).map(r => (g, r._3))
+      }.toSet
+    assert(spark_topk == scala_topk)
+  }
+}
