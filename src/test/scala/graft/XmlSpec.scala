@@ -88,6 +88,20 @@ class XmlSpec extends AnyFunSuite {
       df.orderBy("k").collect().toSeq)
   }
 
+  test("XML reader honors a non-UTF8 input encoding (XML Parser charset config)") {
+    val doc = "<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>\n" +
+      "<recs><rec><name>café</name></rec></recs>"
+    val dir = Files.createTempDirectory("graft_xmlenc")
+    Files.write(Paths.get(dir.toString, "latin1.xml"),
+      doc.getBytes("ISO-8859-1"))
+    val parsed = spark.read
+      .schema(StructType(Seq(StructField("name", StringType))))
+      .option("rowTag", "rec").option("encoding", "ISO-8859-1")
+      .format("xml").load(dir.toString)
+      .collect()(0).getAs[String]("name")
+    assert(parsed == "café")
+  }
+
   test("one big single-root doc splits into >1 partition at small maxSplitBytes") {
     val recs = (1 to 10000).map(i => s"<r><i>$i</i></r>").mkString
     val path = tmpFile("big_single_doc.xml", s"<root>$recs</root>")
