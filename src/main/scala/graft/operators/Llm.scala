@@ -250,7 +250,16 @@ object Llm {
     * DuckDB-oracled end-to-end. Every stage is codegen'd (md5/substring/
     * min/explode/join); the only HOF is the per-doc shingle build.
     */
-  val dedupFuzzy: Q = (s, d) => {
+  val dedupFuzzy: Q = (s, d) =>
+    verifiedNearDupPairs(s, d)
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      .limit(50)
+
+  /** The full banded-MinHash pipeline: all verified near-dup pairs
+    * (exact Jaccard ≥ 0.5) — shared by dedupFuzzy (top-50 view) and
+    * dedupCluster (connected components over the pair graph).
+    */
+  private def verifiedNearDupPairs(s: SparkSession, d: String): DataFrame = {
     // The shingle table is consumed by THREE branches (minhash path + both
     // verification joins); exchange reuse does not dedup them (measured), so
     // the interpreted-HOF shingle build would run per branch. Persist the
@@ -294,8 +303,71 @@ object Llm {
         col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
-      .limit(50)
+  }
+
+  /** Near-dup CLUSTER assignment — the step after pair detection that an
+    * actual corpus-dedup job needs: connected components over the verified
+    * near-dup pair graph, each doc labeled with the min doc_id of its
+    * component (the canonical keeper). Distributed min-label propagation:
+    * a driver-side convergence loop (like GraphX Pregel) whose every step
+    * is a shuffle join + aggregation; iterations ≤ graph diameter, and
+    * near-dup components are tiny by construction. At 100 TB the same loop
+    * runs with the large-star/small-star optimization; here plain
+    * propagation converges in 2-4 rounds. Fully deterministic, oracled by
+    * a recursive CTE over the identical (hash-verified) pair set.
+    */
+  val dedupCluster: Q = (s, d) => {
+    val pairs = verifiedNearDupPairs(s, d).select(col("id1"), col("id2"))
+    val edges = pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id1").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val fromNbrs = edges.join(labels, edges("id2") === labels("node"))
+        .groupBy(edges("id1").as("nbr_node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(fromNbrs, labels("node") === fromNbrs("nbr_node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("label")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-3 TF-IDF terms per document: tf × ln(N/df) over whitespace tokens.
+    * Three hash aggregations + one join + one window — the inverted-index
+    * shape that scales (term df is a broadcastable aggregate; no
+    * per-document vocabulary ever materializes).
+    */
+  val tfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
   }
 
   /** 64-bit SimHash over the distinct-token set, emitted as 16 hex chars.
@@ -450,12 +522,56 @@ object Llm {
     "llm_quality_score" -> qualityScore,
     "llm_lang_partition" -> langPartition,
     "llm_dedup_fuzzy" -> dedupFuzzy,
+    "llm_dedup_cluster" -> dedupCluster,
+    "llm_tfidf" -> tfidf,
     "llm_dedup_simhash" -> dedupSimhash,
     "llm_fingerprint" -> fingerprint,
     "llm_lang_id" -> langId,
     "llm_simsearch_ivf" -> simsearchIvf,
     "llm_multimodal_cols" -> multimodalCols
   )
+
+  /** The banded-MinHash candidate + verification pipeline as DuckDB CTEs —
+    * one source of truth for the llm_dedup_fuzzy and llm_dedup_cluster
+    * oracles, mirroring verifiedNearDupPairs stage for stage.
+    */
+  private val fuzzyPairsCtes: String =
+    """docs AS (
+      |  SELECT doc_id,
+      |   list_distinct(list_transform(
+      |     range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+      |     i -> string_split(text,' ')[i] || ' ' ||
+      |          string_split(text,' ')[i+1] || ' ' ||
+      |          string_split(text,' ')[i+2])) AS sh
+      |  FROM documents),
+      |nonempty AS (SELECT * FROM docs WHERE len(sh) > 0),
+      |ex AS (SELECT doc_id, md5(unnest(sh)) AS md FROM nonempty),
+      |mh AS (
+      |  SELECT doc_id,
+      |   min(substring(md, 1, 4)) AS m0, min(substring(md, 5, 4)) AS m1,
+      |   min(substring(md, 9, 4)) AS m2, min(substring(md, 13, 4)) AS m3,
+      |   min(substring(md, 17, 4)) AS m4, min(substring(md, 21, 4)) AS m5,
+      |   min(substring(md, 25, 4)) AS m6, min(substring(md, 29, 4)) AS m7
+      |  FROM ex GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, i AS band_id,
+      |   CASE i WHEN 0 THEN m0 || m1 WHEN 1 THEN m2 || m3
+      |          WHEN 2 THEN m4 || m5 ELSE m6 || m7 END AS key
+      |  FROM mh CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |  FROM bands x JOIN bands y
+      |    ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id),
+      |verified AS (
+      |  SELECT id1, id2, jaccard FROM (
+      |    SELECT id1, id2,
+      |     round(len(list_intersect(a.sh, b.sh)) /
+      |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+      |       4) AS jaccard
+      |    FROM cand
+      |      JOIN nonempty a ON a.doc_id = cand.id1
+      |      JOIN nonempty b ON b.doc_id = cand.id2)
+      |  WHERE jaccard >= 0.5)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "llm_dedup_exact" ->
@@ -553,42 +669,45 @@ object Llm {
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "llm_dedup_fuzzy" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |   list_distinct(list_transform(
-        |     range(1, greatest(len(string_split(text,' ')) - 1, 1)),
-        |     i -> string_split(text,' ')[i] || ' ' ||
-        |          string_split(text,' ')[i+1] || ' ' ||
-        |          string_split(text,' ')[i+2])) AS sh
-        |  FROM documents),
-        |nonempty AS (SELECT * FROM docs WHERE len(sh) > 0),
-        |ex AS (SELECT doc_id, md5(unnest(sh)) AS md FROM nonempty),
-        |mh AS (
-        |  SELECT doc_id,
-        |   min(substring(md, 1, 4)) AS m0, min(substring(md, 5, 4)) AS m1,
-        |   min(substring(md, 9, 4)) AS m2, min(substring(md, 13, 4)) AS m3,
-        |   min(substring(md, 17, 4)) AS m4, min(substring(md, 21, 4)) AS m5,
-        |   min(substring(md, 25, 4)) AS m6, min(substring(md, 29, 4)) AS m7
-        |  FROM ex GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, i AS band_id,
-        |   CASE i WHEN 0 THEN m0 || m1 WHEN 1 THEN m2 || m3
-        |          WHEN 2 THEN m4 || m5 ELSE m6 || m7 END AS key
-        |  FROM mh CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-        |  FROM bands x JOIN bands y
-        |    ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id)
-        |SELECT id1, id2, jaccard FROM (
-        |  SELECT id1, id2,
-        |   round(len(list_intersect(a.sh, b.sh)) /
-        |         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-        |     4) AS jaccard
-        |  FROM cand
-        |    JOIN nonempty a ON a.doc_id = cand.id1
-        |    JOIN nonempty b ON b.doc_id = cand.id2)
-        |WHERE jaccard >= 0.5
-        |ORDER BY jaccard DESC, id1, id2 LIMIT 50""".stripMargin,
+      s"""WITH $fuzzyPairsCtes
+         |SELECT id1, id2, jaccard FROM verified
+         |ORDER BY jaccard DESC, id1, id2 LIMIT 50""".stripMargin,
+
+    "llm_dedup_cluster" ->
+      s"""WITH RECURSIVE $fuzzyPairsCtes,
+         |edges AS (
+         |  SELECT id1 AS u, id2 AS v FROM verified
+         |  UNION SELECT id2, id1 FROM verified),
+         |nodes AS (SELECT DISTINCT u FROM edges),
+         |reach(u, label) AS (
+         |  SELECT u, u FROM nodes
+         |  UNION
+         |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u),
+         |labels AS (
+         |  SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u),
+         |sizes AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM labels
+         |  GROUP BY cluster_id)
+         |SELECT doc_id, cluster_id, cluster_size,
+         |       doc_id = cluster_id AS is_keeper
+         |FROM labels JOIN sizes USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_tfidf" ->
+      """WITH tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rank, term, score FROM (
+        |  SELECT doc_id, term,
+        |   round(tf * ln(n_docs / df), 4) AS score,
+        |   row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY round(tf * ln(n_docs / df), 4) DESC, term) AS rank
+        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "llm_dedup_simhash" ->
       """WITH toks AS (
