@@ -99,6 +99,71 @@ object Relational {
       .orderBy(col("r_name"))
   }
 
+  /** Salted skew join — the manual mitigation for a shuffle join whose key
+    * is pathologically skewed (here event_type: 5 values over the whole
+    * fact table, so an unsalted shuffle would land 1/5 of 100 TB on single
+    * reducers). The fact side gets a deterministic salt (event_id mod 8);
+    * the dim side is replicated ×8 with an explode, and the join key becomes
+    * (event_type, salt) — 40 evenly-sized partitions instead of 5 hot ones.
+    * A shuffle_merge hint keeps the demo honest (at test scale Catalyst
+    * would rightly broadcast the 40-row dim; at 100 TB dim scale it
+    * couldn't). AQE's OptimizeSkewedJoin is the automatic variant; salting
+    * is the portable one that also fixes skewed *aggregations*.
+    */
+  val joinSalted: Q = (s, d) => {
+    val salts = 8
+    val ev = Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+    val dim = Tables.events(s, d)
+      .groupBy(col("event_type")).agg(round(avg(col("value")), 4).as("type_avg"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("salt", col("salt").cast("long"))
+    ev.hint("shuffle_merge")
+      .join(dim, Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value") - col("type_avg")), 2).as("sum_dev"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Bucketed write + co-located join: both fact tables written bucketed and
+    * sorted by the join key, so the subsequent join needs NO shuffle at all
+    * — the scan's bucket layout satisfies the join's distribution
+    * requirement (PlanSpec asserts zero hash exchanges). This is the
+    * at-rest layout that removes the biggest shuffle from a 100 TB
+    * fact-fact join; the bucket count scales with the cluster, 8 suffices
+    * locally.
+    */
+  val joinBucketed: Q = (s, d) => {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_fixtures",
+      "bucketed_" + java.nio.file.Paths.get(d).getFileName.toString).toString
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").saveAsTable("graft_lineitem_bucketed")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable("graft_orders_bucketed")
+    // shuffle_merge hint: at test scale Catalyst would broadcast the tiny
+    // orders side (also shuffle-free, but trivially); the hint exercises the
+    // path that matters at 100 TB — a sort-merge join fed directly by the
+    // bucket layout, with neither an exchange NOR a sort (sortBy above).
+    val li = s.table("graft_lineitem_bucketed").hint("shuffle_merge")
+    val o  = s.table("graft_orders_bucketed")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Outer joins with null extension both ways: FULL OUTER between two
     * disjoint aggregates, then LEFT from customer so key-less customers
     * survive. Aggregate-before-join keeps the outer join input small.
@@ -384,6 +449,8 @@ object Relational {
     "op_case_when" -> opCaseWhen,
     "join_inner_equi" -> joinInnerEqui,
     "join_broadcast" -> joinBroadcast,
+    "join_salted" -> joinSalted,
+    "join_bucketed" -> joinBucketed,
     "join_left_right_full" -> joinLeftRightFull,
     "join_semi_anti" -> joinSemiAnti,
     "join_theta_range" -> joinThetaRange,
@@ -441,6 +508,21 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "join_salted" ->
+      """WITH dim AS (
+        |  SELECT event_type, round(avg(value), 4) AS type_avg
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, count(*) AS n_events,
+        |       round(sum(value - type_avg), 2) AS sum_dev
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "join_left_right_full" ->
       """WITH open AS (

@@ -71,6 +71,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("llm_simsearch_topk").contains("BroadcastExchange"))
   }
 
+  test("join_bucketed: bucket layout feeds the merge join with no exchange") {
+    val p = simplePlan("join_bucketed")
+    assert(p.contains("SortMergeJoin"))
+    // The only hash exchange allowed is the groupBy on o_orderpriority —
+    // the join itself must be satisfied by the bucket layout.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"bucketed join should not shuffle on the join key; found $shuffles hash exchanges")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+           !p.contains("Exchange hashpartitioning(o_orderkey"),
+      "join key exchange present despite bucketing")
+  }
+
+  test("join_salted: shuffle join keyed on (event_type, salt), not event_type alone") {
+    val p = simplePlan("join_salted")
+    assert(p.contains("SortMergeJoin"), "salted join demo lost its shuffle_merge hint")
+    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).get
+    assert(joinLine.contains("salt"), s"salt missing from join keys: $joinLine")
+  }
+
   test("win_topk_per_group plans exactly one shuffle for partitioning") {
     val p = simplePlan("win_topk_per_group")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
