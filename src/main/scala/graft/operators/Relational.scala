@@ -123,7 +123,9 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value") - col("type_avg")), 2).as("sum_dev"))
+        // + 0.0 normalizes IEEE negative zero: the near-cancelling deviation
+        // sum rounds to -0.0 in one engine and +0.0 in the other otherwise.
+        (round(sum(col("value") - col("type_avg")), 2) + lit(0.0)).as("sum_dev"))
       .orderBy(col("event_type"))
   }
 
@@ -514,7 +516,7 @@ object Relational {
         |  SELECT event_type, round(avg(value), 4) AS type_avg
         |  FROM events GROUP BY event_type)
         |SELECT event_type, count(*) AS n_events,
-        |       round(sum(value - type_avg), 2) AS sum_dev
+        |       round(sum(value - type_avg), 2) + 0.0 AS sum_dev
         |FROM events JOIN dim USING (event_type)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
