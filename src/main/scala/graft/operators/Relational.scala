@@ -307,6 +307,22 @@ object Relational {
         col("cnt"), col("total"))
       .orderBy(col("status"), col("priority"))
 
+  /** Pivot (long→wide): daily event counts pivoted by event_type. The value
+    * list is EXPLICIT — with it, Spark skips the extra distinct-values job
+    * and the output schema is static, which is the only scale-safe way to
+    * pivot (an inferred pivot on a high-cardinality column is a driver
+    * OOM). Compiles to a single hash aggregation with conditional counts —
+    * exactly the FILTER-ed aggregate the oracle states.
+    */
+  val aggPivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("day"))
+
   /** Statistical aggregates: stddev/variance/corr/exact percentile.
     * Rounded to 4 places — Spark (Welford-style) and DuckDB accumulate in
     * different orders, so the last few double bits legitimately differ.
@@ -452,6 +468,7 @@ object Relational {
     "join_inner_equi" -> joinInnerEqui,
     "join_broadcast" -> joinBroadcast,
     "join_salted" -> joinSalted,
+    "agg_pivot" -> aggPivot,
     "join_bucketed" -> joinBucketed,
     "join_left_right_full" -> joinLeftRightFull,
     "join_semi_anti" -> joinSemiAnti,
@@ -510,6 +527,15 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     "join_salted" ->
       """WITH dim AS (
