@@ -31,8 +31,9 @@ object Probe {
         spark.read.parquet(s"$sfDir/$t.parquet").rdd.getNumPartitions)
 
     if (args.contains("fuzzy_debug")) fuzzyDebug(spark, sfDir)
+    if (args.contains("cluster_debug")) clusterDebug(spark, sfDir)
 
-    for (name <- args.filterNot(_ == "fuzzy_debug")) {
+    for (name <- args.filterNot(a => a == "fuzzy_debug" || a == "cluster_debug")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"===== $name =====")
       df.explain("formatted")
@@ -41,6 +42,19 @@ object Probe {
       println(f"[probe] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
+  }
+
+  /** Phase timing of the cluster query: fuzzy pipeline vs the label loop. */
+  private def clusterDebug(spark: SparkSession, sfDir: String): Unit = {
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = {
+      println(f"[probe] cluster/$tag: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+    }
+    val df = SparkEntry.queries("llm_dedup_cluster")(spark, sfDir)
+    lap("fn-call (pipeline+loop)")
+    val n = df.count()
+    lap(s"final count ($n rows)")
   }
 
   /** Stage-wise timing of the MinHash dedup pipeline. */

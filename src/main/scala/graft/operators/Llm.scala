@@ -315,12 +315,36 @@ object Llm {
     * runs with the large-star/small-star optimization; here plain
     * propagation converges in 2-4 rounds. Fully deterministic, oracled by
     * a recursive CTE over the identical (hash-verified) pair set.
+    *
+    * Local-bench note: wall time here is dominated by per-iteration
+    * whole-stage-codegen compilation (each round is a structurally new
+    * plan), a fixed driver cost that amortizes to nothing at real data
+    * sizes. Set GRAFT_CLUSTER_DEBUG=1 for per-phase timings.
     */
   val dedupCluster: Q = (s, d) => {
     val pairs = verifiedNearDupPairs(s, d).select(col("id1"), col("id2"))
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size-aware loop parallelism: the pair graph is orders of magnitude
+    // smaller than the corpus (477 nodes at sf0.1), so running every
+    // iteration's shuffles at the session's partition count pays ~30 idle
+    // task launches per job. Scale shuffle partitions to ~100k edges each,
+    // capped by the executor slots — at a 100 TB pair graph this lands back
+    // at full cluster parallelism.
+    val dbg = sys.env.contains("GRAFT_CLUSTER_DEBUG")
+    var tDbg = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      println(f"[cluster] $tag: ${(System.nanoTime() - tDbg) / 1e9}%.2fs")
+      tDbg = System.nanoTime()
+    }
+    val nEdges = edges.count()
+    lap("edges-materialize (fuzzy pipeline)")
+    val loopParts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, nEdges / 100000L + 1L)).toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
     var labels = edges.select(col("id1").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -334,17 +358,28 @@ object Llm {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      // Convergence-count jobs are skipped for the first two rounds: any
+      // component of diameter ≥ 2 needs them anyway, so the count could
+      // never be 0 — two fewer driver-blocking jobs per run.
+      changed = if (iter < 2) 1L
+        else next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.label") =!= col("o.label")).count()
       labels.unpersist()
       labels = next
       iter += 1
+      lap(s"iter=$iter changed=$changed")
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
+    val out = labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"), (col("node") === col("label")).as("is_keeper"))
       .orderBy(col("doc_id"))
+    // Materialize under the loop's partitioning before restoring the
+    // session conf (the caller executes the returned plan later).
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    lap("final-assembly")
+    out
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Top-3 TF-IDF terms per document: tf × ln(N/df) over whitespace tokens.
