@@ -339,6 +339,9 @@ object Relational {
 
   /** collect_list / collect_set — always sort_array'd: Spark's collection
     * order is partition-dependent and would never hash-match otherwise.
+    * Emitted as comma-joined strings (not arrays) so the driver's row
+    * comparator can sort and hash the result; DuckDB oracle uses
+    * string_agg(... ORDER BY ...).
     */
   val aggCollect: Q = (s, d) => {
     val n = Tables.nation(s, d)
@@ -346,8 +349,8 @@ object Relational {
     n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        sort_array(collect_list(col("n_name"))).as("nations"),
-        sort_array(collect_set(col("n_regionkey"))).as("regionkeys"))
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        array_join(sort_array(collect_set(col("n_regionkey"))), ",").as("regionkeys"))
       .orderBy(col("r_name"))
   }
 
@@ -634,8 +637,9 @@ object Relational {
 
     "agg_collect" ->
       """SELECT r_name,
-        | list(n_name ORDER BY n_name) AS nations,
-        | list(DISTINCT n_regionkey ORDER BY n_regionkey) AS regionkeys
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | string_agg(DISTINCT CAST(n_regionkey AS VARCHAR), ','
+        |            ORDER BY CAST(n_regionkey AS VARCHAR)) AS regionkeys
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 

@@ -62,9 +62,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("llm_dedup_fuzzy candidate generation is equi-join based (no cartesian)") {
-    val p = plan("llm_dedup_fuzzy")
+    // The registered query returns a checkpointed pair set; assert on the
+    // underlying lazy pipeline plan, where the joins are still visible.
+    val (_, verified) = graft.operators.Llm.nearDupPairsPlan(spark, sf)
+    val p = verified.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "LSH candidate generation degenerated into an all-pairs join")
+  }
+
+  test("llm_dedup_embed candidates come from the LSH bucket equi-join, not all pairs") {
+    val p = plan("llm_dedup_embed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "embedding near-dup degenerated into an all-pairs nested-loop join")
   }
 
   test("llm_simsearch_topk broadcasts the query side") {
