@@ -138,32 +138,52 @@ object Relational {
     * locally.
     */
   val joinBucketed: Q = (s, d) => {
+    val (tables, joined) = joinBucketedPlan(s, d)
+    val out = joined.localCheckpoint(true)
+    tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out
+  }
+
+  /** Writes the two bucketed tables and returns (table names, lazy join
+    * plan) — also exposed to PlanSpec so the zero-exchange property is
+    * asserted on the real join plan, not the post-checkpoint LogicalRDD.
+    * Callers own dropping the returned tables.
+    */
+  private[graft] def joinBucketedPlan(s: SparkSession, d: String)
+      : (Seq[String], DataFrame) = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_fixtures",
-      "bucketed_" + java.nio.file.Paths.get(d).getFileName.toString).toString
+      s"bucketed_$sf").toString
+    // Metastore table names carry the sf suffix so concurrent sessions /
+    // sf runs never clash, and both tables are dropped once the (tiny)
+    // result is materialized — no catalog state leaks out of the query.
+    val liTable = s"graft_lineitem_bucketed_$sf".replace('.', '_')
+    val oTable  = s"graft_orders_bucketed_$sf".replace('.', '_')
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$base/lineitem").saveAsTable("graft_lineitem_bucketed")
+      .option("path", s"$base/lineitem").saveAsTable(liTable)
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$base/orders").saveAsTable("graft_orders_bucketed")
+      .option("path", s"$base/orders").saveAsTable(oTable)
     // shuffle_merge hint: at test scale Catalyst would broadcast the tiny
     // orders side (also shuffle-free, but trivially); the hint exercises the
     // path that matters at 100 TB — a sort-merge join fed directly by the
     // bucket layout, with neither an exchange NOR a sort (sortBy above).
-    val li = s.table("graft_lineitem_bucketed").hint("shuffle_merge")
-    val o  = s.table("graft_orders_bucketed")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val li = s.table(liTable).hint("shuffle_merge")
+    val o  = s.table(oTable)
+    val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
       .orderBy(col("o_orderpriority"))
+    (Seq(liTable, oTable), joined)
   }
 
   /** Outer joins with null extension both ways: FULL OUTER between two

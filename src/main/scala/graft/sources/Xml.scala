@@ -86,8 +86,14 @@ object Xml {
   }
 
   /** Derive a Spark schema from an XSD (XML Reader's schema declaration
-    * path). Output is the flattened (field, type, nullable) triple list so
-    * the mapping itself is what gets hash-verified.
+    * path), covering the shapes real XSDs have: primitive leaves, a NESTED
+    * complexType (publisher → struct), a REPEATED element
+    * (author maxOccurs="unbounded" → array<struct>), an optional nested
+    * element (minOccurs="0" → nullable), and an OPTIONAL attribute
+    * (edition, no use="required"). Output is the recursively flattened
+    * (path, dtype, nullable) triple list — arrays descend through their
+    * element type with an `[]` path marker — so the whole structural
+    * mapping is what gets hash-verified.
     */
   val srcXmlXsdSchema: Q = (s, _) => {
     val xsd =
@@ -103,18 +109,50 @@ object Xml {
         |        <xs:element name="weight" type="xs:float"/>
         |        <xs:element name="in_print" type="xs:boolean"/>
         |        <xs:element name="published" type="xs:date" minOccurs="0"/>
+        |        <xs:element name="author" maxOccurs="unbounded">
+        |          <xs:complexType>
+        |            <xs:sequence>
+        |              <xs:element name="name" type="xs:string"/>
+        |              <xs:element name="born" type="xs:int" minOccurs="0"/>
+        |            </xs:sequence>
+        |          </xs:complexType>
+        |        </xs:element>
+        |        <xs:element name="publisher">
+        |          <xs:complexType>
+        |            <xs:sequence>
+        |              <xs:element name="pname" type="xs:string"/>
+        |              <xs:element name="city" type="xs:string" minOccurs="0"/>
+        |            </xs:sequence>
+        |            <xs:attribute name="pid" type="xs:long" use="required"/>
+        |          </xs:complexType>
+        |        </xs:element>
         |      </xs:sequence>
         |      <xs:attribute name="id" type="xs:string" use="required"/>
+        |      <xs:attribute name="edition" type="xs:int"/>
         |    </xs:complexType>
         |  </xs:element>
         |</xs:schema>""".stripMargin
     val root = XSDToSchema.read(xsd)
     val book = root.fields.head.dataType.asInstanceOf[StructType]
+    def flatten(prefix: String, st: StructType): Seq[(String, String, Boolean)] =
+      st.fields.toSeq.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case nested: StructType =>
+            (path, "struct", f.nullable) +: flatten(path, nested)
+          case ArrayType(el: StructType, containsNull) =>
+            (path, "array<struct>", f.nullable) +:
+              flatten(s"$path[]", el) :+ (s"$path[]", "struct", containsNull)
+          case ArrayType(el, containsNull) =>
+            Seq((path, s"array<${el.simpleString}>", f.nullable),
+              (s"$path[]", el.simpleString, containsNull))
+          case other =>
+            Seq((path, other.simpleString, f.nullable))
+        }
+      }
     import s.implicits._
-    book.fields.toSeq
-      .map(f => (f.name, f.dataType.simpleString, f.nullable))
-      .toDF("field", "dtype", "nullable")
-      .orderBy(col("field"))
+    flatten("", book).toDF("field", "dtype", "nullable")
+      .orderBy(col("field"), col("dtype"))
   }
 
   /** Malformed-record policy ≙ the reference XML Parser's ignore / stop /
@@ -245,24 +283,49 @@ object Xml {
       .orderBy(col("lang"))
   }
 
-  /** Post-read file action (XML Reader: none/delete/move/archive) —
-    * explicitly a driver-side FileSystem action after a successful read,
-    * not a plan node. Files land in an inbox, are read, then archived.
+  /** Post-read file actions (XML Reader: none/delete/move/archive) — each
+    * variant exercised distinctly as a driver-side FileSystem action after a
+    * successful read, not a plan node. Three inboxes receive the same
+    * 4-part dataset; after reading, inbox A is ARCHIVED (renamed under an
+    * archive root), inbox B is MOVED to a target folder, inbox C is DELETED.
+    * The summary row per action carries the file count the action touched,
+    * the files left in the inbox afterwards (must be 0), and the rows read
+    * before the action (proving read-then-act ordering).
     */
   val snkFileActions: Q = (s, d) => {
-    val base    = fresh("snk_file_actions", d)
-    val inbox   = new HPath(s"$base/inbox")
-    val archive = new HPath(s"$base/archive")
-    Tables.supplier(s, d).repartition(4)
-      .write.mode("overwrite").parquet(inbox.toString)
-    val rowsRead = s.read.parquet(inbox.toString).count()
+    val base = fresh("snk_file_actions", d)
     val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    def stage(name: String): (HPath, Long) = {
+      val inbox = new HPath(s"$base/inbox_$name")
+      Tables.supplier(s, d).repartition(4)
+        .write.mode("overwrite").parquet(inbox.toString)
+      (inbox, s.read.parquet(inbox.toString).count())
+    }
+    def parts(p: HPath): Array[HPath] =
+      fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+
+    val (inA, rowsA) = stage("archive")
+    val archive = new HPath(s"$base/archive")
     fs.mkdirs(archive)
-    val parts = fs.listStatus(inbox).filter(_.getPath.getName.endsWith(".parquet"))
-    parts.foreach(p => fs.rename(p.getPath, new HPath(archive, p.getPath.getName)))
-    val moved = fs.listStatus(archive).count(_.getPath.getName.endsWith(".parquet"))
+    val archived = parts(inA).map(p => fs.rename(p, new HPath(archive, p.getName)))
+      .count(identity)
+
+    val (inB, rowsB) = stage("move")
+    val target = new HPath(s"$base/target")
+    fs.mkdirs(target)
+    val movedN = parts(inB).map(p => fs.rename(p, new HPath(target, p.getName)))
+      .count(identity)
+
+    val (inC, rowsC) = stage("delete")
+    val deletedN = parts(inC).map(p => fs.delete(p, false)).count(identity)
+
     import s.implicits._
-    Seq(("archive", moved.toLong, rowsRead)).toDF("action", "files_moved", "rows_read")
+    Seq(
+      ("archive", archived.toLong, parts(inA).length.toLong, rowsA),
+      ("delete",  deletedN.toLong, parts(inC).length.toLong, rowsC),
+      ("move",    movedN.toLong,   parts(inB).length.toLong, rowsB))
+      .toDF("action", "files_acted", "files_left", "rows_read")
+      .orderBy(col("action"))
   }
 
   // ======================================================================
@@ -362,12 +425,17 @@ object Xml {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "src_xml_xsd_schema" ->
       """SELECT * FROM (VALUES
-        |  ('_id', 'string', false), ('title', 'string', false),
-        |  ('pages', 'int', false), ('isbn', 'bigint', false),
-        |  ('price', 'double', false), ('weight', 'float', false),
-        |  ('in_print', 'boolean', false), ('published', 'date', true))
+        |  ('_edition', 'int', true), ('_id', 'string', false),
+        |  ('author', 'array<struct>', false), ('author[]', 'struct', true),
+        |  ('author[].born', 'int', true), ('author[].name', 'string', false),
+        |  ('in_print', 'boolean', false), ('isbn', 'bigint', false),
+        |  ('pages', 'int', false), ('price', 'double', false),
+        |  ('published', 'date', true),
+        |  ('publisher', 'struct', false), ('publisher._pid', 'bigint', false),
+        |  ('publisher.city', 'string', true), ('publisher.pname', 'string', false),
+        |  ('title', 'string', false), ('weight', 'float', false))
         |  AS t(field, dtype, nullable)
-        |ORDER BY field""".stripMargin,
+        |ORDER BY field, dtype""".stripMargin,
     "src_xml_permissive" ->
       """SELECT * FROM (VALUES
         |  ('DROPMALFORMED', 'good', 8), ('FAILFAST', 'threw', 1),
@@ -394,9 +462,11 @@ object Xml {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "snk_file_actions" ->
-      """SELECT 'archive' AS action, CAST(4 AS BIGINT) AS files_moved,
-        |       count(*) AS rows_read
-        |FROM supplier""".stripMargin,
+      """SELECT action, CAST(4 AS BIGINT) AS files_acted,
+        |       CAST(0 AS BIGINT) AS files_left, rows_read
+        |FROM (VALUES ('archive'), ('delete'), ('move')) AS a(action)
+        |CROSS JOIN (SELECT count(*) AS rows_read FROM supplier)
+        |ORDER BY action""".stripMargin,
     "fn_xml_parse" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       (o_orderpriority = '1-URGENT') AS urgent

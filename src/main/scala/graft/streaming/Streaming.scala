@@ -152,17 +152,48 @@ object Streaming {
       .orderBy(col("window_start"))
   }
 
-  /** Streaming exact dedup on event_id (append, unbounded state here;
-    * `dropDuplicatesWithinWatermark` bounds it at scale). The aggregate
-    * over the deduped sink output proves no row was lost or duplicated.
+  /** Streaming exact dedup on event_id with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` expires a key's state once the
+    * watermark passes it, so at 100 TB the state store holds only the
+    * trailing watermark-window of keys — the unbounded `dropDuplicates`
+    * variant would OOM it. The 30-day delay covers the whole replayed
+    * fixture span, so AvailableNow draining is loss-free and the result is
+    * batch-equivalent. The aggregate over the deduped sink output proves no
+    * row was lost or duplicated; it only uses columns that are identical
+    * across duplicate candidates (the key itself), so the check stays
+    * deterministic even if genuine duplicate event_ids with different
+    * payloads ever appear in the fixture.
     */
   val stDedup: Q = (s, d) => {
     val (ev, base) = eventsStream(s, d, "st_dedup")
-    val deduped = ev.dropDuplicates("event_id")
+    val deduped = ev
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("event_id")
     runAppend(s, deduped, base)
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("event_id")).as("n_ids"),
-        round(sum(col("value")), 2).as("sum_value"))
+        sum(col("event_id")).cast("long").as("sum_id"))
+  }
+
+  /** Session windows in APPEND mode + watermark — the production shape for
+    * st_session's semantics: only sessions finalized by the closing
+    * watermark (max event time − 10 min) are emitted to the distributed
+    * parquet sink; trailing open sessions stay in (bounded) state. The
+    * oracle applies the identical finalization predicate to the
+    * gaps-and-islands SQL.
+    */
+  val stSessionAppend: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_session_append")
+    val agg = ev
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+    runAppend(s, agg, base)
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   // --- st_stateful_custom -------------------------------------------------
@@ -214,6 +245,7 @@ object Streaming {
     "st_tumbling"        -> stTumbling,
     "st_sliding"         -> stSliding,
     "st_session"         -> stSession,
+    "st_session_append"  -> stSessionAppend,
     "st_watermark_late"  -> stWatermarkLate,
     "st_dedup"           -> stDedup,
     "st_stateful_custom" -> stStatefulCustom)
@@ -261,9 +293,32 @@ object Streaming {
         |HAVING window_end <= (SELECT w FROM wm)
         |ORDER BY window_start""".stripMargin,
     "st_dedup" ->
-      """SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_ids,
-        |       round(sum(value), 2) AS sum_value
-        |FROM (SELECT DISTINCT ON (event_id) event_id, value FROM events)""".stripMargin,
+      """SELECT count(*) AS n_rows, count(event_id) AS n_ids,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM (SELECT DISTINCT event_id FROM events)""".stripMargin,
+    "st_session_append" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes' AS w
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL '30 minutes' AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM numbered GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL '30 minutes' <= (SELECT w FROM wm)
+        |ORDER BY user_id, session_start""".stripMargin,
     "st_stateful_custom" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

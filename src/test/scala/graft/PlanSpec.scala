@@ -81,7 +81,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("join_bucketed: bucket layout feeds the merge join with no exchange") {
-    val p = simplePlan("join_bucketed")
+    // The registered query returns a checkpointed result (so it can drop its
+    // scratch tables); assert on the underlying lazy join plan.
+    val (tables, joined) = graft.operators.Relational.joinBucketedPlan(spark, sf)
+    val p = joined.queryExecution.explainString(ExplainMode.fromString("simple"))
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     assert(p.contains("SortMergeJoin"))
     // The only hash exchange allowed is the groupBy on o_orderpriority —
     // the join itself must be satisfied by the bucket layout.
@@ -98,6 +102,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), "salted join demo lost its shuffle_merge hint")
     val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).get
     assert(joinLine.contains("salt"), s"salt missing from join keys: $joinLine")
+  }
+
+  test("op_macro_subst: resolved macro literals push down to the scans") {
+    val p = plan("op_macro_subst")
+    assert(p.contains("EqualTo(o_orderstatus,O)"),
+      "resolved ${orderStatus} macro did not reach the orders scan")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      "resolved ${targetRegion} macro did not reach the region scan")
   }
 
   test("win_topk_per_group plans exactly one shuffle for partitioning") {
