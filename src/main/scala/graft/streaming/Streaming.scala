@@ -53,12 +53,21 @@ object Streaming {
     * division (same rule as Tables.events).
     */
   private def eventsStream(s: SparkSession, d: String, tag: String): (DataFrame, String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Child session (shared SparkContext, isolated SQLConf): stateful
+    // operators size their state-store partition count from
+    // spark.sql.shuffle.partitions at first run; the replayed fixture needs
+    // 8, not the relational session's 32 — each extra partition is a
+    // per-micro-batch state-store instance (open/commit/snapshot overhead).
+    // On a real cluster the same knob scales UP with executor count; scoping
+    // it to a child session leaves the caller's conf untouched either way.
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = fresh(tag, d)
     Files.createDirectories(Paths.get(base, "input"))
     Files.copy(Paths.get(d, "events.parquet"),
       Paths.get(base, "input", "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val ev = s.readStream.schema(rawSchema).parquet(s"$base/input")
+    val ev = ss.readStream.schema(rawSchema).parquet(s"$base/input")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     (ev, base)
   }
@@ -75,7 +84,9 @@ object Streaming {
       .option("checkpointLocation", s"$base/cp")
       .start()
     q.awaitTermination()
-    s.table(tag)
+    // The memory sink registers its table in the session that started the
+    // query — the child session from eventsStream, not the caller's.
+    df.sparkSession.table(tag)
   }
 
   /** Drain an append-mode stream to a parquet sink and read the result back
@@ -90,7 +101,7 @@ object Streaming {
       .option("checkpointLocation", s"$base/cp")
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$base/out")
+    df.sparkSession.read.parquet(s"$base/out")
   }
 
   // ======================================================================
