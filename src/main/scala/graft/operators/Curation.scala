@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators — the steps a large-scale training-data
+  * pipeline runs AFTER detection/scoring: applying a dedup keep-policy,
+  * stratified sampling, PII redaction, and embedding aggregation. All are
+  * declarative DataFrame plans (joins + aggs, no UDFs); each is oracled in
+  * DuckDB end-to-end.
+  */
+object Curation {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Apply the near-dup cluster keep-policy to the corpus: every doc whose
+    * cluster label is not itself (a non-keeper) is removed; output is the
+    * per-language survival summary. The non-keeper set is tiny relative to
+    * the corpus (only docs that appear in verified near-dup pairs), so at
+    * 100 TB both the semi- and anti-join broadcast it — one corpus scan,
+    * no corpus shuffle.
+    */
+  val dedupApply: Q = (s, d) => {
+    val nonKeepers = Llm.dedupCluster(s, d)
+      .filter(!col("is_keeper")).select(col("doc_id"))
+    val docs = Tables.documents(s, d)
+    val kept = docs.join(broadcast(nonKeepers), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    val removed = docs.join(broadcast(nonKeepers), Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_removed"))
+    kept.join(removed, Seq("lang"), "left")
+      .select(col("lang"), col("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"), col("chars_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** Deterministic stratified sampling: each language stratum keeps the
+    * docs whose multiplicative hash of doc_id lands under the stratum's
+    * per-mille threshold. The hash (Knuth multiplicative constant, mod
+    * 1000) is pure integer arithmetic — identical in every engine and
+    * stable across reruns, which is what makes a 100 TB sample
+    * reproducible; sampling is a narrow map + filter, no shuffle until
+    * the summary agg.
+    */
+  val sampleStratified: Q = (s, d) => {
+    val rates = Seq(("en", 250), ("de", 500), ("es", 500), ("fr", 750), ("zh", 100))
+    import s.implicits._
+    val dim = rates.toDF("lang", "keep_permille")
+    val docs = Tables.documents(s, d)
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000)))
+    docs.join(broadcast(dim), Seq("lang"))
+      .groupBy(col("lang"), col("keep_permille"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("h") < col("keep_permille"), 1)).as("n_sampled"),
+        sum(when(col("h") < col("keep_permille"), col("n_chars"))).as("chars_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  /** PII redaction: emails and phone-like tokens are replaced with typed
+    * placeholders and counted. The PII-bearing text is synthesized per-row
+    * from customer (the corpus text fixture has none, deliberately), so the
+    * oracle reproduces both the redacted text md5 and the counts from the
+    * same source columns. regexp_replace/regexp_count are codegen'd — the
+    * scan-speed transform shape a 100 TB scrub needs.
+    */
+  val piiRedact: Q = (s, d) => {
+    val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    val phoneRe = "555-[0-9]{4}"
+    val made = Tables.customer(s, d)
+      .withColumn("text", concat(
+        lit("Contact "), col("c_name"),
+        lit(" at user"), col("c_custkey"), lit("@example.com or call 555-"),
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+        lit(" now")))
+    made
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("text"), lit(emailRe))).as("n_emails"),
+        sum(regexp_count(col("text"), lit(phoneRe))).as("n_phones"),
+        count(when(col("redacted").rlike(emailRe) ||
+          col("redacted").rlike(phoneRe), 1)).as("n_leaks"),
+        md5(concat_ws("|", sort_array(collect_list(col("redacted")))))
+          .as("corpus_md5"))
+  }
+
+  /** Per-LSH-bucket embedding centroid — the aggregation behind IVF index
+    * maintenance and cluster summarization: posexplode to (bucket, dim,
+    * value), one hash agg per (bucket, dim), then fold the per-dim means
+    * into count/norm summaries. Scales as a single shuffle keyed by
+    * (bucket, dim) — 256×64 cells regardless of corpus size, with map-side
+    * partial aggregation doing almost all the work.
+    */
+  val embedAgg: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Llm.rpBucket(col("v")))
+    val cells = base
+      .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+    val counts = base.groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+    cells.groupBy(col("bucket"))
+      .agg(
+        round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+        round(sum(abs(col("m"))), 4).as("centroid_l1"))
+      .join(counts, Seq("bucket"))
+      .select(col("bucket"), col("n_vecs"), col("centroid_norm"), col("centroid_l1"))
+      .orderBy(col("bucket"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "llm_dedup_apply" -> dedupApply,
+    "llm_sample_stratified" -> sampleStratified,
+    "llm_pii_redact" -> piiRedact,
+    "llm_embed_agg" -> embedAgg)
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_apply" ->
+      s"""WITH RECURSIVE ${Llm.fuzzyPairsCtes},
+         |edges AS (
+         |  SELECT id1 AS u, id2 AS v FROM verified
+         |  UNION SELECT id2, id1 FROM verified),
+         |nodes AS (SELECT DISTINCT u FROM edges),
+         |reach(u, label) AS (
+         |  SELECT u, u FROM nodes
+         |  UNION
+         |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u),
+         |labels AS (
+         |  SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u),
+         |non_keepers AS (
+         |  SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+         |kept AS (
+         |  SELECT lang, count(*) AS n_kept,
+         |         CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |  FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM non_keepers)
+         |  GROUP BY lang),
+         |removed AS (
+         |  SELECT lang, count(*) AS n_removed FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM non_keepers)
+         |  GROUP BY lang)
+         |SELECT lang, n_kept, coalesce(n_removed, 0) AS n_removed, chars_kept
+         |FROM kept LEFT JOIN removed USING (lang)
+         |ORDER BY lang""".stripMargin,
+    "llm_sample_stratified" ->
+      """WITH rates AS (
+        |  SELECT * FROM (VALUES ('en', 250), ('de', 500), ('es', 500),
+        |    ('fr', 750), ('zh', 100)) AS r(lang, keep_permille)),
+        |h AS (
+        |  SELECT d.*, keep_permille,
+        |   (doc_id * 2654435761) % 1000 AS hh
+        |  FROM documents d JOIN rates USING (lang))
+        |SELECT lang, keep_permille, count(*) AS n_total,
+        | count(CASE WHEN hh < keep_permille THEN 1 END) AS n_sampled,
+        | CAST(sum(CASE WHEN hh < keep_permille THEN n_chars END) AS BIGINT)
+        |   AS chars_sampled
+        |FROM h GROUP BY lang, keep_permille ORDER BY lang""".stripMargin,
+    "llm_pii_redact" ->
+      """WITH made AS (
+        |  SELECT 'Contact ' || c_name || ' at user' || c_custkey ||
+        |         '@example.com or call 555-' ||
+        |         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' now'
+        |    AS text
+        |  FROM customer),
+        |red AS (
+        |  SELECT text,
+        |   regexp_replace(
+        |     regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |     '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM made)
+        |SELECT count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')))
+        |   AS BIGINT) AS n_emails,
+        | CAST(sum(len(regexp_extract_all(text, '555-[0-9]{4}'))) AS BIGINT)
+        |   AS n_phones,
+        | count(CASE WHEN regexp_matches(redacted, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')
+        |         OR regexp_matches(redacted, '555-[0-9]{4}') THEN 1 END)
+        |   AS n_leaks,
+        | md5(string_agg(redacted, '|' ORDER BY redacted)) AS corpus_md5
+        |FROM red""".stripMargin,
+    "llm_embed_agg" ->
+      s"""WITH ${Llm.ivfBaseCtes},
+         |ex AS (
+         |  SELECT bucket, unnest(range(0, len(v))) AS pos, unnest(v) AS x
+         |  FROM base),
+         |cells AS (
+         |  SELECT bucket, pos, round(avg(x), 6) AS m
+         |  FROM ex GROUP BY bucket, pos),
+         |counts AS (SELECT bucket, count(*) AS n_vecs FROM base GROUP BY bucket)
+         |SELECT bucket, n_vecs,
+         | round(sqrt(sum(m * m)), 4) AS centroid_norm,
+         | round(sum(abs(m)), 4) AS centroid_l1
+         |FROM cells JOIN counts USING (bucket)
+         |GROUP BY bucket, n_vecs ORDER BY bucket""".stripMargin)
+}

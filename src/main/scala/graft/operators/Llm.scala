@@ -504,7 +504,7 @@ object Llm {
     * One source of truth for the llm_simsearch_ivf and llm_dedup_embed
     * oracles.
     */
-  private lazy val ivfBaseCtes: String = {
+  private[operators] lazy val ivfBaseCtes: String = {
     val planes = planesSqlLiteral
     s"""planes AS (SELECT CAST($planes AS DOUBLE[][]) AS p),
        |base AS (
@@ -524,7 +524,7 @@ object Llm {
   /** Random-projection sign bucket (0..255) of a double vector — the
     * LSH partitioning key for llm_simsearch_ivf.
     */
-  private def rpBucket(v: Column): Column =
+  private[operators] def rpBucket(v: Column): Column =
     Planes.planes.zipWithIndex.map { case (p, j) =>
       when(dot(v, typedLit(p.toSeq)) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -603,7 +603,7 @@ object Llm {
     * one source of truth for the llm_dedup_fuzzy and llm_dedup_cluster
     * oracles, mirroring verifiedNearDupPairs stage for stage.
     */
-  private val fuzzyPairsCtes: String =
+  private[operators] val fuzzyPairsCtes: String =
     """docs AS (
       |  SELECT doc_id,
       |   list_distinct(list_transform(
