@@ -100,15 +100,20 @@ object Curation {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", Llm.rpBucket(col("v")))
+    // Per-dim means are snapped to integer micro-units BEFORE the cross-dim
+    // fold: summing 64 rounded doubles is order-dependent at the 4th
+    // decimal (Spark's partition order vs the oracle's sequential order),
+    // while integer sums are exact in both engines — the snap point is the
+    // only remaining rounding and it is per-cell, not per-fold.
     val cells = base
       .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("bucket"), col("pos"))
-      .agg(round(avg(col("x")), 6).as("m"))
+      .agg(round(avg(col("x")) * 1000000, 0).cast("long").as("mi"))
     val counts = base.groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
     cells.groupBy(col("bucket"))
       .agg(
-        round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
-        round(sum(abs(col("m"))), 4).as("centroid_l1"))
+        round(sqrt(sum(col("mi") * col("mi"))) / 1000000, 4).as("centroid_norm"),
+        round(sum(abs(col("mi"))) / lit(1000000.0), 4).as("centroid_l1"))
       .join(counts, Seq("bucket"))
       .select(col("bucket"), col("n_vecs"), col("centroid_norm"), col("centroid_l1"))
       .orderBy(col("bucket"))
@@ -190,12 +195,12 @@ object Curation {
          |  SELECT bucket, unnest(range(0, len(v))) AS pos, unnest(v) AS x
          |  FROM base),
          |cells AS (
-         |  SELECT bucket, pos, round(avg(x), 6) AS m
+         |  SELECT bucket, pos, CAST(round(avg(x) * 1000000, 0) AS BIGINT) AS mi
          |  FROM ex GROUP BY bucket, pos),
          |counts AS (SELECT bucket, count(*) AS n_vecs FROM base GROUP BY bucket)
          |SELECT bucket, n_vecs,
-         | round(sqrt(sum(m * m)), 4) AS centroid_norm,
-         | round(sum(abs(m)), 4) AS centroid_l1
+         | round(sqrt(sum(mi * mi)) / 1000000, 4) AS centroid_norm,
+         | round(sum(abs(mi)) / 1000000.0, 4) AS centroid_l1
          |FROM cells JOIN counts USING (bucket)
          |GROUP BY bucket, n_vecs ORDER BY bucket""".stripMargin)
 }

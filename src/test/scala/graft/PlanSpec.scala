@@ -104,6 +104,13 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLine.contains("salt"), s"salt missing from join keys: $joinLine")
   }
 
+  test("llm_dedup_apply broadcasts the non-keeper set against the corpus scan") {
+    val p = plan("llm_dedup_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      "non-keeper anti/semi join should broadcast, not shuffle the corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("op_macro_subst: resolved macro literals push down to the scans") {
     val p = plan("op_macro_subst")
     assert(p.contains("EqualTo(o_orderstatus,O)"),
