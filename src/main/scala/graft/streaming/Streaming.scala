@@ -30,6 +30,49 @@ case class SessState(lastTsMs: Long, nSessions: Long, nEvents: Long, total: Doub
 case class UserSummary(user_id: Long, n_events: Long, n_sessions: Long,
     total_value: Double)
 
+/** Row/state/output types for stStatefulTws (transformWithState). ts
+  * travels as Long MICROS through state so no precision is lost (Timestamp
+  * getTime is ms-truncating).
+  */
+case class EvT(event_id: Long, event_type: String, ts_us: Long, value: Double)
+case class TypeState(n: Long, total: Double, minUs: Long, maxUs: Long)
+case class TypeSummary(event_type: String, n_events: Long, total_value: Double,
+    min_ts_us: Long, max_ts_us: Long)
+
+/** Per-event-type running stats via the Spark 4 `transformWithState`
+  * arbitrary-state API (StatefulProcessor + typed ValueState handle) — the
+  * successor to flatMapGroupsWithState that st_stateful_custom exercises.
+  * Rows are folded in (ts, event_id) order so double summation is
+  * deterministic under any partitioning; the fold itself is commutative
+  * across invocations (count/sum/min/max), so the final state is
+  * batch-split-independent.
+  */
+class TypeStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, EvT, TypeSummary] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var state: ValueState[TypeState] = _
+
+  override def init(outputMode: streaming.OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[TypeState](
+      "typeAgg", Encoders.product[TypeState], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[EvT],
+      timerValues: TimerValues): Iterator[TypeSummary] = {
+    var st =
+      if (state.exists()) state.get()
+      else TypeState(0L, 0.0, Long.MaxValue, Long.MinValue)
+    for (e <- rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))) {
+      st = TypeState(st.n + 1, st.total + e.value,
+        math.min(st.minUs, e.ts_us), math.max(st.maxUs, e.ts_us))
+    }
+    state.update(st)
+    Iterator(TypeSummary(key, st.n, math.rint(st.total * 100) / 100,
+      st.minUs, st.maxUs))
+  }
+}
+
 object Streaming {
   private type Q = (SparkSession, String) => DataFrame
 
@@ -248,6 +291,36 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** Per-event-type stats through `transformWithState` — Spark 4's typed
+    * arbitrary-state API (TimeMode.None, append): the state store holds one
+    * TypeState per event_type, state size O(|keys|) regardless of stream
+    * length. Emitted micros round-trip to timestamps post-stream so the
+    * oracle compares full-precision values.
+    */
+  val stStatefulTws: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_stateful_tws")
+    // transformWithState keeps each state variable in its own column
+    // family, which the default HDFS-backed provider does not support —
+    // RocksDB (bundled with Spark) is the production provider for it.
+    // Scoped to this query's child session only.
+    ev.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ev.sparkSession.implicits._
+    val typed: Dataset[EvT] = ev
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[EvT]
+    val summarized = typed
+      .groupByKey(_.event_type)
+      .transformWithState(new TypeStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    runAppend(s, summarized.toDF(), base)
+      .select(col("event_type"), col("n_events"), col("total_value"),
+        timestamp_micros(col("min_ts_us")).as("min_ts"),
+        timestamp_micros(col("max_ts_us")).as("max_ts"))
+      .orderBy(col("event_type"))
+  }
+
   // ======================================================================
   // registry
   // ======================================================================
@@ -259,7 +332,8 @@ object Streaming {
     "st_session_append"  -> stSessionAppend,
     "st_watermark_late"  -> stWatermarkLate,
     "st_dedup"           -> stDedup,
-    "st_stateful_custom" -> stStatefulCustom)
+    "st_stateful_custom" -> stStatefulCustom,
+    "st_stateful_tws"    -> stStatefulTws)
 
   val oracles: Map[String, String] = Map(
     "st_tumbling" ->
@@ -342,5 +416,11 @@ object Streaming {
         |SELECT user_id, count(*) AS n_events,
         |       CAST(sum(new_s) AS BIGINT) AS n_sessions,
         |       round(sum(value), 2) AS total_value
-        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "st_stateful_tws" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value,
+        |       min(CAST(ts AS TIMESTAMP)) AS min_ts,
+        |       max(CAST(ts AS TIMESTAMP)) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
