@@ -119,11 +119,41 @@ object Curation {
       .orderBy(col("bucket"))
   }
 
+  /** The composed curation pipeline as ONE funnel: exact-dedup keep →
+    * quality gate → deterministic sample, evaluated as per-doc cumulative
+    * flags so the whole funnel is a SINGLE corpus scan + one window (dedup
+    * keeper) + one aggregation — the shape that survives 100 TB, vs. the
+    * naive four-pass one-aggregate-per-stage variant that scans the corpus
+    * once per stage. Output is the per-language stage survival funnel.
+    */
+  val curateFunnel: Q = (s, d) => {
+    val flags = Tables.documents(s, d)
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .withColumn("keeper",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h")))
+          === col("doc_id"))
+      .withColumn("quality_ok",
+        col("keeper") && size(split(col("text"), " ")) >= 20)
+      .withColumn("sampled",
+        col("quality_ok") &&
+          pmod(col("doc_id") * lit(2654435761L), lit(1000)) < 500)
+    flags.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("keeper"), 1)).as("n_dedup"),
+        count(when(col("quality_ok"), 1)).as("n_quality"),
+        count(when(col("sampled"), 1)).as("n_sampled"),
+        sum(when(col("sampled"), col("n_chars"))).as("chars_sampled"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_dedup_apply" -> dedupApply,
     "llm_sample_stratified" -> sampleStratified,
     "llm_pii_redact" -> piiRedact,
-    "llm_embed_agg" -> embedAgg)
+    "llm_embed_agg" -> embedAgg,
+    "llm_curate_funnel" -> curateFunnel)
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_apply" ->
@@ -202,5 +232,20 @@ object Curation {
          | round(sqrt(sum(mi * mi)) / 1000000, 4) AS centroid_norm,
          | round(sum(abs(mi)) / 1000000.0, 4) AS centroid_l1
          |FROM cells JOIN counts USING (bucket)
-         |GROUP BY bucket, n_vecs ORDER BY bucket""".stripMargin)
+         |GROUP BY bucket, n_vecs ORDER BY bucket""".stripMargin,
+    "llm_curate_funnel" ->
+      """WITH flags AS (
+        |  SELECT lang, n_chars, doc_id,
+        |   min(doc_id) OVER (PARTITION BY sha256(lower(trim(text))))
+        |     = doc_id AS keeper,
+        |   len(string_split(text, ' ')) >= 20 AS quality,
+        |   (doc_id * 2654435761) % 1000 < 500 AS samp
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_raw,
+        | count(CASE WHEN keeper THEN 1 END) AS n_dedup,
+        | count(CASE WHEN keeper AND quality THEN 1 END) AS n_quality,
+        | count(CASE WHEN keeper AND quality AND samp THEN 1 END) AS n_sampled,
+        | CAST(sum(CASE WHEN keeper AND quality AND samp THEN n_chars END)
+        |   AS BIGINT) AS chars_sampled
+        |FROM flags GROUP BY lang ORDER BY lang""".stripMargin)
 }
