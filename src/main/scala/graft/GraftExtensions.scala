@@ -13,11 +13,14 @@ import graft.functions.{DotProduct, WordShingles}
   * `vec_dot(a, b)` and `word_shingles3(text)` resolve in `spark.sql`
   * exactly like builtins, codegen included.
   *
-  * No custom Rule or SparkStrategy is injected: every operator in
-  * SURVEY §2 maps onto Catalyst's existing plan space; the engine extends
-  * Spark only at the expression level, where the builtin HOFs measurably
-  * cannot express the per-pair kernels (see VectorExpressions /
-  * ShingleExpressions scaladoc).
+  * Two extension tiers are injected, each only where Spark's built-ins
+  * genuinely cannot express the semantics (SURVEY §4 preference order):
+  *  - expression level: `vec_dot(a, b)` / `word_shingles3(text)` — custom
+  *    codegen expressions replacing the CodegenFallback HOFs (see
+  *    VectorExpressions / ShingleExpressions scaladoc);
+  *  - operator level: [[graft.plans.AsOfJoinStrategy]] plans the custom
+  *    [[graft.plans.AsOfJoinPlan]] logical node into a merge-based
+  *    physical as-of join (Spark has no native as-of join).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -29,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_shingles3"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles3"),
       (args: Seq[Expression]) => WordShingles(args.head)))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -258,6 +258,29 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join through the engine's OWN plan node (graft.plans.AsOfJoin:
+    * custom LogicalPlan → SparkStrategy → merge-based SparkPlan, injected
+    * via SparkSessionExtensions): each purchase matched to the latest click
+    * at-or-before it per user. Unlike joinAsof's window encoding, this
+    * shuffles each side once on the key and merges — the operator declares
+    * ClusteredDistribution + (key, ts) ordering and the planner does the
+    * rest. The dim side is pre-deduped per (user, ts) so the greatest-ts
+    * match is unique and the result is deterministic.
+    */
+  val joinAsofNative: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_uid"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.plans.AsOfJoin.join(purchases, clicks,
+        "user_id", "c_uid", "ts", "click_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_id"), col("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Cartesian product — legitimate only for tiny dims (25 × 5 rows). */
   val joinCross: Q = (s, d) =>
     Tables.nation(s, d).crossJoin(Tables.region(s, d))
@@ -497,6 +520,7 @@ object Relational {
     "join_semi_anti" -> joinSemiAnti,
     "join_theta_range" -> joinThetaRange,
     "join_asof" -> joinAsof,
+    "join_asof_native" -> joinAsofNative,
     "join_cross" -> joinCross,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
@@ -610,6 +634,18 @@ object Relational {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "join_asof_native" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS c_uid, ts AS click_ts, max(event_id) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+        |FROM p ASOF JOIN c ON p.user_id = c.c_uid AND c.click_ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
 
     "join_cross" ->

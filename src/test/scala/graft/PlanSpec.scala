@@ -104,6 +104,18 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLine.contains("salt"), s"salt missing from join keys: $joinLine")
   }
 
+  test("join_asof_native plans the custom AsOfJoin operator with merge requirements") {
+    val p = plan("join_asof_native")
+    assert(p.contains("AsOfJoin"), "custom strategy did not plan AsOfJoinExec")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // EnsureRequirements must satisfy the operator's declared distribution
+    // and ordering: a hash exchange on the key and a (key, ts) sort per side.
+    assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(
+      simplePlan("join_asof_native")).isDefined ||
+      p.contains("hashpartitioning(user_id"),
+      "fact side not hash-partitioned on the as-of key")
+  }
+
   test("llm_dedup_apply broadcasts the non-keeper set against the corpus scan") {
     val p = plan("llm_dedup_apply")
     assert(p.contains("BroadcastHashJoin"),
