@@ -225,6 +225,23 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Adjacent-token-pair counts — the inner statistic of one BPE merge
+    * round (tokenizer training): explode consecutive pairs, one global
+    * hash aggregation, top-20. Map-side partial aggregation absorbs the
+    * pair explosion; the shuffle carries only distinct pairs.
+    */
+  val bpePairs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
   /** Per-(lang, source) corpus curation stats — the aggregation that backs
     * a `write.partitionBy("lang")` layout (the write itself is the
     * snk_partitioned_write row).
@@ -641,6 +658,7 @@ object Llm {
     "llm_token_count" -> tokenCount,
     "llm_quality_score" -> qualityScore,
     "llm_lang_partition" -> langPartition,
+    "llm_bpe_pairs" -> bpePairs,
     "llm_dedup_fuzzy" -> dedupFuzzy,
     "llm_dedup_cluster" -> dedupCluster,
     "llm_tfidf" -> tfidf,
@@ -788,6 +806,17 @@ object Llm {
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "llm_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS pair
+        |  FROM t)
+        |SELECT pair, count(*) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "llm_dedup_fuzzy" ->
       s"""WITH $fuzzyPairsCtes
