@@ -258,6 +258,64 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Batch sessionization (gaps-and-islands): per-user 30-min-gap session
+    * assignment with one window shuffle — the batch complement of
+    * st_session for backfills over at-rest data. Both window functions and
+    * the lag flag share ONE (user_id)-partitioned sort; the session
+    * aggregate is the only further shuffle.
+    */
+  val winSessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("sid"), col("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  /** Range (interval) join via BUCKET EXPANSION — the technique that keeps
+    * an interval join out of BroadcastNestedLoopJoin at 100 TB: facts get
+    * an hour-bucket key; each dim interval explodes to the hour buckets it
+    * covers (`sequence`); the join is then an EQUI-join on the bucket with
+    * the exact range predicate as a residual filter. Join cost is
+    * |facts| + Σ interval-widths, not |facts| × |intervals|. Intervals are
+    * a deterministic 8-row campaign-window fixture over the events span.
+    */
+  val joinRangeBucketed: Q = (s, d) => {
+    import s.implicits._
+    val hourUs = 3600L * 1000000
+    // 8 campaign windows of varying width across the 2024-01 fixture span.
+    val intervals = (0 until 8).map { i =>
+      val start = 1704067200000000L + i.toLong * 6 * hourUs // 2024-01-01 + 6h·i
+      (i.toLong, start, start + (2 + (i % 3)).toLong * hourUs)
+    }.toDF("campaign_id", "start_us", "end_us")
+    val dimBuckets = intervals
+      .withColumn("bucket",
+        explode(expr(s"sequence(start_us div $hourUs, (end_us - 1) div $hourUs)")))
+    val facts = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("bucket", expr(s"ts_us div $hourUs"))
+    facts.join(broadcast(dimBuckets), Seq("bucket"))
+      .filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("campaign_id"))
+  }
+
   /** As-of join through the engine's OWN plan node (graft.plans.AsOfJoin:
     * custom LogicalPlan → SparkStrategy → merge-based SparkPlan, injected
     * via SparkSessionExtensions): each purchase matched to the latest click
@@ -521,6 +579,8 @@ object Relational {
     "join_theta_range" -> joinThetaRange,
     "join_asof" -> joinAsof,
     "join_asof_native" -> joinAsofNative,
+    "join_range_bucketed" -> joinRangeBucketed,
+    "win_sessionize" -> winSessionize,
     "join_cross" -> joinCross,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
@@ -647,6 +707,42 @@ object Relational {
         |SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
         |FROM p ASOF JOIN c ON p.user_id = c.c_uid AND c.click_ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "join_range_bucketed" ->
+      """WITH intervals AS (
+        |  SELECT i AS campaign_id,
+        |   1704067200000000 + i * 6 * 3600000000 AS start_us,
+        |   1704067200000000 + i * 6 * 3600000000
+        |     + (2 + i % 3) * 3600000000 AS end_us
+        |  FROM (SELECT unnest(range(0, 8)) AS i)),
+        |f AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |  FROM events)
+        |SELECT campaign_id, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM f JOIN intervals ON ts_us >= start_us AND ts_us < end_us
+        |GROUP BY campaign_id ORDER BY campaign_id""".stripMargin,
+
+    "win_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged)
+        |SELECT user_id, sid, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin,
 
     "join_cross" ->
       """SELECT n_name, r_name FROM nation CROSS JOIN region

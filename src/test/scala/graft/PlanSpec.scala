@@ -116,6 +116,14 @@ class PlanSpec extends AnyFunSuite {
       "fact side not hash-partitioned on the as-of key")
   }
 
+  test("join_range_bucketed: interval join is a bucket equi-join, not a nested loop") {
+    val p = plan("join_range_bucketed")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket-expanded interval join should be a (broadcast) hash equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join degenerated into a nested loop")
+  }
+
   test("llm_dedup_apply broadcasts the non-keeper set against the corpus scan") {
     val p = plan("llm_dedup_apply")
     assert(p.contains("BroadcastHashJoin"),
