@@ -172,6 +172,22 @@ object Streaming {
       .orderBy(col("window_start"))
   }
 
+  /** Sliding windows in APPEND mode + watermark — closes the set of
+    * windowed aggregations run through the production (distributed-sink)
+    * path: only windows finalized by the closing watermark are emitted.
+    */
+  val stSlidingAppend: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_sliding_append")
+    val agg = ev
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("cnt"))
+    runAppend(s, agg, base)
+      .orderBy(col("window_start"))
+  }
+
   /** Session windows, 30 min gap, per user: count + value total + bounds.
     * Session end = last event + gap (Spark semantics; oracle reproduces).
     */
@@ -328,6 +344,7 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "st_tumbling"        -> stTumbling,
     "st_sliding"         -> stSliding,
+    "st_sliding_append"  -> stSlidingAppend,
     "st_session"         -> stSession,
     "st_session_append"  -> stSessionAppend,
     "st_watermark_late"  -> stWatermarkLate,
@@ -346,6 +363,20 @@ object Streaming {
         |       count(*) AS cnt
         |FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
         |GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "st_sliding_append" ->
+      """WITH wm AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes' AS w
+        |  FROM events),
+        |b AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |           - k * INTERVAL '15 minutes' AS window_start
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+        |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+        |       count(*) AS cnt
+        |FROM b
+        |GROUP BY window_start
+        |HAVING window_start + INTERVAL '1 hour' <= (SELECT w FROM wm)
+        |ORDER BY window_start""".stripMargin,
     "st_session" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
