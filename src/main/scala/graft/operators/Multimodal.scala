@@ -75,8 +75,35 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Declarative frame sampling over the binary payload: fixed-stride
+    * offsets explode to one row per frame, each frame sliced with binary
+    * `substring` and fingerprinted with md5 — all builtin codegen'd
+    * expressions, no UDF. This is the batch shape a video/audio
+    * frame-sample stage needs at 100 TB: the explode is narrow (frames
+    * stay in the payload's partition) and only (id, offset, digest) rows
+    * ever shuffle. A real decoder replaces the md5 "feature" per frame;
+    * the slicing/offset/batch plumbing is what is verified here.
+    */
+  val multimodalFrames: (SparkSession, String) => DataFrame = (s, d) => {
+    val stride = 256
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .filter(col("n_bytes") >= 1)
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0L, (n_bytes - 1) div $stride)")))
+      .withColumn("offset", (col("frame_idx") * stride).cast("long"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("offset"),
+        length(expr(s"substring(payload, offset + 1, $stride)")).cast("long")
+          .as("frame_bytes"),
+        md5(expr(s"substring(payload, offset + 1, $stride)")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_multimodal_pipeline" -> multimodalPipeline
+    "llm_multimodal_pipeline" -> multimodalPipeline,
+    "llm_multimodal_frames" -> multimodalFrames
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,6 +116,17 @@ object Multimodal {
         | octet_length(encode(text)) // 1000 + 1 AS n_frames,
         | CAST(list_sum(list_transform(string_split_regex(text, ''),
         |   c -> ascii(c))) AS BIGINT) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |   unnest(range(0, (length(text) - 1) // 256 + 1)) AS frame_idx
+        |  FROM documents WHERE length(text) >= 1)
+        |SELECT doc_id, frame_idx, frame_idx * 256 AS offset,
+        |       length(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256))
+        |         AS frame_bytes,
+        |       md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256))
+        |         AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
