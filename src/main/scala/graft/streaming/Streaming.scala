@@ -172,6 +172,37 @@ object Streaming {
       .orderBy(col("window_start"))
   }
 
+  /** Streaming XML ingestion — the reference's core identity (XML ETL +
+    * realtime) as ONE pipeline: XML records arrive as a text file stream,
+    * each line is parsed with the same codegen'd xpath_* extraction the
+    * batch XML Parser row uses, and the typed rows land in a distributed
+    * parquet sink. At 100 TB this is the continuous-ingestion shape:
+    * file-source discovery + narrow per-record parse, no state, no
+    * shuffle until downstream aggregation.
+    */
+  val stXmlIngest: Q = (s, d) => {
+    val base = fresh("st_xml_ingest", d)
+    graft.Tables.orders(s, d)
+      .select(concat(
+        lit("<order id=\""), col("o_orderkey"),
+        lit("\"><cust>"), col("o_custkey"),
+        lit("</cust><total>"), col("o_totalprice"),
+        lit("</total></order>")).as("value"))
+      .coalesce(2)
+      .write.mode("overwrite").text(s"$base/input")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val parsed = ss.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(s"$base/input")
+      .select(
+        expr("xpath_long(value, '/order/@id')").as("o_orderkey"),
+        expr("xpath_long(value, '/order/cust/text()')").as("o_custkey"),
+        expr("xpath_double(value, '/order/total/text()')").as("o_totalprice"))
+    runAppend(s, parsed, base)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Sliding windows in APPEND mode + watermark — closes the set of
     * windowed aggregations run through the production (distributed-sink)
     * path: only windows finalized by the closing watermark are emitted.
@@ -345,6 +376,7 @@ object Streaming {
     "st_tumbling"        -> stTumbling,
     "st_sliding"         -> stSliding,
     "st_sliding_append"  -> stSlidingAppend,
+    "st_xml_ingest"      -> stXmlIngest,
     "st_session"         -> stSession,
     "st_session_append"  -> stSessionAppend,
     "st_watermark_late"  -> stWatermarkLate,
@@ -363,6 +395,9 @@ object Streaming {
         |       count(*) AS cnt
         |FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
         |GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "st_xml_ingest" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "st_sliding_append" ->
       """WITH wm AS (
         |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes' AS w
