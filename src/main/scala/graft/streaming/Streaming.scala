@@ -182,23 +182,31 @@ object Streaming {
     */
   val stXmlIngest: Q = (s, d) => {
     val base = fresh("st_xml_ingest", d)
+    // 16 input files ⇒ 16-way parse parallelism in the file-source batch
+    // (one task per file for line-oriented text).
     graft.Tables.orders(s, d)
       .select(concat(
         lit("<order id=\""), col("o_orderkey"),
         lit("\"><cust>"), col("o_custkey"),
         lit("</cust><total>"), col("o_totalprice"),
         lit("</total></order>")).as("value"))
-      .coalesce(2)
+      .repartition(16)
       .write.mode("overwrite").text(s"$base/input")
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // ONE from_xml parse per record (three separate xpath_* calls would
+    // each re-parse the document — measured 3× the per-record cost).
+    val xmlSchema = StructType(Seq(
+      StructField("_id", LongType), StructField("cust", LongType),
+      StructField("total", DoubleType)))
     val parsed = ss.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .text(s"$base/input")
+      .select(from_xml(col("value"), xmlSchema).as("r"))
       .select(
-        expr("xpath_long(value, '/order/@id')").as("o_orderkey"),
-        expr("xpath_long(value, '/order/cust/text()')").as("o_custkey"),
-        expr("xpath_double(value, '/order/total/text()')").as("o_totalprice"))
+        col("r._id").as("o_orderkey"),
+        col("r.cust").as("o_custkey"),
+        col("r.total").as("o_totalprice"))
     runAppend(s, parsed, base)
       .orderBy(col("o_orderkey"))
   }
