@@ -17,6 +17,22 @@ object Bench {
     // startup that belongs to no query.
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().count()
+    // Warm the Structured Streaming machinery too (query manager, state
+    // store coordinator, file-source metadata log) — a one-time session
+    // cost that otherwise lands on whichever streaming query runs first.
+    locally {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val wdir = java.nio.file.Files.createTempDirectory("graft_warm")
+      java.nio.file.Files.writeString(wdir.resolve("w.txt"), "1\n")
+      spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .text(wdir.toString)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("noop")
+        .option("checkpointLocation", wdir.resolve("cp").toString)
+        .start().awaitTermination()
+    }
     // Optional comma-separated key filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=llm_dedup_embed,llm_dedup_fuzzy
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -293,6 +293,10 @@ object Streaming {
     */
   val stSessionAppend: Q = (s, d) => {
     val (ev, base) = eventsStream(s, d, "st_session_append")
+    // Session-window state (merge + two store passes per batch) measures
+    // fastest at 4 state partitions on the replayed fixture; scoped to this
+    // query's child session.
+    ev.sparkSession.conf.set("spark.sql.shuffle.partitions", "4")
     val agg = ev
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
