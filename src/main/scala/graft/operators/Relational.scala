@@ -424,6 +424,78 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("day"))
 
+  /** Wide-to-long UNPIVOT (the inverse of agg_pivot): the daily
+    * per-event-type counts are re-melted to long form with
+    * `Dataset.unpivot`. Round-tripping pivot→unpivot equals the direct
+    * long-form aggregation, which is exactly what the oracle computes.
+    */
+  val opUnpivot: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, d)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L)
+    wide.unpivot(Array(col("day")), types.map(col).toArray,
+        "event_type", "cnt")
+      .filter(col("cnt") > 0)
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Exact median/quartiles plus an approx-quantile SELF-CHECK: the
+    * t-digest approx_percentile (the only quantile that scales to 100 TB —
+    * exact percentile materializes per-group sorted arrays) is asserted to
+    * land within 2% of the exact median, and the boolean travels through
+    * the oracle row. The oracle computes the exact values + literal TRUE.
+    */
+  val aggQuantiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("q1"),
+        round(median(col("l_extendedprice")), 2).as("med"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("q3"),
+        (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)) -
+          percentile(col("l_extendedprice"), lit(0.5)))
+          <= percentile(col("l_extendedprice"), lit(0.5)) * 0.02)
+          .as("approx_within_2pct"))
+      .orderBy(col("l_returnflag"))
+
+  /** cume_dist / percent_rank / ntile — the remaining rank-family window
+    * functions. All are rank-arithmetic (no FP accumulation), so values
+    * are engine-exact; ordering includes the unique key as tiebreak.
+    */
+  val winCumeNtile: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(percent_rank().over(w), 6).as("pr"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The SQL front-end path: temp views + `spark.sql` with EXISTS and
+    * NOT IN subqueries — Catalyst rewrites both into semi/anti joins, the
+    * same physical shapes as the DataFrame rows (no subquery is ever
+    * executed per-row).
+    */
+  val opSqlSubquery: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+    s.sql("""
+      SELECT c_mktsegment, count(*) AS n_cust
+      FROM graft_customer_v c
+      WHERE EXISTS (SELECT 1 FROM graft_orders_v o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 150000)
+        AND c_custkey NOT IN (SELECT o_custkey FROM graft_orders_v
+                              WHERE o_orderstatus = 'F')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
   /** Statistical aggregates: stddev/variance/corr/exact percentile.
     * Rounded to 4 places — Spark (Welford-style) and DuckDB accumulate in
     * different orders, so the last few double bits legitimately differ.
@@ -588,6 +660,10 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_stats" -> aggStats,
     "agg_collect" -> aggCollect,
+    "agg_quantiles" -> aggQuantiles,
+    "op_unpivot" -> opUnpivot,
+    "op_sql_subquery" -> opSqlSubquery,
+    "win_cume_ntile" -> winCumeNtile,
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
     "win_frame_rows" -> winFrameRows,
@@ -794,6 +870,41 @@ object Relational {
         |            ORDER BY CAST(n_regionkey AS VARCHAR)) AS regionkeys
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "agg_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 2) AS q1,
+        | round(median(l_extendedprice), 2) AS med,
+        | round(quantile_cont(l_extendedprice, 0.75), 2) AS q3,
+        | TRUE AS approx_within_2pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "op_unpivot" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+        |       count(*) AS cnt
+        |FROM events
+        |WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "op_sql_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'F')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "win_cume_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        | round(cume_dist() OVER w, 6) AS cd,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "win_rank" ->
       """SELECT * FROM (
