@@ -64,6 +64,21 @@ object Scalars {
         round(try_divide(col("l_extendedprice"), col("l_tax")), 2).as("price_per_tax"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Bitwise operators + popcount — hash partitioning, bucket masks, and
+    * bitset membership at scale are all bit arithmetic; all codegen'd.
+    */
+  val fnBitwise: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("and_255"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("or_4096"),
+        col("o_orderkey").bitwiseXOR(lit(1365L)).as("xor_1365"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        bit_count(col("o_orderkey")).cast("long").as("popcount"))
+      .orderBy(col("o_orderkey"))
+
   /** Array ops + lambda HOFs + posexplode, over whitespace-tokenized text.
     * HOFs (`transform`/`filter`/`aggregate`) run inside codegen — this is
     * the "functions, not UDFs" path for per-document token math at 100 TB.
@@ -116,6 +131,7 @@ object Scalars {
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
+    "fn_bitwise" -> fnBitwise,
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
     "fn_json" -> fnJson
@@ -155,6 +171,16 @@ object Scalars {
         | l_orderkey % 7 AS okey_mod7,
         | round(l_extendedprice / nullif(l_tax, 0), 2) AS price_per_tax
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS and_255,
+        | o_orderkey | 4096 AS or_4096,
+        | xor(o_orderkey, 1365) AS xor_1365,
+        | o_orderkey << 3 AS shl3,
+        | o_orderkey >> 2 AS shr2,
+        | CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_array" ->
       """WITH base AS (

@@ -462,6 +462,26 @@ object Relational {
           .as("approx_within_2pct"))
       .orderBy(col("l_returnflag"))
 
+  /** HLL sketch aggregation with MERGE — the property that makes sketches
+    * the 100 TB cardinality path: per-partition sketches (here: two halves
+    * of the table) union into one without re-reading data, and the merged
+    * estimate is asserted within 5% of the exact distinct count. The
+    * boolean + exact count travel through the oracle row.
+    */
+  val aggSketchHll: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val merged = li
+      .withColumn("half", pmod(col("l_orderkey"), lit(2)))
+      .groupBy(col("half"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+    exact.crossJoin(merged)
+      .select(col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("merged_est_within_5pct"))
+  }
+
   /** cume_dist / percent_rank / ntile — the remaining rank-family window
     * functions. All are rank-arithmetic (no FP accumulation), so values
     * are engine-exact; ordering includes the unique key as tiebreak.
@@ -661,6 +681,7 @@ object Relational {
     "agg_stats" -> aggStats,
     "agg_collect" -> aggCollect,
     "agg_quantiles" -> aggQuantiles,
+    "agg_sketch_hll" -> aggSketchHll,
     "op_unpivot" -> opUnpivot,
     "op_sql_subquery" -> opSqlSubquery,
     "win_cume_ntile" -> winCumeNtile,
@@ -878,6 +899,11 @@ object Relational {
         | round(quantile_cont(l_extendedprice, 0.75), 2) AS q3,
         | TRUE AS approx_within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_sketch_hll" ->
+      """SELECT count(DISTINCT l_partkey) AS n_exact,
+        |       TRUE AS merged_est_within_5pct
+        |FROM lineitem""".stripMargin,
 
     "op_unpivot" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
