@@ -56,13 +56,22 @@ object Llm {
     * it the 100 TB-safe exact-scoring stage. Everything is codegen'd
     * (explode/join/agg); both join inputs share one exchange (ReuseExchange).
     */
-  val dedupNgram: Q = (s, d) => {
+  val dedupNgram: Q = (s, d) =>
+    ngramPairs(s, d)
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      .limit(20)
+
+  /** The full inverted-index pair-scoring pipeline (all (lang, band)-block
+    * pairs sharing ≥1 shingle, exact Jaccard) — shared by dedupNgram
+    * (top-20 view) and lshRecall (the exact truth set).
+    */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
     // Materialized for the same reason as dedupFuzzy: the a/b sides of the
     // self-join do not share an exchange, so without materialization the
     // interpreted shingle build would run twice. A lazy localCheckpoint
     // (computed on first action) behaves like a persist but its blocks are
     // released by the ContextCleaner when the plan is GC'd — no session-long
-    // cache leak across the 68-query Verify/Bench run.
+    // cache leak across the Verify/Bench run.
     val ex = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
@@ -81,8 +90,26 @@ object Llm {
       .withColumn("jaccard",
         round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 4))
       .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
-      .limit(20)
+  }
+
+  /** LSH QUALITY MEASUREMENT: recall of the banded-MinHash pipeline
+    * against the exact truth set (inverted-index pairs with Jaccard ≥ 0.5
+    * inside the same (lang, band) block). Both pair sets are deterministic
+    * in both engines, so the recall VALUE itself hash-matches — this row
+    * continuously validates the probabilistic dedup path's quality, the
+    * check a production 100 TB dedup pipeline runs on samples.
+    */
+  val lshRecall: Q = (s, d) => {
+    val truth = ngramPairs(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("id1"), col("id2"))
+    val lsh = verifiedNearDupPairs(s, d).select(col("id1"), col("id2"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nCommon = truth.join(lsh, Seq("id1", "id2"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    nTruth.crossJoin(nLsh).crossJoin(nCommon)
+      .withColumn("recall",
+        round(col("n_common") / col("n_truth"), 4))
   }
 
   /** Embedding-cosine near-dup: top-20 closest candidate pairs. Candidate
@@ -659,6 +686,7 @@ object Llm {
     "llm_quality_score" -> qualityScore,
     "llm_lang_partition" -> langPartition,
     "llm_bpe_pairs" -> bpePairs,
+    "llm_lsh_recall" -> lshRecall,
     "llm_dedup_fuzzy" -> dedupFuzzy,
     "llm_dedup_cluster" -> dedupCluster,
     "llm_tfidf" -> tfidf,
@@ -842,6 +870,36 @@ object Llm {
          |       doc_id = cluster_id AS is_keeper
          |FROM labels JOIN sizes USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "llm_lsh_recall" ->
+      s"""WITH $fuzzyPairsCtes,
+         |nb AS (
+         |  SELECT doc_id, lang, n_chars // 50 AS band,
+         |   list_distinct(list_transform(
+         |     range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+         |     i -> string_split(text,' ')[i] || ' ' ||
+         |          string_split(text,' ')[i+1] || ' ' ||
+         |          string_split(text,' ')[i+2])) AS sh
+         |  FROM documents),
+         |truth AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |     len(list_intersect(a.sh, b.sh)) AS inter,
+         |     round(len(list_intersect(a.sh, b.sh)) /
+         |           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         |       4) AS jaccard
+         |    FROM nb a JOIN nb b
+         |      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+         |  WHERE inter >= 1 AND jaccard >= 0.5),
+         |lsh AS (SELECT id1, id2 FROM verified),
+         |common AS (
+         |  SELECT count(*) AS n_common
+         |  FROM truth t JOIN lsh l ON t.id1 = l.id1 AND t.id2 = l.id2)
+         |SELECT (SELECT count(*) FROM truth) AS n_truth,
+         |       (SELECT count(*) FROM lsh) AS n_lsh,
+         |       n_common,
+         |       round(n_common / (SELECT count(*) FROM truth), 4) AS recall
+         |FROM common""".stripMargin,
 
     "llm_tfidf" ->
       """WITH tfc AS (
