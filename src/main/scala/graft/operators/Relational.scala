@@ -449,18 +449,23 @@ object Relational {
     * land within 2% of the exact median, and the boolean travels through
     * the oracle row. The oracle computes the exact values + literal TRUE.
     */
-  val aggQuantiles: Q = (s, d) =>
+  val aggQuantiles: Q = (s, d) => {
+    // Quantiles interpolate over integer CENTS, not raw doubles: the two
+    // engines' interpolation formulas differ in FP rounding order, which
+    // straddles the half-cent boundary on raw values; with integer
+    // endpoints the 0.25/0.5/0.75 interpolation is exact in both.
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    def q(p: Double) = round(percentile(cents, lit(p)) / 100, 2)
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("q1"),
-        round(median(col("l_extendedprice")), 2).as("med"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("q3"),
+        q(0.25).as("q1"), q(0.5).as("med"), q(0.75).as("q3"),
         (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)) -
           percentile(col("l_extendedprice"), lit(0.5)))
           <= percentile(col("l_extendedprice"), lit(0.5)) * 0.02)
           .as("approx_within_2pct"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** HLL sketch aggregation with MERGE — the property that makes sketches
     * the 100 TB cardinality path: per-partition sketches (here: two halves
@@ -893,12 +898,16 @@ object Relational {
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "agg_quantiles" ->
-      """SELECT l_returnflag,
-        | round(quantile_cont(l_extendedprice, 0.25), 2) AS q1,
-        | round(median(l_extendedprice), 2) AS med,
-        | round(quantile_cont(l_extendedprice, 0.75), 2) AS q3,
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        | round(quantile_cont(cents, 0.25) / 100, 2) AS q1,
+        | round(quantile_cont(cents, 0.5) / 100, 2) AS med,
+        | round(quantile_cont(cents, 0.75) / 100, 2) AS q3,
         | TRUE AS approx_within_2pct
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_sketch_hll" ->
       """SELECT count(DISTINCT l_partkey) AS n_exact,
