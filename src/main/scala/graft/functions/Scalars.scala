@@ -79,6 +79,23 @@ object Scalars {
         bit_count(col("o_orderkey")).cast("long").as("popcount"))
       .orderBy(col("o_orderkey"))
 
+  /** URL parsing (host/path/query-param extraction) — web-corpus curation
+    * runs this per document; URLs are synthesized per-row from customer so
+    * the extraction oracles against the source columns by construction.
+    */
+  val fnUrl: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("url", concat(
+        lit("https://example.com/seg"), pmod(col("c_custkey"), lit(7)),
+        lit("/page?uid="), col("c_custkey"), lit("&seg="), col("c_mktsegment")))
+      .select(
+        col("c_custkey"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("uid")).as("uid"),
+        parse_url(col("url"), lit("QUERY"), lit("seg")).as("seg"))
+      .orderBy(col("c_custkey"))
+
   /** Array ops + lambda HOFs + posexplode, over whitespace-tokenized text.
     * HOFs (`transform`/`filter`/`aggregate`) run inside codegen — this is
     * the "functions, not UDFs" path for per-document token math at 100 TB.
@@ -132,6 +149,7 @@ object Scalars {
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
     "fn_bitwise" -> fnBitwise,
+    "fn_url" -> fnUrl,
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
     "fn_json" -> fnJson
@@ -181,6 +199,14 @@ object Scalars {
         | o_orderkey >> 2 AS shr2,
         | CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_url" ->
+      """SELECT c_custkey,
+        | 'example.com' AS host,
+        | '/seg' || (c_custkey % 7) || '/page' AS path,
+        | CAST(c_custkey AS VARCHAR) AS uid,
+        | c_mktsegment AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "fn_array" ->
       """WITH base AS (

@@ -521,6 +521,24 @@ object Relational {
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
+  /** LATERAL correlated subquery via the SQL front-end: per-customer
+    * top-order price computed by a correlated aggregate — Catalyst
+    * decorrelates it into a plain aggregate + join (DecorrelateInnerQuery),
+    * never a per-row subquery execution.
+    */
+  val opLateral: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_lv")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_lv")
+    s.sql("""
+      SELECT c.c_custkey, round(t.top_price, 2) AS top_price
+      FROM graft_customer_lv c,
+      LATERAL (SELECT max(o_totalprice) AS top_price
+               FROM graft_orders_lv o
+               WHERE o.o_custkey = c.c_custkey) t
+      WHERE t.top_price IS NOT NULL
+      ORDER BY c.c_custkey""")
+  }
+
   /** Statistical aggregates: stddev/variance/corr/exact percentile.
     * Rounded to 4 places — Spark (Welford-style) and DuckDB accumulate in
     * different orders, so the last few double bits legitimately differ.
@@ -689,6 +707,7 @@ object Relational {
     "agg_sketch_hll" -> aggSketchHll,
     "op_unpivot" -> opUnpivot,
     "op_sql_subquery" -> opSqlSubquery,
+    "op_lateral" -> opLateral,
     "win_cume_ntile" -> winCumeNtile,
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
@@ -930,6 +949,14 @@ object Relational {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderstatus = 'F')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "op_lateral" ->
+      """SELECT c.c_custkey, round(t.top_price, 2) AS top_price
+        |FROM customer c,
+        |LATERAL (SELECT max(o_totalprice) AS top_price
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE t.top_price IS NOT NULL
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "win_cume_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
