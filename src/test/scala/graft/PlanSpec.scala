@@ -116,6 +116,20 @@ class PlanSpec extends AnyFunSuite {
       "fact side not hash-partitioned on the as-of key")
   }
 
+  test("op_lateral decorrelates into a join — no per-row subquery, no cartesian") {
+    val p = plan("op_lateral")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LATERAL subquery was not decorrelated into an aggregate + join")
+  }
+
+  test("op_sql_subquery rewrites EXISTS / NOT IN into semi/anti joins") {
+    val p = plan("op_sql_subquery")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),
+      "EXISTS did not become a semi join")
+    assert(p.contains("LeftAnti"), "NOT IN did not become an anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("join_range_bucketed: interval join is a bucket equi-join, not a nested loop") {
     val p = plan("join_range_bucketed")
     assert(p.contains("BroadcastHashJoin"),
