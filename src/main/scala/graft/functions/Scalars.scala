@@ -79,6 +79,45 @@ object Scalars {
         bit_count(col("o_orderkey")).cast("long").as("popcount"))
       .orderBy(col("o_orderkey"))
 
+  /** NULL-handling conditional family: coalesce / nullif / nvl2 /
+    * greatest / least — the building blocks of defaulting and guard logic
+    * in every ETL mapping; NULLs are synthesized deterministically.
+    */
+  val fnConditional: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("maybe_price",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, col("o_totalprice")))
+      .select(
+        col("o_orderkey"),
+        round(coalesce(col("maybe_price"), lit(-1.0)), 2).as("price_or_default"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_non_open"),
+        expr("nvl2(maybe_price, 'present', 'absent')").as("presence"),
+        round(greatest(col("o_totalprice"), lit(100000.0)), 2).as("at_least_100k"),
+        round(least(col("o_totalprice"), lit(100000.0)), 2).as("at_most_100k"))
+      .orderBy(col("o_orderkey"))
+
+  /** Struct (nested record) operations: create, field access, nested
+    * struct, struct comparison for min/max — the typed-record shape every
+    * nested-format pipeline (XML/JSON/protobuf) flows through.
+    */
+  val fnStruct: Q = (s, d) => {
+    val rec = struct(
+      col("n_regionkey").as("rk"),
+      struct(col("n_nationkey").as("id"), col("n_name").as("name")).as("nation"))
+    Tables.nation(s, d)
+      .withColumn("rec", rec)
+      .groupBy(col("rec.rk").as("regionkey"))
+      .agg(
+        min(col("rec.nation.name")).as("first_name"),
+        max(struct(col("rec.nation.id").as("id"),
+          col("rec.nation.name").as("name"))).as("max_rec"),
+        count(lit(1)).as("n"))
+      .select(col("regionkey"), col("first_name"),
+        col("max_rec.id").as("max_id"), col("max_rec.name").as("max_name"),
+        col("n"))
+      .orderBy(col("regionkey"))
+  }
+
   /** URL parsing (host/path/query-param extraction) — web-corpus curation
     * runs this per document; URLs are synthesized per-row from customer so
     * the extraction oracles against the source columns by construction.
@@ -150,6 +189,8 @@ object Scalars {
     "fn_math" -> fnMath,
     "fn_bitwise" -> fnBitwise,
     "fn_url" -> fnUrl,
+    "fn_conditional" -> fnConditional,
+    "fn_struct" -> fnStruct,
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
     "fn_json" -> fnJson
@@ -199,6 +240,29 @@ object Scalars {
         | o_orderkey >> 2 AS shr2,
         | CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_conditional" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice END AS maybe_price
+        |  FROM orders)
+        |SELECT o_orderkey,
+        | round(coalesce(maybe_price, -1.0), 2) AS price_or_default,
+        | nullif(o_orderstatus, 'O') AS status_non_open,
+        | CASE WHEN maybe_price IS NOT NULL THEN 'present' ELSE 'absent' END
+        |   AS presence,
+        | round(greatest(o_totalprice, 100000.0), 2) AS at_least_100k,
+        | round(least(o_totalprice, 100000.0), 2) AS at_most_100k
+        |FROM m ORDER BY o_orderkey""".stripMargin,
+
+    "fn_struct" ->
+      """WITH x AS (
+        |  SELECT n_regionkey AS regionkey, min(n_name) AS first_name,
+        |   max(n_nationkey) AS max_id, count(*) AS n
+        |  FROM nation GROUP BY 1)
+        |SELECT regionkey, first_name, max_id,
+        | (SELECT n_name FROM nation WHERE n_nationkey = max_id) AS max_name, n
+        |FROM x ORDER BY regionkey""".stripMargin,
 
     "fn_url" ->
       """SELECT c_custkey,
