@@ -63,9 +63,20 @@ object Llm {
 
   /** The full inverted-index pair-scoring pipeline (all (lang, band)-block
     * pairs sharing ≥1 shingle, exact Jaccard) — shared by dedupNgram
-    * (top-20 view) and lshRecall (the exact truth set).
+    * (top-20 view) and lshRecall (the exact truth set). Memoized like
+    * `pairsCache` (and with the same ContextCleaner-released checkpoint
+    * semantics): whichever consumer runs first pays the inverted-index
+    * join once; the few-hundred-row scored pair set is then served from
+    * the materialized checkpoint, so the bench record is no longer
+    * run-order sensitive.
     */
-  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+  private val ngramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ngramPairs(s: SparkSession, d: String): DataFrame =
+    ngramCache.getOrElseUpdate((s, d), buildNgramPairs(s, d).localCheckpoint(true))
+
+  private def buildNgramPairs(s: SparkSession, d: String): DataFrame = {
     // Materialized for the same reason as dedupFuzzy: the a/b sides of the
     // self-join do not share an exchange, so without materialization the
     // interpreted shingle build would run twice. A lazy localCheckpoint

@@ -99,7 +99,11 @@ case class AsOfJoinExec(
       factIter.flatMap { fact =>
         val fKey = lKeyProj(fact)
         val fTsV = lTsBound.eval(fact)
-        if (fTsV == null) Iterator.empty
+        // SQL asof equality semantics: a NULL key matches nothing (DuckDB
+        // ASOF JOIN, kdb aj) — RowOrdering's natural ordering would treat
+        // two null keys as equal, so null-key rows are skipped explicitly
+        // on both sides.
+        if (fTsV == null || fKey.anyNull) Iterator.empty
         else {
           val fTs = fTsV.asInstanceOf[Long]
           // Advance the dim side while it is behind (smaller key, or same
@@ -108,16 +112,19 @@ case class AsOfJoinExec(
           while (advancing && dims.hasNext) {
             val dim = dims.head
             val dKey = rKeyProj(dim)
-            val cmp = keyOrd.compare(dKey, fKey)
-            val dTsV = rTsBound.eval(dim)
-            if (cmp < 0) { dims.next() }
-            else if (cmp == 0 && dTsV != null &&
-                dTsV.asInstanceOf[Long] <= fTs) {
-              candidate = dim.copy()
-              candidateKey = dKey.copy()
-              dims.next()
-            } else if (cmp == 0 && dTsV == null) { dims.next() }
-            else advancing = false
+            if (dKey.anyNull) { dims.next() } // null dim key never matches
+            else {
+              val cmp = keyOrd.compare(dKey, fKey)
+              val dTsV = rTsBound.eval(dim)
+              if (cmp < 0) { dims.next() }
+              else if (cmp == 0 && dTsV != null &&
+                  dTsV.asInstanceOf[Long] <= fTs) {
+                candidate = dim.copy()
+                candidateKey = dKey.copy()
+                dims.next()
+              } else if (cmp == 0 && dTsV == null) { dims.next() }
+              else advancing = false
+            }
           }
           if (candidate != null && keyOrd.compare(candidateKey, fKey) == 0 &&
               rTsBound.eval(candidate).asInstanceOf[Long] <= fTs)
@@ -145,9 +152,22 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in ${p.output.map(_.name).mkString(",")}"))
+    // The merge compares timestamps as raw Longs — reject any ts column
+    // whose runtime representation is not Long-backed up front, instead of
+    // a ClassCastException deep inside an executor task.
+    def requireLongBacked(a: Attribute, side: String): Attribute = {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      a.dataType match {
+        case TimestampType | TimestampNTZType | LongType => a
+        case other => throw new IllegalArgumentException(
+          s"as-of $side ts column ${a.name} must be TIMESTAMP/TIMESTAMP_NTZ/BIGINT, got $other " +
+            "(cast it before the join)")
+      }
+    }
     GraftSqlBridge.ofRows(s, AsOfJoinPlan(
       lPlan, rPlan,
       Seq(attr(lPlan, factKey)), Seq(attr(rPlan, dimKey)),
-      attr(lPlan, factTs), attr(rPlan, dimTs)))
+      requireLongBacked(attr(lPlan, factTs), "fact"),
+      requireLongBacked(attr(rPlan, dimTs), "dim")))
   }
 }

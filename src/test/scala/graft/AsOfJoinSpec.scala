@@ -48,6 +48,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Seq((1L, "exact")))
   }
 
+  test("null keys never match, on either side (SQL equality semantics)") {
+    import spark.implicits._
+    val f = Seq((1L, Option(1L), 10L), (2L, Option.empty[Long], 10L))
+      .toDF("fid", "fkey", "fts").repartition(4)
+    val d = Seq((Option(1L), 5L, "a"), (Option.empty[Long], 1L, "nulldim"))
+      .toDF("dkey", "dts", "tag").repartition(3)
+    val out = AsOfJoin.join(f, d, "fkey", "dkey", "fts", "dts")
+      .select("fid", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    // fact#2 (null key) matches nothing; the null-key dim row is never a
+    // candidate for anyone.
+    assert(out == Seq((1L, "a")))
+  }
+
+  test("non-Long-backed ts columns are rejected up front") {
+    import spark.implicits._
+    val f = Seq((1L, 1L, 10)).toDF("fid", "fkey", "fts") // fts is Int
+    val d = Seq((1L, 5L, "a")).toDF("dkey", "dts", "tag")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.join(f, d, "fkey", "dkey", "fts", "dts")
+    }
+    assert(e.getMessage.contains("fts"))
+  }
+
   test("matches the window-encoding equivalent on the events fixture") {
     val native = SparkEntry.queries("join_asof_native")(spark, sf)
       .select("event_id", "click_ts").collect()
