@@ -97,7 +97,11 @@ object Multimodal {
         col("offset"),
         length(expr(s"substring(payload, offset + 1, $stride)")).cast("long")
           .as("frame_bytes"),
-        md5(expr(s"substring(payload, offset + 1, $stride)")).as("frame_md5"))
+        // Fingerprint the HEX of the byte slice, not the raw bytes: DuckDB
+        // 1.0 has no md5(BLOB), so hashing the (identical, uppercase-hex)
+        // string representation is what keeps the oracle byte-exact for
+        // non-ASCII payloads — both engines slice the same UTF-8 bytes.
+        md5(hex(expr(s"substring(payload, offset + 1, $stride)"))).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
@@ -106,26 +110,35 @@ object Multimodal {
     "llm_multimodal_frames" -> multimodalFrames
   )
 
+  /** Both oracles work on the UTF-8 BYTES of `text` (via hex(encode(..))),
+    * mirroring the Spark side's binary cast — char-based substring/ascii
+    * would silently diverge on any non-ASCII document. DuckDB 1.0 cannot
+    * slice or md5 a BLOB, so byte N is the hex pair at 2N+1 and frames are
+    * fingerprinted as md5-of-uppercase-hex (identical in both engines).
+    */
   val oracles: Map[String, String] = Map(
     "llm_multimodal_pipeline" ->
-      """SELECT doc_id,
+      """WITH b AS (
+        |  SELECT doc_id, source, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS nb FROM documents)
+        |SELECT doc_id,
         | 'media/' || source AS kind,
-        | octet_length(encode(text)) AS n_bytes,
-        | 64 + ascii(substring(text, 1, 1)) % 64 AS width,
-        | 64 + ascii(substring(text, length(text), 1)) % 64 AS height,
-        | octet_length(encode(text)) // 1000 + 1 AS n_frames,
-        | CAST(list_sum(list_transform(string_split_regex(text, ''),
-        |   c -> ascii(c))) AS BIGINT) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        | nb AS n_bytes,
+        | 64 + ('0x' || substring(hx, 1, 2))::int % 64 AS width,
+        | 64 + ('0x' || substring(hx, CAST((nb - 1) * 2 + 1 AS INTEGER), 2))::int % 64 AS height,
+        | nb // 1000 + 1 AS n_frames,
+        | CAST(list_sum(list_transform(range(nb),
+        |   i -> ('0x' || substring(hx, CAST(i * 2 + 1 AS INTEGER), 2))::int)) AS BIGINT) AS checksum
+        |FROM b ORDER BY doc_id""".stripMargin,
     "llm_multimodal_frames" ->
       """WITH f AS (
-        |  SELECT doc_id, text,
-        |   unnest(range(0, (length(text) - 1) // 256 + 1)) AS frame_idx
-        |  FROM documents WHERE length(text) >= 1)
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |   unnest(range(0, (octet_length(encode(text)) - 1) // 256 + 1)) AS frame_idx
+        |  FROM documents WHERE octet_length(encode(text)) >= 1)
         |SELECT doc_id, frame_idx, frame_idx * 256 AS offset,
-        |       length(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256))
+        |       length(substring(hx, CAST(frame_idx * 512 + 1 AS INTEGER), 512)) // 2
         |         AS frame_bytes,
-        |       md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256))
+        |       md5(substring(hx, CAST(frame_idx * 512 + 1 AS INTEGER), 512))
         |         AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
