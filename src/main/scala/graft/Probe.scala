@@ -77,18 +77,14 @@ object Probe {
     time("shingles+persist") { docs.count() }
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
     time("explode+md5") { ex.withColumn("md", md5(col("g"))).count() }
+    // Mirrors Llm.nearDupPairsPlan's 16-slot / 8-band shape.
     val mh = ex.withColumn("md", md5(col("g"))).groupBy(col("doc_id"))
-      .agg(min(substring(col("md"), 1, 4)).as("m0"),
-        min(substring(col("md"), 5, 4)).as("m1"),
-        min(substring(col("md"), 9, 4)).as("m2"),
-        min(substring(col("md"), 13, 4)).as("m3"),
-        min(substring(col("md"), 17, 4)).as("m4"),
-        min(substring(col("md"), 21, 4)).as("m5"),
-        min(substring(col("md"), 25, 4)).as("m6"),
-        min(substring(col("md"), 29, 4)).as("m7"))
+      .agg(min(substring(col("md"), 1, 2)).as("m0"),
+        (1 until 16).map(i =>
+          min(substring(col("md"), 2 * i + 1, 2)).as(s"m$i")): _*)
     time("minhash") { mh.count() }
     val bands = mh.select(col("doc_id"), explode(array(
-        (0 until 4).map(i => struct(lit(i).as("band_id"),
+        (0 until 8).map(i => struct(lit(i).as("band_id"),
           concat(col(s"m${2 * i}"), col(s"m${2 * i + 1}")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.key").as("key"))
     val cand = bands.as("x").join(bands.as("y"),

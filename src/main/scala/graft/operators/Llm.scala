@@ -121,6 +121,12 @@ object Llm {
     nTruth.crossJoin(nLsh).crossJoin(nCommon)
       .withColumn("recall",
         round(col("n_common") / col("n_truth"), 4))
+      // The OPERATING-POINT ASSERTION, oracled as a value: 8 bands × 2 rows
+      // gives P(candidate) = 1−(1−j²)⁸ = 0.90 at the τ=0.5 boundary, and
+      // higher above it — so end-to-end recall ≥ 0.9 is the contract this
+      // row enforces; a regression in the band shape flips the boolean and
+      // fails the hash gate.
+      .withColumn("recall_floor_ok", col("recall") >= 0.9)
   }
 
   /** Embedding-cosine near-dup: top-20 closest candidate pairs. Candidate
@@ -294,19 +300,21 @@ object Llm {
   // Advanced dedup: MinHash-LSH, SimHash, fingerprinting
   // =====================================================================
 
-  /** MinHash-LSH near-dup pipeline, Spark-first: shingle → 8 minhash
-    * signatures → 4 bands × 2 rows (AND×OR amplification) → band-key
+  /** MinHash-LSH near-dup pipeline, Spark-first: shingle → 16 minhash
+    * signatures → 8 bands × 2 rows (AND×OR amplification) → band-key
     * equi-join for candidates → exact-Jaccard verification ≥ 0.5.
     *
     * This is THE 100 TB dedup path: candidate generation is an equi-join on
     * the band key, never an all-pairs product, and the banding controls the
-    * candidate count analytically — P(candidate) = 1−(1−j²)⁴, i.e. ≈0.6%
-    * of random pairs (j≈0.04) vs ≈100% of planted near-dups (j≥0.95).
-    * (MLlib's MinHashLSH can only OR its hash tables — 1−(1−j)⁸ admits
-    * ~25% of *random* pairs as candidates, which measured 20-30 s at sf0.1;
-    * AND-amplification is why this version is both faster and scale-safe.)
+    * candidate count analytically — P(candidate) = 1−(1−j²)⁸: 0.90 at the
+    * τ=0.5 verify boundary (the recall floor llm_lsh_recall asserts),
+    * ≈1.3% of random pairs (j≈0.04), ≈100% of planted near-dups (j≥0.95).
+    * (MLlib's MinHashLSH can only OR its hash tables — 1−(1−j)¹⁶ admits
+    * ~half of *random* pairs as candidates, which measured 20-30 s at
+    * sf0.1 even with 8 tables; AND-amplification is why this version is
+    * both faster and scale-safe.)
     *
-    * The 8 minhash functions are the 8 disjoint 4-hex-char slots of one
+    * The 16 minhash functions are the 16 disjoint 2-hex-char slots of one
     * md5 per shingle, min'd lexicographically — deterministic and
     * engine-portable, so unlike the MLlib version this query is fully
     * DuckDB-oracled end-to-end. Every stage is codegen'd (md5/substring/
@@ -356,21 +364,22 @@ object Llm {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 16 minhash functions = the 16 disjoint 2-hex-char slots of one md5,
+    // arranged as 8 bands × 2 rows: P(candidate | j) = 1−(1−j²)⁸ — 0.90 at
+    // the τ=0.5 verify threshold (the recall floor llm_lsh_recall asserts),
+    // ≈1.3% for random pairs (j≈0.04). 16-bit slot ties only ever ADD
+    // candidates, and the exact-Jaccard verify removes false positives, so
+    // the floor is conservative.
     val mh = docs
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .withColumn("md", md5(col("g")))
       .groupBy(col("doc_id"))
       .agg(
-        min(substring(col("md"), 1, 4)).as("m0"),
-        min(substring(col("md"), 5, 4)).as("m1"),
-        min(substring(col("md"), 9, 4)).as("m2"),
-        min(substring(col("md"), 13, 4)).as("m3"),
-        min(substring(col("md"), 17, 4)).as("m4"),
-        min(substring(col("md"), 21, 4)).as("m5"),
-        min(substring(col("md"), 25, 4)).as("m6"),
-        min(substring(col("md"), 29, 4)).as("m7"))
+        min(substring(col("md"), 1, 2)).as("m0"),
+        (1 until 16).map(i =>
+          min(substring(col("md"), 2 * i + 1, 2)).as(s"m$i")): _*)
     val bands = mh.select(col("doc_id"), explode(array(
-        (0 until 4).map(i => struct(
+        (0 until 8).map(i => struct(
           lit(i).as("band_id"),
           concat(col(s"m${2 * i}"), col(s"m${2 * i + 1}")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.key").as("key"))
@@ -725,16 +734,22 @@ object Llm {
       |ex AS (SELECT doc_id, md5(unnest(sh)) AS md FROM nonempty),
       |mh AS (
       |  SELECT doc_id,
-      |   min(substring(md, 1, 4)) AS m0, min(substring(md, 5, 4)) AS m1,
-      |   min(substring(md, 9, 4)) AS m2, min(substring(md, 13, 4)) AS m3,
-      |   min(substring(md, 17, 4)) AS m4, min(substring(md, 21, 4)) AS m5,
-      |   min(substring(md, 25, 4)) AS m6, min(substring(md, 29, 4)) AS m7
+      |   min(substring(md, 1, 2)) AS m0, min(substring(md, 3, 2)) AS m1,
+      |   min(substring(md, 5, 2)) AS m2, min(substring(md, 7, 2)) AS m3,
+      |   min(substring(md, 9, 2)) AS m4, min(substring(md, 11, 2)) AS m5,
+      |   min(substring(md, 13, 2)) AS m6, min(substring(md, 15, 2)) AS m7,
+      |   min(substring(md, 17, 2)) AS m8, min(substring(md, 19, 2)) AS m9,
+      |   min(substring(md, 21, 2)) AS m10, min(substring(md, 23, 2)) AS m11,
+      |   min(substring(md, 25, 2)) AS m12, min(substring(md, 27, 2)) AS m13,
+      |   min(substring(md, 29, 2)) AS m14, min(substring(md, 31, 2)) AS m15
       |  FROM ex GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, i AS band_id,
       |   CASE i WHEN 0 THEN m0 || m1 WHEN 1 THEN m2 || m3
-      |          WHEN 2 THEN m4 || m5 ELSE m6 || m7 END AS key
-      |  FROM mh CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+      |          WHEN 2 THEN m4 || m5 WHEN 3 THEN m6 || m7
+      |          WHEN 4 THEN m8 || m9 WHEN 5 THEN m10 || m11
+      |          WHEN 6 THEN m12 || m13 ELSE m14 || m15 END AS key
+      |  FROM mh CROSS JOIN (SELECT unnest(range(0, 8)) AS i)),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
       |  FROM bands x JOIN bands y
@@ -909,7 +924,9 @@ object Llm {
          |SELECT (SELECT count(*) FROM truth) AS n_truth,
          |       (SELECT count(*) FROM lsh) AS n_lsh,
          |       n_common,
-         |       round(n_common / (SELECT count(*) FROM truth), 4) AS recall
+         |       round(n_common / (SELECT count(*) FROM truth), 4) AS recall,
+         |       round(n_common / (SELECT count(*) FROM truth), 4) >= 0.9
+         |         AS recall_floor_ok
          |FROM common""".stripMargin,
 
     "llm_tfidf" ->
