@@ -90,10 +90,13 @@ object Xml {
     * complexType (publisher → struct), a REPEATED element
     * (author maxOccurs="unbounded" → array<struct>), an optional nested
     * element (minOccurs="0" → nullable), and an OPTIONAL attribute
-    * (edition, no use="required"). Output is the recursively flattened
-    * (path, dtype, nullable) triple list — arrays descend through their
-    * element type with an `[]` path marker — so the whole structural
-    * mapping is what gets hash-verified.
+    * (edition, no use="required"), plus the two schema-model edges the
+    * CDAP mapping calls out (SURVEY §1.1): an ENUM-valued element
+    * (xs:restriction/xs:enumeration → string) and a two-branch
+    * xs:choice UNION (each branch surfaces as a nullable field). Output is
+    * the recursively flattened (path, dtype, nullable) triple list — arrays
+    * descend through their element type with an `[]` path marker — so the
+    * whole structural mapping is what gets hash-verified.
     */
   val srcXmlXsdSchema: Q = (s, _) => {
     val xsd =
@@ -126,6 +129,19 @@ object Xml {
         |            <xs:attribute name="pid" type="xs:long" use="required"/>
         |          </xs:complexType>
         |        </xs:element>
+        |        <xs:element name="format">
+        |          <xs:simpleType>
+        |            <xs:restriction base="xs:string">
+        |              <xs:enumeration value="hardcover"/>
+        |              <xs:enumeration value="paperback"/>
+        |              <xs:enumeration value="ebook"/>
+        |            </xs:restriction>
+        |          </xs:simpleType>
+        |        </xs:element>
+        |        <xs:choice>
+        |          <xs:element name="ebook_url" type="xs:string"/>
+        |          <xs:element name="print_weight" type="xs:double"/>
+        |        </xs:choice>
         |      </xs:sequence>
         |      <xs:attribute name="id" type="xs:string" use="required"/>
         |      <xs:attribute name="edition" type="xs:int"/>
@@ -153,6 +169,73 @@ object Xml {
     import s.implicits._
     flatten("", book).toDF("field", "dtype", "nullable")
       .orderBy(col("field"), col("dtype"))
+  }
+
+  /** Enum + union VALUE round-trip (the schema-mapping counterpart lives in
+    * src_xml_xsd_schema): records are serialized with an enum-valued
+    * attribute and element and exactly ONE branch of a two-branch
+    * xs:choice, then parsed back through the XSD-DERIVED schema with
+    * from_xml — per record the taken branch carries its typed value and the
+    * other is NULL, which is precisely the CDAP union→nullable mapping.
+    * All parsing is the codegen'd from_xml expression over nation rows, so
+    * DuckDB oracles every value from the parquet columns.
+    */
+  val srcXmlEnumUnion: Q = (s, d) => {
+    val xsd =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="item">
+        |    <xs:complexType>
+        |      <xs:sequence>
+        |        <xs:element name="format">
+        |          <xs:simpleType>
+        |            <xs:restriction base="xs:string">
+        |              <xs:enumeration value="hardcover"/>
+        |              <xs:enumeration value="paperback"/>
+        |              <xs:enumeration value="ebook"/>
+        |            </xs:restriction>
+        |          </xs:simpleType>
+        |        </xs:element>
+        |        <xs:choice>
+        |          <xs:element name="ebook_url" type="xs:string"/>
+        |          <xs:element name="print_weight" type="xs:double"/>
+        |        </xs:choice>
+        |      </xs:sequence>
+        |      <xs:attribute name="key" type="xs:long" use="required"/>
+        |      <xs:attribute name="cond" use="required">
+        |        <xs:simpleType>
+        |          <xs:restriction base="xs:string">
+        |            <xs:enumeration value="new"/>
+        |            <xs:enumeration value="used"/>
+        |          </xs:restriction>
+        |        </xs:simpleType>
+        |      </xs:attribute>
+        |    </xs:complexType>
+        |  </xs:element>
+        |</xs:schema>""".stripMargin
+    val item = XSDToSchema.read(xsd).fields.head.dataType.asInstanceOf[StructType]
+    val key = col("n_nationkey")
+    Tables.nation(s, d)
+      .withColumn("xml", concat(
+        lit("<item key=\""), key,
+        lit("\" cond=\""), when(pmod(key, lit(2)) === 0, "new").otherwise("used"),
+        lit("\"><format>"),
+        element_at(
+          array(lit("hardcover"), lit("paperback"), lit("ebook")),
+          (pmod(key, lit(3)) + 1).cast("int")),
+        lit("</format>"),
+        when(pmod(key, lit(2)) === 0,
+          concat(lit("<ebook_url>https://ex.org/"), col("n_name"), lit("</ebook_url>")))
+          .otherwise(concat(lit("<print_weight>"), round(key * 1.5, 1), lit("</print_weight>"))),
+        lit("</item>")))
+      .withColumn("p", from_xml(col("xml"), item))
+      .select(
+        col("p._key").as("n_nationkey"),
+        col("p._cond").as("cond"),
+        col("p.format").as("format"),
+        col("p.ebook_url").as("ebook_url"),
+        col("p.print_weight").as("print_weight"))
+      .orderBy(col("n_nationkey"))
   }
 
   /** Malformed-record policy ≙ the reference XML Parser's ignore / stop /
@@ -227,24 +310,34 @@ object Xml {
   /** XML Reader's processed-file tracking ≙ idempotent incremental
     * ingestion, batch analogue (SURVEY §2.1): new files are discovered by
     * anti-joining the scanned file inventory against a processed-file
-    * ledger. Here orders is laid out as two "arrival batches"; the ledger
-    * says batch file1 was already ingested, so only file2 contributes.
+    * ledger — WITH the reference's ledger-expiry window: an entry older
+    * than the retention cutoff no longer suppresses its file, so the file
+    * is re-ingested (the reference re-reads files whose tracking record
+    * aged out). Orders is laid out as three "arrival batches": file1 has a
+    * FRESH ledger entry (skipped), file2 has none (new — ingested), file3's
+    * entry is EXPIRED (re-ingested). All ledger timestamps are fixed
+    * literals, so the result is deterministic and fully oracled.
     * At 100 TB the ledger join is a broadcast (file inventory is tiny
     * relative to data) — exactly what Spark picks here.
     */
   val srcIncrementalFiles: Q = (s, d) => {
     val base = fresh("src_incremental_files", d)
     val o = Tables.orders(s, d)
-    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
-      .write.mode("overwrite").parquet(s"$base/file1")
-    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
-      .write.mode("overwrite").parquet(s"$base/file2")
+    for (i <- 0 to 2)
+      o.filter(pmod(col("o_orderkey"), lit(3)) === i)
+        .write.mode("overwrite").parquet(s"$base/file${i + 1}")
     import s.implicits._
-    val ledger = Seq("file1").toDF("processed_dir")
-    val scanned = s.read.parquet(s"$base/file1", s"$base/file2")
-      .withColumn("src_dir", regexp_extract(input_file_name(), "(file1|file2)", 1))
+    val ledger = Seq(
+      ("file1", "2026-08-01 00:00:00"),  // fresh — still suppresses file1
+      ("file3", "2026-07-20 00:00:00"))  // expired — file3 re-ingested
+      .toDF("processed_dir", "processed_at")
+      .withColumn("processed_at", col("processed_at").cast("timestamp"))
+    val cutoff = lit("2026-07-26 00:00:00").cast("timestamp") // now − 7 days
+    val live = ledger.filter(col("processed_at") >= cutoff)
+    val scanned = s.read.parquet(s"$base/file1", s"$base/file2", s"$base/file3")
+      .withColumn("src_dir", regexp_extract(input_file_name(), "(file1|file2|file3)", 1))
     scanned
-      .join(broadcast(ledger), scanned("src_dir") === ledger("processed_dir"), "left_anti")
+      .join(broadcast(live), scanned("src_dir") === live("processed_dir"), "left_anti")
       .agg(
         count(lit(1)).as("n_new_rows"),
         round(sum(col("o_totalprice")), 2).as("sum_price"))
@@ -407,6 +500,7 @@ object Xml {
     "src_xml_read"          -> srcXmlRead,
     "src_xml_xsd_schema"    -> srcXmlXsdSchema,
     "src_xml_permissive"    -> srcXmlPermissive,
+    "src_xml_enum_union"    -> srcXmlEnumUnion,
     "src_csv_json_text"     -> srcCsvJsonText,
     "src_incremental_files" -> srcIncrementalFiles,
     "snk_parquet_write"     -> snkParquetWrite,
@@ -428,9 +522,10 @@ object Xml {
         |  ('_edition', 'int', true), ('_id', 'string', false),
         |  ('author', 'array<struct>', false), ('author[]', 'struct', true),
         |  ('author[].born', 'int', true), ('author[].name', 'string', false),
+        |  ('ebook_url', 'string', true), ('format', 'string', false),
         |  ('in_print', 'boolean', false), ('isbn', 'bigint', false),
         |  ('pages', 'int', false), ('price', 'double', false),
-        |  ('published', 'date', true),
+        |  ('print_weight', 'double', true), ('published', 'date', true),
         |  ('publisher', 'struct', false), ('publisher._pid', 'bigint', false),
         |  ('publisher.city', 'string', true), ('publisher.pname', 'string', false),
         |  ('title', 'string', false), ('weight', 'float', false))
@@ -442,6 +537,16 @@ object Xml {
         |  ('PERMISSIVE', 'corrupt', 2), ('PERMISSIVE', 'good', 8))
         |  AS t(mode, bucket, cnt)
         |ORDER BY mode, bucket""".stripMargin,
+    "src_xml_enum_union" ->
+      """SELECT n_nationkey,
+        | CASE WHEN n_nationkey % 2 = 0 THEN 'new' ELSE 'used' END AS cond,
+        | CASE n_nationkey % 3 WHEN 0 THEN 'hardcover' WHEN 1 THEN 'paperback'
+        |   ELSE 'ebook' END AS format,
+        | CASE WHEN n_nationkey % 2 = 0
+        |   THEN 'https://ex.org/' || n_name END AS ebook_url,
+        | CASE WHEN n_nationkey % 2 = 1
+        |   THEN round(n_nationkey * 1.5, 1) END AS print_weight
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "src_csv_json_text" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal, fmt
         |FROM (
@@ -453,7 +558,7 @@ object Xml {
         |ORDER BY fmt, s_suppkey""".stripMargin,
     "src_incremental_files" ->
       """SELECT count(*) AS n_new_rows, round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+        |FROM orders WHERE o_orderkey % 3 IN (1, 2)""".stripMargin,
     "snk_parquet_write" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |       round(sum(l_extendedprice), 2) AS sum_price
