@@ -85,6 +85,112 @@ object Xml {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Path-aware XML record splitting — the reference XML Reader's node
+    * path is an element PATH (`/catalog/book`), not a tag name: a document
+    * with the same tag at two depths must split only at the declared path.
+    * Spark's `rowTag` option matches the tag anywhere, so this reader keeps
+    * an ancestor stack with a single-pass StAX scan and captures exactly
+    * the subtrees whose full path equals the node path; the snippets then
+    * flow through the codegen'd `from_xml` for typed extraction.
+    *
+    * Scale shape: parallel ACROSS files (one task per file — the layout a
+    * 100 TB XML corpus actually has); within one file the scan is
+    * sequential because ancestor context is a prefix property of the
+    * document — the same contract as the reference's StAX chunker. Nested
+    * same-name tags inside a captured record stay part of that record and
+    * never re-trigger capture.
+    */
+  def readXmlNodePath(s: SparkSession, dir: String, nodePath: String): DataFrame = {
+    import s.implicits._
+    val path = nodePath.split("/").filter(_.nonEmpty).toSeq
+    require(path.nonEmpty, s"empty node path: $nodePath")
+    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".xml")).sorted
+    s.sparkContext.parallelize(files.toSeq, math.max(files.length, 1))
+      .flatMap { file =>
+        import javax.xml.stream.{XMLInputFactory, XMLOutputFactory}
+        val xif = XMLInputFactory.newInstance()
+        xif.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+        xif.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+        xif.setProperty(XMLInputFactory.IS_COALESCING, true)
+        val xof = XMLOutputFactory.newInstance()
+        val in = Files.newInputStream(Paths.get(file))
+        try {
+          val reader = xif.createXMLEventReader(in, "UTF-8")
+          val stack = scala.collection.mutable.ArrayBuffer.empty[String]
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var sw: java.io.StringWriter = null
+          var writer: javax.xml.stream.XMLEventWriter = null
+          var captureDepth = -1
+          while (reader.hasNext) {
+            val ev = reader.nextEvent()
+            if (ev.isStartElement) {
+              stack += ev.asStartElement.getName.getLocalPart
+              if (captureDepth < 0 && stack == path) {
+                captureDepth = stack.size
+                sw = new java.io.StringWriter()
+                writer = xof.createXMLEventWriter(sw)
+              }
+              if (captureDepth > 0) writer.add(ev)
+            } else if (ev.isEndElement) {
+              if (captureDepth > 0) {
+                writer.add(ev)
+                if (stack.size == captureDepth) {
+                  writer.close()
+                  out += sw.toString
+                  captureDepth = -1
+                }
+              }
+              stack.remove(stack.size - 1)
+            } else if (captureDepth > 0 && (ev.isCharacters || ev.getEventType ==
+                javax.xml.stream.XMLStreamConstants.CDATA)) {
+              writer.add(ev)
+            }
+          }
+          out.toList
+        } finally in.close()
+      }
+      .toDF("xml")
+  }
+
+  /** Node-path splitting under test: catalog files holding `<book>` at two
+    * depths — record books at `/catalog/book`, decoy books inside
+    * `/catalog/review/book` (shifted keys), and a nested `<book>` INSIDE a
+    * record's `<related>` element (shifted further). Only the
+    * `/catalog/book` subtrees may surface as records — any decoy leaking
+    * in breaks the hash against the plain nation oracle.
+    */
+  val srcXmlNodePath: Q = (s, d) => {
+    val dir = fresh("src_xml_nodepath", d)
+    // Fixture: 3 files over the 25 nation rows (driver-side build like
+    // src_xml_permissive — the distributed surface under test is the read).
+    val rows = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy(col("n_nationkey")).collect()
+    rows.groupBy(r => r.getLong(0) % 3).foreach { case (fid, rs) =>
+      val body = rs.map { r =>
+        val (k, n, g) = (r.getLong(0), r.getString(1), r.getLong(2))
+        s"""  <book key="$k"><name>$n</name><region>$g</region>""" +
+          s"""<related><book key="${k + 2000}"><name>REL</name><region>9</region></book></related></book>
+             |  <review stars="5"><book key="${k + 1000}"><name>DECOY</name><region>8</region></book></review>""".stripMargin
+      }.mkString("\n")
+      Files.write(Paths.get(dir, s"cat_$fid.xml"),
+        s"<catalog>\n$body\n</catalog>".getBytes("UTF-8"))
+    }
+    val schema = StructType(Seq(
+      StructField("_key", LongType),
+      StructField("name", StringType),
+      StructField("region", LongType)))
+    readXmlNodePath(s, dir, "/catalog/book")
+      .withColumn("p", from_xml(col("xml"), schema))
+      .select(
+        col("p._key").as("n_nationkey"),
+        col("p.name").as("n_name"),
+        col("p.region").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Derive a Spark schema from an XSD (XML Reader's schema declaration
     * path), covering the shapes real XSDs have: primitive leaves, a NESTED
     * complexType (publisher → struct), a REPEATED element
@@ -501,6 +607,7 @@ object Xml {
     "src_xml_xsd_schema"    -> srcXmlXsdSchema,
     "src_xml_permissive"    -> srcXmlPermissive,
     "src_xml_enum_union"    -> srcXmlEnumUnion,
+    "src_xml_nodepath"      -> srcXmlNodePath,
     "src_csv_json_text"     -> srcCsvJsonText,
     "src_incremental_files" -> srcIncrementalFiles,
     "snk_parquet_write"     -> snkParquetWrite,
@@ -537,6 +644,8 @@ object Xml {
         |  ('PERMISSIVE', 'corrupt', 2), ('PERMISSIVE', 'good', 8))
         |  AS t(mode, bucket, cnt)
         |ORDER BY mode, bucket""".stripMargin,
+    "src_xml_nodepath" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "src_xml_enum_union" ->
       """SELECT n_nationkey,
         | CASE WHEN n_nationkey % 2 = 0 THEN 'new' ELSE 'used' END AS cond,

@@ -121,4 +121,30 @@ class XmlSpec extends AnyFunSuite {
     // correctly; partition parallelism is bounded by maxSplitBytes
     assert(parts >= 1)
   }
+
+  test("node-path split selects only /catalog/book, unlike rowTag") {
+    val doc =
+      """<catalog>
+        |  <book key="1"><name>top1</name><region>1</region></book>
+        |  <review stars="4"><book key="101"><name>DECOY</name><region>8</region></book></review>
+        |  <book key="2"><name>top2</name><region>2</region>
+        |    <related><book key="201"><name>REL</name><region>9</region></book></related>
+        |  </book>
+        |</catalog>""".stripMargin
+    val path = tmpFile("two_depth.xml", doc)
+    val dir  = Paths.get(path).getParent.toString
+    // rowTag splits on the tag NAME anywhere: top-level books AND the
+    // review-nested decoy each become records (the gap the node path
+    // closes). The related-nested book stays inside record key=2 either way.
+    val byTag = spark.read.option("rowTag", "book").format("xml").load(path)
+    assert(byTag.count() == 3)
+    // The path-aware reader returns exactly the two /catalog/book subtrees.
+    val snippets = Xml.readXmlNodePath(spark, dir, "/catalog/book")
+    val schema = StructType(Seq(
+      StructField("_key", LongType), StructField("name", StringType)))
+    val got = snippets.withColumn("p", from_xml(col("xml"), schema))
+      .select(col("p._key"), col("p.name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "top1"), (2L, "top2")))
+  }
 }
