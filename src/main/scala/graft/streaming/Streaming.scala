@@ -211,6 +211,78 @@ object Streaming {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Streaming ingestion WITH post-read file actions — the reference's
+    * realtime pipeline couples the two: each micro-batch's fully-processed
+    * input files are ARCHIVED (renamed under an archive root) as soon as
+    * the batch's sink write lands. `foreachBatch` is the production
+    * pattern for this read-then-act ordering: the sink write happens
+    * first, then the batch's file inventory (tiny — distinct
+    * `input_file_name`s, not rows) drives driver-side renames, the
+    * streaming twin of snk_file_actions. At 100 TB the rename is a
+    * per-file metadata op; the data itself never moves through the
+    * driver. Output: ingested-row aggregate + the archived/left file
+    * counts, proving every processed file left the inbox.
+    */
+  val stIngestArchive: Q = (s, d) => {
+    val base = fresh("st_ingest_archive", d)
+    graft.Tables.orders(s, d)
+      .select(concat(
+        lit("<order id=\""), col("o_orderkey"),
+        lit("\"><cust>"), col("o_custkey"),
+        lit("</cust><total>"), col("o_totalprice"),
+        lit("</total></order>")).as("value"))
+      .repartition(8)
+      .write.mode("overwrite").text(s"$base/input")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val xmlSchema = StructType(Seq(
+      StructField("_id", LongType), StructField("cust", LongType),
+      StructField("total", DoubleType)))
+    val parsed = ss.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(s"$base/input")
+      .select(from_xml(col("value"), xmlSchema).as("r"),
+        input_file_name().as("src_file"))
+      .select(
+        col("r._id").as("o_orderkey"),
+        col("r.cust").as("o_custkey"),
+        col("r.total").as("o_totalprice"),
+        col("src_file"))
+    val archiveDir = Paths.get(base, "archive")
+    Files.createDirectories(archiveDir)
+    val q = parsed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/cp")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.persist()
+        batch.drop("src_file").write.mode("append").parquet(s"$base/out")
+        val files = batch.select("src_file").distinct()
+          .collect().map(_.getString(0))
+        files.foreach { uri =>
+          val p = Paths.get(new java.net.URI(uri))
+          Files.move(p, archiveDir.resolve(p.getFileName),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        batch.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    def partFiles(p: JPath): Long = {
+      val st = Files.list(p)
+      try st.filter(f => f.getFileName.toString.startsWith("part-")).count()
+      finally st.close()
+    }
+    ss.read.parquet(s"$base/out")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .withColumn("files_archived", lit(partFiles(archiveDir)))
+      .withColumn("files_left", lit(partFiles(Paths.get(base, "input"))))
+  }
+
   /** Sliding windows in APPEND mode + watermark — closes the set of
     * windowed aggregations run through the production (distributed-sink)
     * path: only windows finalized by the closing watermark are emitted.
@@ -389,6 +461,7 @@ object Streaming {
     "st_sliding"         -> stSliding,
     "st_sliding_append"  -> stSlidingAppend,
     "st_xml_ingest"      -> stXmlIngest,
+    "st_ingest_archive"  -> stIngestArchive,
     "st_session"         -> stSession,
     "st_session_append"  -> stSessionAppend,
     "st_watermark_late"  -> stWatermarkLate,
@@ -410,6 +483,12 @@ object Streaming {
     "st_xml_ingest" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "st_ingest_archive" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       CAST(8 AS BIGINT) AS files_archived,
+        |       CAST(0 AS BIGINT) AS files_left
+        |FROM orders""".stripMargin,
     "st_sliding_append" ->
       """WITH wm AS (
         |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '10 minutes' AS w
