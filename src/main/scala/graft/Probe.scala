@@ -8,6 +8,49 @@ import org.apache.spark.sql.functions._
   *
   *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Probe <query> [query...]"
   */
+/** Synthesizes the N× relational scale fixture for the SURVEY §6.1 probe:
+  * orders/lineitem/events replicated ×N with key shifts that keep every
+  * join relationship intact (o_orderkey and l_orderkey shift together;
+  * o_custkey / user_id / event_type stay, so per-dim fan-out and skew
+  * density grow ×N — deliberately adversarial for joins and windows).
+  *
+  *   sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_scale10 10"
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src    = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out    = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    val ids = spark.range(copies).toDF("cp")
+    val o = spark.read.parquet(s"$src/orders.parquet")
+    val kShift = o.agg(max("o_orderkey")).first().getLong(0) + 1
+    o.crossJoin(ids)
+      .withColumn("o_orderkey", col("o_orderkey") + col("cp") * kShift).drop("cp")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    spark.read.parquet(s"$src/lineitem.parquet").crossJoin(ids)
+      .withColumn("l_orderkey", col("l_orderkey") + col("cp") * kShift).drop("cp")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val eShift = ev.agg(max("event_id")).first().getLong(0) + 1
+    ev.crossJoin(ids)
+      .withColumn("event_id", col("event_id") + col("cp") * eShift).drop("cp")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"[scalegen] wrote ×$copies fixture to $out")
+    spark.stop()
+  }
+}
+
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
