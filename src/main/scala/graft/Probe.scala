@@ -120,11 +120,13 @@ object Probe {
     time("shingles+persist") { docs.count() }
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
     time("explode+md5") { ex.withColumn("md", md5(col("g"))).count() }
-    // Mirrors Llm.nearDupPairsPlan's 16-slot / 8-band shape.
-    val mh = ex.withColumn("md", md5(col("g"))).groupBy(col("doc_id"))
-      .agg(min(substring(col("md"), 1, 2)).as("m0"),
+    // Mirrors Llm.nearDupPairsPlan's 16-slot (two-md5) / 8-band shape.
+    val mh = ex
+      .withColumn("md", concat(md5(col("g")), md5(concat(col("g"), lit("#2")))))
+      .groupBy(col("doc_id"))
+      .agg(min(substring(col("md"), 1, 4)).as("m0"),
         (1 until 16).map(i =>
-          min(substring(col("md"), 2 * i + 1, 2)).as(s"m$i")): _*)
+          min(substring(col("md"), 4 * i + 1, 4)).as(s"m$i")): _*)
     time("minhash") { mh.count() }
     val bands = mh.select(col("doc_id"), explode(array(
         (0 until 8).map(i => struct(lit(i).as("band_id"),

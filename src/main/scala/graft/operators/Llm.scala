@@ -314,8 +314,8 @@ object Llm {
     * sf0.1 even with 8 tables; AND-amplification is why this version is
     * both faster and scale-safe.)
     *
-    * The 16 minhash functions are the 16 disjoint 2-hex-char slots of one
-    * md5 per shingle, min'd lexicographically — deterministic and
+    * The 16 minhash functions are the 16 disjoint 4-hex-char slots of two
+    * md5s per shingle, min'd lexicographically — deterministic and
     * engine-portable, so unlike the MLlib version this query is fully
     * DuckDB-oracled end-to-end. Every stage is codegen'd (md5/substring/
     * min/explode/join); the only HOF is the per-doc shingle build.
@@ -364,20 +364,23 @@ object Llm {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 16 minhash functions = the 16 disjoint 2-hex-char slots of one md5,
-    // arranged as 8 bands × 2 rows: P(candidate | j) = 1−(1−j²)⁸ — 0.90 at
-    // the τ=0.5 verify threshold (the recall floor llm_lsh_recall asserts),
-    // ≈1.3% for random pairs (j≈0.04). 16-bit slot ties only ever ADD
-    // candidates, and the exact-Jaccard verify removes false positives, so
-    // the floor is conservative.
+    // 16 minhash functions = the 16 disjoint 4-hex-char slots of TWO md5s
+    // per shingle (64 hex chars), arranged as 8 bands × 2 rows:
+    // P(candidate | j) = 1−(1−j²)⁸ — 0.90 at the τ=0.5 verify threshold
+    // (the recall floor llm_lsh_recall asserts), ≈1.3% for random pairs.
+    // Slots must stay 4 hex chars (32-bit): the min of ~hundreds of hashes
+    // concentrates near E[min] ≈ space/k, so 16-bit slots collide across
+    // unrelated docs and the measured candidate set exploded 966 k at
+    // sf0.1 (vs ~1 k with 32-bit keys) — the second md5 buys band-key
+    // entropy for one extra codegen'd hash per exploded shingle.
     val mh = docs
       .select(col("doc_id"), explode(col("sh")).as("g"))
-      .withColumn("md", md5(col("g")))
+      .withColumn("md", concat(md5(col("g")), md5(concat(col("g"), lit("#2")))))
       .groupBy(col("doc_id"))
       .agg(
-        min(substring(col("md"), 1, 2)).as("m0"),
+        min(substring(col("md"), 1, 4)).as("m0"),
         (1 until 16).map(i =>
-          min(substring(col("md"), 2 * i + 1, 2)).as(s"m$i")): _*)
+          min(substring(col("md"), 4 * i + 1, 4)).as(s"m$i")): _*)
     val bands = mh.select(col("doc_id"), explode(array(
         (0 until 8).map(i => struct(
           lit(i).as("band_id"),
@@ -731,17 +734,19 @@ object Llm {
       |          string_split(text,' ')[i+2])) AS sh
       |  FROM documents),
       |nonempty AS (SELECT * FROM docs WHERE len(sh) > 0),
-      |ex AS (SELECT doc_id, md5(unnest(sh)) AS md FROM nonempty),
+      |ex AS (
+      |  SELECT doc_id, md5(g) || md5(g || '#2') AS md
+      |  FROM (SELECT doc_id, unnest(sh) AS g FROM nonempty)),
       |mh AS (
       |  SELECT doc_id,
-      |   min(substring(md, 1, 2)) AS m0, min(substring(md, 3, 2)) AS m1,
-      |   min(substring(md, 5, 2)) AS m2, min(substring(md, 7, 2)) AS m3,
-      |   min(substring(md, 9, 2)) AS m4, min(substring(md, 11, 2)) AS m5,
-      |   min(substring(md, 13, 2)) AS m6, min(substring(md, 15, 2)) AS m7,
-      |   min(substring(md, 17, 2)) AS m8, min(substring(md, 19, 2)) AS m9,
-      |   min(substring(md, 21, 2)) AS m10, min(substring(md, 23, 2)) AS m11,
-      |   min(substring(md, 25, 2)) AS m12, min(substring(md, 27, 2)) AS m13,
-      |   min(substring(md, 29, 2)) AS m14, min(substring(md, 31, 2)) AS m15
+      |   min(substring(md, 1, 4)) AS m0, min(substring(md, 5, 4)) AS m1,
+      |   min(substring(md, 9, 4)) AS m2, min(substring(md, 13, 4)) AS m3,
+      |   min(substring(md, 17, 4)) AS m4, min(substring(md, 21, 4)) AS m5,
+      |   min(substring(md, 25, 4)) AS m6, min(substring(md, 29, 4)) AS m7,
+      |   min(substring(md, 33, 4)) AS m8, min(substring(md, 37, 4)) AS m9,
+      |   min(substring(md, 41, 4)) AS m10, min(substring(md, 45, 4)) AS m11,
+      |   min(substring(md, 49, 4)) AS m12, min(substring(md, 53, 4)) AS m13,
+      |   min(substring(md, 57, 4)) AS m14, min(substring(md, 61, 4)) AS m15
       |  FROM ex GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, i AS band_id,
