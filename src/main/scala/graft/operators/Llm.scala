@@ -76,20 +76,33 @@ object Llm {
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
     ngramCache.getOrElseUpdate((s, d), buildNgramPairs(s, d).localCheckpoint(true))
 
+  /** The ONE per-(session, dir) shingle materialization every Jaccard-dedup
+    * path reads: (doc_id, lang, length-band, shingle-set), persisted after
+    * a single corpus scan + interpreted-HOF shingle build. ngramPairs
+    * explodes it for the inverted index; nearDupPairsPlan minhashes and
+    * verifies from it — previously each pipeline re-scanned the corpus and
+    * re-shingled. At 100 TB this is the checkpoint of (id, shingle-set) a
+    * production dedup job writes once and fans out from; lifetime is the
+    * session, same documented trade as pairsCache.
+    */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def shingledDocs(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, d),
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 50).as("band"), shingles(col("text")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def buildNgramPairs(s: SparkSession, d: String): DataFrame = {
-    // Materialized for the same reason as dedupFuzzy: the a/b sides of the
-    // self-join do not share an exchange, so without materialization the
-    // interpreted shingle build would run twice. A lazy localCheckpoint
-    // (computed on first action) behaves like a persist but its blocks are
-    // released by the ContextCleaner when the plan is GC'd — no session-long
-    // cache leak across the Verify/Bench run.
-    val ex = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("lang"),
-        floor(col("n_chars") / 50).as("band"), shingles(col("text")).as("sh"))
+    // The a/b sides of the self-join re-read the persisted shingle table,
+    // so the explode is recomputed from materialized arrays — never the
+    // interpreted shingle build itself.
+    val ex = shingledDocs(s, d)
       .select(col("doc_id"), col("lang"), col("band"),
         size(col("sh")).as("sz"), explode(col("sh")).as("g"))
-      .localCheckpoint(false)
     val a = ex.select(col("doc_id").as("id1"), col("lang").as("lang1"),
       col("band").as("band1"), col("sz").as("sz1"), col("g").as("g1"))
     val b = ex.select(col("doc_id").as("id2"), col("lang").as("lang2"),
@@ -340,30 +353,22 @@ object Llm {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def verifiedNearDupPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, d), {
-      val (docs, verified) = nearDupPairsPlan(s, d)
-      val out = verified.localCheckpoint(true)
-      docs.unpersist()
-      out
-    })
+    pairsCache.getOrElseUpdate((s, d),
+      nearDupPairsPlan(s, d)._2.localCheckpoint(true))
 
   /** The lazy (docs, verified-pairs) pipeline plan, un-materialized —
     * also exposed to PlanSpec so the no-cartesian property is asserted on
     * the real candidate-generation plan, not the post-checkpoint LogicalRDD.
     */
   private[graft] def nearDupPairsPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    // The shingle table is consumed by THREE branches (minhash path + both
-    // verification joins); exchange reuse does not dedup them (measured), so
-    // the interpreted-HOF shingle build would run per branch. Persist the
-    // (doc_id, shingles) projection once — the standard "materialize the
-    // shared expensive intermediate" step; at 100 TB this is a checkpoint
-    // of (id, shingle-set), a tiny fraction of corpus bytes.
-    val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("sh", shingles(col("text")))
+    // The shingle table is consumed by THREE branches here (minhash path +
+    // both verification joins) and by the inverted-index pipeline; exchange
+    // reuse does not dedup them (measured), so all read the ONE persisted
+    // shingledDocs materialization — the interpreted-HOF shingle build runs
+    // once per session, not once per branch or per pipeline.
+    val docs = shingledDocs(s, d)
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 16 minhash functions = the 16 disjoint 4-hex-char slots of TWO md5s
     // per shingle (64 hex chars), arranged as 8 bands × 2 rows:
     // P(candidate | j) = 1−(1−j²)⁸ — 0.90 at the τ=0.5 verify threshold
