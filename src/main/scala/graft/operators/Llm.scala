@@ -20,6 +20,20 @@ import graft.Tables
 object Llm {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Library-surface cache release. The session-scoped memo tables
+    * (shingled docs, inverted-index pairs, verified MinHash pairs,
+    * clusters) pin persisted/checkpointed blocks for the SparkSession's
+    * lifetime and never evict — the right trade for the batch harness
+    * (one session, ≤3 sf dirs), wrong for a long-lived multi-tenant
+    * service. An embedding caller releases everything here: persisted
+    * tables are unpersisted eagerly; checkpointed ones are dropped and
+    * their blocks reclaimed by the ContextCleaner once unreferenced.
+    */
+  def clearCaches(): Unit = {
+    shingleCache.values.foreach(df => scala.util.Try(df.unpersist(false)))
+    Seq(shingleCache, ngramCache, pairsCache, clusterCache).foreach(_.clear())
+  }
+
   /** Word 3-gram shingle set of the `text` column — shared by the Jaccard
     * dedup operators. Backed by the custom codegen'd WordShingles
     * expression (graft.functions.ShingleExpressions — see there for the
