@@ -119,6 +119,39 @@ object Curation {
       .orderBy(col("bucket"))
   }
 
+  /** Int8 embedding quantization — the storage transform that makes a
+    * 100 TB embedding store 4× smaller: per-dimension global min/max →
+    * 8-bit codes → reconstruction-error audit. Two shuffles total
+    * regardless of corpus size: a 64-row min/max agg (broadcast back) and
+    * the per-dim audit agg, with map-side partials doing the work. All
+    * error sums are snapped to integer nano-units BEFORE aggregation so
+    * double fold order cannot break hash parity (same rule as embedAgg);
+    * the quantized-code checksum `sum_q` is pure integer math.
+    */
+  val embedQuantize: Q = (s, d) => {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val stats = ex.groupBy(col("dim"))
+      .agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+    ex.join(broadcast(stats), Seq("dim"))
+      .withColumn("q",
+        round((col("x") - col("vmin")) / (col("vmax") - col("vmin")) * 255, 0)
+          .cast("long"))
+      .withColumn("err_nanos",
+        round(abs(col("x") - (col("vmin") + col("q") / lit(255.0) *
+          (col("vmax") - col("vmin")))) * 1e9, 0).cast("long"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        max(col("err_nanos")).as("max_err_nanos"),
+        sum(col("err_nanos")).as("sum_err_nanos"),
+        round(min(col("vmin")), 4).as("vmin_r"),
+        round(max(col("vmax")), 4).as("vmax_r"))
+      .orderBy(col("dim"))
+  }
+
   /** The composed curation pipeline as ONE funnel: exact-dedup keep →
     * quality gate → deterministic sample, evaluated as per-doc cumulative
     * flags so the whole funnel is a SINGLE corpus scan + one window (dedup
@@ -153,6 +186,7 @@ object Curation {
     "llm_sample_stratified" -> sampleStratified,
     "llm_pii_redact" -> piiRedact,
     "llm_embed_agg" -> embedAgg,
+    "llm_embed_quantize" -> embedQuantize,
     "llm_curate_funnel" -> curateFunnel)
 
   val oracles: Map[String, String] = Map(
@@ -233,6 +267,26 @@ object Curation {
          | round(sum(abs(mi)) / 1000000.0, 4) AS centroid_l1
          |FROM cells JOIN counts USING (bucket)
          |GROUP BY bucket, n_vecs ORDER BY bucket""".stripMargin,
+    "llm_embed_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(range(0, len(v))) AS dim, unnest(v) AS x
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings)),
+        |st AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM ex GROUP BY dim),
+        |qz AS (
+        |  SELECT ex.dim, x, vmin, vmax,
+        |   CAST(round((x - vmin) / (vmax - vmin) * 255, 0) AS BIGINT) AS q
+        |  FROM ex JOIN st ON ex.dim = st.dim),
+        |e AS (
+        |  SELECT dim, q, vmin, vmax,
+        |   CAST(round(abs(x - (vmin + q / 255.0 * (vmax - vmin))) * 1000000000,
+        |     0) AS BIGINT) AS err
+        |  FROM qz)
+        |SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+        |       max(err) AS max_err_nanos,
+        |       CAST(sum(err) AS BIGINT) AS sum_err_nanos,
+        |       round(min(vmin), 4) AS vmin_r, round(max(vmax), 4) AS vmax_r
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
     "llm_curate_funnel" ->
       """WITH flags AS (
         |  SELECT lang, n_chars, doc_id,

@@ -130,6 +130,30 @@ object Llm {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION screen — the training-data step that keeps
+    * eval sets honest: find corpus documents whose word-3-gram shingle set
+    * overlaps a benchmark document's by ≥ 50%. The benchmark side is tiny
+    * by construction, so candidate generation is a BROADCAST equi-join on
+    * the shingle key against one pass over the shared shingle
+    * materialization — at 100 TB the corpus is never shuffled, and the
+    * per-pair overlap count is one hash aggregation. Output is the
+    * contamination report (doc, benchmark doc, overlap fraction).
+    */
+  val decontaminate: Q = (s, d) => {
+    val sd = shingledDocs(s, d).filter(size(col("sh")) > 0)
+    val bench = sd.filter(pmod(col("doc_id"), lit(100)) === 7)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+    val corpus = sd.filter(pmod(col("doc_id"), lit(100)) =!= 7)
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"), col("bench_id"), col("sz"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .withColumn("overlap", round(col("inter") / col("sz"), 4))
+      .filter(col("overlap") >= 0.5)
+      .select(col("doc_id"), col("bench_id"), col("overlap"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   /** LSH QUALITY MEASUREMENT: recall of the banded-MinHash pipeline
     * against the exact truth set (inverted-index pairs with Jaccard ≥ 0.5
     * inside the same (lang, band) block). Both pair sets are deterministic
@@ -721,6 +745,7 @@ object Llm {
   def queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_ngram" -> dedupNgram,
+    "llm_decontaminate" -> decontaminate,
     "llm_dedup_embed" -> dedupEmbed,
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_text_stats" -> textStats,
@@ -795,6 +820,27 @@ object Llm {
         | sha256(lower(trim(text))) AS h
         |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
 
+    "llm_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(
+        |     range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+        |     i -> string_split(text,' ')[i] || ' ' ||
+        |          string_split(text,' ')[i+1] || ' ' ||
+        |          string_split(text,' ')[i+2])) AS sh
+        |  FROM documents),
+        |ne AS (SELECT * FROM sh WHERE len(sh) > 0),
+        |bench AS (
+        |  SELECT doc_id AS bench_id, unnest(sh) AS g FROM ne
+        |  WHERE doc_id % 100 = 7),
+        |corpus AS (
+        |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM ne
+        |  WHERE doc_id % 100 <> 7)
+        |SELECT doc_id, bench_id, round(count(*) / sz, 4) AS overlap
+        |FROM corpus JOIN bench USING (g)
+        |GROUP BY doc_id, bench_id, sz
+        |HAVING round(count(*) / sz, 4) >= 0.5
+        |ORDER BY doc_id, bench_id""".stripMargin,
     "llm_dedup_ngram" ->
       """WITH base AS (
         |  SELECT doc_id, lang, n_chars // 50 AS band,

@@ -449,6 +449,32 @@ object Xml {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
   }
 
+  /** Schema evolution across arrival batches — the drift a long-lived
+    * ingestion pipeline accumulates: an early batch lacks a column later
+    * batches carry. `mergeSchema` unions the per-file schemas at scan time;
+    * rows from the old batch surface NULL for the added column, which the
+    * query then handles explicitly (coalesce to a sentinel). At 100 TB
+    * schema merging is a footer-only operation (no data rewrite) — the
+    * reason this beats rewriting history when a field is added.
+    */
+  val srcSchemaEvolution: Q = (s, d) => {
+    val base = fresh("src_schema_evolution", d)
+    val o = Tables.orders(s, d)
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$base/batch1")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$base/batch2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/batch1", s"$base/batch2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("<pre-schema>")).as("status"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
   // ======================================================================
   // §2.1 sinks
   // ======================================================================
@@ -610,6 +636,7 @@ object Xml {
     "src_xml_nodepath"      -> srcXmlNodePath,
     "src_csv_json_text"     -> srcCsvJsonText,
     "src_incremental_files" -> srcIncrementalFiles,
+    "src_schema_evolution"  -> srcSchemaEvolution,
     "snk_parquet_write"     -> snkParquetWrite,
     "snk_partitioned_write" -> snkPartitionedWrite,
     "snk_file_actions"      -> snkFileActions,
@@ -668,6 +695,12 @@ object Xml {
     "src_incremental_files" ->
       """SELECT count(*) AS n_new_rows, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)""".stripMargin,
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+        |            ELSE o_orderstatus END AS status,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     "snk_parquet_write" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |       round(sum(l_extendedprice), 2) AS sum_price
