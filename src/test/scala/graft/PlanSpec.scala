@@ -158,4 +158,17 @@ class PlanSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles == 1, s"expected 1 hash exchange, found $shuffles")
   }
+
+  test("llm_decontaminate broadcasts the benchmark side, corpus never shuffles pre-join") {
+    val p = plan("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark shingle join should broadcast the tiny benchmark side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("llm_embed_quantize broadcasts the 64-row per-dim stats back") {
+    val p = plan("llm_embed_quantize")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-dim min/max should broadcast, not shuffle the exploded corpus")
+  }
 }
