@@ -35,9 +35,12 @@ object Bench {
       // The warm-up scratch (input file + checkpoint) is dead after the
       // query terminates — remove it so repeated bench runs don't leak
       // temp dirs.
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(wdir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val walked = java.nio.file.Files.walk(wdir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walked.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walked.close()
     }
     // Optional comma-separated key filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=llm_dedup_embed,llm_dedup_fuzzy
@@ -65,8 +68,12 @@ object Bench {
     println(json)
     // The driver captures stdout with tail truncation (BENCH_r02 lost 30 of
     // 95 per-query timings that way) — also persist the full record to a
-    // stable file so the official bench artifact is always parseable.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), json + "\n")
+    // stable file so the official bench artifact is always parseable. Only
+    // unfiltered runs write it: a SPARK_GRAFT_ONLY iteration must not
+    // clobber the full-record artifact with a partial one.
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/tmp/graft_bench.json"), json + "\n")
     spark.stop()
   }
 }

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * o_custkey / user_id / event_type stay, so per-dim fan-out and skew
   * density grow ×N — deliberately adversarial for joins and windows).
   *
+  * Probe-only fixture: events.ts is re-written as plain INT64 nanos (the
+  * nanosAsLong read drops the TIMESTAMP(NANOS) logical type). Tables.events
+  * handles both identically, but a DuckDB `CAST(ts AS TIMESTAMP)` oracle
+  * would not — don't point the correctness gate at this dir.
+  *
   *   sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_scale10 10"
   */
 object ScaleGen {
@@ -119,10 +124,12 @@ object Probe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("shingles+persist") { docs.count() }
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-    time("explode+md5") { ex.withColumn("md", md5(col("g"))).count() }
-    // Mirrors Llm.nearDupPairsPlan's 16-slot (two-md5) / 8-band shape.
-    val mh = ex
-      .withColumn("md", concat(md5(col("g")), md5(concat(col("g"), lit("#2")))))
+    // Mirrors Llm.nearDupPairsPlan's 16-slot (two-md5) / 8-band shape —
+    // including BOTH md5s in the timed hash stage.
+    def withMd(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("md", concat(md5(col("g")), md5(concat(col("g"), lit("#2")))))
+    time("explode+2xmd5") { withMd(ex).count() }
+    val mh = withMd(ex)
       .groupBy(col("doc_id"))
       .agg(min(substring(col("md"), 1, 4)).as("m0"),
         (1 until 16).map(i =>

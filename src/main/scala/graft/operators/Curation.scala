@@ -134,13 +134,18 @@ object Curation {
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
     val stats = ex.groupBy(col("dim"))
       .agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+    // A constant dimension (vmax == vmin) has no scale: 0/0 would be NaN in
+    // Spark but NULL-ish in DuckDB — both sides define it as code 0 with
+    // zero reconstruction error instead.
     ex.join(broadcast(stats), Seq("dim"))
       .withColumn("q",
-        round((col("x") - col("vmin")) / (col("vmax") - col("vmin")) * 255, 0)
-          .cast("long"))
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(round((col("x") - col("vmin")) /
+            (col("vmax") - col("vmin")) * 255, 0).cast("long")))
       .withColumn("err_nanos",
-        round(abs(col("x") - (col("vmin") + col("q") / lit(255.0) *
-          (col("vmax") - col("vmin")))) * 1e9, 0).cast("long"))
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(round(abs(col("x") - (col("vmin") + col("q") / lit(255.0) *
+            (col("vmax") - col("vmin")))) * 1e9, 0).cast("long")))
       .groupBy(col("dim"))
       .agg(
         count(lit(1)).as("n"),
@@ -275,12 +280,16 @@ object Curation {
         |st AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM ex GROUP BY dim),
         |qz AS (
         |  SELECT ex.dim, x, vmin, vmax,
-        |   CAST(round((x - vmin) / (vmax - vmin) * 255, 0) AS BIGINT) AS q
+        |   CASE WHEN vmax = vmin THEN 0 ELSE
+        |     CAST(round((x - vmin) / (vmax - vmin) * 255, 0) AS BIGINT)
+        |   END AS q
         |  FROM ex JOIN st ON ex.dim = st.dim),
         |e AS (
         |  SELECT dim, q, vmin, vmax,
-        |   CAST(round(abs(x - (vmin + q / 255.0 * (vmax - vmin))) * 1000000000,
-        |     0) AS BIGINT) AS err
+        |   CASE WHEN vmax = vmin THEN 0 ELSE
+        |     CAST(round(abs(x - (vmin + q / 255.0 * (vmax - vmin))) *
+        |       1000000000, 0) AS BIGINT)
+        |   END AS err
         |  FROM qz)
         |SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
         |       max(err) AS max_err_nanos,

@@ -99,13 +99,21 @@ object Xml {
     * document — the same contract as the reference's StAX chunker. Nested
     * same-name tags inside a captured record stay part of that record and
     * never re-trigger capture.
+    *
+    * Limitation: path steps match element LOCAL names and captured
+    * subtrees are re-serialized without ancestor namespace declarations —
+    * documents binding prefixes on an ancestor of the record element are
+    * out of scope (prefix would be unbound in the snippet); use
+    * namespace-free feeds or declare the namespace on the record element.
     */
   def readXmlNodePath(s: SparkSession, dir: String, nodePath: String): DataFrame = {
     import s.implicits._
     val path = nodePath.split("/").filter(_.nonEmpty).toSeq
     require(path.nonEmpty, s"empty node path: $nodePath")
-    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
-      .filter(_.endsWith(".xml")).sorted
+    val listing = Files.list(Paths.get(dir))
+    val files =
+      try listing.toArray.map(_.toString).filter(_.endsWith(".xml")).sorted
+      finally listing.close()
     s.sparkContext.parallelize(files.toSeq, math.max(files.length, 1))
       .flatMap { file =>
         import javax.xml.stream.{XMLInputFactory, XMLOutputFactory}
