@@ -457,6 +457,34 @@ object Xml {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
   }
 
+  /** Non-UTF8 input encoding — the XML Reader's charset configuration: a
+    * feed declared and encoded as ISO-8859-1 (accented chars are single
+    * 0xE9-style bytes, NOT valid UTF-8) must decode correctly when the
+    * reader is told the charset. The fixture appends a non-ASCII literal to
+    * every nation name so a mis-decoded byte corrupts every row and the
+    * hash gate catches it; the oracle recomputes the same strings from the
+    * parquet column in UTF-8.
+    */
+  val srcXmlEncoding: Q = (s, d) => {
+    val dir = fresh("src_xml_encoding", d)
+    val rows = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .orderBy(col("n_nationkey")).collect()
+    val body = rows.map { r =>
+      s"""  <n key="${r.getLong(0)}"><name>${r.getString(1)} café über</name></n>"""
+    }.mkString("\n")
+    val doc = "<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>\n<ns>\n" +
+      body + "\n</ns>"
+    Files.write(Paths.get(dir, "latin1.xml"), doc.getBytes("ISO-8859-1"))
+    s.read
+      .schema(StructType(Seq(
+        StructField("_key", LongType), StructField("name", StringType))))
+      .option("rowTag", "n").option("encoding", "ISO-8859-1")
+      .format("xml").load(dir)
+      .select(col("_key").as("n_nationkey"), col("name"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Schema evolution across arrival batches — the drift a long-lived
     * ingestion pipeline accumulates: an early batch lacks a column later
     * batches carry. `mergeSchema` unions the per-file schemas at scan time;
@@ -645,6 +673,7 @@ object Xml {
     "src_csv_json_text"     -> srcCsvJsonText,
     "src_incremental_files" -> srcIncrementalFiles,
     "src_schema_evolution"  -> srcSchemaEvolution,
+    "src_xml_encoding"      -> srcXmlEncoding,
     "snk_parquet_write"     -> snkParquetWrite,
     "snk_partitioned_write" -> snkPartitionedWrite,
     "snk_file_actions"      -> snkFileActions,
@@ -703,6 +732,9 @@ object Xml {
     "src_incremental_files" ->
       """SELECT count(*) AS n_new_rows, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)""".stripMargin,
+    "src_xml_encoding" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, " +
+        "n_name || ' café über' AS name FROM nation ORDER BY n_nationkey"),
     "src_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
         |            ELSE o_orderstatus END AS status,
