@@ -108,8 +108,19 @@ object Streaming {
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = fresh(tag, d)
     Files.createDirectories(Paths.get(base, "input"))
-    Files.copy(Paths.get(d, "events.parquet"),
-      Paths.get(base, "input", "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // events.parquet is a single file in the driver's testdata but a
+    // directory of part files when produced by a Spark write (e.g. the
+    // ScaleGen ×N probe fixture) — replay both shapes.
+    val src = Paths.get(d, "events.parquet")
+    if (Files.isDirectory(src)) {
+      val parts = Files.list(src)
+      try parts.filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => Files.copy(p, Paths.get(base, "input", p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING))
+      finally parts.close()
+    } else
+      Files.copy(src, Paths.get(base, "input", "events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
     val ev = ss.readStream.schema(rawSchema).parquet(s"$base/input")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     (ev, base)
