@@ -487,6 +487,34 @@ object Relational {
           .as("merged_est_within_5pct"))
   }
 
+  /** Heavy hitters via Count-Min Sketch + exact verification — the other
+    * mergeable-sketch workhorse at 100 TB (frequency, where HLL is
+    * cardinality): per-partition CMS sketches merge element-wise
+    * (order-independent, exact merge), so the frequency table never
+    * shuffles raw tokens. The exact top-10 travels through the oracle;
+    * the CMS estimate is checked against its analytic guarantees
+    * (never undercounts; overcount ≤ εN with the fixture's fixed seed)
+    * as an oracled boolean, the agg_quantiles self-check pattern. The
+    * 10-row top-k collect + 10 sketch lookups are driver-side on
+    * AGGREGATE results, not data.
+    */
+  val aggHeavyHitters: Q = (s, d) => {
+    import s.implicits._
+    val eps = 0.0005
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(10)
+    val sk = toks.stat.countMinSketch("token", eps, 0.99, 42)
+    val slack = (eps * sk.totalCount()).toLong
+    top.collect().toSeq.map { r =>
+      val (t, c) = (r.getString(0), r.getLong(1))
+      val est = sk.estimateCount(t)
+      (t, c, est >= c && est <= c + math.max(slack, 1L))
+    }.toDF("token", "exact_cnt", "cms_ok")
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
   /** cume_dist / percent_rank / ntile — the remaining rank-family window
     * functions. All are rank-arithmetic (no FP accumulation), so values
     * are engine-exact; ordering includes the unique key as tiebreak.
@@ -705,6 +733,7 @@ object Relational {
     "agg_collect" -> aggCollect,
     "agg_quantiles" -> aggQuantiles,
     "agg_sketch_hll" -> aggSketchHll,
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "op_unpivot" -> opUnpivot,
     "op_sql_subquery" -> opSqlSubquery,
     "op_lateral" -> opLateral,
@@ -932,6 +961,14 @@ object Relational {
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         |       TRUE AS merged_est_within_5pct
         |FROM lineitem""".stripMargin,
+    "agg_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (
+        |  SELECT token, count(*) AS exact_cnt FROM t GROUP BY token
+        |  ORDER BY exact_cnt DESC, token LIMIT 10)
+        |SELECT token, exact_cnt, TRUE AS cms_ok FROM c
+        |ORDER BY exact_cnt DESC, token""".stripMargin,
 
     "op_unpivot" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
