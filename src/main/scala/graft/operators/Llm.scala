@@ -130,6 +130,56 @@ object Llm {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Overlapping text CHUNKING — the RAG/embedding preprocessing shape:
+    * each document splits into fixed-size character windows with overlap
+    * (500 chars, 100 overlap → stride 400). The chunk count is integer
+    * arithmetic, offsets explode narrowly (chunks stay in the document's
+    * partition), and each chunk carries a content fingerprint — at 100 TB
+    * only (doc_id, idx, md5) rows ever shuffle, never chunk text.
+    * Char-based substring + md5-of-substring are identical in both
+    * engines (md5 hashes the substring's UTF-8 bytes), so the row is
+    * byte-exact even for non-ASCII corpora.
+    */
+  val chunkText: Q = (s, d) => {
+    val size = 500; val overlap = 100; val stride = size - overlap
+    Tables.documents(s, d)
+      .withColumn("n", length(col("text")).cast("long"))
+      .filter(col("n") >= 1)
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0L, greatest((n - $overlap + ${stride - 1}) div $stride, 1L) - 1)")))
+      .withColumn("off", (col("chunk_idx") * stride).cast("long"))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("off"),
+        length(expr(s"substring(text, off + 1, $size)")).cast("long")
+          .as("chunk_chars"),
+        md5(expr(s"substring(text, off + 1, $size)")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Greedy sequence PACKING into fixed context windows — the step that
+    * turns a curated corpus into training batches: documents fill 4096-token
+    * bins in deterministic (lang, doc_id) order via a window cumulative sum;
+    * a document that crosses a boundary overflows into the next bin
+    * (streaming packing, the behavior of a sequential packer). One window +
+    * one aggregation — a single shuffle on the partition key at any scale.
+    * Token counts use the corpus chars/4 BPE estimate (llm_token_count's
+    * convention).
+    */
+  val packSequences: Q = (s, d) => {
+    val ctx = 4096
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("tokens", ceil(col("n_chars") / 4.0).cast("long"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("bin", ((col("cum") - col("tokens")) / ctx).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("bin_tokens"),
+        round(sum(col("tokens")) / lit(ctx.toDouble), 4).as("fill_ratio"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   /** Benchmark DECONTAMINATION screen — the training-data step that keeps
     * eval sets honest: find corpus documents whose word-3-gram shingle set
     * overlaps a benchmark document's by ≥ 50%. The benchmark side is tiny
@@ -750,6 +800,8 @@ object Llm {
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_ngram" -> dedupNgram,
     "llm_decontaminate" -> decontaminate,
+    "llm_chunk_text" -> chunkText,
+    "llm_pack_sequences" -> packSequences,
     "llm_dedup_embed" -> dedupEmbed,
     "llm_simsearch_topk" -> simsearchTopk,
     "llm_text_stats" -> textStats,
@@ -824,6 +876,33 @@ object Llm {
         | sha256(lower(trim(text))) AS h
         |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
 
+    "llm_chunk_text" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |   unnest(range(0, greatest((length(text) - 100 + 399) // 400, 1)))
+        |     AS chunk_idx
+        |  FROM documents WHERE length(text) >= 1)
+        |SELECT doc_id, chunk_idx, chunk_idx * 400 AS off,
+        |       length(substring(text, CAST(chunk_idx * 400 + 1 AS INTEGER), 500))
+        |         AS chunk_chars,
+        |       md5(substring(text, CAST(chunk_idx * 400 + 1 AS INTEGER), 500))
+        |         AS chunk_md5
+        |FROM f ORDER BY doc_id, chunk_idx""".stripMargin,
+    "llm_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |   CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, tokens,
+        |   sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT lang, CAST((cum - tokens) // 4096 AS BIGINT) AS bin,
+        |       count(*) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+        |       round(sum(tokens) / 4096.0, 4) AS fill_ratio
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "llm_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,
