@@ -544,6 +544,32 @@ object Xml {
       .orderBy(col("lang"))
   }
 
+  /** Small-files COMPACTION — the maintenance job every long-lived 100 TB
+    * ingestion layout needs: a directory accumulated as many small files
+    * (here: a 64-way write) is rewritten into few large ones (4), which
+    * restores scan efficiency (file-open and footer overhead scale with
+    * file count, and tiny row groups defeat min/max skipping). One
+    * distributed read + round-robin repartition + write; the row-content
+    * aggregate proves compaction is lossless and the before/after file
+    * counts travel through the oracle.
+    */
+  val snkCompaction: Q = (s, d) => {
+    val base = fresh("snk_compaction", d)
+    val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+    def nFiles(p: String): Long =
+      fs.listStatus(new HPath(p)).count(_.getPath.getName.endsWith(".parquet")).toLong
+    Tables.documents(s, d).repartition(64)
+      .write.mode("overwrite").parquet(s"$base/small")
+    s.read.parquet(s"$base/small").repartition(4)
+      .write.mode("overwrite").parquet(s"$base/compact")
+    s.read.parquet(s"$base/compact")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("files_before", lit(nFiles(s"$base/small")))
+      .withColumn("files_after", lit(nFiles(s"$base/compact")))
+  }
+
   /** Post-read file actions (XML Reader: none/delete/move/archive) — each
     * variant exercised distinctly as a driver-side FileSystem action after a
     * successful read, not a plan node. Three inboxes receive the same
@@ -677,6 +703,7 @@ object Xml {
     "snk_parquet_write"     -> snkParquetWrite,
     "snk_partitioned_write" -> snkPartitionedWrite,
     "snk_file_actions"      -> snkFileActions,
+    "snk_compaction"        -> snkCompaction,
     "fn_xml_parse"          -> fnXmlParse,
     "fn_xml_to_json"        -> fnXmlToJson,
     "fn_xml_serialize"      -> fnXmlSerialize)
@@ -754,6 +781,11 @@ object Xml {
         |FROM (VALUES ('archive'), ('delete'), ('move')) AS a(action)
         |CROSS JOIN (SELECT count(*) AS rows_read FROM supplier)
         |ORDER BY action""".stripMargin,
+    "snk_compaction" ->
+      """SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(least(64, count(*)) AS BIGINT) AS files_before,
+        |       CAST(least(4, count(*)) AS BIGINT) AS files_after
+        |FROM documents""".stripMargin,
     "fn_xml_parse" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       (o_orderpriority = '1-URGENT') AS urgent

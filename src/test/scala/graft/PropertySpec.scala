@@ -103,4 +103,48 @@ class PropertySpec extends AnyFunSuite {
       }.toSet
     assert(spark_topk == scala_topk)
   }
+
+  test("chunking law: stride-aligned chunk prefixes reassemble the document") {
+    // For every doc: chunk i starts at i*stride, spans `size` chars, and
+    // concatenating the first `stride` chars of each chunk (full last
+    // chunk) reproduces the document exactly — i.e. the overlap scheme
+    // loses nothing and duplicates exactly `overlap` chars per boundary.
+    val docs = SparkEntry.queries("llm_chunk_text")(spark, sf)
+    val byDoc = docs.select("doc_id", "chunk_idx", "off", "chunk_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    byDoc.foreach { case (id, chunks) =>
+      val n = texts(id)
+      val sorted = chunks.sortBy(_._2)
+      // offsets are exactly 0, 400, 800, ...
+      sorted.zipWithIndex.foreach { case ((_, idx, off, _), i) =>
+        assert(idx == i && off == 400L * i, s"doc $id chunk $i misaligned")
+      }
+      // coverage: last chunk reaches the end; reassembly length == n
+      val (_, _, lastOff, lastLen) = sorted.last
+      assert(lastOff + lastLen == n, s"doc $id tail uncovered")
+      val reassembled = sorted.init.map(_ => 400L).sum + lastLen
+      assert(reassembled == n, s"doc $id reassembly ${reassembled} != $n")
+    }
+  }
+
+  test("packing law: bins partition the corpus tokens exactly, in order") {
+    val bins = SparkEntry.queries("llm_pack_sequences")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalBinTokens = bins.map(_._4).sum
+    val totalDocs = bins.map(_._3).sum
+    val exp = graft.Tables.documents(spark, sf)
+      .agg(sum(ceil(col("n_chars") / 4.0).cast("long")), count(lit(1)))
+      .collect()(0)
+    assert(totalBinTokens == exp.getLong(0), "token mass not conserved")
+    assert(totalDocs == exp.getLong(1), "doc count not conserved")
+    // bins are dense per lang: 0..maxBin with no gaps
+    bins.groupBy(_._1).foreach { case (lang, bs) =>
+      val ids = bs.map(_._2).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq, s"$lang bins not dense")
+    }
+  }
 }
