@@ -352,6 +352,42 @@ object Relational {
   /** TPC-H Q1 shape: partial (map-side) + final HashAggregate; only the two
     * grouping keys cross the shuffle.
     */
+  /** DYNAMIC PARTITION PRUNING — the scan-reduction feature that makes
+    * partitioned 100 TB joins viable: the fact table is laid out
+    * partitioned by the join/filter column, the dim side's selective
+    * filter is only known at runtime, and Catalyst injects a runtime
+    * subquery filter on the partition column (reusing the dim's broadcast)
+    * so only the matching partition DIRECTORIES are scanned — here 1 of 3,
+    * i.e. a ~3× scan cut that becomes "read 1 day, not 5 years" on a
+    * date-partitioned corpus. PlanSpec pins `dynamicpruning` in the scan's
+    * partition filters.
+    */
+  val joinDpp: Q = (s, d) => {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_fixtures", s"dpp_$sf").toString
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(base)
+    import s.implicits._
+    // The dim must be a FILE relation: a literal LocalRelation is constant-
+    // folded before the PartitionPruning rule sees its filter, and no DPP
+    // subquery gets injected (verified via Probe).
+    val dimPath = s"$base-dim"
+    Seq(("R", "returned"), ("N", "kept"), ("A", "ack"))
+      .toDF("flag", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+      .filter(col("label") === "returned") // the runtime-selective dim filter
+    val fact = s.read.parquet(base)
+    fact.join(dim, fact("l_returnflag") === dim("flag"))
+      .groupBy(col("l_returnflag"), col("label"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val aggHash: Q = (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
@@ -734,6 +770,7 @@ object Relational {
     "agg_quantiles" -> aggQuantiles,
     "agg_sketch_hll" -> aggSketchHll,
     "agg_heavy_hitters" -> aggHeavyHitters,
+    "join_dpp" -> joinDpp,
     "op_unpivot" -> opUnpivot,
     "op_sql_subquery" -> opSqlSubquery,
     "op_lateral" -> opLateral,
@@ -961,6 +998,11 @@ object Relational {
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         |       TRUE AS merged_est_within_5pct
         |FROM lineitem""".stripMargin,
+    "join_dpp" ->
+      """SELECT l_returnflag, 'returned' AS label, count(*) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_heavy_hitters" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

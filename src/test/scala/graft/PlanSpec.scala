@@ -166,6 +166,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("join_dpp injects a dynamic-partition-pruning subquery on the fact scan") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"),
+      "no DPP subquery — the fact scan would read every partition directory")
+  }
+
   test("llm_embed_quantize broadcasts the 64-row per-dim stats back") {
     val p = plan("llm_embed_quantize")
     assert(p.contains("BroadcastHashJoin"),
