@@ -130,6 +130,32 @@ object Llm {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Unigram LM log-prob scoring — the statistical quality filter behind
+    * CCNet-style corpus curation: each document scored by the mean log
+    * probability of its tokens under the corpus's own unigram model
+    * (rare-token-heavy → low score → filter candidate). Two hash aggs
+    * (token counts, per-doc fold) and one equi-join on the token — all
+    * corpus-shaped shuffles, no broadcast of anything data-sized. Each
+    * token's log-prob is snapped to integer micro-units BEFORE the per-doc
+    * sum so double fold order cannot break hash parity; only the
+    * 4-decimal-rounded mean travels.
+    */
+  val unigramLogprob: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val n = counts.agg(sum(col("cnt")).cast("double").as("n_total"))
+    toks.join(counts, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("lp_units",
+        round(log(col("cnt") / col("n_total")) * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_units")).as("units"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("units") / (col("n_tokens") * 1e6), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Overlapping text CHUNKING — the RAG/embedding preprocessing shape:
     * each document splits into fixed-size character windows with overlap
     * (500 chars, 100 overlap → stride 400). The chunk count is integer
@@ -801,6 +827,7 @@ object Llm {
     "llm_dedup_ngram" -> dedupNgram,
     "llm_decontaminate" -> decontaminate,
     "llm_chunk_text" -> chunkText,
+    "llm_unigram_logprob" -> unigramLogprob,
     "llm_pack_sequences" -> packSequences,
     "llm_dedup_embed" -> dedupEmbed,
     "llm_simsearch_topk" -> simsearchTopk,
@@ -876,6 +903,21 @@ object Llm {
         | sha256(lower(trim(text))) AS h
         |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
 
+    "llm_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM counts),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |   CAST(sum(CAST(round(ln(cnt / n_total) * 1000000, 0) AS BIGINT))
+        |     AS BIGINT) AS units
+        |  FROM toks JOIN counts USING (tok) CROSS JOIN n
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |       round(units / (n_tokens * 1000000.0), 4) AS avg_logprob
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "llm_chunk_text" ->
       """WITH f AS (
         |  SELECT doc_id, text,

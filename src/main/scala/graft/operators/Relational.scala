@@ -264,6 +264,35 @@ object Relational {
     * the lag flag share ONE (user_id)-partitioned sort; the session
     * aggregate is the only further shuffle.
     */
+  /** Time-spine GAP FILL — the time-series completion step dashboards and
+    * window models need: a dense hourly spine per event_type spanning the
+    * observed range, left-joined to the hourly counts so silent hours
+    * surface as explicit zeros. The spine is generated (sequence-explode
+    * from one aggregate row — bounded by time-span × types, not data) and
+    * the join is a broadcast of that small spine side against the hourly
+    * aggregate; the corpus shuffles once for the count agg. Deterministic
+    * integer/timestamp arithmetic only — no interpolation FP.
+    */
+  val winGapfill: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = ev
+      .groupBy(col("event_type"))
+      .agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .withColumn("hour",
+        explode(expr("sequence(h0, h1, interval 1 hour)")))
+      .select(col("event_type"), col("hour"))
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val winSessionize: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -771,6 +800,7 @@ object Relational {
     "agg_sketch_hll" -> aggSketchHll,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "join_dpp" -> joinDpp,
+    "win_gapfill" -> winGapfill,
     "op_unpivot" -> opUnpivot,
     "op_sql_subquery" -> opSqlSubquery,
     "op_lateral" -> opLateral,
@@ -998,6 +1028,24 @@ object Relational {
       """SELECT count(DISTINCT l_partkey) AS n_exact,
         |       TRUE AS merged_est_within_5pct
         |FROM lineitem""".stripMargin,
+    "win_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM e GROUP BY event_type),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL '1 hour')) AS hour
+        |  FROM bounds)
+        |SELECT spine.event_type, spine.hour, coalesce(cnt, 0) AS cnt
+        |FROM spine LEFT JOIN hourly
+        |  ON spine.event_type = hourly.event_type AND spine.hour = hourly.hour
+        |ORDER BY spine.event_type, spine.hour""".stripMargin,
     "join_dpp" ->
       """SELECT l_returnflag, 'returned' AS label, count(*) AS n_items,
         |       round(sum(l_extendedprice), 2) AS sum_price
