@@ -109,11 +109,49 @@ object Pipeline {
       .orderBy(col("n_name"))
   }
 
+  /** DAG fan-out — CDAP pipeline semantics where one stage's output feeds
+    * MULTIPLE downstream branches: the corpus scan is persisted once and
+    * two independent aggregation branches (per-language, per-source)
+    * consume it, then union into one report. Without the persist each
+    * branch would re-scan the source (exchange reuse does not dedup
+    * sibling branches — measured in the dedup pipelines); with it, one
+    * scan feeds the whole DAG — the fan-out shape that matters when the
+    * shared stage is a 100 TB read + expensive parse.
+    */
+  val opFanoutDag: Q = (s, d) => {
+    val shared = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byLang = shared.groupBy(col("lang").as("key"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("branch", lit("by_lang"))
+    val bySource = shared.groupBy(col("source").as("key"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("branch", lit("by_source"))
+    val out = byLang.unionByName(bySource)
+      .select(col("branch"), col("key"), col("n_docs"), col("total_chars"))
+      .orderBy(col("branch"), col("key"))
+      .localCheckpoint(true)
+    shared.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "op_error_port" -> opErrorPort,
+    "op_fanout_dag" -> opFanoutDag,
     "op_macro_subst" -> opMacroSubst)
 
   val oracles: Map[String, String] = Map(
+    "op_fanout_dag" ->
+      """SELECT branch, key, n_docs, total_chars FROM (
+        |  SELECT 'by_lang' AS branch, lang AS key, count(*) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'by_source', source, count(*),
+        |         CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents GROUP BY source)
+        |ORDER BY branch, key""".stripMargin,
     "op_error_port" ->
       """WITH recs AS (
         |  SELECT o_orderkey, o_totalprice,

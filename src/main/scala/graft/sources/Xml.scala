@@ -285,6 +285,33 @@ object Xml {
       .orderBy(col("field"), col("dtype"))
   }
 
+  /** Glob-pattern file selection — the XML Reader reads "files from a path
+    * with a glob pattern": only inbox files matching the pattern are
+    * ingested; decoy files sitting in the same directory are not. Globs
+    * resolve in the path layer (driver-side listing against the pattern),
+    * so the scan plans only the matching files — at 100 TB this is the
+    * cheap pre-partition-pruning cut that never touches excluded data.
+    */
+  val srcGlobRead: Q = (s, d) => {
+    val dir = fresh("src_glob_read", d)
+    val n = Tables.nation(s, d).select(
+      col("n_nationkey").as("_key"),
+      col("n_name").as("name"))
+    n.filter(pmod(col("_key"), lit(2)) === 0).repartition(1)
+      .write.mode("overwrite")
+      .option("rowTag", "nation").format("xml").save(s"$dir/batch_even.xml.d")
+    n.filter(pmod(col("_key"), lit(2)) === 1).repartition(1)
+      .write.mode("overwrite")
+      .option("rowTag", "nation").format("xml").save(s"$dir/batch_odd.xml.d")
+    n.repartition(1).write.mode("overwrite")
+      .option("rowTag", "nation").format("xml").save(s"$dir/decoy.skip.d")
+    // Glob selects the two batch_* dirs, not the decoy: reading it would
+    // duplicate every row and break the hash.
+    s.read.option("rowTag", "nation").format("xml").load(s"$dir/batch_*.xml.d")
+      .select(col("_key").as("n_nationkey"), col("name").as("n_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Enum + union VALUE round-trip (the schema-mapping counterpart lives in
     * src_xml_xsd_schema): records are serialized with an enum-valued
     * attribute and element and exactly ONE branch of a two-branch
@@ -695,6 +722,7 @@ object Xml {
     "src_xml_xsd_schema"    -> srcXmlXsdSchema,
     "src_xml_permissive"    -> srcXmlPermissive,
     "src_xml_enum_union"    -> srcXmlEnumUnion,
+    "src_glob_read"         -> srcGlobRead,
     "src_xml_nodepath"      -> srcXmlNodePath,
     "src_csv_json_text"     -> srcCsvJsonText,
     "src_incremental_files" -> srcIncrementalFiles,
@@ -737,6 +765,8 @@ object Xml {
         |ORDER BY mode, bucket""".stripMargin,
     "src_xml_nodepath" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "src_glob_read" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
     "src_xml_enum_union" ->
       """SELECT n_nationkey,
         | CASE WHEN n_nationkey % 2 = 0 THEN 'new' ELSE 'used' END AS cond,
