@@ -130,6 +130,33 @@ object Llm {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** PARAGRAPH-level dedup — the sub-document granularity C4/RefinedWeb
+    * pipelines remove boilerplate at: documents split into sentences
+    * (fixed '. ' rule), each normalized sentence keeps only its first
+    * (min doc_id, min position) occurrence corpus-wide, and the report is
+    * each document's surviving-content ratio. One explode + one window
+    * over the sentence hash — the shuffle carries (hash, doc, pos), never
+    * text twice. Exact-duplicate documents show survival 0 for all but
+    * the keeper; boilerplate sentences vanish everywhere.
+    */
+  val dedupParagraph: Q = (s, d) => {
+    val w = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent")))
+      .filter(length(trim(col("sent"))) > 0)
+      .withColumn("h", sha2(lower(trim(col("sent"))), 256))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sents"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        round(count(when(col("rn") === 1, 1)) /
+          count(lit(1)).cast("double"), 4).as("survival"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram LM log-prob scoring — the statistical quality filter behind
     * CCNet-style corpus curation: each document scored by the mean log
     * probability of its tokens under the corpus's own unigram model
@@ -828,6 +855,7 @@ object Llm {
     "llm_decontaminate" -> decontaminate,
     "llm_chunk_text" -> chunkText,
     "llm_unigram_logprob" -> unigramLogprob,
+    "llm_dedup_paragraph" -> dedupParagraph,
     "llm_pack_sequences" -> packSequences,
     "llm_dedup_embed" -> dedupEmbed,
     "llm_simsearch_topk" -> simsearchTopk,
@@ -903,6 +931,23 @@ object Llm {
         | sha256(lower(trim(text))) AS h
         |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
 
+    "llm_dedup_paragraph" ->
+      """WITH p AS (
+        |  SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(range(len(parts))) AS pos,
+        |         unnest(parts) AS sent
+        |  FROM p),
+        |f AS (SELECT doc_id, pos, sent FROM e WHERE length(trim(sent)) > 0),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |   row_number() OVER (PARTITION BY sha256(lower(trim(sent)))
+        |     ORDER BY doc_id, pos) AS rn
+        |  FROM f)
+        |SELECT doc_id, count(*) AS n_sents,
+        | count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+        | round(count(CASE WHEN rn = 1 THEN 1 END) / count(*), 4) AS survival
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
