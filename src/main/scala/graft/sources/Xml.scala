@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path => JPath, Paths}
-import java.util.Comparator
+import java.nio.file.{Files, Paths}
 import scala.util.Try
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
@@ -31,17 +30,8 @@ import graft.Tables
 object Xml {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic per-(query,sf) scratch dir under java.io.tmpdir, wiped on
-    * entry so reruns are idempotent (Verify and Bench both re-invoke fns).
-    */
-  private def fresh(tag: String, sfDir: String): String = {
-    val sf  = Paths.get(sfDir).getFileName.toString
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_fixtures", s"${tag}_$sf")
-    if (Files.exists(dir))
-      Files.walk(dir).sorted(Comparator.reverseOrder[JPath]()).forEach(p => Files.delete(p))
-    Files.createDirectories(dir)
-    dir.toString
-  }
+  private def fresh(tag: String, sfDir: String): String =
+    graft.Scratch.fresh(tag, sfDir)
 
   // ======================================================================
   // §2.1 sources
@@ -589,12 +579,18 @@ object Xml {
       .write.mode("overwrite").parquet(s"$base/small")
     s.read.parquet(s"$base/small").repartition(4)
       .write.mode("overwrite").parquet(s"$base/compact")
+    // File counts travel as the REDUCTION boolean, not raw numbers:
+    // round-robin repartition only guarantees every target partition is
+    // non-empty when some input split carries ≥ targets rows, so exact
+    // before/after counts are fixture-layout-dependent — the invariant the
+    // operator promises is "fewer, larger files, same content".
     s.read.parquet(s"$base/compact")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"))
-      .withColumn("files_before", lit(nFiles(s"$base/small")))
-      .withColumn("files_after", lit(nFiles(s"$base/compact")))
+      .withColumn("compacted",
+        lit(nFiles(s"$base/small") > nFiles(s"$base/compact")))
+      .withColumn("files_after_le_4", lit(nFiles(s"$base/compact") <= 4L))
   }
 
   /** Post-read file actions (XML Reader: none/delete/move/archive) — each
@@ -813,8 +809,7 @@ object Xml {
         |ORDER BY action""".stripMargin,
     "snk_compaction" ->
       """SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |       CAST(least(64, count(*)) AS BIGINT) AS files_before,
-        |       CAST(least(4, count(*)) AS BIGINT) AS files_after
+        |       TRUE AS compacted, TRUE AS files_after_le_4
         |FROM documents""".stripMargin,
     "fn_xml_parse" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

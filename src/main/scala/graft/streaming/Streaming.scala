@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
-import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -76,14 +75,8 @@ class TypeStatsProcessor
 object Streaming {
   private type Q = (SparkSession, String) => DataFrame
 
-  private def fresh(tag: String, sfDir: String): String = {
-    val sf  = Paths.get(sfDir).getFileName.toString
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_fixtures", s"${tag}_$sf")
-    if (Files.exists(dir))
-      Files.walk(dir).sorted(Comparator.reverseOrder[JPath]()).forEach(p => Files.delete(p))
-    Files.createDirectories(dir)
-    dir.toString
-  }
+  private def fresh(tag: String, sfDir: String): String =
+    graft.Scratch.fresh(tag, sfDir)
 
   /** `events.ts` arrives as Long nanos under nanosAsLong (SURVEY §7.4.1). */
   private val rawSchema = StructType(Seq(

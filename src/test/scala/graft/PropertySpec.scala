@@ -141,10 +141,15 @@ class PropertySpec extends AnyFunSuite {
       .collect()(0)
     assert(totalBinTokens == exp.getLong(0), "token mass not conserved")
     assert(totalDocs == exp.getLong(1), "doc count not conserved")
-    // bins are dense per lang: 0..maxBin with no gaps
+    // Bin ids start at 0, never exceed the token mass, and are unique per
+    // lang. NOT asserted dense: a document longer than one context window
+    // legitimately skips bins (its cumsum jumps more than ctx).
     bins.groupBy(_._1).foreach { case (lang, bs) =>
       val ids = bs.map(_._2).sorted
-      assert(ids.toSeq == (0L until ids.length).toSeq, s"$lang bins not dense")
+      assert(ids.distinct.length == ids.length, s"$lang duplicate bin ids")
+      assert(ids.head == 0L, s"$lang first bin not 0")
+      val langTokens = bs.map(_._4).sum
+      assert(ids.last <= langTokens / 4096, s"$lang bin id beyond token mass")
     }
   }
 }
