@@ -32,11 +32,24 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "documents", "embeddings"))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     val ids = spark.range(copies).toDF("cp")
+    // documents/embeddings scale by REPLICATION with shifted ids — every
+    // doc gains N-1 exact clones, so duplicate density is maximal and the
+    // dedup suite sees its adversarial case (mirrors the round-2 §6.1
+    // probe methodology).
+    val doc = spark.read.parquet(s"$src/documents.parquet")
+    val dShift = doc.agg(max("doc_id")).first().getLong(0) + 1
+    doc.crossJoin(ids)
+      .withColumn("doc_id", col("doc_id") + col("cp") * dShift).drop("cp")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vShift = emb.agg(max("vec_id")).first().getLong(0) + 1
+    emb.crossJoin(ids)
+      .withColumn("vec_id", col("vec_id") + col("cp") * vShift).drop("cp")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     val o = spark.read.parquet(s"$src/orders.parquet")
     val kShift = o.agg(max("o_orderkey")).first().getLong(0) + 1
     o.crossJoin(ids)
