@@ -130,6 +130,38 @@ object Llm {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** WITHIN-document repetition filter — the Gopher/MassiveText quality
+    * rule family: a document whose own n-grams repeat heavily is
+    * boilerplate/spam regardless of corpus-level uniqueness (distinct from
+    * cross-corpus dedup). Per doc: duplicate word-bigram fraction and
+    * duplicate full-line(sentence) fraction, with the standard flag at the
+    * Gopher-style threshold. One explode + per-doc aggs — narrow, no join;
+    * at 100 TB this is a pure map-side scan transform.
+    */
+  val repetitionFilter: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val bigrams = expr(
+      "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), " +
+        "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))")
+    val sents = split(col("text"), "\\. ")
+    Tables.documents(s, d)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        size(bigrams).cast("long").as("n_bigrams"),
+        size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"),
+        size(sents).cast("long").as("n_sents"),
+        size(array_distinct(sents)).cast("long").as("n_distinct_sents"))
+      .withColumn("dup_bigram_frac",
+        round(lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams").cast("double"), 4))
+      .withColumn("dup_sent_frac",
+        round(lit(1.0) - col("n_distinct_sents") / col("n_sents").cast("double"), 4))
+      .withColumn("repetitious",
+        col("dup_bigram_frac") > 0.2 || col("dup_sent_frac") > 0.3)
+      .select(col("doc_id"), col("n_bigrams"), col("dup_bigram_frac"),
+        col("dup_sent_frac"), col("repetitious"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PARAGRAPH-level dedup — the sub-document granularity C4/RefinedWeb
     * pipelines remove boilerplate at: documents split into sentences
     * (fixed '. ' rule), each normalized sentence keeps only its first
@@ -856,6 +888,7 @@ object Llm {
     "llm_chunk_text" -> chunkText,
     "llm_unigram_logprob" -> unigramLogprob,
     "llm_dedup_paragraph" -> dedupParagraph,
+    "llm_repetition_filter" -> repetitionFilter,
     "llm_pack_sequences" -> packSequences,
     "llm_dedup_embed" -> dedupEmbed,
     "llm_simsearch_topk" -> simsearchTopk,
@@ -931,6 +964,21 @@ object Llm {
         | sha256(lower(trim(text))) AS h
         |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin,
 
+    "llm_repetition_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |   list_transform(range(1, len(string_split(text, ' '))),
+        |     i -> string_split(text, ' ')[i] || ' ' ||
+        |          string_split(text, ' ')[i + 1]) AS bg,
+        |   string_split(text, '. ') AS sents
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2)
+        |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+        | round(1.0 - len(list_distinct(bg)) / len(bg), 4) AS dup_bigram_frac,
+        | round(1.0 - len(list_distinct(sents)) / len(sents), 4) AS dup_sent_frac,
+        | (round(1.0 - len(list_distinct(bg)) / len(bg), 4) > 0.2 OR
+        |  round(1.0 - len(list_distinct(sents)) / len(sents), 4) > 0.3)
+        |   AS repetitious
+        |FROM b ORDER BY doc_id""".stripMargin,
     "llm_dedup_paragraph" ->
       """WITH p AS (
         |  SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
