@@ -57,23 +57,35 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Millisecond resolution keeps the one-line record short: the driver's
+    // stdout capture tail-truncates (~3 kB), and 9-decimal doubles pushed
+    // the r2/r3 records past it ("parsed": null both rounds).
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", " ") + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with tail truncation (BENCH_r02 lost 30 of
     // 95 per-query timings that way) — also persist the full record to a
-    // stable file so the official bench artifact is always parseable. Only
+    // per-run file so the official bench artifact is always parseable. The
+    // path is derived from the sf dir so concurrent/successive runs against
+    // different scales don't clobber each other, and the delete-then-
+    // CREATE_NEW pair refuses to follow a pre-planted symlink. Only
     // unfiltered runs write it: a SPARK_GRAFT_ONLY iteration must not
     // clobber the full-record artifact with a partial one.
-    if (only.isEmpty)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/tmp/graft_bench.json"), json + "\n")
+    if (only.isEmpty) {
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val outPath = java.nio.file.Paths.get(s"/tmp/graft_bench_$sfName.json")
+      java.nio.file.Files.deleteIfExists(outPath)
+      java.nio.file.Files.writeString(outPath, json + "\n",
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    }
     spark.stop()
   }
 }

@@ -64,6 +64,14 @@ object ScaleGen {
     ev.crossJoin(ids)
       .withColumn("event_id", col("event_id") + col("cp") * eShift).drop("cp")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // Generated dirs rewrite events.ts as plain INT64 (the TIMESTAMP(NANOS)
+    // logical type is lost), so the DuckDB CAST(ts AS TIMESTAMP) oracles
+    // would silently diverge there. The marker lets Verify refuse to run
+    // the correctness gate against a probe-only fixture.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/PROBE_ONLY"),
+      "Scale-probe fixture: events.ts lacks the TIMESTAMP(NANOS) logical " +
+        "type. Bench/Probe only — not valid for the DuckDB correctness gate.\n")
     println(s"[scalegen] wrote ×$copies fixture to $out")
     spark.stop()
   }

@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // ScaleGen probe fixtures drop the events TIMESTAMP(NANOS) logical type
+    // (ts becomes plain INT64), so the DuckDB oracles would silently
+    // diverge from Spark there — refuse rather than produce a wrong gate.
+    require(!Files.exists(Paths.get(sfDir, "PROBE_ONLY")),
+      s"$sfDir is a ScaleGen probe-only fixture (PROBE_ONLY marker present);" +
+        " the correctness gate must run against driver-generated testdata")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

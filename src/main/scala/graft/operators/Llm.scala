@@ -26,11 +26,21 @@ object Llm {
     * lifetime and never evict — the right trade for the batch harness
     * (one session, ≤3 sf dirs), wrong for a long-lived multi-tenant
     * service. An embedding caller releases everything here: persisted
-    * tables are unpersisted eagerly; checkpointed ones are dropped and
-    * their blocks reclaimed by the ContextCleaner once unreferenced.
+    * tables are unpersisted eagerly, and the `localCheckpoint(true)`
+    * tables have their backing RDD blocks dropped eagerly too — the
+    * checkpointed data lives in the block manager under the LogicalRDD's
+    * RDD, so waiting for the ContextCleaner (a GC-triggered path) would
+    * leave the blocks pinned indefinitely in a long-lived service.
     */
   def clearCaches(): Unit = {
     shingleCache.values.foreach(df => scala.util.Try(df.unpersist(false)))
+    Seq(ngramCache, pairsCache, clusterCache).foreach(_.values.foreach { df =>
+      scala.util.Try(df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      })
+    })
     Seq(shingleCache, ngramCache, pairsCache, clusterCache).foreach(_.clear())
   }
 

@@ -140,8 +140,15 @@ object Xml {
                 }
               }
               stack.remove(stack.size - 1)
-            } else if (captureDepth > 0 && (ev.isCharacters || ev.getEventType ==
-                javax.xml.stream.XMLStreamConstants.CDATA)) {
+            } else if (captureDepth > 0 && (ev.isCharacters ||
+                ev.getEventType == javax.xml.stream.XMLStreamConstants.CDATA ||
+                ev.getEventType == javax.xml.stream.XMLStreamConstants.COMMENT ||
+                ev.getEventType ==
+                  javax.xml.stream.XMLStreamConstants.PROCESSING_INSTRUCTION)) {
+              // Comments and PIs inside a record are part of the subtree —
+              // forward them so snippets stay faithful to the source
+              // (harmless to from_xml). Ancestor namespace declarations
+              // remain the one documented infidelity.
               writer.add(ev)
             }
           }

@@ -237,6 +237,16 @@ object Streaming {
         lit("</total></order>")).as("value"))
       .repartition(8)
       .write.mode("overwrite").text(s"$base/input")
+    def partFiles(p: JPath): Long = {
+      val st = Files.list(p)
+      try st.filter(f => f.getFileName.toString.startsWith("part-")).count()
+      finally st.close()
+    }
+    // Count what the writer actually emitted rather than assuming the
+    // repartition(8) produced exactly 8 non-empty part files — the oracle
+    // asserts the archival INVARIANT (everything written was archived,
+    // nothing left in the inbox), not a writer-dependent literal.
+    val filesWritten = partFiles(Paths.get(base, "input"))
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val xmlSchema = StructType(Seq(
@@ -273,18 +283,15 @@ object Streaming {
       }
       .start()
     q.awaitTermination()
-    def partFiles(p: JPath): Long = {
-      val st = Files.list(p)
-      try st.filter(f => f.getFileName.toString.startsWith("part-")).count()
-      finally st.close()
-    }
+    val archived = partFiles(archiveDir)
+    val left = partFiles(Paths.get(base, "input"))
     ss.read.parquet(s"$base/out")
       .agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("o_orderkey")).as("n_keys"),
         round(sum(col("o_totalprice")), 2).as("sum_price"))
-      .withColumn("files_archived", lit(partFiles(archiveDir)))
-      .withColumn("files_left", lit(partFiles(Paths.get(base, "input"))))
+      .withColumn("archive_ok",
+        lit(filesWritten > 0 && archived == filesWritten && left == 0L))
   }
 
   /** Sliding windows in APPEND mode + watermark — closes the set of
@@ -490,8 +497,7 @@ object Streaming {
     "st_ingest_archive" ->
       """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
         |       round(sum(o_totalprice), 2) AS sum_price,
-        |       CAST(8 AS BIGINT) AS files_archived,
-        |       CAST(0 AS BIGINT) AS files_left
+        |       TRUE AS archive_ok
         |FROM orders""".stripMargin,
     "st_sliding_append" ->
       """WITH wm AS (
