@@ -183,7 +183,43 @@ object Scalars {
         schema_of_json(lit("""{"k": 87}""")).as("inferred_schema"))
       .orderBy(col("event_id"))
 
+  /** Cryptographic digest family: md5 / sha2-256 over single columns and
+    * canonical concatenations — content fingerprints, dedup keys, and
+    * partition-stable shard ids all reduce to these. Codegen builtins; a
+    * digest scan stays a single narrow stage at any scale.
+    */
+  val fnHash: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        md5(col("p_name")).as("name_md5"),
+        sha2(col("p_name"), 256).as("name_sha256"),
+        md5(concat_ws("|", col("p_brand"), col("p_type"))).as("bt_md5"),
+        substring(sha2(col("p_type"), 256), 1, 8).as("type_sha8"))
+      .orderBy(col("p_partkey"))
+
+  /** Regex family: extract / extract_all / count / replace / split_part /
+    * boolean match — the workhorses of log parsing and text normalization.
+    * Patterns stay in the RE2 ∩ java.util.regex common subset (no
+    * lookaround) so the DuckDB oracle is running the *same* language.
+    */
+  val fnRegex: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        array_join(
+          regexp_extract_all(col("p_name"), lit("\\b[a-z]{6,}\\b"), lit(0)),
+          ",").as("long_words"),
+        regexp_count(col("p_name"), lit("a")).cast("long").as("n_a"),
+        regexp_replace(col("p_type"), "\\s+", "_").as("type_snake"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+        col("p_name").rlike("green|blue").as("has_color"))
+      .orderBy(col("p_partkey"))
+
   def queries: Map[String, Q] = Map(
+    "fn_hash" -> fnHash,
+    "fn_regex" -> fnRegex,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -197,6 +233,25 @@ object Scalars {
   )
 
   def oracles: Map[String, String] = Map(
+    "fn_hash" ->
+      """SELECT p_partkey,
+        | md5(p_name) AS name_md5,
+        | sha256(p_name) AS name_sha256,
+        | md5(p_brand || '|' || p_type) AS bt_md5,
+        | substring(sha256(p_type), 1, 8) AS type_sha8
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_regex" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        | coalesce(array_to_string(regexp_extract_all(p_name, '\b[a-z]{6,}\b'),
+        |   ','), '') AS long_words,
+        | CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+        | regexp_replace(p_type, '\s+', '_', 'g') AS type_snake,
+        | split_part(p_name, ' ', 2) AS second_word,
+        | regexp_matches(p_name, 'green|blue') AS has_color
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
     "fn_string" ->
       """SELECT p_partkey,
         | p_brand || ':' || upper(p_name) AS brand_name,

@@ -779,7 +779,85 @@ object Relational {
 
   // ======================================================================
 
+  /** Column-level data-quality profile of a table — row count, non-null
+    * count, exact distinct count, min and max per profiled column, in long
+    * (column, metric) shape. ONE scan: all per-column aggregates run in a
+    * single hash aggregate (the multi-countDistinct triggers Catalyst's
+    * Expand, multiplying the scan ×4 in-memory but not re-reading the
+    * file), then the 1-row wide result explodes to one row per column. At
+    * 100 TB swap the exact countDistinct for approx_count_distinct (the
+    * HLL path of agg_approx_distinct) — same plan shape minus the Expand.
+    */
+  val opDqProfile: Q = (s, d) => {
+    val profiled = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +:
+      profiled.flatMap { c => Seq(
+        count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max")) }
+    val perCol = profiled.map { c => struct(
+      lit(c).as("col_name"),
+      col(s"${c}_nn").as("n_nonnull"),
+      col(s"${c}_nd").as("n_distinct"),
+      col(s"${c}_min").as("min_s"),
+      col(s"${c}_max").as("max_s")) }
+    Tables.orders(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(perCol: _*)).as("p"))
+      .select(col("p.col_name"), col("n_rows"), col("p.n_nonnull"),
+        col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Ordered event funnel (view → click → purchase) per user: first view,
+    * first click at-or-after it, first purchase at-or-after that click.
+    * Three keyed min-aggregates chained by equi-joins on user_id — every
+    * stage shuffles on the SAME key, so at scale the exchanges after the
+    * first reuse the partitioning; no window sort over the full event log
+    * is needed. Output is the per-stage distinct-user count.
+    */
+  val opFunnelEvents: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.select(lit("1_view").as("stage"), col("user_id"))
+      .union(c.select(lit("2_click_after_view").as("stage"), col("user_id")))
+      .union(p.select(lit("3_purchase_after_click").as("stage"), col("user_id")))
+      .groupBy("stage").agg(count(lit(1)).as("users"))
+      .orderBy("stage")
+  }
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): per-node ancestor walk of
+    * the implicit binary tree key -> key div 2, aggregated to per-depth
+    * totals. Each recursion step is a narrow map + filter over the
+    * previous step's output (rows strictly shrink as chains hit the root),
+    * so the iteration count is log2(max key) — ~25 even at 100 TB — and
+    * no step shuffles until the final per-depth aggregate.
+    */
+  val opRecursiveCte: Q = (s, d) => {
+    Tables.part(s, d).select("p_partkey").createOrReplaceTempView("g_rcte_keys")
+    s.sql(
+      """WITH RECURSIVE up(p_partkey, cur, depth) AS (
+        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM g_rcte_keys
+        |  UNION ALL
+        |  SELECT p_partkey, cur DIV 2, depth + 1 FROM up WHERE cur > 1
+        |)
+        |SELECT depth, COUNT(*) AS n_nodes, SUM(cur) AS sum_cur,
+        |       MIN(p_partkey) AS min_key
+        |FROM up GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
+    "op_dq_profile" -> opDqProfile,
+    "op_funnel_events" -> opFunnelEvents,
+    "op_recursive_cte" -> opRecursiveCte,
     "op_project" -> opProject,
     "op_filter" -> opFilter,
     "op_case_when" -> opCaseWhen,
@@ -822,6 +900,39 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "op_dq_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "op_funnel_events" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY e.user_id)
+        |SELECT stage, count(*) AS users FROM (
+        |  SELECT '1_view' AS stage, user_id FROM v
+        |  UNION ALL SELECT '2_click_after_view', user_id FROM c
+        |  UNION ALL SELECT '3_purchase_after_click', user_id FROM p)
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "op_recursive_cte" ->
+      """WITH RECURSIVE up(p_partkey, cur, depth) AS (
+        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, cur // 2, depth + 1 FROM up WHERE cur > 1
+        |)
+        |SELECT depth, count(*) AS n_nodes, CAST(sum(cur) AS BIGINT) AS sum_cur,
+        |       min(p_partkey) AS min_key
+        |FROM up GROUP BY depth ORDER BY depth""".stripMargin,
+
     "op_project" ->
       """SELECT p_partkey, upper(p_name) AS part_name, p_size AS size,
         | round(p_retailprice * 0.9, 2) AS discounted

@@ -542,6 +542,58 @@ object Xml {
   /** Write an aggregate result to parquet and read it back — the harness's
     * own sink path, verified round-trip.
     */
+  /** ORC round-trip — the second columnar interchange format Spark ships
+    * natively (the ORC reader/writer jars are on every executor; there is
+    * no spark-avro in this classpath, documented in SURVEY §2.1). Write
+    * supplier as ORC, read it back, aggregate. ORC carries the same
+    * pushdown machinery as parquet (column pruning + min/max stripe
+    * skipping reach OrcScan via the same v2 ScanBuilder), so the scan-side
+    * scale story is unchanged. Money is snapped to integer cents before
+    * summing so the aggregate is FP-order-independent on both engines.
+    */
+  val srcOrcRoundtrip: Q = (s, d) => {
+    val dir = fresh("src_orc_roundtrip", d)
+    Tables.supplier(s, d).write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_sup"),
+        sum(round(col("s_acctbal") * 100).cast("long")).as("bal_cents"),
+        min(col("s_name")).as("first_name"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Dynamic partition overwrite — the idempotent-backfill primitive: a
+    * partitioned table is loaded once, then ONE partition is recomputed
+    * and rewritten with `partitionOverwriteMode=dynamic`, which replaces
+    * exactly the partitions present in the incoming frame and leaves every
+    * other partition's files untouched. At 100 TB this is how daily
+    * corrections ship without rewriting the table. The final read-back
+    * aggregate proves both halves: the patched partition carries the new
+    * values, the untouched partitions still carry the originals. Prices
+    * travel as integer cents so the +500 patch and the sums are exact.
+    */
+  val snkDynamicOverwrite: Q = (s, d) => {
+    val dir = fresh("snk_dynamic_overwrite", d)
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority"))
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    base.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("price_cents", col("price_cents") + 500)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderpriority").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("price_cents")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val snkParquetWrite: Q = (s, d) => {
     val dir = fresh("snk_parquet_write", d)
     Tables.lineitem(s, d)
@@ -731,6 +783,8 @@ object Xml {
     "src_incremental_files" -> srcIncrementalFiles,
     "src_schema_evolution"  -> srcSchemaEvolution,
     "src_xml_encoding"      -> srcXmlEncoding,
+    "src_orc_roundtrip"     -> srcOrcRoundtrip,
+    "snk_dynamic_overwrite" -> snkDynamicOverwrite,
     "snk_parquet_write"     -> snkParquetWrite,
     "snk_partitioned_write" -> snkPartitionedWrite,
     "snk_file_actions"      -> snkFileActions,
@@ -740,6 +794,21 @@ object Xml {
     "fn_xml_serialize"      -> fnXmlSerialize)
 
   val oracles: Map[String, String] = Map(
+    "src_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_sup,
+        | CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |   AS bal_cents,
+        | min(s_name) AS first_name
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "snk_dynamic_overwrite" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS price_cents, o_orderpriority FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |   THEN price_cents + 500 ELSE price_cents END) AS BIGINT) AS sum_cents,
+        | min(o_orderkey) AS min_key
+        |FROM base GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_parquet_scan" ->
       """SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
         |       max(l_orderkey) AS max_key, round(sum(l_quantity), 2) AS sum_qty
