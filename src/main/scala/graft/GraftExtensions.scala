@@ -32,6 +32,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_shingles3"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles3"),
       (args: Seq[Expression]) => WordShingles(args.head)))
+    // Spark ships a production Bloom-filter aggregate/probe pair in
+    // catalyst (it powers runtime row-level filtering) but does NOT
+    // register them as SQL functions. Exposing them through the extension
+    // point gives users the build-once/probe-many membership primitive
+    // (semi-join prefilter, dirty-key screens) with zero new code — the
+    // sketch is Spark's own, merge-able across partitions, and the probe
+    // side stays codegen.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

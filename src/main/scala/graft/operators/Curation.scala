@@ -186,7 +186,43 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** HTML/boilerplate stripping — the first cleaning step of every web
+    * corpus (C4/CCNet): remove chrome blocks (head, nav, ad divs, footer),
+    * strip remaining tags, collapse whitespace. The fixture page is
+    * CONSTRUCTED deterministically around each document's text (the corpus
+    * has no raw HTML), which buys a sharp invariant: cleaning must recover
+    * exactly the original text (`recovered_ok`), byte-for-byte under md5.
+    * Pure codegen regexp scan — narrow, no shuffle, trivially
+    * data-parallel at 100 TB. Patterns are non-greedy and live in the
+    * RE2 ∩ java.regex common subset so the oracle runs the same language.
+    */
+  val htmlStrip: Q = (s, d) => {
+    val raw = concat(
+      lit("<html><head><title>skip me</title></head><body>" +
+        "<nav>home | about | contact</nav><p>"),
+      col("text"),
+      lit("</p><div class=\"ad\">BUY NOW!!</div><footer>(c) corp</footer>" +
+        "</body></html>"))
+    Tables.documents(s, d)
+      .withColumn("raw", raw)
+      .withColumn("noblocks", regexp_replace(col("raw"),
+        "<head>.*?</head>|<nav>.*?</nav>|<div class=\"ad\">.*?</div>|<footer>.*?</footer>",
+        " "))
+      .withColumn("clean",
+        trim(regexp_replace(regexp_replace(col("noblocks"), "<[^>]*>", " "),
+          "\\s+", " ")))
+      .select(
+        col("doc_id"),
+        length(col("raw")).cast("long").as("raw_len"),
+        length(col("clean")).cast("long").as("clean_len"),
+        regexp_count(col("raw"), lit("<[^>]*>")).cast("long").as("n_tags"),
+        md5(col("clean")).as("clean_md5"),
+        (col("clean") === col("text")).as("recovered_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_html_strip" -> htmlStrip,
     "llm_dedup_apply" -> dedupApply,
     "llm_sample_stratified" -> sampleStratified,
     "llm_pii_redact" -> piiRedact,
@@ -195,6 +231,26 @@ object Curation {
     "llm_curate_funnel" -> curateFunnel)
 
   val oracles: Map[String, String] = Map(
+    "llm_html_strip" ->
+      """WITH pages AS (
+        |  SELECT doc_id, text,
+        |   '<html><head><title>skip me</title></head><body>'
+        |   || '<nav>home | about | contact</nav><p>' || text
+        |   || '</p><div class="ad">BUY NOW!!</div><footer>(c) corp</footer>'
+        |   || '</body></html>' AS raw
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, text, raw,
+        |   trim(regexp_replace(regexp_replace(regexp_replace(raw,
+        |     '<head>.*?</head>|<nav>.*?</nav>|<div class="ad">.*?</div>|<footer>.*?</footer>',
+        |     ' ', 'g'), '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |  FROM pages)
+        |SELECT doc_id, length(raw) AS raw_len, length(clean) AS clean_len,
+        | CAST(len(regexp_extract_all(raw, '<[^>]*>')) AS BIGINT) AS n_tags,
+        | md5(clean) AS clean_md5,
+        | (clean = text) AS recovered_ok
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+
     "llm_dedup_apply" ->
       s"""WITH RECURSIVE ${Llm.fuzzyPairsCtes},
          |edges AS (

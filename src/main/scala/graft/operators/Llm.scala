@@ -858,11 +858,41 @@ object Llm {
       .orderBy(col("cos").desc, col("vec_id"))
     base.join(broadcast(queries),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 4))
+      // + 0.0: negative-zero fold, same rationale as knnGraph.
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 4) + lit(0.0))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** k-NN GRAPH over the whole embedding corpus — the neighbor-edge list
+    * that similarity clustering, diversity sampling, and near-dup audits
+    * consume. Same LSH partitioning as llm_simsearch_ivf but with EVERY
+    * vector as a query: a bucket self-equi-join bounds the candidate set
+    * per node to its bucket's population (corpus² / 256 expected pairs,
+    * never all-pairs), then a per-node top-3 window over the codegen'd
+    * cosine kernel. At 100 TB the bucket join is a plain shuffle
+    * equi-join on the bucket key; recall is traded via the probe count
+    * exactly as in the IVF row.
+    */
+  val knnGraph: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", rpBucket(col("v")))
+    val nbrs = base.select(col("vec_id").as("nbr_id"), col("v").as("nv"),
+      col("bucket").as("nbucket"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    base.join(nbrs,
+        col("bucket") === col("nbucket") && col("vec_id") =!= col("nbr_id"))
+      // + 0.0 folds IEEE negative zero (a tiny negative cosine rounded to
+      // -0.0) into +0.0 — engines disagree on the sign bit's string form.
+      .withColumn("cos", round(cosine(col("v"), col("nv")), 4) + lit(0.0))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"))
+      .orderBy(col("vec_id"), col("rank"))
   }
 
   // =====================================================================
@@ -915,6 +945,7 @@ object Llm {
     "llm_fingerprint" -> fingerprint,
     "llm_lang_id" -> langId,
     "llm_simsearch_ivf" -> simsearchIvf,
+    "llm_knn_graph" -> knnGraph,
     "llm_multimodal_cols" -> multimodalCols
   )
 
@@ -1307,6 +1338,19 @@ object Llm {
         |FROM documents LEFT JOIN pred ON doc_id = s_doc
         |ORDER BY doc_id""".stripMargin,
 
+    "llm_knn_graph" ->
+      s"""WITH $ivfBaseCtes
+         |SELECT vec_id, rank, nbr_id, cos FROM (
+         |  SELECT a.vec_id,
+         |   row_number() OVER (PARTITION BY a.vec_id
+         |     ORDER BY round(list_cosine_similarity(a.v, b.v), 4) + 0.0 DESC,
+         |       b.vec_id) AS rank,
+         |   b.vec_id AS nbr_id,
+         |   round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cos
+         |  FROM base a JOIN base b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
     "llm_simsearch_ivf" ->
       s"""WITH $ivfBaseCtes,
          |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
@@ -1314,8 +1358,9 @@ object Llm {
          |SELECT query_id, rank, vec_id, cos FROM (
          |  SELECT q.query_id,
          |   row_number() OVER (PARTITION BY q.query_id
-         |     ORDER BY round(list_cosine_similarity(qv, b.v), 4) DESC, b.vec_id) AS rank,
-         |   b.vec_id, round(list_cosine_similarity(qv, b.v), 4) AS cos
+         |     ORDER BY round(list_cosine_similarity(qv, b.v), 4) + 0.0 DESC,
+         |       b.vec_id) AS rank,
+         |   b.vec_id, round(list_cosine_similarity(qv, b.v), 4) + 0.0 AS cos
          |  FROM base b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 

@@ -834,6 +834,42 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** Bloom-filter membership screen, build-once/probe-many: Spark's own
+    * catalyst Bloom aggregate (the engine behind runtime row-level
+    * filtering) exposed as SQL via GraftExtensions (`bloom_agg` /
+    * `bloom_might_contain`). The filter builds in one pass with
+    * partition-local sketches merged at the driver (~1 MB at the 1M-item
+    * sizing regardless of data size), then broadcasts to probe — the 100 TB
+    * pattern for pre-filtering a huge probe side before an expensive join.
+    * The oracle asserts the two invariants a Bloom filter actually
+    * guarantees: zero false negatives, and a false-positive rate under the
+    * sized bound (capacity 1M ≫ real key count, so the measured FP count
+    * clears the 5% gate by orders of magnitude).
+    */
+  val aggBloom: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("g_bloom_orders")
+    Tables.customer(s, d).createOrReplaceTempView("g_bloom_cust")
+    s.sql(
+      """WITH probes AS (
+        |  SELECT c_custkey,
+        |   c_custkey IN (SELECT o_custkey FROM g_bloom_orders) AS actual
+        |  FROM g_bloom_cust),
+        |tested AS (
+        |  SELECT p.c_custkey, p.actual,
+        |   bloom_might_contain(
+        |     (SELECT bloom_agg(xxhash64(o_custkey), 1000000L, 8000000L)
+        |      FROM g_bloom_orders),
+        |     xxhash64(p.c_custkey)) AS claimed
+        |  FROM probes p)
+        |SELECT count(*) AS n_probes,
+        | CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+        | CAST(sum(CASE WHEN actual AND NOT claimed THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS false_negatives,
+        | (sum(CASE WHEN claimed AND NOT actual THEN 1 ELSE 0 END)
+        |   <= 0.05 * count(*)) AS fp_rate_ok
+        |FROM tested""".stripMargin)
+  }
+
   /** Recursive CTE (Spark 4's WITH RECURSIVE): per-node ancestor walk of
     * the implicit binary tree key -> key div 2, aggregated to per-depth
     * totals. Each recursion step is a narrow map + filter over the
@@ -858,6 +894,7 @@ object Relational {
     "op_dq_profile" -> opDqProfile,
     "op_funnel_events" -> opFunnelEvents,
     "op_recursive_cte" -> opRecursiveCte,
+    "agg_bloom" -> aggBloom,
     "op_project" -> opProject,
     "op_filter" -> opFilter,
     "op_case_when" -> opCaseWhen,
@@ -922,6 +959,13 @@ object Relational {
         |  UNION ALL SELECT '2_click_after_view', user_id FROM c
         |  UNION ALL SELECT '3_purchase_after_click', user_id FROM p)
         |GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "agg_bloom" ->
+      """SELECT (SELECT count(*) FROM customer) AS n_probes,
+        | (SELECT count(*) FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_members,
+        | CAST(0 AS BIGINT) AS false_negatives,
+        | true AS fp_rate_ok""".stripMargin,
 
     "op_recursive_cte" ->
       """WITH RECURSIVE up(p_partkey, cur, depth) AS (

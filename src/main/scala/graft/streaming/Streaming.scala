@@ -467,7 +467,62 @@ object Streaming {
   // registry
   // ======================================================================
 
+  /** Stream-STATIC enrichment join — the most common production join shape:
+    * the event stream joins a slowly-changing dimension (customer) that is
+    * re-read per micro-batch and BROADCAST, so the stream side never
+    * shuffles for the join and no join state is kept (unlike
+    * stream-stream). At 100 TB the dim refresh cost is per-batch, not
+    * per-event. The per-nation value total is snapped to integer
+    * micro-units before summing so the aggregate is fold-order-exact on
+    * both engines regardless of partitioning.
+    */
+  val stStreamStatic: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_stream_static")
+    val cust = graft.Tables.customer(ev.sparkSession, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val agg = ev.join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1e6).cast("long")).as("value_micros"))
+    runComplete(s, agg, "st_stream_static", base)
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Stream-STREAM inner join with watermarks and a time-interval
+    * condition: purchases join the same user's views from the preceding
+    * hour. Both sides carry a watermark and the join condition bounds
+    * event time on both sides — exactly the contract Spark needs to
+    * expire join state; the interval also bounds the per-user pair count.
+    * Inner join emits every match under AvailableNow, so the batch
+    * interval join is an exact oracle (the generous watermark only delays
+    * state cleanup, never the inner-join output). Pairs land in a
+    * distributed parquet sink; the read-back aggregate is batch-side.
+    */
+  val stStreamJoin: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_stream_join")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "60 days")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "60 days")
+    val pairs = purchases.join(views,
+      expr("p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
+    runAppend(s, pairs, base)
+      .groupBy(col("p_user").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        countDistinct(col("v_id")).as("n_views"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_stream_static"   -> stStreamStatic,
+    "st_stream_join"     -> stStreamJoin,
     "st_tumbling"        -> stTumbling,
     "st_sliding"         -> stSliding,
     "st_sliding_append"  -> stSlidingAppend,
@@ -481,6 +536,23 @@ object Streaming {
     "st_stateful_tws"    -> stStatefulTws)
 
   val oracles: Map[String, String] = Map(
+    "st_stream_static" ->
+      """SELECT c_nationkey, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |   AS value_micros
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "st_stream_join" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |            CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'view')
+        |SELECT p.user_id AS user_id, count(*) AS n_pairs,
+        | count(DISTINCT p.event_id) AS n_purchases,
+        | count(DISTINCT v.event_id) AS n_views
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |GROUP BY p.user_id ORDER BY user_id""".stripMargin,
     "st_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

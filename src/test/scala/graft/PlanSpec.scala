@@ -177,4 +177,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "per-dim min/max should broadcast, not shuffle the exploded corpus")
   }
+
+  test("llm_knn_graph is a bucket equi-join, never all-pairs") {
+    val p = plan("llm_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "kNN graph must join on the LSH bucket key, not enumerate all pairs")
+  }
+
+  test("op_dq_profile reads the orders file exactly once") {
+    // simple mode prints one `FileScan` token per physical scan node
+    // (formatted mode repeats each node in its details section).
+    val p = simplePlan("op_dq_profile")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"profile must be single-scan, found $scans scans")
+    assert(p.contains("Expand"),
+      "multi-countDistinct should plan via Expand, not repeated scans")
+  }
+
+  test("op_funnel_events shuffles on user_id at every stage (key reuse)") {
+    val p = simplePlan("op_funnel_events")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty,
+      "funnel stages must partition by user_id")
+  }
 }

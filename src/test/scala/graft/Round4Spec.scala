@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 operator invariants: the properties each new operator promises
+  * beyond hash-matching its oracle (funnel monotonicity, Bloom guarantees,
+  * dynamic-overwrite isolation, recursion depth arithmetic, byte-exact
+  * HTML recovery, stream-stream == batch interval join).
+  */
+class Round4Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("fn_hash digests are well-formed hex of the right width") {
+    val rows = run("fn_hash").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(1).matches("[0-9a-f]{32}")), "md5 shape")
+    assert(rows.forall(r => r.getString(2).matches("[0-9a-f]{64}")), "sha256 shape")
+    assert(rows.forall(r => r.getString(4).matches("[0-9a-f]{8}")), "sha prefix")
+  }
+
+  test("op_dq_profile: one row per profiled column, no nulls in orders") {
+    val rows = run("op_dq_profile").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus").sorted)
+    val nRows = Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nRows, s"n_rows for ${r.getString(0)}")
+      assert(r.getLong(2) == nRows, s"orders has no nulls, n_nonnull must equal n_rows")
+      assert(r.getLong(3) > 0 && r.getLong(3) <= nRows)
+    }
+    val okey = rows.find(_.getString(0) == "o_orderkey").get
+    assert(okey.getLong(3) == nRows, "o_orderkey must be unique")
+  }
+
+  test("op_funnel_events stages are monotonically non-increasing") {
+    val rows = run("op_funnel_events").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_view", "2_click_after_view", "3_purchase_after_click"))
+    val counts = rows.map(_.getLong(1))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel must narrow: ${counts.toSeq}")
+    assert(counts(0) > 0)
+  }
+
+  test("op_recursive_cte: depth-0 level is the whole key set and chains terminate") {
+    val rows = run("op_recursive_cte").collect()
+    val nParts = Tables.part(spark, sf).count()
+    val depth0 = rows.find(_.getLong(0) == 0L).get
+    assert(depth0.getLong(1) == nParts, "anchor level must carry every key")
+    // every chain ends at cur==1; the deepest level has at least one node
+    assert(rows.map(_.getLong(0)).max >= 1)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
+  test("agg_bloom: no false negatives and FP rate within the sized bound") {
+    val r = run("agg_bloom").collect().head
+    assert(r.getLong(2) == 0L, "a Bloom filter must never report a false negative")
+    assert(r.getBoolean(3), "FP rate exceeded the 5% gate at 1M-item sizing")
+    assert(r.getLong(1) > 0 && r.getLong(1) <= r.getLong(0))
+  }
+
+  test("snk_dynamic_overwrite leaves non-targeted partitions byte-identical") {
+    import org.apache.spark.sql.functions._
+    val out = run("snk_dynamic_overwrite").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    base.foreach { case (pri, (n, cents)) =>
+      val (on, ocents) = out(pri)
+      assert(on == n, s"row count changed for $pri")
+      if (pri == "1-URGENT")
+        assert(ocents == cents + 500L * n, "patched partition must carry the fee")
+      else
+        assert(ocents == cents, s"untouched partition $pri was modified")
+    }
+  }
+
+  test("llm_knn_graph ranks are dense from 1 and cosines are bounded") {
+    val rows = run("llm_knn_graph").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, edges) =>
+      val ranks = edges.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"ranks not dense: $ranks")
+      assert(ranks.length <= 3)
+    }
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0001))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self-edge")
+  }
+
+  test("llm_html_strip recovers the original text for every document") {
+    val rows = run("llm_html_strip").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(_.getBoolean(5)), "cleaning must recover the raw text")
+    assert(rows.forall(r => r.getLong(3) >= 8L), "fixture pages carry >=8 tags")
+  }
+
+  test("st_stream_join matches the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = run("st_stream_join").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables.events(spark, sf)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = p.join(v, expr(
+        "pu = vu AND vts >= pts - INTERVAL 1 HOUR AND vts <= pts"))
+      .groupBy(col("pu")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "stream-stream inner join must equal batch join")
+  }
+}
