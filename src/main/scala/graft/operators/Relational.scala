@@ -834,6 +834,75 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** Batch MERGE / upsert — the CDC apply step: a changes frame (updates
+    * to existing keys + brand-new keys) merges into the target snapshot by
+    * key; matched rows take the source values, unmatched keep the target,
+    * source-only rows insert. Expressed as ONE full-outer equi-join +
+    * coalesce — both sides shuffle once on the merge key, which is exactly
+    * the plan a table-format MERGE executes at 100 TB (minus its file
+    * pruning). Prices travel as integer cents; the summary aggregate
+    * proves all three merge arms (update / keep / insert) landed.
+    */
+  val opMergeUpsert: Q = (s, d) => {
+    val target = Tables.orders(s, d).select(
+      col("o_orderkey").as("t_key"),
+      round(col("o_totalprice") * 100).cast("long").as("t_cents"),
+      col("o_orderstatus").as("t_status"))
+    // Deterministic change set: every 5th key gets a +1000-cent update;
+    // the same keys shifted by 10^9 arrive as inserts.
+    val updates = target.filter(pmod(col("t_key"), lit(5)) === 0)
+      .select(col("t_key").as("s_key"),
+        (col("t_cents") + 1000L).as("s_cents"), lit("U").as("s_status"))
+    val inserts = updates.select(
+      (col("s_key") + 1000000000L).as("s_key"), col("s_cents"),
+      lit("I").as("s_status"))
+    val source = updates.unionByName(inserts)
+    val merged = target.join(source, col("t_key") === col("s_key"), "full_outer")
+      .select(
+        coalesce(col("s_key"), col("t_key")).as("key"),
+        coalesce(col("s_cents"), col("t_cents")).as("cents"),
+        coalesce(col("s_status"), col("t_status")).as("status"),
+        when(col("t_key").isNull, "insert")
+          .when(col("s_key").isNull, "keep").otherwise("update").as("arm"))
+    merged.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy(col("arm"))
+  }
+
+  /** SCD TYPE 2 interval build — change-data history as validity ranges:
+    * per user, each change of event_type opens a new version valid from
+    * its first ts until the next change (NULL = current). Change points
+    * come from one lag() window per user (single shuffle on the history
+    * key, linear scan within partitions — the standard distributed SCD2
+    * shape); the closing edge from a second window over the change points
+    * only (far fewer rows). Micros since epoch keep the interval
+    * arithmetic integer-exact across engines.
+    */
+  val opScd2: Q = (s, d) => {
+    val e = Tables.events(s, d).select(
+      col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val changes = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    changes
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wNext))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(col("valid_to_us") - col("valid_from_us")).as("closed_span_us"),
+        max(struct(col("valid_from_us"), col("event_type"))).as("cur"))
+      .select(col("user_id"), col("n_versions"), col("closed_span_us"),
+        col("cur.event_type").as("current_type"))
+      .orderBy(col("user_id"))
+  }
+
   /** Bloom-filter membership screen, build-once/probe-many: Spark's own
     * catalyst Bloom aggregate (the engine behind runtime row-level
     * filtering) exposed as SQL via GraftExtensions (`bloom_agg` /
@@ -894,6 +963,8 @@ object Relational {
     "op_dq_profile" -> opDqProfile,
     "op_funnel_events" -> opFunnelEvents,
     "op_recursive_cte" -> opRecursiveCte,
+    "op_merge_upsert" -> opMergeUpsert,
+    "op_scd2" -> opScd2,
     "agg_bloom" -> aggBloom,
     "op_project" -> opProject,
     "op_filter" -> opFilter,
@@ -959,6 +1030,58 @@ object Relational {
         |  UNION ALL SELECT '2_click_after_view', user_id FROM c
         |  UNION ALL SELECT '3_purchase_after_click', user_id FROM p)
         |GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "op_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey AS t_key,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS t_cents,
+        |   o_orderstatus AS t_status
+        |  FROM orders),
+        |updates AS (
+        |  SELECT t_key AS s_key, t_cents + 1000 AS s_cents, 'U' AS s_status
+        |  FROM target WHERE t_key % 5 = 0),
+        |source AS (
+        |  SELECT * FROM updates
+        |  UNION ALL
+        |  SELECT s_key + 1000000000, s_cents, 'I' FROM updates),
+        |merged AS (
+        |  SELECT coalesce(s.s_key, t.t_key) AS key,
+        |   coalesce(s.s_cents, t.t_cents) AS cents,
+        |   CASE WHEN t.t_key IS NULL THEN 'insert'
+        |        WHEN s.s_key IS NULL THEN 'keep' ELSE 'update' END AS arm
+        |  FROM target t FULL OUTER JOIN source s ON t.t_key = s.s_key)
+        |SELECT arm, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        | min(key) AS min_key, max(key) AS max_key
+        |FROM merged GROUP BY arm ORDER BY arm""".stripMargin,
+
+    "op_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |   event_id FROM events),
+        |marked AS (
+        |  SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e),
+        |changes AS (
+        |  SELECT user_id, event_type, ts_us, event_id FROM marked
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |vers AS (
+        |  SELECT user_id, event_type, ts_us AS valid_from_us,
+        |   lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |     AS valid_to_us
+        |  FROM changes),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_versions,
+        |   CAST(sum(valid_to_us - valid_from_us) AS BIGINT) AS closed_span_us
+        |  FROM vers GROUP BY user_id),
+        |cur AS (
+        |  SELECT user_id, event_type AS current_type FROM (
+        |    SELECT user_id, event_type, row_number() OVER
+        |      (PARTITION BY user_id
+        |       ORDER BY valid_from_us DESC, event_type DESC) AS rn
+        |    FROM vers) WHERE rn = 1)
+        |SELECT a.user_id, a.n_versions, a.closed_span_us, c.current_type
+        |FROM agg a JOIN cur c USING (user_id) ORDER BY a.user_id""".stripMargin,
 
     "agg_bloom" ->
       """SELECT (SELECT count(*) FROM customer) AS n_probes,

@@ -542,6 +542,62 @@ object Xml {
   /** Write an aggregate result to parquet and read it back — the harness's
     * own sink path, verified round-trip.
     */
+  /** FIXED-WIDTH text ingestion — the mainframe/legacy-feed format every
+    * integration suite supports: records are positional byte slices, no
+    * delimiters. Construction and parsing are both pure codegen string
+    * ops (`lpad/rpad` out, `substring/trim/cast` in), a narrow scan with
+    * no shuffle — byte-position parsing parallelizes over file splits
+    * exactly like CSV at 100 TB. Account balances carry a +10^9 offset so
+    * negative values stay sign-free inside the zero-padded field.
+    */
+  val srcFixedWidth: Q = (s, d) => {
+    val dir = fresh("src_fixed_width", d)
+    // Layout: suppkey [1,8] name [9,25) natkey [34,4) cents+1e9 [38,12)
+    Tables.supplier(s, d)
+      .select(concat(
+        lpad(col("s_suppkey").cast("string"), 8, "0"),
+        rpad(col("s_name"), 25, " "),
+        lpad(col("s_nationkey").cast("string"), 4, "0"),
+        lpad((round(col("s_acctbal") * 100).cast("long") + 1000000000L)
+          .cast("string"), 12, "0")).as("value"))
+      .write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .select(
+        substring(col("value"), 1, 8).cast("long").as("s_suppkey"),
+        rtrim(substring(col("value"), 9, 25)).as("s_name"),
+        substring(col("value"), 34, 4).cast("int").as("s_nationkey"),
+        (substring(col("value"), 38, 12).cast("long") - 1000000000L)
+          .as("bal_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** CSV + JSON sink round-trip — the delimited/semi-structured WRITE
+    * half (the read half is src_csv_json_text): the same frame lands in
+    * both formats and is read back under the declared schema; per-format
+    * aggregates prove the round-trip is lossless and identical across
+    * formats. Both writers/readers are splittable codegen'd sources at
+    * scale.
+    */
+  val snkTextFormats: Q = (s, d) => {
+    val dir = fresh("snk_text_formats", d)
+    val base = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    base.write.mode("overwrite").json(s"$dir/json")
+    val csv = s.read.option("header", "true").schema(base.schema)
+      .csv(s"$dir/csv").withColumn("fmt", lit("csv"))
+    val jsn = s.read.schema(base.schema).json(s"$dir/json")
+      .withColumn("fmt", lit("json"))
+    csv.unionByName(jsn)
+      .groupBy(col("fmt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_nationkey").cast("long")).as("key_sum"),
+        min(col("n_name")).as("first_name"),
+        max(col("n_regionkey").cast("long")).as("max_region"))
+      .orderBy(col("fmt"))
+  }
+
   /** ORC round-trip — the second columnar interchange format Spark ships
     * natively (the ORC reader/writer jars are on every executor; there is
     * no spark-avro in this classpath, documented in SURVEY §2.1). Write
@@ -784,6 +840,8 @@ object Xml {
     "src_schema_evolution"  -> srcSchemaEvolution,
     "src_xml_encoding"      -> srcXmlEncoding,
     "src_orc_roundtrip"     -> srcOrcRoundtrip,
+    "src_fixed_width"       -> srcFixedWidth,
+    "snk_text_formats"      -> snkTextFormats,
     "snk_dynamic_overwrite" -> snkDynamicOverwrite,
     "snk_parquet_write"     -> snkParquetWrite,
     "snk_partitioned_write" -> snkPartitionedWrite,
@@ -794,6 +852,20 @@ object Xml {
     "fn_xml_serialize"      -> fnXmlSerialize)
 
   val oracles: Map[String, String] = Map(
+    "src_fixed_width" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        | CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "snk_text_formats" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |   min(n_name) AS first_name,
+        |   CAST(max(n_regionkey) AS BIGINT) AS max_region
+        |  FROM nation)
+        |SELECT 'csv' AS fmt, n, key_sum, first_name, max_region FROM agg
+        |UNION ALL
+        |SELECT 'json', n, key_sum, first_name, max_region FROM agg
+        |ORDER BY fmt""".stripMargin,
     "src_orc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n_sup,
         | CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)

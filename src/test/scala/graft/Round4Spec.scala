@@ -99,6 +99,42 @@ class Round4Spec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(3) >= 8L), "fixture pages carry >=8 tags")
   }
 
+  test("op_merge_upsert arms partition the keyspace correctly") {
+    val rows = run("op_merge_upsert").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nOrders = Tables.orders(spark, sf).count()
+    import org.apache.spark.sql.functions._
+    val nUpd = Tables.orders(spark, sf)
+      .filter(pmod(col("o_orderkey"), lit(5)) === 0).count()
+    assert(rows("update") == nUpd)
+    assert(rows("insert") == nUpd)
+    assert(rows("keep") == nOrders - nUpd)
+  }
+
+  test("op_scd2 versions cover every user and spans are non-negative") {
+    val rows = run("op_scd2").collect()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.length == nUsers)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "every user has at least one version")
+      if (!r.isNullAt(2)) assert(r.getLong(2) >= 0, "negative validity span")
+    }
+  }
+
+  test("src_fixed_width round-trips negative balances exactly") {
+    import org.apache.spark.sql.functions._
+    val parsed = run("src_fixed_width")
+      .select(col("s_suppkey"), col("bal_cents")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orig = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"),
+        round(col("s_acctbal") * 100).cast("long").as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(parsed == orig)
+    assert(orig.values.exists(_ < 0L) || orig.size < 20,
+      "fixture should exercise a negative balance at non-trivial sf")
+  }
+
   test("st_stream_join matches the batch interval join") {
     import org.apache.spark.sql.functions._
     val streamed = run("st_stream_join").collect()
