@@ -209,6 +209,35 @@ object Llm {
     * sum so double fold order cannot break hash parity; only the
     * 4-decimal-rounded mean travels.
     */
+  /** Character-level entropy per document — the encoding-junk / gibberish
+    * detector quality signal (low entropy = repeated filler, very high =
+    * random bytes). Per-doc char histogram → Shannon entropy in nats,
+    * with each ln(p) term snapped to integer µ-units before the weighted
+    * sum (the llm_unigram_logprob fold-order-exact technique). Explode +
+    * two hash aggs, map-side partials absorb the char explosion — same
+    * scale shape as the token suite.
+    */
+  val charEntropy: Q = (s, d) => {
+    val chars = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val perDoc = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = perDoc.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("double").as("n"))
+    perDoc.join(totals, Seq("doc_id"))
+      .withColumn("term_u",
+        round(log(col("cnt") / col("n")) * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_chars"),
+        sum(lit(-1L) * col("cnt") * col("term_u")).as("ent_units"),
+        max(col("n")).as("n_chars_d"))
+      .select(col("doc_id"), col("n_distinct_chars"),
+        round(col("ent_units") / (col("n_chars_d") * 1e6), 4).as("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
   val unigramLogprob: Q = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -926,6 +955,7 @@ object Llm {
     "llm_dedup_ngram" -> dedupNgram,
     "llm_decontaminate" -> decontaminate,
     "llm_chunk_text" -> chunkText,
+    "llm_char_entropy" -> charEntropy,
     "llm_unigram_logprob" -> unigramLogprob,
     "llm_dedup_paragraph" -> dedupParagraph,
     "llm_repetition_filter" -> repetitionFilter,
@@ -1037,6 +1067,18 @@ object Llm {
         | count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
         | round(count(CASE WHEN rn = 1 THEN 1 END) / count(*), 4) AS survival
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |  FROM documents),
+        |pc AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n FROM pc GROUP BY 1)
+        |SELECT p.doc_id, count(*) AS n_distinct_chars,
+        | round(sum(-1 * cnt * CAST(round(ln(cnt / n) * 1e6) AS BIGINT))
+        |   / (max(n) * 1e6), 4) AS entropy_nats
+        |FROM pc p JOIN tot t USING (doc_id)
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
     "llm_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -834,6 +834,22 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** Fixed-width value HISTOGRAM — the distribution profile behind skew
+    * diagnosis and bucket sizing: prices binned into 5000-unit buckets
+    * with per-bucket count and exact cent totals. One hash aggregate on
+    * the bucket id (map-side partials collapse the scan); bucket count is
+    * value-range-bound, not data-bound, so the result stays tiny at any
+    * scale.
+    */
+  val aggHistogram: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .withColumn("bucket", floor(col("l_extendedprice") / 5000.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("bucket"))
+
   /** Batch MERGE / upsert — the CDC apply step: a changes frame (updates
     * to existing keys + brand-new keys) merges into the target snapshot by
     * key; matched rows take the source values, unmatched keep the target,
@@ -966,6 +982,7 @@ object Relational {
     "op_merge_upsert" -> opMergeUpsert,
     "op_scd2" -> opScd2,
     "agg_bloom" -> aggBloom,
+    "agg_histogram" -> aggHistogram,
     "op_project" -> opProject,
     "op_filter" -> opFilter,
     "op_case_when" -> opCaseWhen,
@@ -1082,6 +1099,13 @@ object Relational {
         |    FROM vers) WHERE rn = 1)
         |SELECT a.user_id, a.n_versions, a.closed_span_us, c.current_type
         |FROM agg a JOIN cur c USING (user_id) ORDER BY a.user_id""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "agg_bloom" ->
       """SELECT (SELECT count(*) FROM customer) AS n_probes,

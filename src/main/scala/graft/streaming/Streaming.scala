@@ -520,7 +520,29 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** Union of two typed sub-streams (the multi-source merge every
+    * realtime DAG has): the click stream and the view/purchase funnel
+    * stream union by name before one shared windowless aggregation.
+    * Union is partition-concatenation — zero shuffle, zero state — so
+    * the only stateful op remains the final aggregate.
+    */
+  val stStreamUnion: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_stream_union")
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("src", lit("clicks"))
+    val funnel = ev.filter(col("event_type").isin("view", "purchase"))
+      .withColumn("src", lit("funnel"))
+    val agg = clicks.unionByName(funnel)
+      .groupBy(col("src"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("value_micros"))
+    runComplete(s, agg, "st_stream_union", base)
+      .orderBy(col("src"), col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_stream_union"    -> stStreamUnion,
     "st_stream_static"   -> stStreamStatic,
     "st_stream_join"     -> stStreamJoin,
     "st_tumbling"        -> stTumbling,
@@ -536,6 +558,14 @@ object Streaming {
     "st_stateful_tws"    -> stStatefulTws)
 
   val oracles: Map[String, String] = Map(
+    "st_stream_union" ->
+      """SELECT CASE WHEN event_type = 'click' THEN 'clicks' ELSE 'funnel' END
+        |   AS src,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |   AS value_micros
+        |FROM events WHERE event_type IN ('click', 'view', 'purchase')
+        |GROUP BY src, event_type ORDER BY src, event_type""".stripMargin,
     "st_stream_static" ->
       """SELECT c_nationkey, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
