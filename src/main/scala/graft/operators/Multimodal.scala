@@ -105,9 +105,43 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Audio feature extraction over the binary payload: bytes reinterpreted
+    * as s16le PCM samples (lo + 256·hi, two's-complement), framed at 128
+    * samples, with per-frame sample count, energy (Σ v² — exact integer
+    * arithmetic, no FP drift possible) and peak amplitude. The per-sample
+    * decode is hex-pair arithmetic over builtin codegen expressions
+    * (`hex`/`substring`/`conv`), the same no-UDF discipline as the frame
+    * sampler; the sample explode is narrow (samples stay in the payload's
+    * partition) and only the small (doc, frame, 3-int) rows shuffle for
+    * the per-frame aggregate. A real deployment swaps the hex decode for
+    * a codec via the multimodal mapPartitions stage; the framing/energy
+    * plumbing verified here is unchanged.
+    */
+  val multimodalAudio: (SparkSession, String) => DataFrame = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        hex(col("text").cast("binary")).as("hx"),
+        expr("length(CAST(text AS BINARY)) div 2").as("n_samples_doc"))
+      .filter(col("n_samples_doc") >= 1)
+      .withColumn("k", explode(expr("sequence(0L, n_samples_doc - 1)")))
+      .withColumn("u", expr(
+        """CAST(conv(substring(hx, CAST(4 * k + 1 AS INT), 2), 16, 10) AS BIGINT)
+          | + 256 * CAST(conv(substring(hx, CAST(4 * k + 3 AS INT), 2), 16, 10)
+          |            AS BIGINT)""".stripMargin))
+      .withColumn("v",
+        when(col("u") >= 32768L, col("u") - 65536L).otherwise(col("u")))
+      .groupBy(col("doc_id"), expr("k div 128").as("frame_idx"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(col("v") * col("v")).as("energy"),
+        max(abs(col("v"))).as("peak"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_multimodal_pipeline" -> multimodalPipeline,
-    "llm_multimodal_frames" -> multimodalFrames
+    "llm_multimodal_frames" -> multimodalFrames,
+    "llm_multimodal_audio" -> multimodalAudio
   )
 
   /** Both oracles work on the UTF-8 BYTES of `text` (via hex(encode(..))),
@@ -140,6 +174,25 @@ object Multimodal {
         |         AS frame_bytes,
         |       md5(substring(hx, CAST(frame_idx * 512 + 1 AS INTEGER), 512))
         |         AS frame_md5
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "llm_multimodal_audio" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |   octet_length(encode(text)) // 2 AS ns
+        |  FROM documents WHERE octet_length(encode(text)) >= 2),
+        |smp AS (SELECT doc_id, hx, unnest(range(ns)) AS k FROM b),
+        |uv AS (
+        |  SELECT doc_id, k,
+        |   ('0x' || substring(hx, CAST(4 * k + 1 AS INTEGER), 2))::int
+        |   + 256 * ('0x' || substring(hx, CAST(4 * k + 3 AS INTEGER), 2))::int
+        |     AS u
+        |  FROM smp),
+        |sv AS (SELECT doc_id, k,
+        |        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM uv)
+        |SELECT doc_id, CAST(k // 128 AS BIGINT) AS frame_idx,
+        | count(*) AS n_samples,
+        | CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+        | CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM sv GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

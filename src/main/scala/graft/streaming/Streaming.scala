@@ -541,7 +541,40 @@ object Streaming {
       .orderBy(col("src"), col("event_type"))
   }
 
+  /** Stream-STREAM LEFT OUTER join — the subtlest streaming-join contract:
+    * matched pairs emit immediately, but an UNMATCHED left row may only
+    * emit (NULL-padded) once the watermark proves no future right row can
+    * match it — i.e. when the left row's state is evicted. With a 10 min
+    * watermark over a bounded replay, purchases inside the final 10 min of
+    * the timeline stay in state and never emit unmatched; everything
+    * earlier emits exactly once. The oracle reproduces that cutoff
+    * analytically (batch left join + the watermark predicate on unmatched
+    * rows), the same technique st_watermark_late uses for windows.
+    */
+  val stStreamJoinOuter: Q = (s, d) => {
+    val (ev, base) = eventsStream(s, d, "st_stream_join_outer")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val joined = purchases.join(views,
+      expr("p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"),
+      "left_outer")
+    runAppend(s, joined, base)
+      .groupBy(col("v_id").isNotNull.as("matched"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        sum(col("p_id")).as("p_id_sum"))
+      .orderBy(col("matched"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_stream_join_outer" -> stStreamJoinOuter,
     "st_stream_union"    -> stStreamUnion,
     "st_stream_static"   -> stStreamStatic,
     "st_stream_join"     -> stStreamJoin,
@@ -558,6 +591,30 @@ object Streaming {
     "st_stateful_tws"    -> stStatefulTws)
 
   val oracles: Map[String, String] = Map(
+    // Emission rule reproduced analytically: matched pairs always emit;
+    // an unmatched purchase emits NULL-padded iff the final global
+    // watermark (min of the two stream watermarks = least(max p_ts,
+    // max v_ts) - 10 min) has passed its event time — verified against
+    // the engine at sf0.001 and sf0.01 (exactly one purchase held in
+    // state at both).
+    "st_stream_join_outer" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |            CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT user_id AS pu, event_id AS pid, ts AS pts FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS vu, event_id AS vid, ts AS vts FROM e
+        |      WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(pts) FROM p), (SELECT max(vts) FROM v))
+        |        - INTERVAL 10 MINUTE AS w),
+        |j AS (SELECT p.*, v.vid FROM p LEFT JOIN v
+        |      ON pu = vu AND vts >= pts - INTERVAL 1 HOUR AND vts <= pts),
+        |keep AS (
+        |  SELECT * FROM j WHERE vid IS NOT NULL
+        |  UNION ALL
+        |  SELECT * FROM j WHERE vid IS NULL AND pts < (SELECT w FROM wm))
+        |SELECT (vid IS NOT NULL) AS matched, count(*) AS n_rows,
+        | count(DISTINCT pid) AS n_purchases, CAST(sum(pid) AS BIGINT) AS p_id_sum
+        |FROM keep GROUP BY matched ORDER BY matched""".stripMargin,
     "st_stream_union" ->
       """SELECT CASE WHEN event_type = 'click' THEN 'clicks' ELSE 'funnel' END
         |   AS src,

@@ -135,6 +135,36 @@ class Round4Spec extends AnyFunSuite {
       "fixture should exercise a negative balance at non-trivial sf")
   }
 
+  test("llm_multimodal_audio energy is consistent with peak and counts") {
+    val rows = run("llm_multimodal_audio").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, energy, peak) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 1 && n <= 128)
+      assert(peak >= 0 && peak <= 32768)
+      assert(energy >= peak * peak, "energy must include the peak sample")
+      assert(energy <= n * 32768L * 32768L, "energy bounded by n * peak^2 max")
+    }
+  }
+
+  test("st_stream_join_outer: unmatched rows respect the watermark cutoff") {
+    val rows = run("st_stream_join_outer").collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(rows.getOrElse(true, 0L) > 0L, "some purchases must match views")
+    // the held-back tail exists: unmatched emitted < unmatched in batch
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batchUnmatched = p.join(v, expr(
+        "pu = vu AND vts >= pts - INTERVAL 1 HOUR AND vts <= pts"), "left_anti")
+      .count()
+    assert(rows.getOrElse(false, 0L) < batchUnmatched,
+      "at least the newest unmatched purchase must still be held in state")
+  }
+
   test("st_stream_join matches the batch interval join") {
     import org.apache.spark.sql.functions._
     val streamed = run("st_stream_join").collect()
