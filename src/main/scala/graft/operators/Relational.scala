@@ -834,6 +834,33 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL keep
+    * duplicate multiplicity (min / difference of per-value counts), unlike
+    * their DISTINCT cousins in op_intersect_except. Catalyst plans both as
+    * a single shuffle on the value with count arithmetic — no join, no
+    * dedup pass — which is exactly the 100 TB shape.
+    */
+  val opSetOpsAll: Q = (s, d) => {
+    val a = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderpriority"))
+    val b = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderpriority"))
+    a.intersectAll(b)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+      .unionByName(
+        // b \ a, not a \ b: the %2 side has the larger multiplicities, so
+        // the bag difference is non-empty and the branch actually
+        // exercises multiset subtraction.
+        b.exceptAll(a)
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all")))
+      .select(col("op"), col("o_orderpriority"), col("n"))
+      .orderBy(col("op"), col("o_orderpriority"))
+  }
+
   /** Fixed-width value HISTOGRAM — the distribution profile behind skew
     * diagnosis and bucket sizing: prices binned into 5000-unit buckets
     * with per-bucket count and exact cent totals. One hash aggregate on
@@ -983,6 +1010,7 @@ object Relational {
     "op_scd2" -> opScd2,
     "agg_bloom" -> aggBloom,
     "agg_histogram" -> aggHistogram,
+    "op_set_ops_all" -> opSetOpsAll,
     "op_project" -> opProject,
     "op_filter" -> opFilter,
     "op_case_when" -> opCaseWhen,
@@ -1099,6 +1127,20 @@ object Relational {
         |    FROM vers) WHERE rn = 1)
         |SELECT a.user_id, a.n_versions, a.closed_span_us, c.current_type
         |FROM agg a JOIN cur c USING (user_id) ORDER BY a.user_id""".stripMargin,
+
+    "op_set_ops_all" ->
+      """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
+        |ia AS (SELECT o_orderpriority FROM a INTERSECT ALL
+        |       SELECT o_orderpriority FROM b),
+        |ea AS (SELECT o_orderpriority FROM b EXCEPT ALL
+        |       SELECT o_orderpriority FROM a)
+        |SELECT 'intersect_all' AS op, o_orderpriority, count(*) AS n
+        |FROM ia GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'except_all', o_orderpriority, count(*) FROM ea
+        |GROUP BY o_orderpriority
+        |ORDER BY op, o_orderpriority""".stripMargin,
 
     "agg_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,

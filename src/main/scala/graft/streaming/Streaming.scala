@@ -520,6 +520,48 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** CHECKPOINT RESUME / exactly-once incremental processing — the
+    * property that makes a file-source stream restartable: drain batch A,
+    * land MORE files in the inbox, then restart against the SAME
+    * checkpoint — the source's file ledger replays nothing and picks up
+    * exactly the unseen files. The read-back aggregate proves it: row
+    * count equals distinct keys equals the full batch table (any replay
+    * would double-count batch A and flip `exactly_once`). This is the
+    * operational core of every 100 TB continuous-ingestion pipeline:
+    * failure recovery re-reads the checkpoint ledger, never the data.
+    */
+  val stCheckpointResume: Q = (s, d) => {
+    val base = fresh("st_checkpoint_resume", d)
+    val o = graft.Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .repartition(4).write.parquet(s"$base/input")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    def drain(): Unit = {
+      val q = ss.readStream.schema(o.schema).parquet(s"$base/input")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .repartition(4).write.mode("append").parquet(s"$base/input")
+    drain()
+    ss.read.parquet(s"$base/out")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("price_cents")).as("sum_cents"))
+      .withColumn("exactly_once", col("n_rows") === col("n_keys"))
+  }
+
   /** Union of two typed sub-streams (the multi-source merge every
     * realtime DAG has): the click stream and the view/purchase funnel
     * stream union by name before one shared windowless aggregation.
@@ -574,6 +616,7 @@ object Streaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st_checkpoint_resume" -> stCheckpointResume,
     "st_stream_join_outer" -> stStreamJoinOuter,
     "st_stream_union"    -> stStreamUnion,
     "st_stream_static"   -> stStreamStatic,
@@ -591,6 +634,12 @@ object Streaming {
     "st_stateful_tws"    -> stStatefulTws)
 
   val oracles: Map[String, String] = Map(
+    "st_checkpoint_resume" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents,
+        | true AS exactly_once
+        |FROM orders""".stripMargin,
     // Emission rule reproduced analytically: matched pairs always emit;
     // an unmatched purchase emits NULL-padded iff the final global
     // watermark (min of the two stream watermarks = least(max p_ts,
