@@ -939,7 +939,11 @@ object Relational {
         col("ts_us").as("valid_from_us"), col("valid_to_us"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_versions"),
-        sum(col("valid_to_us") - col("valid_from_us")).as("closed_span_us"),
+        // coalesce: a user whose type never changes has ONE open version
+        // and zero closed ones — sum over the empty set is NULL, and NULL
+        // integers stringify differently across the two compare paths.
+        coalesce(sum(col("valid_to_us") - col("valid_from_us")), lit(0L))
+          .as("closed_span_us"),
         max(struct(col("valid_from_us"), col("event_type"))).as("cur"))
       .select(col("user_id"), col("n_versions"), col("closed_span_us"),
         col("cur.event_type").as("current_type"))
@@ -1117,7 +1121,8 @@ object Relational {
         |  FROM changes),
         |agg AS (
         |  SELECT user_id, count(*) AS n_versions,
-        |   CAST(sum(valid_to_us - valid_from_us) AS BIGINT) AS closed_span_us
+        |   coalesce(CAST(sum(valid_to_us - valid_from_us) AS BIGINT), 0)
+        |     AS closed_span_us
         |  FROM vers GROUP BY user_id),
         |cur AS (
         |  SELECT user_id, event_type AS current_type FROM (
