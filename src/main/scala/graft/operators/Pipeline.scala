@@ -136,9 +136,38 @@ object Pipeline {
     out
   }
 
+  /** Schema CONTRACT validation — the pre-flight gate every deployed
+    * pipeline runs before touching data: the source's actual schema is
+    * checked against the declared contract (name + type per column), with
+    * missing columns and type drift reported per row. This is a pure
+    * METADATA operation (parquet footer only — no data scan, instant at
+    * any data size); the contract includes one deliberately-absent column
+    * to exercise the failure arm.
+    */
+  val opSchemaContract: Q = (s, d) => {
+    val contract = Seq(
+      ("o_orderkey", "bigint"),
+      ("o_custkey", "bigint"),
+      ("o_orderstatus", "string"),
+      ("o_totalprice", "double"),
+      ("o_orderdate", "timestamp_ntz"), // parquet isAdjustedToUTC=false
+      ("o_orderpriority", "string"),
+      ("o_comment", "string")) // not present in this feed — failure arm
+    val actual = Tables.orders(s, d).schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    import s.implicits._
+    contract.map { case (name, expected) =>
+      val got = actual.get(name)
+      (name, expected, got.getOrElse("<missing>"),
+        got.contains(expected))
+    }.toDF("col_name", "expected_type", "actual_type", "ok")
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "op_error_port" -> opErrorPort,
     "op_fanout_dag" -> opFanoutDag,
+    "op_schema_contract" -> opSchemaContract,
     "op_macro_subst" -> opMacroSubst)
 
   val oracles: Map[String, String] = Map(
@@ -167,6 +196,17 @@ object Pipeline {
         |  SELECT 'error', reason, count(*), CAST(NULL AS DOUBLE)
         |  FROM recs WHERE reason <> 'parsed' GROUP BY reason)
         |ORDER BY port, reason""".stripMargin,
+    "op_schema_contract" ->
+      """SELECT * FROM (VALUES
+        |  ('o_comment', 'string', '<missing>', false),
+        |  ('o_custkey', 'bigint', 'bigint', true),
+        |  ('o_orderdate', 'timestamp_ntz', 'timestamp_ntz', true),
+        |  ('o_orderkey', 'bigint', 'bigint', true),
+        |  ('o_orderpriority', 'string', 'string', true),
+        |  ('o_orderstatus', 'string', 'string', true),
+        |  ('o_totalprice', 'double', 'double', true))
+        | t(col_name, expected_type, actual_type, ok)
+        |ORDER BY col_name""".stripMargin,
     "op_macro_subst" ->
       """SELECT n_name, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue

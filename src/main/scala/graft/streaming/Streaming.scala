@@ -520,6 +520,66 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming CDC APPLY — the production streaming-merge pattern: a
+    * change stream lands via `foreachBatch`, and each micro-batch MERGES
+    * into the current snapshot (full-outer join + coalesce, the
+    * op_merge_upsert plan) writing a new snapshot version; the version
+    * pointer advances batch-by-batch, so a crash replays only the failed
+    * batch against the last committed version. On a real deployment the
+    * per-batch rewrite is a table-format MERGE / partition overwrite —
+    * the join shape verified here is identical. Updates carry +250 cents
+    * on every 4th key plus fresh inserts; the final snapshot aggregate
+    * proves both arms landed exactly once.
+    */
+  val stForeachBatchUpsert: Q = (s, d) => {
+    val base = fresh("st_fb_upsert", d)
+    val target0 = graft.Tables.orders(s, d).select(
+      col("o_orderkey").as("key"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      lit("base").as("src"))
+    target0.write.parquet(s"$base/target_v0")
+    val updates = target0.filter(pmod(col("key"), lit(4)) === 0)
+      .select(col("key"), (col("cents") + 250L).as("cents"),
+        lit("delta").as("src"))
+    updates
+      .unionByName(updates.select((col("key") + 2000000000L).as("key"),
+        col("cents"), col("src")))
+      .repartition(2).write.parquet(s"$base/updates")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    @volatile var current = s"$base/target_v0"
+    val q = ss.readStream.schema(target0.schema).parquet(s"$base/updates")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/cp")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val sess = batch.sparkSession
+        val tgt = sess.read.parquet(current)
+        val src = batch
+          .withColumnRenamed("key", "u_key")
+          .withColumnRenamed("cents", "u_cents")
+          .withColumnRenamed("src", "u_src")
+        val next = s"$base/target_v${bid + 1}"
+        tgt.join(src, col("key") === col("u_key"), "full_outer")
+          .select(
+            coalesce(col("u_key"), col("key")).as("key"),
+            coalesce(col("u_cents"), col("cents")).as("cents"),
+            coalesce(col("u_src"), col("src")).as("src"))
+          .write.parquet(next)
+        current = next
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    ss.read.parquet(current)
+      .groupBy(col("src"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("key")).as("n_keys"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("src"))
+  }
+
   /** CHECKPOINT RESUME / exactly-once incremental processing — the
     * property that makes a file-source stream restartable: drain batch A,
     * land MORE files in the inbox, then restart against the SAME
@@ -616,6 +676,7 @@ object Streaming {
   }
 
   val queries: Map[String, Q] = Map(
+    "st_foreachbatch_upsert" -> stForeachBatchUpsert,
     "st_checkpoint_resume" -> stCheckpointResume,
     "st_stream_join_outer" -> stStreamJoinOuter,
     "st_stream_union"    -> stStreamUnion,
@@ -634,6 +695,23 @@ object Streaming {
     "st_stateful_tws"    -> stStatefulTws)
 
   val oracles: Map[String, String] = Map(
+    // Deterministic under any micro-batch split: every key is touched by
+    // exactly one update row, so sequential per-batch merges commute.
+    "st_foreachbatch_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |merged AS (
+        |  SELECT key,
+        |   CASE WHEN key % 4 = 0 THEN cents + 250 ELSE cents END AS cents,
+        |   CASE WHEN key % 4 = 0 THEN 'delta' ELSE 'base' END AS src
+        |  FROM base
+        |  UNION ALL
+        |  SELECT key + 2000000000, cents + 250, 'delta' FROM base
+        |  WHERE key % 4 = 0)
+        |SELECT src, count(*) AS n, count(DISTINCT key) AS n_keys,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY src ORDER BY src""".stripMargin,
     "st_checkpoint_resume" ->
       """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
