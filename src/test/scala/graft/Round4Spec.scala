@@ -165,6 +165,32 @@ class Round4Spec extends AnyFunSuite {
       "at least the newest unmatched purchase must still be held in state")
   }
 
+  test("st_checkpoint_resume processes appended files exactly once") {
+    val r = run("st_checkpoint_resume").collect().head
+    assert(r.getLong(0) == Tables.orders(spark, sf).count(),
+      "resumed stream must cover the full table")
+    assert(r.getLong(0) == r.getLong(1), "replayed rows would inflate n_rows")
+    assert(r.getBoolean(3))
+  }
+
+  test("st_foreachbatch_upsert arms carry the expected key counts") {
+    import org.apache.spark.sql.functions._
+    val rows = run("st_foreachbatch_upsert").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = Tables.orders(spark, sf).count()
+    val nUpd = Tables.orders(spark, sf)
+      .filter(pmod(col("o_orderkey"), lit(4)) === 0).count()
+    assert(rows("base") == n - nUpd, "untouched rows keep base provenance")
+    assert(rows("delta") == 2 * nUpd, "updates + inserts both carry delta")
+  }
+
+  test("op_schema_contract flags exactly the absent column") {
+    val rows = run("op_schema_contract").collect()
+    val bad = rows.filterNot(_.getBoolean(3))
+    assert(bad.map(_.getString(0)).toSeq == Seq("o_comment"))
+    assert(bad.head.getString(2) == "<missing>")
+  }
+
   test("st_stream_join matches the batch interval join") {
     import org.apache.spark.sql.functions._
     val streamed = run("st_stream_join").collect()
