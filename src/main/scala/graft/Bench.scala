@@ -96,8 +96,20 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(20)
     val qsTop = slowest.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    // Cap the compact line's error map too: a widespread failure (say a
+    // missing testdata dir erroring all ~138 queries) would otherwise blow
+    // the same 2000-char tail budget the compact line exists to respect.
+    // The first 3 messages identify the failure mode; the count and the
+    // full-record file carry the rest.
+    val errList = results.collect { case (k, _, Some(e)) => (k, e) }.toSeq
+    val errsTop = errList.take(3).map { case (k, e) =>
+      // truncate BEFORE escaping — cutting after could split an escape
+      // sequence and corrupt the JSON
+      "\"" + k + "\":\"" + e.take(120).replace("\\", "\\\\")
+        .replace("\"", "\\\"").replace("\n", " ") + "\"" }
+      .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsTop,"queries_omitted":${results.size - slowest.size},"errors":$errs,"full_record":"$outPath","sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsTop,"queries_omitted":${results.size - slowest.size},"errors":$errsTop,"errors_total":${errList.size},"full_record":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
