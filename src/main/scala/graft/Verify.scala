@@ -49,6 +49,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Teardown (same contract as Bench): release memoized pipelines and
+    // bucketed fixture tables so the gate run leaves no persisted blocks
+    // or catalog entries behind.
+    graft.operators.Llm.clearCaches()
+    graft.operators.Relational.dropBucketedTables()
     spark.stop()
   }
 }

@@ -20,29 +20,77 @@ import graft.Tables
 object Llm {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Library-surface cache release. The session-scoped memo tables
-    * (shingled docs, inverted-index pairs, verified MinHash pairs,
-    * clusters) pin persisted/checkpointed blocks for the SparkSession's
-    * lifetime and never evict — the right trade for the batch harness
-    * (one session, ≤3 sf dirs), wrong for a long-lived multi-tenant
-    * service. An embedding caller releases everything here: persisted
-    * tables are unpersisted eagerly, and the `localCheckpoint(true)`
-    * tables have their backing RDD blocks dropped eagerly too — the
-    * checkpointed data lives in the block manager under the LogicalRDD's
-    * RDD, so waiting for the ContextCleaner (a GC-triggered path) would
-    * leave the blocks pinned indefinitely in a long-lived service.
+  /** Library-surface cache release, called by Bench/Verify teardown (and
+    * available to an embedding caller): persisted memo tables are
+    * unpersisted eagerly, and the `localCheckpoint(true)` tables have
+    * their backing RDD blocks dropped eagerly too — the checkpointed data
+    * lives in the block manager under the LogicalRDD's RDD, so waiting
+    * for the ContextCleaner (a GC-triggered path) would leave the blocks
+    * pinned indefinitely in a long-lived service. Release is IRREVERSIBLE
+    * for checkpointed tables (lineage was truncated), so the caller
+    * contract is: no DataFrames derived from the memoized pipelines may
+    * be consumed after this returns — true at harness teardown by
+    * construction.
     */
-  def clearCaches(): Unit = {
-    shingleCache.values.foreach(df => scala.util.Try(df.unpersist(false)))
-    Seq(ngramCache, pairsCache, clusterCache).foreach(_.values.foreach { df =>
-      scala.util.Try(df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(false)
-        case _ => ()
-      })
-    })
-    Seq(shingleCache, ngramCache, pairsCache, clusterCache).foreach(_.clear())
+  def clearCaches(): Unit =
+    Seq(shingleCache, ngramCache, pairsCache, clusterCache)
+      .foreach(_.releaseAll())
+
+  /** Bounded (session, dir) → materialized-pipeline memo. The harness
+    * touches at most 3 sf dirs plus a probe fixture per session, so 4
+    * entries cover it with no eviction; a long-lived service looping over
+    * MANY dirs evicts the oldest entry at insert time and releases its
+    * blocks eagerly, keeping the block-manager footprint flat
+    * (Round5Spec drives >4 dirs through one memo and asserts the cap).
+    * Same irreversibility contract as clearCaches: an evicted
+    * (session, dir) pipeline must no longer be referenced.
+    */
+  private final class DfMemo(release: DataFrame => Unit) {
+    private val MaxEntries = 4
+    private val m =
+      new java.util.LinkedHashMap[(SparkSession, String), DataFrame]
+    def getOrElseUpdate(k: (SparkSession, String), build: => DataFrame): DataFrame =
+      m.synchronized(Option(m.get(k))) match {
+        case Some(df) => df
+        case None =>
+          // Build OUTSIDE the lock: pipeline builds call other memos
+          // (ngramPairs reads shingledDocs) and run Spark jobs.
+          val built = build
+          m.synchronized {
+            Option(m.get(k)) match {
+              case Some(winner) => // lost a rare race: free OUR copy
+                scala.util.Try(release(built)); winner
+              case None =>
+                m.put(k, built)
+                if (m.size > MaxEntries) {
+                  val it = m.entrySet.iterator
+                  val eldest = it.next()
+                  it.remove()
+                  scala.util.Try(release(eldest.getValue))
+                }
+                built
+            }
+          }
+      }
+    def size: Int = m.synchronized(m.size)
+    def releaseAll(): Unit = m.synchronized {
+      m.values.forEach(df => { scala.util.Try(release(df)); () })
+      m.clear()
+    }
   }
+
+  /** Entry counts of the four memos — Round5Spec's bounded-memory probe. */
+  private[graft] def memoSizes: Seq[Int] =
+    Seq(shingleCache, ngramCache, pairsCache, clusterCache).map(_.size)
+
+  private def releasePersisted(df: DataFrame): Unit = df.unpersist(false)
+
+  private def releaseCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Word 3-gram shingle set of the `text` column — shared by the Jaccard
     * dedup operators. Backed by the custom codegen'd WordShingles
@@ -94,8 +142,7 @@ object Llm {
     * the materialized checkpoint, so the bench record is no longer
     * run-order sensitive.
     */
-  private val ngramCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ngramCache = new DfMemo(releaseCheckpointed)
 
   private def ngramPairs(s: SparkSession, d: String): DataFrame =
     ngramCache.getOrElseUpdate((s, d), buildNgramPairs(s, d).localCheckpoint(true))
@@ -109,10 +156,9 @@ object Llm {
     * production dedup job writes once and fans out from; lifetime is the
     * session, same documented trade as pairsCache.
     */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val shingleCache = new DfMemo(releasePersisted)
 
-  private def shingledDocs(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingledDocs(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d),
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -565,8 +611,7 @@ object Llm {
     * consumer. Checkpoint blocks are released by the ContextCleaner when the
     * plan is GC'd, unlike a leaked persist.
     */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairsCache = new DfMemo(releaseCheckpointed)
 
   private def verifiedNearDupPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate((s, d),
@@ -645,8 +690,7 @@ object Llm {
     * empty except — exact, not probabilistic). Fully deterministic, oracled
     * by a recursive CTE over the identical (hash-verified) pair set.
     */
-  private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val clusterCache = new DfMemo(releaseCheckpointed)
 
   val dedupCluster: Q = (s, d) =>
     clusterCache.getOrElseUpdate((s, d), buildDedupCluster(s, d).localCheckpoint(true))
@@ -1069,7 +1113,7 @@ object Llm {
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_char_entropy" ->
       """WITH chars AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
         |  FROM documents),
         |pc AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
         |tot AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n FROM pc GROUP BY 1)

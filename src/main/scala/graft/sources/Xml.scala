@@ -90,16 +90,42 @@ object Xml {
     * same-name tags inside a captured record stay part of that record and
     * never re-trigger capture.
     *
-    * Limitation: path steps match element LOCAL names and captured
+    * Path steps match element LOCAL names; each step may carry one
+    * `[@attr='value']` (or double-quoted) attribute predicate, evaluated
+    * at the step's own start tag — see PathStep. Limitation: captured
     * subtrees are re-serialized without ancestor namespace declarations —
     * documents binding prefixes on an ancestor of the record element are
     * out of scope (prefix would be unbound in the snippet); use
     * namespace-free feeds or declare the namespace on the record element.
     */
+  /** One step of a node path: an element local name plus an optional
+    * `[@attr='value']` attribute predicate (single or double quotes) —
+    * the XPath subset a split-time reader can evaluate from the start
+    * tag alone (no lookahead into children, so streaming capture stays
+    * single-pass). Richer predicates (positions, child text) remain
+    * post-parse territory via fn_xml_parse's full extraction.
+    */
+  private final case class PathStep(name: String, pred: Option[(String, String)])
+
+  private val StepRe =
+    """^([^\[\]@]+)(?:\[@([A-Za-z_][\w.:-]*)=(?:'([^']*)'|"([^"]*)")\])?$""".r
+
+  private def parseNodePath(nodePath: String): Seq[PathStep] = {
+    val steps = nodePath.split("/").filter(_.nonEmpty).toSeq.map {
+      case StepRe(name, null, _, _) => PathStep(name, None)
+      case StepRe(name, attr, sq, dq) =>
+        PathStep(name, Some((attr, if (sq != null) sq else dq)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported node-path step '$other' (want name or name[@attr='v'])")
+    }
+    require(steps.nonEmpty, s"empty node path: $nodePath")
+    steps
+  }
+
   def readXmlNodePath(s: SparkSession, dir: String, nodePath: String): DataFrame = {
     import s.implicits._
-    val path = nodePath.split("/").filter(_.nonEmpty).toSeq
-    require(path.nonEmpty, s"empty node path: $nodePath")
+    val path = parseNodePath(nodePath)
     val listing = Files.list(Paths.get(dir))
     val files =
       try listing.toArray.map(_.toString).filter(_.endsWith(".xml")).sorted
@@ -116,6 +142,11 @@ object Xml {
         try {
           val reader = xif.createXMLEventReader(in, "UTF-8")
           val stack = scala.collection.mutable.ArrayBuffer.empty[String]
+          // okStack(i) = levels 1..i+1 all match the path prefix (names AND
+          // attribute predicates) — predicates are a start-tag property, so
+          // each level's verdict is final at push time and ancestors'
+          // verdicts are simply carried down the stack.
+          val okStack = scala.collection.mutable.ArrayBuffer.empty[Boolean]
           val out = scala.collection.mutable.ListBuffer.empty[String]
           var sw: java.io.StringWriter = null
           var writer: javax.xml.stream.XMLEventWriter = null
@@ -123,8 +154,21 @@ object Xml {
           while (reader.hasNext) {
             val ev = reader.nextEvent()
             if (ev.isStartElement) {
-              stack += ev.asStartElement.getName.getLocalPart
-              if (captureDepth < 0 && stack == path) {
+              val se = ev.asStartElement
+              stack += se.getName.getLocalPart
+              val depth = stack.size
+              val ok = (depth == 1 || okStack(depth - 2)) &&
+                depth <= path.size && {
+                  val step = path(depth - 1)
+                  step.name == stack(depth - 1) &&
+                    step.pred.forall { case (a, v) =>
+                      val attr = se.getAttributeByName(
+                        new javax.xml.namespace.QName(a))
+                      attr != null && attr.getValue == v
+                    }
+                }
+              okStack += ok
+              if (captureDepth < 0 && depth == path.size && ok) {
                 captureDepth = stack.size
                 sw = new java.io.StringWriter()
                 writer = xof.createXMLEventWriter(sw)
@@ -140,6 +184,7 @@ object Xml {
                 }
               }
               stack.remove(stack.size - 1)
+              okStack.remove(okStack.size - 1)
             } else if (captureDepth > 0 && (ev.isCharacters ||
                 ev.getEventType == javax.xml.stream.XMLStreamConstants.CDATA ||
                 ev.getEventType == javax.xml.stream.XMLStreamConstants.COMMENT ||
@@ -188,6 +233,51 @@ object Xml {
       StructField("name", StringType),
       StructField("region", LongType)))
     readXmlNodePath(s, dir, "/catalog/book")
+      .withColumn("p", from_xml(col("xml"), schema))
+      .select(
+        col("p._key").as("n_nationkey"),
+        col("p.name").as("n_name"),
+        col("p.region").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Attribute predicates AT SPLIT TIME —
+    * `/catalog/shelf[@genre='fiction']/book[@lang="en"]` (one step per
+    * quote form): a subtree is captured only when every ancestor level
+    * matches both the element name AND its attribute predicate. The
+    * fixture mixes everything that could false-positive at the same
+    * element path: tech shelves (ancestor predicate fails), fr books
+    * (leaf predicate fails), a review/book with lang="en" (path fails,
+    * attribute matches), and an en book NESTED inside a captured record
+    * (must stay part of that record, never re-trigger capture) — any
+    * leak breaks the filtered nation oracle.
+    */
+  val srcXmlNodePathPred: Q = (s, d) => {
+    val dir = fresh("src_xml_nodepath_pred", d)
+    val rows = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy(col("n_nationkey")).collect()
+    rows.groupBy(r => r.getLong(0) % 3).foreach { case (fid, rs) =>
+      val body = rs.map { r =>
+        val (k, n, g) = (r.getLong(0), r.getString(1), r.getLong(2))
+        val genre = if (g % 2 == 0) "fiction" else "tech"
+        val lang = if (k % 2 == 0) "en" else "fr"
+        s"""  <shelf genre="$genre">""" +
+          s"""<book lang="$lang" key="$k"><name>$n</name><region>$g</region>""" +
+          s"""<related><book lang="en" key="${k + 2000}"><name>REL</name><region>9</region></book></related></book>""" +
+          s"""<book lang="fr" key="${k + 3000}"><name>ALT</name><region>7</region></book>""" +
+          s"""<review stars="4"><book lang="en" key="${k + 1000}"><name>DECOY</name><region>8</region></book></review>""" +
+          "</shelf>"
+      }.mkString("\n")
+      Files.write(Paths.get(dir, s"cat_$fid.xml"),
+        s"<catalog>\n$body\n</catalog>".getBytes("UTF-8"))
+    }
+    val schema = StructType(Seq(
+      StructField("_key", LongType),
+      StructField("name", StringType),
+      StructField("region", LongType)))
+    readXmlNodePath(s, dir, """/catalog/shelf[@genre='fiction']/book[@lang="en"]""")
       .withColumn("p", from_xml(col("xml"), schema))
       .select(
         col("p._key").as("n_nationkey"),
@@ -835,6 +925,7 @@ object Xml {
     "src_xml_enum_union"    -> srcXmlEnumUnion,
     "src_glob_read"         -> srcGlobRead,
     "src_xml_nodepath"      -> srcXmlNodePath,
+    "src_xml_nodepath_pred" -> srcXmlNodePathPred,
     "src_csv_json_text"     -> srcCsvJsonText,
     "src_incremental_files" -> srcIncrementalFiles,
     "src_schema_evolution"  -> srcSchemaEvolution,
@@ -909,6 +1000,10 @@ object Xml {
         |ORDER BY mode, bucket""".stripMargin,
     "src_xml_nodepath" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "src_xml_nodepath_pred" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey % 2 = 0 AND n_nationkey % 2 = 0
+        |ORDER BY n_nationkey""".stripMargin,
     "src_glob_read" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
     "src_xml_enum_union" ->

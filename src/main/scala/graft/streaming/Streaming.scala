@@ -136,6 +136,13 @@ object Streaming {
     df.sparkSession.table(tag)
   }
 
+  /** Post-drain state-store row count of the most recent runAppend query —
+    * Round5Spec reads this after st_stream_join to assert the tightened
+    * watermark actually bounds retained join state by the watermark
+    * horizon, not stream size. -1 until a runAppend query completes.
+    */
+  @volatile private[graft] var lastAppendStateRows: Long = -1L
+
   /** Drain an append-mode stream to a parquet sink and read the result back
     * — the production-shaped path.
     */
@@ -148,6 +155,8 @@ object Streaming {
       .option("checkpointLocation", s"$base/cp")
       .start()
     q.awaitTermination()
+    lastAppendStateRows = q.recentProgress.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
     df.sparkSession.read.parquet(s"$base/out")
   }
 
@@ -491,24 +500,31 @@ object Streaming {
 
   /** Stream-STREAM inner join with watermarks and a time-interval
     * condition: purchases join the same user's views from the preceding
-    * hour. Both sides carry a watermark and the join condition bounds
-    * event time on both sides — exactly the contract Spark needs to
-    * expire join state; the interval also bounds the per-user pair count.
-    * Inner join emits every match under AvailableNow, so the batch
-    * interval join is an exact oracle (the generous watermark only delays
-    * state cleanup, never the inner-join output). Pairs land in a
-    * distributed parquet sink; the read-back aggregate is batch-side.
+    * hour. Both sides carry the PRODUCTION watermark contract — a 10 min
+    * late-arrival allowance, the same delay st_stream_join_outer and
+    * st_watermark_late model — so join state per user is bounded by
+    * (1 h interval + 10 min delay) of events, never the stream's
+    * lifetime. Output remains the exact batch interval join: the replay
+    * drains in one data batch whose rows are all processed against the
+    * initial (epoch-zero) watermark, so nothing is late-dropped and every
+    * inner match emits then; the tightened watermark governs state
+    * EVICTION only — after the trailing no-data batch, retained state is
+    * bounded by the watermark horizon (views within interval+delay of the
+    * timeline end, purchases within the delay), not by stream size
+    * (Round5Spec measures the post-drain state-store row count). Pairs
+    * land in a distributed parquet sink; the read-back aggregate is
+    * batch-side.
     */
   val stStreamJoin: Q = (s, d) => {
     val (ev, base) = eventsStream(s, d, "st_stream_join")
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("v_id"))
-      .withWatermark("v_ts", "60 days")
+      .withWatermark("v_ts", "10 minutes")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("p_id"))
-      .withWatermark("p_ts", "60 days")
+      .withWatermark("p_ts", "10 minutes")
     val pairs = purchases.join(views,
       expr("p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
     runAppend(s, pairs, base)
@@ -520,16 +536,72 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
-  /** Streaming CDC APPLY — the production streaming-merge pattern: a
-    * change stream lands via `foreachBatch`, and each micro-batch MERGES
-    * into the current snapshot (full-outer join + coalesce, the
-    * op_merge_upsert plan) writing a new snapshot version; the version
-    * pointer advances batch-by-batch, so a crash replays only the failed
-    * batch against the last committed version. On a real deployment the
-    * per-batch rewrite is a table-format MERGE / partition overwrite —
-    * the join shape verified here is identical. Updates carry +250 cents
-    * on every 4th key plus fresh inserts; the final snapshot aggregate
-    * proves both arms landed exactly once.
+  /** Key-range width of one snapshot partition (`part = key div 4096`) —
+    * the streaming-CDC analogue of a date partition: partition COUNT grows
+    * with the table, per-partition size stays constant, so a batch's
+    * rewrite cost is (touched partitions) × (constant partition size).
+    */
+  private[graft] val CdcPartWidth = 4096L
+
+  /** One micro-batch of the CDC APPLY, factored out so Round5Spec can time
+    * it directly against two table sizes with an identical batch: MERGE the
+    * batch against ONLY the snapshot partitions its keys touch (full-outer
+    * join + coalesce, the op_merge_upsert plan), then commit via DYNAMIC
+    * partition overwrite — untouched partitions are never read, never
+    * rewritten. The merged slice is localCheckpoint'd first because
+    * InsertIntoHadoopFsRelationCommand (correctly) refuses an overwrite of
+    * a path that appears in its own input plan; the checkpoint is bounded
+    * by the touched slice + batch and its blocks are released eagerly
+    * after the commit.
+    */
+  private[graft] def applyCdcBatch(batch: Dataset[org.apache.spark.sql.Row],
+      table: String): Unit = {
+    val sess = batch.sparkSession
+    val withPart = batch.withColumn(
+      "part", (col("key") / lit(CdcPartWidth)).cast("int"))
+    // Partition inventory of this batch: a distinct over a handful of ints
+    // — partition METADATA crosses the driver, never row data.
+    val touched = withPart.select(col("part")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val tgt = sess.read.parquet(table).filter(col("part").isin(touched: _*))
+    val src = withPart
+      .withColumnRenamed("key", "u_key")
+      .withColumnRenamed("cents", "u_cents")
+      .withColumnRenamed("src", "u_src")
+      .drop("part")
+    val merged = tgt.join(src, col("key") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("u_key"), col("key")).as("key"),
+        coalesce(col("u_cents"), col("cents")).as("cents"),
+        coalesce(col("u_src"), col("src")).as("src"))
+      .withColumn("part", (col("key") / lit(CdcPartWidth)).cast("int"))
+      .localCheckpoint(true)
+    try
+      merged.repartition(col("part"))
+        .write.mode("overwrite").partitionBy("part").parquet(table)
+    finally merged.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  /** Streaming CDC APPLY bounded to TOUCHED PARTITIONS — the production
+    * streaming-merge pattern at 100 TB: the snapshot lives as a
+    * range-partitioned table (`part = key div 4096`, the key-space
+    * analogue of date partitioning), and each micro-batch MERGES against
+    * only the partitions its keys touch, committing via dynamic partition
+    * overwrite (applyCdcBatch above). The update set is bounded to the
+    * low key range (key ≤ 6000 — present identically at every sf, the
+    * "recent partition" of this fixture), so per-batch cost scales with
+    * BATCH size while the table scales freely: at ×10 table the batch
+    * touches the same ~4 constant-width partitions (Round5Spec measures
+    * this directly). Crash safety needs no version pointer: the MERGE
+    * carries absolute values, so a replayed batch rewrites its touched
+    * partitions to byte-identical content — idempotent under Spark's
+    * batch-replay contract. Updates carry +250 cents on every 4th low key
+    * plus fresh inserts; the final snapshot aggregate proves both arms
+    * landed exactly once.
     */
   val stForeachBatchUpsert: Q = (s, d) => {
     val base = fresh("st_fb_upsert", d)
@@ -537,8 +609,12 @@ object Streaming {
       col("o_orderkey").as("key"),
       round(col("o_totalprice") * 100).cast("long").as("cents"),
       lit("base").as("src"))
-    target0.write.parquet(s"$base/target_v0")
-    val updates = target0.filter(pmod(col("key"), lit(4)) === 0)
+    val table = s"$base/target"
+    target0.withColumn("part", (col("key") / lit(CdcPartWidth)).cast("int"))
+      .repartition(col("part"))
+      .write.partitionBy("part").parquet(table)
+    val updates = target0
+      .filter(pmod(col("key"), lit(4)) === 0 && col("key") <= 6000L)
       .select(col("key"), (col("cents") + 250L).as("cents"),
         lit("delta").as("src"))
     updates
@@ -547,31 +623,17 @@ object Streaming {
       .repartition(2).write.parquet(s"$base/updates")
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    @volatile var current = s"$base/target_v0"
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val q = ss.readStream.schema(target0.schema).parquet(s"$base/updates")
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$base/cp")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        val sess = batch.sparkSession
-        val tgt = sess.read.parquet(current)
-        val src = batch
-          .withColumnRenamed("key", "u_key")
-          .withColumnRenamed("cents", "u_cents")
-          .withColumnRenamed("src", "u_src")
-        val next = s"$base/target_v${bid + 1}"
-        tgt.join(src, col("key") === col("u_key"), "full_outer")
-          .select(
-            coalesce(col("u_key"), col("key")).as("key"),
-            coalesce(col("u_cents"), col("cents")).as("cents"),
-            coalesce(col("u_src"), col("src")).as("src"))
-          .write.parquet(next)
-        current = next
-        ()
+        applyCdcBatch(batch, table)
       }
       .start()
     q.awaitTermination()
-    ss.read.parquet(current)
+    ss.read.parquet(table)
       .groupBy(col("src"))
       .agg(
         count(lit(1)).as("n"),
@@ -703,12 +765,14 @@ object Streaming {
         |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
         |merged AS (
         |  SELECT key,
-        |   CASE WHEN key % 4 = 0 THEN cents + 250 ELSE cents END AS cents,
-        |   CASE WHEN key % 4 = 0 THEN 'delta' ELSE 'base' END AS src
+        |   CASE WHEN key % 4 = 0 AND key <= 6000 THEN cents + 250
+        |        ELSE cents END AS cents,
+        |   CASE WHEN key % 4 = 0 AND key <= 6000 THEN 'delta'
+        |        ELSE 'base' END AS src
         |  FROM base
         |  UNION ALL
         |  SELECT key + 2000000000, cents + 250, 'delta' FROM base
-        |  WHERE key % 4 = 0)
+        |  WHERE key % 4 = 0 AND key <= 6000)
         |SELECT src, count(*) AS n, count(DISTINCT key) AS n_keys,
         | CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM merged GROUP BY src ORDER BY src""".stripMargin,

@@ -81,11 +81,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("join_bucketed: bucket layout feeds the merge join with no exchange") {
-    // The registered query returns a checkpointed result (so it can drop its
-    // scratch tables); assert on the underlying lazy join plan.
-    val (tables, joined) = graft.operators.Relational.joinBucketedPlan(spark, sf)
+    // Assert on the lazy join plan; the bucketed tables are session-memoized
+    // fixtures now (dropBucketedTables owns their lifecycle, not callers).
+    val (_, joined) = graft.operators.Relational.joinBucketedPlan(spark, sf)
     val p = joined.queryExecution.explainString(ExplainMode.fromString("simple"))
-    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     assert(p.contains("SortMergeJoin"))
     // The only hash exchange allowed is the groupBy on o_orderpriority —
     // the join itself must be satisfied by the bucket layout.

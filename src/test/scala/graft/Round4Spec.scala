@@ -158,11 +158,21 @@ class Round4Spec extends AnyFunSuite {
       .select(col("user_id").as("vu"), col("ts").as("vts"))
     val p = e.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("ts").as("pts"))
-    val batchUnmatched = p.join(v, expr(
+    val unmatched = p.join(v, expr(
         "pu = vu AND vts >= pts - INTERVAL 1 HOUR AND vts <= pts"), "left_anti")
-      .count()
-    assert(rows.getOrElse(false, 0L) < batchUnmatched,
-      "at least the newest unmatched purchase must still be held in state")
+    // Exact emission rule (the oracle's): an unmatched purchase emits
+    // NULL-padded iff the final global watermark — least(max p_ts,
+    // max v_ts) - 10 min, computed in full timestamp precision — has
+    // passed its event time. Strict < verified against the engine at two
+    // sfs; equality here is data-independent (the old `< batchUnmatched`
+    // failed if no unmatched purchase fell in the final 10 minutes).
+    val wm = p.agg(max(col("pts")).as("mp"))
+      .crossJoin(v.agg(max(col("vts")).as("mv")))
+      .select(expr("least(mp, mv) - INTERVAL 10 MINUTES").as("w"))
+    val expectedEmit = unmatched.crossJoin(wm)
+      .filter(col("pts") < col("w")).count()
+    assert(rows.getOrElse(false, 0L) == expectedEmit,
+      "unmatched emission must equal the analytic watermark-cutoff count")
   }
 
   test("st_checkpoint_resume processes appended files exactly once") {
@@ -179,7 +189,9 @@ class Round4Spec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = Tables.orders(spark, sf).count()
     val nUpd = Tables.orders(spark, sf)
-      .filter(pmod(col("o_orderkey"), lit(4)) === 0).count()
+      .filter(pmod(col("o_orderkey"), lit(4)) === 0 &&
+        col("o_orderkey") <= 6000L).count()
+    assert(nUpd > 0, "the bounded update set must be non-empty at every sf")
     assert(rows("base") == n - nUpd, "untouched rows keep base provenance")
     assert(rows("delta") == 2 * nUpd, "updates + inserts both carry delta")
   }
