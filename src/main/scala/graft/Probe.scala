@@ -175,3 +175,59 @@ object Probe {
     println("[probe] fuzzy/verified: " + time("verify") { verified.count() })
   }
 }
+
+/** §6.5 MERGE scale probe: per-batch Acid.merge cost on the 1× orders table
+  * vs a ×10 table at PRODUCTION geometry — file SIZE held constant, file
+  * COUNT grows ×10 (a lakehouse rolls files at ~1 GB; tables grow in file
+  * count). The CDC batch patches a FIXED absolute key range, so at ×10 the
+  * manifest prunes 10× harder and the touched-byte volume — hence per-batch
+  * cost — should stay flat. A flat ratio here is the §2.10 claim "per-batch
+  * cost tracks batch locality, not table size" measured, the same
+  * done-criterion the round-5 st_foreachbatch_upsert redesign used.
+  *
+  *   sbt "runMain graft.AcidProbe /root/testdata/sf0.1"
+  */
+object AcidProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Acid
+
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("prio"))
+    val kShift = base.agg(max(col("k"))).head.getLong(0) + 1
+    val x10 = base.crossJoin(spark.range(10).toDF("cp"))
+      .withColumn("k", col("k") + col("cp") * kShift).drop("cp")
+
+    // Fixed absolute batch: patch keys [0, kShift/8) ∩ (k % 10 = 3) — same
+    // rows at both scales, clustered into the first file(s).
+    def batchFor(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("k") % 10 === 3 && col("k") < lit(kShift / 8))
+        .withColumn("price_cents", col("price_cents") + 777)
+        .withColumn("prio", lit("PATCHED"))
+
+    def run(tag: String, df: org.apache.spark.sql.DataFrame, nFiles: Int): Double = {
+      val dir = Scratch.fresh(s"acid_probe_$tag", sfDir)
+      Acid.create(spark, dir, df, "k", nFiles)
+      val b = batchFor(df)
+      b.count() // materialize the batch plan outside the timed window
+      val t0 = System.nanoTime()
+      val r = Acid.merge(spark, dir, b, "p")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[acid-probe] $tag%-4s files=${r.filesTotal}%3d rewritten=${r.filesRewritten} merge=$sec%.2fs")
+      sec
+    }
+    val s1  = run("x1", base, 8)
+    val s10 = run("x10", x10, 80)
+    println(f"[acid-probe] ratio x10/x1 = ${s10 / s1}%.2f (flat ≈ 1.0 = batch-bounded)")
+    spark.stop()
+  }
+}
