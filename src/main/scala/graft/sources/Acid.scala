@@ -276,6 +276,26 @@ object Acid {
     throw new IllegalStateException("unreachable")
   }
 
+  /** OPTIMIZE (bin-pack compaction) as a COMMITTED version: the live
+    * snapshot is rewritten into `targetFiles` range-partitioned files and
+    * committed like any other writer — concurrent readers keep their
+    * snapshot, concurrent writers conflict-and-rebase normally, and the
+    * fragmented originals become vacuumable. At 100 TB OPTIMIZE runs over
+    * bin-packed file subsets per key range rather than the whole table;
+    * the commit protocol is identical. Returns (filesBefore, filesAfter).
+    */
+  def optimize(s: SparkSession, dir: String, targetFiles: Int): (Int, Int) = {
+    val v = latestVersion(dir)
+    val m = readManifest(dir, v)
+    val key = keyColOf(s, dir)
+    val dataDir = s"d${v + 1}_opt"
+    snapshot(s, dir, v)
+      .repartitionByRange(targetFiles, col(key))
+      .write.mode("overwrite").parquet(s"$dir/$dataDir")
+    commitManifest(dir, Manifest(v + 1, -1L, statsOf(s, dir, dataDir, key)))
+    (m.files.size, readManifest(dir, v + 1).files.size)
+  }
+
   /** VACUUM: delete every data file not referenced by a manifest version
     * >= `retainFrom` (rewritten-away originals AND abandoned conflict
     * attempts), then drop the older manifests so time travel below the
@@ -478,6 +498,71 @@ object Acid {
       .withColumn("version_unchanged", lit(second.version == first.version))
   }
 
+  /** tbl_optimize_compact — OPTIMIZE as a transaction: a 64-way
+    * fragmented layout (the state every table reaches after many small
+    * CDC commits) bin-packed to 4 files in one committed version. The
+    * pre-optimize snapshot stays readable (time travel) until vacuum;
+    * losslessness travels through the oracle aggregate.
+    */
+  val tblOptimizeCompact: Q = (s, d) => {
+    val dir = fresh("tbl_optimize_compact", d)
+    create(s, dir, ordersKV(s, d), "k", 64)
+    val (before, after) = optimize(s, dir, 4)
+    val v0Readable = Try(snapshot(s, dir, 0).count()).isSuccess
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("files_reduced", lit(before > after))
+      .withColumn("files_after_le_4", lit(after <= 4))
+      .withColumn("pre_optimize_readable", lit(v0Readable))
+  }
+
+  /** tbl_stream_sink — Structured Streaming foreachBatch writing THROUGH
+    * the ACID log: a CDC update stream (three arrival files, one per
+    * micro-batch) merges into the table with `batchId` as the exactly-once
+    * token; each batch prunes to the files its key-third touches. After
+    * the drain, re-applying the last committed batch id is a log lookup
+    * no-op — the end-to-end exactly-once contract a replayed foreachBatch
+    * needs, now held by the TABLE rather than the sink's good behavior.
+    */
+  val tblStreamSink: Q = (s, d) => {
+    val dir  = fresh("tbl_stream_sink", d)
+    val base = fresh("tbl_stream_sink_inbox", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val updates = ordersKV(s, d).filter(col("k") % 10 === 3)
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("prio", lit("PATCHED"))
+    // one arrival file per key-third → one micro-batch per locality slice
+    val third = mk / 3 + 1
+    (0 until 3).foreach { i =>
+      updates.filter(col("k") >= i * third && col("k") < (i + 1) * third)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/arrival_$i")
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream.schema(updates.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/arrival_*")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/cp")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        merge(batch.sparkSession, dir, batch, "st", batchId = bid): Unit
+      }
+      .start()
+    q.awaitTermination()
+    val latest = latestVersion(dir)
+    val lastBatchId = readManifest(dir, latest).batchId
+    val replay = merge(s, dir, updates, "replay", batchId = lastBatchId)
+    snapshot(s, dir)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("replay_skipped", lit(replay.skipped))
+      .withColumn("version_stable", lit(replay.version == latest))
+      .orderBy(col("prio"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tbl_acid_merge"        -> tblAcidMerge,
     "tbl_time_travel"       -> tblTimeTravel,
@@ -485,7 +570,9 @@ object Acid {
     "tbl_schema_evolve"     -> tblSchemaEvolve,
     "tbl_concurrent_commit" -> tblConcurrentCommit,
     "tbl_vacuum"            -> tblVacuum,
-    "tbl_idempotent_retry"  -> tblIdempotentRetry)
+    "tbl_idempotent_retry"  -> tblIdempotentRetry,
+    "tbl_optimize_compact"  -> tblOptimizeCompact,
+    "tbl_stream_sink"       -> tblStreamSink)
 
   val oracles: Map[String, String] = Map(
     "tbl_acid_merge" ->
@@ -569,6 +656,27 @@ object Acid {
         |                THEN pc + 333 ELSE pc END) AS BIGINT) AS sum_cents,
         |  TRUE AS orphans_removed, TRUE AS live_intact, TRUE AS v0_refused
         |FROM base""".stripMargin,
+    "tbl_optimize_compact" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       TRUE AS files_reduced, TRUE AS files_after_le_4,
+        |       TRUE AS pre_optimize_readable
+        |FROM base""".stripMargin,
+    "tbl_stream_sink" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |merged AS (
+        |  SELECT CASE WHEN k % 10 = 3 THEN pc + 777 ELSE pc END AS price_cents,
+        |         CASE WHEN k % 10 = 3 THEN 'PATCHED' ELSE prio END AS prio
+        |  FROM base)
+        |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS replay_skipped, TRUE AS version_stable
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
     "tbl_idempotent_retry" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

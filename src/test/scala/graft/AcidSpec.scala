@@ -142,6 +142,20 @@ class AcidSpec extends AnyFunSuite {
     assert(sumAfterSecond == sumAfterFirst)
   }
 
+  test("optimize commits a bin-packed version; fragmented snapshot stays time-travelable") {
+    val dir = Scratch.fresh("acid_spec_optimize", sf)
+    Acid.create(spark, dir, kv(sf), "k", 32)
+    val preAgg = Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0)
+    val (before, after) = Acid.optimize(spark, dir, 4)
+    assert(before > after && after <= 4)
+    assert(Acid.latestVersion(dir) == 1)
+    assert(Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0) == preAgg)
+    // pre-optimize version readable until vacuum; gone after
+    assert(Acid.snapshot(spark, dir, 0).count() == Acid.snapshot(spark, dir, 1).count())
+    val (deleted, _) = Acid.vacuum(spark, dir, retainFrom = 1)
+    assert(deleted == before, "vacuum must reclaim exactly the fragmented originals")
+  }
+
   test("schema evolution widens new files only; old files keep the narrow schema") {
     val dir = freshTable("acid_spec_evolve")
     val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
