@@ -55,7 +55,13 @@ object Acid {
   // Log + manifest machinery
   // ======================================================================
 
-  final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
+  /** `stats2` = optional (column, min, max) for a SECOND skipping
+    * dimension, populated by a Z-order rewrite. Files written without it
+    * (initial create, later merges) simply cannot be skipped on that
+    * column — conservative, always correct.
+    */
+  final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
+                             stats2: Option[(String, Long, Long)] = None)
   final case class Manifest(version: Int, batchId: Long, files: Seq[FileEntry])
   final case class MergeResult(version: Int, filesRewritten: Int, filesTotal: Int,
                                skipped: Boolean)
@@ -87,7 +93,8 @@ object Acid {
     val header = lines.head.split('|')
     val files = lines.tail.map { l =>
       val a = l.split('|')
-      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong)
+      val s2 = if (a.length >= 7) Some((a(4), a(5).toLong, a(6).toLong)) else None
+      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2)
     }
     Manifest(header(0).toInt, header(1).toLong, files.toSeq)
   }
@@ -101,8 +108,10 @@ object Acid {
   private def commitManifest(dir: String, m: Manifest): Unit = {
     Files.createDirectories(logDir(dir))
     val body = (s"${m.version}|${m.batchId}" +:
-      m.files.map(f => s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}"))
-      .mkString("\n")
+      m.files.map { f =>
+        val s2 = f.stats2.map { case (c, mn, mx) => s"|$c|$mn|$mx" }.getOrElse("")
+        s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2"
+      }).mkString("\n")
     val tmp = logDir(dir).resolve(s".tmp-v${m.version}-${Thread.currentThread().getId}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     try Files.move(tmp, manifestPath(dir, m.version))
@@ -114,16 +123,20 @@ object Acid {
     * #files-sized result reaches the driver.
     */
   private def statsOf(s: SparkSession, tableDir: String, dataDir: String,
-                      keyCol: String): Seq[FileEntry] = {
+                      keyCol: String, col2: Option[String] = None): Seq[FileEntry] = {
     val prefix = Paths.get(tableDir).toAbsolutePath.toString
+    val aggs = Seq(count(lit(1)).as("rows"),
+      min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx")) ++
+      col2.toSeq.flatMap(c => Seq(min(col(c)).as("mn2"), max(col(c)).as("mx2")))
     s.read.parquet(s"$tableDir/$dataDir")
       .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("rows"), min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         val abs = new java.net.URI(r.getString(0)).getPath
         FileEntry(abs.stripPrefix(prefix).stripPrefix("/"),
-          r.getLong(1), r.getLong(2), r.getLong(3))
+          r.getLong(1), r.getLong(2), r.getLong(3),
+          col2.map(c => (c, r.getLong(4), r.getLong(5))))
       }.sortBy(_.path).toSeq
   }
 
@@ -294,6 +307,67 @@ object Acid {
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     commitManifest(dir, Manifest(v + 1, -1L, statsOf(s, dir, dataDir, key)))
     (m.files.size, readManifest(dir, v + 1).files.size)
+  }
+
+  /** Z-ORDER rewrite: cluster the table on the Morton (bit-interleaved)
+    * value of (key, col2) so per-file min/max stats become selective on
+    * BOTH columns — the multi-dimensional data-skipping technique behind
+    * `OPTIMIZE ZORDER BY`. Each column is normalized to a 16-bit bucket
+    * against its global min/max (two 1-row aggregates, driver metadata),
+    * the bits interleaved with the standard magic-number spreads — all
+    * codegen'd bitwise builtins, no UDF — and the snapshot rewritten
+    * range-partitioned + sorted by z. The manifest then carries per-file
+    * stats for BOTH dimensions. Committed like any writer (concurrent
+    * readers/writers unaffected); at 100 TB this runs per key-range subset
+    * like optimize().
+    */
+  def optimizeZorder(s: SparkSession, dir: String, col2: String,
+                     targetFiles: Int): (Int, Int) = {
+    val v = latestVersion(dir)
+    val m = readManifest(dir, v)
+    val key = keyColOf(s, dir)
+    val df = snapshot(s, dir, v)
+    val b = df.agg(min(col(key)), max(col(key)), min(col(col2)), max(col(col2))).head
+    val (k0, k1, c0, c1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def bucket16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      (((c - lit(lo)) * 65535L) / lit(math.max(1L, hi - lo))).cast("bigint")
+    def spread(c: org.apache.spark.sql.Column) = {
+      // 16 bits → even bit positions of a 32-bit lane (Morton spread)
+      val a = c.bitwiseAND(lit(0xFFFFL))
+      val s1 = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val z = spread(bucket16(col(key), k0, k1))
+      .bitwiseOR(shiftleft(spread(bucket16(col(col2), c0, c1)), 1))
+    val dataDir = s"d${v + 1}_z"
+    df.withColumn("_z", z)
+      .repartitionByRange(targetFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(s"$dir/$dataDir")
+    commitManifest(dir, Manifest(v + 1, -1L,
+      statsOf(s, dir, dataDir, key, Some(col2))))
+    (m.files.size, readManifest(dir, v + 1).files.size)
+  }
+
+  /** Stats-based skipping on the SECOND dimension: manifest-only pruning
+    * against `stats2` ranges; files without second-column stats are kept
+    * (conservative). Returns (frame, filesScanned, filesTotal).
+    */
+  def scanCol2Range(s: SparkSession, dir: String, col2: String, lo: Long, hi: Long)
+      : (DataFrame, Int, Int) = {
+    val m = readManifest(dir, latestVersion(dir))
+    val live = m.files.filter(_.stats2 match {
+      case Some((c, mn, mx)) if c == col2 => mx >= lo && mn <= hi
+      case _ => true
+    })
+    val df =
+      if (live.isEmpty) snapshot(s, dir).limit(0)
+      else s.read.option("mergeSchema", "true")
+        .parquet(live.map(f => s"$dir/${f.path}"): _*)
+    (df.filter(col(col2).between(lo, hi)), live.size, m.files.size)
   }
 
   /** VACUUM: delete every data file not referenced by a manifest version
@@ -498,6 +572,32 @@ object Acid {
       .withColumn("version_unchanged", lit(second.version == first.version))
   }
 
+  /** tbl_zorder — multi-dimensional data skipping: a second-column range
+    * query against the key-range layout must scan EVERY file (c2
+    * uncorrelated with the range key — `no_skip_before` pins the failure
+    * mode), then the Z-order rewrite makes the same query skip most files
+    * via the manifest's two-dimensional stats. The values travel through
+    * the oracle; the skip deltas travel as pinned booleans.
+    */
+  val tblZorder: Q = (s, d) => {
+    val dir = fresh("tbl_zorder", d)
+    val t = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      col("o_custkey").as("c2"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    create(s, dir, t, "k", 8)
+    val b = t.agg(min(col("c2")), max(col("c2"))).head
+    val (c0, c1) = (b.getLong(0), b.getLong(1))
+    val hi = c0 + (c1 - c0) / 8
+    val (_, scanned0, total0) = scanCol2Range(s, dir, "c2", c0, hi)
+    optimizeZorder(s, dir, "c2", 16)
+    val (df, scanned1, total1) = scanCol2Range(s, dir, "c2", c0, hi)
+    df.agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        min(col("c2")).as("min_c2"), max(col("c2")).as("max_c2"))
+      .withColumn("no_skip_before", lit(scanned0 == total0))
+      .withColumn("skips_after", lit(scanned1 < total1))
+  }
+
   /** tbl_optimize_compact — OPTIMIZE as a transaction: a 64-way
     * fragmented layout (the state every table reaches after many small
     * CDC commits) bin-packed to 4 files in one committed version. The
@@ -572,7 +672,8 @@ object Acid {
     "tbl_vacuum"            -> tblVacuum,
     "tbl_idempotent_retry"  -> tblIdempotentRetry,
     "tbl_optimize_compact"  -> tblOptimizeCompact,
-    "tbl_stream_sink"       -> tblStreamSink)
+    "tbl_stream_sink"       -> tblStreamSink,
+    "tbl_zorder"            -> tblZorder)
 
   val oracles: Map[String, String] = Map(
     "tbl_acid_merge" ->
@@ -656,6 +757,16 @@ object Acid {
         |                THEN pc + 333 ELSE pc END) AS BIGINT) AS sum_cents,
         |  TRUE AS orphans_removed, TRUE AS live_intact, TRUE AS v0_refused
         |FROM base""".stripMargin,
+    "tbl_zorder" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c2,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |bnd AS (SELECT min(c2) AS c0, min(c2) + (max(c2) - min(c2)) // 8 AS chi
+        |        FROM base)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       min(c2) AS min_c2, max(c2) AS max_c2,
+        |       TRUE AS no_skip_before, TRUE AS skips_after
+        |FROM base WHERE c2 BETWEEN (SELECT c0 FROM bnd) AND (SELECT chi FROM bnd)""".stripMargin,
     "tbl_optimize_compact" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -156,6 +156,31 @@ class AcidSpec extends AnyFunSuite {
     assert(deleted == before, "vacuum must reclaim exactly the fragmented originals")
   }
 
+  test("z-order: second-column skipping appears after the rewrite, stays exact") {
+    val dir = Scratch.fresh("acid_spec_zorder", sf)
+    val t = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("c2"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    Acid.create(spark, dir, t, "k", 8)
+    val b = t.agg(min(col("c2")), max(col("c2"))).head
+    val (c0, c1) = (b.getLong(0), b.getLong(1))
+    val hi = c0 + (c1 - c0) / 8
+    val (df0, scanned0, total0) = Acid.scanCol2Range(spark, dir, "c2", c0, hi)
+    val truth = df0.count()
+    assert(scanned0 == total0, "key-range layout cannot skip on c2")
+    Acid.optimizeZorder(spark, dir, "c2", 16)
+    val (df1, scanned1, total1) = Acid.scanCol2Range(spark, dir, "c2", c0, hi)
+    assert(scanned1 < total1, s"z-order must enable skipping ($scanned1/$total1)")
+    assert(df1.count() == truth, "pruned scan must stay exact")
+    // a merge AFTER z-order rewrites files without c2 stats — skipping
+    // degrades conservatively (rewritten file always scanned), never wrong
+    val batch = t.filter(col("k") % 13 === 1 && col("k") < 50)
+      .withColumn("price_cents", col("price_cents") + 5)
+    Acid.merge(spark, dir, batch, "zm")
+    val (df2, _, _) = Acid.scanCol2Range(spark, dir, "c2", c0, hi)
+    assert(df2.count() == truth)
+  }
+
   test("schema evolution widens new files only; old files keep the narrow schema") {
     val dir = freshTable("acid_spec_evolve")
     val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
