@@ -992,6 +992,62 @@ object Llm {
         col("meta").getField("n_chars").as("meta_chars"))
       .orderBy(col("doc_id"))
 
+  /** Domain mixing weights (the Pile/DoReMi training-mixture step): given a
+    * target distribution over sources (uniform here — the rebalancing case),
+    * compute each domain's actual share, the up/down-sampling weight that
+    * hits the target, and the expected per-domain document count under the
+    * corpus budget. One k-row aggregate + a 1-row broadcast back; all ratios
+    * in integer ppm (exact at any scale, fold-order-free). At 100 TB the
+    * weights drive llm_sample_stratified-style deterministic sampling.
+    */
+  val domainMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val totals = docs.agg(count(lit(1)).as("total"),
+      countDistinct(col("source")).as("k"))
+    counts.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"),
+        // `div`, not `/`: Spark's Column `/` is double division even on
+        // longs, and these ratios must stay exact integers for hash parity
+        expr("n_docs * 1000000 div total").as("actual_ppm"),
+        expr("1000000 div k").as("target_ppm"),
+        expr("total * 1000000 div (k * n_docs)").as("weight_ppm"),
+        expr("total div k").as("expected_n"))
+      .orderBy(col("source"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    * MOSS algorithm): 8-char gram rolling hashes, and a gram is SELECTED
+    * when it is the minimum of the w=4 window it opens — guaranteeing every
+    * w-run contributes a fingerprint (density → 2/(w+1)) while staying
+    * position-robust under insertion, which plain min-sampling is not. The
+    * explode is narrow ((doc, pos, hash32) rows only), one window shuffle on
+    * doc_id — the llm_chunk_text cost shape; hashes are 32-bit ints from
+    * md5 so both engines agree bit-exactly.
+    */
+  val winnowFingerprint: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"),
+        conv(substring(md5(col("text").substr(col("p"), lit(8)).cast("binary")), 1, 8),
+          16, 10).cast("long").as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, 3)
+    grams.withColumn("hmin", min(col("h")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("h") === col("hmin"), 1L).otherwise(0L)).as("n_selected"),
+        countDistinct(when(col("h") === col("hmin"), col("h"))).as("n_fp"),
+        min(when(col("h") === col("hmin"), col("h"))).as("min_fp"))
+      .withColumn("density_ppm", expr("n_selected * 1000000 div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, Q] = Map(
@@ -1020,7 +1076,9 @@ object Llm {
     "llm_lang_id" -> langId,
     "llm_simsearch_ivf" -> simsearchIvf,
     "llm_knn_graph" -> knnGraph,
-    "llm_multimodal_cols" -> multimodalCols
+    "llm_multimodal_cols" -> multimodalCols,
+    "llm_domain_mix" -> domainMix,
+    "llm_winnow_fingerprint" -> winnowFingerprint
   )
 
   /** The banded-MinHash candidate + verification pipeline as DuckDB CTEs —
@@ -1457,6 +1515,37 @@ object Llm {
         | hex(encode(substring(text, 1, 4))) AS prefix_hex,
         | lang AS meta_lang,
         | n_chars AS meta_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_domain_mix" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT count(*) AS total, count(DISTINCT source) AS k FROM documents)
+        |SELECT source, n_docs,
+        | n_docs * 1000000 // total AS actual_ppm,
+        | 1000000 // k AS target_ppm,
+        | total * 1000000 // (k * n_docs) AS weight_ppm,
+        | total // k AS expected_n
+        |FROM counts CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "llm_winnow_fingerprint" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i AS p,
+        |   CAST(('0x' || substring(md5(substring(text, i, 8)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 6)) AS i)
+        |  WHERE length(text) >= 8),
+        |win AS (
+        |  SELECT doc_id, p, h,
+        |   min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS hmin
+        |  FROM grams)
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN h = hmin THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        | CAST(count(DISTINCT CASE WHEN h = hmin THEN h END) AS BIGINT) AS n_fp,
+        | min(CASE WHEN h = hmin THEN h END) AS min_fp,
+        | CAST(sum(CASE WHEN h = hmin THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |   // count(*) AS density_ppm
+        |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
