@@ -1020,7 +1020,40 @@ object Relational {
         |FROM up GROUP BY depth ORDER BY depth""".stripMargin)
   }
 
+  /** Cohort retention matrix — the canonical product-analytics rollup:
+    * users cohorted by first-activity day, per-(cohort, day-offset)
+    * distinct-active counts and a ppm retention rate against the cohort
+    * size. Shuffle discipline mirrors op_funnel_events: the user-day
+    * activity set, the per-user cohort aggregate and the activity⋈cohort
+    * join all key on user_id, so the cohort agg's hash partitioning feeds
+    * the join without a second exchange on that side; only the final
+    * (cohort, offset) matrix aggregate — k·offsets rows — introduces a new
+    * key. Integer ppm keeps the rate exact (fold-order-free).
+    */
+  val winRetentionCohort: Q = (s, d) => {
+    val activity = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("cohort_n"))
+    activity.join(cohort, "user_id")
+      .withColumn("offset_days", datediff(col("day"), col("cohort_day")))
+      .filter(col("offset_days") <= 7)
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .withColumn("retention_ppm", expr("n_active * 1000000 div cohort_n"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+      // DATE as ISO string: the two engines' dataframe bridges render raw
+      // dates differently ("2024-01-01" vs "2024-01-01 00:00:00"), which
+      // breaks hash parity even when values agree
+      .withColumn("cohort_day", date_format(col("cohort_day"), "yyyy-MM-dd"))
+      .withColumn("offset_days", col("offset_days").cast("long"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "win_retention_cohort" -> winRetentionCohort,
     "op_dq_profile" -> opDqProfile,
     "op_funnel_events" -> opFunnelEvents,
     "op_recursive_cte" -> opRecursiveCte,
@@ -1071,6 +1104,26 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "win_retention_cohort" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_day, count(DISTINCT user_id) AS cohort_n
+        |  FROM cohort GROUP BY cohort_day),
+        |mat AS (
+        |  SELECT c.cohort_day, a.day - c.cohort_day AS offset_days,
+        |         count(DISTINCT a.user_id) AS n_active
+        |  FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        |  WHERE a.day - c.cohort_day <= 7
+        |  GROUP BY c.cohort_day, a.day - c.cohort_day)
+        |SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       m.offset_days, m.n_active, s.cohort_n,
+        |       m.n_active * 1000000 // s.cohort_n AS retention_ppm
+        |FROM mat m JOIN sizes s ON m.cohort_day = s.cohort_day
+        |ORDER BY cohort_day, m.offset_days""".stripMargin,
     "op_dq_profile" ->
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
