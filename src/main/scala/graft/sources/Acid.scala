@@ -289,6 +289,50 @@ object Acid {
     throw new IllegalStateException("unreachable")
   }
 
+  /** CHANGE DATA FEED between two versions: because a MERGE carries
+    * untouched files forward BY ENTRY, any row-level change must live in a
+    * file present in exactly one of the two manifests — so the diff reads
+    * only the symmetric difference of the file lists (cost ∝ changed
+    * files, not table size) and classifies per key: old-side missing →
+    * insert, value drift under null-safe comparison → update (post-image
+    * emitted), identical → suppressed (a rewritten file can carry
+    * co-located unchanged rows). Downstream consumers get the same
+    * incremental view a Delta CDF reader provides, without a table scan.
+    */
+  def changeFeed(s: SparkSession, dir: String, v0: Int, v1: Int): DataFrame = {
+    val m0 = readManifest(dir, v0)
+    val m1 = readManifest(dir, v1)
+    val key = keyColOf(s, dir)
+    val p0 = m0.files.map(_.path).toSet
+    val p1 = m1.files.map(_.path).toSet
+    val oldOnly = m0.files.filterNot(f => p1.contains(f.path))
+    val newOnly = m1.files.filterNot(f => p0.contains(f.path))
+    def read(fs: Seq[FileEntry], tag: String): DataFrame = {
+      val base =
+        if (fs.isEmpty) snapshot(s, dir, v1).limit(0)
+        else s.read.option("mergeSchema", "true")
+          .parquet(fs.map(f => s"$dir/${f.path}"): _*)
+      base.select(base.columns.map(c =>
+        if (c == key) col(c) else col(c).as(s"${tag}_$c")): _*)
+    }
+    val o = read(oldOnly, "old").withColumn("_in_old", lit(true))
+    val n = read(newOnly, "new").withColumn("_in_new", lit(true))
+    val valueCols = m1.files.headOption
+      .map(f => s.read.parquet(s"$dir/${f.path}").schema.fieldNames.filter(_ != key).toSeq)
+      .getOrElse(Seq.empty)
+    val changed = valueCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("_in_old").isNull, lit("insert"))
+          .when(col("_in_new").isNull, lit("delete"))
+          .when(changed, lit("update"))
+          .otherwise(lit("none")))
+      .filter(col("change_type") =!= "none")
+      .drop("_in_old", "_in_new")
+  }
+
   /** OPTIMIZE (bin-pack compaction) as a COMMITTED version: the live
     * snapshot is rewritten into `targetFiles` range-partitioned files and
     * committed like any other writer — concurrent readers keep their
@@ -598,6 +642,32 @@ object Acid {
       .withColumn("skips_after", lit(scanned1 < total1))
   }
 
+  /** tbl_change_feed — version-to-version CDC OUT of the table: after the
+    * standard merge (clustered updates + inserts), the v0→v1 change feed
+    * reads only the file-list symmetric difference and emits exactly the
+    * update post-images and inserts — co-located unchanged rows in
+    * rewritten files are suppressed by the null-safe value comparison.
+    * Summary per change type with key/value checksums.
+    */
+  val tblChangeFeed: Q = (s, d) => {
+    val dir = fresh("tbl_change_feed", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val updates = ordersKV(s, d)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("prio", lit("PATCHED"))
+    val inserts = ordersKV(s, d).filter(col("k") % 100 === 0)
+      .select((col("k") + mk + 1).as("k"),
+        (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio"))
+    merge(s, dir, updates.unionByName(inserts), "m")
+    changeFeed(s, dir, 0, 1)
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(col("new_price_cents")).as("sum_cents_post"))
+      .orderBy(col("change_type"))
+  }
+
   /** tbl_optimize_compact — OPTIMIZE as a transaction: a 64-way
     * fragmented layout (the state every table reaches after many small
     * CDC commits) bin-packed to 4 files in one committed version. The
@@ -673,7 +743,8 @@ object Acid {
     "tbl_idempotent_retry"  -> tblIdempotentRetry,
     "tbl_optimize_compact"  -> tblOptimizeCompact,
     "tbl_stream_sink"       -> tblStreamSink,
-    "tbl_zorder"            -> tblZorder)
+    "tbl_zorder"            -> tblZorder,
+    "tbl_change_feed"       -> tblChangeFeed)
 
   val oracles: Map[String, String] = Map(
     "tbl_acid_merge" ->
@@ -757,6 +828,20 @@ object Acid {
         |                THEN pc + 333 ELSE pc END) AS BIGINT) AS sum_cents,
         |  TRUE AS orphans_removed, TRUE AS live_intact, TRUE AS v0_refused
         |FROM base""".stripMargin,
+    "tbl_change_feed" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT 'insert' AS change_type, count(*) AS n,
+        |       CAST(sum(k + (SELECT m FROM mx) + 1) AS BIGINT) AS sum_k,
+        |       CAST(sum(k * 3 + 45) AS BIGINT) AS sum_cents_post
+        |FROM base WHERE k % 100 = 0
+        |UNION ALL
+        |SELECT 'update', count(*), CAST(sum(k) AS BIGINT),
+        |       CAST(sum(pc + 777) AS BIGINT)
+        |FROM base WHERE k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |ORDER BY change_type""".stripMargin,
     "tbl_zorder" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_custkey AS c2,

@@ -181,6 +181,25 @@ class AcidSpec extends AnyFunSuite {
     assert(df2.count() == truth)
   }
 
+  test("change feed: suppresses unchanged rows, and an optimize-only diff is empty") {
+    val dir = freshTable("acid_spec_cdf")
+    Acid.merge(spark, dir, lowQuarterUpdates(sf), "spec")
+    val feed = Acid.changeFeed(spark, dir, 0, 1)
+    val byType = feed.groupBy(col("change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedUpdates = lowQuarterUpdates(sf).count()
+    assert(byType.getOrElse("update", 0L) == expectedUpdates)
+    assert(byType.getOrElse("insert", 0L) == 0L && byType.getOrElse("delete", 0L) == 0L)
+    // rewritten files carry co-located unchanged rows — the feed must be
+    // strictly smaller than the rewritten-file row count
+    val m1 = Acid.readManifest(dir, 1)
+    val rewrittenRows = m1.files.filter(_.path.startsWith("d1_")).map(_.rows).sum
+    assert(expectedUpdates < rewrittenRows)
+    // OPTIMIZE rewrites every file but changes no values → empty feed
+    Acid.optimize(spark, dir, 4)
+    assert(Acid.changeFeed(spark, dir, 1, 2).count() == 0L)
+  }
+
   test("schema evolution widens new files only; old files keep the narrow schema") {
     val dir = freshTable("acid_spec_evolve")
     val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
