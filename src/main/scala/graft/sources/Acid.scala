@@ -333,6 +333,38 @@ object Acid {
       .drop("_in_old", "_in_new")
   }
 
+  /** DELETE WHERE with file pruning — the right-to-be-forgotten primitive:
+    * only files whose key range overlaps `keyRange` (the caller's pruning
+    * hint; None = all files) are rewritten WITHOUT the matching rows;
+    * every other file is carried forward untouched. A file rewritten to
+    * zero rows simply drops out of the manifest (its stage file becomes
+    * vacuumable). Returns (rowsDeleted, filesRewritten, filesTotal). At
+    * 100 TB a GDPR erasure with a locality hint touches a handful of
+    * files; the deletion is then visible to consumers via changeFeed.
+    */
+  def deleteWhere(s: SparkSession, dir: String, pred: org.apache.spark.sql.Column,
+                  keyRange: Option[(Long, Long)], writerTag: String): (Long, Int, Int) = {
+    val base = latestVersion(dir)
+    val m = readManifest(dir, base)
+    val key = keyColOf(s, dir)
+    val (touched, untouched) = keyRange match {
+      case Some((lo, hi)) => m.files.partition(f => f.maxKey >= lo && f.minKey <= hi)
+      case None           => (m.files, Seq.empty[FileEntry])
+    }
+    if (touched.isEmpty) return (0L, 0, m.files.size)
+    val touchedDf = s.read.option("mergeSchema", "true")
+      .parquet(touched.map(f => s"$dir/${f.path}"): _*)
+    val kept = touchedDf.filter(!pred)
+    val nextV = base + 1
+    val dataDir = s"d${nextV}_$writerTag"
+    kept.repartitionByRange(math.max(1, touched.size), col(key))
+      .write.mode("overwrite").parquet(s"$dir/$dataDir")
+    val newEntries = statsOf(s, dir, dataDir, key)
+    commitManifest(dir, Manifest(nextV, -1L, untouched ++ newEntries))
+    val deleted = touched.map(_.rows).sum - newEntries.map(_.rows).sum
+    (deleted, touched.size, m.files.size)
+  }
+
   /** OPTIMIZE (bin-pack compaction) as a COMMITTED version: the live
     * snapshot is rewritten into `targetFiles` range-partitioned files and
     * committed like any other writer — concurrent readers keep their
@@ -412,6 +444,24 @@ object Acid {
       else s.read.option("mergeSchema", "true")
         .parquet(live.map(f => s"$dir/${f.path}"): _*)
     (df.filter(col(col2).between(lo, hi)), live.size, m.files.size)
+  }
+
+  /** SHALLOW CLONE: a new table whose v0 manifest references the source's
+    * live files by RELATIVE path — zero bytes copied, instant at any table
+    * size. Writes to the clone land in the clone's own directories
+    * (copy-on-write divergence: a merge rewrites its touched files into
+    * the clone, carrying the rest as source references); the source is
+    * never touched. The clone's vacuum walks only its own root, so
+    * source-referenced files (outside it) can never be reclaimed by the
+    * clone. Returns the number of referenced files.
+    */
+  def cloneShallow(s: SparkSession, srcDir: String, dstDir: String): Int = {
+    val m = readManifest(srcDir, latestVersion(srcDir))
+    val rel = Paths.get(dstDir).toAbsolutePath
+      .relativize(Paths.get(srcDir).toAbsolutePath)
+    val entries = m.files.map(f => f.copy(path = s"$rel/${f.path}"))
+    commitManifest(dstDir, Manifest(0, -1L, entries))
+    entries.size
   }
 
   /** VACUUM: delete every data file not referenced by a manifest version
@@ -668,6 +718,63 @@ object Acid {
       .orderBy(col("change_type"))
   }
 
+  /** tbl_delete_where — pruned predicate DELETE (GDPR erasure): rows with
+    * `k % 10 = 6` in the low key quarter are erased; the key-range hint
+    * prunes the rewrite to the overlapping files, the deletion surfaces in
+    * the change feed as pure `delete` rows, and the surviving snapshot
+    * matches the oracle's NOT-predicate aggregate.
+    */
+  val tblDeleteWhere: Q = (s, d) => {
+    val dir = fresh("tbl_delete_where", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val (deleted, rewritten, total) = deleteWhere(s, dir,
+      col("k") % 10 === 6 && col("k") < lit(mk / 4),
+      Some((0L, mk / 4 - 1)), "del")
+    val feedTypes = changeFeed(s, dir, 0, 1)
+      .groupBy(col("change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        min(col("k")).as("min_k"))
+      .withColumn("files_pruned", lit(rewritten >= 1 && rewritten < total))
+      .withColumn("feed_all_deletes",
+        lit(feedTypes.keySet == Set("delete") && feedTypes("delete") == deleted))
+  }
+
+  /** tbl_clone_shallow — zero-copy clone + copy-on-write divergence: the
+    * clone is created without copying a byte (pinned: no data files exist
+    * under the clone before its first write), a merge into the clone
+    * rewrites only its touched files locally, and the SOURCE still serves
+    * its original state afterwards — the dev/test-against-prod-data
+    * workflow every lakehouse team runs.
+    */
+  val tblCloneShallow: Q = (s, d) => {
+    val base = fresh("tbl_clone_shallow", d)
+    val src = s"$base/src"; val dst = s"$base/clone"
+    val mk = maxKey(s, d)
+    create(s, src, ordersKV(s, d), "k", 8)
+    Files.createDirectories(Paths.get(dst))
+    cloneShallow(s, src, dst)
+    val cloneDataFilesAtV0 = {
+      val st = Files.walk(Paths.get(dst))
+      try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    val updates = ordersKV(s, d)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("prio", lit("PATCHED"))
+    merge(s, dst, updates, "cw")
+    def agg(dir: String, side: String) = snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("side", lit(side))
+    agg(dst, "clone").unionByName(agg(src, "source"))
+      .withColumn("zero_copy", lit(cloneDataFilesAtV0 == 0))
+      .select("side", "n", "sum_cents", "zero_copy")
+      .orderBy(col("side"))
+  }
+
   /** tbl_optimize_compact — OPTIMIZE as a transaction: a 64-way
     * fragmented layout (the state every table reaches after many small
     * CDC commits) bin-packed to 4 files in one committed version. The
@@ -744,7 +851,9 @@ object Acid {
     "tbl_optimize_compact"  -> tblOptimizeCompact,
     "tbl_stream_sink"       -> tblStreamSink,
     "tbl_zorder"            -> tblZorder,
-    "tbl_change_feed"       -> tblChangeFeed)
+    "tbl_change_feed"       -> tblChangeFeed,
+    "tbl_delete_where"      -> tblDeleteWhere,
+    "tbl_clone_shallow"     -> tblCloneShallow)
 
   val oracles: Map[String, String] = Map(
     "tbl_acid_merge" ->
@@ -828,6 +937,29 @@ object Acid {
         |                THEN pc + 333 ELSE pc END) AS BIGINT) AS sum_cents,
         |  TRUE AS orphans_removed, TRUE AS live_intact, TRUE AS v0_refused
         |FROM base""".stripMargin,
+    "tbl_clone_shallow" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT 'clone' AS side, count(*) AS n,
+        |  CAST(sum(CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |                THEN pc + 777 ELSE pc END) AS BIGINT) AS sum_cents,
+        |  TRUE AS zero_copy
+        |FROM base
+        |UNION ALL
+        |SELECT 'source', count(*), CAST(sum(pc) AS BIGINT), TRUE FROM base
+        |ORDER BY side""".stripMargin,
+    "tbl_delete_where" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       min(k) AS min_k,
+        |       TRUE AS files_pruned, TRUE AS feed_all_deletes
+        |FROM base
+        |WHERE NOT (k % 10 = 6 AND k < (SELECT m FROM mx) // 4)""".stripMargin,
     "tbl_change_feed" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

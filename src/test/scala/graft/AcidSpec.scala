@@ -200,6 +200,48 @@ class AcidSpec extends AnyFunSuite {
     assert(Acid.changeFeed(spark, dir, 1, 2).count() == 0L)
   }
 
+  test("delete-where prunes to the hinted range and the feed shows pure deletes") {
+    val dir = freshTable("acid_spec_delete")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    val before = dataFiles(dir)
+    val expected = kv(sf)
+      .filter(col("k") % 10 === 6 && col("k") < lit(mk / 4)).count()
+    val (deleted, rewritten, total) = Acid.deleteWhere(spark, dir,
+      col("k") % 10 === 6 && col("k") < lit(mk / 4),
+      Some((0L, mk / 4 - 1)), "spec")
+    assert(deleted == expected)
+    assert(rewritten >= 1 && rewritten < total)
+    // untouched files byte-identical; erased keys gone from the snapshot
+    val after = dataFiles(dir)
+    Acid.readManifest(dir, 1).files.map(_.path)
+      .filterNot(_.startsWith("d1_")).foreach(p => assert(after(p) == before(p)))
+    assert(Acid.snapshot(spark, dir)
+      .filter(col("k") % 10 === 6 && col("k") < lit(mk / 4)).count() == 0L)
+    val feed = Acid.changeFeed(spark, dir, 0, 1)
+    assert(feed.filter(col("change_type") =!= "delete").count() == 0L)
+    assert(feed.count() == deleted)
+  }
+
+  test("shallow clone: copy-on-write divergence, and clone vacuum spares the source") {
+    val base = Scratch.fresh("acid_spec_clone", sf)
+    val src = s"$base/src"; val dst = s"$base/clone"
+    Acid.create(spark, src, kv(sf), "k", 8)
+    val srcFiles = dataFiles(src)
+    Acid.cloneShallow(spark, src, dst)
+    val srcSum = Acid.snapshot(spark, src).agg(sum(col("price_cents"))).head.getLong(0)
+    assert(Acid.snapshot(spark, dst).agg(sum(col("price_cents"))).head.getLong(0) == srcSum)
+    Acid.merge(spark, dst, lowQuarterUpdates(sf), "cw")
+    // clone diverged; source bytes and aggregate untouched
+    assert(Acid.snapshot(spark, src).agg(sum(col("price_cents"))).head.getLong(0) == srcSum)
+    assert(dataFiles(src) == srcFiles)
+    // clone vacuum reclaims nothing from the source (its root excludes it),
+    // and the clone still reads correctly afterwards
+    val cloneSum = Acid.snapshot(spark, dst).agg(sum(col("price_cents"))).head.getLong(0)
+    Acid.vacuum(spark, dst, retainFrom = 1)
+    assert(dataFiles(src) == srcFiles)
+    assert(Acid.snapshot(spark, dst).agg(sum(col("price_cents"))).head.getLong(0) == cloneSum)
+  }
+
   test("schema evolution widens new files only; old files keep the narrow schema") {
     val dir = freshTable("acid_spec_evolve")
     val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
