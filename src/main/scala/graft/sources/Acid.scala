@@ -62,7 +62,15 @@ object Acid {
     */
   final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
                              stats2: Option[(String, Long, Long)] = None)
-  final case class Manifest(version: Int, batchId: Long, files: Seq[FileEntry])
+  /** `maxBatch` is the high-water mark of every batch id ever committed —
+    * carried forward by all writers so the exactly-once replay check is a
+    * SINGLE latest-manifest read (O(1)), not a scan of the whole version
+    * history (O(versions) — a real cost at thousands of commits). Sound
+    * because foreachBatch batch ids are monotone per query: a replayed id
+    * is always ≤ the high-water mark, a new id always above it.
+    */
+  final case class Manifest(version: Int, batchId: Long, files: Seq[FileEntry],
+                            maxBatch: Long = -1L)
   final case class MergeResult(version: Int, filesRewritten: Int, filesTotal: Int,
                                skipped: Boolean)
 
@@ -96,7 +104,8 @@ object Acid {
       val s2 = if (a.length >= 7) Some((a(4), a(5).toLong, a(6).toLong)) else None
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2)
     }
-    Manifest(header(0).toInt, header(1).toLong, files.toSeq)
+    Manifest(header(0).toInt, header(1).toLong, files.toSeq,
+      if (header.length >= 3) header(2).toLong else -1L)
   }
 
   /** Atomic put-if-absent commit: write a temp record, then rename WITHOUT
@@ -107,7 +116,7 @@ object Acid {
     */
   private def commitManifest(dir: String, m: Manifest): Unit = {
     Files.createDirectories(logDir(dir))
-    val body = (s"${m.version}|${m.batchId}" +:
+    val body = (s"${m.version}|${m.batchId}|${m.maxBatch}" +:
       m.files.map { f =>
         val s2 = f.stats2.map { case (c, mn, mx) => s"|$c|$mn|$mx" }.getOrElse("")
         s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2"
@@ -255,7 +264,8 @@ object Acid {
     val newEntries = statsOf(s, dir, dataDir, keyCol)
 
     try {
-      commitManifest(dir, Manifest(nextV, batchId, untouched ++ newEntries))
+      commitManifest(dir, Manifest(nextV, batchId, untouched ++ newEntries,
+        math.max(m.maxBatch, batchId)))
       Right(MergeResult(nextV, touched.size, m.files.size, skipped = false))
     } catch {
       case _: FileAlreadyExistsException =>
@@ -263,21 +273,20 @@ object Acid {
     }
   }
 
-  /** MERGE with optimistic retry + exactly-once batch dedup: if `batchId`
-    * already appears in the log the apply is skipped (the foreachBatch
-    * retry contract); a version conflict rebases against the new latest
-    * manifest and re-applies.
+  /** MERGE with optimistic retry + exactly-once batch dedup: a `batchId`
+    * at or below the log's high-water mark is a replay and the apply is
+    * skipped — an O(1) latest-manifest read, valid because streaming batch
+    * ids are monotone per query (the foreachBatch contract); a version
+    * conflict rebases against the new latest manifest and re-applies.
     */
   def merge(s: SparkSession, dir: String, batch: DataFrame, writerTag: String,
             batchId: Long = -1L, maxAttempts: Int = 5): MergeResult = {
     var attempt = 0
     while (true) {
       val latest = latestVersion(dir)
-      if (batchId >= 0L &&
-          (0 to latest).exists(v => Try(readManifest(dir, v).batchId == batchId)
-            .getOrElse(false)))
-        return MergeResult(latest, 0, readManifest(dir, latest).files.size,
-          skipped = true)
+      val head = readManifest(dir, latest)
+      if (batchId >= 0L && batchId <= head.maxBatch)
+        return MergeResult(latest, 0, head.files.size, skipped = true)
       mergeAt(s, dir, latest, batch, s"${writerTag}a$attempt", batchId) match {
         case Right(r) => return r
         case Left(_)  =>
@@ -360,7 +369,7 @@ object Acid {
     kept.repartitionByRange(math.max(1, touched.size), col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     val newEntries = statsOf(s, dir, dataDir, key)
-    commitManifest(dir, Manifest(nextV, -1L, untouched ++ newEntries))
+    commitManifest(dir, Manifest(nextV, -1L, untouched ++ newEntries, m.maxBatch))
     val deleted = touched.map(_.rows).sum - newEntries.map(_.rows).sum
     (deleted, touched.size, m.files.size)
   }
@@ -381,7 +390,8 @@ object Acid {
     snapshot(s, dir, v)
       .repartitionByRange(targetFiles, col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
-    commitManifest(dir, Manifest(v + 1, -1L, statsOf(s, dir, dataDir, key)))
+    commitManifest(dir, Manifest(v + 1, -1L, statsOf(s, dir, dataDir, key),
+      m.maxBatch))
     (m.files.size, readManifest(dir, v + 1).files.size)
   }
 
@@ -424,7 +434,7 @@ object Acid {
       .drop("_z")
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     commitManifest(dir, Manifest(v + 1, -1L,
-      statsOf(s, dir, dataDir, key, Some(col2))))
+      statsOf(s, dir, dataDir, key, Some(col2)), m.maxBatch))
     (m.files.size, readManifest(dir, v + 1).files.size)
   }
 
@@ -460,7 +470,7 @@ object Acid {
     val rel = Paths.get(dstDir).toAbsolutePath
       .relativize(Paths.get(srcDir).toAbsolutePath)
     val entries = m.files.map(f => f.copy(path = s"$rel/${f.path}"))
-    commitManifest(dstDir, Manifest(0, -1L, entries))
+    commitManifest(dstDir, Manifest(0, -1L, entries, m.maxBatch))
     entries.size
   }
 
