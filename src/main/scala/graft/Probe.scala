@@ -214,7 +214,7 @@ object AcidProbe {
         .withColumn("price_cents", col("price_cents") + 777)
         .withColumn("prio", lit("PATCHED"))
 
-    def run(tag: String, df: org.apache.spark.sql.DataFrame, nFiles: Int): Double = {
+    def run(tag: String, df: org.apache.spark.sql.DataFrame, nFiles: Int): (Double, Double) = {
       val dir = Scratch.fresh(s"acid_probe_$tag", sfDir)
       Acid.create(spark, dir, df, "k", nFiles)
       val b = batchFor(df)
@@ -222,12 +222,17 @@ object AcidProbe {
       val t0 = System.nanoTime()
       val r = Acid.merge(spark, dir, b, "p")
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[acid-probe] $tag%-4s files=${r.filesTotal}%3d rewritten=${r.filesRewritten} merge=$sec%.2fs")
-      sec
+      // change feed reads the file-list symmetric difference — its cost
+      // must also track changed files, not table size
+      val t1 = System.nanoTime()
+      val nCh = Acid.changeFeed(spark, dir, 0, 1).count()
+      val cfSec = (System.nanoTime() - t1) / 1e9
+      println(f"[acid-probe] $tag%-4s files=${r.filesTotal}%3d rewritten=${r.filesRewritten} merge=$sec%.2fs cdf=$cfSec%.2fs changes=$nCh")
+      (sec, cfSec)
     }
-    val s1  = run("x1", base, 8)
-    val s10 = run("x10", x10, 80)
-    println(f"[acid-probe] ratio x10/x1 = ${s10 / s1}%.2f (flat ≈ 1.0 = batch-bounded)")
+    val (m1, c1)   = run("x1", base, 8)
+    val (m10, c10) = run("x10", x10, 80)
+    println(f"[acid-probe] merge ratio x10/x1 = ${m10 / m1}%.2f, cdf ratio = ${c10 / c1}%.2f (flat ≈ 1.0 = batch-bounded)")
     spark.stop()
   }
 }

@@ -114,7 +114,7 @@ object Acid {
     * HDFS/object stores the same contract is the atomic rename / if-none-
     * match PUT.)
     */
-  private def commitManifest(dir: String, m: Manifest): Unit = {
+  private[graft] def commitManifest(dir: String, m: Manifest): Unit = {
     Files.createDirectories(logDir(dir))
     val body = (s"${m.version}|${m.batchId}|${m.maxBatch}" +:
       m.files.map { f =>

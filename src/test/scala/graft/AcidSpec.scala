@@ -242,6 +242,42 @@ class AcidSpec extends AnyFunSuite {
     assert(Acid.snapshot(spark, dst).agg(sum(col("price_cents"))).head.getLong(0) == cloneSum)
   }
 
+  test("manifest serialization round-trips 200 generated manifests exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T]): T = g.apply(Gen.Parameters.default, Seed(7L)).get
+    // path charset: anything a real writer produces (no '|' / newline by
+    // construction — data dirs and parquet part names are [A-Za-z0-9._-/])
+    val pathGen = for {
+      v <- Gen.choose(0, 99); tag <- Gen.alphaNumStr.map(_.take(6))
+      f <- Gen.alphaNumStr.map(_.take(12))
+    } yield s"d${v}_$tag/part-$f.parquet"
+    val entryGen = for {
+      p <- pathGen
+      rows <- Gen.choose(0L, Long.MaxValue / 2)
+      mn <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      mx <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      s2 <- Gen.option(for {
+        c <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+        a <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+        b <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      } yield (c, a, b))
+    } yield Acid.FileEntry(p, rows, mn, mx, s2)
+    val manifestGen = for {
+      bid <- Gen.choose(-1L, Long.MaxValue / 2)
+      hw  <- Gen.choose(-1L, Long.MaxValue / 2)
+      fs  <- Gen.listOfN(5, entryGen)
+    } yield (bid, hw, fs)
+    val dir = Scratch.fresh("acid_spec_roundtrip", sf)
+    sample(Gen.listOfN(200, manifestGen)).zipWithIndex.foreach {
+      case ((bid, hw, fs), v) =>
+        val m = Acid.Manifest(v, bid, fs, hw)
+        Acid.commitManifest(dir, m)
+        assert(Acid.readManifest(dir, v) == m, s"round-trip failed at v$v")
+    }
+    assert(Acid.latestVersion(dir) == 199)
+  }
+
   test("schema evolution widens new files only; old files keep the narrow schema") {
     val dir = freshTable("acid_spec_evolve")
     val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
