@@ -785,6 +785,40 @@ object Acid {
       .orderBy(col("side"))
   }
 
+  /** tbl_sql_source — the table as a first-class Spark SQL source: after a
+    * merge, `spark.read.format("graft-acid")` exposes the snapshot to a
+    * temp view; a SQL range predicate reaches the relation as pushed-down
+    * filters and prunes manifest files inside the planner (`pruned`
+    * boolean, from the relation's scan metrics); `option("version","0")`
+    * is time travel from the read API, proven by the full-table sums
+    * diverging between v0 and latest.
+    */
+  val tblSqlSource: Q = (s, d) => {
+    val dir = fresh("tbl_sql_source", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val updates = ordersKV(s, d)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("prio", lit("PATCHED"))
+    merge(s, dir, updates, "m")
+    s.read.format("graft-acid").load(dir).createOrReplaceTempView("graft_acid_t")
+    val lo = mk / 2; val hi = mk / 2 + mk / 8
+    val slice = s.sql(
+      s"""SELECT count(*) AS n, sum(price_cents) AS sum_cents,
+         |       min(k) AS min_k, max(k) AS max_k
+         |FROM graft_acid_t WHERE k BETWEEN $lo AND $hi""".stripMargin)
+    slice.count() // force the scan so the relation's metrics are populated
+    val (scanned, total) = AcidRelation.lastScan(dir)
+    val latestSum = s.sql("SELECT sum(price_cents) FROM graft_acid_t")
+      .head.getLong(0)
+    val v0Sum = s.read.format("graft-acid").option("version", "0").load(dir)
+      .agg(sum(col("price_cents"))).head.getLong(0)
+    slice
+      .withColumn("pruned", lit(scanned >= 1 && scanned < total))
+      .withColumn("time_travel_differs", lit(latestSum != v0Sum))
+  }
+
   /** tbl_optimize_compact — OPTIMIZE as a transaction: a 64-way
     * fragmented layout (the state every table reaches after many small
     * CDC commits) bin-packed to 4 files in one committed version. The
@@ -863,7 +897,8 @@ object Acid {
     "tbl_zorder"            -> tblZorder,
     "tbl_change_feed"       -> tblChangeFeed,
     "tbl_delete_where"      -> tblDeleteWhere,
-    "tbl_clone_shallow"     -> tblCloneShallow)
+    "tbl_clone_shallow"     -> tblCloneShallow,
+    "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
     "tbl_acid_merge" ->
@@ -947,6 +982,19 @@ object Acid {
         |                THEN pc + 333 ELSE pc END) AS BIGINT) AS sum_cents,
         |  TRUE AS orphans_removed, TRUE AS live_intact, TRUE AS v0_refused
         |FROM base""".stripMargin,
+    "tbl_sql_source" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |                THEN pc + 777 ELSE pc END) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  TRUE AS pruned, TRUE AS time_travel_differs
+        |FROM base
+        |WHERE k BETWEEN (SELECT m FROM mx) // 2
+        |            AND (SELECT m FROM mx) // 2 + (SELECT m FROM mx) // 8""".stripMargin,
     "tbl_clone_shallow" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

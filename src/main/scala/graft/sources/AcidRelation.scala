@@ -1,0 +1,114 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Spark-native connector for the ACID table format (SURVEY §2.10): a V1
+  * `RelationProvider` + `PrunedFilteredScan`, so `spark.read
+  * .format("graft-acid").load(dir)` — and any SQL view over it — plans
+  * manifest file pruning INSIDE Spark's optimizer: the planner hands the
+  * relation its pushed-down predicates, key-range filters prune to the
+  * overlapping manifest entries (driver metadata only), column pruning
+  * passes through to the underlying parquet scan, and the surviving
+  * filters are re-applied by Spark above the scan (exactness regardless of
+  * pruning precision). `version` option = time travel from SQL.
+  *
+  * The V1 source API is the right altitude here: the relation's input is
+  * already parquet with its own V2 reader underneath — this layer only
+  * decides WHICH files participate, which is exactly what
+  * `PrunedFilteredScan` expresses. Registered via
+  * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister.
+  */
+class AcidSourceProvider extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft-acid"
+  override def createRelation(ctx: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-acid: .load(<table dir>) is required"))
+    val version = parameters.get("version").map(_.toInt).getOrElse(-1)
+    new AcidRelation(ctx, dir, version)
+  }
+}
+
+object AcidRelation {
+  /** (filesScanned, filesTotal) of the last buildScan per table dir —
+    * observability hook for AcidSpec's pruning assertion (plan-side
+    * metrics are not reachable from a V1 relation).
+    */
+  val lastScan: TrieMap[String, (Int, Int)] = TrieMap.empty
+}
+
+class AcidRelation(ctx: SQLContext, dir: String, version: Int)
+    extends BaseRelation with PrunedFilteredScan {
+
+  private val manifest =
+    Acid.readManifest(dir, if (version < 0) Acid.latestVersion(dir) else version)
+  private val keyCol: String =
+    ctx.sparkSession.read.parquet(s"$dir/${manifest.files.head.path}")
+      .schema.fields.head.name
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType =
+    ctx.sparkSession.read.option("mergeSchema", "true")
+      .parquet(manifest.files.map(f => s"$dir/${f.path}"): _*).schema
+
+  // Conservative key bounds from the pushed predicates: unhandled shapes
+  // widen the range (never narrow it) — pruning stays sound because Spark
+  // re-applies every filter above this scan.
+  private def keyBounds(filters: Array[Filter]): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case _       => None
+    }
+    filters.foreach {
+      case EqualTo(c, v) if c == keyCol =>
+        asLong(v).foreach { l => lo = math.max(lo, l); hi = math.min(hi, l) }
+      case GreaterThan(c, v) if c == keyCol =>
+        asLong(v).foreach(l => lo = math.max(lo, l + 1))
+      case GreaterThanOrEqual(c, v) if c == keyCol =>
+        asLong(v).foreach(l => lo = math.max(lo, l))
+      case LessThan(c, v) if c == keyCol =>
+        asLong(v).foreach(l => hi = math.min(hi, l - 1))
+      case LessThanOrEqual(c, v) if c == keyCol =>
+        asLong(v).foreach(l => hi = math.min(hi, l))
+      case In(c, vs) if c == keyCol && vs.nonEmpty =>
+        val ls = vs.flatMap(asLong)
+        if (ls.length == vs.length) { lo = math.max(lo, ls.min); hi = math.min(hi, ls.max) }
+      case And(l, r) =>
+        val (l1, h1) = keyBounds(Array(l)); val (l2, h2) = keyBounds(Array(r))
+        lo = math.max(lo, math.max(l1, l2)); hi = math.min(hi, math.min(h1, h2))
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val (lo, hi) = keyBounds(filters)
+    val live = manifest.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    AcidRelation.lastScan.put(dir, (live.size, manifest.files.size))
+    val s = ctx.sparkSession
+    val base =
+      if (live.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+      else s.read.option("mergeSchema", "true")
+        .parquet(live.map(f => s"$dir/${f.path}"): _*)
+    // re-apply the key range on the inner frame so it reaches the parquet
+    // reader (row-group skipping); Spark re-applies the full predicates
+    // above this scan either way
+    val ranged = base.filter(col(keyCol).between(lo, hi))
+    val projected =
+      if (requiredColumns.isEmpty) ranged.select()
+      else ranged.select(requiredColumns.map(col).toSeq: _*)
+    projected.rdd
+  }
+}

@@ -278,6 +278,27 @@ class AcidSpec extends AnyFunSuite {
     assert(Acid.latestVersion(dir) == 199)
   }
 
+  test("graft-acid SQL source: pushed filters prune files, results stay exact") {
+    val dir = freshTable("acid_spec_sqlsrc")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    val df = spark.read.format("graft-acid").load(dir)
+    df.createOrReplaceTempView("acid_spec_v")
+    val lo = mk / 2; val hi = mk / 2 + mk / 8
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS n, sum(price_cents) AS sc FROM acid_spec_v " +
+      s"WHERE k BETWEEN $lo AND $hi").head
+    val (scanned, total) = graft.sources.AcidRelation.lastScan(dir)
+    assert(scanned >= 1 && scanned < total, s"expected pruning, got $scanned/$total")
+    val direct = Acid.snapshot(spark, dir)
+      .filter(col("k").between(lo, hi))
+      .agg(count(lit(1)), sum(col("price_cents"))).head
+    assert(viaSql == direct)
+    // an unfiltered scan must NOT prune
+    spark.sql("SELECT count(*) FROM acid_spec_v").head
+    val (s2, t2) = graft.sources.AcidRelation.lastScan(dir)
+    assert(s2 == t2)
+  }
+
   test("schema evolution widens new files only; old files keep the narrow schema") {
     val dir = freshTable("acid_spec_evolve")
     val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
