@@ -1048,6 +1048,45 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** URL canonicalization + dedup — the first dedup a web-crawl corpus
+    * runs (the same page arrives as http/HTTPS, mixed-case hosts, with
+    * tracking params and fragments): lowercase scheme+host, drop the
+    * default :443 port, strip `utm_*`/`ref` tracking params and the
+    * fragment, then dedup on the canonical form (keeper = min key, count
+    * of raw variants per page). URLs are synthesized from orders with
+    * deliberate variation (host case by key parity, three utm sources) so
+    * raw-distinct strictly exceeds canonical-distinct. All codegen string
+    * builtins in the backref-free regex subset both engines share; one
+    * hash agg on the canonical key — shuffle carries (canon, key) only.
+    */
+  val dedupUrl: Q = (s, d) => {
+    val raw = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      expr(
+        """concat(
+          |  CASE WHEN o_orderkey % 2 = 0 THEN 'HTTPS://Shop-' ELSE 'https://shop-' END,
+          |  CAST(o_custkey % 5 AS STRING), '.Example.COM:443/item/',
+          |  CAST(o_orderkey % 100 AS STRING),
+          |  '?utm_source=', CASE CAST(o_orderkey % 3 AS INT)
+          |     WHEN 0 THEN 'mail' WHEN 1 THEN 'ads' ELSE 'feed' END,
+          |  '&ref=', CAST(o_orderkey % 7 AS STRING),
+          |  '&id=', CAST(o_orderkey % 100 AS STRING),
+          |  '#sec-', CAST(o_orderkey % 4 AS STRING))""".stripMargin).as("url"))
+    val canon = raw.withColumn("canonical_url", expr(
+      """replace(
+        |  regexp_replace(
+        |    regexp_replace(
+        |      concat(lower(regexp_extract(url, '^[^/]+//[^/]+', 0)),
+        |             substring(url, length(regexp_extract(url, '^[^/]+//[^/]+', 0)) + 1)),
+        |      '#.*$', ''),
+        |    '(utm_[a-z]+|ref)=[^&#]*&', ''),
+        |  ':443/', '/')""".stripMargin))
+    canon.groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("url")).as("n_raw_distinct"),
+        min(col("k")).as("keeper_key"))
+      .orderBy(col("canonical_url"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, Q] = Map(
@@ -1078,7 +1117,8 @@ object Llm {
     "llm_knn_graph" -> knnGraph,
     "llm_multimodal_cols" -> multimodalCols,
     "llm_domain_mix" -> domainMix,
-    "llm_winnow_fingerprint" -> winnowFingerprint
+    "llm_winnow_fingerprint" -> winnowFingerprint,
+    "llm_dedup_url" -> dedupUrl
   )
 
   /** The banded-MinHash candidate + verification pipeline as DuckDB CTEs —
@@ -1546,6 +1586,34 @@ object Llm {
         | min(CASE WHEN h = hmin THEN h END) AS min_fp,
         | CAST(sum(CASE WHEN h = hmin THEN 1 ELSE 0 END) AS BIGINT) * 1000000
         |   // count(*) AS density_ppm
-        |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey AS k,
+        |    (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTPS://Shop-' ELSE 'https://shop-' END)
+        |    || CAST(o_custkey % 5 AS VARCHAR) || '.Example.COM:443/item/'
+        |    || CAST(o_orderkey % 100 AS VARCHAR)
+        |    || '?utm_source=' || (CASE CAST(o_orderkey % 3 AS INT)
+        |         WHEN 0 THEN 'mail' WHEN 1 THEN 'ads' ELSE 'feed' END)
+        |    || '&ref=' || CAST(o_orderkey % 7 AS VARCHAR)
+        |    || '&id=' || CAST(o_orderkey % 100 AS VARCHAR)
+        |    || '#sec-' || CAST(o_orderkey % 4 AS VARCHAR) AS url
+        |  FROM orders),
+        |canon AS (
+        |  SELECT k, url,
+        |    replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          lower(regexp_extract(url, '^[^/]+//[^/]+', 0)) ||
+        |            substring(url, length(regexp_extract(url, '^[^/]+//[^/]+', 0)) + 1),
+        |          '#.*$', ''),
+        |        '(utm_[a-z]+|ref)=[^&#]*&', '', 'g'),
+        |      ':443/', '/') AS canonical_url
+        |  FROM raw)
+        |SELECT canonical_url, count(*) AS n_raw,
+        |       count(DISTINCT url) AS n_raw_distinct,
+        |       min(k) AS keeper_key
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
   )
 }
