@@ -1052,7 +1052,34 @@ object Relational {
       .withColumn("offset_days", col("offset_days").cast("long"))
   }
 
+  /** OUTER theta join — the null-extension arm of the non-equi family
+    * (join_theta_range covers inner): orders LEFT-join a 5-row custkey
+    * band dim on a range predicate; keys outside every band survive
+    * null-extended. Plans as BroadcastNestedLoopJoin with the tiny dim
+    * broadcast — the only correct shape for outer non-equi (a shuffled
+    * nested loop cannot null-extend across partitions), and exactly what a
+    * 100 TB fact × literal-band classification runs. Aggregated per band
+    * (NULL band = unclassified) in integer cents.
+    */
+  val joinThetaOuter: Q = (s, d) => {
+    val bands = Tables.region(s, d).select(
+      col("r_name").as("band"),
+      (col("r_regionkey") * 20).as("lo"),
+      (col("r_regionkey") * 20 + 14).as("hi"))
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    o.join(broadcast(bands),
+        o("o_custkey").between(bands("lo"), bands("hi")), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price_cents")).as("sum_cents"),
+        min(col("o_custkey")).as("min_cust"))
+      .orderBy(col("band").asc_nulls_first)
+  }
+
   def queries: Map[String, Q] = Map(
+    "join_theta_outer" -> joinThetaOuter,
     "win_retention_cohort" -> winRetentionCohort,
     "op_dq_profile" -> opDqProfile,
     "op_funnel_events" -> opFunnelEvents,
@@ -1104,6 +1131,16 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "join_theta_outer" ->
+      """SELECT r.r_name AS band, count(*) AS n,
+        | CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents,
+        | min(o.o_custkey) AS min_cust
+        |FROM orders o
+        |LEFT JOIN region r
+        |  ON o.o_custkey BETWEEN r.r_regionkey * 20 AND r.r_regionkey * 20 + 14
+        |GROUP BY r.r_name
+        |ORDER BY band NULLS FIRST""".stripMargin,
     "win_retention_cohort" ->
       """WITH activity AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
