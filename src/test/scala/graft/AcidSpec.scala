@@ -299,6 +299,26 @@ class AcidSpec extends AnyFunSuite {
     assert(s2 == t2)
   }
 
+  test("four concurrent writers all land exactly once through the rebase loop") {
+    val dir = freshTable("acid_spec_stress")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    val quarter = mk / 4 + 1
+    // disjoint key quarters, +1000 cents each — order-independent final sum
+    def batchFor(i: Int) = kv(sf)
+      .filter(col("k") >= i * quarter && col("k") < (i + 1) * quarter)
+      .withColumn("price_cents", col("price_cents") + 1000L)
+    val baseSum = Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0)
+    val threads = (0 until 4).map { i =>
+      new Thread(() => { Acid.merge(spark, dir, batchFor(i), s"w$i"): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Acid.latestVersion(dir) == 4, "all four commits must land")
+    val rows = Tables.orders(spark, sf).count()
+    val finalSum = Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0)
+    assert(finalSum == baseSum + 1000L * rows,
+      s"every batch must apply exactly once (got $finalSum, want ${baseSum + 1000L * rows})")
+  }
+
   test("schema evolution widens new files only; old files keep the narrow schema") {
     val dir = freshTable("acid_spec_evolve")
     val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
