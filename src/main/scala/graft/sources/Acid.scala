@@ -62,15 +62,20 @@ object Acid {
     */
   final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
                              stats2: Option[(String, Long, Long)] = None)
-  /** `maxBatch` is the high-water mark of every batch id ever committed —
-    * carried forward by all writers so the exactly-once replay check is a
+  /** `batchHw` maps each writer identity (the `writerTag` a merge commits
+    * under — the analogue of Delta's `txnAppId`) to the high-water mark of
+    * batch ids THAT writer has committed. Keyed per writer, not
+    * table-global, so two streaming queries feeding the same table never
+    * dedup each other's batches — exactly-once is scoped to
+    * (writerTag, batchId), matching Delta's (txnAppId, txnVersion)
+    * contract. Carried forward by all writers so the replay check is a
     * SINGLE latest-manifest read (O(1)), not a scan of the whole version
-    * history (O(versions) — a real cost at thousands of commits). Sound
-    * because foreachBatch batch ids are monotone per query: a replayed id
-    * is always ≤ the high-water mark, a new id always above it.
+    * history. Sound because foreachBatch batch ids are monotone per query:
+    * a replayed id is always ≤ that query's high-water mark, a new id
+    * always above it.
     */
   final case class Manifest(version: Int, batchId: Long, files: Seq[FileEntry],
-                            maxBatch: Long = -1L)
+                            batchHw: Map[String, Long] = Map.empty)
   final case class MergeResult(version: Int, filesRewritten: Int, filesTotal: Int,
                                skipped: Boolean)
 
@@ -104,8 +109,14 @@ object Acid {
       val s2 = if (a.length >= 7) Some((a(4), a(5).toLong, a(6).toLong)) else None
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2)
     }
-    Manifest(header(0).toInt, header(1).toLong, files.toSeq,
-      if (header.length >= 3) header(2).toLong else -1L)
+    val hw =
+      if (header.length >= 3 && header(2).nonEmpty)
+        header(2).split(',').map { kv =>
+          val i = kv.lastIndexOf('=')
+          kv.substring(0, i) -> kv.substring(i + 1).toLong
+        }.toMap
+      else Map.empty[String, Long]
+    Manifest(header(0).toInt, header(1).toLong, files.toSeq, hw)
   }
 
   /** Atomic put-if-absent commit: write a temp record, then rename WITHOUT
@@ -116,15 +127,26 @@ object Acid {
     */
   private[graft] def commitManifest(dir: String, m: Manifest): Unit = {
     Files.createDirectories(logDir(dir))
-    val body = (s"${m.version}|${m.batchId}|${m.maxBatch}" +:
+    // writer tags are manifest-header tokens: forbid the delimiters
+    m.batchHw.keys.foreach(t => require(t.matches("[A-Za-z0-9_.-]+"),
+      s"writer tag '$t' must be [A-Za-z0-9_.-]+"))
+    val hwStr = m.batchHw.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"$t=$v" }.mkString(",")
+    val body = (s"${m.version}|${m.batchId}|$hwStr" +:
       m.files.map { f =>
         val s2 = f.stats2.map { case (c, mn, mx) => s"|$c|$mn|$mx" }.getOrElse("")
         s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2"
       }).mkString("\n")
-    val tmp = logDir(dir).resolve(s".tmp-v${m.version}-${Thread.currentThread().getId}")
+    // UUID suffix: two writers racing the same version in DIFFERENT JVMs
+    // can share a thread id, which would let the second Files.write
+    // truncate the first writer's tmp record mid-commit. The finally
+    // ensures no failure path (conflict OR unexpected IO error) leaks the
+    // tmp file; after a successful move the delete is a no-op.
+    val tmp = logDir(dir)
+      .resolve(s".tmp-v${m.version}-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     try Files.move(tmp, manifestPath(dir, m.version))
-    catch { case e: FileAlreadyExistsException => Files.deleteIfExists(tmp); throw e }
+    finally Files.deleteIfExists(tmp)
   }
 
   /** Per-file (rows, min, max) stats for freshly written data files: ONE
@@ -207,7 +229,7 @@ object Acid {
     * touched scan.
     */
   def mergeAt(s: SparkSession, dir: String, baseVersion: Int, batch: DataFrame,
-              writerTag: String, batchId: Long = -1L)
+              writerTag: String, batchId: Long = -1L, stageSuffix: String = "")
       : Either[String, MergeResult] = {
     import s.implicits._
     val m = readManifest(dir, baseVersion)
@@ -258,14 +280,18 @@ object Acid {
     val merged = updatedPart.unionByName(insertPart)
 
     val nextV = baseVersion + 1
-    val dataDir = s"d${nextV}_$writerTag"
+    val dataDir = s"d${nextV}_$writerTag$stageSuffix"
     merged.repartitionByRange(math.max(1, touched.size), col(keyCol))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     val newEntries = statsOf(s, dir, dataDir, keyCol)
 
+    val hw =
+      if (batchId >= 0L)
+        m.batchHw.updated(writerTag,
+          math.max(m.batchHw.getOrElse(writerTag, -1L), batchId))
+      else m.batchHw
     try {
-      commitManifest(dir, Manifest(nextV, batchId, untouched ++ newEntries,
-        math.max(m.maxBatch, batchId)))
+      commitManifest(dir, Manifest(nextV, batchId, untouched ++ newEntries, hw))
       Right(MergeResult(nextV, touched.size, m.files.size, skipped = false))
     } catch {
       case _: FileAlreadyExistsException =>
@@ -274,10 +300,20 @@ object Acid {
   }
 
   /** MERGE with optimistic retry + exactly-once batch dedup: a `batchId`
-    * at or below the log's high-water mark is a replay and the apply is
-    * skipped — an O(1) latest-manifest read, valid because streaming batch
-    * ids are monotone per query (the foreachBatch contract); a version
-    * conflict rebases against the new latest manifest and re-applies.
+    * at or below THIS writerTag's high-water mark is a replay and the
+    * apply is skipped — an O(1) latest-manifest read, valid because
+    * streaming batch ids are monotone per query (the foreachBatch
+    * contract). `writerTag` is the writer's durable identity (use the
+    * streaming query/app id); replays are only detected under the SAME
+    * tag, and distinct queries feeding one table never dedup each other. A
+    * version conflict rebases against the new latest manifest and
+    * re-applies.
+    *
+    * Batch contract (documented limits, mirroring what ANSI MERGE rejects
+    * at runtime): the batch must be key-unique — duplicate keys would
+    * fan out the update join (ANSI MERGE raises on multiple source
+    * matches) — and a NULL in a batch column KEEPS the target value
+    * (`coalesce` semantics); SET-to-NULL is not expressible.
     */
   def merge(s: SparkSession, dir: String, batch: DataFrame, writerTag: String,
             batchId: Long = -1L, maxAttempts: Int = 5): MergeResult = {
@@ -285,9 +321,9 @@ object Acid {
     while (true) {
       val latest = latestVersion(dir)
       val head = readManifest(dir, latest)
-      if (batchId >= 0L && batchId <= head.maxBatch)
+      if (batchId >= 0L && batchId <= head.batchHw.getOrElse(writerTag, -1L))
         return MergeResult(latest, 0, head.files.size, skipped = true)
-      mergeAt(s, dir, latest, batch, s"${writerTag}a$attempt", batchId) match {
+      mergeAt(s, dir, latest, batch, writerTag, batchId, s"a$attempt") match {
         case Right(r) => return r
         case Left(_)  =>
           attempt += 1
@@ -316,19 +352,30 @@ object Acid {
     val p1 = m1.files.map(_.path).toSet
     val oldOnly = m0.files.filterNot(f => p1.contains(f.path))
     val newOnly = m1.files.filterNot(f => p0.contains(f.path))
-    def read(fs: Seq[FileEntry], tag: String): DataFrame = {
-      val base =
-        if (fs.isEmpty) snapshot(s, dir, v1).limit(0)
-        else s.read.option("mergeSchema", "true")
-          .parquet(fs.map(f => s"$dir/${f.path}"): _*)
-      base.select(base.columns.map(c =>
-        if (c == key) col(c) else col(c).as(s"${tag}_$c")): _*)
+    def readRaw(fs: Seq[FileEntry]): DataFrame =
+      if (fs.isEmpty) snapshot(s, dir, v1).limit(0)
+      else s.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => s"$dir/${f.path}"): _*)
+    val oRaw = readRaw(oldOnly)
+    val nRaw = readRaw(newOnly)
+    // Drift columns = the UNION of both sides' merged schemas, not one
+    // file's footer: after a schema-evolving merge the old side is
+    // typically an untouched narrow-schema file, and a footer-derived list
+    // would exclude the evolved columns — an update that only changes an
+    // evolved column would then classify as 'none' and be suppressed. A
+    // column missing on one side reads as NULL there, so evolved-column
+    // drift compares NULL <=> value and classifies correctly.
+    val types = (oRaw.schema.fields ++ nRaw.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
+    val valueCols = (oRaw.columns ++ nRaw.columns).distinct.filter(_ != key).toSeq
+    def side(df: DataFrame, tag: String, flag: String): DataFrame = {
+      val have = df.columns.toSet
+      df.select(col(key) +: valueCols.map { c =>
+        (if (have(c)) col(c) else lit(null).cast(types(c))).as(s"${tag}_$c")
+      }: _*).withColumn(flag, lit(true))
     }
-    val o = read(oldOnly, "old").withColumn("_in_old", lit(true))
-    val n = read(newOnly, "new").withColumn("_in_new", lit(true))
-    val valueCols = m1.files.headOption
-      .map(f => s.read.parquet(s"$dir/${f.path}").schema.fieldNames.filter(_ != key).toSeq)
-      .getOrElse(Seq.empty)
+    val o = side(oRaw, "old", "_in_old")
+    val n = side(nRaw, "new", "_in_new")
     val changed = valueCols
       .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -369,7 +416,7 @@ object Acid {
     kept.repartitionByRange(math.max(1, touched.size), col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     val newEntries = statsOf(s, dir, dataDir, key)
-    commitManifest(dir, Manifest(nextV, -1L, untouched ++ newEntries, m.maxBatch))
+    commitManifest(dir, Manifest(nextV, -1L, untouched ++ newEntries, m.batchHw))
     val deleted = touched.map(_.rows).sum - newEntries.map(_.rows).sum
     (deleted, touched.size, m.files.size)
   }
@@ -391,7 +438,7 @@ object Acid {
       .repartitionByRange(targetFiles, col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     commitManifest(dir, Manifest(v + 1, -1L, statsOf(s, dir, dataDir, key),
-      m.maxBatch))
+      m.batchHw))
     (m.files.size, readManifest(dir, v + 1).files.size)
   }
 
@@ -434,7 +481,7 @@ object Acid {
       .drop("_z")
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     commitManifest(dir, Manifest(v + 1, -1L,
-      statsOf(s, dir, dataDir, key, Some(col2)), m.maxBatch))
+      statsOf(s, dir, dataDir, key, Some(col2)), m.batchHw))
     (m.files.size, readManifest(dir, v + 1).files.size)
   }
 
@@ -464,13 +511,18 @@ object Acid {
     * never touched. The clone's vacuum walks only its own root, so
     * source-referenced files (outside it) can never be reclaimed by the
     * clone. Returns the number of referenced files.
+    *
+    * The clone's `batchHw` starts EMPTY (matching Delta, which drops the
+    * source's SetTransaction ids on clone): a new streaming query writing
+    * into the clone restarts its batch ids at 0, and an inherited
+    * high-water mark would silently skip every one of its batches.
     */
   def cloneShallow(s: SparkSession, srcDir: String, dstDir: String): Int = {
     val m = readManifest(srcDir, latestVersion(srcDir))
     val rel = Paths.get(dstDir).toAbsolutePath
       .relativize(Paths.get(srcDir).toAbsolutePath)
     val entries = m.files.map(f => f.copy(path = s"$rel/${f.path}"))
-    commitManifest(dstDir, Manifest(0, -1L, entries, m.maxBatch))
+    commitManifest(dstDir, Manifest(0, -1L, entries))
     entries.size
   }
 
@@ -809,7 +861,7 @@ object Acid {
          |       min(k) AS min_k, max(k) AS max_k
          |FROM graft_acid_t WHERE k BETWEEN $lo AND $hi""".stripMargin)
     slice.count() // force the scan so the relation's metrics are populated
-    val (scanned, total) = AcidRelation.lastScan(dir)
+    val (scanned, total) = AcidRelation.lastScanFor(dir)
     val latestSum = s.sql("SELECT sum(price_cents) FROM graft_acid_t")
       .head.getLong(0)
     val v0Sum = s.read.format("graft-acid").option("version", "0").load(dir)
@@ -875,7 +927,10 @@ object Acid {
     q.awaitTermination()
     val latest = latestVersion(dir)
     val lastBatchId = readManifest(dir, latest).batchId
-    val replay = merge(s, dir, updates, "replay", batchId = lastBatchId)
+    // the replay carries the SAME writer identity ("st") — idempotency is
+    // keyed per (writerTag, batchId), exactly as a restarted foreachBatch
+    // query re-delivering its last batch would appear
+    val replay = merge(s, dir, updates, "st", batchId = lastBatchId)
     snapshot(s, dir)
       .groupBy(col("prio"))
       .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))

@@ -36,18 +36,29 @@ class AcidSourceProvider extends RelationProvider with DataSourceRegister {
 }
 
 object AcidRelation {
-  /** (filesScanned, filesTotal) of the last buildScan per table dir —
-    * observability hook for AcidSpec's pruning assertion (plan-side
-    * metrics are not reachable from a V1 relation).
+  /** (filesScanned, filesTotal) of the last buildScan, keyed per
+    * (table dir, RESOLVED version) — observability hook for AcidSpec's
+    * pruning assertion (plan-side metrics are not reachable from a V1
+    * relation). Version-scoped so a concurrent time-travel read of the
+    * same table (a different relation instance) can't clobber the metric
+    * of the snapshot read under test; two simultaneous queries over the
+    * SAME (dir, version) still last-write-win — callers read the metric
+    * immediately after forcing their scan (the single-threaded
+    * probe discipline tbl_sql_source and AcidSpec follow).
     */
-  val lastScan: TrieMap[String, (Int, Int)] = TrieMap.empty
+  val lastScan: TrieMap[(String, Int), (Int, Int)] = TrieMap.empty
+
+  /** Metric accessor resolving `-1` to the current latest version. */
+  def lastScanFor(dir: String, version: Int = -1): (Int, Int) =
+    lastScan((dir, if (version < 0) Acid.latestVersion(dir) else version))
 }
 
 class AcidRelation(ctx: SQLContext, dir: String, version: Int)
     extends BaseRelation with PrunedFilteredScan {
 
-  private val manifest =
-    Acid.readManifest(dir, if (version < 0) Acid.latestVersion(dir) else version)
+  private val resolvedVersion =
+    if (version < 0) Acid.latestVersion(dir) else version
+  private val manifest = Acid.readManifest(dir, resolvedVersion)
   private val keyCol: String =
     ctx.sparkSession.read.parquet(s"$dir/${manifest.files.head.path}")
       .schema.fields.head.name
@@ -95,7 +106,7 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
                          filters: Array[Filter]): RDD[Row] = {
     val (lo, hi) = keyBounds(filters)
     val live = manifest.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
-    AcidRelation.lastScan.put(dir, (live.size, manifest.files.size))
+    AcidRelation.lastScan.put((dir, resolvedVersion), (live.size, manifest.files.size))
     val s = ctx.sparkSession
     val base =
       if (live.isEmpty)

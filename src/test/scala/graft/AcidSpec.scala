@@ -263,9 +263,12 @@ class AcidSpec extends AnyFunSuite {
         b <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
       } yield (c, a, b))
     } yield Acid.FileEntry(p, rows, mn, mx, s2)
+    val tagGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(6).mkString)
     val manifestGen = for {
       bid <- Gen.choose(-1L, Long.MaxValue / 2)
-      hw  <- Gen.choose(-1L, Long.MaxValue / 2)
+      nhw <- Gen.choose(0, 3)
+      hw  <- Gen.listOfN(nhw, Gen.zip(tagGen, Gen.choose(-1L, Long.MaxValue / 2)))
+        .map(_.toMap)
       fs  <- Gen.listOfN(5, entryGen)
     } yield (bid, hw, fs)
     val dir = Scratch.fresh("acid_spec_roundtrip", sf)
@@ -287,7 +290,7 @@ class AcidSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       s"SELECT count(*) AS n, sum(price_cents) AS sc FROM acid_spec_v " +
       s"WHERE k BETWEEN $lo AND $hi").head
-    val (scanned, total) = graft.sources.AcidRelation.lastScan(dir)
+    val (scanned, total) = graft.sources.AcidRelation.lastScanFor(dir)
     assert(scanned >= 1 && scanned < total, s"expected pruning, got $scanned/$total")
     val direct = Acid.snapshot(spark, dir)
       .filter(col("k").between(lo, hi))
@@ -295,7 +298,7 @@ class AcidSpec extends AnyFunSuite {
     assert(viaSql == direct)
     // an unfiltered scan must NOT prune
     spark.sql("SELECT count(*) FROM acid_spec_v").head
-    val (s2, t2) = graft.sources.AcidRelation.lastScan(dir)
+    val (s2, t2) = graft.sources.AcidRelation.lastScanFor(dir)
     assert(s2 == t2)
   }
 
@@ -337,5 +340,74 @@ class AcidSpec extends AnyFunSuite {
     val nulls = Acid.snapshot(spark, dir)
       .filter(col("discount_cents").isNull).count()
     assert(nulls > 0 && r.filesRewritten < r.filesTotal)
+  }
+
+  test("batch-id dedup is scoped per writer: two queries never dedup each other") {
+    val dir = freshTable("acid_spec_perwriter")
+    val batch = lowQuarterUpdates(sf)
+    // query A commits ITS batch 0; query B's batch 0 is a DIFFERENT
+    // query's first batch and must still apply (the Delta
+    // (txnAppId, txnVersion) contract — a table-global high-water mark
+    // would silently drop it)
+    val a = Acid.merge(spark, dir, batch, "queryA", batchId = 0L)
+    assert(!a.skipped)
+    val b = Acid.merge(spark, dir, batch, "queryB", batchId = 0L)
+    assert(!b.skipped, "writer B's batch 0 must not be deduped by writer A's")
+    // replay WITHIN a writer still dedups
+    val aReplay = Acid.merge(spark, dir, batch, "queryA", batchId = 0L)
+    assert(aReplay.skipped && aReplay.version == b.version)
+  }
+
+  test("shallow clone resets the batch high-water map: a fresh query's batch 0 applies") {
+    val base = Scratch.fresh("acid_spec_clone_hw", sf)
+    val src = s"$base/src"; val dst = s"$base/clone"
+    Acid.create(spark, src, kv(sf), "k", 8)
+    Acid.merge(spark, src, lowQuarterUpdates(sf), "srcQuery", batchId = 5L)
+    assert(Acid.readManifest(src, Acid.latestVersion(src))
+      .batchHw("srcQuery") == 5L)
+    Acid.cloneShallow(spark, src, dst)
+    assert(Acid.readManifest(dst, 0).batchHw.isEmpty,
+      "clone must not inherit the source's replay high-water marks")
+    // a brand-new streaming query into the clone restarts at batch 0 —
+    // with the inherited mark this would have been silently skipped
+    val sumBefore = Acid.snapshot(spark, dst).agg(sum(col("price_cents"))).head.getLong(0)
+    val r = Acid.merge(spark, dst,
+      Acid.snapshot(spark, dst).limit(1).withColumn("price_cents", col("price_cents") + 1L),
+      "srcQuery", batchId = 0L)
+    assert(!r.skipped, "batch 0 into a fresh clone must apply")
+    val sumAfter = Acid.snapshot(spark, dst).agg(sum(col("price_cents"))).head.getLong(0)
+    assert(sumAfter == sumBefore + 1L)
+  }
+
+  test("vacuum vs concurrent reader: a held pre-horizon snapshot refuses cleanly") {
+    val dir = freshTable("acid_spec_vacuum_reader")
+    Acid.merge(spark, dir, lowQuarterUpdates(sf), "spec")
+    // reader plans against v0 BEFORE the vacuum; the plan's file list is
+    // fixed at planning time (snapshot isolation)
+    val held = Acid.snapshot(spark, dir, 0)
+    assert(held.count() > 0, "pre-vacuum read works")
+    Acid.vacuum(spark, dir, retainFrom = 1)
+    // the held snapshot's rewritten-away files are gone: the reader must
+    // FAIL (refusal), never silently return a partial/wrong row set —
+    // which is what ignoreMissingFiles=true would do
+    assert(spark.conf.get("spark.sql.files.ignoreMissingFiles") == "false")
+    assert(Try(held.count()).isFailure,
+      "post-vacuum read of a below-horizon snapshot must refuse, not degrade")
+    // and re-planning time travel below the horizon refuses at the log
+    assert(Try(Acid.snapshot(spark, dir, 0)).isFailure)
+  }
+
+  test("a losing commit leaves no tmp files behind in the log") {
+    val dir = freshTable("acid_spec_tmpclean")
+    val m1 = Acid.readManifest(dir, 0).copy(version = 1)
+    Acid.commitManifest(dir, m1)
+    // same-version commit: put-if-absent must refuse AND clean its tmp
+    assert(Try(Acid.commitManifest(dir, m1)).isFailure)
+    val logFiles = Files.list(Paths.get(dir, "_log"))
+    try {
+      val leftover = logFiles.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".tmp-")).toList
+      assert(leftover.isEmpty, s"leaked tmp files: $leftover")
+    } finally logFiles.close()
   }
 }
