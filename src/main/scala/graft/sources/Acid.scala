@@ -334,6 +334,48 @@ object Acid {
     throw new IllegalStateException("unreachable")
   }
 
+  /** One append/overwrite commit attempt against an explicit base version
+    * (exposed so AcidSpec can plant a deterministic conflict): the new
+    * entries are already staged on disk by the DSv2 writers; this only
+    * moves MANIFEST metadata. `truncate=true` commits the new entries as
+    * the COMPLETE file list (SQL INSERT OVERWRITE); otherwise they append
+    * to the base version's list. `baseVersion = -1` bootstraps v0 of an
+    * empty table.
+    */
+  def appendCommitAt(dir: String, baseVersion: Int, newEntries: Seq[FileEntry],
+                     truncate: Boolean = false): Either[String, Int] = {
+    val (files, hw) =
+      if (baseVersion < 0) (newEntries, Map.empty[String, Long])
+      else {
+        val m = readManifest(dir, baseVersion)
+        (if (truncate) newEntries else m.files ++ newEntries, m.batchHw)
+      }
+    val next = baseVersion + 1
+    try { commitManifest(dir, Manifest(next, -1L, files, hw)); Right(next) }
+    catch {
+      case _: FileAlreadyExistsException =>
+        Left(s"conflict: version $next was committed by another writer")
+    }
+  }
+
+  /** Append/overwrite commit with optimistic rebase — the driver-side half
+    * of the DSv2 `BatchWrite.commit` contract. An append can never
+    * semantically conflict with a concurrent commit (its files are fresh),
+    * so the rebase just re-targets the next version number; data never
+    * moves. Returns the committed version.
+    */
+  def appendCommit(dir: String, newEntries: Seq[FileEntry],
+                   truncate: Boolean = false, maxAttempts: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      appendCommitAt(dir, latestVersion(dir), newEntries, truncate) match {
+        case Right(v) => return v
+        case Left(_)  => attempt += 1
+      }
+    }
+    throw new IllegalStateException("appendCommit: too many commit conflicts")
+  }
+
   /** CHANGE DATA FEED between two versions: because a MERGE carries
     * untouched files forward BY ENTRY, any row-level change must live in a
     * file present in exactly one of the two manifests — so the diff reads
@@ -939,7 +981,47 @@ object Acid {
       .orderBy(col("prio"))
   }
 
+  /** tbl_sql_insert — the DSv2 WRITE path end-to-end (round-6 plan #1):
+    * the table becomes a catalog citizen via `CREATE TABLE ... USING
+    * graft-acid-sql`, a SQL `INSERT INTO` and a `df.writeTo(...).append()`
+    * each land one atomic manifest commit through `BatchWrite.commit`
+    * (task-side parquet writes, metadata-only driver commit, put-if-absent
+    * + rebase — AcidSpec pins atomicity under a planted conflict), and the
+    * aggregate reads BACK through the catalog table's V2 scan with the
+    * appended files' key-range stats pruning a range probe.
+    */
+  val tblSqlInsert: Q = (s, d) => {
+    val dir = fresh("tbl_sql_insert", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    s.sql("DROP TABLE IF EXISTS graft_sql_insert_t")
+    s.sql(
+      s"""CREATE TABLE graft_sql_insert_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    ordersKV(s, d).createOrReplaceTempView("graft_sql_insert_src")
+    s.sql(
+      s"""INSERT INTO graft_sql_insert_t
+         |SELECT k + $mk + 1, k * 3 + 45, 'INS'
+         |FROM graft_sql_insert_src WHERE k % 100 = 0""".stripMargin)
+    ordersKV(s, d).filter(col("k") % 97 === 0)
+      .select((col("k") + 2 * mk + 2).as("k"),
+        (col("k") * 5 + 11).as("price_cents"), lit("INS2").as("prio"))
+      .writeTo("graft_sql_insert_t").append()
+    val twoCommits = latestVersion(dir) == 2
+    // appended files carry disjoint key ranges above mk, so a low-range
+    // probe must plan a strict file subset from the manifest stats
+    s.sql(s"SELECT count(*) FROM graft_sql_insert_t WHERE k <= ${mk / 8}").head
+    val (scanned, total) = AcidSql.lastScanFor(dir)
+    s.sql(
+      """SELECT prio, count(*) AS n, sum(price_cents) AS sum_cents
+        |FROM graft_sql_insert_t GROUP BY prio""".stripMargin)
+      .withColumn("pruned", lit(scanned >= 1 && scanned < total))
+      .withColumn("two_commits", lit(twoCommits))
+      .orderBy(col("prio"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tbl_sql_insert"        -> tblSqlInsert,
     "tbl_acid_merge"        -> tblAcidMerge,
     "tbl_time_travel"       -> tblTimeTravel,
     "tbl_stats_skip"        -> tblStatsSkip,
@@ -956,6 +1038,20 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_sql_insert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |merged AS (
+        |  SELECT pc AS price_cents, prio FROM base
+        |  UNION ALL
+        |  SELECT k * 3 + 45, 'INS' FROM base WHERE k % 100 = 0
+        |  UNION ALL
+        |  SELECT k * 5 + 11, 'INS2' FROM base WHERE k % 97 = 0)
+        |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS pruned, TRUE AS two_commits
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
     "tbl_acid_merge" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -1,0 +1,388 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, And => FAnd}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the ACID table format — the WRITE half of
+  * the SQL surface (SURVEY §2.10, round-6 plan item #1). The V1 relation
+  * (`graft-acid`, AcidRelation.scala) remains the fast vectorized READ
+  * path; this provider makes the table a full catalog citizen:
+  *
+  * {{{
+  *   CREATE TABLE t (k BIGINT, ...) USING `graft-acid-sql` OPTIONS (path '...')
+  *   INSERT INTO t SELECT ...            -- V2 BatchWrite, atomic commit
+  *   INSERT OVERWRITE t SELECT ...       -- SupportsTruncate
+  *   SELECT ... FROM t WHERE k < 10      -- V2 scan, manifest file pruning
+  *   df.writeTo("t").append()            -- same BatchWrite
+  * }}}
+  *
+  * Write protocol (the Delta/Iceberg pattern, re-derived): each task's
+  * `DataWriter` streams rows into its OWN parquet file under a staging
+  * directory unique to the write (`dv2_<uuid>/part-<partition>-<task>`),
+  * tracking (rows, min/max of the first column — the table's merge key)
+  * as it goes. Task commit messages carry ONLY that file-level metadata to
+  * the driver; `BatchWrite.commit` assembles the manifest entries and
+  * lands them through `Acid.appendCommit`'s put-if-absent + rebase loop.
+  * So: data is written exactly once by the tasks, the commit moves
+  * metadata only (O(#files)), an abort deletes the staged files, and a
+  * concurrent writer's version win triggers a metadata-only rebase — at
+  * 100 TB the commit cost is independent of data size.
+  *
+  * Read side: one InputPartition per live manifest file (after key-range
+  * pruning from the pushed filters), decoded with parquet-hadoop's Group
+  * API. This is a row-at-a-time reader — fine for the catalog/DDL
+  * surface; bulk analytics should read through the V1 relation or
+  * `Acid.snapshot`, which plan Spark's vectorized parquet scan. Column
+  * pruning IS pushed to the parquet reader (requested-schema projection),
+  * and files missing an evolved column surface NULLs, matching the
+  * mergeSchema read.
+  */
+class AcidSqlProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-acid-sql"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = AcidSql.dirOf(options.asCaseSensitiveMap())
+    // metadata-time only (driver): schema of the latest snapshot
+    Acid.snapshot(SparkSession.active, dir).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new AcidSqlTable(AcidSql.dirOf(properties), schema)
+}
+
+object AcidSql {
+  private[sources] def dirOf(m: util.Map[String, String]): String = {
+    val get = (k: String) => Option(m.get(k))
+    get("path").orElse(get("location"))
+      .map(_.stripPrefix("file:"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-acid-sql: a table path is required (OPTIONS (path '...'))"))
+  }
+
+  /** (filesScanned, filesTotal) of the last planned V2 scan per
+    * (dir, version) — same probe discipline as AcidRelation.lastScan. */
+  val lastScan: TrieMap[(String, Int), (Int, Int)] = TrieMap.empty
+
+  /** Metric accessor resolving `-1` to the current latest version. */
+  def lastScanFor(dir: String, version: Int = -1): (Int, Int) =
+    lastScan((dir, if (version < 0) Acid.latestVersion(dir) else version))
+
+  /** Supported column types of the V2 writer/reader — the table format's
+    * own surface is long/int/double/bool/string (money as integer cents
+    * per the house rule); everything else should land via the library
+    * API's parquet writers. */
+  private[sources] def toParquetSchema(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType    => b.addField(Types.optional(PrimitiveTypeName.INT64).named(f.name))
+        case IntegerType => b.addField(Types.optional(PrimitiveTypeName.INT32).named(f.name))
+        case DoubleType  => b.addField(Types.optional(PrimitiveTypeName.DOUBLE).named(f.name))
+        case BooleanType => b.addField(Types.optional(PrimitiveTypeName.BOOLEAN).named(f.name))
+        case StringType  => b.addField(Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case other => throw new IllegalArgumentException(
+          s"graft-acid-sql: unsupported column type $other for '${f.name}'")
+      }
+    }
+    b.named("graft_acid_v2")
+  }
+}
+
+class AcidSqlTable(dir: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-acid-sql:$dir"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val version = Option(options.get("version")).map(_.toInt).getOrElse(-1)
+    new AcidSqlScanBuilder(dir, version, tableSchema)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AcidSqlWriteBuilder(dir, info.schema())
+}
+
+// ============================================================================
+// Write path
+// ============================================================================
+
+class AcidSqlWriteBuilder(dir: String, writeSchema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new AcidSqlBatchWrite(dir, writeSchema, doTruncate)
+  }
+}
+
+/** Task-level commit message: file metadata only — the manifest entry the
+  * driver will commit. Data bytes never travel through the commit. */
+case class AcidWriteMessage(path: String, rows: Long, minKey: Long, maxKey: Long)
+  extends WriterCommitMessage
+
+class AcidSqlBatchWrite(dir: String, writeSchema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  private val stageDir = s"dv2_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AcidSqlWriterFactory(dir, stageDir, writeSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect {
+      case AcidWriteMessage(p, rows, mn, mx) if rows > 0 =>
+        Acid.FileEntry(p, rows, mn, mx)
+    }.toSeq.sortBy(_.path)
+    // metadata-only atomic commit; put-if-absent rebase on conflict
+    Acid.appendCommit(dir, entries, truncate): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case AcidWriteMessage(p, _, _, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, p))
+      case _ => ()
+    }
+  }
+}
+
+class AcidSqlWriterFactory(dir: String, stageDir: String, writeSchema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AcidSqlDataWriter(dir, s"$stageDir/part-$partitionId-$taskId.parquet", writeSchema)
+}
+
+/** Streams InternalRows into one parquet file via the parquet-hadoop
+  * example Group writer (rebuilt executor-side: MessageType is not
+  * serializable). Rows are written through the Hadoop FileSystem API, so
+  * the same writer works on a cluster filesystem; `new Configuration()`
+  * stands in for the broadcast Hadoop conf a cluster deployment would
+  * inject. Min/max of the FIRST column (the merge key, when it is a
+  * long) are tracked inline for the manifest's skipping stats; a
+  * non-long or null-bearing key column degrades to the full range —
+  * conservative, never wrong.
+  */
+class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+  private val msgType = AcidSql.toParquetSchema(schema)
+  private val factory = new SimpleGroupFactory(msgType)
+  private var writer: ParquetWriter[Group] = _
+  private var rows = 0L
+  private var minKey = Long.MaxValue
+  private var maxKey = Long.MinValue
+  private var keyConservative = schema.fields.head.dataType != LongType
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      writer = ExampleParquetWriter.builder(new Path(s"$tableDir/$relPath"))
+        .withType(msgType)
+        .withConf(new Configuration())
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    }
+    val g = factory.newGroup()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType    => g.add(f.name, row.getLong(i))
+        case IntegerType => g.add(f.name, row.getInt(i))
+        case DoubleType  => g.add(f.name, row.getDouble(i))
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case StringType  => g.add(f.name,
+          Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case _ => ()
+      }
+    }
+    if (!keyConservative) {
+      if (row.isNullAt(0)) keyConservative = true
+      else {
+        val k = row.getLong(0)
+        minKey = math.min(minKey, k); maxKey = math.max(maxKey, k)
+      }
+    }
+    writer.write(g)
+    rows += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) { writer.close(); writer = null }
+    val (mn, mx) =
+      if (keyConservative || rows == 0L) (Long.MinValue, Long.MaxValue)
+      else (minKey, maxKey)
+    AcidWriteMessage(relPath, rows, mn, mx)
+  }
+
+  // close() runs after commit() too (the harness contract) — it only
+  // releases the handle; the staged file is deleted on abort alone
+  override def abort(): Unit = {
+    close()
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tableDir, relPath))
+      : Unit
+  }
+  override def close(): Unit =
+    if (writer != null) { writer.close(); writer = null }
+}
+
+// ============================================================================
+// Read path
+// ============================================================================
+
+class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  private var keyFilters: Array[Filter] = Array.empty
+
+  private val keyCol = tableSchema.fields.head.name
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    keyFilters = filters.filter(referencesOnlyKey)
+    filters // everything stays residual: Spark re-applies above the scan
+  }
+  override def pushedFilters(): Array[Filter] = keyFilters
+
+  private def referencesOnlyKey(f: Filter): Boolean = f.references.forall(_ == keyCol)
+
+  // Conservative key bounds, same sound-widening contract as AcidRelation
+  private def keyBounds(filters: Array[Filter]): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case _       => None
+    }
+    filters.foreach {
+      case EqualTo(c, v) if c == keyCol =>
+        asLong(v).foreach { l => lo = math.max(lo, l); hi = math.min(hi, l) }
+      case GreaterThan(c, v) if c == keyCol =>
+        asLong(v).foreach(l => lo = math.max(lo, l + 1))
+      case GreaterThanOrEqual(c, v) if c == keyCol =>
+        asLong(v).foreach(l => lo = math.max(lo, l))
+      case LessThan(c, v) if c == keyCol =>
+        asLong(v).foreach(l => hi = math.min(hi, l - 1))
+      case LessThanOrEqual(c, v) if c == keyCol =>
+        asLong(v).foreach(l => hi = math.min(hi, l))
+      case In(c, vs) if c == keyCol && vs.nonEmpty =>
+        val ls = vs.flatMap(asLong)
+        if (ls.length == vs.length) {
+          lo = math.max(lo, ls.min); hi = math.min(hi, ls.max)
+        }
+      case FAnd(l, r) =>
+        val (l1, h1) = keyBounds(Array(l)); val (l2, h2) = keyBounds(Array(r))
+        lo = math.max(lo, math.max(l1, l2)); hi = math.min(hi, math.min(h1, h2))
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  override def build(): Scan = {
+    val resolved = if (version < 0) Acid.latestVersion(dir) else version
+    val all =
+      if (resolved < 0) Seq.empty
+      else Acid.readManifest(dir, resolved).files
+    val (lo, hi) = keyBounds(keyFilters)
+    val live = all.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    AcidSql.lastScan.put((dir, resolved), (live.size, all.size))
+    new AcidSqlScan(dir, live.map(_.path), required)
+  }
+}
+
+class AcidSqlScan(dir: String, files: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(p => AcidSqlInputPartition(s"$dir/$p"): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AcidSqlReaderFactory(required)
+}
+
+case class AcidSqlInputPartition(absPath: String) extends InputPartition
+
+class AcidSqlReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new AcidSqlPartitionReader(p.asInstanceOf[AcidSqlInputPartition].absPath, required)
+}
+
+/** One file → InternalRows via the Group API. The requested projection is
+  * intersected with the FILE's own schema (footer read) so schema-evolved
+  * tables work: columns a file predates are surfaced as NULL, matching
+  * the mergeSchema snapshot read.
+  */
+class AcidSqlPartitionReader(absPath: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val conf = new Configuration()
+  private val fileFields: Set[String] = {
+    val in = HadoopInputFile.fromPath(new Path(absPath), conf)
+    val fr = ParquetFileReader.open(in)
+    try fr.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally fr.close()
+  }
+  private val present = StructType(required.fields.filter(f => fileFields(f.name)))
+  private val reader: ParquetReader[Group] = {
+    if (present.nonEmpty)
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+        AcidSql.toParquetSchema(present).toString)
+    ParquetReader.builder(new GroupReadSupport(), new Path(absPath))
+      .withConf(conf).build()
+  }
+  private var current: Group = _
+
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    required.fields.zipWithIndex.foreach { case (f, i) =>
+      if (fileFields(f.name) && current.getFieldRepetitionCount(f.name) > 0)
+        vals(i) = f.dataType match {
+          case LongType    => current.getLong(f.name, 0)
+          case IntegerType => current.getInteger(f.name, 0)
+          case DoubleType  => current.getDouble(f.name, 0)
+          case BooleanType => current.getBoolean(f.name, 0)
+          case StringType  =>
+            UTF8String.fromBytes(current.getBinary(f.name, 0).getBytes)
+          case _ => null
+        }
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}

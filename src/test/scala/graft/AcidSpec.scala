@@ -397,6 +397,91 @@ class AcidSpec extends AnyFunSuite {
     assert(Try(Acid.snapshot(spark, dir, 0)).isFailure)
   }
 
+  test("DSv2 write: INSERT INTO a catalog table commits through BatchWrite") {
+    val dir = freshTable("acid_spec_v2ins")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    spark.sql("DROP TABLE IF EXISTS acid_spec_v2ins_t")
+    spark.sql(
+      s"""CREATE TABLE acid_spec_v2ins_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    val baseN = kv(sf).count()
+    // SQL INSERT: fresh keys beyond the current max — a pure append
+    kv(sf).createOrReplaceTempView("acid_spec_v2ins_src")
+    spark.sql(
+      s"""INSERT INTO acid_spec_v2ins_t
+         |SELECT k + $mk + 1 AS k, k * 3 + 45 AS price_cents, 'INS' AS prio
+         |FROM acid_spec_v2ins_src WHERE k % 100 = 0""".stripMargin)
+    assert(Acid.latestVersion(dir) == 1, "INSERT must commit exactly one version")
+    val insN = kv(sf).filter(col("k") % 100 === 0).count()
+    // catalog SELECT goes through the V2 scan; totals must agree with the
+    // library snapshot read (V1-altitude) on the same table
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n, sum(price_cents) AS sc FROM acid_spec_v2ins_t").head
+    val viaSnap = Acid.snapshot(spark, dir)
+      .agg(count(lit(1)), sum(col("price_cents"))).head
+    assert(viaSql == viaSnap)
+    assert(viaSql.getLong(0) == baseN + insN)
+    // df.writeTo: the DataFrameWriterV2 API lands in the same BatchWrite
+    Acid.snapshot(spark, dir).filter(col("prio") === "INS")
+      .withColumn("k", col("k") + lit(mk + 1))
+      .withColumn("prio", lit("INS2"))
+      .writeTo("acid_spec_v2ins_t").append()
+    assert(Acid.latestVersion(dir) == 2)
+    assert(Acid.snapshot(spark, dir).filter(col("prio") === "INS2").count() == insN)
+    // key-range pruning: the appended files carry min/max stats, so a
+    // range SELECT over the ORIGINAL key space must skip them
+    spark.sql(s"SELECT count(*) FROM acid_spec_v2ins_t WHERE k <= ${mk / 8}").head
+    val (scanned, total) = graft.sources.AcidSql.lastScanFor(dir)
+    assert(scanned >= 1 && scanned < total, s"expected pruning, got $scanned/$total")
+    spark.sql("DROP TABLE acid_spec_v2ins_t")
+  }
+
+  test("DSv2 write: INSERT OVERWRITE truncates via SupportsTruncate, old version time-travels") {
+    val dir = freshTable("acid_spec_v2ovw")
+    spark.sql("DROP TABLE IF EXISTS acid_spec_v2ovw_t")
+    spark.sql(
+      s"""CREATE TABLE acid_spec_v2ovw_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    spark.sql(
+      """INSERT OVERWRITE acid_spec_v2ovw_t
+        |SELECT CAST(7 AS BIGINT), CAST(700 AS BIGINT), 'OVW'""".stripMargin)
+    assert(Acid.latestVersion(dir) == 1)
+    assert(Acid.snapshot(spark, dir).count() == 1L)
+    // pre-overwrite snapshot still readable (manifests immutable)
+    assert(Acid.snapshot(spark, dir, 0).count() > 1L)
+    spark.sql("DROP TABLE acid_spec_v2ovw_t")
+  }
+
+  test("DSv2 commit is atomic under a planted conflict: rebase loses nothing") {
+    val dir = freshTable("acid_spec_v2conflict")
+    val preSum = Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0)
+    // stage a V2-style append the slow way: entries exist on disk, commit pending
+    val stagedDf = kv(sf).limit(3)
+      .withColumn("k", col("k") + 1000000L).withColumn("prio", lit("STAGED"))
+    stagedDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/dv2_staged")
+    val stagedRel = {
+      val w = Files.walk(Paths.get(dir, "dv2_staged"))
+      try w.iterator().asScala.map(_.toString)
+        .find(_.endsWith(".parquet")).get.stripPrefix(s"$dir/")
+      finally w.close()
+    }
+    val entries = Seq(Acid.FileEntry(stagedRel, 3L, Long.MinValue, Long.MaxValue))
+    // planted conflict: ANOTHER writer commits v1 between this write's
+    // start (base v0) and its commit attempt
+    Acid.merge(spark, dir, lowQuarterUpdates(sf), "rival")
+    val attempt = Acid.appendCommitAt(dir, 0, entries)
+    assert(attempt.isLeft, "stale-base commit must refuse")
+    // the rebase loop (what BatchWrite.commit runs) must land BOTH the
+    // rival's merge and the staged append, each exactly once
+    val v = Acid.appendCommit(dir, entries)
+    assert(v == 2)
+    val mergedSum = lowQuarterUpdates(sf).count() * 777L
+    val stagedSum = stagedDf.agg(sum(col("price_cents"))).head.getLong(0)
+    val finalSum = Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0)
+    assert(finalSum == preSum + mergedSum + stagedSum,
+      "rebase must preserve the rival commit and apply the append exactly once")
+  }
+
   test("a losing commit leaves no tmp files behind in the log") {
     val dir = freshTable("acid_spec_tmpclean")
     val m1 = Acid.readManifest(dir, 0).copy(version = 1)
