@@ -737,7 +737,54 @@ object Streaming {
       .orderBy(col("matched"))
   }
 
+  /** st_table_cdf — streaming read OUT of the ACID table (round-6 plan
+    * #3): three committed versions (clustered updates, beyond-max inserts,
+    * a pruned DELETE) are replayed by the `graft-acid-cdf` micro-batch
+    * source as change rows tagged with their commit version; the drained
+    * aggregate per change type must equal the analytically-known snapshot
+    * deltas. Each change type comes from exactly one commit —
+    * `n_versions` pins that the version tags survive the replay.
+    */
+  val stTableCdf: Q = (s, d) => {
+    import graft.sources.Acid
+    val dir = fresh("st_table_cdf", d)
+    val kv = graft.Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("prio"))
+    val mk = graft.Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+    Acid.create(s, dir, kv, "k", 8)
+    Acid.merge(s, dir,
+      kv.filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+        .withColumn("price_cents", col("price_cents") + 777)
+        .withColumn("prio", lit("PATCHED")), "u")
+    Acid.merge(s, dir,
+      kv.filter(col("k") % 100 === 0)
+        .select((col("k") + mk + 1).as("k"),
+          (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio")), "i")
+    Acid.deleteWhere(s, dir,
+      col("k") % 10 === 6 && col("k") < lit(mk / 4),
+      Some((0L, mk / 4 - 1)), "del")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val feed = ss.readStream.format("graft-acid-cdf").load(dir)
+    val q = feed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory").queryName("st_table_cdf")
+      .option("checkpointLocation", s"$dir/_streamcp")
+      .start()
+    q.awaitTermination()
+    ss.table("st_table_cdf")
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(coalesce(col("new_price_cents"), lit(0L))).as("sum_cents_post"),
+        countDistinct(col("_commit_version")).as("n_versions"))
+      .orderBy(col("change_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_table_cdf"       -> stTableCdf,
     "st_foreachbatch_upsert" -> stForeachBatchUpsert,
     "st_checkpoint_resume" -> stCheckpointResume,
     "st_stream_join_outer" -> stStreamJoinOuter,
@@ -757,6 +804,27 @@ object Streaming {
     "st_stateful_tws"    -> stStatefulTws)
 
   val oracles: Map[String, String] = Map(
+    "st_table_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT 'delete' AS change_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(0 AS BIGINT) AS sum_cents_post,
+        |       CAST(1 AS BIGINT) AS n_versions
+        |FROM base WHERE k % 10 = 6 AND k < (SELECT m FROM mx) // 4
+        |UNION ALL
+        |SELECT 'insert', count(*),
+        |       CAST(sum(k + (SELECT m FROM mx) + 1) AS BIGINT),
+        |       CAST(sum(k * 3 + 45) AS BIGINT), 1
+        |FROM base WHERE k % 100 = 0
+        |UNION ALL
+        |SELECT 'update', count(*), CAST(sum(k) AS BIGINT),
+        |       CAST(sum(pc + 777) AS BIGINT), 1
+        |FROM base WHERE k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |ORDER BY change_type""".stripMargin,
     // Deterministic under any micro-batch split: every key is touched by
     // exactly one update row, so sequential per-batch merges commute.
     "st_foreachbatch_upsert" ->

@@ -18,4 +18,17 @@ object GraftSqlBridge {
     */
   def ofRows(s: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap an InternalRow RDD as a STREAMING DataFrame — what a V1
+    * streaming `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`). This is the same `internalCreateDataFrame(...,
+    * isStreaming = true)` call the built-in file/rate sources make; it is
+    * `private[sql]`-adjacent (public on classic.SparkSession but not on
+    * the api surface), hence routed through this one sanctioned bridge.
+    */
+  def streamingDataFrame(s: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Acid
+
+/** Round-6 invariants: the CDF streaming source's offset/resume contract
+  * (offsets are table versions; a restart from the checkpoint replays
+  * exactly the unseen increments, never the whole history).
+  */
+class Round6Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def kv(sfDir: String) =
+    Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("prio"))
+
+  test("CDF stream resumes from its checkpoint: only unseen versions replay") {
+    val base = Scratch.fresh("round6_cdf_resume", sf)
+    val dir = s"$base/table"; val cp = s"$base/cp"; val out = s"$base/out"
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    Acid.create(spark, dir, kv(sf), "k", 8)
+    Acid.merge(spark, dir,
+      kv(sf).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+        .withColumn("price_cents", col("price_cents") + 777), "u")
+    def drain(): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = ss.readStream.format("graft-acid-cdf").load(dir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val afterFirst = spark.read.parquet(out)
+    val n1 = afterFirst.count()
+    assert(n1 == kv(sf).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4)).count())
+    assert(afterFirst.select(max(col("_commit_version"))).head.getLong(0) == 1L)
+    // second commit AFTER the first drain; the resumed stream must emit
+    // ONLY the v1→v2 increment
+    val inserts = kv(sf).filter(col("k") % 100 === 0)
+      .select((col("k") + mk + 1).as("k"),
+        (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio"))
+    Acid.merge(spark, dir, inserts, "i")
+    drain()
+    val afterSecond = spark.read.parquet(out)
+    assert(afterSecond.count() == n1 + inserts.count(),
+      "resume must append exactly the new increment, not replay history")
+    val byVersion = afterSecond.groupBy(col("_commit_version")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byVersion.keySet == Set(1L, 2L))
+    assert(byVersion(2L) == inserts.count())
+    // and all v2 rows are inserts
+    assert(afterSecond.filter(col("_commit_version") === 2L)
+      .filter(col("change_type") =!= "insert").count() == 0L)
+  }
+
+  test("CDF stream refuses below the vacuum horizon instead of emitting a partial feed") {
+    val base = Scratch.fresh("round6_cdf_horizon", sf)
+    val dir = s"$base/table"; val cp = s"$base/cp"; val out = s"$base/out"
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    Acid.create(spark, dir, kv(sf), "k", 8)
+    Acid.merge(spark, dir,
+      kv(sf).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+        .withColumn("price_cents", col("price_cents") + 777), "u")
+    // horizon passes v0 BEFORE the stream ever starts: replaying 0→1
+    // needs v0's manifest, which is gone — the source must throw, not
+    // fabricate an empty/partial batch
+    Acid.vacuum(spark, dir, retainFrom = 1)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ss.readStream.format("graft-acid-cdf").load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .start()
+    val failed =
+      try { q.awaitTermination(); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+    assert(failed, "below-horizon CDF replay must refuse")
+  }
+}
