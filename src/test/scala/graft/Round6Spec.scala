@@ -61,6 +61,27 @@ class Round6Spec extends AnyFunSuite {
       .filter(col("change_type") =!= "insert").count() == 0L)
   }
 
+  test("Avro read splits WITHIN one container file on sync markers") {
+    import graft.sources.Avro
+    import org.apache.spark.sql.types._
+    val base = Scratch.fresh("round6_avro_split", sf)
+    val t = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("prio"))
+    Avro.write(t.coalesce(1), s"$base/one") // ONE container file
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("price_cents", LongType), StructField("prio", StringType)))
+    val whole = Avro.read(spark, s"$base/one", schema)
+    val wholeAgg = whole.agg(count(lit(1)), sum(col("price_cents"))).head
+    // force small splits: the single file must parallelize across tasks
+    val split = Avro.read(spark, s"$base/one", schema, maxSplitBytes = 4096L)
+    assert(split.rdd.getNumPartitions > 1,
+      s"one Avro file must split into >1 tasks (got ${split.rdd.getNumPartitions})")
+    assert(split.agg(count(lit(1)), sum(col("price_cents"))).head == wholeAgg,
+      "split read must produce identical results")
+  }
+
   test("CDF stream refuses below the vacuum horizon instead of emitting a partial feed") {
     val base = Scratch.fresh("round6_cdf_horizon", sf)
     val dir = s"$base/table"; val cp = s"$base/cp"; val out = s"$base/out"
