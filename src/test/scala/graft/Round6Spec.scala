@@ -82,6 +82,49 @@ class Round6Spec extends AnyFunSuite {
       "split read must produce identical results")
   }
 
+  test("XML intra-file split matches the single-task chunker on the predicate fixture") {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.Xml
+    val dir = Scratch.fresh("round6_xml_split", sf)
+    // the srcXmlNodePathPred fixture shape, as ONE file: ancestor
+    // predicates (tech shelves), leaf predicates (fr books), path decoys
+    // (review/book), nested en books inside captured records, plus
+    // comments and CDATA straddling record content
+    val rows = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy(col("n_nationkey")).collect()
+    val body = rows.map { r =>
+      val (k, n, g) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val genre = if (g % 2 == 0) "fiction" else "tech"
+      val lang = if (k % 2 == 0) "en" else "fr"
+      s"""  <shelf genre="$genre"><!-- shelf $k -->""" +
+        s"""<book lang="$lang" key="$k"><name><![CDATA[$n]]></name><region>$g</region>""" +
+        s"""<related><book lang="en" key="${k + 2000}"><name>REL</name><region>9</region></book></related></book>""" +
+        s"""<book lang="fr" key="${k + 3000}"><name>ALT</name><region>7</region></book>""" +
+        s"""<review stars="4"><book lang="en" key="${k + 1000}"><name>DECOY</name><region>8</region></book></review>""" +
+        "</shelf>"
+    }.mkString("\n")
+    Files.write(Paths.get(dir, "cat_all.xml"),
+      s"<catalog>\n$body\n</catalog>".getBytes("UTF-8"))
+    val nodePath = """/catalog/shelf[@genre='fiction']/book[@lang="en"]"""
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_key", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("region", org.apache.spark.sql.types.LongType)))
+    def parsed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("p", from_xml(col("xml"), schema))
+      .select(col("p._key"), col("p.name"), col("p.region"))
+      .collect().toSet
+    val single = Xml.readXmlNodePath(spark, dir, nodePath)
+    val split = Xml.readXmlNodePathSplit(spark, dir, nodePath, targetSplitBytes = 512L)
+    assert(split.rdd.getNumPartitions > 1,
+      s"one file must split into >1 tasks (got ${split.rdd.getNumPartitions})")
+    val s1 = parsed(single); val s2 = parsed(split)
+    assert(s1 == s2, s"split output diverged: only-single=${s1 -- s2} only-split=${s2 -- s1}")
+    assert(s1.nonEmpty)
+  }
+
   test("CDF stream refuses below the vacuum horizon instead of emitting a partial feed") {
     val base = Scratch.fresh("round6_cdf_horizon", sf)
     val dir = s"$base/table"; val cp = s"$base/cp"; val out = s"$base/out"
