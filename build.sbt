@@ -11,6 +11,8 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The DuckDB parity gate (ParitySpec) shells out to the driver-side
+// python env — opt-in via: GRAFT_PARITY=1 sbt "testOnly graft.ParitySpec"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
