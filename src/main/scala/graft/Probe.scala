@@ -187,6 +187,53 @@ object Probe {
   *
   *   sbt "runMain graft.AcidProbe /root/testdata/sf0.1"
   */
+/** Measures the V2 Group-API row reader (graft-acid-sql) against the V1
+  * vectorized relation (graft-acid) on the same snapshot — the numbers
+  * behind AcidSql.scala's "bulk analytics should read through V1" note.
+  *
+  *   sbt "runMain graft.AcidSqlProbe /root/testdata/sf0.1"
+  */
+object AcidSqlProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Acid
+    val dir = Scratch.fresh("acidsql_probe", sfDir)
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("prio"))
+    Acid.create(spark, dir, base, "k", 8)
+    def time(tag: String)(body: => Long): Double = {
+      body // warm
+      val t0 = System.nanoTime()
+      val v = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[acidsql-probe] $tag%-10s $sec%.3fs (sum=$v)")
+      sec
+    }
+    val v1 = time("v1-read") {
+      spark.read.format("graft-acid").load(dir)
+        .agg(sum(col("price_cents"))).head.getLong(0)
+    }
+    val v2 = time("v2-read") {
+      spark.read.format("graft-acid-sql").load(dir)
+        .agg(sum(col("price_cents"))).head.getLong(0)
+    }
+    val snap = time("snapshot") {
+      Acid.snapshot(spark, dir)
+        .agg(sum(col("price_cents"))).head.getLong(0)
+    }
+    println(f"[acidsql-probe] v2/v1 = ${v2 / v1}%.2f, v2/snapshot = ${v2 / snap}%.2f at ${base.count()} rows")
+    spark.stop()
+  }
+}
+
 object AcidProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1020,8 +1020,67 @@ object Acid {
       .orderBy(col("prio"))
   }
 
+  /** tbl_sql_delete — SQL `DELETE FROM ... WHERE <key range>` through the
+    * V2 SupportsDelete hook: the pushed filters translate back to the
+    * predicate, the key bounds become the pruning hint, and only the
+    * overlapping files are rewritten (pinned: some v0 files carry
+    * forward). Predicates outside the Filter algebra refuse loudly
+    * (AnalysisException) instead of deleting a wrong subset.
+    */
+  val tblSqlDelete: Q = (s, d) => {
+    val dir = fresh("tbl_sql_delete", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    s.sql("DROP TABLE IF EXISTS graft_sql_delete_t")
+    s.sql(
+      s"""CREATE TABLE graft_sql_delete_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    val lo = mk / 2; val hi = mk / 2 + mk / 8
+    s.sql(s"DELETE FROM graft_sql_delete_t WHERE k >= $lo AND k <= $hi")
+    val v0 = readManifest(dir, 0).files.map(_.path).toSet
+    val v1 = readManifest(dir, 1).files.map(_.path).toSet
+    s.sql(
+      """SELECT count(*) AS n, sum(price_cents) AS sum_cents,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM graft_sql_delete_t""".stripMargin)
+      .withColumn("one_commit", lit(latestVersion(dir) == 1))
+      .withColumn("files_pruned", lit((v0 intersect v1).nonEmpty))
+  }
+
+  /** tbl_sql_alter — SQL DDL schema evolution: `ALTER TABLE ... ADD
+    * COLUMN` widens the catalog schema (no data rewrite — the additive
+    * contract), a subsequent INSERT writes the new column, and the
+    * catalog SELECT surfaces NULLs for every pre-ALTER row through the
+    * per-file projection.
+    */
+  val tblSqlAlter: Q = (s, d) => {
+    val dir = fresh("tbl_sql_alter", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    s.sql("DROP TABLE IF EXISTS graft_sql_alter_t")
+    s.sql(
+      s"""CREATE TABLE graft_sql_alter_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    s.sql("ALTER TABLE graft_sql_alter_t ADD COLUMN discount_cents BIGINT")
+    ordersKV(s, d).createOrReplaceTempView("graft_sql_alter_src")
+    s.sql(
+      s"""INSERT INTO graft_sql_alter_t
+         |SELECT k + $mk + 1, k * 3 + 45, 'NEW', k * 2 + 9
+         |FROM graft_sql_alter_src WHERE k % 100 = 0""".stripMargin)
+    val widened = s.table("graft_sql_alter_t").schema.fieldNames
+      .contains("discount_cents")
+    s.sql(
+      """SELECT count(*) AS n, sum(price_cents) AS sum_cents,
+        |       sum(CASE WHEN discount_cents IS NULL THEN 1 ELSE 0 END) AS n_no_disc,
+        |       sum(coalesce(discount_cents, 0)) AS sum_disc
+        |FROM graft_sql_alter_t""".stripMargin)
+      .withColumn("schema_widened", lit(widened))
+  }
+
   val queries: Map[String, Q] = Map(
     "tbl_sql_insert"        -> tblSqlInsert,
+    "tbl_sql_delete"        -> tblSqlDelete,
+    "tbl_sql_alter"         -> tblSqlAlter,
     "tbl_acid_merge"        -> tblAcidMerge,
     "tbl_time_travel"       -> tblTimeTravel,
     "tbl_stats_skip"        -> tblStatsSkip,
@@ -1038,6 +1097,28 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_sql_delete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       TRUE AS one_commit, TRUE AS files_pruned
+        |FROM base
+        |WHERE k NOT BETWEEN (SELECT m FROM mx) // 2
+        |                AND (SELECT m FROM mx) // 2 + (SELECT m FROM mx) // 8""".stripMargin,
+    "tbl_sql_alter" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |ins AS (SELECT k FROM base WHERE k % 100 = 0)
+        |SELECT (SELECT count(*) FROM base) + (SELECT count(*) FROM ins) AS n,
+        |       CAST((SELECT sum(pc) FROM base)
+        |          + (SELECT sum(k * 3 + 45) FROM ins) AS BIGINT) AS sum_cents,
+        |       (SELECT count(*) FROM base) AS n_no_disc,
+        |       CAST((SELECT sum(k * 2 + 9) FROM ins) AS BIGINT) AS sum_disc,
+        |       TRUE AS schema_widened""".stripMargin,
     "tbl_sql_insert" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -21,11 +21,11 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, And => FAnd}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith, And => FAnd, Not => FNot, Or => FOr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,12 +57,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Read side: one InputPartition per live manifest file (after key-range
   * pruning from the pushed filters), decoded with parquet-hadoop's Group
-  * API. This is a row-at-a-time reader — fine for the catalog/DDL
-  * surface; bulk analytics should read through the V1 relation or
-  * `Acid.snapshot`, which plan Spark's vectorized parquet scan. Column
-  * pruning IS pushed to the parquet reader (requested-schema projection),
-  * and files missing an evolved column surface NULLs, matching the
-  * mergeSchema read.
+  * API. This is a row-at-a-time reader — measured (AcidSqlProbe,
+  * sf0.1 orders, 150k rows × 3 cols): 1.1× the vectorized
+  * `Acid.snapshot` read and 0.57× the V1 relation (whose
+  * `PrunedFilteredScan` pays an InternalRow→Row bridge), so the catalog
+  * surface is NOT a slow path at moderate width. The per-row decode cost
+  * grows with cells, though, so wide 100 TB analytics scans should still
+  * read through `Acid.snapshot`/the V1 view, which plan Spark's
+  * vectorized columnar-batch parquet scan. Column pruning IS pushed to
+  * the parquet reader (requested-schema projection), and files missing
+  * an evolved column surface NULLs, matching the mergeSchema read.
   */
 class AcidSqlProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-acid-sql"
@@ -96,6 +100,68 @@ object AcidSql {
   def lastScanFor(dir: String, version: Int = -1): (Int, Int) =
     lastScan((dir, if (version < 0) Acid.latestVersion(dir) else version))
 
+  /** Translate a pushed V1 Filter back to a Column predicate (for the
+    * DELETE path). None = not expressible → the operation must refuse. */
+  private[sources] def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case EqualTo(c, v)            => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v)      => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v)        => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v)           => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v)    => Some(col(c) <= lit(v))
+      case In(c, vs)                => Some(col(c).isin(vs.toSeq: _*))
+      case IsNull(c)                => Some(col(c).isNull)
+      case IsNotNull(c)             => Some(col(c).isNotNull)
+      case StringStartsWith(c, v)   => Some(col(c).startsWith(v))
+      case StringEndsWith(c, v)     => Some(col(c).endsWith(v))
+      case StringContains(c, v)     => Some(col(c).contains(v))
+      case FAnd(l, r) => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+      case FOr(l, r)  => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+      case FNot(c)    => filterToColumn(c).map(not)
+      case _: AlwaysTrue  => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  /** Conservative key bounds from pushed filters — unhandled shapes widen
+    * the range (never narrow), so manifest pruning stays sound. Shared by
+    * the scan builder and the DELETE pruning hint. */
+  private[sources] def keyBounds(filters: Array[Filter], keyCol: String): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case _       => None
+    }
+    filters.foreach {
+      case EqualTo(c, v) if c == keyCol =>
+        asLong(v).foreach { l => lo = math.max(lo, l); hi = math.min(hi, l) }
+      case GreaterThan(c, v) if c == keyCol =>
+        asLong(v).foreach(l => lo = math.max(lo, l + 1))
+      case GreaterThanOrEqual(c, v) if c == keyCol =>
+        asLong(v).foreach(l => lo = math.max(lo, l))
+      case LessThan(c, v) if c == keyCol =>
+        asLong(v).foreach(l => hi = math.min(hi, l - 1))
+      case LessThanOrEqual(c, v) if c == keyCol =>
+        asLong(v).foreach(l => hi = math.min(hi, l))
+      case In(c, vs) if c == keyCol && vs.nonEmpty =>
+        val ls = vs.flatMap(asLong)
+        if (ls.length == vs.length) {
+          lo = math.max(lo, ls.min); hi = math.min(hi, ls.max)
+        }
+      case FAnd(l, r) =>
+        val (l1, h1) = keyBounds(Array(l), keyCol)
+        val (l2, h2) = keyBounds(Array(r), keyCol)
+        lo = math.max(lo, math.max(l1, l2)); hi = math.min(hi, math.min(h1, h2))
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
   /** Supported column types of the V2 writer/reader — the table format's
     * own surface is long/int/double/bool/string (money as integer cents
     * per the house rule); everything else should land via the library
@@ -119,7 +185,7 @@ object AcidSql {
 }
 
 class AcidSqlTable(dir: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"graft-acid-sql:$dir"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -133,6 +199,27 @@ class AcidSqlTable(dir: String, tableSchema: StructType)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AcidSqlWriteBuilder(dir, info.schema())
+
+  /** SQL `DELETE FROM t WHERE ...` — metadata-level row deletion: the
+    * pushed filters translate back to a Column predicate, key-range
+    * bounds become the pruning hint, and `Acid.deleteWhere` rewrites only
+    * the overlapping files (committed like any writer). Predicates the
+    * Filter algebra cannot express make `canDeleteWhere` refuse, which
+    * surfaces as an AnalysisException instead of a wrong partial delete.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => AcidSql.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.flatMap(AcidSql.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val keyCol = tableSchema.fields.head.name
+    val (lo, hi) = AcidSql.keyBounds(filters, keyCol)
+    val hint =
+      if (lo == Long.MinValue && hi == Long.MaxValue) None else Some((lo, hi))
+    Acid.deleteWhere(SparkSession.active, dir, pred, hint, "sqldel"): Unit
+  }
 }
 
 // ============================================================================
@@ -278,45 +365,12 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType)
 
   private def referencesOnlyKey(f: Filter): Boolean = f.references.forall(_ == keyCol)
 
-  // Conservative key bounds, same sound-widening contract as AcidRelation
-  private def keyBounds(filters: Array[Filter]): (Long, Long) = {
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
-    def asLong(v: Any): Option[Long] = v match {
-      case l: Long => Some(l)
-      case i: Int  => Some(i.toLong)
-      case _       => None
-    }
-    filters.foreach {
-      case EqualTo(c, v) if c == keyCol =>
-        asLong(v).foreach { l => lo = math.max(lo, l); hi = math.min(hi, l) }
-      case GreaterThan(c, v) if c == keyCol =>
-        asLong(v).foreach(l => lo = math.max(lo, l + 1))
-      case GreaterThanOrEqual(c, v) if c == keyCol =>
-        asLong(v).foreach(l => lo = math.max(lo, l))
-      case LessThan(c, v) if c == keyCol =>
-        asLong(v).foreach(l => hi = math.min(hi, l - 1))
-      case LessThanOrEqual(c, v) if c == keyCol =>
-        asLong(v).foreach(l => hi = math.min(hi, l))
-      case In(c, vs) if c == keyCol && vs.nonEmpty =>
-        val ls = vs.flatMap(asLong)
-        if (ls.length == vs.length) {
-          lo = math.max(lo, ls.min); hi = math.min(hi, ls.max)
-        }
-      case FAnd(l, r) =>
-        val (l1, h1) = keyBounds(Array(l)); val (l2, h2) = keyBounds(Array(r))
-        lo = math.max(lo, math.max(l1, l2)); hi = math.min(hi, math.min(h1, h2))
-      case _ => ()
-    }
-    (lo, hi)
-  }
-
   override def build(): Scan = {
     val resolved = if (version < 0) Acid.latestVersion(dir) else version
     val all =
       if (resolved < 0) Seq.empty
       else Acid.readManifest(dir, resolved).files
-    val (lo, hi) = keyBounds(keyFilters)
+    val (lo, hi) = AcidSql.keyBounds(keyFilters, keyCol)
     val live = all.filter(f => f.maxKey >= lo && f.minKey <= hi)
     AcidSql.lastScan.put((dir, resolved), (live.size, all.size))
     new AcidSqlScan(dir, live.map(_.path), required)

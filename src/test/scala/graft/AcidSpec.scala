@@ -482,6 +482,93 @@ class AcidSpec extends AnyFunSuite {
       "rebase must preserve the rival commit and apply the append exactly once")
   }
 
+  test("DSv2 DELETE FROM prunes to the key range and commits one version") {
+    val dir = freshTable("acid_spec_v2del")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    spark.sql("DROP TABLE IF EXISTS acid_spec_v2del_t")
+    spark.sql(
+      s"""CREATE TABLE acid_spec_v2del_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    val lo = mk / 2; val hi = mk / 2 + mk / 8
+    val expectGone = kv(sf).filter(col("k").between(lo, hi)).count()
+    val before = Acid.snapshot(spark, dir).count()
+    spark.sql(s"DELETE FROM acid_spec_v2del_t WHERE k >= $lo AND k <= $hi")
+    assert(Acid.latestVersion(dir) == 1)
+    assert(Acid.snapshot(spark, dir).count() == before - expectGone)
+    assert(Acid.snapshot(spark, dir).filter(col("k").between(lo, hi)).count() == 0L)
+    // the key-range hint must have pruned: some v0 files carried forward
+    val v0 = Acid.readManifest(dir, 0).files.map(_.path).toSet
+    val v1 = Acid.readManifest(dir, 1).files.map(_.path).toSet
+    assert((v0 intersect v1).nonEmpty, "untouched files must carry forward")
+    spark.sql("DROP TABLE acid_spec_v2del_t")
+  }
+
+  test("DSv2 ALTER TABLE ADD COLUMN evolves the schema; old files surface NULLs") {
+    val dir = freshTable("acid_spec_v2alter")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    spark.sql("DROP TABLE IF EXISTS acid_spec_v2alter_t")
+    spark.sql(
+      s"""CREATE TABLE acid_spec_v2alter_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    spark.sql("ALTER TABLE acid_spec_v2alter_t ADD COLUMN discount_cents BIGINT")
+    kv(sf).createOrReplaceTempView("acid_spec_v2alter_src")
+    spark.sql(
+      s"""INSERT INTO acid_spec_v2alter_t
+         |SELECT k + $mk + 1, price_cents, 'NEW', k * 2 + 9
+         |FROM acid_spec_v2alter_src WHERE k % 100 = 0""".stripMargin)
+    val insN = kv(sf).filter(col("k") % 100 === 0).count()
+    val viaSql = spark.sql(
+      """SELECT count(*) AS n,
+        |       sum(CASE WHEN discount_cents IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |       sum(coalesce(discount_cents, 0)) AS sum_disc
+        |FROM acid_spec_v2alter_t""".stripMargin).head
+    assert(viaSql.getLong(0) == kv(sf).count() + insN)
+    assert(viaSql.getLong(1) == kv(sf).count(), "pre-ALTER rows surface NULL")
+    val expectDisc = kv(sf).filter(col("k") % 100 === 0)
+      .agg(sum(col("k") * 2 + 9)).head.getLong(0)
+    assert(viaSql.getLong(2) == expectDisc)
+    spark.sql("DROP TABLE acid_spec_v2alter_t")
+  }
+
+  test("two tables fed by one foreachBatch stay exactly-once each, even when one conflicts") {
+    // The log is PER TABLE (like Delta): one foreachBatch body writing two
+    // tables holds no cross-table atomicity, but each table's
+    // (writerTag, batchId) dedup must survive replays and conflicts
+    // independently — the contract a fan-out streaming sink relies on.
+    val base = Scratch.fresh("acid_spec_multitable", sf)
+    val dirA = s"$base/a"; val dirB = s"$base/b"
+    Acid.create(spark, dirA, kv(sf), "k", 8)
+    Acid.create(spark, dirB, kv(sf), "k", 8)
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    def batch(bump: Long) = kv(sf)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + bump)
+    val nBatch = batch(0L).count()
+    def body(b: org.apache.spark.sql.DataFrame, bid: Long): Unit = {
+      Acid.merge(spark, dirA, b, "q", batchId = bid)
+      Acid.merge(spark, dirB, b, "q", batchId = bid)
+    }
+    body(batch(100L), 0L)
+    body(batch(100L), 0L) // crash replay of batch 0: both tables must skip
+    // a rival writer lands on A only (keys disjoint from the batch set so
+    // batch 1 cannot overwrite the marker); B unaffected, A rebases
+    val rivalKeys = col("k") % 97 === 0 && col("k") >= lit(mk / 4)
+    Acid.merge(spark, dirA, kv(sf).filter(rivalKeys)
+      .select(col("k"), lit("RIVAL").as("prio")), "rival")
+    body(batch(200L), 1L) // batch 1 applies to both (absolute values)
+    body(batch(200L), 1L) // and its replay skips on both
+    def sum(dir: String) =
+      Acid.snapshot(spark, dir).agg(org.apache.spark.sql.functions.sum(col("price_cents"))).head.getLong(0)
+    val baseSum = kv(sf).agg(org.apache.spark.sql.functions.sum(col("price_cents"))).head.getLong(0)
+    // batches carry ABSOLUTE values: final bump is exactly +200 per batch row
+    assert(sum(dirA) == baseSum + 200L * nBatch,
+      "table A: every batch exactly once despite the rival conflict")
+    assert(sum(dirB) == baseSum + 200L * nBatch,
+      "table B: untouched by A's rival, batches exactly once")
+    assert(Acid.snapshot(spark, dirA).filter(col("prio") === "RIVAL").count() ==
+      kv(sf).filter(rivalKeys).count(), "rival commit preserved on A")
+  }
+
   test("a losing commit leaves no tmp files behind in the log") {
     val dir = freshTable("acid_spec_tmpclean")
     val m1 = Acid.readManifest(dir, 0).copy(version = 1)
