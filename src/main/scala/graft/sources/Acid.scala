@@ -376,6 +376,31 @@ object Acid {
     throw new IllegalStateException("appendCommit: too many commit conflicts")
   }
 
+  /** Group-replace commit for row-level operations (UPDATE / MERGE INTO):
+    * atomically swap the `removed` files for `newEntries`. Unlike an
+    * append, this CANNOT blindly rebase — if a concurrent commit already
+    * rewrote one of the removed files, re-applying would drop that
+    * writer's rows (the lost-update anomaly), so the conflict surfaces as
+    * an error and the statement must re-run against the new snapshot.
+    * A concurrent commit that touched only OTHER files rebases fine.
+    */
+  def replaceCommit(dir: String, removed: Set[String],
+                    newEntries: Seq[FileEntry], maxAttempts: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(dir)
+      val m = readManifest(dir, base)
+      val present = m.files.map(_.path).toSet
+      require(removed.subsetOf(present),
+        s"row-level write conflict: a concurrent commit rewrote " +
+          s"${(removed -- present).take(3).mkString(", ")}… — re-run the statement")
+      val files = m.files.filterNot(f => removed(f.path)) ++ newEntries
+      try { commitManifest(dir, Manifest(base + 1, -1L, files, m.batchHw)); return base + 1 }
+      catch { case _: FileAlreadyExistsException => attempt += 1 }
+    }
+    throw new IllegalStateException("replaceCommit: too many commit conflicts")
+  }
+
   /** CHANGE DATA FEED between two versions: because a MERGE carries
     * untouched files forward BY ENTRY, any row-level change must live in a
     * file present in exactly one of the two manifests — so the diff reads
@@ -1077,10 +1102,78 @@ object Acid {
       .withColumn("schema_widened", lit(widened))
   }
 
+  /** tbl_sql_update — SQL `UPDATE` through `SupportsRowLevelOperations`
+    * (group-based copy-on-write): Spark plans a matching-groups subquery,
+    * the scan's `_file` runtime filter narrows the rewrite to the files
+    * the clustered predicate touches (pinned: untouched v0 files carry
+    * forward), and `replaceCommit` swaps exactly those groups atomically
+    * — refusing, not rebasing, if a rival rewrote one (lost-update
+    * protection).
+    */
+  val tblSqlUpdate: Q = (s, d) => {
+    val dir = fresh("tbl_sql_update", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    s.sql("DROP TABLE IF EXISTS graft_sql_update_t")
+    s.sql(
+      s"""CREATE TABLE graft_sql_update_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    s.sql(
+      s"""UPDATE graft_sql_update_t
+         |SET price_cents = price_cents + 777, prio = 'PATCHED'
+         |WHERE k % 10 = 3 AND k < ${mk / 4}""".stripMargin)
+    val v0 = readManifest(dir, 0).files.map(_.path).toSet
+    val v1 = readManifest(dir, 1).files.map(_.path).toSet
+    s.sql(
+      """SELECT prio, count(*) AS n, sum(price_cents) AS sum_cents
+        |FROM graft_sql_update_t GROUP BY prio""".stripMargin)
+      .withColumn("one_commit", lit(latestVersion(dir) == 1))
+      .withColumn("groups_pruned", lit((v0 intersect v1).nonEmpty))
+      .orderBy(col("prio"))
+  }
+
+  /** tbl_sql_merge — SQL `MERGE INTO` end-to-end: matched rows update,
+    * unmatched source rows insert, all in ONE committed version through
+    * the same group-filtered copy-on-write write path; beyond-max insert
+    * keys touch no existing group, so pruning still holds.
+    */
+  val tblSqlMerge: Q = (s, d) => {
+    val dir = fresh("tbl_sql_merge", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    s.sql("DROP TABLE IF EXISTS graft_sql_merge_t")
+    s.sql(
+      s"""CREATE TABLE graft_sql_merge_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    ordersKV(s, d).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .select(col("k"), (col("price_cents") + 777).as("price_cents"),
+        lit("PATCHED").as("prio"))
+      .unionByName(ordersKV(s, d).filter(col("k") % 100 === 0)
+        .select((col("k") + mk + 1).as("k"),
+          (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio")))
+      .createOrReplaceTempView("graft_sql_merge_batch")
+    s.sql(
+      """MERGE INTO graft_sql_merge_t t
+        |USING graft_sql_merge_batch b ON t.k = b.k
+        |WHEN MATCHED THEN UPDATE SET t.price_cents = b.price_cents, t.prio = b.prio
+        |WHEN NOT MATCHED THEN INSERT (k, price_cents, prio)
+        |  VALUES (b.k, b.price_cents, b.prio)""".stripMargin)
+    val v0 = readManifest(dir, 0).files.map(_.path).toSet
+    val v1 = readManifest(dir, 1).files.map(_.path).toSet
+    s.sql(
+      """SELECT prio, count(*) AS n, sum(price_cents) AS sum_cents
+        |FROM graft_sql_merge_t GROUP BY prio""".stripMargin)
+      .withColumn("one_commit", lit(latestVersion(dir) == 1))
+      .withColumn("groups_pruned", lit((v0 intersect v1).nonEmpty))
+      .orderBy(col("prio"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tbl_sql_insert"        -> tblSqlInsert,
     "tbl_sql_delete"        -> tblSqlDelete,
     "tbl_sql_alter"         -> tblSqlAlter,
+    "tbl_sql_update"        -> tblSqlUpdate,
+    "tbl_sql_merge"         -> tblSqlMerge,
     "tbl_acid_merge"        -> tblAcidMerge,
     "tbl_time_travel"       -> tblTimeTravel,
     "tbl_stats_skip"        -> tblStatsSkip,
@@ -1097,6 +1190,38 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_sql_update" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |upd AS (
+        |  SELECT CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN pc + 777 ELSE pc END AS price_cents,
+        |         CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN 'PATCHED' ELSE prio END AS prio
+        |  FROM base)
+        |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS one_commit, TRUE AS groups_pruned
+        |FROM upd GROUP BY prio ORDER BY prio""".stripMargin,
+    "tbl_sql_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |merged AS (
+        |  SELECT CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN pc + 777 ELSE pc END AS price_cents,
+        |         CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN 'PATCHED' ELSE prio END AS prio
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k * 3 + 45, 'NEW' FROM base WHERE k % 100 = 0)
+        |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS one_commit, TRUE AS groups_pruned
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
     "tbl_sql_delete" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -21,10 +21,11 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith, And => FAnd, Not => FNot, Or => FOr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -185,9 +186,20 @@ object AcidSql {
 }
 
 class AcidSqlTable(dir: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   override def name(): String = s"graft-acid-sql:$dir"
   override def schema(): StructType = tableSchema
+
+  /** `_file` = the manifest-relative origin of each row — the GROUP
+    * identity the row-level operations rewrite by (and a handy
+    * `SELECT _file FROM t` debugging column). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+    })
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
@@ -207,6 +219,19 @@ class AcidSqlTable(dir: String, tableSchema: StructType)
     * Filter algebra cannot express make `canDeleteWhere` refuse, which
     * surfaces as an AnalysisException instead of a wrong partial delete.
     */
+  /** SQL `UPDATE` / `MERGE INTO` — group-based (copy-on-write) row-level
+    * operations: Spark rewrites the content of the affected GROUPS (our
+    * groups = manifest files) through the operation's scan + write pair.
+    * The scan records which files it planned; the replace-data commit
+    * atomically swaps exactly those files for the rewritten ones
+    * (`latest − scanned ++ new`), refusing if a concurrent writer
+    * already rewrote one of them (a real write-write conflict — rebasing
+    * would lose that writer's rows).
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new AcidRowLevelOperation(dir, tableSchema, info.command())
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => AcidSql.filterToColumn(f).isDefined)
 
@@ -219,6 +244,71 @@ class AcidSqlTable(dir: String, tableSchema: StructType)
     val hint =
       if (lo == Long.MinValue && hi == Long.MaxValue) None else Some((lo, hi))
     Acid.deleteWhere(SparkSession.active, dir, pred, hint, "sqldel"): Unit
+  }
+}
+
+// ============================================================================
+// Row-level operations (UPDATE / MERGE INTO / fallback DELETE)
+// ============================================================================
+
+class AcidRowLevelOperation(dir: String, schema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  /** Relative paths of the manifest files the operation's scan planned —
+    * the GROUPS whose content the replace-data write supersedes. Set on
+    * the driver at scan-build time, read at commit time. */
+  @volatile private[sources] var scannedFiles: Seq[String] = Seq.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** Declaring `_file` required is what routes the physical write through
+    * Spark's PROJECTING task (DataAndMetadataWritingSparkTask): without
+    * metadata attributes, ReplaceDataExec hands the writer the raw plan
+    * output INCLUDING the internal `__row_operation` column — misaligned
+    * rows (verified empirically on 4.1; every production group-based
+    * connector declares metadata attributes for the same reason). */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AcidSqlScanBuilder(dir, -1, schema, files => scannedFiles = files)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new AcidReplaceGroupsWrite(dir, info.schema(), AcidRowLevelOperation.this)
+      }
+    }
+}
+
+/** Copy-on-write replace-data write: tasks stage the rewritten content of
+  * the affected groups exactly like an append; the commit swaps
+  * `scannedFiles` for the staged files in one atomic manifest move via
+  * `Acid.replaceCommit` (which REFUSES if a concurrent commit already
+  * rewrote an affected file — rebasing would silently drop that writer's
+  * rows, the classic lost-update).
+  */
+class AcidReplaceGroupsWrite(dir: String, writeSchema: StructType,
+    op: AcidRowLevelOperation) extends BatchWrite {
+  private val stageDir = s"dv2_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AcidSqlWriterFactory(dir, stageDir, writeSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect {
+      case AcidWriteMessage(p, rows, mn, mx) if rows > 0 =>
+        Acid.FileEntry(p, rows, mn, mx)
+    }.toSeq.sortBy(_.path)
+    Acid.replaceCommit(dir, op.scannedFiles.toSet, entries): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case AcidWriteMessage(p, _, _, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, p))
+      case _ => ()
+    }
   }
 }
 
@@ -292,6 +382,10 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType)
   private var maxKey = Long.MinValue
   private var keyConservative = schema.fields.head.dataType != LongType
 
+  // row-level rewrites deliver (metadata, row); the group identity in the
+  // metadata is commit-level information here, not per-row payload
+  override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
+
   override def write(row: InternalRow): Unit = {
     if (writer == null) {
       writer = ExampleParquetWriter.builder(new Path(s"$tableDir/$relPath"))
@@ -346,7 +440,8 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType)
 // Read path
 // ============================================================================
 
-class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType)
+class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
+    onPlan: Seq[String] => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
@@ -373,14 +468,49 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType)
     val (lo, hi) = AcidSql.keyBounds(keyFilters, keyCol)
     val live = all.filter(f => f.maxKey >= lo && f.minKey <= hi)
     AcidSql.lastScan.put((dir, resolved), (live.size, all.size))
-    new AcidSqlScan(dir, live.map(_.path), required)
+    onPlan(live.map(_.path))
+    new AcidSqlScan(dir, live.map(_.path), required, onPlan)
   }
 }
 
-class AcidSqlScan(dir: String, files: Seq[String], required: StructType)
-    extends Scan with Batch {
+/** `SupportsRuntimeV2Filtering` on `_file` is what turns a row-level
+  * UPDATE/MERGE from a full-table rewrite into a matched-groups rewrite:
+  * Spark plans a separate matching-groups subquery (DISTINCT `_file`
+  * WHERE <condition>) and hands its result here as an IN predicate before
+  * input partitions are planned — only the surviving files are read,
+  * rewritten, and swapped at commit (`onPlan` keeps the row-level
+  * operation's group list in sync with the filtered plan).
+  */
+class AcidSqlScan(dir: String, files0: Seq[String], required: StructType,
+    onPlan: Seq[String] => Unit = _ => ())
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  private var files: Seq[String] = files0
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    // Sound narrowing only: an IN over _file keeps exactly the named
+    // files; any predicate shape we can't interpret keeps the full list.
+    val keep = predicates.collectFirst {
+      case p if p.name() == "IN" && p.children().nonEmpty &&
+        p.children().head.isInstanceOf[NamedReference] &&
+        p.children().head.asInstanceOf[NamedReference]
+          .fieldNames().sameElements(Array("_file")) =>
+        p.children().tail.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            String.valueOf(l.value())
+        }.toSet
+    }
+    keep.foreach { absPaths =>
+      files = files.filter(p => absPaths.contains(s"$dir/$p"))
+      onPlan(files)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     files.map(p => AcidSqlInputPartition(s"$dir/$p"): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
@@ -402,18 +532,23 @@ class AcidSqlReaderFactory(required: StructType) extends PartitionReaderFactory 
 class AcidSqlPartitionReader(absPath: String, required: StructType)
     extends PartitionReader[InternalRow] {
   private val conf = new Configuration()
-  private val fileFields: Set[String] = {
+  private val fileSchema: MessageType = {
     val in = HadoopInputFile.fromPath(new Path(absPath), conf)
     val fr = ParquetFileReader.open(in)
-    try fr.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .map(_.getName).toSet
+    try fr.getFooter.getFileMetaData.getSchema
     finally fr.close()
   }
-  private val present = StructType(required.fields.filter(f => fileFields(f.name)))
+  private val fileFields: Set[String] =
+    fileSchema.getFields.asScala.map(_.getName).toSet
   private val reader: ParquetReader[Group] = {
-    if (present.nonEmpty)
+    // projection must copy the FILE's own field definitions (a Spark
+    // writer emits `required` for non-nullable columns; requesting an
+    // `optional` twin trips parquet's strict schema check)
+    val projected = required.fields.filter(f => fileFields(f.name))
+      .map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+    if (projected.nonEmpty)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA,
-        AcidSql.toParquetSchema(present).toString)
+        new MessageType("graft_acid_v2", projected: _*).toString)
     ParquetReader.builder(new GroupReadSupport(), new Path(absPath))
       .withConf(conf).build()
   }
@@ -421,10 +556,14 @@ class AcidSqlPartitionReader(absPath: String, required: StructType)
 
   override def next(): Boolean = { current = reader.read(); current != null }
 
+  private lazy val fileTag = UTF8String.fromString(absPath)
+
   override def get(): InternalRow = {
     val vals = new Array[Any](required.length)
     required.fields.zipWithIndex.foreach { case (f, i) =>
-      if (fileFields(f.name) && current.getFieldRepetitionCount(f.name) > 0)
+      if (f.name == "_file")
+        vals(i) = fileTag
+      else if (fileFields(f.name) && current.getFieldRepetitionCount(f.name) > 0)
         vals(i) = f.dataType match {
           case LongType    => current.getLong(f.name, 0)
           case IntegerType => current.getInteger(f.name, 0)

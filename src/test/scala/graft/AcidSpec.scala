@@ -569,6 +569,68 @@ class AcidSpec extends AnyFunSuite {
       kv(sf).filter(rivalKeys).count(), "rival commit preserved on A")
   }
 
+  test("DSv2 UPDATE rewrites through the row-level operation and stays exact") {
+    val dir = freshTable("acid_spec_v2upd")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    spark.sql("DROP TABLE IF EXISTS acid_spec_v2upd_t")
+    spark.sql(
+      s"""CREATE TABLE acid_spec_v2upd_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    val hit = kv(sf).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+    val expectHit = hit.count()
+    val baseSum = kv(sf).agg(sum(col("price_cents"))).head.getLong(0)
+    spark.sql(
+      s"""UPDATE acid_spec_v2upd_t
+         |SET price_cents = price_cents + 777, prio = 'PATCHED'
+         |WHERE k % 10 = 3 AND k < ${mk / 4}""".stripMargin)
+    val after = Acid.snapshot(spark, dir)
+    assert(after.count() == kv(sf).count(), "UPDATE must not change row count")
+    assert(after.filter(col("prio") === "PATCHED").count() == expectHit)
+    assert(after.agg(sum(col("price_cents"))).head.getLong(0)
+      == baseSum + 777L * expectHit)
+    // runtime GROUP FILTERING: the clustered low-quarter predicate must
+    // rewrite only the matched files — unmatched v0 files carry forward
+    val v0 = Acid.readManifest(dir, 0).files.map(_.path).toSet
+    val v1 = Acid.readManifest(dir, 1).files.map(_.path).toSet
+    assert((v0 intersect v1).nonEmpty,
+      "row-level UPDATE must not rewrite unmatched groups (runtime filter)")
+    spark.sql("DROP TABLE acid_spec_v2upd_t")
+  }
+
+  test("DSv2 MERGE INTO lands matched updates and unmatched inserts in one commit") {
+    val dir = freshTable("acid_spec_v2mrg")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    spark.sql("DROP TABLE IF EXISTS acid_spec_v2mrg_t")
+    spark.sql(
+      s"""CREATE TABLE acid_spec_v2mrg_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    // CDC batch: updates for low k%10=3 keys, inserts beyond max key
+    kv(sf).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .select(col("k"), (col("price_cents") + 777).as("price_cents"),
+        lit("PATCHED").as("prio"))
+      .unionByName(kv(sf).filter(col("k") % 100 === 0)
+        .select((col("k") + mk + 1).as("k"),
+          (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio")))
+      .createOrReplaceTempView("acid_spec_v2mrg_batch")
+    val vBefore = Acid.latestVersion(dir)
+    spark.sql(
+      """MERGE INTO acid_spec_v2mrg_t t
+        |USING acid_spec_v2mrg_batch b ON t.k = b.k
+        |WHEN MATCHED THEN UPDATE SET t.price_cents = b.price_cents, t.prio = b.prio
+        |WHEN NOT MATCHED THEN INSERT (k, price_cents, prio)
+        |  VALUES (b.k, b.price_cents, b.prio)""".stripMargin)
+    assert(Acid.latestVersion(dir) == vBefore + 1, "MERGE commits one version")
+    val after = Acid.snapshot(spark, dir)
+    val nUpd = kv(sf).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4)).count()
+    val nIns = kv(sf).filter(col("k") % 100 === 0).count()
+    assert(after.count() == kv(sf).count() + nIns)
+    assert(after.filter(col("prio") === "PATCHED").count() == nUpd)
+    assert(after.filter(col("prio") === "NEW").count() == nIns)
+    // snapshot isolation held: pre-merge version still readable
+    assert(Acid.snapshot(spark, dir, vBefore).count() == kv(sf).count())
+    spark.sql("DROP TABLE acid_spec_v2mrg_t")
+  }
+
   test("a losing commit leaves no tmp files behind in the log") {
     val dir = freshTable("acid_spec_tmpclean")
     val m1 = Acid.readManifest(dir, 0).copy(version = 1)
