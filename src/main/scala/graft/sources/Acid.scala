@@ -74,8 +74,14 @@ object Acid {
     * a replayed id is always ≤ that query's high-water mark, a new id
     * always above it.
     */
+  /** `cdcPath` (CDC-at-commit, the Delta enableChangeDataFeed analogue):
+    * the directory of this COMMIT's persisted change rows, written by the
+    * committing writer when `writeCdf` is on. Named per attempt, so a
+    * losing racer's CDC directory is simply unreferenced (vacuumable) —
+    * readers always follow the winning manifest's pointer. */
   final case class Manifest(version: Int, batchId: Long, files: Seq[FileEntry],
-                            batchHw: Map[String, Long] = Map.empty)
+                            batchHw: Map[String, Long] = Map.empty,
+                            cdcPath: Option[String] = None)
   final case class MergeResult(version: Int, filesRewritten: Int, filesTotal: Int,
                                skipped: Boolean)
 
@@ -116,7 +122,8 @@ object Acid {
           kv.substring(0, i) -> kv.substring(i + 1).toLong
         }.toMap
       else Map.empty[String, Long]
-    Manifest(header(0).toInt, header(1).toLong, files.toSeq, hw)
+    val cdc = if (header.length >= 4 && header(3).nonEmpty) Some(header(3)) else None
+    Manifest(header(0).toInt, header(1).toLong, files.toSeq, hw, cdc)
   }
 
   /** Atomic put-if-absent commit: write a temp record, then rename WITHOUT
@@ -130,9 +137,11 @@ object Acid {
     // writer tags are manifest-header tokens: forbid the delimiters
     m.batchHw.keys.foreach(t => require(t.matches("[A-Za-z0-9_.-]+"),
       s"writer tag '$t' must be [A-Za-z0-9_.-]+"))
+    m.cdcPath.foreach(p => require(!p.contains('|') && !p.contains('\n'),
+      s"cdc path '$p' must not contain header delimiters"))
     val hwStr = m.batchHw.toSeq.sortBy(_._1)
       .map { case (t, v) => s"$t=$v" }.mkString(",")
-    val body = (s"${m.version}|${m.batchId}|$hwStr" +:
+    val body = (s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}" +:
       m.files.map { f =>
         val s2 = f.stats2.map { case (c, mn, mx) => s"|$c|$mn|$mx" }.getOrElse("")
         s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2"
@@ -229,7 +238,8 @@ object Acid {
     * touched scan.
     */
   def mergeAt(s: SparkSession, dir: String, baseVersion: Int, batch: DataFrame,
-              writerTag: String, batchId: Long = -1L, stageSuffix: String = "")
+              writerTag: String, batchId: Long = -1L, stageSuffix: String = "",
+              writeCdf: Boolean = false)
       : Either[String, MergeResult] = {
     import s.implicits._
     val m = readManifest(dir, baseVersion)
@@ -285,13 +295,52 @@ object Acid {
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     val newEntries = statsOf(s, dir, dataDir, keyCol)
 
+    // CDC-at-commit: the update/insert legs already materialize both
+    // images, so persisting the classified change rows costs one extra
+    // batch-sized write — and a CDF stream then reads THIS file instead
+    // of re-deriving the diff join per increment (round-6 plan #2).
+    // Written per attempt (keyed by dataDir) BEFORE the commit: a losing
+    // racer's CDC dir is unreferenced and vacuumable.
+    val cdcPathOpt =
+      if (!writeCdf) None
+      else {
+        val cdcDir = s"_cdc/$dataDir"
+        val valueCols = targetSchema.fieldNames.filter(_ != keyCol).toSeq
+        val o = touchedDf.as("o")
+        val b = broadcast(batch).as("b")
+        def newVal(c: String) =
+          if (batchCols.contains(c)) coalesce(col(s"b.$c"), col(s"o.$c"))
+          else col(s"o.$c")
+        val drift = (valueCols.map(c => !(col(s"o.$c") <=> newVal(c))) ++
+          evolvedCols.map(c => col(s"b.$c").isNotNull))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val updCdc = o.join(b, col(s"o.$keyCol") === col(s"b.$keyCol"))
+          .filter(drift)
+          .select(col(s"o.$keyCol").as(keyCol) +: (
+            valueCols.map(c => col(s"o.$c").as(s"old_$c")) ++
+            evolvedCols.map(c => lit(null).cast(batch.schema(c).dataType).as(s"old_$c")) ++
+            valueCols.map(c => newVal(c).as(s"new_$c")) ++
+            evolvedCols.map(c => col(s"b.$c").as(s"new_$c"))).toSeq
+            :+ lit("update").as("change_type"): _*)
+        val insCdc = insertPart
+          .select(col(keyCol) +: (
+            (valueCols ++ evolvedCols).map(c =>
+              lit(null).cast(insertPart.schema(c).dataType).as(s"old_$c")) ++
+            (valueCols ++ evolvedCols).map(c => col(c).as(s"new_$c"))).toSeq
+            :+ lit("insert").as("change_type"): _*)
+        updCdc.unionByName(insCdc)
+          .write.mode("overwrite").parquet(s"$dir/$cdcDir")
+        Some(cdcDir)
+      }
+
     val hw =
       if (batchId >= 0L)
         m.batchHw.updated(writerTag,
           math.max(m.batchHw.getOrElse(writerTag, -1L), batchId))
       else m.batchHw
     try {
-      commitManifest(dir, Manifest(nextV, batchId, untouched ++ newEntries, hw))
+      commitManifest(dir,
+        Manifest(nextV, batchId, untouched ++ newEntries, hw, cdcPathOpt))
       Right(MergeResult(nextV, touched.size, m.files.size, skipped = false))
     } catch {
       case _: FileAlreadyExistsException =>
@@ -316,14 +365,15 @@ object Acid {
     * (`coalesce` semantics); SET-to-NULL is not expressible.
     */
   def merge(s: SparkSession, dir: String, batch: DataFrame, writerTag: String,
-            batchId: Long = -1L, maxAttempts: Int = 5): MergeResult = {
+            batchId: Long = -1L, maxAttempts: Int = 5,
+            writeCdf: Boolean = false): MergeResult = {
     var attempt = 0
     while (true) {
       val latest = latestVersion(dir)
       val head = readManifest(dir, latest)
       if (batchId >= 0L && batchId <= head.batchHw.getOrElse(writerTag, -1L))
         return MergeResult(latest, 0, head.files.size, skipped = true)
-      mergeAt(s, dir, latest, batch, writerTag, batchId, s"a$attempt") match {
+      mergeAt(s, dir, latest, batch, writerTag, batchId, s"a$attempt", writeCdf) match {
         case Right(r) => return r
         case Left(_)  =>
           attempt += 1
@@ -412,6 +462,18 @@ object Acid {
     * incremental view a Delta CDF reader provides, without a table scan.
     */
   def changeFeed(s: SparkSession, dir: String, v0: Int, v1: Int): DataFrame = {
+    // CDC-at-commit fast path: a single-version increment whose commit
+    // persisted its change rows is a plain pruned read — no diff join.
+    // Multi-version ranges and CDC-less commits fall back to the
+    // file-list symmetric-difference derivation below (identical output,
+    // Round6Spec-pinned).
+    if (v1 == v0 + 1) {
+      val m1Head = readManifest(dir, v1)
+      m1Head.cdcPath.filter(p => Files.exists(Paths.get(dir, p))) match {
+        case Some(p) => return s.read.parquet(s"$dir/$p")
+        case None    => ()
+      }
+    }
     val m0 = readManifest(dir, v0)
     val m1 = readManifest(dir, v1)
     val key = keyColOf(s, dir)
@@ -466,7 +528,8 @@ object Acid {
     * files; the deletion is then visible to consumers via changeFeed.
     */
   def deleteWhere(s: SparkSession, dir: String, pred: org.apache.spark.sql.Column,
-                  keyRange: Option[(Long, Long)], writerTag: String): (Long, Int, Int) = {
+                  keyRange: Option[(Long, Long)], writerTag: String,
+                  writeCdf: Boolean = false): (Long, Int, Int) = {
     val base = latestVersion(dir)
     val m = readManifest(dir, base)
     val key = keyColOf(s, dir)
@@ -483,7 +546,21 @@ object Acid {
     kept.repartitionByRange(math.max(1, touched.size), col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     val newEntries = statsOf(s, dir, dataDir, key)
-    commitManifest(dir, Manifest(nextV, -1L, untouched ++ newEntries, m.batchHw))
+    val cdcPathOpt =
+      if (!writeCdf) None
+      else {
+        val cdcDir = s"_cdc/$dataDir"
+        val valueCols = touchedDf.columns.filter(_ != key).toSeq
+        touchedDf.filter(pred)
+          .select(col(key) +: (
+            valueCols.map(c => col(c).as(s"old_$c")) ++
+            valueCols.map(c => lit(null).cast(touchedDf.schema(c).dataType).as(s"new_$c"))).toSeq
+            :+ lit("delete").as("change_type"): _*)
+          .write.mode("overwrite").parquet(s"$dir/$cdcDir")
+        Some(cdcDir)
+      }
+    commitManifest(dir,
+      Manifest(nextV, -1L, untouched ++ newEntries, m.batchHw, cdcPathOpt))
     val deleted = touched.map(_.rows).sum - newEntries.map(_.rows).sum
     (deleted, touched.size, m.files.size)
   }
@@ -600,9 +677,12 @@ object Acid {
     */
   def vacuum(s: SparkSession, dir: String, retainFrom: Int): (Int, Int) = {
     val latest = latestVersion(dir)
-    val live = (retainFrom to latest)
-      .flatMap(v => Try(readManifest(dir, v).files.map(_.path)).getOrElse(Nil))
-      .toSet
+    val retained = (retainFrom to latest)
+      .flatMap(v => Try(readManifest(dir, v)).toOption)
+    val live = retained.flatMap(_.files.map(_.path)).toSet
+    // CDC dirs of retained versions stay readable (the stream may still
+    // replay them); below-horizon and loser-attempt CDC dirs are orphans
+    val liveCdcPrefixes = retained.flatMap(_.cdcPath).map(_ + "/")
     val root = Paths.get(dir)
     val all = {
       val st = Files.walk(root)
@@ -611,7 +691,8 @@ object Acid {
         .map(p => root.relativize(p).toString).toList
       finally st.close()
     }
-    val orphans = all.filterNot(live.contains)
+    val orphans = all.filterNot(p =>
+      live.contains(p) || liveCdcPrefixes.exists(p.startsWith))
     orphans.foreach(p => Files.deleteIfExists(root.resolve(p)))
     (0 until retainFrom).foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
     (orphans.size, live.size)
@@ -1168,7 +1249,44 @@ object Acid {
       .orderBy(col("prio"))
   }
 
+  /** tbl_cdc_on_commit — CDC persisted AT COMMIT TIME (the Delta
+    * enableChangeDataFeed contract, round-6 plan #2): the merge/delete
+    * legs already materialize both row images, so each commit writes its
+    * classified change rows once (batch-sized, per attempt — losers are
+    * vacuumable) and records the path in its manifest; `changeFeed` then
+    * serves a single-increment read with NO diff join (Round6Spec pins
+    * plan-no-join and CDC==derived-diff equality). The aggregate over
+    * three increments must equal the analytic deltas; `all_cdc` pins
+    * that every commit carried its CDC pointer.
+    */
+  val tblCdcOnCommit: Q = (s, d) => {
+    val dir = fresh("tbl_cdc_on_commit", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    merge(s, dir,
+      ordersKV(s, d).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+        .withColumn("price_cents", col("price_cents") + 777)
+        .withColumn("prio", lit("PATCHED")), "u", writeCdf = true)
+    merge(s, dir,
+      ordersKV(s, d).filter(col("k") % 100 === 0)
+        .select((col("k") + mk + 1).as("k"),
+          (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio")), "i",
+      writeCdf = true)
+    deleteWhere(s, dir,
+      col("k") % 10 === 6 && col("k") < lit(mk / 4),
+      Some((0L, mk / 4 - 1)), "del", writeCdf = true)
+    val allCdc = (1 to 3).forall(v => readManifest(dir, v).cdcPath.isDefined)
+    (0 until 3).map(v => changeFeed(s, dir, v, v + 1))
+      .reduce(_ unionByName _)
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(coalesce(col("new_price_cents"), lit(0L))).as("sum_cents_post"))
+      .withColumn("all_cdc", lit(allCdc))
+      .orderBy(col("change_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tbl_cdc_on_commit"     -> tblCdcOnCommit,
     "tbl_sql_insert"        -> tblSqlInsert,
     "tbl_sql_delete"        -> tblSqlDelete,
     "tbl_sql_alter"         -> tblSqlAlter,
@@ -1190,6 +1308,26 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_cdc_on_commit" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT 'delete' AS change_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(0 AS BIGINT) AS sum_cents_post, TRUE AS all_cdc
+        |FROM base WHERE k % 10 = 6 AND k < (SELECT m FROM mx) // 4
+        |UNION ALL
+        |SELECT 'insert', count(*),
+        |       CAST(sum(k + (SELECT m FROM mx) + 1) AS BIGINT),
+        |       CAST(sum(k * 3 + 45) AS BIGINT), TRUE
+        |FROM base WHERE k % 100 = 0
+        |UNION ALL
+        |SELECT 'update', count(*), CAST(sum(k) AS BIGINT),
+        |       CAST(sum(pc + 777) AS BIGINT), TRUE
+        |FROM base WHERE k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |ORDER BY change_type""".stripMargin,
     "tbl_sql_update" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

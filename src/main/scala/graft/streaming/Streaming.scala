@@ -754,17 +754,22 @@ object Streaming {
       col("o_orderpriority").as("prio"))
     val mk = graft.Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
     Acid.create(s, dir, kv, "k", 8)
+    // writeCdf: each commit persists its classified change rows, so the
+    // stream's getBatch is a pruned CDC-file read, not a per-increment
+    // diff join (CDC==diff equality and the no-join plan are
+    // Round6Spec-pinned)
     Acid.merge(s, dir,
       kv.filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
         .withColumn("price_cents", col("price_cents") + 777)
-        .withColumn("prio", lit("PATCHED")), "u")
+        .withColumn("prio", lit("PATCHED")), "u", writeCdf = true)
     Acid.merge(s, dir,
       kv.filter(col("k") % 100 === 0)
         .select((col("k") + mk + 1).as("k"),
-          (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio")), "i")
+          (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio")), "i",
+      writeCdf = true)
     Acid.deleteWhere(s, dir,
       col("k") % 10 === 6 && col("k") < lit(mk / 4),
-      Some((0L, mk / 4 - 1)), "del")
+      Some((0L, mk / 4 - 1)), "del", writeCdf = true)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val feed = ss.readStream.format("graft-acid-cdf").load(dir)

@@ -270,11 +270,12 @@ class AcidSpec extends AnyFunSuite {
       hw  <- Gen.listOfN(nhw, Gen.zip(tagGen, Gen.choose(-1L, Long.MaxValue / 2)))
         .map(_.toMap)
       fs  <- Gen.listOfN(5, entryGen)
-    } yield (bid, hw, fs)
+      cdc <- Gen.option(tagGen.map(t => s"_cdc/d1_$t"))
+    } yield (bid, hw, fs, cdc)
     val dir = Scratch.fresh("acid_spec_roundtrip", sf)
     sample(Gen.listOfN(200, manifestGen)).zipWithIndex.foreach {
-      case ((bid, hw, fs), v) =>
-        val m = Acid.Manifest(v, bid, fs, hw)
+      case ((bid, hw, fs, cdc), v) =>
+        val m = Acid.Manifest(v, bid, fs, hw, cdc)
         Acid.commitManifest(dir, m)
         assert(Acid.readManifest(dir, v) == m, s"round-trip failed at v$v")
     }

@@ -61,6 +61,49 @@ class Round6Spec extends AnyFunSuite {
       .filter(col("change_type") =!= "insert").count() == 0L)
   }
 
+  test("CDC-at-commit equals the derived diff, skips the join, and survives vacuum") {
+    val base = Scratch.fresh("round6_cdc_commit", sf)
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    def build(dir: String, cdf: Boolean): Unit = {
+      Acid.create(spark, dir, kv(sf), "k", 8)
+      Acid.merge(spark, dir,
+        kv(sf).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+          .withColumn("price_cents", col("price_cents") + 777)
+          .withColumn("prio", lit("PATCHED")), "u", writeCdf = cdf)
+      Acid.merge(spark, dir,
+        kv(sf).filter(col("k") % 100 === 0)
+          .select((col("k") + mk + 1).as("k"),
+            (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio")), "i",
+        writeCdf = cdf)
+      Acid.deleteWhere(spark, dir,
+        col("k") % 10 === 6 && col("k") < lit(mk / 4),
+        Some((0L, mk / 4 - 1)), "del", writeCdf = cdf)
+    }
+    val withCdc = s"$base/cdc"; val noCdc = s"$base/plain"
+    build(withCdc, cdf = true); build(noCdc, cdf = false)
+    val cols = Seq("k", "old_price_cents", "old_prio",
+      "new_price_cents", "new_prio", "change_type")
+    (0 until 3).foreach { v =>
+      assert(Acid.readManifest(withCdc, v + 1).cdcPath.isDefined,
+        s"commit v${v + 1} must record its CDC path")
+      val fast = Acid.changeFeed(spark, withCdc, v, v + 1)
+      // the fast path is a plain file read — no join in the plan
+      assert(!fast.queryExecution.optimizedPlan.toString.contains("Join"),
+        s"v$v→${v + 1}: CDC read must not re-derive the diff join")
+      val a = fast.select(cols.map(col): _*).collect().toSet
+      val b = Acid.changeFeed(spark, noCdc, v, v + 1)
+        .select(cols.map(col): _*).collect().toSet
+      assert(a == b, s"v$v→${v + 1}: CDC rows diverge from the derived diff")
+      assert(a.nonEmpty)
+    }
+    // retention: vacuum keeps CDC of retained versions, reclaims the rest
+    val expectV3 = Acid.changeFeed(spark, withCdc, 2, 3).count()
+    Acid.vacuum(spark, withCdc, retainFrom = 2)
+    assert(Acid.changeFeed(spark, withCdc, 2, 3).count() == expectV3,
+      "retained increment must replay from its CDC file after vacuum")
+    assert(scala.util.Try(Acid.readManifest(withCdc, 0)).isFailure)
+  }
+
   test("Avro read splits WITHIN one container file on sync markers") {
     import graft.sources.Avro
     import org.apache.spark.sql.types._
