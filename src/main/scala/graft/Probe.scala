@@ -280,6 +280,26 @@ object AcidProbe {
     val (m1, c1)   = run("x1", base, 8)
     val (m10, c10) = run("x10", x10, 80)
     println(f"[acid-probe] merge ratio x10/x1 = ${m10 / m1}%.2f, cdf ratio = ${c10 / c1}%.2f (flat ≈ 1.0 = batch-bounded)")
+
+    // CDC-at-commit read-cost probe: identical table + batch, changeFeed
+    // timed against the derived diff vs the persisted CDC file. The
+    // at-commit write costs one batch-sized parquet write; every
+    // subsequent increment read (streams, multiple consumers, replays)
+    // skips the two-sided pruned scan + full-outer join.
+    def timedFeed(tag: String, writeCdf: Boolean): Double = {
+      val dir = Scratch.fresh(s"acid_probe_cdcread_$tag", sfDir)
+      Acid.create(spark, dir, x10, "k", 80)
+      Acid.merge(spark, dir, batchFor(x10), "p", writeCdf = writeCdf)
+      Acid.changeFeed(spark, dir, 0, 1).count() // warm
+      val t0 = System.nanoTime()
+      val n = Acid.changeFeed(spark, dir, 0, 1).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[acid-probe] cdf-read $tag%-5s $sec%.3fs ($n rows)")
+      sec
+    }
+    val dDiff = timedFeed("diff", writeCdf = false)
+    val dCdc  = timedFeed("cdc", writeCdf = true)
+    println(f"[acid-probe] cdc/diff read ratio = ${dCdc / dDiff}%.2f (<1 = persisted CDC wins)")
     spark.stop()
   }
 }

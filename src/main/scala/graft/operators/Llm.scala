@@ -116,6 +116,47 @@ object Llm {
       .select(col("keep_id"), col("n_copies"), col("h"))
       .orderBy(col("keep_id"))
 
+  /** Exact-SUBSTRING duplication profile — the "deduplicating training
+    * data" exact-match family (Lee et al., ACL 2022: suffix-array ExactSubstr
+    * dedup), re-expressed for Spark: every 40-char window of every
+    * document is hashed (stride 1, codegen md5), windows are thinned by a
+    * CONTENT-DEFINED anchor rule (hash mod 4 == 0 — the same substring
+    * anchors identically in every document, so cross-doc duplicates stay
+    * aligned regardless of their byte offsets; a positional stride could
+    * not give that guarantee), and an anchor seen in more than one
+    * document marks a cross-doc duplicated span. Output: per-document
+    * anchor counts + duplicated-anchor ppm — the coverage statistic the
+    * Lee et al. pipeline thresholds on.
+    *
+    * Scale shape: explode → hash-agg on the anchor hash (map-side
+    * partials) → left-semi back — no pair join ever materializes, cost is
+    * Σ_anchor (docs-per-anchor)², and the anchor rule cuts the shuffled
+    * volume 4× before the exchange. The window hashing itself is
+    * whole-stage-codegen'd string arithmetic.
+    */
+  val dedupSubstring: Q = (s, d) => {
+    val L = 40
+    val anchors = Tables.documents(s, d)
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (L - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), md5(expr(s"substring(text, pos, $L)")).as("h"))
+      .filter(conv(substring(col("h"), 1, 1), 16, 10).cast("int") % 4 === 0)
+    val dup = anchors.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    val flagged = anchors.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_anchors"))
+    anchors.groupBy(col("doc_id")).agg(count(lit(1)).as("n_anchors"))
+      .join(flagged, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_anchors"),
+        coalesce(col("n_dup_anchors"), lit(0L)).as("n_dup_anchors"),
+        expr("coalesce(n_dup_anchors, 0) * 1000000 div n_anchors").as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup detection by exact word-3-gram Jaccard via an inverted index:
     * explode each document's distinct shingles and equi-join on
     * (lang, length-band, shingle), so the only pairs that ever materialize
@@ -1090,6 +1131,7 @@ object Llm {
   // =====================================================================
 
   def queries: Map[String, Q] = Map(
+    "llm_dedup_substring" -> dedupSubstring,
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_ngram" -> dedupNgram,
     "llm_decontaminate" -> decontaminate,
@@ -1172,6 +1214,27 @@ object Llm {
       |  WHERE jaccard >= 0.5)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "llm_dedup_substring" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+        |pos AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(1, length(text) - 38)) AS pos
+        |  FROM docs),
+        |wins AS (
+        |  SELECT doc_id, md5(substr(text, CAST(pos AS INT), 40)) AS h
+        |  FROM pos),
+        |anch AS (
+        |  SELECT * FROM wins
+        |  WHERE CAST('0x' || substring(h, 1, 1) AS INT) % 4 = 0),
+        |dup AS (
+        |  SELECT h FROM anch GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+        |SELECT a.doc_id, count(*) AS n_anchors,
+        |  CAST(sum(CASE WHEN a.h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_anchors,
+        |  CAST(sum(CASE WHEN a.h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS dup_ppm
+        |FROM anch a GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         | sha256(lower(trim(text))) AS h

@@ -70,6 +70,14 @@ class PlanSpec extends AnyFunSuite {
       "LSH candidate generation degenerated into an all-pairs join")
   }
 
+  test("llm_dedup_substring never materializes a pair join") {
+    val p = plan("llm_dedup_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "exact-substring dedup degenerated into an all-pairs join")
+    // the anchor → dup-set membership is a semi-join on the hash
+    assert(p.contains("LeftSemi"), "expected a left-semi membership probe")
+  }
+
   test("llm_dedup_embed candidates come from the LSH bucket equi-join, not all pairs") {
     val p = plan("llm_dedup_embed")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
