@@ -475,6 +475,51 @@ object Llm {
       .limit(20)
   }
 
+  /** Semantic dedup via cluster-then-pairwise (SemDeDup, Abbas et al.
+    * 2023): embeddings are assigned to their nearest of K=16 fixed
+    * centroids (deterministic: the first 16 vectors; a K-row BROADCAST —
+    * at 100 TB K grows ~√n and stays broadcastable), then near-duplicate
+    * pairs are scored ONLY within a cluster — the clustering exists
+    * precisely to keep the pairwise stage cluster-size-bounded instead of
+    * corpus-quadratic. A vector is removed when a lower-id cluster-mate
+    * matches at cos ≥ 0.95 (keep-first, the house dedup rule). The corpus
+    * carries no natural semantic dups (max pairwise cos ≈ 0.48), so the
+    * fixture plants exact clones of every 20th vector — the planted
+    * removals are exactly what the operator must find, per cluster.
+    * Ranking/threshold compares use round(cos, 4) so both engines argmax
+    * identically.
+    */
+  val semDedup: Q = (s, d) => {
+    val base0 = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mx = base0.agg(max("vec_id")).head.getLong(0)
+    val clones = base0.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + mx + 1).as("vec_id"), col("v"))
+    val base = base0.unionByName(clones)
+    val cents = base0.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(round(col("cos_c"), 4).desc, col("cid"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("id1"), col("v").as("v1"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id2"), col("v").as("v2"))
+    val removed = a.join(b, Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(cosine(col("v1"), col("v2")), 4) >= 0.95)
+      .select(col("cid"), col("id2").as("rm")).distinct()
+    assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .join(removed.groupBy(col("cid")).agg(countDistinct(col("rm")).as("nr")),
+        Seq("cid"), "left_outer")
+      .select(col("cid").as("cluster_id"), col("n_vecs"),
+        coalesce(col("nr"), lit(0L)).as("n_removed"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Vector kernel: the custom codegen'd DotProduct expression
     * (graft.functions.VectorExpressions) — ascending-index fold, identical
     * rounding behavior to DuckDB's list functions. See that file for why
@@ -1132,6 +1177,7 @@ object Llm {
 
   def queries: Map[String, Q] = Map(
     "llm_dedup_substring" -> dedupSubstring,
+    "llm_semdedup" -> semDedup,
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_ngram" -> dedupNgram,
     "llm_decontaminate" -> decontaminate,
@@ -1214,6 +1260,34 @@ object Llm {
       |  WHERE jaccard >= 0.5)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "llm_semdedup" ->
+      """WITH b0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mx AS (SELECT max(vec_id) AS m FROM b0),
+        |base AS (
+        |  SELECT vec_id, v FROM b0
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT m FROM mx) + 1, v FROM b0 WHERE vec_id % 20 = 0),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM b0 WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT base.vec_id, base.v, cents.cid,
+        |      row_number() OVER (PARTITION BY base.vec_id
+        |        ORDER BY round(list_cosine_similarity(base.v, cents.cv), 4) DESC,
+        |                 cents.cid) AS rn
+        |    FROM base, cents)
+        |  WHERE rn = 1),
+        |removed AS (
+        |  SELECT DISTINCT a2.cid, a2.vec_id AS rm
+        |  FROM assigned a1 JOIN assigned a2
+        |    ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+        |  WHERE round(list_cosine_similarity(a1.v, a2.v), 4) >= 0.95)
+        |SELECT a.cid AS cluster_id, CAST(a.n AS BIGINT) AS n_vecs,
+        |       CAST(coalesce(r.n, 0) AS BIGINT) AS n_removed
+        |FROM (SELECT cid, count(*) AS n FROM assigned GROUP BY cid) a
+        |LEFT JOIN (SELECT cid, count(DISTINCT rm) AS n FROM removed GROUP BY cid) r
+        |  USING (cid)
+        |ORDER BY cluster_id""".stripMargin,
     "llm_dedup_substring" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents WHERE length(text) >= 40),

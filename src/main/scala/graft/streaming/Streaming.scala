@@ -788,7 +788,51 @@ object Streaming {
       .orderBy(col("change_type"))
   }
 
+  /** st_realtime_rate — a TRUE realtime (non-file) source: Spark's
+    * `rate-micro-batch` generator emits a fixed `rowsPerBatch` with
+    * deterministic values (globally sequential) and per-batch timestamps
+    * (start + batchId·advance), which makes a continuously-running
+    * processing-time query verifiable: the query aggregates only
+    * `value < 3000` (the first three batches), runs until batch 3 has
+    * COMMITTED (so that prefix is provably complete), then stops — the
+    * bounded filter turns an unbounded stream into an exact oracle. This
+    * is the closest offline stand-in for the Kafka-shaped realtime
+    * ingestion contract (no egress in this environment): a non-file
+    * source driven by processing-time triggers, not a file replay.
+    */
+  val stRealtimeRate: Q = (s, d) => {
+    val _ = d // source is generated — no sf input
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val agg = ss.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "1000")
+      .option("numPartitions", "4")
+      .option("startTimestamp", "0")
+      .option("advanceMillisPerBatch", "60000")
+      .load()
+      .filter(col("value") < 3000)
+      .groupBy(window(col("timestamp"), "1 minute"),
+        (col("value") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("st_realtime_rate")
+      .start()
+    // wait until batch 3 COMMITS (values 0..2999 provably complete), then
+    // stop — processAllAvailable would never return on a generator source
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while ((q.lastProgress == null || q.lastProgress.batchId < 3) &&
+        q.isActive && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q.stop()
+    ss.table("st_realtime_rate")
+      .select(col("window.start").cast("long").as("window_start_s"),
+        col("bucket"), col("n"), col("sum_v"))
+      .orderBy(col("window_start_s"), col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_realtime_rate"   -> stRealtimeRate,
     "st_table_cdf"       -> stTableCdf,
     "st_foreachbatch_upsert" -> stForeachBatchUpsert,
     "st_checkpoint_resume" -> stCheckpointResume,
@@ -809,6 +853,12 @@ object Streaming {
     "st_stateful_tws"    -> stStatefulTws)
 
   val oracles: Map[String, String] = Map(
+    "st_realtime_rate" ->
+      """WITH v AS (SELECT unnest(range(0, 3000)) AS value)
+        |SELECT CAST(value // 1000 * 60 AS BIGINT) AS window_start_s,
+        |       CAST(value % 7 AS BIGINT) AS bucket,
+        |       count(*) AS n, CAST(sum(value) AS BIGINT) AS sum_v
+        |FROM v GROUP BY 1, 2 ORDER BY window_start_s, bucket""".stripMargin,
     "st_table_cdf" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

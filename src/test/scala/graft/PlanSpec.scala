@@ -78,6 +78,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), "expected a left-semi membership probe")
   }
 
+  test("llm_semdedup pairs are cluster-bounded equi-joins, never a cartesian") {
+    val p = plan("llm_semdedup")
+    // the K=16 centroid broadcast legitimately plans as a nested-loop
+    // over a 16-row build side (and appears once per reuse of the
+    // assignment subtree); what must NEVER appear is an unbounded
+    // cartesian, and the PAIRWISE stage must join on the cluster id
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the pairwise stage must be an equi-join on the cluster id")
+  }
+
   test("llm_dedup_embed candidates come from the LSH bucket equi-join, not all pairs") {
     val p = plan("llm_dedup_embed")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
