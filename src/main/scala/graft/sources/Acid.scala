@@ -426,6 +426,38 @@ object Acid {
     throw new IllegalStateException("appendCommit: too many commit conflicts")
   }
 
+  /** Exactly-once append for the V2 STREAMING sink: the epoch id is
+    * deduped against `writerTag`'s high-water mark (the same per-writer
+    * contract merge() uses), so a replayed epoch after a crash/restart is
+    * an O(1) manifest-read no-op — its re-staged files are unreferenced
+    * orphans reclaimed by vacuum. Returns the (possibly unchanged)
+    * latest version.
+    */
+  def appendCommitExactlyOnce(dir: String, newEntries: Seq[FileEntry],
+      writerTag: String, batchId: Long, maxAttempts: Int = 10): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = latestVersion(dir)
+      if (base < 0) {
+        try {
+          commitManifest(dir,
+            Manifest(0, batchId, newEntries, Map(writerTag -> batchId)))
+          return 0
+        } catch { case _: FileAlreadyExistsException => attempt += 1 }
+      } else {
+        val m = readManifest(dir, base)
+        if (batchId <= m.batchHw.getOrElse(writerTag, -1L)) return base
+        val hw = m.batchHw.updated(writerTag,
+          math.max(m.batchHw.getOrElse(writerTag, -1L), batchId))
+        try {
+          commitManifest(dir, Manifest(base + 1, batchId, m.files ++ newEntries, hw))
+          return base + 1
+        } catch { case _: FileAlreadyExistsException => attempt += 1 }
+      }
+    }
+    throw new IllegalStateException("appendCommitExactlyOnce: too many commit conflicts")
+  }
+
   /** Group-replace commit for row-level operations (UPDATE / MERGE INTO):
     * atomically swap the `removed` files for `newEntries`. Unlike an
     * append, this CANNOT blindly rebase — if a concurrent commit already

@@ -26,6 +26,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith, And => FAnd, Not => FNot, Or => FOr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -202,7 +203,7 @@ class AcidSqlTable(dir: String, tableSchema: StructType)
     })
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val version = Option(options.get("version")).map(_.toInt).getOrElse(-1)
@@ -210,7 +211,7 @@ class AcidSqlTable(dir: String, tableSchema: StructType)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AcidSqlWriteBuilder(dir, info.schema())
+    new AcidSqlWriteBuilder(dir, info.schema(), info.queryId())
 
   /** SQL `DELETE FROM t WHERE ...` — metadata-level row deletion: the
     * pushed filters translate back to a Column predicate, key-range
@@ -316,14 +317,61 @@ class AcidReplaceGroupsWrite(dir: String, writeSchema: StructType,
 // Write path
 // ============================================================================
 
-class AcidSqlWriteBuilder(dir: String, writeSchema: StructType)
-    extends WriteBuilder with SupportsTruncate {
+class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
+    queryId: String = "") extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new AcidSqlBatchWrite(dir, writeSchema, doTruncate)
+    override def toStreaming: streaming.StreamingWrite =
+      new AcidSqlStreamingWrite(dir, writeSchema, queryId)
   }
+}
+
+/** V2 STREAMING sink — `df.writeStream.toTable(...)` /
+  * `.format("graft-acid-sql")` with END-TO-END exactly-once: each task of
+  * each epoch streams its parquet file into a per-query staging dir, and
+  * `commit(epochId, ...)` lands a manifest append keyed by
+  * (streaming queryId, epochId) in the per-writer high-water map — a
+  * replayed epoch (post-crash re-delivery, the foreachBatch hazard this
+  * table format was built to absorb) is an O(1) manifest-read no-op and
+  * its re-staged files are unreferenced orphans for vacuum. The queryId
+  * is stable across restarts (it lives in the checkpoint), so resume
+  * keeps the same idempotency identity.
+  */
+class AcidSqlStreamingWrite(dir: String, writeSchema: StructType,
+    queryId: String) extends streaming.StreamingWrite {
+  private val stageDir = s"dv2s_${java.util.UUID.randomUUID().toString.take(8)}"
+  private val writerTag = s"stream-${queryId.replaceAll("[^A-Za-z0-9_.-]", "")}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new AcidSqlStreamingWriterFactory(dir, stageDir, writeSchema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect {
+      case AcidWriteMessage(p, rows, mn, mx) if rows > 0 =>
+        Acid.FileEntry(p, rows, mn, mx)
+    }.toSeq.sortBy(_.path)
+    Acid.appendCommitExactlyOnce(dir, entries, writerTag, epochId): Unit
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case AcidWriteMessage(p, _, _, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, p))
+      case _ => ()
+    }
+  }
+}
+
+class AcidSqlStreamingWriterFactory(dir: String, stageDir: String,
+    writeSchema: StructType) extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new AcidSqlDataWriter(dir,
+      s"$stageDir/e$epochId-part-$partitionId-$taskId.parquet", writeSchema)
 }
 
 /** Task-level commit message: file metadata only — the manifest entry the

@@ -831,7 +831,60 @@ object Streaming {
       .orderBy(col("window_start_s"), col("bucket"))
   }
 
+  /** st_stream_totable — the V2 STREAMING sink end-to-end:
+    * `writeStream.toTable(...)` into the graft-acid-sql catalog table,
+    * one commit per micro-batch epoch, exactly-once keyed by
+    * (streaming queryId, epochId) in the manifest's per-writer
+    * high-water map. Three arrival files under `maxFilesPerTrigger=1`
+    * land three committed versions; a full restart from the same
+    * checkpoint with no new data must not move the version counter
+    * (`replay_stable`), and the aggregate reads back through the
+    * catalog's V2 scan.
+    */
+  val stStreamToTable: Q = (s, d) => {
+    import graft.sources.Acid
+    val base = fresh("st_stream_totable", d)
+    val dir = s"$base/table"; val inbox = s"$base/inbox"; val cp = s"$base/cp"
+    val mk = graft.Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+    val rows = graft.Tables.orders(s, d).filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderpriority").as("prio"))
+    val third = mk / 3 + 1
+    (0 until 3).foreach { i =>
+      rows.filter(col("k") >= i * third && col("k") < (i + 1) * third)
+        .coalesce(1).write.mode("overwrite").parquet(s"$inbox/arrival_$i")
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.sql("DROP TABLE IF EXISTS st_stream_totable_t")
+    ss.sql(
+      s"""CREATE TABLE st_stream_totable_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    def drain(): Unit = {
+      val q = ss.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$inbox/arrival_*")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .toTable("st_stream_totable_t")
+      q.awaitTermination()
+    }
+    drain()
+    val vAfter = Acid.latestVersion(dir)
+    drain() // full restart, nothing new: replayed epochs must be no-ops
+    val stable = Acid.latestVersion(dir) == vAfter
+    ss.sql(
+      """SELECT prio, count(*) AS n, sum(price_cents) AS sum_cents
+        |FROM st_stream_totable_t GROUP BY prio""".stripMargin)
+      .withColumn("three_commits", lit(vAfter == 2))
+      .withColumn("replay_stable", lit(stable))
+      .orderBy(col("prio"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_stream_totable"  -> stStreamToTable,
     "st_realtime_rate"   -> stRealtimeRate,
     "st_table_cdf"       -> stTableCdf,
     "st_foreachbatch_upsert" -> stForeachBatchUpsert,
@@ -853,6 +906,13 @@ object Streaming {
     "st_stateful_tws"    -> stStatefulTws)
 
   val oracles: Map[String, String] = Map(
+    "st_stream_totable" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       TRUE AS three_commits, TRUE AS replay_stable
+        |FROM orders WHERE o_orderkey % 10 = 3
+        |GROUP BY prio ORDER BY prio""".stripMargin,
     "st_realtime_rate" ->
       """WITH v AS (SELECT unnest(range(0, 3000)) AS value)
         |SELECT CAST(value // 1000 * 60 AS BIGINT) AS window_start_s,

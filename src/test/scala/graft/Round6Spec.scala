@@ -104,6 +104,46 @@ class Round6Spec extends AnyFunSuite {
     assert(scala.util.Try(Acid.readManifest(withCdc, 0)).isFailure)
   }
 
+  test("V2 streaming sink: writeStream into the catalog table is exactly-once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh("round6_stream_sink_v2", sf)
+    val dir = s"$base/table"; val inbox = s"$base/inbox"; val cp = s"$base/cp"
+    val rows = kv(sf).filter(col("k") % 50 === 0)
+    rows.coalesce(2).write.parquet(s"$inbox/batch0")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.sql("DROP TABLE IF EXISTS round6_stream_t")
+    ss.sql(
+      s"""CREATE TABLE round6_stream_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    def drain(): Unit = {
+      val q = ss.readStream.schema(rows.schema).parquet(s"$inbox/batch*")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .toTable("round6_stream_t")
+      q.awaitTermination()
+    }
+    drain()
+    val n0 = rows.count()
+    assert(Acid.snapshot(spark, dir).count() == n0)
+    val vAfterFirst = Acid.latestVersion(dir)
+    // restart with NO new data: the replayed query must not re-append
+    drain()
+    assert(Acid.latestVersion(dir) == vAfterFirst, "empty restart must be a no-op")
+    assert(Acid.snapshot(spark, dir).count() == n0)
+    // restart with one NEW arrival file: exactly the delta appends, once
+    val more = kv(sf).filter(col("k") % 50 === 7)
+    more.coalesce(1).write.parquet(s"$inbox/batch1")
+    drain()
+    assert(Acid.snapshot(spark, dir).count() == n0 + more.count(),
+      "resumed stream must append exactly the new arrivals")
+    // the streaming writer's per-query high-water mark is in the manifest
+    val hw = Acid.readManifest(dir, Acid.latestVersion(dir)).batchHw
+    assert(hw.keys.exists(_.startsWith("stream-")),
+      s"streaming epochs must be deduped per query identity (got $hw)")
+    ss.sql("DROP TABLE round6_stream_t")
+  }
+
   test("Avro read splits WITHIN one container file on sync markers") {
     import graft.sources.Avro
     import org.apache.spark.sql.types._
