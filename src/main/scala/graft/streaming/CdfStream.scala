@@ -43,13 +43,19 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    // stream options arrive with case-insensitive (lowercased) keys
+    def opt(name: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
     new CdfStreamSource(ctx, dirOf(parameters),
-      parameters.get("startVersion").map(_.toInt).getOrElse(0))
+      opt("startVersion").map(_.toInt).getOrElse(0),
+      opt("maxVersionsPerTrigger").map(_.toInt))
+  }
 
   private def dirOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-acid-cdf: .load(<table dir>) is required"))
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-acid-cdf: .load(<table dir>) is required"))
 }
 
 object CdfStreamSource {
@@ -66,8 +72,11 @@ object CdfStreamSource {
   }
 }
 
-class CdfStreamSource(ctx: SQLContext, dir: String, startVersion: Int)
-    extends Source {
+class CdfStreamSource(ctx: SQLContext, dir: String, startVersion: Int,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxRows}
 
   override val schema: StructType = CdfStreamSource.cdfSchema(ctx, dir)
 
@@ -76,6 +85,37 @@ class CdfStreamSource(ctx: SQLContext, dir: String, startVersion: Int)
   override def getOffset: Option[OffsetV1] = {
     val latest = Acid.latestVersion(dir)
     if (latest <= startVersion) None else Some(LongOffset(latest.toLong))
+  }
+
+  /** Admission control (`maxVersionsPerTrigger`): a table with a deep
+    * commit backlog drains in BOUNDED micro-batches instead of one batch
+    * replaying the whole history — each trigger advances at most N
+    * versions, so per-batch memory/IO tracks N commits, not backlog
+    * depth. Expressed through `ReadLimit.maxRows` (the unit here is
+    * versions, the source's admission knob). `SupportsTriggerAvailableNow`
+    * is implemented DIRECTLY (not via the engine's wrapper) because the
+    * AvailableNow wrapper's latestOffset discards read limits — a wrapped
+    * source always drains its whole backlog in one batch.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  @volatile private var availableNowEnd: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(Acid.latestVersion(dir))
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val start = Option(startOffset)
+      .map(o => o.json.trim.toInt).getOrElse(startVersion)
+    val latest0 = Acid.latestVersion(dir)
+    val latest = availableNowEnd.map(math.min(_, latest0)).getOrElse(latest0)
+    val capped = limit match {
+      case mr: ReadMaxRows => math.min(latest.toLong, start + mr.maxRows()).toInt
+      case _               => latest
+    }
+    if (capped <= start) null else LongOffset(capped.toLong)
   }
 
   // Offsets arrive as LongOffset from this source or SerializedOffset on

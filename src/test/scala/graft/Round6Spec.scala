@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
@@ -59,6 +61,47 @@ class Round6Spec extends AnyFunSuite {
     // and all v2 rows are inserts
     assert(afterSecond.filter(col("_commit_version") === 2L)
       .filter(col("change_type") =!= "insert").count() == 0L)
+  }
+
+  test("CDF admission control: maxVersionsPerTrigger bounds each micro-batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh("round6_cdf_admission", sf)
+    val dir = s"$base/table"; val cp = s"$base/cp"; val out = s"$base/out"
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    Acid.create(spark, dir, kv(sf), "k", 8)
+    // a 5-commit backlog before the stream ever starts
+    (1 to 5).foreach { i =>
+      Acid.merge(spark, dir,
+        kv(sf).filter(col("k") % 50 === i && col("k") < lit(mk / 4))
+          .withColumn("price_cents", col("price_cents") + i * 100L), s"w$i")
+    }
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ss.readStream.format("graft-acid-cdf")
+      .option("maxVersionsPerTrigger", "2")
+      .load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    // complete drain: all five increments present exactly once
+    val byVersion = got.groupBy(col("_commit_version")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byVersion.keySet == (1L to 5L).toSet, s"got versions ${byVersion.keySet}")
+    (1 to 5).foreach { i =>
+      assert(byVersion(i.toLong) ==
+        kv(sf).filter(col("k") % 50 === i && col("k") < lit(mk / 4)).count())
+    }
+    // bounded batches: 5 versions at ≤2 per trigger needs ≥3 micro-batches
+    val offsetFiles = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(cp, "offsets"))
+      try st.iterator().asScala.count(p => !p.getFileName.toString.startsWith("."))
+      finally st.close()
+    }
+    assert(offsetFiles >= 3,
+      s"backlog must drain in ≥3 bounded micro-batches (got $offsetFiles offsets)")
   }
 
   test("CDC-at-commit equals the derived diff, skips the join, and survives vacuum") {
