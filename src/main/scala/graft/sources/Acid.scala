@@ -56,12 +56,17 @@ object Acid {
   // ======================================================================
 
   /** `stats2` = optional (column, min, max) for a SECOND skipping
-    * dimension, populated by a Z-order rewrite. Files written without it
-    * (initial create, later merges) simply cannot be skipped on that
-    * column — conservative, always correct.
+    * dimension, populated by a Z-order rewrite. `bloom` = optional
+    * (bits m, hex bitmap) per-file Bloom filter over the merge key
+    * (k=4 hashes, ~10 bits/key) for POINT-lookup skipping — min/max
+    * ranges prune range queries, but a sparse `k IN (...)` probe
+    * overlaps almost every file's range; the Bloom filter rejects files
+    * that provably lack the key. Files without either stat simply cannot
+    * be skipped that way — conservative, always correct.
     */
   final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
-                             stats2: Option[(String, Long, Long)] = None)
+                             stats2: Option[(String, Long, Long)] = None,
+                             bloom: Option[(Int, String)] = None)
   /** `batchHw` maps each writer identity (the `writerTag` a merge commits
     * under — the analogue of Delta's `txnAppId`) to the high-water mark of
     * batch ids THAT writer has committed. Keyed per writer, not
@@ -112,8 +117,18 @@ object Acid {
     val header = lines.head.split('|')
     val files = lines.tail.map { l =>
       val a = l.split('|')
-      val s2 = if (a.length >= 7) Some((a(4), a(5).toLong, a(6).toLong)) else None
-      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2)
+      // optional trailing fields: a stats2 triple and/or a "B:<m>:<hex>"
+      // bloom field, in that order
+      val tail = a.drop(4)
+      val (s2, rest) =
+        if (tail.length >= 3 && !tail(0).startsWith("B:"))
+          (Some((tail(0), tail(1).toLong, tail(2).toLong)), tail.drop(3))
+        else (None, tail)
+      val bloom = rest.headOption.filter(_.startsWith("B:")).map { b =>
+        val i = b.indexOf(':', 2)
+        (b.substring(2, i).toInt, b.substring(i + 1))
+      }
+      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom)
     }
     val hw =
       if (header.length >= 3 && header(2).nonEmpty)
@@ -144,7 +159,8 @@ object Acid {
     val body = (s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}" +:
       m.files.map { f =>
         val s2 = f.stats2.map { case (c, mn, mx) => s"|$c|$mn|$mx" }.getOrElse("")
-        s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2"
+        val bl = f.bloom.map { case (bits, hex) => s"|B:$bits:$hex" }.getOrElse("")
+        s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl"
       }).mkString("\n")
     // UUID suffix: two writers racing the same version in DIFFERENT JVMs
     // can share a thread id, which would let the second Files.write
@@ -221,6 +237,110 @@ object Acid {
   private def keyColOf(s: SparkSession, dir: String): String = {
     val m = readManifest(dir, latestVersion(dir))
     s.read.parquet(s"$dir/${m.files.head.path}").schema.fields.head.name
+  }
+
+  // ---- Bloom point-lookup skipping (tbl_bloom_skip) --------------------
+
+  /** Filter size for a file: ~16 bits/key with k=4 hashes → ~0.24%
+    * false-positive rate, rounded to whole 64-bit words, capped at 8M bits
+    * (1 MiB) so one huge file cannot balloon the manifest — past the cap
+    * FPR degrades gracefully, never wrongly. A production deployment
+    * would spill filters to sidecar files and keep the manifest
+    * pointer-sized; the inline hex keeps THIS log single-file-atomic.
+    */
+  private def bloomBits(rows: Long): Int =
+    ((((rows * 16L) max 64L) + 63L) / 64L * 64L min (1L << 23)).toInt
+
+  /** Hash i of a probe key — EXACTLY the SQL `xxhash64(key, CAST(i AS
+    * BIGINT))` builtin: that expression folds its children left-to-right
+    * starting from the 42L seed, so the driver-side probe replays the
+    * same two chained folds. AcidSpec pins build/probe parity against
+    * the SQL expression so a Spark-internals change cannot silently
+    * desynchronize the two sides.
+    */
+  private def bloomPos(key: Long, i: Long, m: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    java.lang.Math.floorMod(XXH64.hashLong(i, XXH64.hashLong(key, 42L)), m.toLong).toInt
+  }
+
+  /** Definitive-no test: all four bits set ⇒ maybe present; any unset ⇒
+    * provably absent from the file. `hexWords` is the filter as
+    * concatenated 16-hex-char big-endian words (word j at offset 16j).
+    */
+  private[graft] def bloomMayContain(bits: Int, hexWords: String, key: Long): Boolean =
+    (0L until 4L).forall { i =>
+      val p = bloomPos(key, i, bits)
+      val w = java.lang.Long.parseUnsignedLong(
+        hexWords.substring((p >>> 6) * 16, (p >>> 6) * 16 + 16), 16)
+      (w & (1L << (p & 63))) != 0L
+    }
+
+  /** ANALYZE-style metadata-only commit: compute a per-file Bloom filter
+    * over the merge key for every live file and commit a new version with
+    * the SAME data files plus the filters. One distributed pass: each row
+    * explodes into its 4 hash positions, positions fold into 64-bit words
+    * with map-side `bit_or` partials, and only #files hex strings reach
+    * the driver. Files written by LATER commits simply lack a filter
+    * until the next build — conservative, never wrong (scanKeys keeps
+    * filterless files). Returns the committed version.
+    */
+  def buildBloom(s: SparkSession, dir: String): Int = {
+    val v = latestVersion(dir)
+    val m = readManifest(dir, v)
+    val key = keyColOf(s, dir)
+    // Joined on basename: parquet part-file names carry a UUID, unique
+    // across the table, so the tiny dim broadcast needs no path prefix
+    // gymnastics against input_file_name()'s URI form.
+    val dim = s.createDataFrame(
+      m.files.map(f => (f.path.split('/').last, bloomBits(f.rows)))).toDF("base", "mbits")
+    val built = s.read.option("mergeSchema", "true")
+      .parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+      .select(col(key).as("k"),
+        element_at(split(input_file_name(), "/"), -1).as("base"))
+      .join(broadcast(dim), "base")
+      .select(col("base"), col("mbits"), explode(array((0 until 4).map(i =>
+        pmod(xxhash64(col("k"), lit(i.toLong)), col("mbits"))): _*)).as("p"))
+      .groupBy(col("base"), col("mbits"), expr("CAST(p DIV 64 AS INT)").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").as("bits"))
+      .groupBy(col("base"), col("mbits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("wm"))
+      .withColumn("hx", expr(
+        "array_join(transform(sequence(0, CAST(mbits DIV 64 AS INT) - 1), " +
+          "i -> lpad(hex(coalesce(try_element_at(wm, i), CAST(0 AS BIGINT))), 16, '0')), '')"))
+      .select("base", "mbits", "hx")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    val withBloom = m.files.map { f =>
+      built.get(f.path.split('/').last)
+        .map { case (b, h) => f.copy(bloom = Some((b, h))) }.getOrElse(f)
+    }
+    commitManifest(dir, Manifest(v + 1, -1L, withBloom, m.batchHw, None))
+    v + 1
+  }
+
+  /** Point-lookup scan `key IN (probes)` with two-tier file skipping:
+    * min/max range overlap first (free), then Bloom rejection — a file
+    * whose filter misses EVERY in-range probe provably holds none of
+    * them. Sparse probes defeat min/max (each file's range overlaps
+    * SOMETHING) but not the Bloom tier; huge IN-lists defeat Bloom too
+    * (some probe always false-positives into each file), which is why
+    * this is the POINT-lookup path and range queries stay on scanRange.
+    * The residual IN filter keeps rows exact whatever pruning did.
+    * Returns (rows, filesAfterBloom, filesAfterRange, filesTotal).
+    */
+  def scanKeys(s: SparkSession, dir: String, probes: Seq[Long])
+      : (DataFrame, Int, Int, Int) = {
+    val m = readManifest(dir, latestVersion(dir))
+    val key = keyColOf(s, dir)
+    val rangeLive = m.files.filter(f => probes.exists(k => k >= f.minKey && k <= f.maxKey))
+    val live = rangeLive.filter { f =>
+      val inRange = probes.filter(k => k >= f.minKey && k <= f.maxKey)
+      f.bloom.forall { case (bits, hx) => inRange.exists(k => bloomMayContain(bits, hx, k)) }
+    }
+    val df =
+      if (live.isEmpty) snapshot(s, dir).limit(0)
+      else s.read.option("mergeSchema", "true")
+        .parquet(live.map(f => s"$dir/${f.path}"): _*)
+    (df.filter(col(key).isInCollection(probes)), live.size, rangeLive.size, m.files.size)
   }
 
   /** One MERGE attempt against an explicit base version (exposed so the
@@ -810,6 +930,37 @@ object Acid {
       .withColumn("files_scanned_some", lit(scanned >= 1))
   }
 
+  /** tbl_bloom_skip — point-lookup skipping beyond min/max: delete one
+    * residue class (k ≡ 3 mod 7) from the upper key half — the rewritten
+    * files' [min,max] still COVER the deleted keys, so range stats alone
+    * cannot skip a probe for them — then buildBloom and probe present
+    * lower-half keys plus eight deleted upper-half keys. Every upper
+    * file's in-range probes miss its filter → bloom-rejected; the pinned
+    * boolean is the bloom-vs-range skip delta and the row values travel
+    * through the oracle (present probes only — the absent ones are
+    * deleted, so the oracle never sees them). Probe keys are derived
+    * arithmetically; correctness does NOT assume they all exist (a
+    * missing key simply matches nothing on both engines).
+    */
+  val tblBloomSkip: Q = (s, d) => {
+    val dir = fresh("tbl_bloom_skip", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    deleteWhere(s, dir, col("k") % 7 === 3 && col("k") > lit(mk / 2),
+      Some((mk / 2 + 1, Long.MaxValue)), "carve")
+    buildBloom(s, dir)
+    val present = 0L to mk / 2 by 97L
+    val absent = (1 to 8).map { j =>
+      val a = mk / 2 + j * (mk / 2) / 9   // spread anchors across the upper half
+      a + ((3 - a % 7 + 7) % 7)           // smallest k >= a with k % 7 == 3
+    }
+    val (df, nBloom, nRange, nTotal) = scanKeys(s, dir, present ++ absent)
+    df.agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("bloom_skipped", lit(nBloom < nRange))
+      .withColumn("scanned_some", lit(nBloom >= 1 && nRange <= nTotal))
+  }
+
   /** tbl_schema_evolve — additive column without rewrite: the CDC batch
     * carries a NEW `discount_cents` column; only touched files are
     * rewritten with the wider schema, untouched files stay 3-column and
@@ -1158,6 +1309,40 @@ object Acid {
       .orderBy(col("prio"))
   }
 
+  /** tbl_sql_ctas — atomic CREATE TABLE AS SELECT through the staging
+    * catalog (AcidCatalog): `CREATE TABLE <cat>.t AS SELECT ...` is ONE
+    * statement — the query's data files land invisibly under the staged
+    * dir and v0 commits only in `commitStagedChanges`, so no reader ever
+    * sees a half-created table. A second, FAILING CTAS (assert_true
+    * throws in the write tasks) must leave nothing: `abortStagedChanges`
+    * removes the orphan directory and the name stays free. The catalog
+    * name embeds the sf tag because Spark caches catalog instances by
+    * name per session — a shared name would pin the first sf's root.
+    */
+  val tblSqlCtas: Q = (s, d) => {
+    val root = fresh("tbl_sql_ctas_cat", d)
+    val cat = "graft_ctas_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_ctas_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(
+      s"""CREATE TABLE $cat.t AS
+         |SELECT k, price_cents, prio FROM graft_ctas_src WHERE k % 3 = 0""".stripMargin)
+    val oneCommit = latestVersion(s"$root/t") == 0
+    val failed = Try(s.sql(
+      s"""CREATE TABLE $cat.t_bad AS
+         |SELECT k, assert_true(k < 0) AS boom FROM graft_ctas_src""".stripMargin)).isFailure
+    val ghostGone = latestVersion(s"$root/t_bad") == -1 &&
+      !Files.exists(Paths.get(root, "t_bad"))
+    s.sql(
+      s"""SELECT prio, count(*) AS n, sum(price_cents) AS sum_cents
+         |FROM $cat.t GROUP BY prio""".stripMargin)
+      .withColumn("one_commit", lit(oneCommit))
+      .withColumn("atomic_abort", lit(failed && ghostGone))
+      .orderBy(col("prio"))
+  }
+
   /** tbl_sql_delete — SQL `DELETE FROM ... WHERE <key range>` through the
     * V2 SupportsDelete hook: the pushed filters translate back to the
     * predicate, the key bounds become the pruning hint, and only the
@@ -1321,12 +1506,14 @@ object Acid {
     "tbl_cdc_on_commit"     -> tblCdcOnCommit,
     "tbl_sql_insert"        -> tblSqlInsert,
     "tbl_sql_delete"        -> tblSqlDelete,
+    "tbl_sql_ctas"          -> tblSqlCtas,
     "tbl_sql_alter"         -> tblSqlAlter,
     "tbl_sql_update"        -> tblSqlUpdate,
     "tbl_sql_merge"         -> tblSqlMerge,
     "tbl_acid_merge"        -> tblAcidMerge,
     "tbl_time_travel"       -> tblTimeTravel,
     "tbl_stats_skip"        -> tblStatsSkip,
+    "tbl_bloom_skip"        -> tblBloomSkip,
     "tbl_schema_evolve"     -> tblSchemaEvolve,
     "tbl_concurrent_commit" -> tblConcurrentCommit,
     "tbl_vacuum"            -> tblVacuum,
@@ -1463,6 +1650,25 @@ object Acid {
         |                     THEN 1 ELSE 0 END) AS BIGINT)
         |FROM base
         |ORDER BY version""".stripMargin,
+    "tbl_sql_ctas" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders)
+        |SELECT prio, count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       TRUE AS one_commit, TRUE AS atomic_abort
+        |FROM base WHERE k % 3 = 0
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+    "tbl_bloom_skip" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       TRUE AS bloom_skipped, TRUE AS scanned_some
+        |FROM base
+        |WHERE k % 97 = 0 AND k <= (SELECT m FROM mx) // 2""".stripMargin,
     "tbl_stats_skip" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

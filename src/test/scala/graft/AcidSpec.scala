@@ -99,6 +99,77 @@ class AcidSpec extends AnyFunSuite {
     assert(df.count() == full)
   }
 
+  test("bloom skipping: deleted-key probes reject files that min/max cannot") {
+    val dir = freshTable("acid_spec_bloom")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    Acid.deleteWhere(spark, dir, col("k") % 7 === 3 && col("k") > lit(mk / 2),
+      Some((mk / 2 + 1, Long.MaxValue)), "carve")
+    val beforeSum = Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0)
+    val v = Acid.buildBloom(spark, dir)
+    // metadata-only commit: one more version, identical data
+    val m = Acid.readManifest(dir, v)
+    assert(m.files.forall(_.bloom.isDefined))
+    assert(Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0) == beforeSum)
+    // No false negatives: EVERY live key passes its covering file's filter.
+    // This transitively pins driver-probe vs SQL-build hash parity — a
+    // desynchronized hash would fail ~every key, not 0.24% of them.
+    val keys = Acid.snapshot(spark, dir).select("k").collect().map(_.getLong(0))
+    keys.foreach { k =>
+      val covering = m.files.filter(f => k >= f.minKey && k <= f.maxKey)
+      assert(covering.exists(f => f.bloom.exists {
+        case (b, hx) => Acid.bloomMayContain(b, hx, k)
+      }), s"false negative for live key $k")
+    }
+    // Probing ONLY deleted keys: every file's range covers something, but the
+    // filters reject — fewer files open than range pruning left, zero rows.
+    val absent = (1 to 8).map { j =>
+      val a = mk / 2 + j * (mk / 2) / 9
+      a + ((3 - a % 7 + 7) % 7)
+    }
+    val (dfA, nBloomA, nRangeA, nTotal) = Acid.scanKeys(spark, dir, absent)
+    assert(nRangeA >= 1, s"range tier pruned everything ($nRangeA/$nTotal)")
+    assert(nBloomA < nRangeA, s"bloom skipped nothing ($nBloomA/$nRangeA)")
+    assert(dfA.count() == 0)
+    // Mixed present+absent scan stays exact against the brute-force filter
+    val present = 0L to mk / 2 by 97L
+    val (dfM, _, _, _) = Acid.scanKeys(spark, dir, present ++ absent)
+    val brute = Acid.snapshot(spark, dir)
+      .filter(col("k").isInCollection(present ++ absent)).count()
+    assert(dfM.count() == brute && brute >= 1)
+  }
+
+  test("staging-catalog CTAS: atomic create-with-data, aborted CTAS leaves nothing") {
+    val root = Scratch.fresh("acid_spec_ctas", sf)
+    spark.conf.set("spark.sql.catalog.graft_spec_cat", "graft.sources.AcidCatalog")
+    spark.conf.set("spark.sql.catalog.graft_spec_cat.root", root)
+    kv(sf).createOrReplaceTempView("acid_ctas_spec_src")
+    spark.sql(
+      "CREATE TABLE graft_spec_cat.ok AS SELECT * FROM acid_ctas_spec_src WHERE k % 2 = 0")
+    assert(Acid.latestVersion(s"$root/ok") == 0, "CTAS must land exactly v0")
+    val expect = kv(sf).filter(col("k") % 2 === 0).count()
+    assert(spark.sql("SELECT count(*) FROM graft_spec_cat.ok").head.getLong(0) == expect)
+    // the same committed state is visible through the library API
+    assert(Acid.snapshot(spark, s"$root/ok").count() == expect)
+    // INSERT INTO through the catalog lands a second committed version
+    spark.sql(
+      """INSERT INTO graft_spec_cat.ok
+        |SELECT k + 1000000, price_cents, prio
+        |FROM acid_ctas_spec_src WHERE k % 500 = 0""".stripMargin)
+    assert(Acid.latestVersion(s"$root/ok") == 1)
+    // a CTAS whose write tasks throw must leave NO trace: no dir, no name
+    assert(Try(spark.sql(
+      "CREATE TABLE graft_spec_cat.bad AS SELECT assert_true(k < 0) AS b FROM acid_ctas_spec_src"
+    )).isFailure)
+    assert(!Files.exists(Paths.get(root, "bad")), "aborted CTAS left its directory")
+    assert(Try(spark.sql("SELECT * FROM graft_spec_cat.bad")).isFailure)
+    // name collision refuses instead of clobbering
+    assert(Try(spark.sql(
+      "CREATE TABLE graft_spec_cat.ok AS SELECT * FROM acid_ctas_spec_src")).isFailure)
+    // DROP TABLE removes the committed table
+    spark.sql("DROP TABLE graft_spec_cat.ok")
+    assert(Acid.latestVersion(s"$root/ok") == -1)
+  }
+
   test("commit log is monotonic under conflict: stale base refuses, log unchanged") {
     val dir = freshTable("acid_spec_conflict")
     val r1 = Acid.mergeAt(spark, dir, 0, lowQuarterUpdates(sf), "w1")
