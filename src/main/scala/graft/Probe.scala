@@ -230,6 +230,23 @@ object AcidSqlProbe {
         .agg(sum(col("price_cents"))).head.getLong(0)
     }
     println(f"[acidsql-probe] v2/v1 = ${v2 / v1}%.2f, v2/snapshot = ${v2 / snap}%.2f at ${base.count()} rows")
+    // WIDE geometry (12 columns, all read): the round-6 row-at-a-time V2
+    // reader paid per-cell decode here; the columnar reader must not.
+    val wideDir = Scratch.fresh("acidsql_probe_wide", sfDir)
+    val wide = (1 to 10).foldLeft(base) { (df, i) =>
+      df.withColumn(s"w$i", col("k") * i + col("price_cents") % (i + 7))
+    }
+    Acid.create(spark, wideDir, wide, "k", 8)
+    val wideCols = (1 to 10).map(i => sum(col(s"w$i"))) :+ sum(col("price_cents"))
+    val v2w = time("v2-wide") {
+      spark.read.format("graft-acid-sql").load(wideDir)
+        .agg(wideCols.head, wideCols.tail: _*).head.getLong(0)
+    }
+    val snapw = time("snap-wide") {
+      Acid.snapshot(spark, wideDir)
+        .agg(wideCols.head, wideCols.tail: _*).head.getLong(0)
+    }
+    println(f"[acidsql-probe] WIDE v2/snapshot = ${v2w / snapw}%.2f at 12 read columns")
     spark.stop()
   }
 }

@@ -170,6 +170,32 @@ class AcidSpec extends AnyFunSuite {
     assert(Acid.latestVersion(s"$root/ok") == -1)
   }
 
+  test("V2 catalog scan is columnar, and evolved files surface NULL vectors") {
+    val dir = freshTable("acid_spec_columnar")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    // evolve: a merged batch carries a NEW column; old files predate it
+    val batch = kv(sf).filter(col("k") % 5 === 2 && col("k") < lit(mk / 4))
+      .drop("prio").withColumn("discount_cents", col("k") * 2 + 9)
+    Acid.merge(spark, dir, batch, "evo")
+    val v2 = spark.read.format("graft-acid-sql").load(dir)
+    // the scan plans ColumnarToRow — the batch path is engaged
+    val plan = v2.select("k", "price_cents", "discount_cents")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"columnar path not engaged:\n$plan")
+    // values identical to the mergeSchema snapshot, NULLs included
+    val snap = Acid.snapshot(spark, dir)
+    assert(v2.agg(sum(col("price_cents")), sum(col("discount_cents")),
+        sum(when(col("discount_cents").isNull, 1L).otherwise(0L))).head ==
+      snap.agg(sum(col("price_cents")), sum(col("discount_cents")),
+        sum(when(col("discount_cents").isNull, 1L).otherwise(0L))).head)
+    // a projection ONLY of the evolved column still counts every row of
+    // every file — including old files that predate the column entirely
+    assert(v2.select("discount_cents").count() == snap.count())
+    // row-level ops (which request _file metadata) still work post-change
+    assert(v2.filter(col("k").isin(3L, 5L, 7L)).count() ==
+      snap.filter(col("k").isin(3L, 5L, 7L)).count())
+  }
+
   test("commit log is monotonic under conflict: stale base refuses, log unchanged") {
     val dir = freshTable("acid_spec_conflict")
     val r1 = Acid.mergeAt(spark, dir, 0, lowQuarterUpdates(sf), "w1")
