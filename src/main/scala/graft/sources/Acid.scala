@@ -95,6 +95,21 @@ object Acid {
   private def manifestPath(dir: String, v: Int) =
     logDir(dir).resolve(f"v$v%05d.txt")
 
+  /** Greatest version whose manifest was committed at or before
+    * `tsMicros` (epoch microseconds) — the `TIMESTAMP AS OF` resolution
+    * rule (Delta's semantics: commit wall-clock time = manifest file
+    * mtime, immutable after the atomic rename). None if the table is
+    * empty or the timestamp predates v0.
+    */
+  def versionAtTimestamp(dir: String, tsMicros: Long): Option[Int] = {
+    val latest = latestVersion(dir)
+    if (latest < 0) None
+    else (0 to latest).reverse.find { v =>
+      val mtime = Files.getLastModifiedTime(manifestPath(dir, v)).toInstant
+      mtime.getEpochSecond * 1000000L + mtime.getNano / 1000L <= tsMicros
+    }
+  }
+
   /** Highest committed version, or -1 for an empty log. */
   def latestVersion(dir: String): Int = {
     val ld = logDir(dir)
@@ -1343,6 +1358,46 @@ object Acid {
       .orderBy(col("prio"))
   }
 
+  /** tbl_sql_travel — SQL time travel through the staging catalog:
+    * `VERSION AS OF <v>` pins every scan of the loaded handle to that
+    * immutable manifest, and `TIMESTAMP AS OF` (probed at exactly the v0
+    * manifest's commit mtime) resolves Delta-style to the greatest
+    * version committed at or before it. The version-leg values travel
+    * through the oracle; the timestamp leg is pinned as a boolean —
+    * wall-clock is nondeterministic but the RESOLUTION rule is not.
+    */
+  val tblSqlTravel: Q = (s, d) => {
+    val root = fresh("tbl_sql_travel_cat", d)
+    val cat = "graft_tt_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val updates = ordersKV(s, d)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("prio", lit("PATCHED"))
+    merge(s, dir, updates, "m")
+    def agg(from: String, v: Long) = s.sql(
+      s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n,
+         |       sum(price_cents) AS sum_cents,
+         |       sum(CASE WHEN prio = 'PATCHED' THEN CAST(1 AS BIGINT)
+         |                ELSE CAST(0 AS BIGINT) END) AS n_patched
+         |FROM $from""".stripMargin)
+    val t0 = Files.getLastModifiedTime(
+      Paths.get(dir, "_log", "v00000.txt")).toInstant
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC).format(t0)
+    val tsResolvesV0 =
+      agg(s"$cat.t TIMESTAMP AS OF '$ts'", 0).head == agg(s"$cat.t VERSION AS OF 0", 0).head
+    agg(s"$cat.t VERSION AS OF 0", 0)
+      .unionByName(agg(s"$cat.t VERSION AS OF 1", 1))
+      .withColumn("ts_resolves_v0", lit(tsResolvesV0))
+      .orderBy(col("version"))
+  }
+
   /** tbl_sql_delete — SQL `DELETE FROM ... WHERE <key range>` through the
     * V2 SupportsDelete hook: the pushed filters translate back to the
     * predicate, the key bounds become the pruning hint, and only the
@@ -1507,6 +1562,7 @@ object Acid {
     "tbl_sql_insert"        -> tblSqlInsert,
     "tbl_sql_delete"        -> tblSqlDelete,
     "tbl_sql_ctas"          -> tblSqlCtas,
+    "tbl_sql_travel"        -> tblSqlTravel,
     "tbl_sql_alter"         -> tblSqlAlter,
     "tbl_sql_update"        -> tblSqlUpdate,
     "tbl_sql_merge"         -> tblSqlMerge,
@@ -1648,6 +1704,24 @@ object Acid {
         |                     THEN pc + 777 ELSE pc END) AS BIGINT),
         |       CAST(sum(CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
         |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM base
+        |ORDER BY version""".stripMargin,
+    "tbl_sql_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
+        |       CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       CAST(0 AS BIGINT) AS n_patched, TRUE AS ts_resolves_v0
+        |FROM base
+        |UNION ALL
+        |SELECT 1, count(*),
+        |       CAST(sum(CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |                     THEN pc + 777 ELSE pc END) AS BIGINT),
+        |       CAST(sum(CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |                     THEN 1 ELSE 0 END) AS BIGINT), TRUE
         |FROM base
         |ORDER BY version""".stripMargin,
     "tbl_sql_ctas" ->

@@ -80,6 +80,29 @@ class AcidCatalog extends StagingTableCatalog {
     new AcidSqlTable(dir, Acid.snapshot(SparkSession.active, dir).schema)
   }
 
+  /** `SELECT ... FROM <cat>.t VERSION AS OF <v>` — a time-traveled load:
+    * the returned handle pins every scan to that immutable manifest. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$catName.$ident: VERSION AS OF expects an integer version, got '$version'")
+    }
+    if (Acid.latestVersion(dir) < v || v < 0) throw new NoSuchTableException(ident)
+    new AcidSqlTable(dir, Acid.snapshot(SparkSession.active, dir, v).schema, v)
+  }
+
+  /** `TIMESTAMP AS OF` (epoch micros): resolves to the greatest version
+    * committed at or before the timestamp, Delta-style. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (!exists(dir)) throw new NoSuchTableException(ident)
+    val v = Acid.versionAtTimestamp(dir, timestampMicros).getOrElse(
+      throw new IllegalArgumentException(
+        s"$catName.$ident: timestamp predates the table's first commit"))
+    new AcidSqlTable(dir, Acid.snapshot(SparkSession.active, dir, v).schema, v)
+  }
+
   /** Plain CREATE TABLE (no data): commits an empty v0 so the table is
     * immediately visible and insertable. */
   override def createTable(ident: Identifier, info: TableInfo): Table = {

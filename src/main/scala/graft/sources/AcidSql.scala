@@ -189,7 +189,11 @@ object AcidSql {
   }
 }
 
-class AcidSqlTable(dir: String, tableSchema: StructType)
+/** `pinnedVersion >= 0` makes this a TIME-TRAVELED handle (catalog
+  * `VERSION AS OF` / `TIMESTAMP AS OF` loads): scans plan against that
+  * manifest instead of the latest. Manifests are immutable, so the pin
+  * is a stable snapshot, not a racy read. */
+class AcidSqlTable(dir: String, tableSchema: StructType, pinnedVersion: Int = -1)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
   override def name(): String = s"graft-acid-sql:$dir"
@@ -209,7 +213,7 @@ class AcidSqlTable(dir: String, tableSchema: StructType)
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val version = Option(options.get("version")).map(_.toInt).getOrElse(-1)
+    val version = Option(options.get("version")).map(_.toInt).getOrElse(pinnedVersion)
     new AcidSqlScanBuilder(dir, version, tableSchema)
   }
 

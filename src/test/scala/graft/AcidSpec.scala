@@ -170,6 +170,31 @@ class AcidSpec extends AnyFunSuite {
     assert(Acid.latestVersion(s"$root/ok") == -1)
   }
 
+  test("catalog time travel: versions pin immutable snapshots, out-of-range refuses") {
+    val root = Scratch.fresh("acid_spec_travel", sf)
+    spark.conf.set("spark.sql.catalog.graft_spec_tt", "graft.sources.AcidCatalog")
+    spark.conf.set("spark.sql.catalog.graft_spec_tt.root", root)
+    val dir = s"$root/t"
+    Acid.create(spark, dir, kv(sf), "k", 8)
+    val n0 = kv(sf).count()
+    Acid.deleteWhere(spark, dir, col("k") % 2 === 0, None, "halve")
+    val n1 = spark.sql("SELECT count(*) FROM graft_spec_tt.t").head.getLong(0)
+    assert(n1 < n0)
+    assert(spark.sql("SELECT count(*) FROM graft_spec_tt.t VERSION AS OF 0")
+      .head.getLong(0) == n0, "VERSION AS OF 0 must see the pre-delete snapshot")
+    // timestamp at v1's commit mtime resolves to v1, not v0
+    val t1 = Files.getLastModifiedTime(Paths.get(dir, "_log", "v00001.txt")).toInstant
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC).format(t1)
+    assert(spark.sql(s"SELECT count(*) FROM graft_spec_tt.t TIMESTAMP AS OF '$ts'")
+      .head.getLong(0) == n1)
+    // out-of-range refusals, both directions
+    assert(Try(spark.sql("SELECT * FROM graft_spec_tt.t VERSION AS OF 99").head).isFailure)
+    assert(Try(spark.sql(
+      "SELECT * FROM graft_spec_tt.t TIMESTAMP AS OF '1970-01-02 00:00:00'").head).isFailure)
+  }
+
   test("V2 catalog scan is columnar, and evolved files surface NULL vectors") {
     val dir = freshTable("acid_spec_columnar")
     val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
