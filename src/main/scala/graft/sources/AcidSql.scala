@@ -167,6 +167,29 @@ object AcidSql {
     (lo, hi)
   }
 
+  /** Point-probe keys from the pushed filters: Some(keys) when some
+    * CONJUNCT pins the key column to a finite set (`In` / `EqualTo`) — a
+    * file provably lacking every probe key can be skipped whatever the
+    * other conjuncts say, so this is sound under conjunction. None when
+    * no finite-set conjunct exists.
+    */
+  private[sources] def probeKeys(filters: Array[Filter], keyCol: String): Option[Seq[Long]] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int  => Some(i.toLong)
+      case _       => None
+    }
+    def one(f: Filter): Option[Seq[Long]] = f match {
+      case In(c, vs) if c == keyCol && vs.nonEmpty =>
+        val ls = vs.flatMap(asLong)
+        if (ls.length == vs.length) Some(ls.toSeq) else None
+      case EqualTo(c, v) if c == keyCol => asLong(v).map(Seq(_))
+      case FAnd(l, r)                   => one(l).orElse(one(r))
+      case _                            => None
+    }
+    filters.iterator.map(one).collectFirst { case Some(ks) => ks }
+  }
+
   /** Supported column types of the V2 writer/reader — the table format's
     * own surface is long/int/double/bool/string (money as integer cents
     * per the house rule); everything else should land via the library
@@ -210,7 +233,8 @@ class AcidSqlTable(dir: String, tableSchema: StructType, pinnedVersion: Int = -1
     })
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val version = Option(options.get("version")).map(_.toInt).getOrElse(pinnedVersion)
@@ -521,7 +545,19 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
       if (resolved < 0) Seq.empty
       else Acid.readManifest(dir, resolved).files
     val (lo, hi) = AcidSql.keyBounds(keyFilters, keyCol)
-    val live = all.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    val ranged = all.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    // Point probes (IN / = on the key) engage the manifest's Bloom tier:
+    // a file is dropped when no probe lands in its range, or its filter
+    // rejects every in-range probe. Filterless files stay — conservative.
+    val live = AcidSql.probeKeys(keyFilters, keyCol) match {
+      case Some(ks) if ks.nonEmpty => ranged.filter { f =>
+        val inR = ks.filter(k => k >= f.minKey && k <= f.maxKey)
+        inR.nonEmpty && f.bloom.forall {
+          case (b, hx) => inR.exists(k => Acid.bloomMayContain(b, hx, k))
+        }
+      }
+      case _ => ranged
+    }
     AcidSql.lastScan.put((dir, resolved), (live.size, all.size))
     onPlan(live.map(_.path))
     new AcidSqlScan(dir, live.map(_.path), required, onPlan)
@@ -570,6 +606,57 @@ class AcidSqlScan(dir: String, files0: Seq[String], required: StructType,
     files.map(p => AcidSqlInputPartition(s"$dir/$p"): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new AcidSqlReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AcidSqlMicroBatchStream(dir, required)
+}
+
+/** `spark.readStream.table(<cat>.t)` — the catalog table as a V2
+  * micro-batch SOURCE. Offsets are committed table versions; a batch
+  * (v0, v1] reads exactly the files ADDED across that version range (a
+  * manifest set-diff — driver metadata, never a data diff), through the
+  * same columnar reader factory as batch scans. The first batch from a
+  * fresh checkpoint (start = -1) is the creation snapshot plus catch-up.
+  *
+  * Semantics are APPEND-streaming, Delta's stream-from-table analogue: a
+  * MERGE/DELETE rewrite re-emits the rewritten files' current rows (the
+  * `ignoreChanges` contract); consumers that need classified
+  * updates/deletes stream the CDF source (`graft-acid-cdf`) instead.
+  * Restart-resume is exact because offsets name immutable manifests —
+  * and a checkpoint below the vacuum horizon refuses rather than
+  * silently skipping, same as time travel.
+  */
+class AcidSqlMicroBatchStream(dir: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
+
+  override def initialOffset(): StreamOffset = AcidVersionOffset(-1L)
+  override def latestOffset(): StreamOffset =
+    AcidVersionOffset(Acid.latestVersion(dir).toLong)
+  override def deserializeOffset(json: String): StreamOffset =
+    AcidVersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset)
+      : Array[InputPartition] = {
+    val v0 = start.asInstanceOf[AcidVersionOffset].v.toInt
+    val v1 = end.asInstanceOf[AcidVersionOffset].v.toInt
+    if (v1 < 0 || v1 <= v0) return Array.empty
+    val before: Set[String] =
+      if (v0 < 0) Set.empty else Acid.readManifest(dir, v0).files.map(_.path).toSet
+    Acid.readManifest(dir, v1).files.map(_.path).filterNot(before)
+      .map(p => AcidSqlInputPartition(s"$dir/$p"): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AcidSqlReaderFactory(required)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Stream offset = committed table version (JSON is the bare number). */
+case class AcidVersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
 }
 
 case class AcidSqlInputPartition(absPath: String) extends InputPartition

@@ -788,6 +788,54 @@ object Streaming {
       .orderBy(col("change_type"))
   }
 
+  /** st_table_stream — `spark.readStream.table(<cat>.t)`: the catalog
+    * table itself as a V2 micro-batch source (offsets = committed
+    * versions, each batch reads exactly the files ADDED in its range —
+    * a manifest set-diff, driver metadata only). The creation snapshot
+    * arrives as the first batch and two SQL `INSERT INTO` commits as
+    * increments; the drained memory table must equal base ∪ inserts
+    * (append-streaming semantics — update-aware consumers use the CDF
+    * source). `three_versions` pins that the commits really were
+    * separate versions, not one merged write.
+    */
+  val stTableStream: Q = (s, d) => {
+    import graft.sources.Acid
+    val root = fresh("st_table_stream", d)
+    val cat = "graft_ts_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    val kv = graft.Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("prio"))
+    val mk = graft.Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+    Acid.create(s, s"$root/t", kv, "k", 8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    kv.createOrReplaceTempView("st_table_stream_src")
+    s.sql(s"""INSERT INTO $cat.t
+             |SELECT k + $mk + 1, k * 3 + 45, 'INS' FROM st_table_stream_src
+             |WHERE k % 100 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.t
+             |SELECT k + ${2 * mk} + 2, k * 5 + 11, 'INS2' FROM st_table_stream_src
+             |WHERE k % 97 = 0""".stripMargin)
+    val threeVersions = Acid.latestVersion(s"$root/t") == 2
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val q = ss.readStream.table(s"$cat.t").writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory").queryName("st_table_stream")
+      .option("checkpointLocation", s"$root/_streamcp")
+      .start()
+    q.awaitTermination()
+    ss.table("st_table_stream")
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("three_versions", lit(threeVersions))
+      .orderBy(col("prio"))
+  }
+
   /** st_realtime_rate — a TRUE realtime (non-file) source: Spark's
     * `rate-micro-batch` generator emits a fixed `rowsPerBatch` with
     * deterministic values (globally sequential) and per-batch timestamps
@@ -887,6 +935,7 @@ object Streaming {
     "st_stream_totable"  -> stStreamToTable,
     "st_realtime_rate"   -> stRealtimeRate,
     "st_table_cdf"       -> stTableCdf,
+    "st_table_stream"    -> stTableStream,
     "st_foreachbatch_upsert" -> stForeachBatchUpsert,
     "st_checkpoint_resume" -> stCheckpointResume,
     "st_stream_join_outer" -> stStreamJoinOuter,
@@ -919,6 +968,21 @@ object Streaming {
         |       CAST(value % 7 AS BIGINT) AS bucket,
         |       count(*) AS n, CAST(sum(value) AS BIGINT) AS sum_v
         |FROM v GROUP BY 1, 2 ORDER BY window_start_s, bucket""".stripMargin,
+    "st_table_stream" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |streamed AS (
+        |  SELECT prio, pc FROM base
+        |  UNION ALL
+        |  SELECT 'INS', k * 3 + 45 FROM base WHERE k % 100 = 0
+        |  UNION ALL
+        |  SELECT 'INS2', k * 5 + 11 FROM base WHERE k % 97 = 0)
+        |SELECT prio, count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       TRUE AS three_versions
+        |FROM streamed GROUP BY prio ORDER BY prio""".stripMargin,
     "st_table_cdf" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

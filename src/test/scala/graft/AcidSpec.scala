@@ -136,6 +136,16 @@ class AcidSpec extends AnyFunSuite {
     val brute = Acid.snapshot(spark, dir)
       .filter(col("k").isInCollection(present ++ absent)).count()
     assert(dfM.count() == brute && brute >= 1)
+    // SQL surface: the same probes pushed as an IN filter through the V2
+    // scan engage the bloom tier in the PLANNER — strictly fewer files
+    // than range overlap alone would open (bloom keeps a file only on a
+    // ~0.24% false positive, so requiring < range-hits is FP-robust)
+    val v2 = spark.read.format("graft-acid-sql").load(dir)
+    assert(v2.filter(col("k").isInCollection(absent)).count() == 0)
+    val (scanned, total) = graft.sources.AcidSql.lastScanFor(dir)
+    val rangeHits = m.files.count(f => absent.exists(k => k >= f.minKey && k <= f.maxKey))
+    assert(rangeHits >= 1 && scanned < rangeHits,
+      s"SQL IN-probe scanned $scanned files; range tier alone leaves $rangeHits of $total")
   }
 
   test("staging-catalog CTAS: atomic create-with-data, aborted CTAS leaves nothing") {
@@ -168,6 +178,34 @@ class AcidSpec extends AnyFunSuite {
     // DROP TABLE removes the committed table
     spark.sql("DROP TABLE graft_spec_cat.ok")
     assert(Acid.latestVersion(s"$root/ok") == -1)
+  }
+
+  test("readStream.table streams by committed version and resumes incrementally") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Scratch.fresh("acid_spec_tstream", sf)
+    spark.conf.set("spark.sql.catalog.graft_spec_ts", "graft.sources.AcidCatalog")
+    spark.conf.set("spark.sql.catalog.graft_spec_ts.root", root)
+    val dir = s"$root/t"
+    Acid.create(spark, dir, kv(sf), "k", 8)
+    val n0 = kv(sf).count()
+    // parquet sink: recoverable from the checkpoint, so the second drain
+    // is a genuine RESUME, not a restart-from-scratch
+    def drain(): Long = {
+      val q = spark.readStream.table("graft_spec_ts.t").writeStream
+        .trigger(Trigger.AvailableNow()).outputMode("append")
+        .format("parquet").option("path", s"$root/_out")
+        .option("checkpointLocation", s"$root/_cp").start()
+      q.awaitTermination()
+      spark.read.parquet(s"$root/_out").count()
+    }
+    // fresh checkpoint: first drain delivers the creation snapshot
+    assert(drain() == n0)
+    val ins = kv(sf).filter(col("k") % 250 === 0)
+      .select((col("k") + 10000000L).as("k"), col("price_cents"), col("prio"))
+    ins.writeTo("graft_spec_ts.t").append()
+    // resume from the SAME checkpoint: only the new commit's files replay
+    assert(drain() == n0 + ins.count(),
+      "resumed stream must deliver exactly the appended files")
   }
 
   test("catalog time travel: versions pin immutable snapshots, out-of-range refuses") {
