@@ -84,9 +84,18 @@ object Acid {
     * committing writer when `writeCdf` is on. Named per attempt, so a
     * losing racer's CDC directory is simply unreferenced (vacuumable) —
     * readers always follow the winning manifest's pointer. */
+  /** `constraint` — an optional CHECK predicate (SQL expression string,
+    * the Delta invariant analogue) every row of the table must satisfy.
+    * Enforced on the WRITTEN output of each data commit before the
+    * manifest lands (so subset-column CDC batches and evolved columns are
+    * checked on the merged result, exactly what persists); carried
+    * forward by every commit; base64 in the header so the predicate text
+    * can contain the field separator.
+    */
   final case class Manifest(version: Int, batchId: Long, files: Seq[FileEntry],
                             batchHw: Map[String, Long] = Map.empty,
-                            cdcPath: Option[String] = None)
+                            cdcPath: Option[String] = None,
+                            constraint: Option[String] = None)
   final case class MergeResult(version: Int, filesRewritten: Int, filesTotal: Int,
                                skipped: Boolean)
 
@@ -153,7 +162,12 @@ object Acid {
         }.toMap
       else Map.empty[String, Long]
     val cdc = if (header.length >= 4 && header(3).nonEmpty) Some(header(3)) else None
-    Manifest(header(0).toInt, header(1).toLong, files.toSeq, hw, cdc)
+    val constraint =
+      if (header.length >= 5 && header(4).nonEmpty)
+        Some(new String(java.util.Base64.getDecoder.decode(header(4)),
+          StandardCharsets.UTF_8))
+      else None
+    Manifest(header(0).toInt, header(1).toLong, files.toSeq, hw, cdc, constraint)
   }
 
   /** Atomic put-if-absent commit: write a temp record, then rename WITHOUT
@@ -171,7 +185,9 @@ object Acid {
       s"cdc path '$p' must not contain header delimiters"))
     val hwStr = m.batchHw.toSeq.sortBy(_._1)
       .map { case (t, v) => s"$t=$v" }.mkString(",")
-    val body = (s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}" +:
+    val cstr = m.constraint.map(c => java.util.Base64.getEncoder
+      .encodeToString(c.getBytes(StandardCharsets.UTF_8))).getOrElse("")
+    val body = (s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}|$cstr" +:
       m.files.map { f =>
         val s2 = f.stats2.map { case (c, mn, mx) => s"|$c|$mn|$mx" }.getOrElse("")
         val bl = f.bloom.map { case (bits, hex) => s"|B:$bits:$hex" }.getOrElse("")
@@ -211,15 +227,61 @@ object Acid {
       }.sortBy(_.path).toSeq
   }
 
+  /** Thrown when a data commit's written output violates the table's
+    * CHECK constraint — deliberately NOT the Either/conflict channel:
+    * a violation is a caller bug, never something a rebase can fix. */
+  final class ConstraintViolation(msg: String) extends IllegalArgumentException(msg)
+
+  /** Refuse-before-commit check over freshly WRITTEN data (batch-sized,
+    * one extra pass): rows where the predicate is false OR NULL violate,
+    * matching SQL CHECK semantics. On violation the staged dir is
+    * removed and nothing was committed — atomicity holds. */
+  private[sources] def enforceConstraint(s: SparkSession, tableDir: String,
+      dataDir: String, c: Option[String]): Unit =
+    c.foreach { pred =>
+      val bad = !s.read.parquet(s"$tableDir/$dataDir")
+        .filter(!coalesce(expr(pred), lit(false))).isEmpty
+      if (bad) {
+        val w = Files.walk(Paths.get(tableDir, dataDir))
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally w.close()
+        throw new ConstraintViolation(
+          s"CHECK constraint violated by written data: $pred")
+      }
+    }
+
+  /** ALTER TABLE ADD/DROP CONSTRAINT as a metadata commit. Adding
+    * validates the WHOLE current snapshot first (the one table-sized
+    * cost, same as Delta's ADD CONSTRAINT); dropping is free. NOTE:
+    * restore() to a pre-constraint version resurrects files that predate
+    * validation — re-run setConstraint after such a restore if the
+    * guarantee must hold. */
+  def setConstraint(s: SparkSession, dir: String, c: Option[String]): Int = {
+    val v = latestVersion(dir)
+    val m = readManifest(dir, v)
+    c.foreach { pred =>
+      if (!snapshot(s, dir).filter(!coalesce(expr(pred), lit(false))).isEmpty)
+        throw new ConstraintViolation(
+          s"existing rows violate the proposed constraint: $pred")
+    }
+    commitManifest(dir, m.copy(version = v + 1, batchId = -1L,
+      cdcPath = None, constraint = c))
+    v + 1
+  }
+
   /** CREATE TABLE AS: range-partitioned initial layout (files carry
     * disjoint key ranges, which is what makes min/max skipping sharp) +
-    * manifest v0.
+    * manifest v0. An optional CHECK constraint is validated against the
+    * initial data before v0 lands.
     */
   def create(s: SparkSession, dir: String, df: DataFrame, keyCol: String,
-             nFiles: Int): Unit = {
+             nFiles: Int, constraint: Option[String] = None): Unit = {
     df.repartitionByRange(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(s"$dir/d0_init")
-    commitManifest(dir, Manifest(0, -1L, statsOf(s, dir, "d0_init", keyCol)))
+    enforceConstraint(s, dir, "d0_init", constraint)
+    commitManifest(dir, Manifest(0, -1L, statsOf(s, dir, "d0_init", keyCol),
+      constraint = constraint))
   }
 
   /** Snapshot read at a version (default: latest). `mergeSchema` because
@@ -328,7 +390,7 @@ object Acid {
       built.get(f.path.split('/').last)
         .map { case (b, h) => f.copy(bloom = Some((b, h))) }.getOrElse(f)
     }
-    commitManifest(dir, Manifest(v + 1, -1L, withBloom, m.batchHw, None))
+    commitManifest(dir, Manifest(v + 1, -1L, withBloom, m.batchHw, None, m.constraint))
     v + 1
   }
 
@@ -428,6 +490,10 @@ object Acid {
     val dataDir = s"d${nextV}_$writerTag$stageSuffix"
     merged.repartitionByRange(math.max(1, touched.size), col(keyCol))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
+    // CHECK constraint on the WRITTEN merge result (what actually
+    // persists): subset-column batches and evolved columns are validated
+    // post-coalesce, exactly like Delta invariants at write time
+    enforceConstraint(s, dir, dataDir, m.constraint)
     val newEntries = statsOf(s, dir, dataDir, keyCol)
 
     // CDC-at-commit: the update/insert legs already materialize both
@@ -475,7 +541,8 @@ object Acid {
       else m.batchHw
     try {
       commitManifest(dir,
-        Manifest(nextV, batchId, untouched ++ newEntries, hw, cdcPathOpt))
+        Manifest(nextV, batchId, untouched ++ newEntries, hw, cdcPathOpt,
+          m.constraint))
       Right(MergeResult(nextV, touched.size, m.files.size, skipped = false))
     } catch {
       case _: FileAlreadyExistsException =>
@@ -529,14 +596,16 @@ object Acid {
     */
   def appendCommitAt(dir: String, baseVersion: Int, newEntries: Seq[FileEntry],
                      truncate: Boolean = false): Either[String, Int] = {
-    val (files, hw) =
-      if (baseVersion < 0) (newEntries, Map.empty[String, Long])
+    val (files, hw, cstr) =
+      if (baseVersion < 0) (newEntries, Map.empty[String, Long], None)
       else {
         val m = readManifest(dir, baseVersion)
-        (if (truncate) newEntries else m.files ++ newEntries, m.batchHw)
+        (if (truncate) newEntries else m.files ++ newEntries, m.batchHw, m.constraint)
       }
     val next = baseVersion + 1
-    try { commitManifest(dir, Manifest(next, -1L, files, hw)); Right(next) }
+    try {
+      commitManifest(dir, Manifest(next, -1L, files, hw, None, cstr)); Right(next)
+    }
     catch {
       case _: FileAlreadyExistsException =>
         Left(s"conflict: version $next was committed by another writer")
@@ -585,7 +654,8 @@ object Acid {
         val hw = m.batchHw.updated(writerTag,
           math.max(m.batchHw.getOrElse(writerTag, -1L), batchId))
         try {
-          commitManifest(dir, Manifest(base + 1, batchId, m.files ++ newEntries, hw))
+          commitManifest(dir,
+            Manifest(base + 1, batchId, m.files ++ newEntries, hw, None, m.constraint))
           return base + 1
         } catch { case _: FileAlreadyExistsException => attempt += 1 }
       }
@@ -612,8 +682,10 @@ object Acid {
         s"row-level write conflict: a concurrent commit rewrote " +
           s"${(removed -- present).take(3).mkString(", ")}… — re-run the statement")
       val files = m.files.filterNot(f => removed(f.path)) ++ newEntries
-      try { commitManifest(dir, Manifest(base + 1, -1L, files, m.batchHw)); return base + 1 }
-      catch { case _: FileAlreadyExistsException => attempt += 1 }
+      try {
+        commitManifest(dir, Manifest(base + 1, -1L, files, m.batchHw, None, m.constraint))
+        return base + 1
+      } catch { case _: FileAlreadyExistsException => attempt += 1 }
     }
     throw new IllegalStateException("replaceCommit: too many commit conflicts")
   }
@@ -727,9 +799,32 @@ object Acid {
         Some(cdcDir)
       }
     commitManifest(dir,
-      Manifest(nextV, -1L, untouched ++ newEntries, m.batchHw, cdcPathOpt))
+      Manifest(nextV, -1L, untouched ++ newEntries, m.batchHw, cdcPathOpt,
+        m.constraint))
     val deleted = touched.map(_.rows).sum - newEntries.map(_.rows).sum
     (deleted, touched.size, m.files.size)
+  }
+
+  /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF`): roll the
+    * table BACK by rolling FORWARD — a new commit whose file list is the
+    * target version's. History is preserved (the undone versions stay
+    * time-travelable until vacuum), data never moves (the restored files
+    * still exist unless vacuum passed them, in which case the manifest
+    * read refuses — same horizon contract as time travel), and the
+    * idempotency high-water map is carried from the LATEST version, not
+    * the target: a replayed streaming epoch must still dedup after a
+    * restore, or at-least-once delivery would double-apply it into the
+    * restored state. Returns the committed version.
+    */
+  def restore(s: SparkSession, dir: String, toVersion: Int): Int = {
+    val latest = latestVersion(dir)
+    require(toVersion >= 0 && toVersion <= latest,
+      s"restore: version $toVersion outside [0, $latest]")
+    val target = readManifest(dir, toVersion)
+    val cur = readManifest(dir, latest)
+    commitManifest(dir, Manifest(latest + 1, -1L, target.files, cur.batchHw,
+      None, cur.constraint))
+    latest + 1
   }
 
   /** OPTIMIZE (bin-pack compaction) as a COMMITTED version: the live
@@ -749,7 +844,7 @@ object Acid {
       .repartitionByRange(targetFiles, col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     commitManifest(dir, Manifest(v + 1, -1L, statsOf(s, dir, dataDir, key),
-      m.batchHw))
+      m.batchHw, None, m.constraint))
     (m.files.size, readManifest(dir, v + 1).files.size)
   }
 
@@ -792,7 +887,7 @@ object Acid {
       .drop("_z")
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     commitManifest(dir, Manifest(v + 1, -1L,
-      statsOf(s, dir, dataDir, key, Some(col2)), m.batchHw))
+      statsOf(s, dir, dataDir, key, Some(col2)), m.batchHw, None, m.constraint))
     (m.files.size, readManifest(dir, v + 1).files.size)
   }
 
@@ -833,7 +928,7 @@ object Acid {
     val rel = Paths.get(dstDir).toAbsolutePath
       .relativize(Paths.get(srcDir).toAbsolutePath)
     val entries = m.files.map(f => f.copy(path = s"$rel/${f.path}"))
-    commitManifest(dstDir, Manifest(0, -1L, entries))
+    commitManifest(dstDir, Manifest(0, -1L, entries, constraint = m.constraint))
     entries.size
   }
 
@@ -1072,6 +1167,71 @@ object Acid {
         sum(when(col("prio") === "PATCHED", 1L).otherwise(0L)).as("n_patched"))
       .withColumn("second_skipped", lit(second.skipped && !first.skipped))
       .withColumn("version_unchanged", lit(second.version == first.version))
+  }
+
+  /** tbl_restore — rollback as roll-forward: a bad MERGE (v1) is undone
+    * by `restore(0)`, which commits v2 carrying v0's exact file list —
+    * no data movement, history intact (v1 stays time-travelable, pinned),
+    * and a subsequent merge builds on the restored state. The final
+    * snapshot must equal "v0 + only the second merge", which the oracle
+    * reconstructs analytically.
+    */
+  val tblRestore: Q = (s, d) => {
+    val dir = fresh("tbl_restore", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    // the "bad" write: corrupts prices in the low quarter
+    merge(s, dir, ordersKV(s, d)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") * 100)
+      .withColumn("prio", lit("BAD")), "bad")
+    val rv = restore(s, dir, 0)
+    // the undone version is still inspectable history
+    val v1StillBad = snapshot(s, dir, 1)
+      .filter(col("prio") === "BAD").count() > 0
+    // life goes on from the restored state
+    merge(s, dir, ordersKV(s, d)
+      .filter(col("k") % 10 === 7 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 55)
+      .withColumn("prio", lit("GOOD")), "g")
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        sum(when(col("prio") === "BAD", 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("prio") === "GOOD", 1L).otherwise(0L)).as("n_good"))
+      .withColumn("restored_v2", lit(rv == 2))
+      .withColumn("history_kept", lit(v1StillBad))
+  }
+
+  /** tbl_constraint — CHECK constraints (the Delta invariant contract):
+    * the table is created WITH `price_cents >= 0 AND prio IS NOT NULL`;
+    * a valid merge commits; a violating merge (negative prices) REFUSES
+    * atomically — no version burned, snapshot unchanged, staged files
+    * removed; and an ALTER-style `setConstraint` tightening beyond the
+    * existing data refuses after validating the snapshot. The violation
+    * channel is an exception, not the conflict Either: a rebase can
+    * never fix bad data.
+    */
+  val tblConstraint: Q = (s, d) => {
+    val dir = fresh("tbl_constraint", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8,
+      Some("price_cents >= 0 AND prio IS NOT NULL"))
+    merge(s, dir, ordersKV(s, d)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("prio", lit("PATCHED")), "ok")
+    val vOk = latestVersion(dir)
+    val refused = Try(merge(s, dir, ordersKV(s, d)
+      .filter(col("k") % 10 === 4 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", lit(-1L)), "bad")).isFailure
+    val vUnchanged = latestVersion(dir) == vOk
+    val alterRefused =
+      Try(setConstraint(s, dir, Some("price_cents > 1000000000"))).isFailure
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        sum(when(col("prio") === "PATCHED", 1L).otherwise(0L)).as("n_patched"))
+      .withColumn("violation_refused", lit(refused && vUnchanged))
+      .withColumn("alter_validates", lit(alterRefused))
   }
 
   /** tbl_zorder — multi-dimensional data skipping: a second-column range
@@ -1577,6 +1737,8 @@ object Acid {
     "tbl_optimize_compact"  -> tblOptimizeCompact,
     "tbl_stream_sink"       -> tblStreamSink,
     "tbl_zorder"            -> tblZorder,
+    "tbl_restore"           -> tblRestore,
+    "tbl_constraint"        -> tblConstraint,
     "tbl_change_feed"       -> tblChangeFeed,
     "tbl_delete_where"      -> tblDeleteWhere,
     "tbl_clone_shallow"     -> tblCloneShallow,
@@ -1706,6 +1868,41 @@ object Acid {
         |                     THEN 1 ELSE 0 END) AS BIGINT)
         |FROM base
         |ORDER BY version""".stripMargin,
+    "tbl_constraint" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |upd AS (
+        |  SELECT CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN pc + 777 ELSE pc END AS pc,
+        |         CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN 'PATCHED' ELSE prio END AS prio
+        |  FROM base)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       CAST(sum(CASE WHEN prio = 'PATCHED' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_patched,
+        |       TRUE AS violation_refused, TRUE AS alter_validates
+        |FROM upd""".stripMargin,
+    "tbl_restore" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |fin AS (
+        |  SELECT CASE WHEN k % 10 = 7 AND k < (SELECT m FROM mx) // 4
+        |              THEN pc + 55 ELSE pc END AS price_cents,
+        |         CASE WHEN k % 10 = 7 AND k < (SELECT m FROM mx) // 4
+        |              THEN 'GOOD' ELSE prio END AS prio
+        |  FROM base)
+        |SELECT count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       CAST(0 AS BIGINT) AS n_bad,
+        |       CAST(sum(CASE WHEN prio = 'GOOD' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_good,
+        |       TRUE AS restored_v2, TRUE AS history_kept
+        |FROM fin""".stripMargin,
     "tbl_sql_travel" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

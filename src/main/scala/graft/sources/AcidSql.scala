@@ -422,6 +422,13 @@ class AcidSqlBatchWrite(dir: String, writeSchema: StructType, truncate: Boolean)
       case AcidWriteMessage(p, rows, mn, mx) if rows > 0 =>
         Acid.FileEntry(p, rows, mn, mx)
     }.toSeq.sortBy(_.path)
+    // CHECK constraint over the staged files BEFORE any metadata moves —
+    // a violating INSERT deletes its stage and throws; nothing committed
+    if (entries.nonEmpty) {
+      val v = Acid.latestVersion(dir)
+      val c = if (v >= 0) Acid.readManifest(dir, v).constraint else None
+      Acid.enforceConstraint(SparkSession.active, dir, stageDir, c)
+    }
     // metadata-only atomic commit; put-if-absent rebase on conflict
     Acid.appendCommit(dir, entries, truncate): Unit
   }

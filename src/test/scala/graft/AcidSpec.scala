@@ -180,6 +180,35 @@ class AcidSpec extends AnyFunSuite {
     assert(Acid.latestVersion(s"$root/ok") == -1)
   }
 
+  test("CHECK constraint: DSv2 INSERT refuses atomically, rewrites keep the invariant") {
+    val dir = Scratch.fresh("acid_spec_constraint", sf)
+    Acid.create(spark, dir, kv(sf), "k", 8, Some("price_cents >= 0"))
+    val v0 = Acid.latestVersion(dir)
+    val sum0 = Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0)
+    spark.sql("DROP TABLE IF EXISTS graft_constraint_t")
+    spark.sql(
+      s"""CREATE TABLE graft_constraint_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    // violating SQL INSERT: refused, no version burned, snapshot intact
+    assert(Try(spark.sql(
+      "INSERT INTO graft_constraint_t VALUES (99999999, -5, 'BAD')")).isFailure)
+    assert(Acid.latestVersion(dir) == v0, "violating INSERT burned a version")
+    assert(Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0) == sum0)
+    // valid SQL INSERT commits
+    spark.sql("INSERT INTO graft_constraint_t VALUES (99999999, 5, 'OK')")
+    assert(Acid.latestVersion(dir) == v0 + 1)
+    // constraint survives maintenance rewrites (optimize) and clones
+    Acid.optimize(spark, dir, 4)
+    assert(Acid.readManifest(dir, Acid.latestVersion(dir)).constraint
+      .contains("price_cents >= 0"))
+    val cloneDir = Scratch.fresh("acid_spec_constraint_clone", sf)
+    java.nio.file.Files.delete(Paths.get(cloneDir)) // cloneShallow creates it
+    Acid.cloneShallow(spark, dir, cloneDir)
+    assert(Try(Acid.merge(spark, cloneDir,
+      kv(sf).limit(5).withColumn("price_cents", lit(-1L)), "c")).isFailure,
+      "clone must inherit the constraint")
+  }
+
   test("readStream.table streams by committed version and resumes incrementally") {
     import org.apache.spark.sql.streaming.Trigger
     val root = Scratch.fresh("acid_spec_tstream", sf)
@@ -422,7 +451,11 @@ class AcidSpec extends AnyFunSuite {
         a <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
         b <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
       } yield (c, a, b))
-    } yield Acid.FileEntry(p, rows, mn, mx, s2)
+      bl <- Gen.option(for {
+        words <- Gen.choose(1, 4)
+        hex   <- Gen.listOfN(words * 16, Gen.oneOf("0123456789ABCDEF".toSeq))
+      } yield (words * 64, hex.mkString))
+    } yield Acid.FileEntry(p, rows, mn, mx, s2, bl)
     val tagGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(6).mkString)
     val manifestGen = for {
       bid <- Gen.choose(-1L, Long.MaxValue / 2)
@@ -431,11 +464,14 @@ class AcidSpec extends AnyFunSuite {
         .map(_.toMap)
       fs  <- Gen.listOfN(5, entryGen)
       cdc <- Gen.option(tagGen.map(t => s"_cdc/d1_$t"))
-    } yield (bid, hw, fs, cdc)
+      // constraint text may contain the header delimiter — base64 must hold
+      cstr <- Gen.option(Gen.oneOf("price_cents >= 0",
+        "a > 0 AND b IS NOT NULL", "x | weird || chars\t-- comment"))
+    } yield (bid, hw, fs, cdc, cstr)
     val dir = Scratch.fresh("acid_spec_roundtrip", sf)
     sample(Gen.listOfN(200, manifestGen)).zipWithIndex.foreach {
-      case ((bid, hw, fs, cdc), v) =>
-        val m = Acid.Manifest(v, bid, fs, hw, cdc)
+      case ((bid, hw, fs, cdc, cstr), v) =>
+        val m = Acid.Manifest(v, bid, fs, hw, cdc, cstr)
         Acid.commitManifest(dir, m)
         assert(Acid.readManifest(dir, v) == m, s"round-trip failed at v$v")
     }
