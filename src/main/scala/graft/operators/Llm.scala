@@ -630,6 +630,32 @@ object Llm {
       .orderBy(col("doc_id"))
   }
 
+  /** Classifier-based quality filtering — the fasttext-shaped LINEAR
+    * model over hashed token features that public corpus pipelines
+    * (CCNet, DCLM, FineWeb-Edu family) use as their quality gate, as an
+    * execution shape: tokens hash into a 4096-bucket feature space, each
+    * bucket carries a weight, a document's score is the integer mean
+    * bucket weight (µ-units), and the corpus bands into keep/mid/drop.
+    * Weights here are md5-derived pseudo-weights so the DuckDB oracle
+    * reproduces them bit-exactly; a trained deployment broadcasts a
+    * weight Map into the same plan. Execution: explode → codegen
+    * md5/conv arithmetic → per-doc hash agg with map-side partials — the
+    * shuffle carries (doc_id) partials, never the corpus text.
+    */
+  val classifierScore: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("w",
+        conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % 4096 % 2001)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        expr("sum(w) div count(w)").as("score_mu"))
+      .withColumn("band", when(col("score_mu") < lit(900L), "drop")
+        .when(col("score_mu") > lit(1100L), "keep").otherwise("mid"))
+      .orderBy(col("doc_id"))
+
   /** Adjacent-token-pair counts — the inner statistic of one BPE merge
     * round (tokenizer training): explode consecutive pairs, one global
     * hash aggregation, top-20. Map-side partial aggregation absorbs the
@@ -1192,6 +1218,7 @@ object Llm {
     "llm_text_stats" -> textStats,
     "llm_token_count" -> tokenCount,
     "llm_quality_score" -> qualityScore,
+    "llm_classifier_score" -> classifierScore,
     "llm_lang_partition" -> langPartition,
     "llm_bpe_pairs" -> bpePairs,
     "llm_lsh_recall" -> lshRecall,
@@ -1505,6 +1532,26 @@ object Llm {
         | round(0.5 * (n_stop / n_tokens) +
         |       0.5 * least(n_tokens / 100.0, 1.0), 4) AS quality
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "llm_classifier_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |w AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 4096 % 2001 AS w
+        |  FROM tok),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |         CAST(CAST(sum(w) AS BIGINT) // count(*) AS BIGINT) AS score_mu
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, n_toks, score_mu,
+        |       CASE WHEN score_mu < 900 THEN 'drop'
+        |            WHEN score_mu > 1100 THEN 'keep'
+        |            ELSE 'mid' END AS band
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "llm_lang_partition" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -370,7 +370,7 @@ object Acid {
     // gymnastics against input_file_name()'s URI form.
     val dim = s.createDataFrame(
       m.files.map(f => (f.path.split('/').last, bloomBits(f.rows)))).toDF("base", "mbits")
-    val built = s.read.option("mergeSchema", "true")
+    val sparse = s.read.option("mergeSchema", "true")
       .parquet(m.files.map(f => s"$dir/${f.path}"): _*)
       .select(col(key).as("k"),
         element_at(split(input_file_name(), "/"), -1).as("base"))
@@ -379,11 +379,19 @@ object Acid {
         pmod(xxhash64(col("k"), lit(i.toLong)), col("mbits"))): _*)).as("p"))
       .groupBy(col("base"), col("mbits"), expr("CAST(p DIV 64 AS INT)").as("w"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").as("bits"))
+    // Dense word domain via explode + left join, NOT a per-index map
+    // lookup: Spark map access is a linear scan of ArrayBasedMapData, so
+    // sequence×try_element_at assembly is O(words²) per file — measured
+    // 10.5 s at sf0.1 vs ~2 s for this linear shape. Sorted-struct
+    // collect keeps word order; zero-fill covers the gaps.
+    val built = dim
+      .select(col("base"), col("mbits"),
+        explode(expr("sequence(0, CAST(mbits DIV 64 AS INT) - 1)")).as("w"))
+      .join(sparse.drop("mbits"), Seq("base", "w"), "left_outer")
+      .withColumn("hx16", lpad(hex(coalesce(col("bits"), lit(0L))), 16, "0"))
       .groupBy(col("base"), col("mbits"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("wm"))
-      .withColumn("hx", expr(
-        "array_join(transform(sequence(0, CAST(mbits DIV 64 AS INT) - 1), " +
-          "i -> lpad(hex(coalesce(try_element_at(wm, i), CAST(0 AS BIGINT))), 16, '0')), '')"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(w, hx16))), " +
+        "x -> x.hx16), '')").as("hx"))
       .select("base", "mbits", "hx")
       .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
     val withBloom = m.files.map { f =>
