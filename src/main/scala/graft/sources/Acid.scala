@@ -64,9 +64,15 @@ object Acid {
     * that provably lack the key. Files without either stat simply cannot
     * be skipped that way — conservative, always correct.
     */
+  /** `dv` = optional deletion-vector sidecar (dirPath, keyCount): the
+    * merge-on-read DELETE contract. The sidecar holds DELETED merge keys
+    * (unique by the format's contract, so a key names exactly one
+    * logical row); `rows`/min/max stay the PHYSICAL file stats —
+    * conservative for skipping, and readers subtract the sidecar. */
   final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
                              stats2: Option[(String, Long, Long)] = None,
-                             bloom: Option[(Int, String)] = None)
+                             bloom: Option[(Int, String)] = None,
+                             dv: Option[(String, Long)] = None)
   /** `batchHw` maps each writer identity (the `writerTag` a merge commits
     * under — the analogue of Delta's `txnAppId`) to the high-water mark of
     * batch ids THAT writer has committed. Keyed per writer, not
@@ -141,18 +147,27 @@ object Acid {
     val header = lines.head.split('|')
     val files = lines.tail.map { l =>
       val a = l.split('|')
-      // optional trailing fields: a stats2 triple and/or a "B:<m>:<hex>"
-      // bloom field, in that order
-      val tail = a.drop(4)
-      val (s2, rest) =
-        if (tail.length >= 3 && !tail(0).startsWith("B:"))
-          (Some((tail(0), tail(1).toLong, tail(2).toLong)), tail.drop(3))
-        else (None, tail)
-      val bloom = rest.headOption.filter(_.startsWith("B:")).map { b =>
-        val i = b.indexOf(':', 2)
-        (b.substring(2, i).toInt, b.substring(i + 1))
+      // optional trailing fields, tagged: a bare stats2 triple (column
+      // names are identifiers, so no tag collision), "B:<m>:<hex>" bloom,
+      // "D:<count>:<path>" deletion vector — any order, each at most once
+      var s2: Option[(String, Long, Long)] = None
+      var bloom: Option[(Int, String)] = None
+      var dv: Option[(String, Long)] = None
+      var rest = a.drop(4).toList
+      while (rest.nonEmpty) rest.head match {
+        case b if b.startsWith("B:") =>
+          val i = b.indexOf(':', 2)
+          bloom = Some((b.substring(2, i).toInt, b.substring(i + 1)))
+          rest = rest.tail
+        case dvt if dvt.startsWith("D:") =>
+          val i = dvt.indexOf(':', 2)
+          dv = Some((dvt.substring(i + 1), dvt.substring(2, i).toLong))
+          rest = rest.tail
+        case _ =>
+          s2 = Some((rest.head, rest(1).toLong, rest(2).toLong))
+          rest = rest.drop(3)
       }
-      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom)
+      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom, dv)
     }
     val hw =
       if (header.length >= 3 && header(2).nonEmpty)
@@ -191,7 +206,8 @@ object Acid {
       m.files.map { f =>
         val s2 = f.stats2.map { case (c, mn, mx) => s"|$c|$mn|$mx" }.getOrElse("")
         val bl = f.bloom.map { case (bits, hex) => s"|B:$bits:$hex" }.getOrElse("")
-        s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl"
+        val dvs = f.dv.map { case (p, n) => s"|D:$n:$p" }.getOrElse("")
+        s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs"
       }).mkString("\n")
     // UUID suffix: two writers racing the same version in DIFFERENT JVMs
     // can share a thread id, which would let the second Files.write
@@ -284,15 +300,35 @@ object Acid {
       constraint = constraint))
   }
 
+  /** Subtract the entries' deletion-vector sidecars from a read of those
+    * entries: an anti-join on the merge key against the (delete-sized,
+    * deduped) union of referenced sidecars. No DVs → the frame passes
+    * through untouched, so DV-less tables pay nothing. AQE picks a
+    * broadcast for the usual tiny DV side; a pathologically large DV
+    * set degrades to a shuffle anti-join, still correct.
+    */
+  private def applyDv(s: SparkSession, dir: String, entries: Seq[FileEntry],
+                      base: DataFrame): DataFrame = {
+    val dvs = entries.flatMap(_.dv.map(_._1)).distinct
+    if (dvs.isEmpty) base
+    else {
+      val key = base.schema.fields.head.name
+      val del = s.read.parquet(dvs.map(p => s"$dir/$p"): _*)
+        .select(col(key)).distinct()
+      base.join(del, Seq(key), "left_anti")
+    }
+  }
+
   /** Snapshot read at a version (default: latest). `mergeSchema` because
     * schema evolution adds columns in NEW files only; carried-forward old
-    * files surface NULLs — no data rewrite (tbl_schema_evolve).
+    * files surface NULLs — no data rewrite (tbl_schema_evolve). Entries
+    * with deletion vectors read minus their sidecars.
     */
   def snapshot(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version < 0) latestVersion(dir) else version
     val m = readManifest(dir, v)
-    s.read.option("mergeSchema", "true")
-      .parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+    applyDv(s, dir, m.files, s.read.option("mergeSchema", "true")
+      .parquet(m.files.map(f => s"$dir/${f.path}"): _*))
   }
 
   /** Stats-based file skipping for a key-range predicate: manifest-only
@@ -305,8 +341,8 @@ object Acid {
     val live = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
-      else s.read.option("mergeSchema", "true")
-        .parquet(live.map(f => s"$dir/${f.path}"): _*)
+      else applyDv(s, dir, live, s.read.option("mergeSchema", "true")
+        .parquet(live.map(f => s"$dir/${f.path}"): _*))
     (df.filter(col(keyColOf(s, dir)).between(lo, hi)), live.size, m.files.size)
   }
 
@@ -423,8 +459,8 @@ object Acid {
     }
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
-      else s.read.option("mergeSchema", "true")
-        .parquet(live.map(f => s"$dir/${f.path}"): _*)
+      else applyDv(s, dir, live, s.read.option("mergeSchema", "true")
+        .parquet(live.map(f => s"$dir/${f.path}"): _*))
     (df.filter(col(key).isInCollection(probes)), live.size, rangeLive.size, m.files.size)
   }
 
@@ -463,7 +499,8 @@ object Acid {
     val touchedDf =
       if (touched.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
-      else s.read.parquet(touched.map(f => s"$dir/${f.path}"): _*)
+      else applyDv(s, dir, touched,
+        s.read.parquet(touched.map(f => s"$dir/${f.path}"): _*))
 
     // Union column set; batch wins where it carries the column (UPDATE SET),
     // target survives where it doesn't, batch-only columns evolve the schema.
@@ -724,14 +761,17 @@ object Acid {
     val m0 = readManifest(dir, v0)
     val m1 = readManifest(dir, v1)
     val key = keyColOf(s, dir)
-    val p0 = m0.files.map(_.path).toSet
-    val p1 = m1.files.map(_.path).toSet
-    val oldOnly = m0.files.filterNot(f => p1.contains(f.path))
-    val newOnly = m1.files.filterNot(f => p0.contains(f.path))
+    // Diff on (path, dv) SIGNATURES, not bare paths: a merge-on-read
+    // delete keeps a file's path and changes only its deletion vector —
+    // a path-only diff would show an empty increment for real deletes.
+    val sig0 = m0.files.map(f => (f.path, f.dv)).toSet
+    val sig1 = m1.files.map(f => (f.path, f.dv)).toSet
+    val oldOnly = m0.files.filterNot(f => sig1.contains((f.path, f.dv)))
+    val newOnly = m1.files.filterNot(f => sig0.contains((f.path, f.dv)))
     def readRaw(fs: Seq[FileEntry]): DataFrame =
       if (fs.isEmpty) snapshot(s, dir, v1).limit(0)
-      else s.read.option("mergeSchema", "true")
-        .parquet(fs.map(f => s"$dir/${f.path}"): _*)
+      else applyDv(s, dir, fs, s.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => s"$dir/${f.path}"): _*))
     val oRaw = readRaw(oldOnly)
     val nRaw = readRaw(newOnly)
     // Drift columns = the UNION of both sides' merged schemas, not one
@@ -785,8 +825,8 @@ object Acid {
       case None           => (m.files, Seq.empty[FileEntry])
     }
     if (touched.isEmpty) return (0L, 0, m.files.size)
-    val touchedDf = s.read.option("mergeSchema", "true")
-      .parquet(touched.map(f => s"$dir/${f.path}"): _*)
+    val touchedDf = applyDv(s, dir, touched, s.read.option("mergeSchema", "true")
+      .parquet(touched.map(f => s"$dir/${f.path}"): _*))
     val kept = touchedDf.filter(!pred)
     val nextV = base + 1
     val dataDir = s"d${nextV}_$writerTag"
@@ -809,7 +849,56 @@ object Acid {
     commitManifest(dir,
       Manifest(nextV, -1L, untouched ++ newEntries, m.batchHw, cdcPathOpt,
         m.constraint))
-    val deleted = touched.map(_.rows).sum - newEntries.map(_.rows).sum
+    // physical row stats overcount when touched files carried deletion
+    // vectors — count the DV-applied frame instead (those files were
+    // just read for the rewrite anyway)
+    val touchedRows =
+      if (touched.exists(_.dv.isDefined)) touchedDf.count()
+      else touched.map(_.rows).sum
+    val deleted = touchedRows - newEntries.map(_.rows).sum
+    (deleted, touched.size, m.files.size)
+  }
+
+  /** DELETE as MERGE-ON-READ (Delta deletion vectors, re-derived at the
+    * key level — merge keys are unique by the format's contract, so a
+    * deleted key names exactly one logical row): the matching keys are
+    * written ONCE to a sidecar and every touched entry points at it; no
+    * data file is rewritten. Write cost is O(deleted rows) whatever the
+    * file sizes — a 3-row delete in a 100 GB file costs 3 rows, the
+    * copy-on-write `deleteWhere` would rewrite the file. Readers
+    * anti-join the (delete-sized) sidecar union; repeated MoR deletes
+    * fold the previous sidecars into the new one (each entry points at
+    * exactly one); OPTIMIZE materializes DVs away; the SQL scans REFUSE
+    * while DVs are present (honest refusal over silent row resurrection
+    * — Delta gates the same way with reader table features).
+    * Returns (deletedRows, filesTagged, filesTotal).
+    */
+  def deleteWhereMor(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column, keyRange: Option[(Long, Long)],
+      writerTag: String): (Long, Int, Int) = {
+    val base = latestVersion(dir)
+    val m = readManifest(dir, base)
+    val key = keyColOf(s, dir)
+    val (touched, untouched) = keyRange match {
+      case Some((lo, hi)) => m.files.partition(f => f.maxKey >= lo && f.minKey <= hi)
+      case None           => (m.files, Seq.empty[FileEntry])
+    }
+    if (touched.isEmpty) return (0L, 0, m.files.size)
+    val touchedDf = applyDv(s, dir, touched, s.read.option("mergeSchema", "true")
+      .parquet(touched.map(f => s"$dir/${f.path}"): _*))
+    val newDel = touchedDf.filter(pred).select(col(key))
+    val prior = touched.flatMap(_.dv.map(_._1)).distinct
+    val allDel =
+      if (prior.isEmpty) newDel
+      else newDel.unionByName(
+        s.read.parquet(prior.map(p => s"$dir/$p"): _*).select(col(key)))
+    val dvDir = s"_dv/d${base + 1}_$writerTag"
+    allDel.distinct().coalesce(1).write.parquet(s"$dir/$dvDir")
+    val total = s.read.parquet(s"$dir/$dvDir").count()
+    val deleted = newDel.count()
+    commitManifest(dir, Manifest(base + 1, -1L,
+      untouched ++ touched.map(_.copy(dv = Some((dvDir, total)))),
+      m.batchHw, None, m.constraint))
     (deleted, touched.size, m.files.size)
   }
 
@@ -935,7 +1024,8 @@ object Acid {
     val m = readManifest(srcDir, latestVersion(srcDir))
     val rel = Paths.get(dstDir).toAbsolutePath
       .relativize(Paths.get(srcDir).toAbsolutePath)
-    val entries = m.files.map(f => f.copy(path = s"$rel/${f.path}"))
+    val entries = m.files.map(f => f.copy(path = s"$rel/${f.path}",
+      dv = f.dv.map { case (p, n) => (s"$rel/$p", n) }))
     commitManifest(dstDir, Manifest(0, -1L, entries, constraint = m.constraint))
     entries.size
   }
@@ -951,8 +1041,11 @@ object Acid {
       .flatMap(v => Try(readManifest(dir, v)).toOption)
     val live = retained.flatMap(_.files.map(_.path)).toSet
     // CDC dirs of retained versions stay readable (the stream may still
-    // replay them); below-horizon and loser-attempt CDC dirs are orphans
-    val liveCdcPrefixes = retained.flatMap(_.cdcPath).map(_ + "/")
+    // replay them); below-horizon and loser-attempt CDC dirs are orphans.
+    // Deletion-vector sidecars referenced by retained entries are live —
+    // deleting one would resurrect its rows.
+    val liveCdcPrefixes = retained.flatMap(_.cdcPath).map(_ + "/") ++
+      retained.flatMap(_.files.flatMap(_.dv.map(_._1 + "/")))
     val root = Paths.get(dir)
     val all = {
       val st = Files.walk(root)
@@ -1208,6 +1301,33 @@ object Acid {
         sum(when(col("prio") === "GOOD", 1L).otherwise(0L)).as("n_good"))
       .withColumn("restored_v2", lit(rv == 2))
       .withColumn("history_kept", lit(v1StillBad))
+  }
+
+  /** tbl_delete_vector — merge-on-read DELETE: two overlapping deletes
+    * tag files with key sidecars instead of rewriting them (the v0→v2
+    * data-file path set is pinned IDENTICAL — at 100 TB this is a
+    * few-rows write where copy-on-write rewrites whole files), repeated
+    * deletes fold prior sidecars so each entry points at one, reads
+    * subtract the sidecar union, and OPTIMIZE materializes the vectors
+    * away (pinned gone). The surviving aggregate travels via the oracle.
+    */
+  val tblDeleteVector: Q = (s, d) => {
+    val dir = fresh("tbl_delete_vector", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val (n1, tagged1, _) = deleteWhereMor(s, dir,
+      col("k") % 10 === 6 && col("k") < lit(mk / 4), Some((0L, mk / 4)), "dv1")
+    val (n2, _, _) = deleteWhereMor(s, dir,
+      col("k") % 10 === 1 && col("k") < lit(mk / 2), Some((0L, mk / 2)), "dv2")
+    val noRewrite = readManifest(dir, 2).files.map(_.path).toSet ==
+      readManifest(dir, 0).files.map(_.path).toSet
+    optimize(s, dir, 8)
+    val dvGone = readManifest(dir, latestVersion(dir)).files.forall(_.dv.isEmpty)
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("no_rewrite", lit(noRewrite && tagged1 >= 1))
+      .withColumn("dv_materialized", lit(dvGone && n1 > 0 && n2 > 0))
   }
 
   /** tbl_constraint — CHECK constraints (the Delta invariant contract):
@@ -1747,6 +1867,7 @@ object Acid {
     "tbl_zorder"            -> tblZorder,
     "tbl_restore"           -> tblRestore,
     "tbl_constraint"        -> tblConstraint,
+    "tbl_delete_vector"     -> tblDeleteVector,
     "tbl_change_feed"       -> tblChangeFeed,
     "tbl_delete_where"      -> tblDeleteWhere,
     "tbl_clone_shallow"     -> tblCloneShallow,
@@ -1876,6 +1997,17 @@ object Acid {
         |                     THEN 1 ELSE 0 END) AS BIGINT)
         |FROM base
         |ORDER BY version""".stripMargin,
+    "tbl_delete_vector" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       TRUE AS no_rewrite, TRUE AS dv_materialized
+        |FROM base
+        |WHERE NOT (k % 10 = 6 AND k < (SELECT m FROM mx) // 4)
+        |  AND NOT (k % 10 = 1 AND k < (SELECT m FROM mx) // 2)""".stripMargin,
     "tbl_constraint" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

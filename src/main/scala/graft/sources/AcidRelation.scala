@@ -104,6 +104,11 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
+    // reader-feature gate (Delta-style): raw file reads cannot apply
+    // merge-on-read deletion vectors — refuse rather than resurrect rows
+    require(manifest.files.forall(_.dv.isEmpty),
+      s"graft-acid: $dir carries deletion vectors this scan cannot apply " +
+        "— run Acid.optimize to materialize them first")
     val (lo, hi) = keyBounds(filters)
     val live = manifest.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     AcidRelation.lastScan.put((dir, resolvedVersion), (live.size, manifest.files.size))

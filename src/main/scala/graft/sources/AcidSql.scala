@@ -551,6 +551,12 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     val all =
       if (resolved < 0) Seq.empty
       else Acid.readManifest(dir, resolved).files
+    // Reader-feature gate, Delta-style: this scan reads raw files, so a
+    // merge-on-read deletion vector it cannot apply must REFUSE loudly
+    // rather than resurrect deleted rows. OPTIMIZE materializes DVs away.
+    require(all.forall(_.dv.isEmpty),
+      s"graft-acid-sql: $dir carries merge-on-read deletion vectors this " +
+        "scan cannot apply — run Acid.optimize to materialize them first")
     val (lo, hi) = AcidSql.keyBounds(keyFilters, keyCol)
     val ranged = all.filter(f => f.maxKey >= lo && f.minKey <= hi)
     // Point probes (IN / = on the key) engage the manifest's Bloom tier:
@@ -651,8 +657,13 @@ class AcidSqlMicroBatchStream(dir: String, required: StructType)
     if (v1 < 0 || v1 <= v0) return Array.empty
     val before: Set[String] =
       if (v0 < 0) Set.empty else Acid.readManifest(dir, v0).files.map(_.path).toSet
-    Acid.readManifest(dir, v1).files.map(_.path).filterNot(before)
-      .map(p => AcidSqlInputPartition(s"$dir/$p"): InputPartition).toArray
+    val added = Acid.readManifest(dir, v1).files.filterNot(f => before(f.path))
+    // same reader-feature gate as the batch scan: raw file reads cannot
+    // apply merge-on-read deletion vectors
+    require(added.forall(_.dv.isEmpty),
+      s"graft-acid-sql stream: $dir batch ($v0,$v1] includes files with " +
+        "deletion vectors — run Acid.optimize to materialize them first")
+    added.map(f => AcidSqlInputPartition(s"$dir/${f.path}"): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new AcidSqlReaderFactory(required)

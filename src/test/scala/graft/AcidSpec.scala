@@ -180,6 +180,49 @@ class AcidSpec extends AnyFunSuite {
     assert(Acid.latestVersion(s"$root/ok") == -1)
   }
 
+  test("deletion vectors: data files stay byte-identical, every reader subtracts them") {
+    val dir = freshTable("acid_spec_dv")
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    val before = dataFiles(dir)
+    val total = kv(sf).count()
+    val (n1, tagged, _) = Acid.deleteWhereMor(spark, dir,
+      col("k") % 10 === 6 && col("k") < lit(mk / 4), Some((0L, mk / 4)), "dv1")
+    assert(n1 > 0 && tagged >= 1)
+    // no data file was rewritten or removed — only the sidecar is new
+    val after = dataFiles(dir).view.filterKeys(!_.startsWith("_dv")).toMap
+    assert(after == before, "MoR delete must not touch data files")
+    // snapshot, range scan, and merge all see the deletion
+    assert(Acid.snapshot(spark, dir).count() == total - n1)
+    val (ranged, _, _) = Acid.scanRange(spark, dir, 0, mk / 4)
+    assert(ranged.filter(col("k") % 10 === 6).count() == 0)
+    // the change feed classifies the MoR increment as deletes
+    val feed = Acid.changeFeed(spark, dir, 0, 1)
+    assert(feed.filter(col("change_type") === "delete").count() == n1)
+    assert(feed.filter(col("change_type") =!= "delete").count() == 0)
+    // a merge on DV'd files must not resurrect deleted rows
+    Acid.merge(spark, dir, kv(sf).filter(col("k") === 2L)
+      .withColumn("prio", lit("TOUCH")), "m")
+    assert(Acid.snapshot(spark, dir).count() == total - n1)
+    // SQL scans refuse while DVs are present; optimize materializes
+    spark.read.format("graft-acid").load(dir).createOrReplaceTempView("dv_v")
+    assert(Try(spark.sql("SELECT count(*) FROM dv_v").head).isFailure,
+      "raw-file SQL scan must refuse deletion vectors")
+    Acid.optimize(spark, dir, 4)
+    assert(Acid.readManifest(dir, Acid.latestVersion(dir)).files.forall(_.dv.isEmpty))
+    assert(spark.read.format("graft-acid").load(dir).count() == total - n1)
+    // vacuum retaining the DV version deletes nothing (data files AND the
+    // sidecar are all still referenced) and the version stays readable
+    val (deleted1, _) = Acid.vacuum(spark, dir, retainFrom = 1)
+    assert(deleted1 == 0, s"retained-DV vacuum removed $deleted1 live files")
+    assert(Acid.snapshot(spark, dir, 1).count() == total - n1,
+      "retained DV version must stay readable after vacuum")
+    // past the horizon, the originals AND the sidecar become orphans
+    val latest = Acid.latestVersion(dir)
+    val (deleted2, _) = Acid.vacuum(spark, dir, retainFrom = latest)
+    assert(deleted2 >= 1)
+    assert(Acid.snapshot(spark, dir).count() == total - n1)
+  }
+
   test("CHECK constraint: DSv2 INSERT refuses atomically, rewrites keep the invariant") {
     val dir = Scratch.fresh("acid_spec_constraint", sf)
     Acid.create(spark, dir, kv(sf), "k", 8, Some("price_cents >= 0"))
@@ -455,7 +498,11 @@ class AcidSpec extends AnyFunSuite {
         words <- Gen.choose(1, 4)
         hex   <- Gen.listOfN(words * 16, Gen.oneOf("0123456789ABCDEF".toSeq))
       } yield (words * 64, hex.mkString))
-    } yield Acid.FileEntry(p, rows, mn, mx, s2, bl)
+      dv <- Gen.option(for {
+        t <- Gen.identifier.map(_.take(6)).suchThat(_.nonEmpty)
+        n <- Gen.choose(1L, 100000L)
+      } yield (s"_dv/d1_$t", n))
+    } yield Acid.FileEntry(p, rows, mn, mx, s2, bl, dv)
     val tagGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(6).mkString)
     val manifestGen = for {
       bid <- Gen.choose(-1L, Long.MaxValue / 2)
