@@ -1020,6 +1020,45 @@ object Relational {
         |FROM up GROUP BY depth ORDER BY depth""".stripMargin)
   }
 
+  /** Iterative PageRank over a join-derived graph (suppliers ↔ customers
+    * through lineitem⋈orders, both directions so no node dangles; node
+    * ids disambiguated by parity). INTEGER fixed-point µ-unit ranks —
+    * every per-edge contribution is an integral `div`, so the fold order
+    * of the sum cannot perturb the result and DuckDB reproduces the
+    * ranks bit-exactly (floats would drift per partitioning). Execution
+    * is the canonical iterative-shuffle shape: per round one
+    * edges⋈ranks join (edges pre-keyed on src, degree broadcast-sized
+    * here) + one hash agg on dst; `localCheckpoint` after each round
+    * truncates the lineage so round N's plan doesn't replay rounds
+    * 1..N-1 — the same discipline as llm_dedup_cluster's
+    * LARGE-STAR/SMALL-STAR loop. 3 rounds; at 100 TB rank iteration is
+    * shuffle-bound on the edge list, cost ∝ E per round.
+    */
+  val opPagerank: Q = (s, d) => {
+    val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      ranks = edges
+        .join(ranks, edges("src") === col("node"))
+        .join(deg.withColumnRenamed("src", "dsrc"), edges("src") === col("dsrc"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst"))
+        .agg(expr("CAST(150000 + (85 * sum(c)) DIV 100 AS BIGINT)").as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), (col("node") % 2 === 0).as("is_supplier"),
+        col("r").as("rank_mu"))
+      .orderBy(col("rank_mu").desc, col("node")).limit(15)
+  }
+
   /** Cohort retention matrix — the canonical product-analytics rollup:
     * users cohorted by first-activity day, per-(cohort, day-offset)
     * distinct-active counts and a ppm retention rate against the cohort
@@ -1084,6 +1123,7 @@ object Relational {
     "op_dq_profile" -> opDqProfile,
     "op_funnel_events" -> opFunnelEvents,
     "op_recursive_cte" -> opRecursiveCte,
+    "op_pagerank" -> opPagerank,
     "op_merge_upsert" -> opMergeUpsert,
     "op_scd2" -> opScd2,
     "agg_bloom" -> aggBloom,
@@ -1274,6 +1314,29 @@ object Relational {
         |SELECT depth, count(*) AS n_nodes, CAST(sum(cur) AS BIGINT) AS sum_cur,
         |       min(p_partkey) AS min_key
         |FROM up GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "op_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM e0
+        |          UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |i1 AS (SELECT e.dst AS node,
+        |              CAST(150000 + (85 * sum(r.r // g.d)) // 100 AS BIGINT) AS r
+        |       FROM edges e JOIN r0 r ON e.src = r.node
+        |       JOIN deg g ON g.src = e.src GROUP BY e.dst),
+        |i2 AS (SELECT e.dst AS node,
+        |              CAST(150000 + (85 * sum(r.r // g.d)) // 100 AS BIGINT) AS r
+        |       FROM edges e JOIN i1 r ON e.src = r.node
+        |       JOIN deg g ON g.src = e.src GROUP BY e.dst),
+        |i3 AS (SELECT e.dst AS node,
+        |              CAST(150000 + (85 * sum(r.r // g.d)) // 100 AS BIGINT) AS r
+        |       FROM edges e JOIN i2 r ON e.src = r.node
+        |       JOIN deg g ON g.src = e.src GROUP BY e.dst)
+        |SELECT node, node % 2 = 0 AS is_supplier, r AS rank_mu
+        |FROM i3 ORDER BY rank_mu DESC, node LIMIT 15""".stripMargin,
 
     "op_project" ->
       """SELECT p_partkey, upper(p_name) AS part_name, p_size AS size,
