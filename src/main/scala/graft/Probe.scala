@@ -317,6 +317,32 @@ object AcidProbe {
     val dDiff = timedFeed("diff", writeCdf = false)
     val dCdc  = timedFeed("cdc", writeCdf = true)
     println(f"[acid-probe] cdc/diff read ratio = ${dCdc / dDiff}%.2f (<1 = persisted CDC wins)")
+
+    // MoR vs CoW delete: a FIXED tiny delete set (same absolute keys at
+    // both scales) against growing files. Copy-on-write rewrites every
+    // touched file (cost ∝ file bytes); merge-on-read writes the deleted
+    // keys once (cost ∝ deleted rows) — the ×10 ratio is the proof.
+    def timedDelete(tag: String, df: org.apache.spark.sql.DataFrame,
+        nFiles: Int, mor: Boolean): Double = {
+      val dir = Scratch.fresh(s"acid_probe_del_$tag", sfDir)
+      Acid.create(spark, dir, df, "k", nFiles)
+      val pred = col("k") % 1000 === 3 && col("k") < lit(kShift / 8)
+      val hint = Some((0L, kShift / 8))
+      val t0 = System.nanoTime()
+      val n =
+        if (mor) Acid.deleteWhereMor(spark, dir, pred, hint, "d")._1
+        else Acid.deleteWhere(spark, dir, pred, hint, "d")._1
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[acid-probe] delete $tag%-8s $sec%.2fs ($n rows)")
+      sec
+    }
+    // SAME file count at x10 → each touched file holds 10× the bytes,
+    // which is the geometry where rewrite cost shows (few huge files)
+    val cow1  = timedDelete("cow-x1", base, 8, mor = false)
+    val cow10 = timedDelete("cow-x10", x10, 8, mor = false)
+    val mor1  = timedDelete("mor-x1", base, 8, mor = true)
+    val mor10 = timedDelete("mor-x10", x10, 8, mor = true)
+    println(f"[acid-probe] delete x10/x1 (8 files both): cow=${cow10 / cow1}%.2f mor=${mor10 / mor1}%.2f; mor/cow at x10 = ${mor10 / cow10}%.2f")
     spark.stop()
   }
 }
