@@ -104,20 +104,24 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    // reader-feature gate (Delta-style): raw file reads cannot apply
-    // merge-on-read deletion vectors — refuse rather than resurrect rows
-    require(manifest.files.forall(_.dv.isEmpty),
-      s"graft-acid: $dir carries deletion vectors this scan cannot apply " +
-        "— run Acid.optimize to materialize them first")
     val (lo, hi) = keyBounds(filters)
     val live = manifest.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     AcidRelation.lastScan.put((dir, resolvedVersion), (live.size, manifest.files.size))
     val s = ctx.sparkSession
-    val base =
+    val raw =
       if (live.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
       else s.read.option("mergeSchema", "true")
         .parquet(live.map(f => s"$dir/${f.path}"): _*)
+    // merge-on-read deletion vectors: subtract the live entries'
+    // sidecar union with a key anti-join (the same contract as
+    // Acid.snapshot; DV-less tables skip this entirely)
+    val dvs = live.flatMap(_.dv.map(_._1)).distinct
+    val base =
+      if (dvs.isEmpty) raw
+      else raw.join(
+        s.read.parquet(dvs.map(p => s"$dir/$p"): _*).select(col(keyCol)).distinct(),
+        Seq(keyCol), "left_anti")
     // re-apply the key range on the inner frame so it reaches the parquet
     // reader (row-group skipping); Spark re-applies the full predicates
     // above this scan either way

@@ -167,6 +167,39 @@ object AcidSql {
     (lo, hi)
   }
 
+  /** Inline budget for merge-on-read deleted keys in a SQL scan: up to
+    * this many keys are read once driver-side and shipped inside the
+    * input partitions (~800 KB of longs at the cap — task-serialization
+    * safe). Beyond it the scan refuses and points at OPTIMIZE. */
+  val DvInlineLimit: Long = 100000L
+
+  /** Driver-side read of a deletion-vector sidecar directory (first
+    * column = the deleted merge keys). Bounded by DvInlineLimit before
+    * any call; uses the Group API directly — no Spark job at planning
+    * time. */
+  def readDvKeys(absDir: String): Array[Long] = {
+    val root = java.nio.file.Paths.get(absDir)
+    val parts = {
+      val st = java.nio.file.Files.walk(root)
+      try st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      finally st.close()
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    parts.foreach { p =>
+      val r = ParquetReader.builder(new GroupReadSupport(), new Path(p.toString))
+        .withConf(new Configuration()).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (g.getType.getFieldCount > 0 && g.getFieldRepetitionCount(0) > 0)
+            out += g.getLong(0, 0)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    out.toArray
+  }
+
   /** Point-probe keys from the pushed filters: Some(keys) when some
     * CONJUNCT pins the key column to a finite set (`In` / `EqualTo`) — a
     * file provably lacking every probe key can be skipped whatever the
@@ -551,12 +584,26 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     val all =
       if (resolved < 0) Seq.empty
       else Acid.readManifest(dir, resolved).files
-    // Reader-feature gate, Delta-style: this scan reads raw files, so a
-    // merge-on-read deletion vector it cannot apply must REFUSE loudly
-    // rather than resurrect deleted rows. OPTIMIZE materializes DVs away.
-    require(all.forall(_.dv.isEmpty),
-      s"graft-acid-sql: $dir carries merge-on-read deletion vectors this " +
-        "scan cannot apply — run Acid.optimize to materialize them first")
+    // Merge-on-read deletion vectors: when the manifest-declared deleted
+    // key count is small (the point-delete case DVs exist for), the
+    // sidecar keys are read ONCE driver-side and inlined per file into
+    // the input partitions — readers skip those keys row-by-row. Above
+    // the inline budget the scan still REFUSES (Delta-style reader
+    // gate) rather than resurrect rows; OPTIMIZE materializes DVs away.
+    val dvTotal = all.flatMap(_.dv.map(_._2)).sum
+    require(dvTotal <= AcidSql.DvInlineLimit,
+      s"graft-acid-sql: $dir carries $dvTotal merge-on-read deleted keys " +
+        s"(> inline budget ${AcidSql.DvInlineLimit}) — run Acid.optimize " +
+        "to materialize the deletion vectors first")
+    val dvKeys: Map[String, Array[Long]] =
+      if (dvTotal == 0L) Map.empty
+      else {
+        val byDir = all.flatMap(_.dv.map(_._1)).distinct
+          .map(p => p -> AcidSql.readDvKeys(s"$dir/$p")).toMap
+        all.flatMap(f => f.dv.map { case (p, _) =>
+          f.path -> byDir(p).filter(k => k >= f.minKey && k <= f.maxKey)
+        }).toMap
+      }
     val (lo, hi) = AcidSql.keyBounds(keyFilters, keyCol)
     val ranged = all.filter(f => f.maxKey >= lo && f.minKey <= hi)
     // Point probes (IN / = on the key) engage the manifest's Bloom tier:
@@ -573,7 +620,7 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     }
     AcidSql.lastScan.put((dir, resolved), (live.size, all.size))
     onPlan(live.map(_.path))
-    new AcidSqlScan(dir, live.map(_.path), required, onPlan)
+    new AcidSqlScan(dir, live.map(_.path), required, onPlan, dvKeys, keyCol)
   }
 }
 
@@ -586,7 +633,8 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   * operation's group list in sync with the filtered plan).
   */
 class AcidSqlScan(dir: String, files0: Seq[String], required: StructType,
-    onPlan: Seq[String] => Unit = _ => ())
+    onPlan: Seq[String] => Unit = _ => (),
+    dvKeys: Map[String, Array[Long]] = Map.empty, keyCol: String = "")
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   private var files: Seq[String] = files0
 
@@ -616,9 +664,11 @@ class AcidSqlScan(dir: String, files0: Seq[String], required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(p => AcidSqlInputPartition(s"$dir/$p"): InputPartition).toArray
+    files.map(p => AcidSqlInputPartition(s"$dir/$p",
+      dvKeys.getOrElse(p, Array.empty)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new AcidSqlReaderFactory(required)
+    new AcidSqlReaderFactory(required, keyCol,
+      anyDv = files.exists(p => dvKeys.get(p).exists(_.nonEmpty)))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -677,11 +727,18 @@ case class AcidVersionOffset(v: Long)
   override def json(): String = v.toString
 }
 
-case class AcidSqlInputPartition(absPath: String) extends InputPartition
+/** `dvKeys` = this file's deleted merge keys (empty for DV-less files),
+  * inlined at plan time from the sidecar — serialized with the partition
+  * to the executor, bounded by the driver-side inline budget. */
+case class AcidSqlInputPartition(absPath: String, dvKeys: Array[Long] = Array.empty)
+  extends InputPartition
 
-class AcidSqlReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new AcidSqlPartitionReader(p.asInstanceOf[AcidSqlInputPartition].absPath, required)
+class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
+    anyDv: Boolean = false) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[AcidSqlInputPartition]
+    new AcidSqlPartitionReader(part.absPath, required, keyCol, part.dvKeys)
+  }
 
   /** Columnar fast path: the whole scan (Spark requires the choice to be
     * uniform across partitions, so this cannot look at the file) goes
@@ -691,10 +748,12 @@ class AcidSqlReaderFactory(required: StructType) extends PartitionReaderFactory 
     * touch small pruned groups, where row decode cost is irrelevant.
     * Schema-evolved files are handled INSIDE the columnar reader
     * (missing columns become constant-NULL vectors), so evolution never
-    * forces the scan off the fast path.
+    * forces the scan off the fast path. A scan with inlined deletion
+    * vectors drops to the row reader (masking a ColumnarBatch would
+    * mean copying vectors) — a transitional state until OPTIMIZE.
     */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    required.fields.nonEmpty && required.fields.forall(f =>
+    !anyDv && required.fields.nonEmpty && required.fields.forall(f =>
       f.name != "_file" && (f.dataType match {
         case LongType | IntegerType | DoubleType | BooleanType | StringType => true
         case _ => false
@@ -774,9 +833,15 @@ class AcidSqlColumnarReader(absPath: String, required: StructType)
   * tables work: columns a file predates are surfaced as NULL, matching
   * the mergeSchema snapshot read.
   */
-class AcidSqlPartitionReader(absPath: String, required: StructType)
+class AcidSqlPartitionReader(absPath: String, required: StructType,
+    keyCol: String = "", dvKeys: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
   private val conf = new Configuration()
+  private val deleted: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long](dvKeys.length * 2)
+    dvKeys.foreach(k => s.add(k))
+    s
+  }
   private val fileSchema: MessageType = {
     val in = HadoopInputFile.fromPath(new Path(absPath), conf)
     val fr = ParquetFileReader.open(in)
@@ -788,9 +853,13 @@ class AcidSqlPartitionReader(absPath: String, required: StructType)
   private val reader: ParquetReader[Group] = {
     // projection must copy the FILE's own field definitions (a Spark
     // writer emits `required` for non-nullable columns; requesting an
-    // `optional` twin trips parquet's strict schema check)
-    val projected = required.fields.filter(f => fileFields(f.name))
-      .map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+    // `optional` twin trips parquet's strict schema check). With an
+    // inlined deletion vector the merge key rides along even when the
+    // query pruned it — the skip test needs it.
+    val names = required.fields.map(_.name).filter(fileFields) ++
+      (if (!deleted.isEmpty && !required.fieldNames.contains(keyCol) &&
+        fileFields(keyCol)) Seq(keyCol) else Seq.empty)
+    val projected = names.map(n => fileSchema.getType(fileSchema.getFieldIndex(n)))
     if (projected.nonEmpty)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA,
         new MessageType("graft_acid_v2", projected: _*).toString)
@@ -799,7 +868,15 @@ class AcidSqlPartitionReader(absPath: String, required: StructType)
   }
   private var current: Group = _
 
-  override def next(): Boolean = { current = reader.read(); current != null }
+  private def isDeleted(g: Group): Boolean =
+    !deleted.isEmpty && g.getFieldRepetitionCount(keyCol) > 0 &&
+      deleted.contains(g.getLong(keyCol, 0))
+
+  override def next(): Boolean = {
+    current = reader.read()
+    while (current != null && isDeleted(current)) current = reader.read()
+    current != null
+  }
 
   private lazy val fileTag = UTF8String.fromString(absPath)
 

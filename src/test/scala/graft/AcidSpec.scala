@@ -203,10 +203,16 @@ class AcidSpec extends AnyFunSuite {
     Acid.merge(spark, dir, kv(sf).filter(col("k") === 2L)
       .withColumn("prio", lit("TOUCH")), "m")
     assert(Acid.snapshot(spark, dir).count() == total - n1)
-    // SQL scans refuse while DVs are present; optimize materializes
+    // SQL surfaces subtract the vectors too: V1 anti-joins the sidecar
+    // union, V2 inlines the keys into its partitions (row-reader path
+    // while DVs exist — masking a ColumnarBatch would copy vectors)
     spark.read.format("graft-acid").load(dir).createOrReplaceTempView("dv_v")
-    assert(Try(spark.sql("SELECT count(*) FROM dv_v").head).isFailure,
-      "raw-file SQL scan must refuse deletion vectors")
+    assert(spark.sql("SELECT count(*) FROM dv_v").head.getLong(0) == total - n1)
+    assert(spark.read.format("graft-acid-sql").load(dir).count() == total - n1)
+    // a projection WITHOUT the key still subtracts (the V2 reader
+    // projects the key internally for the skip test)
+    assert(spark.read.format("graft-acid-sql").load(dir)
+      .select("prio").count() == total - n1)
     Acid.optimize(spark, dir, 4)
     assert(Acid.readManifest(dir, Acid.latestVersion(dir)).files.forall(_.dv.isEmpty))
     assert(spark.read.format("graft-acid").load(dir).count() == total - n1)
