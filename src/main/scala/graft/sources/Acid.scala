@@ -319,6 +319,52 @@ object Acid {
     }
   }
 
+  /** CREATE TABLE PARTITIONED BY a categorical long column — the
+    * hive/Delta partition layout re-expressed in the manifest: each
+    * partition's files carry `stats2 = (pCol, v, v)`, so categorical
+    * pruning rides the existing second-dimension skipping with EXACT
+    * per-partition file sets (a partition-value probe opens only that
+    * partition's files). The per-value write loop is the backfill shape
+    * — how 100 TB initial loads actually run, one job per partition —
+    * and the values list is a categorical-sized driver collect. Returns
+    * the partition count.
+    */
+  def createPartitioned(s: SparkSession, dir: String, df: DataFrame,
+      keyCol: String, pCol: String, filesPerPart: Int): Int = {
+    val values = df.select(col(pCol)).distinct().collect().map(_.getLong(0)).sorted
+    val entries = values.flatMap { v =>
+      val dd = s"d0_p$v"
+      df.filter(col(pCol) === v)
+        .repartitionByRange(filesPerPart, col(keyCol))
+        .write.mode("overwrite").parquet(s"$dir/$dd")
+      statsOf(s, dir, dd, keyCol, Some(pCol))
+    }
+    commitManifest(dir, Manifest(0, -1L, entries.toSeq.sortBy(_.path)))
+    values.length
+  }
+
+  /** Replace ONE partition atomically — the backfill write: the removed
+    * set is exactly the entries whose stats2 pin the value, the new
+    * files land first, and `replaceCommit` swaps them in one
+    * put-if-absent commit (refusing if a concurrent writer rewrote one
+    * of the removed files). Untouched partitions carry forward
+    * byte-identical. Returns the committed version.
+    */
+  def replacePartition(s: SparkSession, dir: String, pCol: String,
+      value: Long, df: DataFrame, filesPerPart: Int, writerTag: String): Int = {
+    val keyCol = keyColOf(s, dir)
+    val base = latestVersion(dir)
+    val m = readManifest(dir, base)
+    val removed = m.files.filter(_.stats2.exists {
+      case (c, mn, mx) => c == pCol && mn == value && mx == value
+    }).map(_.path).toSet
+    val dd = s"d${base + 1}_${writerTag}_p$value"
+    df.repartitionByRange(filesPerPart, col(keyCol))
+      .write.mode("overwrite").parquet(s"$dir/$dd")
+    enforceConstraint(s, dir, dd, m.constraint)
+    replaceCommit(dir, removed, statsOf(s, dir, dd, keyCol, Some(pCol)))
+  }
+
   /** Snapshot read at a version (default: latest). `mergeSchema` because
     * schema evolution adds columns in NEW files only; carried-forward old
     * files surface NULLs — no data rewrite (tbl_schema_evolve). Entries
@@ -1303,6 +1349,34 @@ object Acid {
       .withColumn("history_kept", lit(v1StillBad))
   }
 
+  /** tbl_partitioned — hive-style partitioned table + partition
+    * backfill: created PARTITIONED BY order year (stats2-pinned
+    * per-partition file sets), a one-year probe opens only that
+    * partition's files (pinned), and the 1997 partition is atomically
+    * REPLACED with repriced rows (the backfill write — untouched
+    * partitions carry forward, AcidSpec pins byte-identical). The
+    * per-year aggregate travels through the oracle.
+    */
+  val tblPartitioned: Q = (s, d) => {
+    val dir = fresh("tbl_partitioned", d)
+    val t = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      year(col("o_orderdate")).cast("long").as("pyear"))
+    createPartitioned(s, dir, t, "k", "pyear", 2)
+    val (_, scanned, total) = scanCol2Range(s, dir, "pyear", 1997L, 1997L)
+    replacePartition(s, dir, "pyear", 1997L,
+      t.filter(col("pyear") === 1997L)
+        .withColumn("price_cents", col("price_cents") + 100),
+      2, "bf")
+    snapshot(s, dir)
+      .groupBy(col("pyear"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("partition_pruned", lit(scanned >= 1 && scanned < total))
+      .withColumn("one_commit", lit(latestVersion(dir) == 1))
+      .orderBy(col("pyear"))
+  }
+
   /** tbl_delete_vector — merge-on-read DELETE: two overlapping deletes
     * tag files with key sidecars instead of rewriting them (the v0→v2
     * data-file path set is pinned IDENTICAL — at 100 TB this is a
@@ -1868,6 +1942,7 @@ object Acid {
     "tbl_restore"           -> tblRestore,
     "tbl_constraint"        -> tblConstraint,
     "tbl_delete_vector"     -> tblDeleteVector,
+    "tbl_partitioned"       -> tblPartitioned,
     "tbl_change_feed"       -> tblChangeFeed,
     "tbl_delete_where"      -> tblDeleteWhere,
     "tbl_clone_shallow"     -> tblCloneShallow,
@@ -1997,6 +2072,15 @@ object Acid {
         |                     THEN 1 ELSE 0 END) AS BIGINT)
         |FROM base
         |ORDER BY version""".stripMargin,
+    "tbl_partitioned" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS pyear,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT pyear, count(*) AS n,
+        |       CAST(sum(CASE WHEN pyear = 1997 THEN pc + 100 ELSE pc END)
+        |         AS BIGINT) AS sum_cents,
+        |       TRUE AS partition_pruned, TRUE AS one_commit
+        |FROM base GROUP BY pyear ORDER BY pyear""".stripMargin,
     "tbl_delete_vector" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -229,6 +229,38 @@ class AcidSpec extends AnyFunSuite {
     assert(Acid.snapshot(spark, dir).count() == total - n1)
   }
 
+  test("partitioned table: a year probe opens one partition, backfill replaces it atomically") {
+    val dir = Scratch.fresh("acid_spec_part", sf)
+    val t = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      year(col("o_orderdate")).cast("long").as("pyear"))
+    val nParts = Acid.createPartitioned(spark, dir, t, "k", "pyear", 2)
+    val (df97, scanned, total) = Acid.scanCol2Range(spark, dir, "pyear", 1997L, 1997L)
+    assert(total == nParts * 2 && scanned == 2,
+      s"expected exactly one partition's files, got $scanned/$total")
+    assert(df97.count() == t.filter(col("pyear") === 1997L).count())
+    val before = dataFiles(dir)
+    Acid.replacePartition(spark, dir, "pyear", 1997L,
+      t.filter(col("pyear") === 1997L)
+        .withColumn("price_cents", col("price_cents") + 100), 2, "bf")
+    // untouched partitions stay byte-identical on disk and in the manifest
+    val after = dataFiles(dir)
+    before.foreach { case (p, sha) =>
+      if (!p.startsWith("d0_p1997"))
+        assert(after.get(p).contains(sha), s"untouched partition file $p changed")
+    }
+    val m1 = Acid.readManifest(dir, 1)
+    val live97 = m1.files.filter(_.stats2.exists(s2 => s2._2 == 1997L && s2._3 == 1997L))
+    assert(live97.nonEmpty && live97.forall(_.path.startsWith("d1_bf_p1997")))
+    // the replaced partition reads the new prices; others are unchanged
+    val sum97 = Acid.snapshot(spark, dir).filter(col("pyear") === 1997L)
+      .agg(sum(col("price_cents"))).head.getLong(0)
+    val expect = t.filter(col("pyear") === 1997L)
+      .agg(sum(col("price_cents") + 100)).head.getLong(0)
+    assert(sum97 == expect)
+  }
+
   test("CHECK constraint: DSv2 INSERT refuses atomically, rewrites keep the invariant") {
     val dir = Scratch.fresh("acid_spec_constraint", sf)
     Acid.create(spark, dir, kv(sf), "k", 8, Some("price_cents >= 0"))
