@@ -13,6 +13,11 @@ object Verify {
       s"$sfDir is a ScaleGen probe-only fixture (PROBE_ONLY marker present);" +
         " the correctness gate must run against driver-generated testdata")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // When a caller (ParitySpec) already holds a session, getOrCreate
+    // reuses it — stopping it on the way out would kill every suite that
+    // runs after the gate in the same JVM. Only stop what we created.
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,6 +59,6 @@ object Verify {
     // or catalog entries behind.
     graft.operators.Llm.clearCaches()
     graft.operators.Relational.dropBucketedTables()
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 }

@@ -76,8 +76,18 @@ class AcidCatalog extends StagingTableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    if (!exists(dir)) throw new NoSuchTableException(ident)
-    new AcidSqlTable(dir, Acid.snapshot(SparkSession.active, dir).schema)
+    if (exists(dir))
+      new AcidSqlTable(dir, Acid.snapshot(SparkSession.active, dir).schema)
+    else if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+      // `<cat>.t.changes` — the change-data-feed METADATA TABLE (Iceberg's
+      // `db.table.files` idiom): the trailing name selects the CDF view of
+      // the table named by the namespace. Only reached when no real table
+      // shadows the name (a literal table called `changes` wins).
+      val base = dirOf(Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last))
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new AcidCdfTable(base, Acid.snapshot(SparkSession.active, base).schema)
+    } else throw new NoSuchTableException(ident)
   }
 
   /** `SELECT ... FROM <cat>.t VERSION AS OF <v>` — a time-traveled load:

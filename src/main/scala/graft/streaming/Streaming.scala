@@ -836,6 +836,65 @@ object Streaming {
       .orderBy(col("prio"))
   }
 
+  /** st_table_changes — change-data-feed THROUGH THE CATALOG:
+    * `spark.readStream.table("<cat>.t.changes")` streams the table's CDF
+    * metadata table (Delta-shaped rows: data columns + `_change_type` +
+    * `_commit_version`; see AcidCdf.scala for why the schema swap lives
+    * in a loaded table, not a read option). Four commits: a writeCdf
+    * update merge, a writeCdf insert merge, a PURE APPEND via SQL
+    * `INSERT INTO` (no CDC file — served from the appended data files,
+    * Delta's append optimization), and a writeCdf delete. The drained
+    * aggregate per change type must equal the analytically-known deltas;
+    * `n_versions = 2` on the insert row pins that BOTH insert routes
+    * (CDC file and append-derived) arrived tagged with their own commit.
+    */
+  val stTableChanges: Q = (s, d) => {
+    import graft.sources.Acid
+    val root = fresh("st_table_changes", d)
+    val cat = "graft_tc_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    val kv = graft.Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("prio"))
+    val mk = graft.Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+    Acid.create(s, s"$root/t", kv, "k", 8)
+    Acid.merge(s, s"$root/t",
+      kv.filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+        .withColumn("price_cents", col("price_cents") + 777)
+        .withColumn("prio", lit("PATCHED")), "u", writeCdf = true)
+    Acid.merge(s, s"$root/t",
+      kv.filter(col("k") % 100 === 0)
+        .select((col("k") + mk + 1).as("k"),
+          (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio")), "i",
+      writeCdf = true)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    kv.createOrReplaceTempView("st_table_changes_src")
+    s.sql(s"""INSERT INTO $cat.t
+             |SELECT k + ${2 * mk} + 2, k * 5 + 11, 'INS2'
+             |FROM st_table_changes_src WHERE k % 97 = 0""".stripMargin)
+    Acid.deleteWhere(s, s"$root/t",
+      col("k") % 10 === 6 && col("k") < lit(mk / 4),
+      Some((0L, mk / 4 - 1)), "del", writeCdf = true)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val q = ss.readStream.table(s"$cat.t.changes").writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory").queryName("st_table_changes")
+      .option("checkpointLocation", s"$root/_streamcp")
+      .start()
+    q.awaitTermination()
+    ss.table("st_table_changes")
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        sum(col("price_cents")).as("sum_cents"),
+        countDistinct(col("_commit_version")).as("n_versions"))
+      .orderBy(col("change_type"))
+  }
+
   /** st_realtime_rate — a TRUE realtime (non-file) source: Spark's
     * `rate-micro-batch` generator emits a fixed `rowsPerBatch` with
     * deterministic values (globally sequential) and per-batch timestamps
@@ -936,6 +995,7 @@ object Streaming {
     "st_realtime_rate"   -> stRealtimeRate,
     "st_table_cdf"       -> stTableCdf,
     "st_table_stream"    -> stTableStream,
+    "st_table_changes"   -> stTableChanges,
     "st_foreachbatch_upsert" -> stForeachBatchUpsert,
     "st_checkpoint_resume" -> stCheckpointResume,
     "st_stream_join_outer" -> stStreamJoinOuter,
@@ -983,6 +1043,36 @@ object Streaming {
         |SELECT prio, count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
         |       TRUE AS three_versions
         |FROM streamed GROUP BY prio ORDER BY prio""".stripMargin,
+    "st_table_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |ins AS (
+        |  SELECT k + (SELECT m FROM mx) + 1 AS nk, k * 3 + 45 AS npc, 1 AS v
+        |  FROM base WHERE k % 100 = 0
+        |  UNION ALL
+        |  SELECT k + 2 * (SELECT m FROM mx) + 2, k * 5 + 11, 2
+        |  FROM base WHERE k % 97 = 0)
+        |SELECT 'delete' AS change_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       CAST(1 AS BIGINT) AS n_versions
+        |FROM base WHERE k % 10 = 6 AND k < (SELECT m FROM mx) // 4
+        |UNION ALL
+        |SELECT 'insert', count(*), CAST(sum(nk) AS BIGINT),
+        |       CAST(sum(npc) AS BIGINT), CAST(count(DISTINCT v) AS BIGINT)
+        |FROM ins
+        |UNION ALL
+        |SELECT 'update_postimage', count(*), CAST(sum(k) AS BIGINT),
+        |       CAST(sum(pc + 777) AS BIGINT), 1
+        |FROM base WHERE k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |UNION ALL
+        |SELECT 'update_preimage', count(*), CAST(sum(k) AS BIGINT),
+        |       CAST(sum(pc) AS BIGINT), 1
+        |FROM base WHERE k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |ORDER BY change_type""".stripMargin,
     "st_table_cdf" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -275,4 +275,138 @@ class Round6Spec extends AnyFunSuite {
       catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
     assert(failed, "below-horizon CDF replay must refuse")
   }
+
+  /** Build the 4-commit CDF fixture (writeCdf update merge, writeCdf
+    * insert merge, CDC-less pure append through SQL `INSERT INTO`,
+    * writeCdf pruned delete) under a fresh catalog; returns (catalog
+    * name, table dir, session with the catalog bound). */
+  private def changesFixture(tag: String): (String, String, org.apache.spark.sql.SparkSession) = {
+    val root = Scratch.fresh(tag, sf)
+    val cat = tag + "_" + java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    val dir = s"$root/t"
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    Acid.create(spark, dir, kv(sf), "k", 8)
+    Acid.merge(spark, dir,
+      kv(sf).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+        .withColumn("price_cents", col("price_cents") + 777)
+        .withColumn("prio", lit("PATCHED")), "u", writeCdf = true)
+    Acid.merge(spark, dir,
+      kv(sf).filter(col("k") % 100 === 0)
+        .select((col("k") + mk + 1).as("k"),
+          (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio")), "i",
+      writeCdf = true)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    kv(sf).createOrReplaceTempView(s"${tag}_src")
+    spark.sql(s"""INSERT INTO $cat.t
+                 |SELECT k + ${2 * mk} + 2, k * 5 + 11, 'INS2'
+                 |FROM ${tag}_src WHERE k % 97 = 0""".stripMargin)
+    Acid.deleteWhere(spark, dir,
+      col("k") % 10 === 6 && col("k") < lit(mk / 4),
+      Some((0L, mk / 4 - 1)), "del", writeCdf = true)
+    (cat, dir, ss)
+  }
+
+  test("catalog .changes table == unpaired format-source CDF == its own stream") {
+    val (cat, dir, ss) = changesFixture("round6_changes_parity")
+    val outCols = Seq(col("k"), col("price_cents"), col("prio"),
+      col("_change_type"), col("_commit_version"))
+
+    // surface 1: batch read of the metadata table
+    val batch = ss.read.table(s"$cat.t.changes").select(outCols: _*)
+
+    // surface 2: the deriving graft-acid-cdf stream, UNPAIRED into the
+    // Delta shape (update → preimage+postimage, delete → preimage,
+    // insert → postimage) — the done-criterion parity check
+    val base2 = Scratch.fresh("round6_changes_fmt", sf)
+    val q = ss.readStream.format("graft-acid-cdf").load(dir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .outputMode("append").format("parquet")
+      .option("path", s"$base2/out").option("checkpointLocation", s"$base2/cp")
+      .start()
+    q.awaitTermination()
+    val fmt = ss.read.parquet(s"$base2/out")
+    val pre = fmt.filter(col("change_type").isin("update", "delete"))
+      .select(col("k"), col("old_price_cents").as("price_cents"),
+        col("old_prio").as("prio"),
+        when(col("change_type") === "update", lit("update_preimage"))
+          .otherwise(lit("delete")).as("_change_type"),
+        col("_commit_version"))
+    val post = fmt.filter(col("change_type").isin("update", "insert"))
+      .select(col("k"), col("new_price_cents").as("price_cents"),
+        col("new_prio").as("prio"),
+        when(col("change_type") === "update", lit("update_postimage"))
+          .otherwise(lit("insert")).as("_change_type"),
+        col("_commit_version"))
+    val unpaired = pre.unionByName(post)
+    assert(batch.exceptAll(unpaired).count() == 0L &&
+      unpaired.exceptAll(batch).count() == 0L,
+      "batch .changes must equal the unpaired format-source feed")
+
+    // surface 3: the metadata table STREAMED drains to the same rows
+    val base3 = Scratch.fresh("round6_changes_stream", sf)
+    val q2 = ss.readStream.table(s"$cat.t.changes")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .outputMode("append").format("parquet")
+      .option("path", s"$base3/out").option("checkpointLocation", s"$base3/cp")
+      .start()
+    q2.awaitTermination()
+    val streamed = ss.read.parquet(s"$base3/out").select(outCols: _*)
+    assert(streamed.exceptAll(batch).count() == 0L &&
+      batch.exceptAll(streamed).count() == 0L,
+      "streamed .changes must equal the batch read")
+
+    // the pure-append commit arrived as inserts tagged with ITS version
+    // (3), alongside the CDC-file insert commit (2) — both routes live
+    val insVersions = batch.filter(col("_change_type") === "insert")
+      .select(col("_commit_version")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(insVersions == Set(2L, 3L), s"got insert versions $insVersions")
+  }
+
+  test(".changes prunes columns and bounds versions via startingVersion") {
+    val (cat, _, ss) = changesFixture("round6_changes_bounds")
+    // pruned projection (no data columns at all)
+    val perVersion = ss.read.table(s"$cat.t.changes")
+      .groupBy(col("_commit_version")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perVersion.keySet == Set(1L, 2L, 3L, 4L))
+    // update rows unpair into exactly two emissions per changed key
+    val v1 = ss.read.table(s"$cat.t.changes")
+      .filter(col("_commit_version") === 1L)
+    assert(v1.count() == perVersion(1L))
+    assert(v1.filter(col("_change_type") === "update_preimage").count() * 2 == v1.count())
+    // startingVersion is an EXCLUSIVE lower bound, same as the format
+    // source's startVersion: only later commits replay
+    val tail = ss.read.option("startingVersion", "2").table(s"$cat.t.changes")
+      .select(col("_commit_version")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(tail == Set(3L, 4L), s"got $tail")
+  }
+
+  test(".changes refuses a rewrite commit that persisted no CDC") {
+    val root = Scratch.fresh("round6_changes_refuse", sf)
+    val cat = "round6_chref_" + java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    val dir = s"$root/t"
+    val mk = Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head.getLong(0)
+    Acid.create(spark, dir, kv(sf), "k", 8)
+    // a REWRITING commit without CDC: not derivable inside a V2 partition
+    Acid.merge(spark, dir,
+      kv(sf).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+        .withColumn("price_cents", col("price_cents") + 1), "u")
+    val ss = spark.newSession()
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val e = intercept[Exception] {
+      ss.read.table(s"$cat.t.changes").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("writeCdf")),
+      s"refusal must name the writeCdf remedy, got: ${e.getMessage}")
+  }
 }
