@@ -59,6 +59,7 @@ object Verify {
     // or catalog entries behind.
     graft.operators.Llm.clearCaches()
     graft.operators.Relational.dropBucketedTables()
+    graft.sources.Acid.dropSqlTables(spark)
     if (!preExisting) spark.stop()
   }
 }

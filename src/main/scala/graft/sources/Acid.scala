@@ -119,9 +119,21 @@ object Acid {
   def versionAtTimestamp(dir: String, tsMicros: Long): Option[Int] = {
     val latest = latestVersion(dir)
     if (latest < 0) None
-    else (0 to latest).reverse.find { v =>
-      val mtime = Files.getLastModifiedTime(manifestPath(dir, v)).toInstant
-      mtime.getEpochSecond * 1000000L + mtime.getNano / 1000L <= tsMicros
+    else {
+      // After vacuum the log holds only versions >= the retention horizon;
+      // stat only manifests that exist so a pre-horizon timestamp refuses
+      // cleanly (same contract as readManifest) instead of surfacing a
+      // NoSuchFileException from the stat of a reclaimed manifest.
+      val retained = (0 to latest).filter(v => Files.exists(manifestPath(dir, v)))
+      val hit = retained.reverse.find { v =>
+        val mtime = Files.getLastModifiedTime(manifestPath(dir, v)).toInstant
+        mtime.getEpochSecond * 1000000L + mtime.getNano / 1000L <= tsMicros
+      }
+      if (hit.isEmpty && retained.headOption.exists(_ > 0))
+        throw new IllegalArgumentException(
+          s"timestamp resolves below the vacuum horizon: versions " +
+            s"0..${retained.head - 1} are not in the log (vacuumed or never committed)")
+      hit
     }
   }
 
@@ -365,15 +377,47 @@ object Acid {
     replaceCommit(dir, removed, statsOf(s, dir, dd, keyCol, Some(pCol)))
   }
 
+  // ---- Declared schema (empty-table bootstrap) -------------------------
+
+  private def schemaPath(dir: String) = logDir(dir).resolve("_schema.ddl")
+
+  /** Persist the DECLARED schema next to the log. Written once by plain
+    * `CREATE TABLE` (AcidCatalog) BEFORE the empty v0 commits, so any
+    * reader that can see v0 can see the schema. It is only a FALLBACK:
+    * whenever the manifest lists data files the schema derives from them
+    * (mergeSchema), exactly as before — so evolution keeps working and
+    * pre-existing tables never consult it.
+    */
+  private[sources] def writeDeclaredSchema(dir: String, schema: StructType): Unit = {
+    Files.createDirectories(logDir(dir))
+    Files.write(schemaPath(dir), schema.toDDL.getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  private[sources] def declaredSchema(dir: String): Option[StructType] =
+    if (Files.exists(schemaPath(dir)))
+      Some(StructType.fromDDL(new String(
+        Files.readAllBytes(schemaPath(dir)), StandardCharsets.UTF_8)))
+    else None
+
+  private def emptySnapshot(s: SparkSession, dir: String, v: Int): DataFrame = {
+    val schema = declaredSchema(dir).getOrElse(throw new IllegalStateException(
+      s"$dir: version $v has no data files and no declared schema"))
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
   /** Snapshot read at a version (default: latest). `mergeSchema` because
     * schema evolution adds columns in NEW files only; carried-forward old
     * files surface NULLs — no data rewrite (tbl_schema_evolve). Entries
-    * with deletion vectors read minus their sidecars.
+    * with deletion vectors read minus their sidecars. An empty manifest
+    * (plain CREATE TABLE before the first INSERT) serves the declared
+    * schema with zero rows instead of a zero-path parquet read that
+    * throws.
     */
   def snapshot(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version < 0) latestVersion(dir) else version
     val m = readManifest(dir, v)
-    applyDv(s, dir, m.files, s.read.option("mergeSchema", "true")
+    if (m.files.isEmpty) emptySnapshot(s, dir, v)
+    else applyDv(s, dir, m.files, s.read.option("mergeSchema", "true")
       .parquet(m.files.map(f => s"$dir/${f.path}"): _*))
   }
 
@@ -395,7 +439,10 @@ object Acid {
   // The merge key is positional by contract: first column of the table.
   private def keyColOf(s: SparkSession, dir: String): String = {
     val m = readManifest(dir, latestVersion(dir))
-    s.read.parquet(s"$dir/${m.files.head.path}").schema.fields.head.name
+    if (m.files.isEmpty)
+      declaredSchema(dir).getOrElse(throw new IllegalStateException(
+        s"$dir: empty table with no declared schema")).fields.head.name
+    else s.read.parquet(s"$dir/${m.files.head.path}").schema.fields.head.name
   }
 
   // ---- Bloom point-lookup skipping (tbl_bloom_skip) --------------------
@@ -1036,7 +1083,10 @@ object Acid {
 
   /** Stats-based skipping on the SECOND dimension: manifest-only pruning
     * against `stats2` ranges; files without second-column stats are kept
-    * (conservative). Returns (frame, filesScanned, filesTotal).
+    * (conservative). Surviving entries read minus their deletion-vector
+    * sidecars (same `applyDv` anti-join as snapshot/scanRange — a
+    * merge-on-read table's second-dimension scan must not resurrect
+    * deleted rows). Returns (frame, filesScanned, filesTotal).
     */
   def scanCol2Range(s: SparkSession, dir: String, col2: String, lo: Long, hi: Long)
       : (DataFrame, Int, Int) = {
@@ -1047,8 +1097,8 @@ object Acid {
     })
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
-      else s.read.option("mergeSchema", "true")
-        .parquet(live.map(f => s"$dir/${f.path}"): _*)
+      else applyDv(s, dir, live, s.read.option("mergeSchema", "true")
+        .parquet(live.map(f => s"$dir/${f.path}"): _*))
     (df.filter(col(col2).between(lo, hi)), live.size, m.files.size)
   }
 
@@ -1917,6 +1967,23 @@ object Acid {
         sum(coalesce(col("new_price_cents"), lit(0L))).as("sum_cents_post"))
       .withColumn("all_cdc", lit(allCdc))
       .orderBy(col("change_type"))
+  }
+
+  /** Session-catalog teardown for the SQL-path fixtures (round-6 verdict
+    * hygiene item #2): the five `tbl_sql_*` queries register
+    * `graft_sql_*_t` in the session catalog and the SQL sources register
+    * temp views; the returned DataFrames read THROUGH those entries
+    * lazily, so the drop is only safe after the harness collects.
+    * Wired next to `Relational.dropBucketedTables()` in Verify/Bench
+    * teardown; Round5Spec asserts both fixture classes drain.
+    */
+  private[graft] def dropSqlTables(s: SparkSession): Unit = {
+    Seq("graft_sql_insert_t", "graft_sql_delete_t", "graft_sql_alter_t",
+        "graft_sql_update_t", "graft_sql_merge_t")
+      .foreach(t => Try(s.sql(s"DROP TABLE IF EXISTS $t")))
+    Seq("graft_acid_t", "graft_sql_insert_src", "graft_ctas_src",
+        "graft_sql_alter_src", "graft_sql_merge_batch")
+      .foreach(v => Try(s.catalog.dropTempView(v)))
   }
 
   val queries: Map[String, Q] = Map(

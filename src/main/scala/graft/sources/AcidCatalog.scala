@@ -113,12 +113,15 @@ class AcidCatalog extends StagingTableCatalog {
     new AcidSqlTable(dir, Acid.snapshot(SparkSession.active, dir, v).schema, v)
   }
 
-  /** Plain CREATE TABLE (no data): commits an empty v0 so the table is
-    * immediately visible and insertable. */
+  /** Plain CREATE TABLE (no data): persists the DECLARED schema (the
+    * empty manifest has no data files to derive one from — the schema
+    * sidecar lands before v0, so any reader of v0 sees it) and commits an
+    * empty v0 so the table is immediately visible and insertable. */
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     val dir = dirOf(ident)
     if (exists(dir)) throw new TableAlreadyExistsException(ident.toString)
     Files.createDirectories(Paths.get(dir))
+    Acid.writeDeclaredSchema(dir, info.schema())
     Acid.appendCommitAt(dir, -1, Seq.empty) match {
       case Right(_) => new AcidSqlTable(dir, info.schema())
       case Left(_)  => throw new TableAlreadyExistsException(ident.toString)
@@ -129,6 +132,9 @@ class AcidCatalog extends StagingTableCatalog {
     val dir = dirOf(ident)
     if (exists(dir)) throw new TableAlreadyExistsException(ident.toString)
     Files.createDirectories(Paths.get(dir))
+    // CTAS with a zero-row SELECT commits an empty v0 too — persist the
+    // declared schema so the created table is still readable/insertable.
+    Acid.writeDeclaredSchema(dir, info.schema())
     new AcidStagedTable(dir, info.schema())
   }
 

@@ -590,7 +590,11 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     // the input partitions — readers skip those keys row-by-row. Above
     // the inline budget the scan still REFUSES (Delta-style reader
     // gate) rather than resurrect rows; OPTIMIZE materializes DVs away.
-    val dvTotal = all.flatMap(_.dv.map(_._2)).sum
+    // The budget counts DISTINCT sidecars: deleteWhereMor tags every
+    // touched file with the same sidecar, so summing per entry would
+    // count one 50k-key sidecar shared by 8 files as 400k and trip the
+    // gate far below the documented limit.
+    val dvTotal = all.flatMap(_.dv).distinct.map(_._2).sum
     require(dvTotal <= AcidSql.DvInlineLimit,
       s"graft-acid-sql: $dir carries $dvTotal merge-on-read deleted keys " +
         s"(> inline budget ${AcidSql.DvInlineLimit}) — run Acid.optimize " +

@@ -239,6 +239,32 @@ object Xml {
 
   private val AttrRe = """([A-Za-z_][\w.:-]*)\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
 
+  /** Local element name of a raw start/end tag string (`<ns:book k="1">`
+    * → `book`). */
+  private def tagLocalName(tagStr: String): String = {
+    val nameEnd = tagStr.indexWhere(c =>
+      c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '/' || c == '>', 1)
+    val raw = tagStr.substring(1, if (nameEnd < 0) tagStr.length else nameEnd)
+    raw.substring(raw.indexOf(':') + 1)
+  }
+
+  /** The path-match rule for one start tag at `depth` (1-based), given the
+    * parent's match flag — shared by the sequential scanner and the
+    * parallel planner's driver-side stitch so both evaluate predicates
+    * identically.
+    */
+  private def startTagOk(path: Seq[PathStep], okPrev: Boolean, depth: Int,
+      tagStr: String): Boolean =
+    okPrev && depth <= path.size && {
+      val step = path(depth - 1)
+      step.name == tagLocalName(tagStr) && step.pred.forall { case (a, v) =>
+        AttrRe.findAllMatchIn(tagStr).exists { m =>
+          m.group(1) == a &&
+            decodeEntities(if (m.group(2) != null) m.group(2) else m.group(3)) == v
+        }
+      }
+    }
+
   /** One byte-level path-aware scan. `seedDepth` pre-seeds that many
     * matched ancestor levels (phase 2); `stopAt >= 0` ends the scan at
     * that offset once outside a record; `onRecordStart` fires at every
@@ -280,7 +306,13 @@ object Xml {
       while (m < t.length) {
         val b = next(); if (b < 0) return
         tag.write(b)
-        m = if (b == (t(m) & 0xFF)) m + 1 else if (b == (t(0) & 0xFF)) 1 else 0
+        // exact substring automaton (the naive two-case reset missed
+        // overlapping prefixes: "]]>" in "]]]>"): longest k ≤ m+1 with
+        // (matched + b) ending in t[0..k)
+        var k = math.min(m + 1, t.length)
+        while (k > 0 && !((0 until k).forall(j =>
+          (if (j == k - 1) b else t(m - (k - 1) + j) & 0xFF) == (t(j) & 0xFF)))) k -= 1
+        m = k
       }
     }
 

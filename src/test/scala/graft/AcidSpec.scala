@@ -267,6 +267,7 @@ class AcidSpec extends AnyFunSuite {
     val v0 = Acid.latestVersion(dir)
     val sum0 = Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0)
     spark.sql("DROP TABLE IF EXISTS graft_constraint_t")
+    try {
     spark.sql(
       s"""CREATE TABLE graft_constraint_t (k BIGINT, price_cents BIGINT, prio STRING)
          |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
@@ -288,6 +289,7 @@ class AcidSpec extends AnyFunSuite {
     assert(Try(Acid.merge(spark, cloneDir,
       kv(sf).limit(5).withColumn("price_cents", lit(-1L)), "c")).isFailure,
       "clone must inherit the constraint")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_constraint_t")
   }
 
   test("readStream.table streams by committed version and resumes incrementally") {

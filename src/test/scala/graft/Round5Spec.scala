@@ -155,8 +155,10 @@ class Round5Spec extends AnyFunSuite {
     val before = sc.getPersistentRDDs.keySet
     run("llm_dedup_fuzzy").count()   // populates shingle + pairs memos
     run("join_bucketed").count()     // populates the bucketed-table fixture
+    run("tbl_sql_insert").count()    // registers graft_sql_insert_t + src view
     graft.operators.Llm.clearCaches()
     graft.operators.Relational.dropBucketedTables()
+    graft.sources.Acid.dropSqlTables(spark)
     val after = sc.getPersistentRDDs.keySet
     assert(after.subsetOf(before),
       s"teardown left new persisted RDDs: ${after -- before}")

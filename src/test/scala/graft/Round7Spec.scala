@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.util.Try
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Acid, AcidSql}
+
+/** Round-7 invariants: the four round-6 ADVICE closures — second-dimension
+  * scans subtract deletion vectors, plain CREATE TABLE bootstraps an
+  * empty-but-typed table, the DV inline budget counts distinct sidecars
+  * (not per-entry tags), and time travel refuses cleanly below the vacuum
+  * horizon.
+  */
+class Round7Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def kv(sfDir: String) =
+    Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("prio"))
+
+  test("scanCol2Range subtracts deletion vectors like every other reader") {
+    val dir = Scratch.fresh("r7_c2dv", sf)
+    val t = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k"),
+      col("o_custkey").as("c2"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    Acid.create(spark, dir, t, "k", 8)
+    Acid.optimizeZorder(spark, dir, "c2", 8)
+    val hiC2 = t.agg(max(col("c2"))).head.getLong(0)
+    val (n, _, _) = Acid.deleteWhereMor(spark, dir,
+      col("c2") <= hiC2 && col("k") % 3 === 0, None, "dv")
+    assert(n > 0)
+    val (df, _, _) = Acid.scanCol2Range(spark, dir, "c2", 0, hiC2)
+    // the full-c2-range scan covers every file; deleted keys must be gone
+    assert(df.filter(col("k") % 3 === 0).count() == 0,
+      "second-dimension range scan resurrected MoR-deleted rows")
+    assert(df.count() == t.count() - n)
+  }
+
+  test("plain CREATE TABLE through the catalog: readable empty, then INSERT INTO") {
+    val root = Scratch.fresh("r7_create_cat", sf)
+    val cat = "graft_r7c_" + Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, price_cents BIGINT, prio STRING)")
+    // empty v0 serves the DECLARED schema with zero rows (no zero-path
+    // parquet read), through both the catalog scan and the library API
+    assert(spark.sql(s"SELECT * FROM $cat.t").schema.fieldNames.toSeq ==
+      Seq("k", "price_cents", "prio"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 0L)
+    assert(Acid.snapshot(spark, s"$root/t").count() == 0L)
+    // first INSERT INTO an empty table commits v1 and reads back
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 100, 'A'), (2, 200, 'B')")
+    assert(Acid.latestVersion(s"$root/t") == 1)
+    assert(spark.sql(s"SELECT sum(price_cents) FROM $cat.t").head.getLong(0) == 300L)
+    // merge through the library API also works from the declared key col
+    Acid.merge(spark, s"$root/t",
+      spark.range(3, 5).select(col("id").as("k"),
+        (col("id") * 10).as("price_cents"), lit("M").as("prio")), "m")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 4L)
+  }
+
+  test("DV inline budget counts distinct sidecars, not per-entry tags") {
+    val dir = Scratch.fresh("r7_dv_budget", sf)
+    // 8 files × 20k rows; one MoR delete of ~26k keys tags ALL 8 entries
+    // with the SAME sidecar: per-entry sum ≈ 208k (> 100k budget) but the
+    // actual deleted-key count ≈ 26k — the scan must still plan.
+    val t = spark.range(0, 160000).select(col("id").as("k"),
+      (col("id") % 97).as("price_cents"))
+    Acid.create(spark, dir, t, "k", 8)
+    val (n, tagged, total) = Acid.deleteWhereMor(spark, dir,
+      col("k") % 6 === 0, None, "big")
+    assert(n > AcidSql.DvInlineLimit / 6 && tagged == total && total == 8)
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val perEntrySum = m.files.flatMap(_.dv.map(_._2)).sum
+    assert(perEntrySum > AcidSql.DvInlineLimit,
+      "fixture must exceed the budget under the old per-entry sum")
+    assert(m.files.flatMap(_.dv).distinct.map(_._2).sum <= AcidSql.DvInlineLimit)
+    // V2 scan plans (no refusal) and subtracts exactly n rows
+    assert(spark.read.format("graft-acid-sql").load(dir).count() == 160000L - n)
+  }
+
+  test("TIMESTAMP AS OF below the vacuum horizon refuses cleanly") {
+    val dir = Scratch.fresh("r7_tt_vacuum", sf)
+    Acid.create(spark, dir, kv(sf), "k", 4)
+    val t0 = Files.getLastModifiedTime(
+      Paths.get(dir, "_log", "v00000.txt")).toInstant
+    val micros0 = t0.getEpochSecond * 1000000L + t0.getNano / 1000L
+    Thread.sleep(1100) // distinct mtimes either side of the horizon
+    val mk = kv(sf).agg(max(col("k"))).head.getLong(0)
+    Acid.merge(spark, dir, kv(sf).filter(col("k") < lit(mk / 4))
+      .withColumn("prio", lit("P")), "m")
+    Acid.merge(spark, dir, kv(sf).filter(col("k") < lit(mk / 8))
+      .withColumn("prio", lit("Q")), "m2")
+    Acid.vacuum(spark, dir, 2)
+    // at/after the horizon still resolves
+    assert(Acid.versionAtTimestamp(dir,
+      System.currentTimeMillis() * 1000L).contains(2))
+    // before the horizon: IllegalArgumentException naming the vacuumed
+    // range — never a raw NoSuchFileException from a missing manifest stat
+    val ex = intercept[IllegalArgumentException] {
+      Acid.versionAtTimestamp(dir, micros0)
+    }
+    assert(ex.getMessage.contains("vacuumed"))
+  }
+}
