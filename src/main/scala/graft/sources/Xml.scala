@@ -265,14 +265,15 @@ object Xml {
       }
     }
 
-  /** One byte-level path-aware scan. `seedDepth` pre-seeds that many
-    * matched ancestor levels (phase 2); `stopAt >= 0` ends the scan at
-    * that offset once outside a record; `onRecordStart` fires at every
-    * capture trigger; with `captureBytes`, each record's bytes are passed
-    * to `onRecord`.
+  /** One byte-level path-aware scan. `seedOk` pre-seeds the ancestor
+    * match flags (phase 2 passes all-true for a planned record start; the
+    * parallel planner's pass B passes the exact flags of the stitched
+    * boundary stack); `stopAt >= 0` ends the scan at that offset once
+    * outside a record; `onRecordStart` fires at every capture trigger;
+    * with `captureBytes`, each record's bytes are passed to `onRecord`.
     */
   private def scanPath(in: java.io.InputStream, base: Long, path: Seq[PathStep],
-      seedDepth: Int, captureBytes: Boolean, stopAt: Long,
+      seedOk: Seq[Boolean], captureBytes: Boolean, stopAt: Long,
       onRecordStart: Long => Unit, onRecord: String => Unit): Unit = {
     val buf = new Array[Byte](1 << 16)
     var bufLen = 0; var bufI = 0; var pos = base
@@ -280,7 +281,7 @@ object Xml {
       if (bufI >= bufLen) { bufLen = in.read(buf); bufI = 0; if (bufLen <= 0) return -1 }
       val b = buf(bufI); bufI += 1; pos += 1; b & 0xFF
     }
-    val okStack = scala.collection.mutable.ArrayBuffer.fill(seedDepth)(true)
+    val okStack = scala.collection.mutable.ArrayBuffer.from(seedOk)
     val cap = new java.io.ByteArrayOutputStream()
     val tag = new java.io.ByteArrayOutputStream()
     var capturing = false
@@ -347,21 +348,8 @@ object Xml {
           case _ =>
             val selfClosing = readStartRest()
             val tagStr = tag.toString("UTF-8")
-            // local name: after '<', up to space/'/'/'>'; strip ns prefix
-            val nameEnd = tagStr.indexWhere(c =>
-              c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '/' || c == '>', 1)
-            val raw = tagStr.substring(1, if (nameEnd < 0) tagStr.length else nameEnd)
-            val local = raw.substring(raw.indexOf(':') + 1)
             val depth = okStack.size + 1
-            val ok = (depth == 1 || okStack(depth - 2)) && depth <= path.size && {
-              val step = path(depth - 1)
-              step.name == local && step.pred.forall { case (a, v) =>
-                AttrRe.findAllMatchIn(tagStr).exists { m =>
-                  m.group(1) == a &&
-                    decodeEntities(if (m.group(2) != null) m.group(2) else m.group(3)) == v
-                }
-              }
-            }
+            val ok = startTagOk(path, depth == 1 || okStack(depth - 2), depth, tagStr)
             okStack += ok
             if (captureDepth < 0 && depth == path.size && ok) {
               onRecordStart(ltOff)
@@ -386,7 +374,7 @@ object Xml {
     }
   }
 
-  private final case class XmlSplitRange(file: String, start: Long, end: Long)
+  private[graft] final case class XmlSplitRange(file: String, start: Long, end: Long)
 
   /** Phase 1: plan split ranges for one file — a sequential skeleton scan
     * collecting record-start offsets, grouped greedily into
@@ -395,7 +383,7 @@ object Xml {
       targetSplitBytes: Long): Seq[XmlSplitRange] = {
     val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
     val in = Files.newInputStream(Paths.get(file))
-    try scanPath(in, 0L, path, seedDepth = 0, captureBytes = false,
+    try scanPath(in, 0L, path, seedOk = Nil, captureBytes = false,
       stopAt = -1L, onRecordStart = starts += _, onRecord = _ => ())
     finally in.close()
     if (starts.isEmpty) Seq.empty
@@ -407,6 +395,312 @@ object Xml {
       bounds.toSeq.zipAll(bounds.toSeq.drop(1), 0L, Long.MaxValue)
         .map { case (a, b) => XmlSplitRange(file, a, b) }
     }
+  }
+
+  // ========================================================================
+  // PARALLEL phase-1 planning (round-7: removes the last sequential
+  // straggler — `planSplits` above is one O(file) task per file). The
+  // speculative chunked-scan idea from the parallel-CSV/JSON parsing
+  // literature (ParPaRaw, Mison), re-derived for this scanner's exact
+  // lexical rules:
+  //
+  //   pass A (parallel, one task per ~target-bytes chunk): a '<' is
+  //     lexically ambiguous at an arbitrary boundary — the chunk may open
+  //     inside a comment/CDATA/PI/DOCTYPE (each with the terminator
+  //     possibly straddling the boundary by up to |terminator|-1 bytes),
+  //     inside a start tag (in any quote state), inside an end tag, or in
+  //     plain content. That ambiguity is a CLOSED set, so each chunk
+  //     precomputes the resolution of every member: terminator-end
+  //     offsets for each straddle offset, quote-aware tag-skip results,
+  //     and a structural summary (pops below entry + tags opened and left
+  //     open, with their raw bytes so attribute predicates evaluate
+  //     exactly) from every distinct candidate resume offset — all
+  //     metadata-sized (stack-depth-bounded), memoized within the chunk.
+  //   stitch (driver, sequential over per-chunk SUMMARIES only): fold
+  //     left to right, resolving each chunk's entry context from its
+  //     predecessor's exit, maintaining the exact open-ancestor-tag stack
+  //     at every boundary. O(#chunks × depth) — microseconds where the
+  //     old phase 1 was O(file bytes).
+  //   pass B (parallel): each chunk re-scans from its resolved resume
+  //     offset with the TRUE seeded ancestor flags and early-exits at its
+  //     first record start (typically a record-length of bytes). Those
+  //     starts are exact record starts — the range boundaries; phase 2 is
+  //     unchanged and output is record-identical to the sequential
+  //     planner (Round7Spec pins it on a hazard-dense fixture).
+  //
+  // The sequential planner stays as the small-file fast path; files
+  // larger than 2× the target go through this one.
+  // ========================================================================
+
+  /** Lexical exit of a chunk scan. `kind`: "content", a pending token
+    * ("comment"/"cdata"/"pi"/"bang" — body not yet terminated;
+    * "tag"/"tag_sq"/"tag_dq"/"endtag" — inside a tag, quote state in the
+    * kind), or "partial" (chunk ended 1-2 bytes into an unclassified
+    * `<...`). `data` carries pending tag/partial bytes (ISO-8859-1, byte-
+    * faithful — a UTF-8 char may straddle the boundary); `bodySeen` = body
+    * bytes consumed of a pending comment/cdata/pi, capped at
+    * |terminator|-1 (all a straddle can need).
+    */
+  private final case class LexExit(kind: String, data: String, bodySeen: Int)
+
+  /** Resolution of a tag-kind entry context: complete (`resume` ≥ 0,
+    * `bytes` = the in-chunk remainder) or still pending at chunk end
+    * (`resume` = -1, `pendKind` = the exit quote state). */
+  private final case class TagSkip(resume: Long, bytes: String, pendKind: String)
+
+  /** Pass-A result for one chunk; all offsets absolute file positions. */
+  private final case class ChunkScan(
+      termEnds: Map[(String, Int), Long],
+      tagSkips: Map[String, TagSkip],
+      contentScans: Map[Long, (Int, List[String], LexExit)])
+
+  private val Terms =
+    Map("comment" -> "->", "cdata" -> "]]>", "pi" -> "?>", "bang" -> ">")
+
+  /** Pass A: speculative structural scan of one chunk (runs on executors).
+    * Mirrors scanPath's lexical rules exactly — comment/bang terminators
+    * searched from after the 3-byte classification prefix, PI from after
+    * `<?`, end tags to a bare `>`, start tags quote-aware.
+    */
+  private def scanChunk(file: String, start: Long, end: Long): ChunkScan = {
+    val margin = math.min(2L, start).toInt
+    val arr = new Array[Byte]((end - start).toInt + margin)
+    val ch = java.nio.channels.FileChannel.open(Paths.get(file))
+    val n = try {
+      ch.position(start - margin)
+      val bb = java.nio.ByteBuffer.wrap(arr)
+      var done = false
+      while (!done && bb.hasRemaining) if (ch.read(bb) < 0) done = true
+      bb.position()
+    } finally ch.close()
+    val base = start - margin
+    val endIdx = math.min((end - base).toInt, n) // this chunk owns '<' at idx < endIdx
+    val m0 = margin
+
+    def findTermEnd(t: String, from: Int): Int = { // idx AFTER terminator, -1 if none
+      val tb = t.getBytes
+      var i = math.max(from, 0)
+      while (i + tb.length <= n) {
+        var j = 0
+        while (j < tb.length && arr(i + j) == tb(j)) j += 1
+        if (j == tb.length) return i + tb.length
+        i += 1
+      }
+      -1
+    }
+    // quote-aware start-tag scan; Right(idxAfterGt) or Left(pending kind)
+    def tagScan(from: Int, q0: Int): Either[String, Int] = {
+      var q = q0; var i = from
+      while (i < n) {
+        val b = arr(i) & 0xFF
+        if (q == 0 && (b == '"' || b == '\'')) q = b
+        else if (q != 0 && b == q) q = 0
+        else if (q == 0 && b == '>') return Right(i + 1)
+        i += 1
+      }
+      Left(if (q == '\'') "tag_sq" else if (q == '"') "tag_dq" else "tag")
+    }
+    def raw(i0: Int, i1: Int) = new String(arr, i0, i1 - i0, "ISO-8859-1")
+
+    val memo = scala.collection.mutable.Map.empty[Int, (Int, List[String], LexExit)]
+    def content(i0: Int): (Int, List[String], LexExit) = memo.getOrElseUpdate(i0, {
+      var i = i0; var pops = 0
+      val opens = scala.collection.mutable.ListBuffer.empty[String]
+      var exit: LexExit = null
+      while (exit == null) {
+        if (i >= endIdx) exit = LexExit("content", "", 0)
+        else if ((arr(i) & 0xFF) != '<') i += 1
+        else {
+          val tok = i
+          if (tok + 1 >= n) exit = LexExit("partial", raw(tok, n), 0)
+          else (arr(tok + 1) & 0xFF) match {
+            case '!' =>
+              if (tok + 2 >= n) exit = LexExit("partial", raw(tok, n), 0)
+              else {
+                val b2 = arr(tok + 2) & 0xFF
+                val kind =
+                  if (b2 == '-') "comment" else if (b2 == '[') "cdata" else "bang"
+                val t = Terms(kind)
+                val j = findTermEnd(t, tok + 3)
+                if (j < 0) exit = LexExit(kind, "", math.min(n - tok - 3, t.length - 1))
+                else i = j
+              }
+            case '?' =>
+              val j = findTermEnd("?>", tok + 2)
+              if (j < 0) exit = LexExit("pi", "", math.min(n - tok - 2, 1))
+              else i = j
+            case '/' =>
+              val j = findTermEnd(">", tok + 2)
+              if (j < 0) exit = LexExit("endtag", raw(tok, n), 0)
+              else {
+                if (opens.nonEmpty) opens.remove(opens.size - 1): Unit else pops += 1
+                i = j
+              }
+            case _ =>
+              tagScan(tok + 2, 0) match {
+                case Right(j) =>
+                  val tagStr = new String(arr, tok, j - tok, "UTF-8")
+                  if (!tagStr.endsWith("/>")) opens += tagStr
+                  i = j
+                case Left(k) => exit = LexExit(k, raw(tok, n), 0)
+              }
+          }
+        }
+      }
+      (pops, opens.toList, exit)
+    })
+
+    val termEnds = (for {
+      (_, t) <- Terms.toSeq
+      d <- -(t.length - 1) to 2
+      s = m0 + d if s >= 0
+    } yield (t, d) -> {
+      val j = findTermEnd(t, s); if (j < 0) -1L else base + j
+    }).toMap
+    val tagSkips = (Seq("tag" -> 0, "tag_sq" -> '\''.toInt, "tag_dq" -> '"'.toInt)
+      .map { case (k, q) =>
+        k -> (tagScan(m0, q) match {
+          case Right(j)  => TagSkip(base + j, raw(m0, j), "")
+          case Left(pk)  => TagSkip(-1L, raw(m0, n), pk)
+        })
+      } :+ ("endtag" -> {
+        val j = findTermEnd(">", m0)
+        if (j < 0) TagSkip(-1L, raw(m0, n), "endtag")
+        else TagSkip(base + j, raw(m0, j), "")
+      })).toMap
+    val resumes = (Seq(base + m0) ++ termEnds.values.filter(_ >= 0) ++
+      tagSkips.values.map(_.resume).filter(_ >= 0)).distinct
+    ChunkScan(termEnds, tagSkips,
+      resumes.map(r => r -> content((r - base).toInt)).toMap)
+  }
+
+  private def peekBytes(file: String, off: Long, len: Int): Array[Byte] = {
+    val ch = java.nio.channels.FileChannel.open(Paths.get(file))
+    try {
+      ch.position(off)
+      val bb = java.nio.ByteBuffer.allocate(len)
+      var done = false
+      while (!done && bb.hasRemaining) if (ch.read(bb) < 0) done = true
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    } finally ch.close()
+  }
+
+  /** Match flags for a reconstructed boundary stack — the same rule
+    * scanPath applies tag by tag. */
+  private def okBooleans(path: Seq[PathStep], stack: Seq[String]): Seq[Boolean] = {
+    val oks = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    stack.foreach { tagStr =>
+      val depth = oks.size + 1
+      oks += startTagOk(path, depth == 1 || oks(depth - 2), depth, tagStr)
+    }
+    oks.toSeq
+  }
+
+  private final case class PassB(resume: Long, stopAt: Long, seedOk: Seq[Boolean])
+
+  /** Driver-side stitch: fold per-chunk summaries into the exact boundary
+    * contexts. Returns one pass-B task per chunk whose bytes are reachable
+    * (a pending token can swallow a whole chunk — a giant comment/CDATA).
+    */
+  private def stitch(file: String, path: Seq[PathStep],
+      chunks: Seq[(Long, Long)], scans: Seq[ChunkScan]): Seq[PassB] = {
+    var kind = "content"; var pend = ""; var bodySeen = 0
+    val stack = scala.collection.mutable.ListBuffer.empty[String]
+    val out = scala.collection.mutable.ListBuffer.empty[PassB]
+    def utf8(iso: String) = new String(iso.getBytes("ISO-8859-1"), "UTF-8")
+    def pop(): Unit = if (stack.nonEmpty) stack.remove(stack.size - 1): Unit
+    def finishTag(sc: ChunkScan, k: String): Long = {
+      val ts = sc.tagSkips(k)
+      if (ts.resume < 0) { kind = ts.pendKind; pend = pend + ts.bytes; -1L }
+      else {
+        val full = utf8(pend + ts.bytes)
+        if (k == "endtag") pop()
+        else if (!full.endsWith("/>")) stack += full
+        pend = ""
+        ts.resume
+      }
+    }
+    def findPending(sc: ChunkScan, k: String, delta: Int): Long = {
+      val t = Terms(k)
+      val j = sc.termEnds.getOrElse((t, delta), -1L)
+      if (j < 0) { kind = k; pend = ""; bodySeen = t.length - 1 }
+      j
+    }
+    for (((cs, ce), sc) <- chunks.zip(scans)) {
+      val resume: Long = kind match {
+        case "content" => cs
+        case k @ ("comment" | "cdata" | "pi" | "bang") => findPending(sc, k, -bodySeen)
+        case k @ ("tag" | "tag_sq" | "tag_dq" | "endtag") => finishTag(sc, k)
+        case "partial" =>
+          // classify `pend` ("<" or "<!") + a few peeked file bytes; the
+          // pending search starts after the classification prefix, whose
+          // length inside THIS chunk is prefixLen - pend.length
+          val bytes = pend.getBytes("ISO-8859-1") ++ peekBytes(file, cs, 4)
+          val b1 = if (bytes.length > 1) bytes(1) & 0xFF else -1
+          b1 match {
+            case -1  => -1L // file ends mid-'<' — nothing left to scan
+            case '!' =>
+              val b2 = if (bytes.length > 2) bytes(2) & 0xFF else -1
+              val k2 = if (b2 == '-') "comment" else if (b2 == '[') "cdata" else "bang"
+              findPending(sc, k2, 3 - pend.length)
+            case '?' => findPending(sc, "pi", 2 - pend.length)
+            case '/' => finishTag(sc, "endtag")
+            case _   => finishTag(sc, "tag")
+          }
+      }
+      if (resume >= 0) {
+        out += PassB(resume, ce, okBooleans(path, stack.toSeq))
+        val (pops, opens, exit) = sc.contentScans(resume)
+        (1 to pops).foreach(_ => pop())
+        opens.foreach(stack += _)
+        kind = exit.kind; pend = exit.data; bodySeen = exit.bodySeen
+      }
+    }
+    out.toList
+  }
+
+  /** Pass B: first record start in [resume, stopAt), early-exit. */
+  private def firstRecordStart(file: String, p: PassB,
+      path: Seq[PathStep]): Option[Long] = {
+    final class Found(val off: Long) extends RuntimeException(null, null, false, false)
+    val ch = java.nio.channels.FileChannel.open(Paths.get(file))
+    try {
+      ch.position(p.resume)
+      val in = java.nio.channels.Channels.newInputStream(ch)
+      try {
+        scanPath(in, p.resume, path, p.seedOk, captureBytes = false,
+          stopAt = p.stopAt, onRecordStart = off => throw new Found(off),
+          onRecord = _ => ())
+        None
+      } catch { case f: Found => Some(f.off) }
+    } finally ch.close()
+  }
+
+  /** Observability for the Round7Spec pin: planning chunks scanned by the
+    * most recent parallel plan. */
+  private[graft] val lastPlanChunks = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Parallel phase 1 for ONE big file (see section comment above).
+    * Record output is identical to `planSplits`; boundaries land on true
+    * record starts at ~chunk spacing.
+    */
+  private[graft] def planSplitsParallel(s: SparkSession, file: String,
+      path: Seq[PathStep], targetSplitBytes: Long): Seq[XmlSplitRange] = {
+    val len = Files.size(Paths.get(file))
+    val chunks = (0L until len by targetSplitBytes)
+      .map(o => (o, math.min(o + targetSplitBytes, len)))
+    val scans = s.sparkContext.parallelize(chunks, chunks.size)
+      .map { case (a, b) => scanChunk(file, a, b) }
+      .collect().toSeq
+    val passB = stitch(file, path, chunks, scans)
+    val starts = s.sparkContext
+      .parallelize(passB, math.max(passB.size, 1))
+      .flatMap(p => firstRecordStart(file, p, path))
+      .collect().sorted.toSeq
+    lastPlanChunks.set(chunks.size)
+    if (starts.isEmpty) Seq.empty
+    else starts.zipAll(starts.drop(1), 0L, Long.MaxValue)
+      .map { case (a, b) => XmlSplitRange(file, a, b) }
   }
 
   /** Path-aware node-path read with INTRA-FILE parallelism: same semantics
@@ -424,10 +718,18 @@ object Xml {
     val files =
       try listing.toArray.map(_.toString).filter(_.endsWith(".xml")).sorted
       finally listing.close()
-    val ranges = s.sparkContext
-      .parallelize(files.toSeq, math.max(files.length, 1))
+    // Small files: one sequential planning task per file (cheap constant).
+    // Big files (> 2× target): the chunked parallel planner — a 100 GB
+    // single file's planning pass is no longer one thread.
+    val (big, small) = files.partition(f =>
+      Files.size(Paths.get(f)) > 2L * targetSplitBytes)
+    val smallRanges = s.sparkContext
+      .parallelize(small.toSeq, math.max(small.length, 1))
       .flatMap(f => planSplits(f, path, targetSplitBytes))
       .collect().toSeq
+    val ranges = (smallRanges ++
+      big.toSeq.flatMap(f => planSplitsParallel(s, f, path, targetSplitBytes)))
+      .sortBy(r => (r.file, r.start))
     s.sparkContext.parallelize(ranges, math.max(ranges.length, 1))
       .flatMap { r =>
         val out = scala.collection.mutable.ListBuffer.empty[String]
@@ -435,7 +737,7 @@ object Xml {
         try {
           ch.position(r.start)
           val in = java.nio.channels.Channels.newInputStream(ch)
-          scanPath(in, r.start, path, seedDepth = path.size - 1,
+          scanPath(in, r.start, path, seedOk = Seq.fill(path.size - 1)(true),
             captureBytes = true, stopAt = r.end,
             onRecordStart = _ => (), onRecord = out += _)
         } finally ch.close()
