@@ -145,6 +145,32 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("semdedup K(n)+refined centroids beat fixed-16-first on a x10 corpus") {
+    val base0 = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = base0.count()
+    // x10 corpus: same vectors replicated with shifted ids (the shape a
+    // growing corpus takes — cluster populations scale, geometry doesn't)
+    val base10 = (0 until 10).map(i => base0.select(
+      (col("vec_id") + lit(i * 10 * n)).as("vec_id"), col("v")))
+      .reduce(_ unionByName _)
+    val fixed16 = base0.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val maxFixed = graft.operators.Llm.assignSizes(base10, fixed16)
+      .agg(max("n_vecs")).head.getLong(0)
+    val k = math.max(16L, math.sqrt(10.0 * n).toLong)
+    val refined = graft.operators.Llm.refinedCentroids(base10, k)
+    // replicated ids give IDENTICAL seed vectors; ties collapse onto the
+    // lowest cid, so duplicated seeds yield empty (dropped) clusters
+    val kEff = refined.count()
+    assert(kEff > 16 && kEff <= k, s"effective K $kEff outside (16, $k]")
+    val maxRefined = graft.operators.Llm.assignSizes(base10, refined)
+      .agg(max("n_vecs")).head.getLong(0)
+    assert(k > 16, "x10 corpus must demand K > 16")
+    assert(maxRefined < maxFixed,
+      s"K=$k refined max cluster $maxRefined !< fixed-16 max $maxFixed")
+  }
+
   test("TIMESTAMP AS OF below the vacuum horizon refuses cleanly") {
     val dir = Scratch.fresh("r7_tt_vacuum", sf)
     Acid.create(spark, dir, kv(sf), "k", 4)
