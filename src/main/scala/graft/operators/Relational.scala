@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -63,6 +63,95 @@ object Relational {
       .groupBy(col("band"))
       .agg(count(lit(1)).as("cnt"), round(avg(col("o_totalprice")), 2).as("avg_price"))
       .orderBy(col("band"))
+
+  // ======================================================================
+  // §2.2 composite multi-operator stress rows (round-7 verdict #7): every
+  // other §2 row is a single operator; these TPC-H-shape pipelines catch
+  // CROSS-operator planning drift — build-side choice under a selective
+  // dim filter, date pushdown into the fact scans, TakeOrdered replacing
+  // a global sort, agg-under-join placement. PlanSpec pins the plans.
+  // Money travels in integer cent·pct units (the house rule: no double
+  // summation order ambiguity between engines).
+  // ======================================================================
+
+  private def revU: Column =
+    (expr("cast(round(l_extendedprice * 100) as bigint)") *
+      (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+
+  /** op_tpch_q3 — shipping-priority shape: selective dim filter →
+    * 3-way join → hash agg → top-10. The filtered BUILDING customer set
+    * broadcasts; both fact scans carry their date pushdown.
+    */
+  val opTpchQ3: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+      .select(col("l_orderkey"), revU.as("rev_u"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_u")).as("revenue_u"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue_u"))
+      .orderBy(col("revenue_u").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** op_tpch_q10 — returned-item reporting shape: quarter-window orders ×
+    * R-flag lineitems × customer × broadcast nation → per-customer
+    * revenue top-20.
+    */
+  val opTpchQ10: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revU.as("rev_u"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+      expr("cast(round(c_acctbal * 100) as bigint)").as("acctbal_cents"),
+      col("c_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("acctbal_cents"),
+        col("n_name"))
+      .agg(sum(col("rev_u")).as("revenue_u"))
+      .orderBy(col("revenue_u").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** op_tpch_q18 — large-volume-customer shape: the per-order quantity
+    * agg feeds back as a semi-filter on orders (agg-under-join), then
+    * customer enriches and top-100 by price. The big-order set is
+    * batch-sized, so its join side broadcasts.
+    */
+  val opTpchQ18: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      expr("cast(round(l_quantity) as bigint)").as("qty"))
+    val big = li.groupBy(col("l_orderkey")).agg(sum(col("qty")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+      .select(col("l_orderkey").as("bk"), col("sum_qty"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("total_cents"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    ord.join(broadcast(big), col("o_orderkey") === col("bk"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("total_cents"), col("sum_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
 
   // ======================================================================
   // §2.3 joins
@@ -1132,6 +1221,9 @@ object Relational {
     "op_project" -> opProject,
     "op_filter" -> opFilter,
     "op_case_when" -> opCaseWhen,
+    "op_tpch_q3" -> opTpchQ3,
+    "op_tpch_q10" -> opTpchQ10,
+    "op_tpch_q18" -> opTpchQ18,
     "join_inner_equi" -> joinInnerEqui,
     "join_broadcast" -> joinBroadcast,
     "join_salted" -> joinSalted,
@@ -1359,6 +1451,56 @@ object Relational {
         |            ELSE 'large' END AS band,
         | count(*) AS cnt, round(avg(o_totalprice), 2) AS avg_price
         |FROM orders GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "op_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |            AS BIGINT) AS revenue_u
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_u DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "op_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |       n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |            AS BIGINT) AS revenue_u
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, acctbal_cents, n_name
+        |ORDER BY revenue_u DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "op_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey AS bk, CAST(sum(CAST(round(l_quantity) AS BIGINT))
+        |           AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |       sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = bk
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "join_inner_equi" ->
       """SELECT o_orderpriority,

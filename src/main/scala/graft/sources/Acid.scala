@@ -1038,6 +1038,41 @@ object Acid {
     (m.files.size, readManifest(dir, v + 1).files.size)
   }
 
+  /** OPTIMIZE bounded to a key range — the 100 TB shape optimize()'s
+    * scaladoc promised in prose, now code (round-7 verdict #6): only the
+    * entries whose [minKey, maxKey] intersect [keyLo, keyHi] are read and
+    * bin-packed into `targetFiles` range-partitioned files; every other
+    * entry — and every byte it points at — carries forward untouched
+    * (AcidSpec pins the carried files byte-identical by sha). The swap is
+    * `replaceCommit`, so a concurrent writer that rewrote a touched file
+    * surfaces as a conflict instead of losing its update. Touched entries'
+    * deletion vectors are materialized away by the rewrite (the read
+    * subtracts them; the new entries carry no dv pointer); untouched
+    * entries keep theirs. A straddling file's out-of-range rows travel
+    * with the rewrite — file selection is by overlap, so no row is
+    * dropped. Note: the rewritten entries carry key stats only — on a
+    * Z-ordered or partitioned layout use optimizeZorder /
+    * replacePartition, which preserve the second dimension (readers stay
+    * correct either way: entries without stats2 are scanned
+    * conservatively). Returns (filesTouched, filesAfter, filesBefore).
+    */
+  def optimizeRange(s: SparkSession, dir: String, keyLo: Long, keyHi: Long,
+      targetFiles: Int): (Int, Int, Int) = {
+    val v = latestVersion(dir)
+    val m = readManifest(dir, v)
+    val key = keyColOf(s, dir)
+    val touched = m.files.filter(f => f.maxKey >= keyLo && f.minKey <= keyHi)
+    if (touched.isEmpty) return (0, m.files.size, m.files.size)
+    val dataDir = s"d${v + 1}_optr"
+    applyDv(s, dir, touched, s.read.option("mergeSchema", "true")
+      .parquet(touched.map(f => s"$dir/${f.path}"): _*))
+      .repartitionByRange(targetFiles, col(key))
+      .write.mode("overwrite").parquet(s"$dir/$dataDir")
+    val newV = replaceCommit(dir, touched.map(_.path).toSet,
+      statsOf(s, dir, dataDir, key))
+    (touched.size, readManifest(dir, newV).files.size, m.files.size)
+  }
+
   /** Z-ORDER rewrite: cluster the table on the Morton (bit-interleaved)
     * value of (key, col2) so per-file min/max stats become selective on
     * BOTH columns — the multi-dimensional data-skipping technique behind
@@ -1986,7 +2021,28 @@ object Acid {
       .foreach(v => Try(s.catalog.dropTempView(v)))
   }
 
+  /** tbl_optimize_range — range-scoped OPTIMIZE: a 64-way fragmented
+    * table compacts ONLY its middle third in one committed version; the
+    * outer thirds' files (strict majority) carry forward byte-identical
+    * (AcidSpec pins the shas), so at 100 TB maintenance cost tracks the
+    * fragmented range, not the table. Losslessness travels through the
+    * oracle aggregate; subset-scope and the file-count drop travel as
+    * pinned booleans.
+    */
+  val tblOptimizeRange: Q = (s, d) => {
+    val dir = fresh("tbl_optimize_range", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 64)
+    val (touched, after, before) = optimizeRange(s, dir, mk / 3, 2 * mk / 3, 4)
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("subset_only", lit(touched > 0 && touched < before))
+      .withColumn("files_reduced", lit(after < before))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tbl_optimize_range"    -> tblOptimizeRange,
     "tbl_cdc_on_commit"     -> tblCdcOnCommit,
     "tbl_sql_insert"        -> tblSqlInsert,
     "tbl_sql_delete"        -> tblSqlDelete,
@@ -2337,6 +2393,14 @@ object Acid {
         |       min(c2) AS min_c2, max(c2) AS max_c2,
         |       TRUE AS no_skip_before, TRUE AS skips_after
         |FROM base WHERE c2 BETWEEN (SELECT c0 FROM bnd) AND (SELECT chi FROM bnd)""".stripMargin,
+    "tbl_optimize_range" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       TRUE AS subset_only, TRUE AS files_reduced
+        |FROM base""".stripMargin,
     "tbl_optimize_compact" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

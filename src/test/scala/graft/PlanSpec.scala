@@ -219,4 +219,36 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty,
       "funnel stages must partition by user_id")
   }
+
+  test("op_tpch_q3: dim broadcasts, dates push down, top-k is TakeOrdered") {
+    val p = plan("op_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"),
+      "filtered BUILDING customer set must broadcast")
+    assert(p.contains("LessThan(o_orderdate") && p.contains("GreaterThan(l_shipdate"),
+      "date predicates must reach both fact scans")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must plan as TakeOrdered, not a global sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("op_tpch_q10: nation broadcasts, returnflag+window push down, TakeOrdered") {
+    val p = plan("op_tpch_q10")
+    assert(p.contains("BroadcastHashJoin"), "nation dim must broadcast")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag predicate must reach the lineitem scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "quarter window must reach the orders scan")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("op_tpch_q18: the big-order agg broadcasts back against orders") {
+    val p = simplePlan("op_tpch_q18")
+    assert(p.contains("BroadcastHashJoin"),
+      "batch-sized big-order set must broadcast, not shuffle orders")
+    assert("HashAggregate\\(keys=\\[l_orderkey".r.findAllIn(p).size >= 2,
+      "per-order quantity agg must have a map-side partial")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

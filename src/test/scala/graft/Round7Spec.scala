@@ -145,6 +145,56 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("optimizeRange rewrites only the overlapping files, carries the rest by sha") {
+    import java.security.MessageDigest
+    import scala.jdk.CollectionConverters._
+    def sha(p: java.nio.file.Path) =
+      MessageDigest.getInstance("SHA-256").digest(Files.readAllBytes(p))
+        .map("%02x".format(_)).mkString
+    def dataFiles(dir: String): Map[String, String] = {
+      val root = Paths.get(dir)
+      val w = Files.walk(root)
+      try w.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString -> sha(p)).toMap
+      finally w.close()
+    }
+    val dir = Scratch.fresh("r7_optr", sf)
+    Acid.create(spark, dir, kv(sf), "k", 16)
+    val mk = kv(sf).agg(max(col("k"))).head.getLong(0)
+    val total = kv(sf).count()
+    val sum0 = Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0)
+    // a MoR delete inside the range: the rewrite must materialize it away
+    val (nDel, _, _) = Acid.deleteWhereMor(spark, dir,
+      col("k") % 10 === 6 && col("k").between(mk / 3, 2 * mk / 3),
+      Some((mk / 3, 2 * mk / 3)), "dv")
+    assert(nDel > 0)
+    val m0 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val untouchedBefore = m0.files.filter(f => f.maxKey < mk / 3 || f.minKey > 2 * mk / 3)
+    assert(untouchedBefore.nonEmpty)
+    val shasBefore = dataFiles(dir)
+    val (touched, after, before) = Acid.optimizeRange(spark, dir, mk / 3, 2 * mk / 3, 2)
+    assert(touched > 0 && touched < before && after < before)
+    val m1 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    // untouched entries carried forward byte-identical, same manifest rows
+    val carried = m1.files.filter(f => untouchedBefore.exists(_.path == f.path))
+    assert(carried.map(_.path).sorted == untouchedBefore.map(_.path).sorted)
+    val shasAfter = dataFiles(dir)
+    carried.foreach(f => assert(shasAfter(f.path) == shasBefore(f.path),
+      s"${f.path} was rewritten"))
+    // rewritten entries dropped their deletion vectors; the table reads
+    // minus the deleted rows on every surface
+    assert(m1.files.forall(f => f.dv.isEmpty ||
+      untouchedBefore.exists(_.path == f.path)))
+    assert(Acid.snapshot(spark, dir).count() == total - nDel)
+    val deletedSum = Acid.snapshot(spark, dir).agg(sum(col("price_cents")))
+      .head.getLong(0)
+    assert(deletedSum < sum0)
+    // a range with no overlap is a no-op: no version burned
+    val vNow = Acid.latestVersion(dir)
+    assert(Acid.optimizeRange(spark, dir, mk * 10, mk * 20, 2)._1 == 0)
+    assert(Acid.latestVersion(dir) == vNow)
+  }
+
   test("semdedup K(n)+refined centroids beat fixed-16-first on a x10 corpus") {
     val base0 = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
