@@ -69,10 +69,21 @@ object Acid {
     * (unique by the format's contract, so a key names exactly one
     * logical row); `rows`/min/max stay the PHYSICAL file stats —
     * conservative for skipping, and readers subtract the sidecar. */
+  /** `pdv` = optional POSITIONAL deletion-vector sidecar (dirPath,
+    * posCount): the row-index twin of `dv` (Delta/Iceberg positional
+    * deletes, re-derived). The sidecar holds (fname, pos) pairs — data
+    * file name + `_metadata.row_index` — so it deletes PHYSICAL rows and
+    * therefore also covers tables whose first column is NOT a unique
+    * merge key. A parquet part file name embeds the task UUID, so the
+    * name alone identifies the file across relative-path spellings
+    * (clones reference source files as `../...` — the name still
+    * matches). An entry carries at most one of dv/pdv (the writers
+    * refuse to mix; OPTIMIZE materializes either away). */
   final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
                              stats2: Option[(String, Long, Long)] = None,
                              bloom: Option[(Int, String)] = None,
-                             dv: Option[(String, Long)] = None)
+                             dv: Option[(String, Long)] = None,
+                             pdv: Option[(String, Long)] = None)
   /** `batchHw` maps each writer identity (the `writerTag` a merge commits
     * under — the analogue of Delta's `txnAppId`) to the high-water mark of
     * batch ids THAT writer has committed. Keyed per writer, not
@@ -165,6 +176,7 @@ object Acid {
       var s2: Option[(String, Long, Long)] = None
       var bloom: Option[(Int, String)] = None
       var dv: Option[(String, Long)] = None
+      var pdv: Option[(String, Long)] = None
       var rest = a.drop(4).toList
       while (rest.nonEmpty) rest.head match {
         case b if b.startsWith("B:") =>
@@ -175,11 +187,15 @@ object Acid {
           val i = dvt.indexOf(':', 2)
           dv = Some((dvt.substring(i + 1), dvt.substring(2, i).toLong))
           rest = rest.tail
+        case pt if pt.startsWith("P:") =>
+          val i = pt.indexOf(':', 2)
+          pdv = Some((pt.substring(i + 1), pt.substring(2, i).toLong))
+          rest = rest.tail
         case _ =>
           s2 = Some((rest.head, rest(1).toLong, rest(2).toLong))
           rest = rest.drop(3)
       }
-      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom, dv)
+      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom, dv, pdv)
     }
     val hw =
       if (header.length >= 3 && header(2).nonEmpty)
@@ -219,7 +235,8 @@ object Acid {
         val s2 = f.stats2.map { case (c, mn, mx) => s"|$c|$mn|$mx" }.getOrElse("")
         val bl = f.bloom.map { case (bits, hex) => s"|B:$bits:$hex" }.getOrElse("")
         val dvs = f.dv.map { case (p, n) => s"|D:$n:$p" }.getOrElse("")
-        s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs"
+        val pdvs = f.pdv.map { case (p, n) => s"|P:$n:$p" }.getOrElse("")
+        s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs"
       }).mkString("\n")
     // UUID suffix: two writers racing the same version in DIFFERENT JVMs
     // can share a thread id, which would let the second Files.write
@@ -313,21 +330,36 @@ object Acid {
   }
 
   /** Subtract the entries' deletion-vector sidecars from a read of those
-    * entries: an anti-join on the merge key against the (delete-sized,
-    * deduped) union of referenced sidecars. No DVs → the frame passes
-    * through untouched, so DV-less tables pay nothing. AQE picks a
-    * broadcast for the usual tiny DV side; a pathologically large DV
-    * set degrades to a shuffle anti-join, still correct.
+    * entries: an anti-join on the merge key (key-level `dv`) and/or on
+    * (file name, row index) (positional `pdv`) against the
+    * (delete-sized, deduped) union of referenced sidecars. No DVs → the
+    * frame passes through untouched, so DV-less tables pay nothing. AQE
+    * picks a broadcast for the usual tiny DV side; a pathologically
+    * large DV set degrades to a shuffle anti-join, still correct.
+    * `base` must be the RAW file-source read (every caller's shape) —
+    * the positional branch resolves `_metadata` on it.
     */
   private def applyDv(s: SparkSession, dir: String, entries: Seq[FileEntry],
                       base: DataFrame): DataFrame = {
+    val pdvs = entries.flatMap(_.pdv.map(_._1)).distinct
+    val posApplied =
+      if (pdvs.isEmpty) base
+      else {
+        val del = s.read.parquet(pdvs.map(p => s"$dir/$p"): _*)
+          .select(col("fname"), col("pos")).distinct()
+        base
+          .withColumn("fname", expr("substring_index(_metadata.file_path, '/', -1)"))
+          .withColumn("pos", col("_metadata.row_index"))
+          .join(del, Seq("fname", "pos"), "left_anti")
+          .drop("fname", "pos")
+      }
     val dvs = entries.flatMap(_.dv.map(_._1)).distinct
-    if (dvs.isEmpty) base
+    if (dvs.isEmpty) posApplied
     else {
       val key = base.schema.fields.head.name
       val del = s.read.parquet(dvs.map(p => s"$dir/$p"): _*)
         .select(col(key)).distinct()
-      base.join(del, Seq(key), "left_anti")
+      posApplied.join(del, Seq(key), "left_anti")
     }
   }
 
@@ -857,10 +889,10 @@ object Acid {
     // Diff on (path, dv) SIGNATURES, not bare paths: a merge-on-read
     // delete keeps a file's path and changes only its deletion vector —
     // a path-only diff would show an empty increment for real deletes.
-    val sig0 = m0.files.map(f => (f.path, f.dv)).toSet
-    val sig1 = m1.files.map(f => (f.path, f.dv)).toSet
-    val oldOnly = m0.files.filterNot(f => sig1.contains((f.path, f.dv)))
-    val newOnly = m1.files.filterNot(f => sig0.contains((f.path, f.dv)))
+    val sig0 = m0.files.map(f => (f.path, f.dv, f.pdv)).toSet
+    val sig1 = m1.files.map(f => (f.path, f.dv, f.pdv)).toSet
+    val oldOnly = m0.files.filterNot(f => sig1.contains((f.path, f.dv, f.pdv)))
+    val newOnly = m1.files.filterNot(f => sig0.contains((f.path, f.dv, f.pdv)))
     def readRaw(fs: Seq[FileEntry]): DataFrame =
       if (fs.isEmpty) snapshot(s, dir, v1).limit(0)
       else applyDv(s, dir, fs, s.read.option("mergeSchema", "true")
@@ -946,7 +978,7 @@ object Acid {
     // vectors — count the DV-applied frame instead (those files were
     // just read for the rewrite anyway)
     val touchedRows =
-      if (touched.exists(_.dv.isDefined)) touchedDf.count()
+      if (touched.exists(f => f.dv.isDefined || f.pdv.isDefined)) touchedDf.count()
       else touched.map(_.rows).sum
     val deleted = touchedRows - newEntries.map(_.rows).sum
     (deleted, touched.size, m.files.size)
@@ -977,6 +1009,9 @@ object Acid {
       case None           => (m.files, Seq.empty[FileEntry])
     }
     if (touched.isEmpty) return (0L, 0, m.files.size)
+    require(touched.forall(_.pdv.isEmpty),
+      "entries carry positional deletion vectors — positional and key-level " +
+        "vectors never mix on one entry; run Acid.optimize first")
     val touchedDf = applyDv(s, dir, touched, s.read.option("mergeSchema", "true")
       .parquet(touched.map(f => s"$dir/${f.path}"): _*))
     val newDel = touchedDf.filter(pred).select(col(key))
@@ -991,6 +1026,54 @@ object Acid {
     val deleted = newDel.count()
     commitManifest(dir, Manifest(base + 1, -1L,
       untouched ++ touched.map(_.copy(dv = Some((dvDir, total)))),
+      m.batchHw, None, m.constraint))
+    (deleted, touched.size, m.files.size)
+  }
+
+  /** DELETE as MERGE-ON-READ at the ROW-INDEX level (Delta/Iceberg
+    * positional deletes, re-derived): the matching rows' (file name,
+    * `_metadata.row_index`) pairs are written once to a sidecar and every
+    * touched entry points at it — no data file is rewritten, and unlike
+    * the key-level `deleteWhereMor` this contract does NOT require the
+    * first column to be a unique merge key: it deletes physical row
+    * slots, so duplicate-key (fact/event) tables are covered. Repeated
+    * positional deletes fold the prior sidecars into the new one;
+    * key-level and positional vectors never mix on one entry (refused —
+    * OPTIMIZE first); OPTIMIZE/optimizeRange materialize them away.
+    * Write cost is O(deleted rows); readers anti-join on (fname, pos).
+    * Returns (deletedRows, filesTagged, filesTotal).
+    */
+  def deleteWherePositional(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column, keyRange: Option[(Long, Long)],
+      writerTag: String): (Long, Int, Int) = {
+    val base = latestVersion(dir)
+    val m = readManifest(dir, base)
+    val (touched, untouched) = keyRange match {
+      case Some((lo, hi)) => m.files.partition(f => f.maxKey >= lo && f.minKey <= hi)
+      case None           => (m.files, Seq.empty[FileEntry])
+    }
+    if (touched.isEmpty) return (0L, 0, m.files.size)
+    require(touched.forall(_.dv.isEmpty),
+      "entries carry key-level deletion vectors — positional and key-level " +
+        "vectors never mix on one entry; run Acid.optimize first")
+    val withPos = s.read.option("mergeSchema", "true")
+      .parquet(touched.map(f => s"$dir/${f.path}"): _*)
+      .withColumn("fname", expr("substring_index(_metadata.file_path, '/', -1)"))
+      .withColumn("pos", col("_metadata.row_index"))
+    val prior = touched.flatMap(_.pdv.map(_._1)).distinct
+    val priorDel =
+      if (prior.isEmpty) None
+      else Some(s.read.parquet(prior.map(p => s"$dir/$p"): _*)
+        .select(col("fname"), col("pos")).distinct())
+    val liveRows = priorDel.fold(withPos)(d => withPos.join(d, Seq("fname", "pos"), "left_anti"))
+    val newDel = liveRows.filter(pred).select(col("fname"), col("pos"))
+    val allDel = priorDel.fold(newDel)(newDel.unionByName(_)).distinct()
+    val pdvDir = s"_pdv/d${base + 1}_$writerTag"
+    allDel.coalesce(1).write.parquet(s"$dir/$pdvDir")
+    val total = s.read.parquet(s"$dir/$pdvDir").count()
+    val deleted = newDel.count()
+    commitManifest(dir, Manifest(base + 1, -1L,
+      untouched ++ touched.map(_.copy(pdv = Some((pdvDir, total)))),
       m.batchHw, None, m.constraint))
     (deleted, touched.size, m.files.size)
   }
@@ -1156,7 +1239,8 @@ object Acid {
     val rel = Paths.get(dstDir).toAbsolutePath
       .relativize(Paths.get(srcDir).toAbsolutePath)
     val entries = m.files.map(f => f.copy(path = s"$rel/${f.path}",
-      dv = f.dv.map { case (p, n) => (s"$rel/$p", n) }))
+      dv = f.dv.map { case (p, n) => (s"$rel/$p", n) },
+      pdv = f.pdv.map { case (p, n) => (s"$rel/$p", n) }))
     commitManifest(dstDir, Manifest(0, -1L, entries, constraint = m.constraint))
     entries.size
   }
@@ -1176,7 +1260,8 @@ object Acid {
     // Deletion-vector sidecars referenced by retained entries are live —
     // deleting one would resurrect its rows.
     val liveCdcPrefixes = retained.flatMap(_.cdcPath).map(_ + "/") ++
-      retained.flatMap(_.files.flatMap(_.dv.map(_._1 + "/")))
+      retained.flatMap(_.files.flatMap(_.dv.map(_._1 + "/"))) ++
+      retained.flatMap(_.files.flatMap(_.pdv.map(_._1 + "/")))
     val root = Paths.get(dir)
     val all = {
       val st = Files.walk(root)
@@ -2041,7 +2126,39 @@ object Acid {
       .withColumn("files_reduced", lit(after < before))
   }
 
+  /** tbl_positional_delete — positional (row-index) merge-on-read DELETE
+    * on a table whose first column is NOT unique (lineitem keyed by
+    * l_orderkey): the case key-level DVs cannot express. Two deletes fold
+    * into one sidecar pointer per entry; no data file is rewritten; the
+    * survivors' aggregate travels through the oracle, the no-rewrite and
+    * single-pointer invariants as pinned booleans.
+    */
+  val tblPositionalDelete: Q = (s, d) => {
+    val dir = fresh("tbl_positional_delete", d)
+    val t = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("k"),
+      expr("cast(round(l_quantity) as bigint)").as("qty"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("price_cents"))
+    create(s, dir, t, "k", 8)
+    val mk = t.agg(max(col("k"))).head.getLong(0)
+    val before = readManifest(dir, 0).files.map(_.path).toSet
+    val (n1, _, _) = deleteWherePositional(s, dir,
+      col("qty") <= 10 && col("k") < lit(mk / 2), Some((0L, mk / 2)), "p1")
+    val (n2, _, _) = deleteWherePositional(s, dir,
+      col("qty") >= 45 && col("k") < lit(mk / 2), Some((0L, mk / 2)), "p2")
+    val m = readManifest(dir, latestVersion(dir))
+    val noRewrite = m.files.map(_.path).toSet == before
+    val onePointer =
+      m.files.flatMap(_.pdv.map(_._1)).distinct.size == 1
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+        sum(col("price_cents")).as("sum_cents"))
+      .withColumn("no_rewrite", lit(noRewrite && n1 > 0 && n2 > 0))
+      .withColumn("one_pointer", lit(onePointer))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tbl_positional_delete" -> tblPositionalDelete,
     "tbl_optimize_range"    -> tblOptimizeRange,
     "tbl_cdc_on_commit"     -> tblCdcOnCommit,
     "tbl_sql_insert"        -> tblSqlInsert,
@@ -2393,6 +2510,18 @@ object Acid {
         |       min(c2) AS min_c2, max(c2) AS max_c2,
         |       TRUE AS no_skip_before, TRUE AS skips_after
         |FROM base WHERE c2 BETWEEN (SELECT c0 FROM bnd) AND (SELECT chi FROM bnd)""".stripMargin,
+    "tbl_positional_delete" ->
+      """WITH t AS (
+        |  SELECT l_orderkey AS k, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |mx AS (SELECT max(k) AS m FROM t)
+        |SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |       CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       TRUE AS no_rewrite, TRUE AS one_pointer
+        |FROM t
+        |WHERE NOT ((qty <= 10 OR qty >= 45) AND k < (SELECT m FROM mx) // 2)
+        |""".stripMargin,
     "tbl_optimize_range" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
@@ -114,12 +114,23 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
       else s.read.option("mergeSchema", "true")
         .parquet(live.map(f => s"$dir/${f.path}"): _*)
     // merge-on-read deletion vectors: subtract the live entries'
-    // sidecar union with a key anti-join (the same contract as
-    // Acid.snapshot; DV-less tables skip this entirely)
+    // sidecar union — key-level with a key anti-join, positional with a
+    // (fname, pos) anti-join on the file-source metadata (the same
+    // contract as Acid.snapshot; DV-less tables skip both entirely)
+    val pdvs = live.flatMap(_.pdv.map(_._1)).distinct
+    val posApplied =
+      if (pdvs.isEmpty) raw
+      else raw
+        .withColumn("fname", expr("substring_index(_metadata.file_path, '/', -1)"))
+        .withColumn("pos", col("_metadata.row_index"))
+        .join(s.read.parquet(pdvs.map(p => s"$dir/$p"): _*)
+          .select(col("fname"), col("pos")).distinct(),
+          Seq("fname", "pos"), "left_anti")
+        .drop("fname", "pos")
     val dvs = live.flatMap(_.dv.map(_._1)).distinct
     val base =
-      if (dvs.isEmpty) raw
-      else raw.join(
+      if (dvs.isEmpty) posApplied
+      else posApplied.join(
         s.read.parquet(dvs.map(p => s"$dir/$p"): _*).select(col(keyCol)).distinct(),
         Seq(keyCol), "left_anti")
     // re-apply the key range on the inner frame so it reaches the parquet

@@ -594,6 +594,13 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     // touched file with the same sidecar, so summing per entry would
     // count one 50k-key sidecar shared by 8 files as 400k and trip the
     // gate far below the documented limit.
+    // Positional vectors would need row-index plumbing through the Group
+    // and columnar readers — the V2 scan REFUSES them (same honest-refusal
+    // contract as the inline budget); the library readers and the V1
+    // relation subtract them, and OPTIMIZE materializes them away.
+    require(all.forall(_.pdv.isEmpty),
+      s"graft-acid-sql: $dir carries positional deletion vectors — read " +
+        "via graft-acid (V1) or the library API, or run Acid.optimize first")
     val dvTotal = all.flatMap(_.dv).distinct.map(_._2).sum
     require(dvTotal <= AcidSql.DvInlineLimit,
       s"graft-acid-sql: $dir carries $dvTotal merge-on-read deleted keys " +

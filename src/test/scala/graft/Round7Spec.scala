@@ -221,6 +221,67 @@ class Round7Spec extends AnyFunSuite {
       s"K=$k refined max cluster $maxRefined !< fixed-16 max $maxFixed")
   }
 
+  test("positional deletion vectors: no rewrite, every reader subtracts, V2 refuses") {
+    import java.security.MessageDigest
+    import scala.jdk.CollectionConverters._
+    def sha(p: java.nio.file.Path) =
+      MessageDigest.getInstance("SHA-256").digest(Files.readAllBytes(p))
+        .map("%02x".format(_)).mkString
+    def dataShas(dir: String): Map[String, String] = {
+      val root = Paths.get(dir)
+      val w = Files.walk(root)
+      try w.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && !p.toString.contains("_pdv"))
+        .map(p => root.relativize(p).toString -> sha(p)).toMap
+      finally w.close()
+    }
+    val dir = Scratch.fresh("r7_pdv", sf)
+    // NON-unique key: duplicate l_orderkey rows — key-level DVs can't do this
+    val t = Tables.lineitem(spark, sf).select(
+      col("l_orderkey").as("k"),
+      expr("cast(round(l_quantity) as bigint)").as("qty"))
+    Acid.create(spark, dir, t, "k", 8)
+    assert(t.groupBy("k").count().filter(col("count") > 1).count() > 0,
+      "fixture must have duplicate keys")
+    val total = t.count()
+    val before = dataShas(dir)
+    val (n1, tagged, _) = Acid.deleteWherePositional(spark, dir,
+      col("qty") % 7 === 0, None, "p1")
+    assert(n1 > 0 && tagged == 8)
+    // data files untouched byte-for-byte; only the sidecar is new
+    assert(dataShas(dir) == before, "positional delete must not rewrite data")
+    // library + V1 readers subtract exactly the deleted rows
+    assert(Acid.snapshot(spark, dir).count() == total - n1)
+    assert(Acid.snapshot(spark, dir).filter(col("qty") % 7 === 0).count() == 0)
+    val mk = t.agg(max(col("k"))).head.getLong(0)
+    val (ranged, _, _) = Acid.scanRange(spark, dir, 0, mk)
+    assert(ranged.filter(col("qty") % 7 === 0).count() == 0)
+    assert(spark.read.format("graft-acid").load(dir).count() == total - n1)
+    // time travel still sees the pre-delete snapshot
+    assert(Acid.snapshot(spark, dir, 0).count() == total)
+    // V2 refuses loudly while positional vectors exist
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-acid-sql").load(dir).count()
+    }
+    assert(ex.getMessage.contains("positional"))
+    // mixing refusals, both directions
+    assert(Try(Acid.deleteWhereMor(spark, dir,
+      col("qty") === 1, None, "mx")).isFailure)
+    // clone carries the sidecar by reference; vacuum keeps it live
+    val cloneDir = Scratch.fresh("r7_pdv_clone", sf)
+    Files.delete(Paths.get(cloneDir))
+    Acid.cloneShallow(spark, dir, cloneDir)
+    assert(Acid.snapshot(spark, cloneDir).count() == total - n1)
+    Acid.vacuum(spark, dir, 1)
+    assert(Acid.snapshot(spark, dir).count() == total - n1,
+      "vacuum reclaimed a live positional sidecar")
+    // OPTIMIZE materializes positional vectors away; V2 reads again
+    Acid.optimize(spark, dir, 4)
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m.files.forall(f => f.pdv.isEmpty && f.dv.isEmpty))
+    assert(spark.read.format("graft-acid-sql").load(dir).count() == total - n1)
+  }
+
   test("TIMESTAMP AS OF below the vacuum horizon refuses cleanly") {
     val dir = Scratch.fresh("r7_tt_vacuum", sf)
     Acid.create(spark, dir, kv(sf), "k", 4)
