@@ -221,7 +221,7 @@ class Round7Spec extends AnyFunSuite {
       s"K=$k refined max cluster $maxRefined !< fixed-16 max $maxFixed")
   }
 
-  test("positional deletion vectors: no rewrite, every reader subtracts, V2 refuses") {
+  test("positional deletion vectors: no rewrite, every reader subtracts, V2 skips by ordinal") {
     import java.security.MessageDigest
     import scala.jdk.CollectionConverters._
     def sha(p: java.nio.file.Path) =
@@ -259,11 +259,18 @@ class Round7Spec extends AnyFunSuite {
     assert(spark.read.format("graft-acid").load(dir).count() == total - n1)
     // time travel still sees the pre-delete snapshot
     assert(Acid.snapshot(spark, dir, 0).count() == total)
-    // V2 refuses loudly while positional vectors exist
-    val ex = intercept[IllegalArgumentException] {
-      spark.read.format("graft-acid-sql").load(dir).count()
-    }
-    assert(ex.getMessage.contains("positional"))
+    // V2 subtracts positional vectors by row ordinal (inline, under budget)
+    val v2 = spark.read.format("graft-acid-sql").load(dir)
+    assert(v2.count() == total - n1)
+    assert(v2.filter(col("qty") % 7 === 0).count() == 0)
+    // above the (conf-shrunk) inline budget the scan refuses toward OPTIMIZE
+    spark.conf.set("spark.graft.dvInlineBudget", (n1 - 1).toString)
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        spark.read.format("graft-acid-sql").load(dir).count()
+      }
+      assert(ex.getMessage.contains("positional"))
+    } finally spark.conf.unset("spark.graft.dvInlineBudget")
     // mixing refusals, both directions
     assert(Try(Acid.deleteWhereMor(spark, dir,
       col("qty") === 1, None, "mx")).isFailure)
@@ -280,6 +287,38 @@ class Round7Spec extends AnyFunSuite {
     val m = Acid.readManifest(dir, Acid.latestVersion(dir))
     assert(m.files.forall(f => f.pdv.isEmpty && f.dv.isEmpty))
     assert(spark.read.format("graft-acid-sql").load(dir).count() == total - n1)
+  }
+
+  test("option(readChangeFeed) on the format reader serves the CDF surface") {
+    val root = Scratch.fresh("r7_cdfopt", sf)
+    val dir = s"$root/t"
+    val mk = kv(sf).agg(max(col("k"))).head.getLong(0)
+    Acid.create(spark, dir, kv(sf), "k", 8)
+    Acid.merge(spark, dir,
+      kv(sf).filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+        .withColumn("price_cents", col("price_cents") + 777), "u", writeCdf = true)
+    Acid.deleteWhere(spark, dir, col("k") % 10 === 6 && col("k") < lit(mk / 4),
+      Some((0L, mk / 4)), "d", writeCdf = true)
+    val opt = spark.read.format("graft-acid-sql")
+      .option("readChangeFeed", "true").load(dir)
+    // CDF schema, not the snapshot schema
+    assert(opt.columns.contains("_change_type") &&
+      opt.columns.contains("_commit_version"))
+    // same rows as the catalog `.changes` metadata table
+    val cat = "graft_r7cdf_" + Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val viaChanges = spark.read.table(s"$cat.t.changes")
+    assert(opt.collect().map(_.toString).sorted.toSeq ==
+      viaChanges.collect().map(_.toString).sorted.toSeq)
+    // startingVersion bounds the increment range on the same spelling
+    val v2Only = spark.read.format("graft-acid-sql")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(dir)
+    assert(v2Only.select(col("_commit_version")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // without the option, the same format still reads the snapshot
+    assert(spark.read.format("graft-acid-sql").load(dir).columns
+      .sameElements(Array("k", "price_cents", "prio")))
   }
 
   test("TIMESTAMP AS OF below the vacuum horizon refuses cleanly") {
