@@ -413,12 +413,15 @@ object Acid {
 
   private def schemaPath(dir: String) = logDir(dir).resolve("_schema.ddl")
 
-  /** Persist the DECLARED schema next to the log. Written once by plain
+  /** Persist the DECLARED schema next to the log. Written by plain
     * `CREATE TABLE` (AcidCatalog) BEFORE the empty v0 commits, so any
-    * reader that can see v0 can see the schema. It is only a FALLBACK:
-    * whenever the manifest lists data files the schema derives from them
-    * (mergeSchema), exactly as before — so evolution keeps working and
-    * pre-existing tables never consult it.
+    * reader that can see v0 can see the schema, and REWRITTEN by
+    * catalog `ALTER TABLE ... ADD COLUMN` (metadata-only widening).
+    * Whenever the manifest lists data files the file-derived schema
+    * (mergeSchema) stays authoritative for the columns files carry;
+    * the sidecar only CONTRIBUTES columns no file has yet
+    * (tableSchema) — so write-path evolution keeps working and
+    * never-ALTERed tables see no behavior change.
     */
   private[sources] def writeDeclaredSchema(dir: String, schema: StructType): Unit = {
     Files.createDirectories(logDir(dir))
@@ -430,6 +433,21 @@ object Acid {
       Some(StructType.fromDDL(new String(
         Files.readAllBytes(schemaPath(dir)), StandardCharsets.UTF_8)))
     else None
+
+  /** The table's LOGICAL schema at latest: file-derived (mergeSchema)
+    * plus any declared-sidecar columns no data file carries yet. ALTER
+    * ADD COLUMN (AcidCatalog.alterTable) evolves the sidecar first —
+    * metadata-only, no data rewrite — and readers surface NULLs for the
+    * widened column until the next insert writes it; once any file
+    * carries the column the file-derived side takes over, exactly the
+    * additive tbl_schema_evolve contract. Tables never ALTERed are
+    * unaffected: their sidecar (if any) matches the file schema. */
+  private[sources] def tableSchema(s: SparkSession, dir: String): StructType = {
+    val base = snapshot(s, dir).schema
+    declaredSchema(dir).fold(base)(_.fields
+      .filterNot(f => base.fieldNames.contains(f.name))
+      .foldLeft(base)((acc, f) => acc.add(f.copy(nullable = true))))
+  }
 
   private def emptySnapshot(s: SparkSession, dir: String, v: Int): DataFrame = {
     val schema = declaredSchema(dir).getOrElse(throw new IllegalStateException(
@@ -1987,6 +2005,40 @@ object Acid {
       .withColumn("schema_widened", lit(widened))
   }
 
+  /** tbl_catalog_evolve — `ALTER TABLE ... ADD COLUMN` through the V2
+    * catalog plugin (AcidCatalog.alterTable): the declared-schema sidecar
+    * widens first — a metadata-only change, no data rewrite, O(1) at any
+    * table size — `loadTable` serves declared ∪ file-derived, every
+    * pre-ALTER row surfaces NULL for the new column, and the next INSERT
+    * writes it (file-derived schema takes over). The session-catalog twin
+    * is tbl_sql_alter; this row pins the same additive contract on the
+    * catalog plugin, where Spark delegates ALTER to the connector instead
+    * of handling it in its own metastore.
+    */
+  val tblCatalogEvolve: Q = (s, d) => {
+    val root = fresh("tbl_catalog_evolve_cat", d)
+    val cat = "graft_evo_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val mk = maxKey(s, d)
+    ordersKV(s, d).createOrReplaceTempView("graft_evo_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"CREATE TABLE $cat.t AS SELECT k, price_cents, prio FROM graft_evo_src")
+    s.sql(s"ALTER TABLE $cat.t ADD COLUMN discount_cents BIGINT")
+    s.sql(
+      s"""INSERT INTO $cat.t
+         |SELECT k + $mk + 1, k * 3 + 45, 'NEW', k * 2 + 9
+         |FROM graft_evo_src WHERE k % 100 = 0""".stripMargin)
+    val widened = s.table(s"$cat.t").schema.fieldNames.contains("discount_cents")
+    s.sql(
+      s"""SELECT count(*) AS n, sum(price_cents) AS sum_cents,
+         |       sum(CASE WHEN discount_cents IS NULL THEN CAST(1 AS BIGINT)
+         |                ELSE CAST(0 AS BIGINT) END) AS n_no_disc,
+         |       sum(coalesce(discount_cents, CAST(0 AS BIGINT))) AS sum_disc
+         |FROM $cat.t""".stripMargin)
+      .withColumn("schema_widened", lit(widened))
+  }
+
   /** tbl_sql_update — SQL `UPDATE` through `SupportsRowLevelOperations`
     * (group-based copy-on-write): Spark plans a matching-groups subquery,
     * the scan's `_file` runtime filter narrows the rewrite to the files
@@ -2166,6 +2218,7 @@ object Acid {
     "tbl_sql_ctas"          -> tblSqlCtas,
     "tbl_sql_travel"        -> tblSqlTravel,
     "tbl_sql_alter"         -> tblSqlAlter,
+    "tbl_catalog_evolve"    -> tblCatalogEvolve,
     "tbl_sql_update"        -> tblSqlUpdate,
     "tbl_sql_merge"         -> tblSqlMerge,
     "tbl_acid_merge"        -> tblAcidMerge,
@@ -2253,6 +2306,17 @@ object Acid {
         |WHERE k NOT BETWEEN (SELECT m FROM mx) // 2
         |                AND (SELECT m FROM mx) // 2 + (SELECT m FROM mx) // 8""".stripMargin,
     "tbl_sql_alter" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |ins AS (SELECT k FROM base WHERE k % 100 = 0)
+        |SELECT (SELECT count(*) FROM base) + (SELECT count(*) FROM ins) AS n,
+        |       CAST((SELECT sum(pc) FROM base)
+        |          + (SELECT sum(k * 3 + 45) FROM ins) AS BIGINT) AS sum_cents,
+        |       (SELECT count(*) FROM base) AS n_no_disc,
+        |       CAST((SELECT sum(k * 2 + 9) FROM ins) AS BIGINT) AS sum_disc,
+        |       TRUE AS schema_widened""".stripMargin,
+    "tbl_catalog_evolve" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,
         |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),

@@ -77,7 +77,7 @@ class AcidCatalog extends StagingTableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (exists(dir))
-      new AcidSqlTable(dir, Acid.snapshot(SparkSession.active, dir).schema)
+      new AcidSqlTable(dir, Acid.tableSchema(SparkSession.active, dir))
     else if (ident.name() == "changes" && ident.namespace().nonEmpty) {
       // `<cat>.t.changes` — the change-data-feed METADATA TABLE (Iceberg's
       // `db.table.files` idiom): the trailing name selects the CDF view of
@@ -138,12 +138,43 @@ class AcidCatalog extends StagingTableCatalog {
     new AcidStagedTable(dir, info.schema())
   }
 
-  /** Schema lives in the data files; catalog-level ALTER is served by the
-    * session-catalog surface (tbl_sql_alter). Refuse loudly here. */
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catName: ALTER TABLE not supported on the staging catalog; " +
-        "use the session-catalog table (tbl_sql_alter path)")
+  /** `ALTER TABLE <cat>.t ADD COLUMN c T` — additive schema evolution as
+    * a metadata-only commit: the declared-schema sidecar widens (no data
+    * rewrite), `loadTable` serves declared ∪ file-derived from then on,
+    * and every reader surfaces NULL for the new column until the next
+    * insert writes it (at which point mergeSchema derivation takes over —
+    * the same contract as tbl_schema_evolve / session-catalog
+    * tbl_sql_alter). Only top-level nullable appended columns are
+    * additive; anything else (drops, renames, type changes, nested or
+    * positioned adds) would need versioned schema metadata to stay
+    * time-travel-consistent, so it refuses loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!exists(dir)) throw new NoSuchTableException(ident)
+    val evolved = changes.foldLeft(Acid.tableSchema(SparkSession.active, dir)) {
+      case (sch, add: TableChange.AddColumn) =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catName: only top-level ADD COLUMN is supported")
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            s"$catName: ADD COLUMN must be nullable — existing rows have no value")
+        if (add.position() != null)
+          throw new UnsupportedOperationException(
+            s"$catName: ADD COLUMN FIRST/AFTER would reorder existing data; " +
+              "only appended columns are additive")
+        val name = add.fieldNames().head
+        if (sch.fieldNames.exists(_.equalsIgnoreCase(name)))
+          throw new IllegalArgumentException(
+            s"$catName.$ident: column $name already exists")
+        sch.add(name, add.dataType(), nullable = true)
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"$catName: unsupported ALTER TABLE change $other — only ADD COLUMN")
+    }
+    Acid.writeDeclaredSchema(dir, evolved)
+    new AcidSqlTable(dir, evolved)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(dirOf(ident))

@@ -321,6 +321,53 @@ class Round7Spec extends AnyFunSuite {
       .sameElements(Array("k", "price_cents", "prio")))
   }
 
+  test("catalog ALTER ADD COLUMN is metadata-only; NULLs until insert; rest refuses") {
+    import java.security.MessageDigest
+    import scala.jdk.CollectionConverters._
+    def dataShas(dir: String): Map[String, String] = {
+      val root = Paths.get(dir)
+      val w = Files.walk(root)
+      try w.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          MessageDigest.getInstance("SHA-256").digest(Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString).toMap
+      finally w.close()
+    }
+    val root = Scratch.fresh("r7_catevo", sf)
+    val cat = "graft_r7evo_" + Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    Acid.create(spark, dir, kv(sf), "k", 8)
+    val total = kv(sf).count()
+    val before = dataShas(dir)
+    val vBefore = Acid.latestVersion(dir)
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN discount_cents BIGINT")
+    // metadata-only: no new table version, no data file touched
+    assert(Acid.latestVersion(dir) == vBefore, "ALTER must not commit a data version")
+    assert(dataShas(dir) == before, "ALTER must not rewrite data files")
+    // every pre-ALTER row surfaces NULL; count and pruning intact
+    val t = spark.table(s"$cat.t")
+    assert(t.schema.fieldNames.toSeq == Seq("k", "price_cents", "prio", "discount_cents"))
+    assert(t.count() == total)
+    assert(t.filter(col("discount_cents").isNotNull).count() == 0)
+    // VERSION AS OF a pre-ALTER version serves the pre-ALTER schema
+    assert(!spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 0").schema
+      .fieldNames.contains("discount_cents"))
+    // the next insert writes the column; file-derived schema takes over
+    spark.sql(s"INSERT INTO $cat.t VALUES (${Long.MaxValue / 2}, 100, 'NEW', 9)")
+    val after = spark.table(s"$cat.t")
+    assert(after.count() == total + 1)
+    assert(after.filter(col("discount_cents") === 9).count() == 1)
+    // non-additive changes refuse loudly
+    assert(Try(spark.sql(s"ALTER TABLE $cat.t DROP COLUMN prio")).isFailure)
+    assert(Try(spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN prio TO p2")).isFailure)
+    assert(Try(spark.sql(
+      s"ALTER TABLE $cat.t ADD COLUMN dup_test BIGINT AFTER k")).isFailure)
+    assert(Try(spark.sql(s"ALTER TABLE $cat.t ADD COLUMN prio STRING")).isFailure)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("TIMESTAMP AS OF below the vacuum horizon refuses cleanly") {
     val dir = Scratch.fresh("r7_tt_vacuum", sf)
     Acid.create(spark, dir, kv(sf), "k", 4)
