@@ -457,6 +457,20 @@ object Xml {
   private val Terms =
     Map("comment" -> "->", "cdata" -> "]]>", "pi" -> "?>", "bang" -> ">")
 
+  /** Bound on a single start/end tag (incl. attributes) the CHUNKED
+    * planner will reconstruct across a boundary. Without it, a WRONG
+    * speculation (e.g. "this chunk starts inside a quoted attribute" in a
+    * chunk whose quote parity never closes it) captures the entire chunk
+    * as its "tag remainder" — pass-A summaries must be metadata-sized at
+    * any chunk size (the 1 GB probe caught exactly this: ~50% of chunks
+    * shipped 128 MiB strings and the driver collect blew past
+    * maxResultSize). A speculation exceeding the bound is marked
+    * `overflow`; the stitch throws ONLY if the true boundary context
+    * selects it — i.e. a real tag longer than this, which the split
+    * reader documents as unsupported (the sequential planner has no such
+    * bound). */
+  private val MaxSpecTag = 1 << 16
+
   /** Pass A: speculative structural scan of one chunk (runs on executors).
     * Mirrors scanPath's lexical rules exactly — comment/bang terminators
     * searched from after the 3-byte classification prefix, PI from after
@@ -488,10 +502,12 @@ object Xml {
       }
       -1
     }
-    // quote-aware start-tag scan; Right(idxAfterGt) or Left(pending kind)
+    // quote-aware start-tag scan; Right(idxAfterGt), Left(pending kind),
+    // or Left("overflow") past the MaxSpecTag bound (see its scaladoc)
     def tagScan(from: Int, q0: Int): Either[String, Int] = {
       var q = q0; var i = from
       while (i < n) {
+        if (i - from > MaxSpecTag) return Left("overflow")
         val b = arr(i) & 0xFF
         if (q == 0 && (b == '"' || b == '\'')) q = b
         else if (q != 0 && b == q) q = 0
@@ -502,12 +518,41 @@ object Xml {
     }
     def raw(i0: Int, i1: Int) = new String(arr, i0, i1 - i0, "ISO-8859-1")
 
-    val memo = scala.collection.mutable.Map.empty[Int, (Int, List[String], LexExit)]
-    def content(i0: Int): (Int, List[String], LexExit) = memo.getOrElseUpdate(i0, {
+    /** One sweep serving resume `i0` AND every `wanted` resume the sweep
+      * reaches in plain-content state, via checkpoint deltas: at a wanted
+      * offset r hit in content state, the remaining walk is byte-identical
+      * for the r-resume, so its result is reconstructed from (pops,
+      * |opens|) at r plus the min |opens| since — one chunk pass serves
+      * all converging resumes instead of one full pass per resume (the
+      * 1 GB probe measured the per-resume passes as the planner's CPU
+      * multiplier). Wanted offsets the sweep jumps over inside a token
+      * are genuinely ambiguous and return in `leftover` for their own
+      * (recursively shared) walk. */
+    def walkFrom(i0: Int, wanted: List[Int])
+        : (Map[Int, (Int, List[String], LexExit)], List[Int]) = {
       var i = i0; var pops = 0
-      val opens = scala.collection.mutable.ListBuffer.empty[String]
+      val opens = scala.collection.mutable.ArrayBuffer.empty[String]
+      // fired checkpoints: (resume, popsAt, opensAt, minOpensSince)
+      val cps = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+      var queue = wanted.sorted
+      val leftover = scala.collection.mutable.ListBuffer.empty[Int]
       var exit: LexExit = null
+      def closeOne(): Unit = {
+        if (opens.nonEmpty) { opens.remove(opens.size - 1); () } else pops += 1
+        var c = 0
+        while (c < cps.size) {
+          if (opens.size < cps(c)._4)
+            cps(c) = (cps(c)._1, cps(c)._2, cps(c)._3, opens.size)
+          c += 1
+        }
+      }
       while (exit == null) {
+        while (queue.nonEmpty && queue.head < i) {
+          leftover += queue.head; queue = queue.tail
+        }
+        while (queue.nonEmpty && queue.head == i) {
+          cps += ((i, pops, opens.size, opens.size)); queue = queue.tail
+        }
         if (i >= endIdx) exit = LexExit("content", "", 0)
         else if ((arr(i) & 0xFF) != '<') i += 1
         else {
@@ -531,47 +576,80 @@ object Xml {
               else i = j
             case '/' =>
               val j = findTermEnd(">", tok + 2)
-              if (j < 0) exit = LexExit("endtag", raw(tok, n), 0)
-              else {
-                if (opens.nonEmpty) opens.remove(opens.size - 1): Unit else pops += 1
-                i = j
-              }
+              if (j < 0) exit =
+                if (n - tok > MaxSpecTag) LexExit("overflow", "", 0)
+                else LexExit("endtag", raw(tok, n), 0)
+              else { closeOne(); i = j }
             case _ =>
               tagScan(tok + 2, 0) match {
-                case Right(j) =>
+                case Right(j) if j - tok <= MaxSpecTag =>
                   val tagStr = new String(arr, tok, j - tok, "UTF-8")
                   if (!tagStr.endsWith("/>")) opens += tagStr
                   i = j
-                case Left(k) => exit = LexExit(k, raw(tok, n), 0)
+                case Right(_) => exit = LexExit("overflow", "", 0)
+                case Left(k)  => exit = LexExit(k,
+                  if (k == "overflow") "" else raw(tok, n), 0)
               }
           }
         }
       }
-      (pops, opens.toList, exit)
-    })
+      leftover ++= queue
+      val oE = opens.toList
+      val fired = cps.map { case (r, p, o, m) =>
+        r -> ((pops - p) + (o - m), oE.drop(m), exit)
+      }.toMap
+      (fired + (i0 -> ((pops, oE, exit))), leftover.toList)
+    }
 
-    val termEnds = (for {
-      (_, t) <- Terms.toSeq
-      d <- -(t.length - 1) to 2
-      s = m0 + d if s >= 0
-    } yield (t, d) -> {
-      val j = findTermEnd(t, s); if (j < 0) -1L else base + j
-    }).toMap
+    def walkAll(rs: List[Int]): Map[Int, (Int, List[String], LexExit)] =
+      if (rs.isEmpty) Map.empty
+      else {
+        val r0 = rs.min
+        val (res, leftover) = walkFrom(r0, rs.filterNot(_ == r0))
+        res ++ walkAll(leftover.distinct.filterNot(res.contains))
+      }
+
+    // One scan per terminator from the smallest start, reused for the
+    // other boundary-straddle deltas (re-scan only when the found
+    // occurrence begins before that delta's start — a few-byte window):
+    // an absent terminator (e.g. no PI in the file) costs ONE chunk pass,
+    // not one per delta.
+    val termEnds = (for ((_, t) <- Terms.toSeq) yield {
+      val ds = (-(t.length - 1) to 2).filter(d => m0 + d >= 0)
+      if (ds.isEmpty) Seq.empty
+      else {
+        val f0 = findTermEnd(t, m0 + ds.min)
+        ds.map { d =>
+          val s = m0 + d
+          val j =
+            if (f0 < 0) -1
+            else if (s <= f0 - t.length) f0
+            else findTermEnd(t, s)
+          (t, d) -> (if (j < 0) -1L else base + j)
+        }
+      }
+    }).flatten.toMap
     val tagSkips = (Seq("tag" -> 0, "tag_sq" -> '\''.toInt, "tag_dq" -> '"'.toInt)
       .map { case (k, q) =>
         k -> (tagScan(m0, q) match {
-          case Right(j)  => TagSkip(base + j, raw(m0, j), "")
-          case Left(pk)  => TagSkip(-1L, raw(m0, n), pk)
+          case Right(j) if j - m0 <= MaxSpecTag => TagSkip(base + j, raw(m0, j), "")
+          case Right(_)              => TagSkip(-1L, "", "overflow")
+          case Left("overflow")      => TagSkip(-1L, "", "overflow")
+          case Left(pk)              => TagSkip(-1L, raw(m0, n), pk)
         })
       } :+ ("endtag" -> {
         val j = findTermEnd(">", m0)
-        if (j < 0) TagSkip(-1L, raw(m0, n), "endtag")
+        if (j < 0)
+          if (n - m0 > MaxSpecTag) TagSkip(-1L, "", "overflow")
+          else TagSkip(-1L, raw(m0, n), "endtag")
+        else if (j - m0 > MaxSpecTag) TagSkip(-1L, "", "overflow")
         else TagSkip(base + j, raw(m0, j), "")
       })).toMap
     val resumes = (Seq(base + m0) ++ termEnds.values.filter(_ >= 0) ++
       tagSkips.values.map(_.resume).filter(_ >= 0)).distinct
+    val walked = walkAll(resumes.map(r => (r - base).toInt).toList)
     ChunkScan(termEnds, tagSkips,
-      resumes.map(r => r -> content((r - base).toInt)).toMap)
+      resumes.map(r => r -> walked((r - base).toInt)).toMap)
   }
 
   private def peekBytes(file: String, off: Long, len: Int): Array[Byte] = {
@@ -629,6 +707,10 @@ object Xml {
     for (((cs, ce), sc) <- chunks.zip(scans)) {
       val resume: Long = kind match {
         case "content" => cs
+        case "overflow" => throw new IllegalStateException(
+          s"$file: a tag straddling a planning-chunk boundary exceeds the " +
+            s"$MaxSpecTag-byte speculative-capture bound of the chunked XML " +
+            "planner (see MaxSpecTag) — raise targetSplitBytes")
         case k @ ("comment" | "cdata" | "pi" | "bang") => findPending(sc, k, -bodySeen)
         case k @ ("tag" | "tag_sq" | "tag_dq" | "endtag") => finishTag(sc, k)
         case "partial" =>
@@ -701,6 +783,23 @@ object Xml {
     if (starts.isEmpty) Seq.empty
     else starts.zipAll(starts.drop(1), 0L, Long.MaxValue)
       .map { case (a, b) => XmlSplitRange(file, a, b) }
+  }
+
+  /** Probe hook (XmlPlanProbe): plan ONE file both ways, returning
+    * (seqMs, parMs, seqRanges, parRanges). The two planners cut at
+    * different-but-equally-valid boundaries (sequential: every ≥target
+    * bytes; parallel: each chunk's first record start), so range COUNTS
+    * are comparable but offsets differ; record-level equality is the
+    * Round7Spec pin. */
+  private[graft] def probePlanners(s: SparkSession, file: String,
+      nodePath: String, targetSplitBytes: Long): (Long, Long, Int, Int) = {
+    val path = parseNodePath(nodePath)
+    val t0 = System.nanoTime()
+    val seq = planSplits(file, path, targetSplitBytes)
+    val t1 = System.nanoTime()
+    val par = planSplitsParallel(s, file, path, targetSplitBytes)
+    val t2 = System.nanoTime()
+    ((t1 - t0) / 1000000, (t2 - t1) / 1000000, seq.size, par.size)
   }
 
   /** Path-aware node-path read with INTRA-FILE parallelism: same semantics
