@@ -402,6 +402,20 @@ object Acid {
     val removed = m.files.filter(_.stats2.exists {
       case (c, mn, mx) => c == pCol && mn == value && mx == value
     }).map(_.path).toSet
+    // Soundness guard: every OTHER live entry must PROVE it holds no rows
+    // of `value`. An entry whose (pCol, mn, mx) stats straddle the value
+    // (a cross-partition compaction, e.g. optimizeRange over a partition
+    // boundary) or with no pCol stats at all (a key-only rewrite) might
+    // carry the partition's rows — replacing under it would leave stale
+    // rows live. Refuse toward re-partitioning instead of corrupting.
+    val unsafe = m.files.filterNot(f => removed.contains(f.path)).filter(_.stats2 match {
+      case Some((c, mn, mx)) if c == pCol => mn <= value && value <= mx
+      case _                              => true
+    })
+    require(unsafe.isEmpty,
+      s"$dir: ${unsafe.size} live file(s) may hold partition $pCol=$value rows " +
+        "but are not pinned to it (cross-partition compaction or key-only " +
+        "rewrite) — re-create the partitioned layout before replacePartition")
     val dd = s"d${base + 1}_${writerTag}_p$value"
     df.repartitionByRange(filesPerPart, col(keyCol))
       .write.mode("overwrite").parquet(s"$dir/$dd")
@@ -1151,11 +1165,16 @@ object Acid {
     * subtracts them; the new entries carry no dv pointer); untouched
     * entries keep theirs. A straddling file's out-of-range rows travel
     * with the rewrite — file selection is by overlap, so no row is
-    * dropped. Note: the rewritten entries carry key stats only — on a
-    * Z-ordered or partitioned layout use optimizeZorder /
-    * replacePartition, which preserve the second dimension (readers stay
-    * correct either way: entries without stats2 are scanned
-    * conservatively). Returns (filesTouched, filesAfter, filesBefore).
+    * dropped. Second-dimension stats SURVIVE the rewrite when the touched
+    * pre-image is uniformly clustered on one col2 (a Z-ordered or
+    * partitioned layout): the new entries carry that column's true
+    * min/max, so col2 pruning (scanCol2Range) keeps skipping after the
+    * compaction — though a rewrite that merges across partition values
+    * widens (pCol, v, v) pins into ranges, which replacePartition then
+    * refuses to replace under (its soundness guard) rather than leave
+    * stale rows. Mixed or absent stats2 → key-only entries (readers stay
+    * correct, scanned conservatively).
+    * Returns (filesTouched, filesAfter, filesBefore).
     */
   def optimizeRange(s: SparkSession, dir: String, keyLo: Long, keyHi: Long,
       targetFiles: Int): (Int, Int, Int) = {
@@ -1164,13 +1183,17 @@ object Acid {
     val key = keyColOf(s, dir)
     val touched = m.files.filter(f => f.maxKey >= keyLo && f.minKey <= keyHi)
     if (touched.isEmpty) return (0, m.files.size, m.files.size)
+    val col2 = touched.flatMap(_.stats2.map(_._1)).distinct match {
+      case Seq(c) if touched.forall(_.stats2.nonEmpty) => Some(c)
+      case _                                           => None
+    }
     val dataDir = s"d${v + 1}_optr"
     applyDv(s, dir, touched, s.read.option("mergeSchema", "true")
       .parquet(touched.map(f => s"$dir/${f.path}"): _*))
       .repartitionByRange(targetFiles, col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     val newV = replaceCommit(dir, touched.map(_.path).toSet,
-      statsOf(s, dir, dataDir, key))
+      statsOf(s, dir, dataDir, key, col2))
     (touched.size, readManifest(dir, newV).files.size, m.files.size)
   }
 

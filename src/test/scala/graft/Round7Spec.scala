@@ -321,6 +321,41 @@ class Round7Spec extends AnyFunSuite {
       .sameElements(Array("k", "price_cents", "prio")))
   }
 
+  test("optimizeRange keeps col2 stats on clustered layouts; replacePartition refuses straddles") {
+    // Partitioned-by-key-quartile layout: second-dimension stats must
+    // survive a range-scoped compaction (round-8 plan item: the
+    // rewritten subset used to drop stats2 — readers stayed correct,
+    // pruning degraded), and a compaction that merges across partition
+    // values widens the (pCol, v, v) pins into ranges — replacePartition
+    // must REFUSE to replace a straddled value (stale rows would survive
+    // under the merged file) while untouched values keep working.
+    val mk = kv(sf).agg(max(col("k"))).head.getLong(0)
+    val dir2 = Scratch.fresh("r7_optr_part", sf)
+    val tp = kv(sf).select(col("k"), col("price_cents"),
+      (lit(1995L) + (col("k") * 4 / (mk + 1)).cast("long")).as("pyear"))
+    Acid.createPartitioned(spark, dir2, tp, "k", "pyear", 2)
+    // middle key range spans the 1996/1997 quartile boundary
+    val (t2, _, _) = Acid.optimizeRange(spark, dir2, mk / 4 + mk / 8, 3 * mk / 4 - mk / 8, 2)
+    assert(t2 > 0)
+    val m2 = Acid.readManifest(dir2, Acid.latestVersion(dir2))
+    assert(m2.files.forall(_.stats2.exists(_._1 == "pyear")),
+      "range rewrite dropped second-dimension stats on a clustered layout")
+    assert(m2.files.exists(_.stats2.exists { case (c, mn, mx) => c == "pyear" && mn < mx }),
+      "expected a widened partition pin from the cross-partition compaction")
+    // an untouched partition value still prunes via the preserved stats
+    val (df95, scanned, totalF) = Acid.scanCol2Range(spark, dir2, "pyear", 1995L, 1995L)
+    assert(scanned < totalF, "col2 pruning stopped skipping after optimizeRange")
+    assert(df95.count() == tp.filter(col("pyear") === 1995L).count())
+    val backfill = tp.filter(col("pyear") === 1996L)
+      .withColumn("price_cents", col("price_cents") + 1)
+    assert(Try(Acid.replacePartition(spark, dir2, "pyear", 1996L, backfill, 2, "bf"))
+      .isFailure, "replacePartition must refuse a straddled partition value")
+    val b95 = tp.filter(col("pyear") === 1995L)
+      .withColumn("price_cents", col("price_cents") + 1)
+    Acid.replacePartition(spark, dir2, "pyear", 1995L, b95, 2, "bf95")
+    assert(Acid.snapshot(spark, dir2).count() == tp.count())
+  }
+
   test("catalog ALTER ADD COLUMN is metadata-only; NULLs until insert; rest refuses") {
     import java.security.MessageDigest
     import scala.jdk.CollectionConverters._
