@@ -918,13 +918,25 @@ object Acid {
     val m0 = readManifest(dir, v0)
     val m1 = readManifest(dir, v1)
     val key = keyColOf(s, dir)
+    // Entries whose ONLY drift is the positional sidecar classify
+    // POSITIONALLY (added (fname, pos) pairs → deletes; removed pairs —
+    // a restore — → re-inserts): positional deletes exist for
+    // duplicate-key tables, where the key-based full-outer diff below
+    // would mis-join. They are excluded from the key diff; the rows are
+    // exact because positional deletes never rewrite data files.
+    val f0ByPath = m0.files.map(f => f.path -> f).toMap
+    val pdvShift = m1.files.filter(f1 => f0ByPath.get(f1.path).exists(f0 =>
+      f0.dv == f1.dv && f0.pdv != f1.pdv))
+    val pdvPaths = pdvShift.map(_.path).toSet
     // Diff on (path, dv) SIGNATURES, not bare paths: a merge-on-read
     // delete keeps a file's path and changes only its deletion vector —
     // a path-only diff would show an empty increment for real deletes.
     val sig0 = m0.files.map(f => (f.path, f.dv, f.pdv)).toSet
     val sig1 = m1.files.map(f => (f.path, f.dv, f.pdv)).toSet
     val oldOnly = m0.files.filterNot(f => sig1.contains((f.path, f.dv, f.pdv)))
+      .filterNot(f => pdvPaths.contains(f.path))
     val newOnly = m1.files.filterNot(f => sig0.contains((f.path, f.dv, f.pdv)))
+      .filterNot(f => pdvPaths.contains(f.path))
     def readRaw(fs: Seq[FileEntry]): DataFrame =
       if (fs.isEmpty) snapshot(s, dir, v1).limit(0)
       else applyDv(s, dir, fs, s.read.option("mergeSchema", "true")
@@ -952,7 +964,7 @@ object Acid {
     val changed = valueCols
       .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    o.join(n, Seq(key), "full_outer")
+    val keyDiff = o.join(n, Seq(key), "full_outer")
       .withColumn("change_type",
         when(col("_in_old").isNull, lit("insert"))
           .when(col("_in_new").isNull, lit("delete"))
@@ -960,6 +972,39 @@ object Acid {
           .otherwise(lit("none")))
       .filter(col("change_type") =!= "none")
       .drop("_in_old", "_in_new")
+    if (pdvShift.isEmpty) keyDiff
+    else {
+      def readPairs(entries: Seq[FileEntry]): DataFrame = {
+        val ps = entries.flatMap(_.pdv.map(_._1)).distinct
+        if (ps.isEmpty)
+          s.range(0).select(lit("").as("fname"), lit(0L).as("pos"))
+        else s.read.parquet(ps.map(p => s"$dir/$p"): _*)
+          .select(col("fname"), col("pos")).distinct()
+      }
+      val nPairs = readPairs(pdvShift)
+      val oPairs = readPairs(m0.files.filter(f => pdvPaths.contains(f.path)))
+      val raws = s.read.option("mergeSchema", "true")
+        .parquet(pdvShift.map(f => s"$dir/${f.path}"): _*)
+        .withColumn("fname", expr("substring_index(_metadata.file_path, '/', -1)"))
+        .withColumn("pos", col("_metadata.row_index"))
+      def shape(pairs: DataFrame, ct: String): DataFrame = {
+        val vcols = raws.columns.filterNot(Set(key, "fname", "pos")).toSeq
+        val rows = raws.join(pairs, Seq("fname", "pos"), "left_semi")
+        val olds = vcols.map { c =>
+          if (ct == "delete") col(c).as(s"old_$c")
+          else lit(null).cast(raws.schema(c).dataType).as(s"old_$c")
+        }
+        val news = vcols.map { c =>
+          if (ct == "insert") col(c).as(s"new_$c")
+          else lit(null).cast(raws.schema(c).dataType).as(s"new_$c")
+        }
+        rows.select(Seq(col(key)) ++ olds ++ news ++
+          Seq(lit(ct).as("change_type")): _*)
+      }
+      keyDiff
+        .unionByName(shape(nPairs.except(oPairs), "delete"), allowMissingColumns = true)
+        .unionByName(shape(oPairs.except(nPairs), "insert"), allowMissingColumns = true)
+    }
   }
 
   /** DELETE WHERE with file pruning — the right-to-be-forgotten primitive:
@@ -1077,7 +1122,7 @@ object Acid {
     */
   def deleteWherePositional(s: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column, keyRange: Option[(Long, Long)],
-      writerTag: String): (Long, Int, Int) = {
+      writerTag: String, writeCdf: Boolean = false): (Long, Int, Int) = {
     val base = latestVersion(dir)
     val m = readManifest(dir, base)
     val (touched, untouched) = keyRange match {
@@ -1104,9 +1149,29 @@ object Acid {
     allDel.coalesce(1).write.parquet(s"$dir/$pdvDir")
     val total = s.read.parquet(s"$dir/$pdvDir").count()
     val deleted = newDel.count()
+    // CDC-at-commit (same contract as deleteWhere/merge): the deleted
+    // PRE-IMAGES persist with the commit, so the feed serves a plain
+    // pruned read — the only feed path that needs no key contract at all,
+    // which matters here because positional deletes exist FOR
+    // duplicate-key tables. The derived fallback classifies positionally
+    // too (changeFeed pdv-shift branch); both are duplicate-key-safe.
+    val cdcPathOpt =
+      if (!writeCdf) None
+      else {
+        val cdcDir = s"_cdc/pdv_d${base + 1}_$writerTag"
+        val key = keyColOf(s, dir)
+        val valueCols = withPos.columns.filterNot(Set(key, "fname", "pos")).toSeq
+        liveRows.filter(pred)
+          .select(col(key) +: (
+            valueCols.map(c => col(c).as(s"old_$c")) ++
+            valueCols.map(c => lit(null).cast(withPos.schema(c).dataType).as(s"new_$c"))).toSeq
+            :+ lit("delete").as("change_type"): _*)
+          .write.mode("overwrite").parquet(s"$dir/$cdcDir")
+        Some(cdcDir)
+      }
     commitManifest(dir, Manifest(base + 1, -1L,
       untouched ++ touched.map(_.copy(pdv = Some((pdvDir, total)))),
-      m.batchHw, None, m.constraint))
+      m.batchHw, cdcPathOpt, m.constraint))
     (deleted, touched.size, m.files.size)
   }
 

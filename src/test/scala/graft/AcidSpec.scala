@@ -595,10 +595,16 @@ class AcidSpec extends AnyFunSuite {
       .filter(col("k") >= i * quarter && col("k") < (i + 1) * quarter)
       .withColumn("price_cents", col("price_cents") + 1000L)
     val baseSum = Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until 4).map { i =>
-      new Thread(() => { Acid.merge(spark, dir, batchFor(i), s"w$i"): Unit })
+      val th = new Thread(() => { Acid.merge(spark, dir, batchFor(i), s"w$i"): Unit })
+      th.setUncaughtExceptionHandler((_, e) => { errs.add(e); () })
+      th
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    // a swallowed thread exception used to surface only as "3 did not
+    // equal 4" — report the actual failure instead
+    assert(errs.isEmpty, s"writer thread failed: ${Option(errs.peek())}")
     assert(Acid.latestVersion(dir) == 4, "all four commits must land")
     val rows = Tables.orders(spark, sf).count()
     val finalSum = Acid.snapshot(spark, dir).agg(sum(col("price_cents"))).head.getLong(0)
