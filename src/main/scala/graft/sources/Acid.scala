@@ -109,10 +109,16 @@ object Acid {
     * forward by every commit; base64 in the header so the predicate text
     * can contain the field separator.
     */
+  /** `op` — the operation that produced this commit (CREATE / WRITE /
+    * OVERWRITE / MERGE / DELETE / OPTIMIZE / RESTORE / CLONE / ...),
+    * Delta's commitInfo analogue, served by the `.history` metadata
+    * table. Informational only: no reader branches on it. Empty on
+    * manifests written before the field existed. */
   final case class Manifest(version: Int, batchId: Long, files: Seq[FileEntry],
                             batchHw: Map[String, Long] = Map.empty,
                             cdcPath: Option[String] = None,
-                            constraint: Option[String] = None)
+                            constraint: Option[String] = None,
+                            op: String = "")
   final case class MergeResult(version: Int, filesRewritten: Int, filesTotal: Int,
                                skipped: Boolean)
 
@@ -120,6 +126,15 @@ object Acid {
 
   private def manifestPath(dir: String, v: Int) =
     logDir(dir).resolve(f"v$v%05d.txt")
+
+  /** Commit wall-clock of a retained version (manifest mtime, epoch
+    * micros); None once vacuum reclaimed the manifest. */
+  private[sources] def manifestMtimeMicros(dir: String, v: Int): Option[Long] = {
+    val p = manifestPath(dir, v)
+    if (Files.exists(p))
+      Some(Files.getLastModifiedTime(p).toInstant.toEpochMilli * 1000L)
+    else None
+  }
 
   /** Greatest version whose manifest was committed at or before
     * `tsMicros` (epoch microseconds) — the `TIMESTAMP AS OF` resolution
@@ -210,7 +225,8 @@ object Acid {
         Some(new String(java.util.Base64.getDecoder.decode(header(4)),
           StandardCharsets.UTF_8))
       else None
-    Manifest(header(0).toInt, header(1).toLong, files.toSeq, hw, cdc, constraint)
+    val op = if (header.length >= 6) header(5) else ""
+    Manifest(header(0).toInt, header(1).toLong, files.toSeq, hw, cdc, constraint, op)
   }
 
   /** Atomic put-if-absent commit: write a temp record, then rename WITHOUT
@@ -230,7 +246,9 @@ object Acid {
       .map { case (t, v) => s"$t=$v" }.mkString(",")
     val cstr = m.constraint.map(c => java.util.Base64.getEncoder
       .encodeToString(c.getBytes(StandardCharsets.UTF_8))).getOrElse("")
-    val body = (s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}|$cstr" +:
+    require(!m.op.contains('|') && !m.op.contains('\n'),
+      s"op '${m.op}' must not contain header delimiters")
+    val body = (s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}|$cstr|${m.op}" +:
       m.files.map { f =>
         val s2 = f.stats2.map { case (c, mn, mx) => s"|$c|$mn|$mx" }.getOrElse("")
         val bl = f.bloom.map { case (bits, hex) => s"|B:$bits:$hex" }.getOrElse("")
@@ -311,7 +329,8 @@ object Acid {
           s"existing rows violate the proposed constraint: $pred")
     }
     commitManifest(dir, m.copy(version = v + 1, batchId = -1L,
-      cdcPath = None, constraint = c))
+      cdcPath = None, constraint = c,
+      op = if (c.isDefined) "SET CONSTRAINT" else "DROP CONSTRAINT"))
     v + 1
   }
 
@@ -326,7 +345,7 @@ object Acid {
       .write.mode("overwrite").parquet(s"$dir/d0_init")
     enforceConstraint(s, dir, "d0_init", constraint)
     commitManifest(dir, Manifest(0, -1L, statsOf(s, dir, "d0_init", keyCol),
-      constraint = constraint))
+      constraint = constraint, op = "CREATE"))
   }
 
   /** Subtract the entries' deletion-vector sidecars from a read of those
@@ -383,7 +402,8 @@ object Acid {
         .write.mode("overwrite").parquet(s"$dir/$dd")
       statsOf(s, dir, dd, keyCol, Some(pCol))
     }
-    commitManifest(dir, Manifest(0, -1L, entries.toSeq.sortBy(_.path)))
+    commitManifest(dir, Manifest(0, -1L, entries.toSeq.sortBy(_.path),
+      op = "CREATE"))
     values.length
   }
 
@@ -420,7 +440,8 @@ object Acid {
     df.repartitionByRange(filesPerPart, col(keyCol))
       .write.mode("overwrite").parquet(s"$dir/$dd")
     enforceConstraint(s, dir, dd, m.constraint)
-    replaceCommit(dir, removed, statsOf(s, dir, dd, keyCol, Some(pCol)))
+    replaceCommit(dir, removed, statsOf(s, dir, dd, keyCol, Some(pCol)),
+      op = "REPLACE PARTITION")
   }
 
   // ---- Declared schema (empty-table bootstrap) -------------------------
@@ -591,7 +612,8 @@ object Acid {
       built.get(f.path.split('/').last)
         .map { case (b, h) => f.copy(bloom = Some((b, h))) }.getOrElse(f)
     }
-    commitManifest(dir, Manifest(v + 1, -1L, withBloom, m.batchHw, None, m.constraint))
+    commitManifest(dir, Manifest(v + 1, -1L, withBloom, m.batchHw, None,
+      m.constraint, op = "COMPUTE BLOOM"))
     v + 1
   }
 
@@ -744,7 +766,7 @@ object Acid {
     try {
       commitManifest(dir,
         Manifest(nextV, batchId, untouched ++ newEntries, hw, cdcPathOpt,
-          m.constraint))
+          constraint = m.constraint, op = "MERGE"))
       Right(MergeResult(nextV, touched.size, m.files.size, skipped = false))
     } catch {
       case _: FileAlreadyExistsException =>
@@ -797,7 +819,8 @@ object Acid {
     * empty table.
     */
   def appendCommitAt(dir: String, baseVersion: Int, newEntries: Seq[FileEntry],
-                     truncate: Boolean = false): Either[String, Int] = {
+                     truncate: Boolean = false, op: String = "WRITE")
+      : Either[String, Int] = {
     val (files, hw, cstr) =
       if (baseVersion < 0) (newEntries, Map.empty[String, Long], None)
       else {
@@ -806,7 +829,9 @@ object Acid {
       }
     val next = baseVersion + 1
     try {
-      commitManifest(dir, Manifest(next, -1L, files, hw, None, cstr)); Right(next)
+      commitManifest(dir, Manifest(next, -1L, files, hw, None, cstr,
+        op = if (baseVersion < 0) "CREATE" else op))
+      Right(next)
     }
     catch {
       case _: FileAlreadyExistsException =>
@@ -824,7 +849,8 @@ object Acid {
                    truncate: Boolean = false, maxAttempts: Int = 10): Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
-      appendCommitAt(dir, latestVersion(dir), newEntries, truncate) match {
+      appendCommitAt(dir, latestVersion(dir), newEntries, truncate,
+        op = if (truncate) "OVERWRITE" else "WRITE") match {
         case Right(v) => return v
         case Left(_)  => attempt += 1
       }
@@ -847,7 +873,8 @@ object Acid {
       if (base < 0) {
         try {
           commitManifest(dir,
-            Manifest(0, batchId, newEntries, Map(writerTag -> batchId)))
+            Manifest(0, batchId, newEntries, Map(writerTag -> batchId),
+              op = "STREAMING UPDATE"))
           return 0
         } catch { case _: FileAlreadyExistsException => attempt += 1 }
       } else {
@@ -857,7 +884,8 @@ object Acid {
           math.max(m.batchHw.getOrElse(writerTag, -1L), batchId))
         try {
           commitManifest(dir,
-            Manifest(base + 1, batchId, m.files ++ newEntries, hw, None, m.constraint))
+            Manifest(base + 1, batchId, m.files ++ newEntries, hw, None,
+              m.constraint, op = "STREAMING UPDATE"))
           return base + 1
         } catch { case _: FileAlreadyExistsException => attempt += 1 }
       }
@@ -874,7 +902,8 @@ object Acid {
     * A concurrent commit that touched only OTHER files rebases fine.
     */
   def replaceCommit(dir: String, removed: Set[String],
-                    newEntries: Seq[FileEntry], maxAttempts: Int = 10): Int = {
+                    newEntries: Seq[FileEntry], maxAttempts: Int = 10,
+                    op: String = "REPLACE"): Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(dir)
@@ -885,7 +914,8 @@ object Acid {
           s"${(removed -- present).take(3).mkString(", ")}… — re-run the statement")
       val files = m.files.filterNot(f => removed(f.path)) ++ newEntries
       try {
-        commitManifest(dir, Manifest(base + 1, -1L, files, m.batchHw, None, m.constraint))
+        commitManifest(dir, Manifest(base + 1, -1L, files, m.batchHw, None,
+          m.constraint, op = op))
         return base + 1
       } catch { case _: FileAlreadyExistsException => attempt += 1 }
     }
@@ -1050,7 +1080,7 @@ object Acid {
       }
     commitManifest(dir,
       Manifest(nextV, -1L, untouched ++ newEntries, m.batchHw, cdcPathOpt,
-        m.constraint))
+        m.constraint, op = "DELETE"))
     // physical row stats overcount when touched files carried deletion
     // vectors — count the DV-applied frame instead (those files were
     // just read for the rewrite anyway)
@@ -1103,7 +1133,7 @@ object Acid {
     val deleted = newDel.count()
     commitManifest(dir, Manifest(base + 1, -1L,
       untouched ++ touched.map(_.copy(dv = Some((dvDir, total)))),
-      m.batchHw, None, m.constraint))
+      m.batchHw, None, m.constraint, op = "DELETE"))
     (deleted, touched.size, m.files.size)
   }
 
@@ -1171,7 +1201,7 @@ object Acid {
       }
     commitManifest(dir, Manifest(base + 1, -1L,
       untouched ++ touched.map(_.copy(pdv = Some((pdvDir, total)))),
-      m.batchHw, cdcPathOpt, m.constraint))
+      m.batchHw, cdcPathOpt, m.constraint, op = "DELETE"))
     (deleted, touched.size, m.files.size)
   }
 
@@ -1193,7 +1223,7 @@ object Acid {
     val target = readManifest(dir, toVersion)
     val cur = readManifest(dir, latest)
     commitManifest(dir, Manifest(latest + 1, -1L, target.files, cur.batchHw,
-      None, cur.constraint))
+      None, cur.constraint, op = "RESTORE"))
     latest + 1
   }
 
@@ -1214,7 +1244,7 @@ object Acid {
       .repartitionByRange(targetFiles, col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     commitManifest(dir, Manifest(v + 1, -1L, statsOf(s, dir, dataDir, key),
-      m.batchHw, None, m.constraint))
+      m.batchHw, None, m.constraint, op = "OPTIMIZE"))
     (m.files.size, readManifest(dir, v + 1).files.size)
   }
 
@@ -1258,7 +1288,7 @@ object Acid {
       .repartitionByRange(targetFiles, col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     val newV = replaceCommit(dir, touched.map(_.path).toSet,
-      statsOf(s, dir, dataDir, key, col2))
+      statsOf(s, dir, dataDir, key, col2), op = "OPTIMIZE")
     (touched.size, readManifest(dir, newV).files.size, m.files.size)
   }
 
@@ -1301,7 +1331,8 @@ object Acid {
       .drop("_z")
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     commitManifest(dir, Manifest(v + 1, -1L,
-      statsOf(s, dir, dataDir, key, Some(col2)), m.batchHw, None, m.constraint))
+      statsOf(s, dir, dataDir, key, Some(col2)), m.batchHw, None,
+      m.constraint, op = "OPTIMIZE"))
     (m.files.size, readManifest(dir, v + 1).files.size)
   }
 
@@ -1347,7 +1378,8 @@ object Acid {
     val entries = m.files.map(f => f.copy(path = s"$rel/${f.path}",
       dv = f.dv.map { case (p, n) => (s"$rel/$p", n) },
       pdv = f.pdv.map { case (p, n) => (s"$rel/$p", n) }))
-    commitManifest(dstDir, Manifest(0, -1L, entries, constraint = m.constraint))
+    commitManifest(dstDir, Manifest(0, -1L, entries, constraint = m.constraint,
+      op = "CLONE"))
     entries.size
   }
 
@@ -2036,6 +2068,41 @@ object Acid {
       .orderBy(col("version"))
   }
 
+  /** tbl_history — `DESCRIBE HISTORY` through the `.history` metadata
+    * table (AcidHistoryTable): one row per retained commit with the
+    * manifest's recorded operation (the round-7 `op` field — Delta's
+    * commitInfo analogue), live file count, LOGICAL row count (physical
+    * minus deletion-sidecar counts) and whether the commit persisted CDC.
+    * Wall-clock `ts` is nondeterministic, so the row pins its
+    * NON-DECREASING order as a boolean and the oracle carries the
+    * deterministic columns.
+    */
+  val tblHistory: Q = (s, d) => {
+    val root = fresh("tbl_history_cat", d)
+    val cat = "graft_hist_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    merge(s, dir, ordersKV(s, d)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 777), "m")
+    val lo = mk / 2; val hi = mk / 2 + mk / 8
+    deleteWhere(s, dir, col("k").between(lo, hi), Some((lo, hi)), "d",
+      writeCdf = true)
+    optimize(s, dir, 4)
+    restore(s, dir, 2)
+    val h = s.read.table(s"$cat.t.history")
+    val ts = h.orderBy(col("version")).select(col("ts")).collect()
+      .map(_.getTimestamp(0).getTime)
+    val mono = ts.zip(ts.drop(1)).forall { case (a, b) => a <= b }
+    h.select(col("version"), col("operation"),
+        (col("n_files") > 0).as("files_pos"), col("n_rows"), col("has_cdc"))
+      .withColumn("ts_monotonic", lit(mono))
+      .orderBy(col("version"))
+  }
+
   /** tbl_sql_delete — SQL `DELETE FROM ... WHERE <key range>` through the
     * V2 SupportsDelete hook: the pushed filters translate back to the
     * predicate, the key bounds become the pruning hint, and only the
@@ -2307,6 +2374,7 @@ object Acid {
     "tbl_sql_travel"        -> tblSqlTravel,
     "tbl_sql_alter"         -> tblSqlAlter,
     "tbl_catalog_evolve"    -> tblCatalogEvolve,
+    "tbl_history"           -> tblHistory,
     "tbl_sql_update"        -> tblSqlUpdate,
     "tbl_sql_merge"         -> tblSqlMerge,
     "tbl_acid_merge"        -> tblAcidMerge,
@@ -2404,6 +2472,24 @@ object Acid {
         |       (SELECT count(*) FROM base) AS n_no_disc,
         |       CAST((SELECT sum(k * 2 + 9) FROM ins) AS BIGINT) AS sum_disc,
         |       TRUE AS schema_widened""".stripMargin,
+    "tbl_history" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |n AS (SELECT count(*) AS c FROM base),
+        |d AS (SELECT count(*) AS c FROM base
+        |      WHERE k BETWEEN (SELECT m FROM mx) // 2
+        |                  AND (SELECT m FROM mx) // 2 + (SELECT m FROM mx) // 8)
+        |SELECT CAST(version AS BIGINT) AS version, operation, files_pos,
+        |       CAST(n_rows AS BIGINT) AS n_rows, has_cdc, ts_monotonic
+        |FROM (VALUES
+        |  (0, 'CREATE',   TRUE, (SELECT c FROM n), FALSE, TRUE),
+        |  (1, 'MERGE',    TRUE, (SELECT c FROM n), FALSE, TRUE),
+        |  (2, 'DELETE',   TRUE, (SELECT c FROM n) - (SELECT c FROM d), TRUE,  TRUE),
+        |  (3, 'OPTIMIZE', TRUE, (SELECT c FROM n) - (SELECT c FROM d), FALSE, TRUE),
+        |  (4, 'RESTORE',  TRUE, (SELECT c FROM n) - (SELECT c FROM d), FALSE, TRUE)
+        |) AS t(version, operation, files_pos, n_rows, has_cdc, ts_monotonic)
+        |ORDER BY version""".stripMargin,
     "tbl_catalog_evolve" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -78,7 +78,14 @@ class AcidCatalog extends StagingTableCatalog {
     val dir = dirOf(ident)
     if (exists(dir))
       new AcidSqlTable(dir, Acid.tableSchema(SparkSession.active, dir))
-    else if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+    else if (ident.name() == "history" && ident.namespace().nonEmpty) {
+      // `<cat>.t.history` — DESCRIBE HISTORY as a metadata table (same
+      // idiom as `.changes` below; a literal table named `history` wins).
+      val base = dirOf(Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last))
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new AcidHistoryTable(base)
+    } else if (ident.name() == "changes" && ident.namespace().nonEmpty) {
       // `<cat>.t.changes` — the change-data-feed METADATA TABLE (Iceberg's
       // `db.table.files` idiom): the trailing name selects the CDF view of
       // the table named by the namespace. Only reached when no real table

@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The `<cat>.t.history` METADATA TABLE — `DESCRIBE HISTORY` re-derived
+  * as the same Iceberg-metadata-table idiom the `.changes` table uses:
+  *
+  * {{{
+  *   SELECT * FROM cat.t.history ORDER BY version
+  * }}}
+  *
+  * One row per RETAINED commit (vacuum trims the log; history serves
+  * what the log holds — the same horizon contract as time travel):
+  * `version`, `ts` (the manifest's commit mtime — wall-clock, immutable
+  * after the atomic rename), `operation` (the manifest's `op` field,
+  * Delta's commitInfo analogue: CREATE / WRITE / OVERWRITE / MERGE /
+  * DELETE / OPTIMIZE / RESTORE / CLONE / ...; empty for manifests
+  * written before the field existed), `n_files` (live entries),
+  * `n_rows` (LOGICAL rows: physical entry rows minus distinct key-level
+  * and positional deletion-sidecar counts), `has_cdc` (this commit
+  * persisted its change rows).
+  *
+  * Scale: planning reads each retained manifest once on the driver —
+  * O(log size) metadata, no data file is touched; the rows ship inside
+  * the single input partition (a few dozen bytes per version).
+  */
+class AcidHistoryTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-acid-history:$dir"
+  override def schema(): StructType = AcidHistory.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new AcidHistoryScan(dir)
+    }
+}
+
+object AcidHistory {
+  val schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("has_cdc", BooleanType, nullable = false)))
+
+  /** (version, tsMicros, op, nFiles, nRows, hasCdc) per retained version. */
+  def rows(dir: String): Seq[(Long, Long, String, Long, Long, Boolean)] =
+    (0 to Acid.latestVersion(dir)).flatMap { v =>
+      Acid.manifestMtimeMicros(dir, v).map { ts =>
+        val m = Acid.readManifest(dir, v)
+        val logicalRows = m.files.map(_.rows).sum -
+          m.files.flatMap(_.dv).distinct.map(_._2).sum -
+          m.files.flatMap(_.pdv).distinct.map(_._2).sum
+        (v.toLong, ts, m.op, m.files.size.toLong, logicalRows,
+          m.cdcPath.isDefined)
+      }
+    }
+}
+
+class AcidHistoryScan(dir: String) extends Scan with Batch {
+  override def readSchema(): StructType = AcidHistory.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AcidHistoryInputPartition(AcidHistory.rows(dir)))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new AcidHistoryPartitionReader(
+          p.asInstanceOf[AcidHistoryInputPartition].rows)
+    }
+}
+
+case class AcidHistoryInputPartition(
+    rows: Seq[(Long, Long, String, Long, Long, Boolean)]) extends InputPartition
+
+class AcidHistoryPartitionReader(rows: Seq[(Long, Long, String, Long, Long, Boolean)])
+    extends PartitionReader[InternalRow] {
+  private val it = rows.iterator
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val (v, ts, op, nf, nr, cdc) = it.next()
+    val r = new GenericInternalRow(6)
+    r.update(0, v); r.update(1, ts); r.update(2, UTF8String.fromString(op))
+    r.update(3, nf); r.update(4, nr); r.setBoolean(5, cdc)
+    cur = r
+    true
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

@@ -408,7 +408,8 @@ class AcidReplaceGroupsWrite(dir: String, writeSchema: StructType,
       case AcidWriteMessage(p, rows, mn, mx) if rows > 0 =>
         Acid.FileEntry(p, rows, mn, mx)
     }.toSeq.sortBy(_.path)
-    Acid.replaceCommit(dir, op.scannedFiles.toSet, entries): Unit
+    Acid.replaceCommit(dir, op.scannedFiles.toSet, entries,
+      op = "REWRITE"): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -554,15 +554,22 @@ class AcidSpec extends AnyFunSuite {
       // constraint text may contain the header delimiter — base64 must hold
       cstr <- Gen.option(Gen.oneOf("price_cents >= 0",
         "a > 0 AND b IS NOT NULL", "x | weird || chars\t-- comment"))
-    } yield (bid, hw, fs, cdc, cstr)
+      op <- Gen.oneOf("", "CREATE", "WRITE", "MERGE", "DELETE", "OPTIMIZE",
+        "RESTORE", "REPLACE PARTITION", "STREAMING UPDATE")
+    } yield (bid, hw, fs, cdc, cstr, op)
     val dir = Scratch.fresh("acid_spec_roundtrip", sf)
     sample(Gen.listOfN(200, manifestGen)).zipWithIndex.foreach {
-      case ((bid, hw, fs, cdc, cstr), v) =>
-        val m = Acid.Manifest(v, bid, fs, hw, cdc, cstr)
+      case ((bid, hw, fs, cdc, cstr, op), v) =>
+        val m = Acid.Manifest(v, bid, fs, hw, cdc, cstr, op)
         Acid.commitManifest(dir, m)
         assert(Acid.readManifest(dir, v) == m, s"round-trip failed at v$v")
     }
     assert(Acid.latestVersion(dir) == 199)
+    // pre-op-field manifests (5-field header) still read, op defaults ""
+    val legacy = java.nio.file.Paths.get(dir, "_log", "v00200.txt")
+    java.nio.file.Files.write(legacy,
+      "200|-1|||".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Acid.readManifest(dir, 200).op == "")
   }
 
   test("graft-acid SQL source: pushed filters prune files, results stay exact") {
