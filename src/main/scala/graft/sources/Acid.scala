@@ -290,6 +290,45 @@ object Acid {
       }.sortBy(_.path).toSeq
   }
 
+  /** CONVERT an existing plain-parquet directory into an ACID table IN
+    * PLACE (Delta's `CONVERT TO DELTA`, re-derived): no data file moves
+    * or rewrites — one distributed stats pass (per-file rows + key
+    * min/max, grouped by `input_file_name`, only the #files-sized result
+    * on the driver) and one v0 manifest commit. The onboarding path for
+    * an existing lake: at 100 TB the cost is a metadata-building scan,
+    * not a rewrite. After conversion every ACID capability applies
+    * (merge, delete, time travel from v0, vacuum, SQL/catalog surfaces).
+    * Flat directories only: a hive-partitioned layout keeps partition
+    * values in DIRECTORY names which per-file manifest reads would lose
+    * — refused toward createPartitioned. The key column is `keyCol`
+    * (min/max skipping is only as sharp as the existing file
+    * clustering; run optimize/optimizeZorder to tighten).
+    * Returns the number of converted files.
+    */
+  def convert(s: SparkSession, dir: String, keyCol: String): Int = {
+    require(latestVersion(dir) < 0, s"$dir is already an ACID table")
+    val root = Paths.get(dir)
+    val parts = {
+      val st = Files.walk(root)
+      try st.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => root.relativize(p).toString).toList
+      finally st.close()
+    }
+    require(parts.nonEmpty, s"$dir holds no parquet files to convert")
+    require(parts.forall(!_.contains('/')),
+      s"$dir contains parquet files in subdirectories — a hive-partitioned " +
+        "layout keeps partition values in directory names, which per-file " +
+        "manifest reads would drop; import it with createPartitioned instead")
+    val first = s.read.parquet(dir).schema.fields.head.name
+    require(first == keyCol,
+      s"the merge key is positional by contract (first column): files lead " +
+        s"with '$first', not '$keyCol'")
+    val entries = statsOf(s, dir, ".", keyCol)
+    commitManifest(dir, Manifest(0, -1L, entries, op = "CONVERT"))
+    entries.size
+  }
+
   /** Thrown when a data commit's written output violates the table's
     * CHECK constraint — deliberately NOT the Either/conflict channel:
     * a violation is a caller bug, never something a rebase can fix. */
@@ -2068,6 +2107,44 @@ object Acid {
       .orderBy(col("version"))
   }
 
+  /** tbl_convert — `CONVERT TO DELTA` re-derived: an existing
+    * plain-parquet directory becomes an ACID table IN PLACE (one stats
+    * pass + one v0 manifest; the row pins no-rewrite by sha), after
+    * which the full transactional surface applies — proven here by a
+    * pruned MERGE on top and a time-travel read of the converted v0.
+    */
+  val tblConvert: Q = (s, d) => {
+    val dir = fresh("tbl_convert", d)
+    val mk = maxKey(s, d)
+    ordersKV(s, d).repartitionByRange(8, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    def shas: Map[String, String] = {
+      val root = Paths.get(dir)
+      val w = Files.walk(root)
+      try w.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString)
+        .toMap
+      finally w.close()
+    }
+    val before = shas
+    val nConv = convert(s, dir, "k")
+    val noRewrite = shas == before && latestVersion(dir) == 0
+    val v0Count = snapshot(s, dir, 0).count()
+    val r = merge(s, dir, ordersKV(s, d)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("prio", lit("PATCHED")), "m")
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        sum(when(col("prio") === "PATCHED", lit(1L)).otherwise(lit(0L)))
+          .as("n_patched"))
+      .withColumn("no_rewrite", lit(noRewrite && nConv > 0))
+      .withColumn("travel_v0", lit(v0Count == ordersKV(s, d).count()))
+      .withColumn("merge_pruned", lit(r.filesRewritten < r.filesTotal))
+  }
+
   /** tbl_history — `DESCRIBE HISTORY` through the `.history` metadata
     * table (AcidHistoryTable): one row per retained commit with the
     * manifest's recorded operation (the round-7 `op` field — Delta's
@@ -2375,6 +2452,7 @@ object Acid {
     "tbl_sql_alter"         -> tblSqlAlter,
     "tbl_catalog_evolve"    -> tblCatalogEvolve,
     "tbl_history"           -> tblHistory,
+    "tbl_convert"           -> tblConvert,
     "tbl_sql_update"        -> tblSqlUpdate,
     "tbl_sql_merge"         -> tblSqlMerge,
     "tbl_acid_merge"        -> tblAcidMerge,
@@ -2472,6 +2550,19 @@ object Acid {
         |       (SELECT count(*) FROM base) AS n_no_disc,
         |       CAST((SELECT sum(k * 2 + 9) FROM ins) AS BIGINT) AS sum_disc,
         |       TRUE AS schema_widened""".stripMargin,
+    "tbl_convert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |patched AS (SELECT k FROM base
+        |            WHERE k % 10 = 3 AND k < (SELECT m FROM mx) // 4)
+        |SELECT count(*) AS n,
+        |       CAST(sum(pc) + 777 * (SELECT count(*) FROM patched) AS BIGINT)
+        |         AS sum_cents,
+        |       (SELECT count(*) FROM patched) AS n_patched,
+        |       TRUE AS no_rewrite, TRUE AS travel_v0, TRUE AS merge_pruned
+        |FROM base""".stripMargin,
     "tbl_history" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k FROM orders),
