@@ -2386,7 +2386,7 @@ object Acid {
         "graft_sql_update_t", "graft_sql_merge_t")
       .foreach(t => Try(s.sql(s"DROP TABLE IF EXISTS $t")))
     Seq("graft_acid_t", "graft_sql_insert_src", "graft_ctas_src",
-        "graft_sql_alter_src", "graft_sql_merge_batch")
+        "graft_sql_alter_src", "graft_sql_merge_batch", "graft_evo_src")
       .foreach(v => Try(s.catalog.dropTempView(v)))
   }
 
