@@ -410,3 +410,64 @@ object XmlPlanProbe {
     spark.stop()
   }
 }
+
+/** ×10 scale probe for the round-7 late additions (SURVEY §6.7): does
+  * CONVERT's stats pass parallelize, does a range-hinted positional
+  * DELETE stay batch-bounded when the table grows 10×, and what does a
+  * `.history` row cost per retained version?
+  *
+  *   sbt "runMain graft.Round7Probe [sfDir]"
+  */
+object Round7Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Acid
+
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val kShift = base.agg(max(col("k"))).head.getLong(0) + 1
+    val x10 = base.crossJoin(spark.range(10).toDF("cp"))
+      .withColumn("k", col("k") + col("cp") * kShift).drop("cp")
+
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(tag: String, df: org.apache.spark.sql.DataFrame, nFiles: Int): Unit = {
+      val dir = Scratch.fresh(s"r7_probe_$tag", sfDir)
+      df.repartitionByRange(nFiles, col("k"))
+        .write.mode("overwrite").parquet(dir)
+      val (nConv, convS) = t(Acid.convert(spark, dir, "k"))
+      // fixed absolute batch: same matched rows at both scales, clustered
+      // into the low-key files — the hint prunes the rest
+      val ((nDel, touched, total), delS) = t(Acid.deleteWherePositional(
+        spark, dir, col("k") % 10 === 3 && col("k") < lit(kShift / 8),
+        Some((0L, kShift / 8)), "p"))
+      val (cnt, readS) = t(
+        spark.read.format("graft-acid-sql").load(dir).count())
+      println(f"[r7-probe] $tag%-4s convert=$convS%.2fs ($nConv files) " +
+        f"posDelete=$delS%.2fs ($nDel rows, $touched/$total files) " +
+        f"v2read=$readS%.2fs ($cnt rows)")
+    }
+    run("x1", base, 8)
+    run("x10", x10, 80)
+
+    // history cost per retained version: 50 tiny commits, one .history read
+    val hDir = Scratch.fresh("r7_probe_hist", sfDir)
+    Acid.create(spark, hDir, base.limit(1000), "k", 2)
+    (1 to 50).foreach { i =>
+      Acid.merge(spark, hDir, base.filter(col("k") % 1000 === i % 1000)
+        .withColumn("price_cents", col("price_cents") + i), s"w$i")
+    }
+    val (rows, histS) = t(graft.sources.AcidHistory.rows(hDir))
+    println(f"[r7-probe] history: ${rows.size} versions in $histS%.3fs " +
+      f"(${histS * 1000 / rows.size}%.1f ms/version, driver metadata only)")
+    spark.stop()
+  }
+}
