@@ -2145,6 +2145,37 @@ object Acid {
       .withColumn("merge_pruned", lit(r.filesRewritten < r.filesTotal))
   }
 
+  /** tbl_files — the `.files` metadata table (Iceberg `db.table.files`):
+    * the manifest's live entries as queryable rows, the operator's view
+    * of fragmentation and merge-on-read debt before choosing a
+    * maintenance op. The fixture commits a MoR delete so dv_rows is
+    * non-zero on touched files; path strings are nondeterministic (UUID
+    * part names) so the row aggregates: entry counts, physical/logical
+    * row sums, dv totals per distinct sidecar, key-coverage booleans.
+    */
+  val tblFiles: Q = (s, d) => {
+    val root = fresh("tbl_files_cat", d)
+    val cat = "graft_files_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val (nDel, _, _) = deleteWhereMor(s, dir,
+      col("k") % 10 === 6 && col("k") < lit(mk / 4), Some((0L, mk / 4)), "dv")
+    val f = s.read.table(s"$cat.t.files")
+    val total = ordersKV(s, d).count()
+    f.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("rows")).as("phys_rows"),
+      max(col("dv_rows")).as("max_dv_rows"),
+      sum(when(col("pdv_rows") > 0, lit(1L)).otherwise(lit(0L))).as("n_pdv"),
+      min(col("min_key")).as("lo_key"), max(col("max_key")).as("hi_key"))
+      .withColumn("phys_minus_dv_is_logical",
+        lit(f.agg(sum(col("rows"))).head.getLong(0) - nDel ==
+          snapshot(s, dir).count() && snapshot(s, dir).count() == total - nDel))
+  }
+
   /** tbl_history — `DESCRIBE HISTORY` through the `.history` metadata
     * table (AcidHistoryTable): one row per retained commit with the
     * manifest's recorded operation (the round-7 `op` field — Delta's
@@ -2453,6 +2484,7 @@ object Acid {
     "tbl_catalog_evolve"    -> tblCatalogEvolve,
     "tbl_history"           -> tblHistory,
     "tbl_convert"           -> tblConvert,
+    "tbl_files"             -> tblFiles,
     "tbl_sql_update"        -> tblSqlUpdate,
     "tbl_sql_merge"         -> tblSqlMerge,
     "tbl_acid_merge"        -> tblAcidMerge,
@@ -2550,6 +2582,18 @@ object Acid {
         |       (SELECT count(*) FROM base) AS n_no_disc,
         |       CAST((SELECT sum(k * 2 + 9) FROM ins) AS BIGINT) AS sum_disc,
         |       TRUE AS schema_widened""".stripMargin,
+    "tbl_files" ->
+      """WITH base AS (SELECT o_orderkey AS k FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |del AS (SELECT count(*) AS c FROM base
+        |        WHERE k % 10 = 6 AND k < (SELECT m FROM mx) // 4)
+        |SELECT CAST(8 AS BIGINT) AS n_files,
+        |       (SELECT count(*) FROM base) AS phys_rows,
+        |       (SELECT c FROM del) AS max_dv_rows,
+        |       CAST(0 AS BIGINT) AS n_pdv,
+        |       (SELECT min(k) FROM base) AS lo_key,
+        |       (SELECT m FROM mx) AS hi_key,
+        |       TRUE AS phys_minus_dv_is_logical""".stripMargin,
     "tbl_convert" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -78,7 +78,13 @@ class AcidCatalog extends StagingTableCatalog {
     val dir = dirOf(ident)
     if (exists(dir))
       new AcidSqlTable(dir, Acid.tableSchema(SparkSession.active, dir))
-    else if (ident.name() == "history" && ident.namespace().nonEmpty) {
+    else if (ident.name() == "files" && ident.namespace().nonEmpty) {
+      // `<cat>.t.files` — live manifest entries as a metadata table
+      val base = dirOf(Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last))
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new AcidFilesTable(base)
+    } else if (ident.name() == "history" && ident.namespace().nonEmpty) {
       // `<cat>.t.history` — DESCRIBE HISTORY as a metadata table (same
       // idiom as `.changes` below; a literal table named `history` wins).
       val base = dirOf(Identifier.of(

@@ -98,3 +98,78 @@ class AcidHistoryPartitionReader(rows: Seq[(Long, Long, String, Long, Long, Bool
   override def get(): InternalRow = cur
   override def close(): Unit = ()
 }
+
+/** The `<cat>.t.files` METADATA TABLE — Iceberg's `db.table.files`
+  * re-derived over the manifest: one row per LIVE entry of the latest
+  * version with its manifest-carried metadata (physical rows, key
+  * min/max, second-dimension stats, deletion-vector row counts, bloom
+  * presence). What an operator looks at before choosing OPTIMIZE /
+  * optimizeRange / optimizeZorder: fragmentation, clustering overlap
+  * and merge-on-read debt are all visible here without touching one
+  * data file. Planning is a single driver-side manifest read.
+  */
+class AcidFilesTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-acid-files:$dir"
+  override def schema(): StructType = AcidFiles.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new AcidFilesScan(dir)
+    }
+}
+
+object AcidFiles {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("min_key", LongType, nullable = false),
+    StructField("max_key", LongType, nullable = false),
+    StructField("stats2_col", StringType, nullable = true),
+    StructField("stats2_min", LongType, nullable = true),
+    StructField("stats2_max", LongType, nullable = true),
+    StructField("dv_rows", LongType, nullable = false),
+    StructField("pdv_rows", LongType, nullable = false),
+    StructField("has_bloom", BooleanType, nullable = false)))
+}
+
+class AcidFilesScan(dir: String) extends Scan with Batch {
+  override def readSchema(): StructType = AcidFiles.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AcidFilesInputPartition(
+      Acid.readManifest(dir, Acid.latestVersion(dir)).files))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val entries = p.asInstanceOf[AcidFilesInputPartition].entries
+        new PartitionReader[InternalRow] {
+          private val it = entries.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            val f = it.next()
+            val r = new GenericInternalRow(10)
+            r.update(0, UTF8String.fromString(f.path))
+            r.update(1, f.rows); r.update(2, f.minKey); r.update(3, f.maxKey)
+            f.stats2 match {
+              case Some((c, mn, mx)) =>
+                r.update(4, UTF8String.fromString(c)); r.update(5, mn); r.update(6, mx)
+              case None =>
+                r.update(4, null); r.update(5, null); r.update(6, null)
+            }
+            r.update(7, f.dv.map(_._2).getOrElse(0L))
+            r.update(8, f.pdv.map(_._2).getOrElse(0L))
+            r.setBoolean(9, f.bloom.isDefined)
+            cur = r
+            true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class AcidFilesInputPartition(entries: Seq[Acid.FileEntry])
+  extends InputPartition
