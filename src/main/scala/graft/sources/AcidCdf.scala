@@ -127,11 +127,29 @@ class AcidCdfScanBuilder(dir: String, full: StructType, keyCol: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    // `startingTimestamp` (Delta's spelling): resolved to the greatest
+    // version committed at or before the timestamp, then applied as the
+    // same EXCLUSIVE lower bound `startingVersion` uses (Round6Spec pins
+    // that contract) — changes committed strictly after the timestamp.
+    // A timestamp predating the first commit resolves to bound 0: the
+    // initial CREATE is table bootstrap, not a change increment.
+    val fromTs = Option(options.get("startingTimestamp")).map { t =>
+      // full microsecond precision — versionAtTimestamp compares micros,
+      // and commit mtimes carry a sub-millisecond fraction that a
+      // millis-truncating parse would round BELOW the pinned commit
+      val ldt = java.time.LocalDateTime.parse(t,
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss[.SSSSSS]"))
+      val inst = ldt.atZone(java.time.ZoneId.systemDefault()).toInstant
+      val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      Acid.versionAtTimestamp(dir, micros).getOrElse(0)
+    }
     new AcidCdfScan(dir, required, keyCol,
-      Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+      Option(options.get("startingVersion")).map(_.toInt)
+        .orElse(fromTs).getOrElse(0),
       Option(options.get("endingVersion")).map(_.toInt),
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+  }
 }
 
 class AcidCdfScan(dir: String, required: StructType, keyCol: String,

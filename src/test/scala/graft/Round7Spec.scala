@@ -351,6 +351,23 @@ class Round7Spec extends AnyFunSuite {
       .option("readChangeFeed", "true").option("startingVersion", "1").load(dir)
     assert(v2Only.select(col("_commit_version")).distinct()
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // startingTimestamp resolves to the same exclusive bound: pinned at
+    // exactly v1's commit mtime it serves strictly-after changes (v2)
+    val t1 = Files.getLastModifiedTime(
+      Paths.get(dir, "_log", "v00001.txt")).toInstant
+    val ts1 = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneId.systemDefault()).format(t1)
+    val afterTs = spark.read.format("graft-acid-sql")
+      .option("readChangeFeed", "true").option("startingTimestamp", ts1).load(dir)
+    assert(afterTs.select(col("_commit_version")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // predating the first commit serves every increment (CREATE excluded)
+    val all = spark.read.format("graft-acid-sql")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "1990-01-01 00:00:00").load(dir)
+    assert(all.select(col("_commit_version")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
     // without the option, the same format still reads the snapshot
     assert(spark.read.format("graft-acid-sql").load(dir).columns
       .sameElements(Array("k", "price_cents", "prio")))
