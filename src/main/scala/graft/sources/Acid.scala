@@ -79,11 +79,17 @@ object Acid {
     * (clones reference source files as `../...` — the name still
     * matches). An entry carries at most one of dv/pdv (the writers
     * refuse to mix; OPTIMIZE materializes either away). */
+  /** `bytes` = on-disk size of the data file, recorded at commit time so
+    * planners read ONE manifest instead of issuing O(#files) filesystem
+    * stats (on an object store at 100 TB that is 1 request vs millions).
+    * 0 = unknown (manifests written before the field existed); consumers
+    * fall back to a rows×row-width estimate for those entries. */
   final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
                              stats2: Option[(String, Long, Long)] = None,
                              bloom: Option[(Int, String)] = None,
                              dv: Option[(String, Long)] = None,
-                             pdv: Option[(String, Long)] = None)
+                             pdv: Option[(String, Long)] = None,
+                             bytes: Long = 0L)
   /** `batchHw` maps each writer identity (the `writerTag` a merge commits
     * under — the analogue of Delta's `txnAppId`) to the high-water mark of
     * batch ids THAT writer has committed. Keyed per writer, not
@@ -192,6 +198,7 @@ object Acid {
       var bloom: Option[(Int, String)] = None
       var dv: Option[(String, Long)] = None
       var pdv: Option[(String, Long)] = None
+      var bytes = 0L
       var rest = a.drop(4).toList
       while (rest.nonEmpty) rest.head match {
         case b if b.startsWith("B:") =>
@@ -206,11 +213,15 @@ object Acid {
           val i = pt.indexOf(':', 2)
           pdv = Some((pt.substring(i + 1), pt.substring(2, i).toLong))
           rest = rest.tail
+        case sz if sz.startsWith("S:") =>
+          bytes = sz.substring(2).toLong
+          rest = rest.tail
         case _ =>
           s2 = Some((rest.head, rest(1).toLong, rest(2).toLong))
           rest = rest.drop(3)
       }
-      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom, dv, pdv)
+      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom, dv, pdv,
+        bytes)
     }
     val hw =
       if (header.length >= 3 && header(2).nonEmpty)
@@ -254,7 +265,8 @@ object Acid {
         val bl = f.bloom.map { case (bits, hex) => s"|B:$bits:$hex" }.getOrElse("")
         val dvs = f.dv.map { case (p, n) => s"|D:$n:$p" }.getOrElse("")
         val pdvs = f.pdv.map { case (p, n) => s"|P:$n:$p" }.getOrElse("")
-        s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs"
+        val sz = if (f.bytes > 0L) s"|S:${f.bytes}" else ""
+        s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs$sz"
       }).mkString("\n")
     // UUID suffix: two writers racing the same version in DIFFERENT JVMs
     // can share a thread id, which would let the second Files.write
