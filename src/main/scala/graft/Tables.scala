@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver's parquet testdata layout (TESTDATA.md, FIXTURES.md §A).
   *
@@ -25,16 +26,48 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark 4.x rejects unless
-    * `spark.sql.legacy.parquet.nanosAsLong` is set — after which `ts` arrives
-    * as a Long of nanoseconds. We truncate to microseconds with *integer*
-    * division (`div`), never via double math: ns-since-epoch (~1.7e18)
-    * exceeds the 2^53 double mantissa, so a float path can land 1µs off the
-    * value DuckDB's `CAST(ts AS TIMESTAMP)` produces and break hash parity.
+  /** Normalize an `events.ts` column of footer type `tsType` to session-TZ
+    * TIMESTAMP at microsecond precision — the precision DuckDB's
+    * `CAST(ts AS TIMESTAMP)` oracle lands on for every source precision.
+    *
+    *  - `LongType`: the file was Parquet TIMESTAMP(NANOS), read under
+    *    `spark.sql.legacy.parquet.nanosAsLong` as a Long of nanoseconds.
+    *    Truncate with *integer* division (`div`), never double math:
+    *    ns-since-epoch (~1.7e18) exceeds the 2^53 double mantissa, so a
+    *    float path can land 1µs off the oracle and break hash parity.
+    *  - `TimestampNTZType`: Parquet TIMESTAMP(MICROS/MILLIS,
+    *    isAdjustedToUTC=false). The session TZ is pinned to UTC everywhere
+    *    (Verify/Bench/specs), so the NTZ→TZ cast preserves the stored
+    *    micros value exactly.
+    *  - `TimestampType`: already session-TZ micros — identity.
+    */
+  def normalizeEventTs(c: Column, tsType: DataType): Column = tsType match {
+    case LongType            => timestamp_micros(call_function("div", c, lit(1000L)))
+    case TimestampNTZType    => c.cast(TimestampType)
+    case TimestampType       => c
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported parquet footer type $other " +
+        "(expected TIMESTAMP(NANOS) as Long, TIMESTAMP_NTZ, or TIMESTAMP)")
+  }
+
+  /** Footer type of `events.ts` in the given sf dir, with the nanos legacy
+    * conf enabled so NANOS files surface as LongType instead of throwing.
+    * One footer read — metadata-sized, no data scan.
+    */
+  def eventsTsType(s: SparkSession, d: String): DataType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+  }
+
+  /** The driver has shipped `events.ts` at both TIMESTAMP(NANOS) and
+    * timestamp[us] precision across rounds, so the loader is
+    * precision-adaptive: branch on the actual footer type rather than
+    * assuming one encoding (the round-7 hardcoded-ns path broke 24 rows
+    * when the testdata moved to µs).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.withColumn("ts", normalizeEventTs(col("ts"), raw.schema("ts").dataType))
   }
 }

@@ -26,6 +26,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Precision canary (round-7 postmortem): the driver has shipped events.ts
+    // at both ns and µs parquet precision; log what this run actually sees so
+    // a future precision flip is visible in the gate output, not silent.
+    System.err.println(
+      s"[verify] events.ts footer type: ${Tables.eventsTsType(spark, sfDir)}")
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated key filter for local iteration (same contract
     // as Bench); the driver sets no filter and dumps everything.

@@ -78,15 +78,20 @@ object Streaming {
   private def fresh(tag: String, sfDir: String): String =
     graft.Scratch.fresh(tag, sfDir)
 
-  /** `events.ts` arrives as Long nanos under nanosAsLong (SURVEY §7.4.1). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Read schema for the events file-source replay. `ts` takes the footer
+    * type detected from the actual fixture (Long nanos under nanosAsLong,
+    * TIMESTAMP_NTZ for timestamp[us] files, or TIMESTAMP) — a fixed schema
+    * here silently reinterpreted µs-as-ns when the driver's testdata changed
+    * precision, collapsing event time 1000× (round-7 postmortem).
+    */
+  private def rawSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-source replay of events.parquet: copy into a scratch input dir,
-    * readStream with the explicit schema, truncate ns→µs with integer
-    * division (same rule as Tables.events).
+    * readStream with a schema matching the detected `ts` footer type,
+    * normalize to session-TZ micros (same rule as Tables.events).
     */
   private def eventsStream(s: SparkSession, d: String, tag: String): (DataFrame, String) = {
     // Child session (shared SparkContext, isolated SQLConf): stateful
@@ -114,8 +119,9 @@ object Streaming {
     } else
       Files.copy(src, Paths.get(base, "input", "events.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
-    val ev = ss.readStream.schema(rawSchema).parquet(s"$base/input")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = graft.Tables.eventsTsType(ss, d)
+    val ev = ss.readStream.schema(rawSchema(tsType)).parquet(s"$base/input")
+      .withColumn("ts", graft.Tables.normalizeEventTs(col("ts"), tsType))
     (ev, base)
   }
 

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.MessageTypeParser
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 additions. The headline is the events.ts precision canary: the
+  * driver's testdata has shipped `ts` as Parquet TIMESTAMP(NANOS) (rounds
+  * 1-6) and timestamp[us] (round 7+), and a loader that assumes one encoding
+  * either throws at analysis (batch) or silently collapses event time 1000×
+  * (streaming read with a hardcoded Long schema). These tests synthesize the
+  * same 120-event fixture at ns, µs-NTZ, µs-UTC, and ms precision and pin
+  * both loaders to identical µs output on every variant.
+  */
+class Round8Spec extends AnyFunSuite {
+  import TestSpark._
+
+  // ---- fixture synthesis ------------------------------------------------
+  // 120 events, 60 s apart (whole seconds, so the ms variant is lossless),
+  // spanning three 1 h tumbling buckets. Base = 2023-11-14T22:13:20Z.
+  private val BaseUs = 1700000000000000L
+  private val N      = 120
+  // (event_id, ts_us, user_id, event_type, value) — tuples, not a nested
+  // case class (Spark can't encode inner classes of a test suite).
+  private val evs = (0 until N).map { i =>
+    (i.toLong, BaseUs + i * 60000000L, (i % 10).toLong,
+      Seq("click", "view", "purchase")(i % 3), i * 0.5)
+  }
+
+  /** Spark-written variant: ts encoded per `tsCol` / writer conf. */
+  private def sparkFixture(tag: String, tsCol: DataFrame => DataFrame,
+      outputType: String = "TIMESTAMP_MICROS"): String = {
+    val dir = Scratch.fresh(s"r8_prec_$tag", sf)
+    import spark.implicits._
+    val df = evs.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("props", lit("{}"))
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", outputType)
+    try tsCol(df)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    dir
+  }
+
+  /** parquet-mr-written TIMESTAMP(NANOS) variant — Spark cannot write NANOS,
+    * so drop to the example writer. Sub-µs remainders (+333 ns per row mod 3)
+    * exercise the integer-division truncation.
+    */
+  private def nanosFixture(): String = {
+    val dir = Scratch.fresh("r8_prec_ns", sf)
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,false));
+        |  required int64 user_id;
+        |  required binary event_type (STRING);
+        |  required double value;
+        |  required binary props (STRING);
+        |}""".stripMargin)
+    val w = ExampleParquetWriter.builder(new HPath(s"$dir/events.parquet"))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    try evs.foreach { case (id, us, user, typ, v) =>
+      val g = gf.newGroup()
+      g.append("event_id", id)
+      g.append("ts", us * 1000L + (id % 3) * 333L)
+      g.append("user_id", user)
+      g.append("event_type", typ)
+      g.append("value", v)
+      g.append("props", "{}")
+      w.write(g)
+    } finally w.close()
+    dir
+  }
+
+  private lazy val nsDir   = nanosFixture()
+  private lazy val usNtzDir = sparkFixture("us_ntz",
+    _.withColumn("ts", col("ts").cast(TimestampNTZType)))
+  private lazy val usTzDir  = sparkFixture("us_tz", identity)
+  private lazy val msDir    = sparkFixture("ms", identity, "TIMESTAMP_MILLIS")
+
+  private def loadedMicros(dir: String): Seq[(Long, Long)] =
+    Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  test("precision canary: batch loader is identical across ns/µs-ntz/µs-tz/ms") {
+    val expected = evs.map(e => (e._1, e._2))
+    assert(Tables.eventsTsType(spark, nsDir)    === LongType)
+    assert(Tables.eventsTsType(spark, usNtzDir) === TimestampNTZType)
+    assert(Tables.eventsTsType(spark, usTzDir)  === TimestampType)
+    for ((dir, tag) <- Seq(nsDir -> "ns", usNtzDir -> "us_ntz",
+        usTzDir -> "us_tz", msDir -> "ms"))
+      assert(loadedMicros(dir) === expected, s"variant $tag diverged")
+  }
+
+  test("precision canary: driver testdata loads as session-TZ TIMESTAMP") {
+    val df = Tables.events(spark, sf)
+    assert(df.schema("ts").dataType === TimestampType)
+    assert(df.count() > 0)
+  }
+
+  test("precision canary: streaming loader is identical across ns and µs") {
+    val run = SparkEntry.queries("st_tumbling")
+    def result(dir: String) =
+      run(spark, dir).collect().map(_.toSeq).toSeq
+    val ns = result(nsDir)
+    val us = result(usNtzDir)
+    assert(ns.nonEmpty && ns === us)
+    // The 120-minute fixture (22:13Z + 120 × 60 s) crosses three 1 h
+    // buckets × 3 event types.
+    assert(ns.size === 9)
+  }
+}
