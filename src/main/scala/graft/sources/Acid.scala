@@ -391,12 +391,42 @@ object Acid {
     * initial data before v0 lands.
     */
   def create(s: SparkSession, dir: String, df: DataFrame, keyCol: String,
-             nFiles: Int, constraint: Option[String] = None): Unit = {
-    df.repartitionByRange(nFiles, col(keyCol))
+             nFiles: Int, constraint: Option[String] = None): Unit =
+    create(s, dir, df, Seq(keyCol), nFiles, constraint)
+
+  /** Composite-key CREATE: the merge key is the LEADING `keyCols.size`
+    * columns (positional, like the single-key contract). File stats and
+    * range pruning stay on the leading column — sound because the
+    * range-partitioned layout orders by the full composite key, so the
+    * leading column's [min,max] per file is as sharp as for a single key;
+    * match/insert joins use every key column. The key arity persists in a
+    * `_log/keycols.txt` sidecar (absent = 1), so the manifest format is
+    * unchanged and single-key tables pay nothing.
+    */
+  def create(s: SparkSession, dir: String, df: DataFrame, keyCols: Seq[String],
+             nFiles: Int, constraint: Option[String]): Unit = {
+    require(keyCols.nonEmpty &&
+      df.columns.take(keyCols.size).sameElements(keyCols),
+      s"key columns must be the leading columns: table leads with " +
+        s"${df.columns.take(keyCols.size).mkString(",")}, keys are ${keyCols.mkString(",")}")
+    df.repartitionByRange(nFiles, keyCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$dir/d0_init")
     enforceConstraint(s, dir, "d0_init", constraint)
-    commitManifest(dir, Manifest(0, -1L, statsOf(s, dir, "d0_init", keyCol),
+    if (keyCols.size > 1) {
+      Files.createDirectories(logDir(dir))
+      Files.writeString(logDir(dir).resolve("keycols.txt"),
+        keyCols.mkString(","))
+    }
+    commitManifest(dir, Manifest(0, -1L, statsOf(s, dir, "d0_init", keyCols.head),
       constraint = constraint, op = "CREATE"))
+  }
+
+  /** The table's merge-key columns: the keycols sidecar when present
+    * (composite tables), else the positional single-key contract. */
+  private[sources] def keyColsOf(s: SparkSession, dir: String): Seq[String] = {
+    val spec = logDir(dir).resolve("keycols.txt")
+    if (Files.exists(spec)) Files.readString(spec).trim.split(',').toSeq
+    else Seq(keyColOf(s, dir))
   }
 
   /** Subtract the entries' deletion-vector sidecars from a read of those
@@ -714,8 +744,15 @@ object Acid {
       : Either[String, MergeResult] = {
     import s.implicits._
     val m = readManifest(dir, baseVersion)
-    val keyCol = batch.schema.fields.head.name
+    val keyCols = keyColsOf(s, dir)
+    val keyCol = keyCols.head // leading key: stats, pruning, repartition order
+    require(batch.columns.take(keyCols.size).sameElements(keyCols),
+      s"batch must lead with the table's key columns ${keyCols.mkString(",")}" +
+        s", got ${batch.columns.take(keyCols.size).mkString(",")}")
 
+    // File pruning on the LEADING key only — a leading-column range is a
+    // superset of the composite range, so skipping stays exact for
+    // composite keys.
     val entries = m.files
       .map(f => (f.path, f.minKey, f.maxKey))
       .toDF("path", "mn", "mx")
@@ -741,21 +778,23 @@ object Acid {
     // complement — the MATCHED key set — is ≤ |batch| by definition, so it
     // is derived with a broadcast semi-join and broadcast back into the
     // anti-join (an anti-join cannot build its own left side).
-    val batchCols    = batch.columns.toSet - keyCol
-    val evolvedCols  = batch.columns.filter(c => c != keyCol && !targetSchema.fieldNames.contains(c))
+    val isKey        = keyCols.toSet
+    val batchCols    = batch.columns.toSet -- isKey
+    val evolvedCols  = batch.columns.filter(c => !isKey(c) && !targetSchema.fieldNames.contains(c))
+    val keyMatch     = keyCols.map(k => touchedDf(k) === batch(k)).reduce(_ && _)
     val updatedPart = touchedDf
-      .join(broadcast(batch), touchedDf(keyCol) === batch(keyCol), "left_outer")
-      .select(touchedDf(keyCol).as(keyCol) +: (
-        targetSchema.fieldNames.filter(_ != keyCol).map { c =>
+      .join(broadcast(batch), keyMatch, "left_outer")
+      .select(keyCols.map(k => touchedDf(k).as(k)) ++ (
+        targetSchema.fieldNames.filterNot(isKey).map { c =>
           if (batchCols.contains(c)) coalesce(batch(c), touchedDf(c)).as(c)
           else touchedDf(c).as(c)
         } ++ evolvedCols.map(c => batch(c).as(c))).toSeq: _*)
-    val matchedKeys = touchedDf.select(col(keyCol))
-      .join(broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_semi")
+    val matchedKeys = touchedDf.select(keyCols.map(col): _*)
+      .join(broadcast(batch.select(keyCols.map(col): _*)), keyCols, "left_semi")
     val insertPart = batch
-      .join(broadcast(matchedKeys), Seq(keyCol), "left_anti")
-      .select(col(keyCol) +: (
-        targetSchema.fieldNames.filter(_ != keyCol).map { c =>
+      .join(broadcast(matchedKeys), keyCols, "left_anti")
+      .select(keyCols.map(col) ++ (
+        targetSchema.fieldNames.filterNot(isKey).map { c =>
           if (batchCols.contains(c)) col(c)
           else lit(null).cast(targetSchema(c).dataType).as(c)
         } ++ evolvedCols.map(c => col(c))).toSeq: _*)
@@ -763,7 +802,7 @@ object Acid {
 
     val nextV = baseVersion + 1
     val dataDir = s"d${nextV}_$writerTag$stageSuffix"
-    merged.repartitionByRange(math.max(1, touched.size), col(keyCol))
+    merged.repartitionByRange(math.max(1, touched.size), keyCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     // CHECK constraint on the WRITTEN merge result (what actually
     // persists): subset-column batches and evolved columns are validated
@@ -781,7 +820,7 @@ object Acid {
       if (!writeCdf) None
       else {
         val cdcDir = s"_cdc/$dataDir"
-        val valueCols = targetSchema.fieldNames.filter(_ != keyCol).toSeq
+        val valueCols = targetSchema.fieldNames.filterNot(isKey).toSeq
         val o = touchedDf.as("o")
         val b = broadcast(batch).as("b")
         def newVal(c: String) =
@@ -790,16 +829,17 @@ object Acid {
         val drift = (valueCols.map(c => !(col(s"o.$c") <=> newVal(c))) ++
           evolvedCols.map(c => col(s"b.$c").isNotNull))
           .reduceOption(_ || _).getOrElse(lit(false))
-        val updCdc = o.join(b, col(s"o.$keyCol") === col(s"b.$keyCol"))
+        val cdcKeyMatch = keyCols.map(k => col(s"o.$k") === col(s"b.$k")).reduce(_ && _)
+        val updCdc = o.join(b, cdcKeyMatch)
           .filter(drift)
-          .select(col(s"o.$keyCol").as(keyCol) +: (
+          .select(keyCols.map(k => col(s"o.$k").as(k)) ++ (
             valueCols.map(c => col(s"o.$c").as(s"old_$c")) ++
             evolvedCols.map(c => lit(null).cast(batch.schema(c).dataType).as(s"old_$c")) ++
             valueCols.map(c => newVal(c).as(s"new_$c")) ++
             evolvedCols.map(c => col(s"b.$c").as(s"new_$c"))).toSeq
             :+ lit("update").as("change_type"): _*)
         val insCdc = insertPart
-          .select(col(keyCol) +: (
+          .select(keyCols.map(col) ++ (
             (valueCols ++ evolvedCols).map(c =>
               lit(null).cast(insertPart.schema(c).dataType).as(s"old_$c")) ++
             (valueCols ++ evolvedCols).map(c => col(c).as(s"new_$c"))).toSeq
@@ -1506,6 +1546,45 @@ object Acid {
       .withColumn("files_pruned",
         lit(r.filesRewritten >= 1 && r.filesRewritten < r.filesTotal))
       .orderBy(col("prio"))
+  }
+
+  /** tbl_merge_composite — MERGE on a two-column key: orders re-keyed on
+    * the unique composite (k1, k2) = (o_orderkey div 1000, o_orderkey %
+    * 1000), so every k1 carries up to 1000 distinct k2 lines (the
+    * synthetic lineitem duplicates (orderkey, linenumber) pairs, so the
+    * natural TPC-H composite is not usable here). Updates hit ONLY the
+    * k2 % 10 = 3 lines of low-quarter k1 groups — a leading-key-only
+    * match would collide with the group's other lines, so the row fails
+    * unless matching uses every key column. Inserts add a new k2=1777
+    * line per selected low-quarter group (new composite pairs under
+    * existing leading keys). Pruning stays leading-column: the
+    * low-quarter batch rewrites a strict subset of files, pinned by the
+    * oracle'd boolean.
+    */
+  val tblMergeComposite: Q = (s, d) => {
+    val dir = fresh("tbl_merge_composite", d)
+    val t = Tables.orders(s, d).select(
+      expr("o_orderkey div 1000").as("k1"),
+      expr("o_orderkey % 1000").as("k2"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("flag"))
+    val mk = t.agg(max(col("k1"))).head.getLong(0)
+    create(s, dir, t, Seq("k1", "k2"), 8, None)
+    val updates = t.filter(col("k1") < lit(mk / 4) && col("k2") % 10 === 3)
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("flag", lit("PATCHED"))
+    val inserts = t.filter(col("k1") % 5 === 0 && col("k1") < lit(mk / 4))
+      .select(col("k1")).distinct()
+      .select(col("k1"), lit(1777L).as("k2"),
+        (col("k1") * 7 + 5).as("price_cents"), lit("NEW").as("flag"))
+    val r = merge(s, dir, updates.unionByName(inserts), "m")
+    snapshot(s, dir)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        sum(col("k2")).as("sum_k2"))
+      .withColumn("files_pruned",
+        lit(r.filesRewritten >= 1 && r.filesRewritten < r.filesTotal))
+      .orderBy(col("flag"))
   }
 
   /** tbl_time_travel — snapshot isolation made visible: v0 and v1 read
@@ -2500,6 +2579,7 @@ object Acid {
     "tbl_sql_update"        -> tblSqlUpdate,
     "tbl_sql_merge"         -> tblSqlMerge,
     "tbl_acid_merge"        -> tblAcidMerge,
+    "tbl_merge_composite"   -> tblMergeComposite,
     "tbl_time_travel"       -> tblTimeTravel,
     "tbl_stats_skip"        -> tblStatsSkip,
     "tbl_bloom_skip"        -> tblBloomSkip,
@@ -2679,6 +2759,26 @@ object Acid {
         |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
         |       TRUE AS files_pruned
         |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "tbl_merge_composite" ->
+      """WITH base AS (
+        |  SELECT o_orderkey // 1000 AS k1, o_orderkey % 1000 AS k2,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS flag FROM orders),
+        |mx AS (SELECT max(k1) AS m FROM base),
+        |merged AS (
+        |  SELECT k1, k2,
+        |         CASE WHEN k1 < (SELECT m FROM mx) // 4 AND k2 % 10 = 3
+        |              THEN pc + 777 ELSE pc END AS price_cents,
+        |         CASE WHEN k1 < (SELECT m FROM mx) // 4 AND k2 % 10 = 3
+        |              THEN 'PATCHED' ELSE flag END AS flag
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k1, 1777, k1 * 7 + 5, 'NEW'
+        |  FROM (SELECT DISTINCT k1 FROM base
+        |        WHERE k1 % 5 = 0 AND k1 < (SELECT m FROM mx) // 4))
+        |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       CAST(sum(k2) AS BIGINT) AS sum_k2, TRUE AS files_pruned
+        |FROM merged GROUP BY flag ORDER BY flag""".stripMargin,
     "tbl_time_travel" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -90,9 +90,11 @@ object Xml {
     * same-name tags inside a captured record stay part of that record and
     * never re-trigger capture.
     *
-    * Path steps match element LOCAL names; each step may carry one
-    * `[@attr='value']` (or double-quoted) attribute predicate, evaluated
-    * at the step's own start tag — see PathStep. Limitation: captured
+    * Path steps match element LOCAL names — optionally qualified by a
+    * namespace URI via a prefix resolved from the caller's bindings (see
+    * parseNodePath) — and each step may carry one `[@attr='value']` (or
+    * double-quoted) attribute predicate, evaluated at the step's own
+    * start tag — see PathStep. Limitation: captured
     * subtrees are re-serialized without ancestor namespace declarations —
     * documents binding prefixes on an ancestor of the record element are
     * out of scope (prefix would be unbound in the snippet); use
@@ -105,19 +107,43 @@ object Xml {
     * single-pass). Richer predicates (positions, child text) remain
     * post-parse territory via fn_xml_parse's full extraction.
     */
-  private final case class PathStep(name: String, pred: Option[(String, String)])
+  private final case class PathStep(name: String, nsUri: Option[String],
+                                    pred: Option[(String, String)])
 
   private val StepRe =
     """^([^\[\]@]+)(?:\[@([A-Za-z_][\w.:-]*)=(?:'([^']*)'|"([^"]*)")\])?$""".r
 
-  private def parseNodePath(nodePath: String): Seq[PathStep] = {
-    val steps = nodePath.split("/").filter(_.nonEmpty).toSeq.map {
-      case StepRe(name, null, _, _) => PathStep(name, None)
-      case StepRe(name, attr, sq, dq) =>
-        PathStep(name, Some((attr, if (sq != null) sq else dq)))
-      case other =>
-        throw new IllegalArgumentException(
-          s"unsupported node-path step '$other' (want name or name[@attr='v'])")
+  /** Parse a node path. A step may carry a namespace PREFIX
+    * (`/catalog/ns:book`) resolved against `ns` (prefix → URI) at parse
+    * time: matching is then on (local name, resolved URI) — never on the
+    * raw prefix, so a document binding a DIFFERENT prefix to the same URI
+    * still matches, and an identical prefix bound to a decoy URI doesn't
+    * (XML-namespace semantics). An unprefixed step keeps the historical
+    * behavior of matching the local name in any namespace.
+    */
+  private def parseNodePath(nodePath: String,
+      ns: Map[String, String] = Map.empty): Seq[PathStep] = {
+    val steps = nodePath.split("/").filter(_.nonEmpty).toSeq.map { raw =>
+      def split(qname: String): (String, Option[String]) =
+        qname.split(':') match {
+          case Array(p, local) => (local, Some(ns.getOrElse(p,
+            throw new IllegalArgumentException(
+              s"node-path step '$qname' uses undeclared namespace prefix '$p'"))))
+          case Array(local) => (local, None)
+          case _ => throw new IllegalArgumentException(
+            s"malformed node-path step '$qname'")
+        }
+      raw match {
+        case StepRe(name, null, _, _) =>
+          val (local, uri) = split(name)
+          PathStep(local, uri, None)
+        case StepRe(name, attr, sq, dq) =>
+          val (local, uri) = split(name)
+          PathStep(local, uri, Some((attr, if (sq != null) sq else dq)))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported node-path step '$other' (want name or name[@attr='v'])")
+      }
     }
     require(steps.nonEmpty, s"empty node path: $nodePath")
     steps
@@ -127,15 +153,20 @@ object Xml {
     * one 100 GB feed must not become a one-task straggler. */
   private val SplitThresholdBytes = 32L << 20
 
-  def readXmlNodePath(s: SparkSession, dir: String, nodePath: String): DataFrame = {
+  def readXmlNodePath(s: SparkSession, dir: String, nodePath: String,
+      ns: Map[String, String] = Map.empty): DataFrame = {
     import s.implicits._
-    val path = parseNodePath(nodePath)
+    val path = parseNodePath(nodePath, ns)
     val listing = Files.list(Paths.get(dir))
     val files =
       try listing.toArray.map(_.toString).filter(_.endsWith(".xml")).sorted
       finally listing.close()
-    if (files.exists(f => Files.size(Paths.get(f)) > SplitThresholdBytes))
+    if (files.exists(f => Files.size(Paths.get(f)) > SplitThresholdBytes)) {
+      require(path.forall(_.nsUri.isEmpty),
+        "namespace-qualified node paths are not supported by the intra-file " +
+          "split reader (byte-level tag scan has no in-scope prefix table)")
       return readXmlNodePathSplit(s, dir, nodePath)
+    }
     s.sparkContext.parallelize(files.toSeq, math.max(files.length, 1))
       .flatMap { file =>
         import javax.xml.stream.{XMLInputFactory, XMLOutputFactory}
@@ -167,6 +198,7 @@ object Xml {
                 depth <= path.size && {
                   val step = path(depth - 1)
                   step.name == stack(depth - 1) &&
+                    step.nsUri.forall(u => se.getName.getNamespaceURI == u) &&
                     step.pred.forall { case (a, v) =>
                       val attr = se.getAttributeByName(
                         new javax.xml.namespace.QName(a))
@@ -875,6 +907,48 @@ object Xml {
       StructField("name", StringType),
       StructField("region", LongType)))
     readXmlNodePath(s, dir, "/catalog/book")
+      .withColumn("p", from_xml(col("xml"), schema))
+      .select(
+        col("p._key").as("n_nationkey"),
+        col("p.name").as("n_name"),
+        col("p.region").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Namespace-aware node paths — `/catalog/ns:book` with the caller
+    * binding `ns → urn:graft:books`: matching is on (local name, resolved
+    * namespace URI), never the raw prefix. The fixture exercises both
+    * directions prefix-matching would get wrong: two DIFFERENT document
+    * prefixes (`a:`, `b:`) bound to the target URI must both match, and
+    * the SAME document prefix (`a:`) bound to a decoy URI must not.
+    * Namespaces are declared on the record elements (the documented
+    * fidelity contract for captured snippets).
+    */
+  val srcXmlNsPath: Q = (s, d) => {
+    val dir = fresh("src_xml_ns_path", d)
+    val rows = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy(col("n_nationkey")).collect()
+    rows.groupBy(r => r.getLong(0) % 2).foreach { case (fid, rs) =>
+      val body = rs.map { r =>
+        val (k, n, g) = (r.getLong(0), r.getString(1), r.getLong(2))
+        val inner = s"""<name>$n</name><region>$g</region>"""
+        k % 3 match {
+          case 0 => s"""  <a:book xmlns:a="urn:graft:books" key="$k">$inner</a:book>"""
+          case 1 => s"""  <b:book xmlns:b="urn:graft:books" key="$k">$inner</b:book>"""
+          case _ => s"""  <a:book xmlns:a="urn:graft:decoy" key="$k">$inner</a:book>"""
+        }
+      }.mkString("\n")
+      Files.write(Paths.get(dir, s"cat_$fid.xml"),
+        s"<catalog>\n$body\n</catalog>".getBytes("UTF-8"))
+    }
+    val schema = StructType(Seq(
+      StructField("_key", LongType),
+      StructField("name", StringType),
+      StructField("region", LongType)))
+    readXmlNodePath(s, dir, "/catalog/ns:book",
+      ns = Map("ns" -> "urn:graft:books"))
       .withColumn("p", from_xml(col("xml"), schema))
       .select(
         col("p._key").as("n_nationkey"),
@@ -1606,6 +1680,7 @@ object Xml {
     "src_xml_enum_union"    -> srcXmlEnumUnion,
     "src_glob_read"         -> srcGlobRead,
     "src_xml_nodepath"      -> srcXmlNodePath,
+    "src_xml_ns_path"       -> srcXmlNsPath,
     "src_xml_split_bigfile" -> srcXmlSplitBigfile,
     "src_xml_nodepath_pred" -> srcXmlNodePathPred,
     "src_csv_json_text"     -> srcCsvJsonText,
@@ -1682,6 +1757,9 @@ object Xml {
         |ORDER BY mode, bucket""".stripMargin,
     "src_xml_nodepath" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "src_xml_ns_path" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 3 <> 2 ORDER BY n_nationkey""".stripMargin,
     "src_xml_split_bigfile" ->
       """SELECT n_nationkey, n_name, n_regionkey, TRUE AS split_parallel
         |FROM nation ORDER BY n_nationkey""".stripMargin,

@@ -109,6 +109,34 @@ class Round8Spec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("composite merge: exact-pair matching with leading-column pruning") {
+    import graft.sources.Acid
+    import spark.implicits._
+    val dir = Scratch.fresh("r8_composite", sf)
+    // 1000 rows, k1 = i div 10 (0..99), k2 = i % 10 — 10 lines per group.
+    val t = spark.range(1000)
+      .select(expr("id div 10").as("k1"), expr("id % 10").as("k2"),
+        (col("id") * 100).as("v"))
+    Acid.create(spark, dir, t, Seq("k1", "k2"), 4, None)
+    // Update exactly one (k1, k2) pair; insert one new pair under an
+    // existing leading key.
+    val batch = Seq((2L, 5L, -1L), (2L, 77L, -2L)).toDF("k1", "k2", "v")
+    val r = Acid.merge(spark, dir, batch, "w")
+    // Leading-key pruning: k1=2 lives in one of the 4 range files.
+    assert(r.filesRewritten === 1 && r.filesTotal === 4)
+    val snap = Acid.snapshot(spark, dir)
+    assert(snap.count() === 1001)
+    // ONLY the exact pair updated — the other 9 lines of group 2 intact
+    // (a leading-key-only match would have clobbered all of them).
+    assert(snap.filter(col("k1") === 2 && col("v") < 0).count() === 2)
+    assert(snap.filter(col("k1") === 2 && col("k2") === 5).head.getLong(2) === -1L)
+    assert(snap.filter(col("k1") === 2 && col("k2") === 3).head.getLong(2) === 2300L)
+    // A batch not leading with the key columns is refused.
+    intercept[IllegalArgumentException] {
+      Acid.merge(spark, dir, Seq((1L, 1L)).toDF("k2", "v"), "w2")
+    }
+  }
+
   test("precision canary: streaming loader is identical across ns and µs") {
     val run = SparkEntry.queries("st_tumbling")
     def result(dir: String) =
