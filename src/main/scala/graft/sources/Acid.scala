@@ -429,6 +429,19 @@ object Acid {
     else Seq(keyColOf(s, dir))
   }
 
+  /** The catalog-declared partition column (CREATE TABLE ... PARTITIONED
+    * BY), persisted as a `_log` sidecar by AcidCatalog. Writers cluster
+    * on it and stamp per-file stats2; scans prune on those stats. */
+  private[sources] def partColOf(dir: String): Option[String] = {
+    val spec = logDir(dir).resolve("partcol.txt")
+    if (Files.exists(spec)) Some(Files.readString(spec).trim) else None
+  }
+
+  private[sources] def writePartCol(dir: String, c: String): Unit = {
+    Files.createDirectories(logDir(dir))
+    Files.writeString(logDir(dir).resolve("partcol.txt"), c): Unit
+  }
+
   /** Subtract the entries' deletion-vector sidecars from a read of those
     * entries: an anti-join on the merge key (key-level `dv`) and/or on
     * (file name, row index) (positional `pdv`) against the
@@ -2393,6 +2406,43 @@ object Acid {
       .withColumn("schema_widened", lit(widened))
   }
 
+  /** tbl_sql_partitioned — `CREATE TABLE ... PARTITIONED BY` through the
+    * V2 catalog plugin: the identity transform persists as the partcol
+    * sidecar, the INSERT's V2 write declares a clustered distribution +
+    * ordering on it (each partition value lands in files with tight
+    * stats2), and a partition-equality probe plans a strict file subset
+    * from the manifest alone. The library-level twin is tbl_partitioned
+    * (createPartitioned); this row pins the SQL DDL surface end-to-end:
+    * DDL → clustered INSERT → pruned SELECT.
+    */
+  val tblSqlPartitioned: Q = (s, d) => {
+    val root = fresh("tbl_sql_part_cat", d)
+    val cat = "graft_part_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_part_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.pt")
+    s.sql(
+      s"""CREATE TABLE $cat.pt (k BIGINT, p BIGINT, price_cents BIGINT)
+         |PARTITIONED BY (p)""".stripMargin)
+    s.sql(
+      s"""INSERT INTO $cat.pt
+         |SELECT k, k % 5, price_cents FROM graft_part_src""".stripMargin)
+    val declared = s.table(s"$cat.pt").queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.partitioning().map(_.toString).mkString(",")
+    }.getOrElse("")
+    // partition-equality probe must plan a strict file subset
+    s.sql(s"SELECT count(*) FROM $cat.pt WHERE p = 3").head
+    val (scanned, total) = AcidSql.lastScanFor(s"$root/pt")
+    s.sql(
+      s"""SELECT p, count(*) AS n, sum(price_cents) AS sum_cents
+         |FROM $cat.pt GROUP BY p""".stripMargin)
+      .withColumn("pruned", lit(scanned >= 1 && scanned < total))
+      .withColumn("partitioning_reported", lit(declared == "identity(p)"))
+      .orderBy(col("p"))
+  }
+
   /** tbl_sql_update — SQL `UPDATE` through `SupportsRowLevelOperations`
     * (group-based copy-on-write): Spark plans a matching-groups subquery,
     * the scan's `_file` runtime filter narrows the rewrite to the files
@@ -2577,6 +2627,7 @@ object Acid {
     "tbl_convert"           -> tblConvert,
     "tbl_files"             -> tblFiles,
     "tbl_sql_update"        -> tblSqlUpdate,
+    "tbl_sql_partitioned"   -> tblSqlPartitioned,
     "tbl_sql_merge"         -> tblSqlMerge,
     "tbl_acid_merge"        -> tblAcidMerge,
     "tbl_merge_composite"   -> tblMergeComposite,
@@ -2759,6 +2810,11 @@ object Acid {
         |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
         |       TRUE AS files_pruned
         |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "tbl_sql_partitioned" ->
+      """SELECT o_orderkey % 5 AS p, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       TRUE AS pruned, TRUE AS partitioning_reported
+        |FROM orders GROUP BY 1 ORDER BY p""".stripMargin,
     "tbl_merge_composite" ->
       """WITH base AS (
         |  SELECT o_orderkey // 1000 AS k1, o_orderkey % 1000 AS k2,

@@ -126,6 +126,30 @@ class AcidCatalog extends StagingTableCatalog {
     new AcidSqlTable(dir, Acid.snapshot(SparkSession.active, dir, v).schema, v)
   }
 
+  /** `PARTITIONED BY` support: exactly one identity transform on a
+    * declared BIGINT column (the categorical-partition shape
+    * createPartitioned models). The column name persists as a `_log`
+    * sidecar; from then on every insert clusters on it and stamps
+    * per-file stats2, and every scan prunes on those stats — the
+    * wiring is the manifest's existing second-dimension machinery.
+    * Anything richer (bucket/days/multi-column) refuses loudly. */
+  private def partColFrom(info: TableInfo): Option[String] =
+    info.partitions() match {
+      case ps if ps.isEmpty => None
+      case Array(t) if t.name() == "identity" && t.references().length == 1 =>
+        val c = t.references().head.fieldNames().mkString(".")
+        val f = info.schema().fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"$catName: PARTITIONED BY ($c) — no such column"))
+        if (f.dataType != org.apache.spark.sql.types.LongType)
+          throw new UnsupportedOperationException(
+            s"$catName: PARTITIONED BY needs a BIGINT column, $c is ${f.dataType.sql}")
+        Some(c)
+      case other => throw new UnsupportedOperationException(
+        s"$catName: only single-column identity partitioning is supported, " +
+          s"got ${other.mkString(", ")}")
+    }
+
   /** Plain CREATE TABLE (no data): persists the DECLARED schema (the
     * empty manifest has no data files to derive one from — the schema
     * sidecar lands before v0, so any reader of v0 sees it) and commits an
@@ -135,6 +159,7 @@ class AcidCatalog extends StagingTableCatalog {
     if (exists(dir)) throw new TableAlreadyExistsException(ident.toString)
     Files.createDirectories(Paths.get(dir))
     Acid.writeDeclaredSchema(dir, info.schema())
+    partColFrom(info).foreach(Acid.writePartCol(dir, _))
     Acid.appendCommitAt(dir, -1, Seq.empty) match {
       case Right(_) => new AcidSqlTable(dir, info.schema())
       case Left(_)  => throw new TableAlreadyExistsException(ident.toString)
@@ -148,6 +173,7 @@ class AcidCatalog extends StagingTableCatalog {
     // CTAS with a zero-row SELECT commits an empty v0 too — persist the
     // declared schema so the created table is still readable/insertable.
     Acid.writeDeclaredSchema(dir, info.schema())
+    partColFrom(info).foreach(Acid.writePartCol(dir, _))
     new AcidStagedTable(dir, info.schema())
   }
 
@@ -236,18 +262,14 @@ class AcidStagedTable(dir: String, tableSchema: StructType)
         override def toBatch: BatchWrite = new BatchWrite {
           private val stageDir = s"d0_ctas_${java.util.UUID.randomUUID().toString.take(8)}"
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
-            new AcidSqlWriterFactory(dir, stageDir, info.schema())
+            new AcidSqlWriterFactory(dir, stageDir, info.schema(),
+              Acid.partColOf(dir))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            pending = messages.collect {
-              case AcidWriteMessage(p, rows, mn, mx) if rows > 0 =>
-                Acid.FileEntry(p, rows, mn, mx)
-            }.toSeq.sortBy(_.path)
+            pending = AcidWriteMessages.entriesOf(messages)
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
-            messages.foreach {
-              case AcidWriteMessage(p, _, _, _) =>
-                Files.deleteIfExists(Paths.get(dir, p)): Unit
-              case _ => ()
+            AcidWriteMessages.pathsOf(messages).foreach { p =>
+              Files.deleteIfExists(Paths.get(dir, p)): Unit
             }
         }
       }

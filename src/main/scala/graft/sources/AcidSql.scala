@@ -22,10 +22,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith, And => FAnd, Not => FNot, Or => FOr}
 import org.apache.spark.sql.types._
@@ -312,6 +313,11 @@ class AcidSqlTable(dir: String, tableSchema: StructType, pinnedVersion: Int = -1
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
 
+  /** Reports the catalog-declared identity partitioning (if any), so
+    * SHOW CREATE / DESCRIBE surface it like Delta does. */
+  override def partitioning(): Array[Transform] =
+    Acid.partColOf(dir).map(c => Expressions.identity(c)).toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val version = Option(options.get("version")).map(_.toInt).getOrElse(pinnedVersion)
     new AcidSqlScanBuilder(dir, version, tableSchema)
@@ -404,19 +410,14 @@ class AcidReplaceGroupsWrite(dir: String, writeSchema: StructType,
     new AcidSqlWriterFactory(dir, stageDir, writeSchema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.collect {
-      case AcidWriteMessage(p, rows, mn, mx) if rows > 0 =>
-        Acid.FileEntry(p, rows, mn, mx)
-    }.toSeq.sortBy(_.path)
+    val entries = AcidWriteMessages.entriesOf(messages)
     Acid.replaceCommit(dir, op.scannedFiles.toSet, entries,
       op = "REWRITE"): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach {
-      case AcidWriteMessage(p, _, _, _) =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, p))
-      case _ => ()
+    AcidWriteMessages.pathsOf(messages).foreach { p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, p)): Unit
     }
   }
 }
@@ -429,7 +430,24 @@ class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
     queryId: String = "") extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
+  /** On a catalog-partitioned table the write declares a clustered
+    * distribution + ordering on the partition column, so Spark shuffles
+    * each partition value to one task and every staged file carries a
+    * tight stats2 range — the property partition pruning depends on.
+    * Unpartitioned tables declare nothing and plan exactly as before.
+    */
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
+    private val partCol = Acid.partColOf(dir)
+    override def requiredDistribution(): Distribution = partCol match {
+      case Some(c) => Distributions.clustered(Array(Expressions.identity(c)))
+      case None    => Distributions.unspecified()
+    }
+    override def requiredOrdering(): Array[SortOrder] = partCol match {
+      case Some(c) => Array(Expressions.sort(Expressions.identity(c),
+        SortDirection.ASCENDING))
+      case None    => Array.empty
+    }
     override def toBatch: BatchWrite =
       new AcidSqlBatchWrite(dir, writeSchema, doTruncate)
     override def toStreaming: streaming.StreamingWrite =
@@ -458,18 +476,13 @@ class AcidSqlStreamingWrite(dir: String, writeSchema: StructType,
     new AcidSqlStreamingWriterFactory(dir, stageDir, writeSchema)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.collect {
-      case AcidWriteMessage(p, rows, mn, mx) if rows > 0 =>
-        Acid.FileEntry(p, rows, mn, mx)
-    }.toSeq.sortBy(_.path)
+    val entries = AcidWriteMessages.entriesOf(messages)
     Acid.appendCommitExactlyOnce(dir, entries, writerTag, epochId): Unit
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach {
-      case AcidWriteMessage(p, _, _, _) =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, p))
-      case _ => ()
+    AcidWriteMessages.pathsOf(messages).foreach { p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, p)): Unit
     }
   }
 }
@@ -483,22 +496,51 @@ class AcidSqlStreamingWriterFactory(dir: String, stageDir: String,
 }
 
 /** Task-level commit message: file metadata only — the manifest entry the
-  * driver will commit. Data bytes never travel through the commit. */
-case class AcidWriteMessage(path: String, rows: Long, minKey: Long, maxKey: Long)
+  * driver will commit. Data bytes never travel through the commit.
+  * `stats2` carries the partition column's (name, min, max) for files of
+  * a catalog-partitioned table — the same second-dimension stats slot
+  * optimizeZorder/createPartitioned populate, so partition pruning rides
+  * the existing manifest machinery. */
+case class AcidWriteMessage(path: String, rows: Long, minKey: Long, maxKey: Long,
+    stats2: Option[(String, Long, Long)] = None)
   extends WriterCommitMessage
+
+/** A partitioned-table task commits one message carrying ALL the files it
+  * rolled (one per partition value — rows arrive sorted by the write's
+  * required ordering, so a value change closes the current file). */
+case class AcidMultiWriteMessage(parts: Seq[AcidWriteMessage])
+  extends WriterCommitMessage
+
+object AcidWriteMessages {
+  /** Manifest entries from a commit's messages: multi-file tasks flatten,
+    * empty files drop. */
+  def entriesOf(messages: Array[WriterCommitMessage]): Seq[Acid.FileEntry] =
+    flatten(messages).filter(_.rows > 0)
+      .map(m => Acid.FileEntry(m.path, m.rows, m.minKey, m.maxKey, m.stats2))
+      .sortBy(_.path)
+
+  /** Every staged relative path (for abort cleanup), empty files included. */
+  def pathsOf(messages: Array[WriterCommitMessage]): Seq[String] =
+    flatten(messages).map(_.path)
+
+  private def flatten(messages: Array[WriterCommitMessage]): Seq[AcidWriteMessage] =
+    messages.toSeq.flatMap {
+      case AcidMultiWriteMessage(ps) => ps
+      case m: AcidWriteMessage       => Seq(m)
+      case _                         => Seq.empty
+    }
+}
 
 class AcidSqlBatchWrite(dir: String, writeSchema: StructType, truncate: Boolean)
     extends BatchWrite {
   private val stageDir = s"dv2_${java.util.UUID.randomUUID().toString.take(8)}"
+  private val partCol = Acid.partColOf(dir)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AcidSqlWriterFactory(dir, stageDir, writeSchema)
+    new AcidSqlWriterFactory(dir, stageDir, writeSchema, partCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.collect {
-      case AcidWriteMessage(p, rows, mn, mx) if rows > 0 =>
-        Acid.FileEntry(p, rows, mn, mx)
-    }.toSeq.sortBy(_.path)
+    val entries = AcidWriteMessages.entriesOf(messages)
     // CHECK constraint over the staged files BEFORE any metadata moves —
     // a violating INSERT deletes its stage and throws; nothing committed
     if (entries.nonEmpty) {
@@ -511,18 +553,18 @@ class AcidSqlBatchWrite(dir: String, writeSchema: StructType, truncate: Boolean)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach {
-      case AcidWriteMessage(p, _, _, _) =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, p))
-      case _ => ()
+    AcidWriteMessages.pathsOf(messages).foreach { p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, p)): Unit
     }
   }
 }
 
-class AcidSqlWriterFactory(dir: String, stageDir: String, writeSchema: StructType)
+class AcidSqlWriterFactory(dir: String, stageDir: String, writeSchema: StructType,
+    partCol: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AcidSqlDataWriter(dir, s"$stageDir/part-$partitionId-$taskId.parquet", writeSchema)
+    new AcidSqlDataWriter(dir, s"$stageDir/part-$partitionId-$taskId.parquet",
+      writeSchema, partCol)
 }
 
 /** Streams InternalRows into one parquet file via the parquet-hadoop
@@ -535,27 +577,76 @@ class AcidSqlWriterFactory(dir: String, stageDir: String, writeSchema: StructTyp
   * non-long or null-bearing key column degrades to the full range —
   * conservative, never wrong.
   */
-class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType)
+class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
+    partCol: Option[String] = None)
     extends DataWriter[InternalRow] {
   private val msgType = AcidSql.toParquetSchema(schema)
   private val factory = new SimpleGroupFactory(msgType)
+  private val partIdx = partCol.map(schema.fieldIndex).getOrElse(-1)
+  private val partIsLong =
+    partIdx >= 0 && schema.fields(partIdx).dataType == LongType
+  private val pathBase = relPath.stripSuffix(".parquet")
+
+  // per-segment state: a partitioned write rolls to a new file when the
+  // (sorted) partition value changes, so each file's stats2 is one value
+  // wide — the property manifest partition-pruning depends on. An
+  // unpartitioned write is exactly one segment named relPath.
+  private val done = scala.collection.mutable.ListBuffer.empty[AcidWriteMessage]
+  private var seg = 0
+  private var curPath: String = _
   private var writer: ParquetWriter[Group] = _
   private var rows = 0L
-  private var minKey = Long.MaxValue
-  private var maxKey = Long.MinValue
-  private var keyConservative = schema.fields.head.dataType != LongType
+  private var minKey = 0L
+  private var maxKey = 0L
+  private var keyConservative = false
+  private var min2 = 0L
+  private var max2 = 0L
+  private var partConservative = false
+  private var curPart = 0L
+  private var curPartSet = false
+
+  private def openSegment(): Unit = {
+    curPath =
+      if (partIdx >= 0) s"$pathBase-s$seg.parquet" else relPath
+    seg += 1
+    writer = ExampleParquetWriter.builder(new Path(s"$tableDir/$curPath"))
+      .withType(msgType)
+      .withConf(new Configuration())
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    rows = 0L
+    minKey = Long.MaxValue; maxKey = Long.MinValue
+    keyConservative = schema.fields.head.dataType != LongType
+    min2 = Long.MaxValue; max2 = Long.MinValue
+    partConservative = partIdx >= 0 && !partIsLong
+    curPartSet = false
+  }
+
+  private def closeSegment(): Unit = if (writer != null) {
+    writer.close(); writer = null
+    if (rows > 0L) {
+      val (mn, mx) =
+        if (keyConservative) (Long.MinValue, Long.MaxValue)
+        else (minKey, maxKey)
+      val s2 = partCol.filter(_ => partIdx >= 0 && !partConservative)
+        .map(c => (c, min2, max2))
+      done += AcidWriteMessage(curPath, rows, mn, mx, s2)
+    } else
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(tableDir, curPath)): Unit
+  }
 
   // row-level rewrites deliver (metadata, row); the group identity in the
   // metadata is commit-level information here, not per-row payload
   override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
 
   override def write(row: InternalRow): Unit = {
-    if (writer == null) {
-      writer = ExampleParquetWriter.builder(new Path(s"$tableDir/$relPath"))
-        .withType(msgType)
-        .withConf(new Configuration())
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
+    val pv =
+      if (partIsLong && !row.isNullAt(partIdx)) Some(row.getLong(partIdx))
+      else None
+    if (writer == null) openSegment()
+    else if (pv.isDefined && curPartSet && pv.get != curPart) {
+      closeSegment(); openSegment()
     }
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -576,32 +667,35 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType)
         minKey = math.min(minKey, k); maxKey = math.max(maxKey, k)
       }
     }
+    pv match {
+      case Some(v) =>
+        if (!partConservative) { min2 = math.min(min2, v); max2 = math.max(max2, v) }
+        curPart = v; curPartSet = true
+      case None => if (partIdx >= 0) partConservative = true
+    }
     writer.write(g)
     rows += 1L
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) { writer.close(); writer = null }
-    val (mn, mx) =
-      if (keyConservative || rows == 0L) (Long.MinValue, Long.MaxValue)
-      else (minKey, maxKey)
-    AcidWriteMessage(relPath, rows, mn, mx)
+    closeSegment()
+    if (partIdx >= 0) AcidMultiWriteMessage(done.toSeq)
+    else done.headOption.getOrElse(
+      AcidWriteMessage(relPath, 0L, Long.MinValue, Long.MaxValue))
   }
 
   // close() runs after commit() too (the harness contract) — it only
-  // releases the handle; the staged file is deleted on abort alone
+  // releases the handle; staged files are deleted on abort alone
   override def abort(): Unit = {
     close()
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tableDir, relPath))
-      : Unit
+    (done.map(_.path) :+ Option(curPath).getOrElse(relPath)).distinct.foreach {
+      p => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(tableDir, p)): Unit
+    }
   }
   override def close(): Unit =
     if (writer != null) { writer.close(); writer = null }
 }
-
-// ============================================================================
-// Read path
-// ============================================================================
 
 class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     onPlan: Seq[String] => Unit = _ => ())
@@ -609,17 +703,23 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
   private var keyFilters: Array[Filter] = Array.empty
+  private var partFilters: Array[Filter] = Array.empty
 
   private val keyCol = tableSchema.fields.head.name
+  private val partCol = Acid.partColOf(dir)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     keyFilters = filters.filter(referencesOnlyKey)
+    partFilters = partCol match {
+      case Some(pc) => filters.filter(_.references.forall(_ == pc))
+      case None     => Array.empty
+    }
     filters // everything stays residual: Spark re-applies above the scan
   }
-  override def pushedFilters(): Array[Filter] = keyFilters
+  override def pushedFilters(): Array[Filter] = keyFilters ++ partFilters
 
   private def referencesOnlyKey(f: Filter): Boolean = f.references.forall(_ == keyCol)
 
@@ -675,7 +775,17 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         }).toMap
       }
     val (lo, hi) = AcidSql.keyBounds(keyFilters, keyCol)
-    val ranged = all.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    // Partition pruning for catalog-partitioned tables: drop files whose
+    // stats2 range (stamped by the clustered write) misses the predicate's
+    // partition-column bounds. Files without matching stats2 stay —
+    // conservative, never wrong.
+    val (plo, phi) = partCol.map(pc => AcidSql.keyBounds(partFilters, pc))
+      .getOrElse((Long.MinValue, Long.MaxValue))
+    val partPruned = all.filter(f => f.stats2.forall {
+      case (c, mn2, mx2) =>
+        !partCol.contains(c) || (mx2 >= plo && mn2 <= phi)
+    })
+    val ranged = partPruned.filter(f => f.maxKey >= lo && f.minKey <= hi)
     // Point probes (IN / = on the key) engage the manifest's Bloom tier:
     // a file is dropped when no probe lands in its range, or its filter
     // rejects every in-range probe. Filterless files stay — conservative.

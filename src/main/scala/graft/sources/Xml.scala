@@ -1221,6 +1221,92 @@ object Xml {
       .orderBy(col("n_nationkey"))
   }
 
+  /** XSD validation as a per-record transform: each snippet validates
+    * against the compiled schema, emitting (xml, xsd_ok, xsd_reason) —
+    * the reason is the stable W3C cvc- clause code of the FIRST violation
+    * (message prefix before ':'), not the free-text tail. One compiled
+    * Schema + Validator per PARTITION via mapPartitions (the deliberate
+    * imperative-codec shape: SchemaFactory compilation is milliseconds
+    * and Validator is not thread-safe, so per-row construction would
+    * dominate and per-executor sharing would race). Validation cost is a
+    * per-record SAX pass — linear, no shuffle; at 100 TB it rides the
+    * same scan as the parse.
+    */
+  def validateXsd(s: SparkSession, records: DataFrame, xsd: String,
+      xmlCol: String = "xml"): DataFrame = {
+    import s.implicits._
+    records.select(col(xmlCol)).as[String].mapPartitions { it =>
+      val sf = javax.xml.validation.SchemaFactory
+        .newInstance(javax.xml.XMLConstants.W3C_XML_SCHEMA_NS_URI)
+      val schema = sf.newSchema(new javax.xml.transform.stream.StreamSource(
+        new java.io.StringReader(xsd)))
+      val validator = schema.newValidator()
+      it.map { xml =>
+        try {
+          validator.validate(new javax.xml.transform.stream.StreamSource(
+            new java.io.StringReader(xml)))
+          (xml, true, null: String)
+        } catch {
+          case e: org.xml.sax.SAXException =>
+            val m = Option(e.getMessage).getOrElse("")
+            val code =
+              if (m.startsWith("cvc-")) m.takeWhile(_ != ':') else "not-well-formed"
+            (xml, false, code)
+        }
+      }
+    }.toDF("xml", "xsd_ok", "xsd_reason")
+  }
+
+  /** XSD-VALIDATING parse mode with error-port routing (the reference XML
+    * Parser's validating mode composed with its error policy): records
+    * validate against the XSD, valid rows flow to the main port and parse
+    * through the XSD-DERIVED schema (src_xml_xsd_schema's mapping),
+    * violations route to the error port with the cvc clause code as the
+    * reason. Planted violations: key % 5 == 2 carries a non-numeric
+    * <region> (datatype violation), key % 5 == 4 omits the required
+    * <region> element (content-model violation) — the routing decision
+    * comes from the VALIDATOR, not the planting rule.
+    */
+  val srcXmlXsdValidate: Q = (s, d) => {
+    val xsd =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="book">
+        |    <xs:complexType>
+        |      <xs:sequence>
+        |        <xs:element name="name" type="xs:string"/>
+        |        <xs:element name="region" type="xs:long"/>
+        |      </xs:sequence>
+        |      <xs:attribute name="key" type="xs:long" use="required"/>
+        |    </xs:complexType>
+        |  </xs:element>
+        |</xs:schema>""".stripMargin
+    val key = col("n_nationkey")
+    val recs = Tables.nation(s, d).select(concat(
+      lit("<book key=\""), key, lit("\"><name>"), col("n_name"), lit("</name>"),
+      when(pmod(key, lit(5)) === 2, lit("<region>oops</region>"))
+        .when(pmod(key, lit(5)) === 4, lit(""))
+        .otherwise(concat(lit("<region>"), col("n_regionkey"), lit("</region>"))),
+      lit("</book>")).as("xml"))
+    val validated = validateXsd(s, recs, xsd)
+    val (main, error) = graft.operators.Pipeline.errorPort(
+      validated, col("xsd_ok"), col("xml"), col("xsd_reason"))
+    val bookSchema = XSDToSchema.read(xsd).fields.head.dataType
+      .asInstanceOf[StructType]
+    val mainSummary = main
+      .withColumn("p", from_xml(col("xml"), bookSchema))
+      .agg(count(lit(1)).as("cnt"), sum(col("p.region")).as("sum_region"),
+        sum(col("p._key")).as("sum_key"))
+      .select(lit("main").as("port"), lit("valid").as("reason"),
+        col("cnt"), col("sum_region"), col("sum_key"))
+    val errSummary = error.groupBy(col("reason"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("error").as("port"), col("reason"), col("cnt"),
+        lit(null).cast("long").as("sum_region"),
+        lit(null).cast("long").as("sum_key"))
+    mainSummary.unionByName(errSummary).orderBy(col("port"), col("reason"))
+  }
+
   /** Malformed-record policy ≙ the reference XML Parser's ignore / stop /
     * error-port modes: PERMISSIVE routes broken records to a corrupt-record
     * column (error port), DROPMALFORMED ignores them, FAILFAST stops.
@@ -1676,6 +1762,7 @@ object Xml {
     "src_parquet_scan"      -> srcParquetScan,
     "src_xml_read"          -> srcXmlRead,
     "src_xml_xsd_schema"    -> srcXmlXsdSchema,
+    "src_xml_xsd_validate"  -> srcXmlXsdValidate,
     "src_xml_permissive"    -> srcXmlPermissive,
     "src_xml_enum_union"    -> srcXmlEnumUnion,
     "src_glob_read"         -> srcGlobRead,
@@ -1755,6 +1842,19 @@ object Xml {
         |  ('PERMISSIVE', 'corrupt', 2), ('PERMISSIVE', 'good', 8))
         |  AS t(mode, bucket, cnt)
         |ORDER BY mode, bucket""".stripMargin,
+    "src_xml_xsd_validate" ->
+      """SELECT 'error' AS port, 'cvc-complex-type.2.4.b' AS reason,
+        |       count(*) AS cnt, CAST(NULL AS BIGINT) AS sum_region,
+        |       CAST(NULL AS BIGINT) AS sum_key
+        |FROM nation WHERE n_nationkey % 5 = 4
+        |UNION ALL
+        |SELECT 'error', 'cvc-datatype-valid.1.2.1', count(*), NULL, NULL
+        |FROM nation WHERE n_nationkey % 5 = 2
+        |UNION ALL
+        |SELECT 'main', 'valid', count(*),
+        |       CAST(sum(n_regionkey) AS BIGINT), CAST(sum(n_nationkey) AS BIGINT)
+        |FROM nation WHERE n_nationkey % 5 NOT IN (2, 4)
+        |ORDER BY port, reason""".stripMargin,
     "src_xml_nodepath" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "src_xml_ns_path" ->
