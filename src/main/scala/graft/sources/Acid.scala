@@ -1583,10 +1583,13 @@ object Acid {
       col("o_orderpriority").as("flag"))
     val mk = t.agg(max(col("k1"))).head.getLong(0)
     create(s, dir, t, Seq("k1", "k2"), 8, None)
-    val updates = t.filter(col("k1") < lit(mk / 4) && col("k2") % 10 === 3)
+    // inclusive bound: at sf0.001 max(k1)/4 is 0 and a strict '<' would
+    // empty the batch (no updates, no pruning) — '<=' keeps the low
+    // leading-key group in scope at every scale factor
+    val updates = t.filter(col("k1") <= lit(mk / 4) && col("k2") % 10 === 3)
       .withColumn("price_cents", col("price_cents") + 777)
       .withColumn("flag", lit("PATCHED"))
-    val inserts = t.filter(col("k1") % 5 === 0 && col("k1") < lit(mk / 4))
+    val inserts = t.filter(col("k1") % 5 === 0 && col("k1") <= lit(mk / 4))
       .select(col("k1")).distinct()
       .select(col("k1"), lit(1777L).as("k2"),
         (col("k1") * 7 + 5).as("price_cents"), lit("NEW").as("flag"))
@@ -2823,15 +2826,15 @@ object Acid {
         |mx AS (SELECT max(k1) AS m FROM base),
         |merged AS (
         |  SELECT k1, k2,
-        |         CASE WHEN k1 < (SELECT m FROM mx) // 4 AND k2 % 10 = 3
+        |         CASE WHEN k1 <= (SELECT m FROM mx) // 4 AND k2 % 10 = 3
         |              THEN pc + 777 ELSE pc END AS price_cents,
-        |         CASE WHEN k1 < (SELECT m FROM mx) // 4 AND k2 % 10 = 3
+        |         CASE WHEN k1 <= (SELECT m FROM mx) // 4 AND k2 % 10 = 3
         |              THEN 'PATCHED' ELSE flag END AS flag
         |  FROM base
         |  UNION ALL
         |  SELECT k1, 1777, k1 * 7 + 5, 'NEW'
         |  FROM (SELECT DISTINCT k1 FROM base
-        |        WHERE k1 % 5 = 0 AND k1 < (SELECT m FROM mx) // 4))
+        |        WHERE k1 % 5 = 0 AND k1 <= (SELECT m FROM mx) // 4))
         |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
         |       CAST(sum(k2) AS BIGINT) AS sum_k2, TRUE AS files_pruned
         |FROM merged GROUP BY flag ORDER BY flag""".stripMargin,
