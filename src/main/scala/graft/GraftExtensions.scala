@@ -56,5 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           args(0), args(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL maintenance statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY)
+    // — the Delta-style injected-parser surface; see GraftSqlParser.
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }

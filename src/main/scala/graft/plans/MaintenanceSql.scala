@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.sources.Acid
+
+/** SQL entry points for ACID table maintenance — the statements Delta
+  * exposes (`OPTIMIZE`, `VACUUM`, `DESCRIBE HISTORY`), injected through
+  * `SparkSessionExtensions.injectParser` exactly the way Delta ships its
+  * own SQL surface. The delegating parser intercepts ONLY these three
+  * statement shapes (anything else — including any parse error inside
+  * them — falls through to Spark's parser verbatim):
+  *
+  * {{{
+  *   OPTIMIZE <target> [ZORDER BY (col)] [TARGET <n> FILES]
+  *   VACUUM <target> [RETAIN <n> VERSIONS]
+  *   DESCRIBE HISTORY <target>
+  * }}}
+  *
+  * `<target>` is either a quoted table directory (`'/data/t'`) or a
+  * `<catalog>.<name>` identifier resolved against the AcidCatalog root
+  * (`spark.sql.catalog.<catalog>.root`). Each statement runs as a
+  * `LeafRunnableCommand` — driver-side metadata orchestration around the
+  * same library calls (`Acid.optimize` / `optimizeZorder` / `vacuum`),
+  * so SQL and library users see identical commits.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(\S+)(?:\s+ZORDER\s+BY\s+\(\s*([A-Za-z_]\w*)\s*\))?(?:\s+TARGET\s+(\d+)\s+FILES)?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(\S+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(target, zcol, files) =>
+      OptimizeTableCommand(target, Option(zcol),
+        Option(files).map(_.toInt).getOrElse(8))
+    case VacuumRe(target, retain) =>
+      VacuumTableCommand(target, Option(retain).map(_.toInt))
+    case HistoryRe(target) =>
+      DescribeHistoryCommand(target)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+private[plans] object MaintenanceSql {
+  /** Resolve a statement target to a table directory: `'quoted'` paths
+    * verbatim; `cat.name[.name…]` against the catalog's configured root. */
+  def dirOf(s: SparkSession, target: String): String = {
+    if (target.startsWith("'") && target.endsWith("'") && target.length >= 2)
+      target.substring(1, target.length - 1)
+    else {
+      val parts = target.split('.')
+      require(parts.length >= 2,
+        s"maintenance target '$target' must be 'path' or <catalog>.<table>")
+      val root = s.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+        .getOrElse(throw new IllegalArgumentException(
+          s"'${parts.head}' is not a configured graft catalog " +
+            s"(spark.sql.catalog.${parts.head}.root is unset)"))
+      (root +: parts.tail).mkString("/")
+    }
+  }
+}
+
+case class OptimizeTableCommand(target: String, zorderCol: Option[String],
+    targetFiles: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = MaintenanceSql.dirOf(s, target)
+    val (before, after) = zorderCol match {
+      case Some(c) => Acid.optimizeZorder(s, dir, c, targetFiles)
+      case None    => Acid.optimize(s, dir, targetFiles)
+    }
+    Seq(Row(before.toLong, after.toLong))
+  }
+}
+
+/** `RETAIN n VERSIONS` keeps the newest n versions (the version-addressed
+  * analogue of Delta's hour-based RETAIN); default keeps only latest. */
+case class VacuumTableCommand(target: String, retainVersions: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("deleted_files", LongType, nullable = false)(),
+    AttributeReference("live_files", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = MaintenanceSql.dirOf(s, target)
+    val latest = Acid.latestVersion(dir)
+    val from = math.max(0, latest - (retainVersions.getOrElse(1) - 1))
+    val (deleted, live) = Acid.vacuum(s, dir, from)
+    Seq(Row(deleted.toLong, live.toLong))
+  }
+}
+
+case class DescribeHistoryCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = MaintenanceSql.dirOf(s, target)
+    val latest = Acid.latestVersion(dir)
+    (latest to 0 by -1).flatMap { v =>
+      scala.util.Try(Acid.readManifest(dir, v)).toOption
+        .map(m => Row(v.toLong, m.op, m.files.size.toLong))
+    }
+  }
+}

@@ -429,6 +429,40 @@ object Acid {
     else Seq(keyColOf(s, dir))
   }
 
+  /** Column mapping (ALTER TABLE ... RENAME COLUMN without rewrite —
+    * Delta's column-mapping mode re-derived): logical → PHYSICAL parquet
+    * field name, persisted as a `_log` sidecar. Data files always carry
+    * physical names; renames only edit this map (O(1), any table size).
+    * Readers translate required logical columns to physical before
+    * touching a footer; writers translate the write schema so new files
+    * stay physical; `snapshot` renames physical → logical on the way
+    * out. Absent sidecar = identity (the overwhelmingly common case pays
+    * one Files.exists). NOTE: the map is not versioned — like declared-
+    * schema evolution, a rename applies to ALL time-traveled versions.
+    */
+  private[graft] def colMapOf(dir: String): Map[String, String] = {
+    val p = logDir(dir).resolve("colmap.txt")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('|')
+      (l.substring(0, i), l.substring(i + 1))
+    }.toMap
+  }
+
+  private[sources] def writeColMap(dir: String, m: Map[String, String]): Unit = {
+    Files.createDirectories(logDir(dir))
+    Files.writeString(logDir(dir).resolve("colmap.txt"),
+      m.toSeq.sorted.map { case (lo, ph) => s"$lo|$ph" }.mkString("\n")): Unit
+  }
+
+  /** Physical-name rendition of a logical schema (identity when no map). */
+  private[sources] def toPhysical(dir: String, schema: StructType): StructType = {
+    val cm = colMapOf(dir)
+    if (cm.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = cm.getOrElse(f.name, f.name))))
+  }
+
   /** The catalog-declared partition column (CREATE TABLE ... PARTITIONED
     * BY), persisted as a `_log` sidecar by AcidCatalog. Writers cluster
     * on it and stamp per-file stats2; scans prune on those stats. */
@@ -593,6 +627,15 @@ object Acid {
     * throws.
     */
   def snapshot(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
+    val raw = snapshotPhysical(s, dir, version)
+    val cm = colMapOf(dir)
+    if (cm.isEmpty) raw
+    else cm.foldLeft(raw) { case (df, (lo, ph)) =>
+      if (df.columns.contains(ph)) df.withColumnRenamed(ph, lo) else df
+    }
+  }
+
+  private def snapshotPhysical(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version < 0) latestVersion(dir) else version
     val m = readManifest(dir, v)
     if (m.files.isEmpty) emptySnapshot(s, dir, v)
@@ -2446,6 +2489,77 @@ object Acid {
       .orderBy(col("p"))
   }
 
+  /** tbl_sql_optimize — table maintenance as SQL statements through the
+    * injected parser (GraftSqlParser, the Delta idiom): CTAS + two
+    * fragmenting INSERTs, then `OPTIMIZE ... TARGET 2 FILES` compacts,
+    * `DESCRIBE HISTORY` (pre-vacuum) pins the full op chain
+    * OPTIMIZE,WRITE,WRITE,CREATE, and `VACUUM` reclaims the
+    * rewritten-away originals. Values travel through the oracle; the
+    * maintenance effects travel as pinned booleans.
+    */
+  val tblSqlOptimize: Q = (s, d) => {
+    val root = fresh("tbl_sql_opt_cat", d)
+    val cat = "graft_opt_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val mk = maxKey(s, d)
+    ordersKV(s, d).createOrReplaceTempView("graft_opt_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"CREATE TABLE $cat.t AS SELECT k, price_cents, prio FROM graft_opt_src")
+    s.sql(
+      s"""INSERT INTO $cat.t SELECT k + $mk + 1, k * 3 + 45, 'INS'
+         |FROM graft_opt_src WHERE k % 100 = 0""".stripMargin)
+    s.sql(
+      s"""INSERT INTO $cat.t SELECT k + 2 * $mk + 2, k * 5 + 11, 'INS2'
+         |FROM graft_opt_src WHERE k % 97 = 0""".stripMargin)
+    val opt = s.sql(s"OPTIMIZE $cat.t TARGET 2 FILES").head
+    val hist = s.sql(s"DESCRIBE HISTORY $cat.t").collect()
+      .map(_.getString(1)).mkString(",")
+    val vac = s.sql(s"VACUUM $cat.t").head
+    s.sql(
+      s"""SELECT prio, count(*) AS n, sum(price_cents) AS sum_cents
+         |FROM $cat.t GROUP BY prio""".stripMargin)
+      .withColumn("compacted", lit(opt.getLong(1) < opt.getLong(0)))
+      .withColumn("vacuumed", lit(vac.getLong(0) >= 1))
+      .withColumn("history_ok", lit(hist == "OPTIMIZE,WRITE,WRITE,CREATE"))
+      .orderBy(col("prio"))
+  }
+
+  /** tbl_sql_rename — `ALTER TABLE ... RENAME COLUMN` via column mapping
+    * (Delta's column-mapping mode re-derived): the rename edits only the
+    * logical→physical sidecar — zero rewrite, O(1) at any table size.
+    * Pre-rename files keep the old physical field name; a post-rename
+    * INSERT also writes the PHYSICAL name (footer-pinned boolean), and
+    * both read back under the logical name with filters/aggregates
+    * resolving through the mapping.
+    */
+  val tblSqlRename: Q = (s, d) => {
+    val root = fresh("tbl_sql_rename_cat", d)
+    val cat = "graft_ren_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val mk = maxKey(s, d)
+    ordersKV(s, d).createOrReplaceTempView("graft_ren_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"CREATE TABLE $cat.t AS SELECT k, price_cents, prio FROM graft_ren_src")
+    s.sql(s"ALTER TABLE $cat.t RENAME COLUMN price_cents TO amount_cents")
+    s.sql(
+      s"""INSERT INTO $cat.t SELECT k + $mk + 1, k * 3 + 45, 'INS'
+         |FROM graft_ren_src WHERE k % 100 = 0""".stripMargin)
+    // the post-rename INSERT's files must still carry the PHYSICAL name
+    val newFiles = readManifest(dir = s"$root/t", v = 1).files
+      .filterNot(readManifest(s"$root/t", 0).files.toSet)
+    val physicalKept = newFiles.nonEmpty && newFiles.forall { f =>
+      s.read.parquet(s"$root/t/${f.path}").schema.fieldNames
+        .contains("price_cents")
+    }
+    s.sql(
+      s"""SELECT prio, count(*) AS n, sum(amount_cents) AS sum_cents
+         |FROM $cat.t WHERE amount_cents > 0 GROUP BY prio""".stripMargin)
+      .withColumn("physical_preserved", lit(physicalKept))
+      .orderBy(col("prio"))
+  }
+
   /** tbl_sql_update — SQL `UPDATE` through `SupportsRowLevelOperations`
     * (group-based copy-on-write): Spark plans a matching-groups subquery,
     * the scan's `_file` runtime filter narrows the rewrite to the files
@@ -2631,6 +2745,8 @@ object Acid {
     "tbl_files"             -> tblFiles,
     "tbl_sql_update"        -> tblSqlUpdate,
     "tbl_sql_partitioned"   -> tblSqlPartitioned,
+    "tbl_sql_optimize"      -> tblSqlOptimize,
+    "tbl_sql_rename"        -> tblSqlRename,
     "tbl_sql_merge"         -> tblSqlMerge,
     "tbl_acid_merge"        -> tblAcidMerge,
     "tbl_merge_composite"   -> tblMergeComposite,
@@ -2812,6 +2928,33 @@ object Acid {
         |  SELECT k * 3 + 45, 'NEW' FROM base WHERE k % 100 = 0)
         |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
         |       TRUE AS files_pruned
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "tbl_sql_rename" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |merged AS (
+        |  SELECT pc AS amount_cents, prio FROM base
+        |  UNION ALL
+        |  SELECT k * 3 + 45, 'INS' FROM base WHERE k % 100 = 0)
+        |SELECT prio, count(*) AS n, CAST(sum(amount_cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS physical_preserved
+        |FROM merged WHERE amount_cents > 0 GROUP BY prio ORDER BY prio""".stripMargin,
+    "tbl_sql_optimize" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |merged AS (
+        |  SELECT pc AS price_cents, prio FROM base
+        |  UNION ALL
+        |  SELECT k * 3 + 45, 'INS' FROM base WHERE k % 100 = 0
+        |  UNION ALL
+        |  SELECT k * 5 + 11, 'INS2' FROM base WHERE k % 97 = 0)
+        |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS compacted, TRUE AS vacuumed, TRUE AS history_ok
         |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
     "tbl_sql_partitioned" ->
       """SELECT o_orderkey % 5 AS p, count(*) AS n,

@@ -184,9 +184,10 @@ class AcidCatalog extends StagingTableCatalog {
     * insert writes it (at which point mergeSchema derivation takes over —
     * the same contract as tbl_schema_evolve / session-catalog
     * tbl_sql_alter). Only top-level nullable appended columns are
-    * additive; anything else (drops, renames, type changes, nested or
-    * positioned adds) would need versioned schema metadata to stay
-    * time-travel-consistent, so it refuses loudly. */
+    * additive. RENAME COLUMN is served by the column-mapping sidecar
+    * (see the RenameColumn case). Anything else (drops, type changes,
+    * nested or positioned adds) would need versioned schema metadata to
+    * stay time-travel-consistent, so it refuses loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!exists(dir)) throw new NoSuchTableException(ident)
@@ -207,9 +208,40 @@ class AcidCatalog extends StagingTableCatalog {
           throw new IllegalArgumentException(
             s"$catName.$ident: column $name already exists")
         sch.add(name, add.dataType(), nullable = true)
+      case (sch, rn: TableChange.RenameColumn) =>
+        // RENAME via column mapping (Delta's column-mapping mode): data
+        // files keep their PHYSICAL field name forever; the rename edits
+        // the logical→physical sidecar — O(1) metadata, zero rewrite.
+        // Chained renames keep pointing at the ORIGINAL physical name.
+        if (rn.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catName: only top-level RENAME COLUMN is supported")
+        val from = rn.fieldNames().head
+        val to = rn.newName()
+        if (!sch.fieldNames.contains(from))
+          throw new IllegalArgumentException(
+            s"$catName.$ident: no such column $from")
+        if (sch.fieldNames.exists(_.equalsIgnoreCase(to)))
+          throw new IllegalArgumentException(
+            s"$catName.$ident: column $to already exists")
+        // a CHECK constraint references columns by name in SQL text the
+        // mapping layer cannot rewrite — refuse rather than break it
+        val v = Acid.latestVersion(dir)
+        val cstr = if (v >= 0) Acid.readManifest(dir, v).constraint else None
+        cstr.filter(_.contains(from)).foreach { c =>
+          throw new UnsupportedOperationException(
+            s"$catName.$ident: column $from is referenced by the CHECK " +
+              s"constraint '$c' — drop the constraint before renaming")
+        }
+        val cm = Acid.colMapOf(dir)
+        val physical = cm.getOrElse(from, from)
+        Acid.writeColMap(dir, (cm - from) + (to -> physical))
+        StructType(sch.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"$catName: unsupported ALTER TABLE change $other — only ADD COLUMN")
+          s"$catName: unsupported ALTER TABLE change $other — only " +
+            "ADD COLUMN and RENAME COLUMN")
     }
     Acid.writeDeclaredSchema(dir, evolved)
     new AcidSqlTable(dir, evolved)

@@ -407,7 +407,7 @@ class AcidReplaceGroupsWrite(dir: String, writeSchema: StructType,
   private val stageDir = s"dv2_${java.util.UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AcidSqlWriterFactory(dir, stageDir, writeSchema)
+    new AcidSqlWriterFactory(dir, stageDir, Acid.toPhysical(dir, writeSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = AcidWriteMessages.entriesOf(messages)
@@ -473,7 +473,7 @@ class AcidSqlStreamingWrite(dir: String, writeSchema: StructType,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    new AcidSqlStreamingWriterFactory(dir, stageDir, writeSchema)
+    new AcidSqlStreamingWriterFactory(dir, stageDir, Acid.toPhysical(dir, writeSchema))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val entries = AcidWriteMessages.entriesOf(messages)
@@ -537,7 +537,8 @@ class AcidSqlBatchWrite(dir: String, writeSchema: StructType, truncate: Boolean)
   private val partCol = Acid.partColOf(dir)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AcidSqlWriterFactory(dir, stageDir, writeSchema, partCol)
+    // column-mapped tables write PHYSICAL field names (rows positional)
+    new AcidSqlWriterFactory(dir, stageDir, Acid.toPhysical(dir, writeSchema), partCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = AcidWriteMessages.entriesOf(messages)
@@ -706,14 +707,19 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   private var partFilters: Array[Filter] = Array.empty
 
   private val keyCol = tableSchema.fields.head.name
+  // colmap: partcol sidecar and file stats2 carry PHYSICAL names; pushed
+  // filters reference LOGICAL ones
+  private val colMap = Acid.colMapOf(dir)
   private val partCol = Acid.partColOf(dir)
+  private val partColLogical = partCol.map(pc =>
+    colMap.collectFirst { case (lo, ph) if ph == pc => lo }.getOrElse(pc))
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     keyFilters = filters.filter(referencesOnlyKey)
-    partFilters = partCol match {
+    partFilters = partColLogical match {
       case Some(pc) => filters.filter(_.references.forall(_ == pc))
       case None     => Array.empty
     }
@@ -779,7 +785,7 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     // stats2 range (stamped by the clustered write) misses the predicate's
     // partition-column bounds. Files without matching stats2 stay —
     // conservative, never wrong.
-    val (plo, phi) = partCol.map(pc => AcidSql.keyBounds(partFilters, pc))
+    val (plo, phi) = partColLogical.map(pc => AcidSql.keyBounds(partFilters, pc))
       .getOrElse((Long.MinValue, Long.MaxValue))
     val partPruned = all.filter(f => f.stats2.forall {
       case (c, mn2, mx2) =>
@@ -800,7 +806,12 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     }
     AcidSql.lastScan.put((dir, resolved), (live.size, all.size))
     onPlan(live.map(_.path))
-    new AcidSqlScan(dir, live.map(_.path), required, onPlan, dvKeys, keyCol, dvPos)
+    // Readers receive the PHYSICAL required schema (column-mapped tables)
+    // but the scan reports the logical one to Spark — rows are positional,
+    // so the translation is free.
+    new AcidSqlScan(dir, live.map(_.path), required,
+      Acid.toPhysical(dir, required), onPlan, dvKeys,
+      colMap.getOrElse(keyCol, keyCol), dvPos)
   }
 }
 
@@ -813,6 +824,7 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   * operation's group list in sync with the filtered plan).
   */
 class AcidSqlScan(dir: String, files0: Seq[String], required: StructType,
+    physicalRequired: StructType,
     onPlan: Seq[String] => Unit = _ => (),
     dvKeys: Map[String, Array[Long]] = Map.empty, keyCol: String = "",
     dvPos: Map[String, Array[Long]] = Map.empty)
@@ -849,13 +861,13 @@ class AcidSqlScan(dir: String, files0: Seq[String], required: StructType,
       dvKeys.getOrElse(p, Array.empty),
       dvPos.getOrElse(p, Array.empty)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new AcidSqlReaderFactory(required, keyCol,
+    new AcidSqlReaderFactory(physicalRequired, keyCol,
       anyDv = files.exists(p => dvKeys.get(p).exists(_.nonEmpty) ||
         dvPos.get(p).exists(_.nonEmpty)))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AcidSqlMicroBatchStream(dir, required)
+    new AcidSqlMicroBatchStream(dir, physicalRequired)
 }
 
 /** `spark.readStream.table(<cat>.t)` — the catalog table as a V2

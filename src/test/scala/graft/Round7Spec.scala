@@ -448,10 +448,14 @@ class Round7Spec extends AnyFunSuite {
     assert(after.filter(col("discount_cents") === 9).count() == 1)
     // non-additive changes refuse loudly
     assert(Try(spark.sql(s"ALTER TABLE $cat.t DROP COLUMN prio")).isFailure)
-    assert(Try(spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN prio TO p2")).isFailure)
     assert(Try(spark.sql(
       s"ALTER TABLE $cat.t ADD COLUMN dup_test BIGINT AFTER k")).isFailure)
     assert(Try(spark.sql(s"ALTER TABLE $cat.t ADD COLUMN prio STRING")).isFailure)
+    // RENAME is supported since round 8 (column mapping) — see Round8Spec;
+    // here just pin that it no longer refuses and reads back correctly.
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN prio TO p2")
+    assert(spark.table(s"$cat.t").schema.fieldNames.contains("p2"))
+    assert(spark.table(s"$cat.t").filter(col("p2") === "NEW").count() == 1)
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 

@@ -137,6 +137,29 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("rename refuses on CHECK-constrained columns; chained renames keep one physical name") {
+    import graft.sources.Acid
+    import scala.util.Try
+    val root = Scratch.fresh("r8_rename", sf)
+    val cat = "graft_r8ren_" + java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    val t = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Acid.create(spark, dir, t, "k", 2, Some("v >= 0"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.missing") // force catalog init
+    // constrained column refuses; unconstrained renames fine
+    assert(Try(spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO w")).isFailure)
+    Acid.setConstraint(spark, dir, None)
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO w")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN w TO x")
+    // chained renames resolve to the ORIGINAL physical name
+    assert(Acid.colMapOf(dir) === Map("x" -> "v"))
+    assert(spark.table(s"$cat.t").filter(col("x") === 10).count() === 1)
+    assert(Acid.snapshot(spark, dir).columns.toSeq === Seq("k", "x"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("precision canary: streaming loader is identical across ns and µs") {
     val run = SparkEntry.queries("st_tumbling")
     def result(dir: String) =
