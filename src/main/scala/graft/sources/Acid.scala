@@ -463,6 +463,23 @@ object Acid {
       f.copy(name = cm.getOrElse(f.name, f.name))))
   }
 
+  /** PHYSICAL names of dropped columns (ALTER TABLE ... DROP COLUMN via
+    * the mapping layer): the bytes stay in the files until a rewrite, but
+    * no reader ever surfaces them, and a later ADD COLUMN with the same
+    * logical name allocates a FRESH physical name so the dead bytes can
+    * never resurface (Delta's physical-id discipline). */
+  private[graft] def droppedOf(dir: String): Seq[String] = {
+    val p = logDir(dir).resolve("dropped.txt")
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
+  }
+
+  private[sources] def writeDropped(dir: String, cols: Seq[String]): Unit = {
+    Files.createDirectories(logDir(dir))
+    Files.writeString(logDir(dir).resolve("dropped.txt"),
+      cols.mkString("\n")): Unit
+  }
+
   /** The catalog-declared partition column (CREATE TABLE ... PARTITIONED
     * BY), persisted as a `_log` sidecar by AcidCatalog. Writers cluster
     * on it and stamp per-file stats2; scans prune on those stats. */
@@ -628,9 +645,12 @@ object Acid {
     */
   def snapshot(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val raw = snapshotPhysical(s, dir, version)
+    val dropped = droppedOf(dir)
+    val undead =
+      if (dropped.isEmpty) raw else raw.drop(dropped.filter(raw.columns.contains): _*)
     val cm = colMapOf(dir)
-    if (cm.isEmpty) raw
-    else cm.foldLeft(raw) { case (df, (lo, ph)) =>
+    if (cm.isEmpty) undead
+    else cm.foldLeft(undead) { case (df, (lo, ph)) =>
       if (df.columns.contains(ph)) df.withColumnRenamed(ph, lo) else df
     }
   }
@@ -2560,6 +2580,36 @@ object Acid {
       .orderBy(col("prio"))
   }
 
+  /** tbl_sql_drop — `ALTER TABLE ... DROP COLUMN` + safe re-ADD via the
+    * mapping layer: the drop is metadata-only (physical column joins the
+    * dropped list; bytes die at the next OPTIMIZE), and re-adding the
+    * same logical name allocates a fresh physical name, so the old
+    * values must NOT resurface — pre-rewrite rows read NULL for the
+    * re-added column while post-re-add inserts carry real values.
+    */
+  val tblSqlDrop: Q = (s, d) => {
+    val root = fresh("tbl_sql_drop_cat", d)
+    val cat = "graft_drop_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val mk = maxKey(s, d)
+    ordersKV(s, d).createOrReplaceTempView("graft_drop_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"CREATE TABLE $cat.t AS SELECT k, price_cents, prio FROM graft_drop_src")
+    s.sql(s"ALTER TABLE $cat.t DROP COLUMN prio")
+    val droppedGone = !s.table(s"$cat.t").schema.fieldNames.contains("prio")
+    s.sql(s"ALTER TABLE $cat.t ADD COLUMN prio STRING")
+    s.sql(
+      s"""INSERT INTO $cat.t SELECT k + $mk + 1, k * 3 + 45, 'INS'
+         |FROM graft_drop_src WHERE k % 100 = 0""".stripMargin)
+    s.sql(
+      s"""SELECT coalesce(prio, '<none>') AS prio, count(*) AS n,
+         |       sum(price_cents) AS sum_cents
+         |FROM $cat.t GROUP BY 1""".stripMargin)
+      .withColumn("dropped_gone", lit(droppedGone))
+      .orderBy(col("prio"))
+  }
+
   /** tbl_sql_update — SQL `UPDATE` through `SupportsRowLevelOperations`
     * (group-based copy-on-write): Spark plans a matching-groups subquery,
     * the scan's `_file` runtime filter narrows the rewrite to the files
@@ -2747,6 +2797,7 @@ object Acid {
     "tbl_sql_partitioned"   -> tblSqlPartitioned,
     "tbl_sql_optimize"      -> tblSqlOptimize,
     "tbl_sql_rename"        -> tblSqlRename,
+    "tbl_sql_drop"          -> tblSqlDrop,
     "tbl_sql_merge"         -> tblSqlMerge,
     "tbl_acid_merge"        -> tblAcidMerge,
     "tbl_merge_composite"   -> tblMergeComposite,
@@ -2928,6 +2979,17 @@ object Acid {
         |  SELECT k * 3 + 45, 'NEW' FROM base WHERE k % 100 = 0)
         |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
         |       TRUE AS files_pruned
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "tbl_sql_drop" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |merged AS (
+        |  SELECT '<none>' AS prio, pc AS price_cents FROM base
+        |  UNION ALL
+        |  SELECT 'INS', k * 3 + 45 FROM base WHERE k % 100 = 0)
+        |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS dropped_gone
         |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
     "tbl_sql_rename" ->
       """WITH base AS (

@@ -207,6 +207,15 @@ class AcidCatalog extends StagingTableCatalog {
         if (sch.fieldNames.exists(_.equalsIgnoreCase(name)))
           throw new IllegalArgumentException(
             s"$catName.$ident: column $name already exists")
+        // Re-ADD of a previously DROPPED name: allocate a FRESH physical
+        // name so the dropped column's dead bytes in old files can never
+        // resurface under the new logical column (Delta's physical-id
+        // discipline, re-derived with generation-suffixed names).
+        val dropped = Acid.droppedOf(dir)
+        val gens = dropped.count(d => d == name || d.startsWith(s"${name}__v"))
+        if (gens > 0)
+          Acid.writeColMap(dir,
+            Acid.colMapOf(dir) + (name -> s"${name}__v$gens"))
         sch.add(name, add.dataType(), nullable = true)
       case (sch, rn: TableChange.RenameColumn) =>
         // RENAME via column mapping (Delta's column-mapping mode): data
@@ -238,10 +247,42 @@ class AcidCatalog extends StagingTableCatalog {
         Acid.writeColMap(dir, (cm - from) + (to -> physical))
         StructType(sch.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
+      case (sch, del: TableChange.DeleteColumn) =>
+        // DROP COLUMN via the mapping layer: metadata-only — the physical
+        // column joins the dropped list (no reader surfaces it again; the
+        // bytes die at the next OPTIMIZE rewrite). Key / partition
+        // columns and CHECK-constrained columns refuse.
+        if (del.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catName: only top-level DROP COLUMN is supported")
+        val from = del.fieldNames().head
+        if (!sch.fieldNames.contains(from))
+          throw new IllegalArgumentException(
+            s"$catName.$ident: no such column $from")
+        if (sch.fieldNames.head == from)
+          throw new UnsupportedOperationException(
+            s"$catName.$ident: $from is the merge key (positional first " +
+              "column) — it cannot be dropped")
+        val cmD = Acid.colMapOf(dir)
+        val physD = cmD.getOrElse(from, from)
+        if (Acid.partColOf(dir).contains(physD))
+          throw new UnsupportedOperationException(
+            s"$catName.$ident: $from is the partition column — it cannot " +
+              "be dropped")
+        val vD = Acid.latestVersion(dir)
+        val cstrD = if (vD >= 0) Acid.readManifest(dir, vD).constraint else None
+        cstrD.filter(_.contains(from)).foreach { c =>
+          throw new UnsupportedOperationException(
+            s"$catName.$ident: column $from is referenced by the CHECK " +
+              s"constraint '$c' — drop the constraint first")
+        }
+        Acid.writeDropped(dir, Acid.droppedOf(dir) :+ physD)
+        Acid.writeColMap(dir, cmD - from)
+        StructType(sch.fields.filterNot(_.name == from))
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"$catName: unsupported ALTER TABLE change $other — only " +
-            "ADD COLUMN and RENAME COLUMN")
+            "ADD COLUMN, RENAME COLUMN, and DROP COLUMN")
     }
     Acid.writeDeclaredSchema(dir, evolved)
     new AcidSqlTable(dir, evolved)
