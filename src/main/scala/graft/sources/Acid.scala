@@ -463,6 +463,29 @@ object Acid {
       f.copy(name = cm.getOrElse(f.name, f.name))))
   }
 
+  /** Physical-name rendition of a logical-name frame — REQUIRED before
+    * any rewrite write (optimize/delete): data files must always carry
+    * physical names, or the scan-side logical→physical translation would
+    * read the rewritten files as all-NULL. Inverse of the rename
+    * `snapshot` applies. */
+  private[sources] def toPhysicalDf(dir: String, df: DataFrame): DataFrame = {
+    val cm = colMapOf(dir)
+    if (cm.isEmpty) df
+    else cm.foldLeft(df) { case (d, (lo, ph)) =>
+      if (d.columns.contains(lo)) d.withColumnRenamed(lo, ph) else d
+    }
+  }
+
+  /** Logical view of a physical-name frame (for applying caller
+    * predicates written against logical names). */
+  private[sources] def toLogicalDf(dir: String, df: DataFrame): DataFrame = {
+    val cm = colMapOf(dir)
+    if (cm.isEmpty) df
+    else cm.foldLeft(df) { case (d, (lo, ph)) =>
+      if (d.columns.contains(ph)) d.withColumnRenamed(ph, lo) else d
+    }
+  }
+
   /** PHYSICAL names of dropped columns (ALTER TABLE ... DROP COLUMN via
     * the mapping layer): the bytes stay in the files until a rewrite, but
     * no reader ever surfaces them, and a later ADD COLUMN with the same
@@ -1226,7 +1249,9 @@ object Acid {
     if (touched.isEmpty) return (0L, 0, m.files.size)
     val touchedDf = applyDv(s, dir, touched, s.read.option("mergeSchema", "true")
       .parquet(touched.map(f => s"$dir/${f.path}"): _*))
-    val kept = touchedDf.filter(!pred)
+    // caller predicates are written against LOGICAL names; the files are
+    // physical — translate in, filter, translate back before the rewrite
+    val kept = toPhysicalDf(dir, toLogicalDf(dir, touchedDf).filter(!pred))
     val nextV = base + 1
     val dataDir = s"d${nextV}_$writerTag"
     kept.repartitionByRange(math.max(1, touched.size), col(key))
@@ -1407,7 +1432,10 @@ object Acid {
     val m = readManifest(dir, v)
     val key = keyColOf(s, dir)
     val dataDir = s"d${v + 1}_opt"
-    snapshot(s, dir, v)
+    // column-mapped tables: the rewrite must land PHYSICAL field names,
+    // or the scan-side logical->physical translation reads the new files
+    // as all-NULL (snapshot serves logical names since round 8)
+    toPhysicalDf(dir, snapshot(s, dir, v))
       .repartitionByRange(targetFiles, col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     commitManifest(dir, Manifest(v + 1, -1L, statsOf(s, dir, dataDir, key),
@@ -1476,7 +1504,7 @@ object Acid {
     val v = latestVersion(dir)
     val m = readManifest(dir, v)
     val key = keyColOf(s, dir)
-    val df = snapshot(s, dir, v)
+    val df = toPhysicalDf(dir, snapshot(s, dir, v))
     val b = df.agg(min(col(key)), max(col(key)), min(col(col2)), max(col(col2))).head
     val (k0, k1, c0, c1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     def bucket16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =

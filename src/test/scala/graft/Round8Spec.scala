@@ -160,6 +160,29 @@ class Round8Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
+  test("OPTIMIZE and DELETE after a rename keep physical names and values") {
+    import graft.sources.Acid
+    val root = Scratch.fresh("r8_ren_opt", sf)
+    val cat = "graft_r8ro_" + java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    val t = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Acid.create(spark, dir, t, "k", 4)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.missing")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO w")
+    // the rewrite must land PHYSICAL names — a logical-name rewrite would
+    // read back all-NULL through the mapping (the round-8 near-miss)
+    Acid.optimize(spark, dir, 2)
+    assert(spark.table(s"$cat.t").filter(col("w").isNull).count() === 0)
+    assert(spark.table(s"$cat.t").agg(sum(col("w"))).head.getLong(0) === 9900L)
+    // DELETE with a logical-name predicate over the physical files
+    spark.sql(s"DELETE FROM $cat.t WHERE w >= 180")
+    assert(spark.table(s"$cat.t").count() === 90)
+    assert(Acid.snapshot(spark, dir).agg(sum(col("w"))).head.getLong(0) === 8010L)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("precision canary: streaming loader is identical across ns and µs") {
     val run = SparkEntry.queries("st_tumbling")
     def result(dir: String) =
