@@ -1573,6 +1573,18 @@ object Acid {
     val entries = m.files.map(f => f.copy(path = s"$rel/${f.path}",
       dv = f.dv.map { case (p, n) => (s"$rel/$p", n) },
       pdv = f.pdv.map { case (p, n) => (s"$rel/$p", n) }))
+    // Schema-identity sidecars travel with the clone: a mapped/partitioned/
+    // composite-key source whose clone lost its sidecars would read the
+    // wrong columns (colmap), lose partition pruning (partcol), or merge
+    // on the wrong key arity (keycols).
+    Files.createDirectories(logDir(dstDir))
+    Seq("colmap.txt", "dropped.txt", "partcol.txt", "keycols.txt",
+      "_schema.ddl").foreach { f =>
+      val src = logDir(srcDir).resolve(f)
+      if (Files.exists(src))
+        Files.copy(src, logDir(dstDir).resolve(f),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
     commitManifest(dstDir, Manifest(0, -1L, entries, constraint = m.constraint,
       op = "CLONE"))
     entries.size

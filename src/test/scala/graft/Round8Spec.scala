@@ -180,6 +180,14 @@ class Round8Spec extends AnyFunSuite {
     spark.sql(s"DELETE FROM $cat.t WHERE w >= 180")
     assert(spark.table(s"$cat.t").count() === 90)
     assert(Acid.snapshot(spark, dir).agg(sum(col("w"))).head.getLong(0) === 8010L)
+    // a shallow clone carries the mapping sidecars — without them the
+    // clone would serve the physical name and the logical one would
+    // read as missing
+    val cloneDir = s"$root/t_clone"
+    Acid.cloneShallow(spark, dir, cloneDir)
+    assert(Acid.snapshot(spark, cloneDir).columns.toSeq === Seq("k", "w"))
+    assert(Acid.snapshot(spark, cloneDir)
+      .agg(sum(col("w"))).head.getLong(0) === 8010L)
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
