@@ -317,7 +317,15 @@ object Acid {
     * clustering; run optimize/optimizeZorder to tighten).
     * Returns the number of converted files.
     */
-  def convert(s: SparkSession, dir: String, keyCol: String): Int = {
+  def convert(s: SparkSession, dir: String, keyCol: String): Int =
+    convert(s, dir, Seq(keyCol))
+
+  /** Composite-key CONVERT: same in-place onboarding, with the leading
+    * `keyCols.size` columns as the merge key (keycols sidecar, as in
+    * composite `create`). Stats stay on the leading column. */
+  def convert(s: SparkSession, dir: String, keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "convert needs at least one key column")
+    val keyCol = keyCols.head
     require(latestVersion(dir) < 0, s"$dir is already an ACID table")
     val root = Paths.get(dir)
     val parts = {
@@ -332,10 +340,16 @@ object Acid {
       s"$dir contains parquet files in subdirectories — a hive-partitioned " +
         "layout keeps partition values in directory names, which per-file " +
         "manifest reads would drop; import it with createPartitioned instead")
-    val first = s.read.parquet(dir).schema.fields.head.name
-    require(first == keyCol,
-      s"the merge key is positional by contract (first column): files lead " +
-        s"with '$first', not '$keyCol'")
+    val lead = s.read.parquet(dir).schema.fields
+      .take(keyCols.size).map(_.name).toSeq
+    require(lead == keyCols,
+      s"the merge key is positional by contract (leading columns): files " +
+        s"lead with '${lead.mkString(",")}', not '${keyCols.mkString(",")}'")
+    if (keyCols.size > 1) {
+      Files.createDirectories(logDir(dir))
+      Files.writeString(logDir(dir).resolve("keycols.txt"),
+        keyCols.mkString(",")): Unit
+    }
     val entries = statsOf(s, dir, ".", keyCol)
     commitManifest(dir, Manifest(0, -1L, entries, op = "CONVERT"))
     entries.size

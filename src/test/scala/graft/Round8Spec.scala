@@ -191,6 +191,25 @@ class Round8Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
+  test("composite-key convert: in-place onboarding keeps exact-pair merges") {
+    import graft.sources.Acid
+    import spark.implicits._
+    val dir = Scratch.fresh("r8_conv_comp", sf)
+    spark.range(200)
+      .select(expr("id div 20").as("k1"), expr("id % 20").as("k2"),
+        (col("id") + 7).as("v"))
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    // Spark writes part files into the dir itself; flatten the layout the
+    // way convert expects (no _SUCCESS, files at top level) — already true.
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    assert(Acid.convert(spark, dir, Seq("k1", "k2")) >= 1)
+    Acid.merge(spark, dir, Seq((3L, 4L, -5L)).toDF("k1", "k2", "v"), "w")
+    val snap = Acid.snapshot(spark, dir)
+    assert(snap.count() === 200)
+    assert(snap.filter(col("v") < 0).count() === 1)
+    assert(snap.filter(col("k1") === 3 && col("k2") === 5).head.getLong(2) === 72L)
+  }
+
   test("precision canary: streaming loader is identical across ns and µs") {
     val run = SparkEntry.queries("st_tumbling")
     def result(dir: String) =
