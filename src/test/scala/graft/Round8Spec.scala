@@ -210,6 +210,27 @@ class Round8Spec extends AnyFunSuite {
     assert(snap.filter(col("k1") === 3 && col("k2") === 5).head.getLong(2) === 72L)
   }
 
+  test("partitioned DDL: every inserted file carries exactly one partition value") {
+    import graft.sources.Acid
+    val root = Scratch.fresh("r8_partfiles", sf)
+    val cat = "graft_r8pf_" + java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.pt")
+    spark.sql(s"CREATE TABLE $cat.pt (k BIGINT, p BIGINT, v BIGINT) PARTITIONED BY (p)")
+    spark.range(1000)
+      .select(col("id").as("k"), expr("id % 7").as("p"), (col("id") * 3).as("v"))
+      .createOrReplaceTempView("r8_pf_src")
+    spark.sql(s"INSERT INTO $cat.pt SELECT k, p, v FROM r8_pf_src")
+    val entries = Acid.readManifest(s"$root/pt", Acid.latestVersion(s"$root/pt")).files
+    // the segment-rolling writer gives every file a ONE-value stats2
+    // range — the property manifest partition-pruning depends on
+    assert(entries.nonEmpty)
+    assert(entries.forall(_.stats2.exists { case (c, lo, hi) => c == "p" && lo == hi }))
+    assert(entries.map(_.stats2.get._2).distinct.size === 7)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.pt")
+  }
+
   test("precision canary: streaming loader is identical across ns and µs") {
     val run = SparkEntry.queries("st_tumbling")
     def result(dir: String) =
