@@ -418,6 +418,101 @@ object XmlPlanProbe {
   *
   *   sbt "runMain graft.Round7Probe [sfDir]"
   */
+/** Round-8 scale probe: the new surfaces at ×1 vs ×10 rows on local[32].
+  *  - composite-key MERGE: fixed absolute batch clustered in the low
+  *    leading-key range at both scales — merge cost must track the BATCH
+  *    (touched files), not the table;
+  *  - catalog PARTITIONED BY: clustered insert then a partition-equality
+  *    probe — scanned/total must stay ~1/8 as the table grows;
+  *  - XSD validation: per-record SAX pass — throughput must scale
+  *    linearly with rows (no super-linear term).
+  */
+object Round8Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.{Acid, AcidSql, Xml}
+
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("pc"))
+    val kShift = base.agg(max(col("k"))).head.getLong(0) + 1
+
+    def composite(tag: String, mult: Int, nFiles: Int): Unit = {
+      val rows = base.crossJoin(spark.range(mult).toDF("cp"))
+        .select((expr("k div 1000") + col("cp") * (kShift / 1000 + 1)).as("k1"),
+          expr("k % 1000").as("k2"), col("pc"))
+      val dir = Scratch.fresh(s"r8_probe_comp_$tag", sfDir)
+      val (_, createS) = t(Acid.create(spark, dir, rows, Seq("k1", "k2"), nFiles, None))
+      // fixed absolute batch: the ×1 table's lowest k1 groups, k2%10==3 —
+      // identical matched pairs at both scales
+      val batch = rows.filter(col("k1") <= lit(kShift / 1000 / 8) && col("k2") % 10 === 3)
+        .withColumn("pc", col("pc") + 1)
+      val (r, mergeS) = t(Acid.merge(spark, dir, batch, "p"))
+      println(f"[r8-probe] composite $tag%-4s create=$createS%.2fs " +
+        f"merge=$mergeS%.2fs (${r.filesRewritten}/${r.filesTotal} files rewritten)")
+    }
+    composite("x1", 1, 8)
+    composite("x10", 10, 80)
+
+    def partitioned(tag: String, mult: Int): Unit = {
+      val root = Scratch.fresh(s"r8_probe_part_$tag", sfDir)
+      val cat = s"graft_r8probe_$tag"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      base.crossJoin(spark.range(mult).toDF("cp"))
+        .select((col("k") + col("cp") * kShift).as("k"),
+          expr("k % 8").as("p"), col("pc"))
+        .createOrReplaceTempView(s"r8_probe_src_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.pt")
+      spark.sql(s"CREATE TABLE $cat.pt (k BIGINT, p BIGINT, pc BIGINT) PARTITIONED BY (p)")
+      val (_, insS) = t(spark.sql(
+        s"INSERT INTO $cat.pt SELECT k, p, pc FROM r8_probe_src_$tag").collect())
+      val (_, selS) = t(spark.sql(
+        s"SELECT sum(pc) FROM $cat.pt WHERE p = 3").head)
+      val (scanned, total) = AcidSql.lastScanFor(s"$root/pt")
+      println(f"[r8-probe] partitioned $tag%-4s insert=$insS%.2fs " +
+        f"probe=$selS%.2fs ($scanned/$total files scanned)")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.pt")
+    }
+    partitioned("x1", 1)
+    partitioned("x10", 10)
+
+    def xsd(tag: String, mult: Int): Unit = {
+      val xsdText =
+        """<?xml version="1.0" encoding="UTF-8"?>
+          |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+          |  <xs:element name="r"><xs:complexType><xs:sequence>
+          |    <xs:element name="v" type="xs:long"/>
+          |  </xs:sequence><xs:attribute name="k" type="xs:long" use="required"/>
+          |  </xs:complexType></xs:element>
+          |</xs:schema>""".stripMargin
+      val recs = base.crossJoin(spark.range(mult).toDF("cp"))
+        .select(concat(lit("<r k=\""), col("k"), lit("\"><v>"),
+          when(col("k") % 1000 === 0, lit("bad")).otherwise(col("pc").cast("string")),
+          lit("</v></r>")).as("xml"))
+      val ((n, bad), s) = t {
+        val v = Xml.validateXsd(spark, recs, xsdText)
+        (v.count(), v.filter(!col("xsd_ok")).count())
+      }
+      println(f"[r8-probe] xsd-validate $tag%-4s $s%.2fs " +
+        f"($n records, $bad violations, ${n / s / 1000}%.0f krec/s)")
+    }
+    xsd("x1", 1)
+    xsd("x10", 10)
+    spark.stop()
+  }
+}
+
 object Round7Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
