@@ -19,7 +19,7 @@ import graft.sources.Acid
   *
   * {{{
   *   OPTIMIZE <target> [ZORDER BY (col)] [TARGET <n> FILES]
-  *   VACUUM <target> [RETAIN <n> VERSIONS]
+  *   VACUUM <target> [RETAIN <n> VERSIONS] [DRY RUN]
   *   DESCRIBE HISTORY <target>
   * }}}
   *
@@ -35,7 +35,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(\S+)(?:\s+ZORDER\s+BY\s+\(\s*([A-Za-z_]\w*)\s*\))?(?:\s+TARGET\s+(\d+)\s+FILES)?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+(\S+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(\S+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+)\s*;?\s*""".r
 
@@ -43,8 +43,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OptimizeRe(target, zcol, files) =>
       OptimizeTableCommand(target, Option(zcol),
         Option(files).map(_.toInt).getOrElse(8))
-    case VacuumRe(target, retain) =>
-      VacuumTableCommand(target, Option(retain).map(_.toInt))
+    case VacuumRe(target, retain, dry) =>
+      VacuumTableCommand(target, Option(retain).map(_.toInt), dry != null)
     case HistoryRe(target) =>
       DescribeHistoryCommand(target)
     case _ => delegate.parsePlan(sqlText)
@@ -104,8 +104,8 @@ case class OptimizeTableCommand(target: String, zorderCol: Option[String],
 
 /** `RETAIN n VERSIONS` keeps the newest n versions (the version-addressed
   * analogue of Delta's hour-based RETAIN); default keeps only latest. */
-case class VacuumTableCommand(target: String, retainVersions: Option[Int])
-    extends LeafRunnableCommand {
+case class VacuumTableCommand(target: String, retainVersions: Option[Int],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("deleted_files", LongType, nullable = false)(),
     AttributeReference("live_files", LongType, nullable = false)())
@@ -113,7 +113,7 @@ case class VacuumTableCommand(target: String, retainVersions: Option[Int])
     val dir = MaintenanceSql.dirOf(s, target)
     val latest = Acid.latestVersion(dir)
     val from = math.max(0, latest - (retainVersions.getOrElse(1) - 1))
-    val (deleted, live) = Acid.vacuum(s, dir, from)
+    val (deleted, live) = Acid.vacuum(s, dir, from, dryRun)
     Seq(Row(deleted.toLong, live.toLong))
   }
 }

@@ -1609,7 +1609,14 @@ object Acid {
     * attempts), then drop the older manifests so time travel below the
     * horizon refuses explicitly. Returns (deletedFiles, liveFiles).
     */
-  def vacuum(s: SparkSession, dir: String, retainFrom: Int): (Int, Int) = {
+  def vacuum(s: SparkSession, dir: String, retainFrom: Int): (Int, Int) =
+    vacuum(s, dir, retainFrom, dryRun = false)
+
+  /** `dryRun = true` reports what WOULD be reclaimed (orphan count, live
+    * count) without touching a file or a manifest — the Delta `VACUUM
+    * ... DRY RUN` safety idiom. */
+  def vacuum(s: SparkSession, dir: String, retainFrom: Int,
+             dryRun: Boolean): (Int, Int) = {
     val latest = latestVersion(dir)
     val retained = (retainFrom to latest)
       .flatMap(v => Try(readManifest(dir, v)).toOption)
@@ -1631,8 +1638,10 @@ object Acid {
     }
     val orphans = all.filterNot(p =>
       live.contains(p) || liveCdcPrefixes.exists(p.startsWith))
-    orphans.foreach(p => Files.deleteIfExists(root.resolve(p)))
-    (0 until retainFrom).foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
+    if (!dryRun) {
+      orphans.foreach(p => Files.deleteIfExists(root.resolve(p)))
+      (0 until retainFrom).foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
+    }
     (orphans.size, live.size)
   }
 

@@ -231,6 +231,27 @@ class Round8Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.pt")
   }
 
+  test("VACUUM DRY RUN reports orphans without reclaiming them") {
+    import graft.sources.Acid
+    val root = Scratch.fresh("r8_dryrun", sf)
+    val cat = "graft_r8dr_" + java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    Acid.create(spark, dir,
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v")), "k", 4)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.missing")
+    Acid.optimize(spark, dir, 2) // orphans the 4 original files
+    val dry = spark.sql(s"VACUUM $cat.t DRY RUN").head
+    assert(dry.getLong(0) >= 4, "dry run must report the orphaned originals")
+    // nothing reclaimed: time travel to v0 still works
+    assert(Acid.snapshot(spark, dir, 0).count() === 100)
+    val real = spark.sql(s"VACUUM $cat.t").head
+    assert(real.getLong(0) === dry.getLong(0), "real vacuum reclaims what dry run reported")
+    intercept[Exception](Acid.snapshot(spark, dir, 0).count())
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("precision canary: streaming loader is identical across ns and µs") {
     val run = SparkEntry.queries("st_tumbling")
     def result(dir: String) =
