@@ -2739,6 +2739,74 @@ object Acid {
       .orderBy(col("prio"))
   }
 
+  /** tbl_sql_merge_delete — the three-clause SQL MERGE: matched rows
+    * with `action = 'del'` DELETE, other matches UPDATE, unmatched
+    * source rows INSERT — all one committed version through the same
+    * group-filtered copy-on-write machinery (the runtime `_file` filter
+    * narrows the rewrite to the touched files; a deleted row simply
+    * doesn't reappear in its group's rewrite).
+    */
+  val tblSqlMergeDelete: Q = (s, d) => {
+    val dir = fresh("tbl_sql_merge_del", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    s.sql("DROP TABLE IF EXISTS graft_sql_md_t")
+    s.sql(
+      s"""CREATE TABLE graft_sql_md_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    val src = ordersKV(s, d)
+    src.filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .select(col("k"), (col("price_cents") + 777).as("price_cents"),
+        lit("PATCHED").as("prio"), lit("upd").as("action"))
+      .unionByName(src.filter(col("k") % 10 === 6 && col("k") < lit(mk / 4))
+        .select(col("k"), lit(0L).as("price_cents"),
+          lit("X").as("prio"), lit("del").as("action")))
+      .unionByName(src.filter(col("k") % 100 === 0)
+        .select((col("k") + mk + 1).as("k"),
+          (col("k") * 3 + 45).as("price_cents"), lit("NEW").as("prio"),
+          lit("ins").as("action")))
+      .createOrReplaceTempView("graft_sql_md_batch")
+    s.sql(
+      """MERGE INTO graft_sql_md_t t
+        |USING graft_sql_md_batch b ON t.k = b.k
+        |WHEN MATCHED AND b.action = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.price_cents = b.price_cents, t.prio = b.prio
+        |WHEN NOT MATCHED THEN INSERT (k, price_cents, prio)
+        |  VALUES (b.k, b.price_cents, b.prio)""".stripMargin)
+    s.sql(
+      """SELECT prio, count(*) AS n, sum(price_cents) AS sum_cents
+        |FROM graft_sql_md_t GROUP BY prio""".stripMargin)
+      .withColumn("one_commit", lit(latestVersion(dir) == 1))
+      .orderBy(col("prio"))
+  }
+
+  /** tbl_sql_overwrite — SQL `INSERT OVERWRITE`: the truncate+append
+    * commit (SupportsTruncate → the new entries become the COMPLETE file
+    * list) in one version, with the previous snapshot still fully
+    * time-travelable — replacement is metadata, not deletion.
+    */
+  val tblSqlOverwrite: Q = (s, d) => {
+    val dir = fresh("tbl_sql_overwrite", d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val total = snapshot(s, dir).count()
+    s.sql("DROP TABLE IF EXISTS graft_sql_ow_t")
+    s.sql(
+      s"""CREATE TABLE graft_sql_ow_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    ordersKV(s, d).createOrReplaceTempView("graft_sql_ow_src")
+    s.sql(
+      """INSERT OVERWRITE TABLE graft_sql_ow_t
+        |SELECT k, price_cents + 100, 'OW' FROM graft_sql_ow_src
+        |WHERE k % 3 = 0""".stripMargin)
+    val v0Intact = snapshot(s, dir, 0).count() == total
+    s.sql(
+      """SELECT prio, count(*) AS n, sum(price_cents) AS sum_cents
+        |FROM graft_sql_ow_t GROUP BY prio""".stripMargin)
+      .withColumn("one_commit", lit(latestVersion(dir) == 1))
+      .withColumn("v0_time_travelable", lit(v0Intact))
+      .orderBy(col("prio"))
+  }
+
   /** tbl_cdc_on_commit — CDC persisted AT COMMIT TIME (the Delta
     * enableChangeDataFeed contract, round-6 plan #2): the merge/delete
     * legs already materialize both row images, so each commit writes its
@@ -2862,6 +2930,8 @@ object Acid {
     "tbl_sql_rename"        -> tblSqlRename,
     "tbl_sql_drop"          -> tblSqlDrop,
     "tbl_sql_merge"         -> tblSqlMerge,
+    "tbl_sql_merge_delete"  -> tblSqlMergeDelete,
+    "tbl_sql_overwrite"     -> tblSqlOverwrite,
     "tbl_acid_merge"        -> tblAcidMerge,
     "tbl_merge_composite"   -> tblMergeComposite,
     "tbl_time_travel"       -> tblTimeTravel,
@@ -3042,6 +3112,29 @@ object Acid {
         |  SELECT k * 3 + 45, 'NEW' FROM base WHERE k % 100 = 0)
         |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
         |       TRUE AS files_pruned
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
+    "tbl_sql_overwrite" ->
+      """SELECT 'OW' AS prio, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) + 100) AS BIGINT) AS sum_cents,
+        |       TRUE AS one_commit, TRUE AS v0_time_travelable
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    "tbl_sql_merge_delete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |merged AS (
+        |  SELECT CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN pc + 777 ELSE pc END AS price_cents,
+        |         CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN 'PATCHED' ELSE prio END AS prio
+        |  FROM base
+        |  WHERE NOT (k % 10 = 6 AND k < (SELECT m FROM mx) // 4)
+        |  UNION ALL
+        |  SELECT k * 3 + 45, 'NEW' FROM base WHERE k % 100 = 0)
+        |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS one_commit
         |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
     "tbl_sql_drop" ->
       """WITH base AS (
