@@ -19,7 +19,7 @@ import graft.sources.Acid
   *
   * {{{
   *   OPTIMIZE <target> [ZORDER BY (col)] [TARGET <n> FILES]
-  *   VACUUM <target> [RETAIN <n> VERSIONS] [DRY RUN]
+  *   VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS] [DRY RUN]
   *   DESCRIBE HISTORY <target>
   * }}}
   *
@@ -32,19 +32,27 @@ import graft.sources.Acid
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  // Target = quoted path (may contain whitespace: '/data/my table') or a
+  // bare identifier chain — a bare (\S+) alone would never match quoted
+  // paths with spaces and fall through to Spark's parser with a confusing
+  // generic parse error.
+  private val Tgt = """('[^']*'|\S+)"""
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+(\S+)(?:\s+ZORDER\s+BY\s+\(\s*([A-Za-z_]\w*)\s*\))?(?:\s+TARGET\s+(\d+)\s+FILES)?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+""" + Tgt +
+      """(?:\s+ZORDER\s+BY\s+\(\s*([A-Za-z_]\w*)\s*\))?(?:\s+TARGET\s+(\d+)\s+FILES)?\s*;?\s*""").r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+(\S+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+(DRY\s+RUN))?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+""" + Tgt +
+      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
   private val HistoryRe =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+)\s*;?\s*""".r
+    ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Tgt + """\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(target, zcol, files) =>
       OptimizeTableCommand(target, Option(zcol),
         Option(files).map(_.toInt).getOrElse(8))
-    case VacuumRe(target, retain, dry) =>
-      VacuumTableCommand(target, Option(retain).map(_.toInt), dry != null)
+    case VacuumRe(target, retain, unit, dry) =>
+      VacuumTableCommand(target, Option(retain).map(_.toInt),
+        Option(unit).map(_.toUpperCase).getOrElse("VERSIONS"), dry != null)
     case HistoryRe(target) =>
       DescribeHistoryCommand(target)
     case _ => delegate.parsePlan(sqlText)
@@ -102,17 +110,29 @@ case class OptimizeTableCommand(target: String, zorderCol: Option[String],
   }
 }
 
-/** `RETAIN n VERSIONS` keeps the newest n versions (the version-addressed
-  * analogue of Delta's hour-based RETAIN); default keeps only latest. */
-case class VacuumTableCommand(target: String, retainVersions: Option[Int],
-    dryRun: Boolean = false) extends LeafRunnableCommand {
+/** `RETAIN n VERSIONS` keeps the newest n versions (version-addressed);
+  * `RETAIN n HOURS` keeps every version COMMITTED within the last n hours
+  * of wall-clock (the operationally safer Delta contract — an operator
+  * reasons in time, not commit counts), resolved against the recorded
+  * manifest mtimes; the latest version is always retained either way.
+  * Default (no RETAIN) keeps only the latest. */
+case class VacuumTableCommand(target: String, retainN: Option[Int],
+    retainUnit: String = "VERSIONS", dryRun: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("deleted_files", LongType, nullable = false)(),
     AttributeReference("live_files", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] = {
     val dir = MaintenanceSql.dirOf(s, target)
     val latest = Acid.latestVersion(dir)
-    val from = math.max(0, latest - (retainVersions.getOrElse(1) - 1))
+    val from =
+      if (retainUnit.equalsIgnoreCase("HOURS")) {
+        val horizon = System.currentTimeMillis() * 1000L -
+          retainN.getOrElse(0).toLong * 3600L * 1000000L
+        (0 to latest).find(v =>
+          Acid.manifestMtimeMicros(dir, v).exists(_ >= horizon))
+          .getOrElse(latest)
+      } else math.max(0, latest - (retainN.getOrElse(1) - 1))
     val (deleted, live) = Acid.vacuum(s, dir, from, dryRun)
     Seq(Row(deleted.toLong, live.toLong))
   }

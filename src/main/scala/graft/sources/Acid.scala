@@ -135,7 +135,7 @@ object Acid {
 
   /** Commit wall-clock of a retained version (manifest mtime, epoch
     * micros); None once vacuum reclaimed the manifest. */
-  private[sources] def manifestMtimeMicros(dir: String, v: Int): Option[Long] = {
+  private[graft] def manifestMtimeMicros(dir: String, v: Int): Option[Long] = {
     val p = manifestPath(dir, v)
     if (Files.exists(p))
       Some(Files.getLastModifiedTime(p).toInstant.toEpochMilli * 1000L)
@@ -851,17 +851,27 @@ object Acid {
     * exact — and inserts are exactly the batch keys unmatched in the
     * touched scan.
     */
-  def mergeAt(s: SparkSession, dir: String, baseVersion: Int, batch: DataFrame,
+  def mergeAt(s: SparkSession, dir: String, baseVersion: Int, batch0: DataFrame,
               writerTag: String, batchId: Long = -1L, stageSuffix: String = "",
               writeCdf: Boolean = false)
       : Either[String, MergeResult] = {
     import s.implicits._
     val m = readManifest(dir, baseVersion)
+    // Column-mapped tables: callers write batches against LOGICAL names but
+    // data files (and keyColsOf, derived from footers/sidecars) are
+    // PHYSICAL. Translate the batch up front — without this a post-RENAME
+    // batch column would classify as a schema-evolved NEW column and the
+    // rewrite would land files carrying both physical and logical names
+    // (duplicate columns after snapshot's rename fold). optimize/delete got
+    // the same treatment in round 8; SQL MERGE is separately safe via
+    // AcidReplaceGroupsWrite.
+    val batch = toPhysicalDf(dir, batch0)
     val keyCols = keyColsOf(s, dir)
     val keyCol = keyCols.head // leading key: stats, pruning, repartition order
     require(batch.columns.take(keyCols.size).sameElements(keyCols),
       s"batch must lead with the table's key columns ${keyCols.mkString(",")}" +
-        s", got ${batch.columns.take(keyCols.size).mkString(",")}")
+        s" (physical names; logical batch columns are translated through the " +
+        s"column mapping), got ${batch.columns.take(keyCols.size).mkString(",")}")
 
     // File pruning on the LEADING key only — a leading-column range is a
     // superset of the composite range, so skipping stays exact for

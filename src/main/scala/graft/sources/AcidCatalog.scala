@@ -233,6 +233,18 @@ class AcidCatalog extends StagingTableCatalog {
         if (sch.fieldNames.exists(_.equalsIgnoreCase(to)))
           throw new IllegalArgumentException(
             s"$catName.$ident: column $to already exists")
+        // The new LOGICAL name must also avoid every live PHYSICAL field
+        // name (rename a->b then c->a: files still carry physical 'a', so
+        // snapshot's rename fold would produce duplicate/ambiguous
+        // columns). The column's own physical name is exempt — renaming
+        // back to it is the identity mapping.
+        val cmPre = Acid.colMapOf(dir)
+        val livePhys = sch.fieldNames.map(n => cmPre.getOrElse(n, n)).toSet -
+          cmPre.getOrElse(from, from)
+        if (livePhys.contains(to))
+          throw new IllegalArgumentException(
+            s"$catName.$ident: $to collides with a live physical column " +
+              "name carried by existing data files — pick another name")
         // a CHECK constraint references columns by name in SQL text the
         // mapping layer cannot rewrite — refuse rather than break it
         val v = Acid.latestVersion(dir)
@@ -242,9 +254,8 @@ class AcidCatalog extends StagingTableCatalog {
             s"$catName.$ident: column $from is referenced by the CHECK " +
               s"constraint '$c' — drop the constraint before renaming")
         }
-        val cm = Acid.colMapOf(dir)
-        val physical = cm.getOrElse(from, from)
-        Acid.writeColMap(dir, (cm - from) + (to -> physical))
+        val physical = cmPre.getOrElse(from, from)
+        Acid.writeColMap(dir, (cmPre - from) + (to -> physical))
         StructType(sch.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
       case (sch, del: TableChange.DeleteColumn) =>
@@ -259,12 +270,16 @@ class AcidCatalog extends StagingTableCatalog {
         if (!sch.fieldNames.contains(from))
           throw new IllegalArgumentException(
             s"$catName.$ident: no such column $from")
-        if (sch.fieldNames.head == from)
-          throw new UnsupportedOperationException(
-            s"$catName.$ident: $from is the merge key (positional first " +
-              "column) — it cannot be dropped")
         val cmD = Acid.colMapOf(dir)
         val physD = cmD.getOrElse(from, from)
+        // Guard EVERY merge-key column (physical names — keyColsOf reads
+        // the keycols sidecar / file footers): on a composite-key table the
+        // positional-first check alone would let key columns 2..n drop,
+        // after which every subsequent merge mis-keys.
+        if (Acid.keyColsOf(SparkSession.active, dir).contains(physD))
+          throw new UnsupportedOperationException(
+            s"$catName.$ident: $from is a merge-key column — it cannot be " +
+              "dropped")
         if (Acid.partColOf(dir).contains(physD))
           throw new UnsupportedOperationException(
             s"$catName.$ident: $from is the partition column — it cannot " +
