@@ -562,6 +562,7 @@ class AcidSpec extends AnyFunSuite {
       case ((bid, hw, fs, cdc, cstr, op), v) =>
         val m = Acid.Manifest(v, bid, fs, hw, cdc, cstr, op)
         Acid.commitManifest(dir, m)
+        Acid.clearManifestCache() // exercise the on-disk format, not the cache
         assert(Acid.readManifest(dir, v) == m, s"round-trip failed at v$v")
     }
     assert(Acid.latestVersion(dir) == 199)

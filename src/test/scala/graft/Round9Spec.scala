@@ -105,6 +105,70 @@ class Round9Spec extends AnyFunSuite {
     assert(spark.sql(s"DESCRIBE HISTORY '$dir'").count() >= 1)
   }
 
+  test("delta log: fresh parses reproduce every version; resolution stays bounded") {
+    import spark.implicits._
+    val dir = Scratch.fresh("r9_deltalog", sf)
+    val t = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Acid.create(spark, dir, t, "k", 4)
+    // 24 single-row appends (delta manifests) + a merge + a MoR delete
+    spark.range(1, 25).select((col("id") + 100L).as("k"), col("id").as("v"))
+      .repartitionByRange(24, col("k"))
+      .write.mode("overwrite").parquet(s"$dir/d_tail")
+    val entries = {
+      // stage entries via a throwaway stats read: commit one per version
+      val raw = spark.read.parquet(s"$dir/d_tail")
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("rows"), min(col("k")).as("mn"), max(col("k")).as("mx"))
+        .collect()
+      val prefix = Paths.get(dir).toAbsolutePath.toString
+      raw.map { r =>
+        val abs = new java.net.URI(r.getString(0)).getPath
+        Acid.FileEntry(abs.stripPrefix(prefix).stripPrefix("/"),
+          r.getLong(1), r.getLong(2), r.getLong(3))
+      }.sortBy(_.path).toSeq
+    }
+    entries.foreach(e => Acid.appendCommit(dir, Seq(e)): Unit)
+    val afterAppends = Acid.latestVersion(dir)
+    assert(afterAppends === entries.size)
+    Acid.merge(spark, dir, Seq((5L, -1L)).toDF("k", "v"), "w")
+    Acid.deleteWhereMor(spark, dir, col("k") === 7L, Some((7L, 7L)), "mor")
+    val latest = Acid.latestVersion(dir)
+    // fresh parses (no cache) must reproduce every retained version
+    Acid.clearManifestCache()
+    assert(Acid.snapshot(spark, dir).count() === 100 + entries.size - 1)
+    assert(Acid.snapshot(spark, dir).filter(col("k") === 5).head.getLong(1) === -1L)
+    Acid.clearManifestCache()
+    assert(Acid.snapshot(spark, dir, afterAppends).count() === 100 + entries.size)
+    Acid.clearManifestCache()
+    assert(Acid.snapshot(spark, dir, 0).count() === 100)
+    // resolution depth bounded by the checkpoint cadence
+    assert(Acid.logResolutionDepth(dir, latest) <= Acid.LogCheckpointInterval + 1)
+    assert(Acid.lastCheckpointVersion(dir).exists(_ >= Acid.LogCheckpointInterval))
+    // a single-entry append manifest is delta-sized, not table-sized
+    val mid = entries.size / 2
+    val manifest = Paths.get(dir, "_log", f"v$mid%05d.txt")
+    assert(Files.readAllLines(manifest).size <= 3,
+      "append manifest should hold a delta, not the full file list")
+  }
+
+  test("delta log: vacuum materializes a horizon checkpoint; retained versions survive") {
+    val dir = Scratch.fresh("r9_vac_ckpt", sf)
+    Acid.create(spark, dir,
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v")), "k", 4)
+    import spark.implicits._
+    for (i <- 1 to 15)
+      Acid.merge(spark, dir, Seq((i.toLong, -i.toLong)).toDF("k", "v"), s"w$i")
+    // horizon at 13 — NOT on the checkpoint cadence; retained 13..15 are
+    // deltas whose chain crosses the horizon without the materialized base
+    val (_, _) = Acid.vacuum(spark, dir, retainFrom = 13)
+    Acid.clearManifestCache()
+    assert(Acid.latestVersion(dir) === 15)
+    assert(Acid.snapshot(spark, dir).filter(col("v") < 0).count() === 15)
+    assert(Acid.snapshot(spark, dir, 13).filter(col("v") < 0).count() === 13)
+    assert(Try(Acid.readManifest(dir, 12)).isFailure)
+    assert(Acid.logResolutionDepth(dir, 15) <= 3)
+  }
+
   test("VACUUM RETAIN n HOURS resolves the horizon from commit wall-clock") {
     val base = Scratch.fresh("r9_hours", sf)
     val dir = s"$base/t"
