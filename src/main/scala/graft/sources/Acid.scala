@@ -515,24 +515,70 @@ object Acid {
 
   /** Per-file (rows, min, max) stats for freshly written data files: ONE
     * distributed aggregate grouped by `input_file_name`; only the
-    * #files-sized result reaches the driver.
+    * #files-sized result reaches the driver. Beyond the numeric key (and
+    * optional second numeric column), the pass auto-stamps lexicographic
+    * min/max for the first `CStatsBudget` STRING / DATE columns — dates
+    * rendered as ISO `yyyy-MM-dd`, where lexicographic order IS date
+    * order — so predicates on those columns can skip files (round-9
+    * verdict #2; Delta's first-32-columns stats budget, scaled to the
+    * text manifest). An all-NULL column in a file simply gets no stats
+    * there (conservatively kept by every pruning path).
     */
+  private[graft] val CStatsBudget = 4
+
   private def statsOf(s: SparkSession, tableDir: String, dataDir: String,
                       keyCol: String, col2: Option[String] = None): Seq[FileEntry] = {
     val prefix = Paths.get(tableDir).toAbsolutePath.toString
+    val df = s.read.parquet(s"$tableDir/$dataDir")
+    val strCols = df.schema.fields.iterator
+      .filter(f => f.name != keyCol && !col2.contains(f.name) &&
+        (f.dataType == org.apache.spark.sql.types.StringType ||
+         f.dataType == org.apache.spark.sql.types.DateType) &&
+        !f.name.contains('|') && !f.name.contains(':'))
+      .map(_.name).take(CStatsBudget).toSeq
     val aggs = Seq(count(lit(1)).as("rows"),
       min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx")) ++
-      col2.toSeq.flatMap(c => Seq(min(col(c)).as("mn2"), max(col(c)).as("mx2")))
-    s.read.parquet(s"$tableDir/$dataDir")
-      .groupBy(input_file_name().as("f"))
+      col2.toSeq.flatMap(c => Seq(min(col(c)).as("mn2"), max(col(c)).as("mx2"))) ++
+      strCols.flatMap(c => Seq(
+        min(col(c).cast("string")).as(s"cmn_$c"),
+        max(col(c).cast("string")).as(s"cmx_$c")))
+    df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         val abs = new java.net.URI(r.getString(0)).getPath
+        val cs = strCols.flatMap { c =>
+          val mn = r.getAs[String](s"cmn_$c"); val mx = r.getAs[String](s"cmx_$c")
+          if (mn == null || mx == null) None else Some((c, mn, mx))
+        }
         FileEntry(abs.stripPrefix(prefix).stripPrefix("/"),
-          r.getLong(1), r.getLong(2), r.getLong(3),
-          col2.map(c => (c, r.getLong(4), r.getLong(5))))
+          r.getAs[Long]("rows"), r.getAs[Long]("mn"), r.getAs[Long]("mx"),
+          col2.map(c => (c, r.getAs[Long]("mn2"), r.getAs[Long]("mx2"))),
+          cstats = cs)
       }.sortBy(_.path).toSeq
+  }
+
+  /** Stats-based file skipping on a STRING or DATE column: manifest-only
+    * pruning against the lexicographic `cstats` ranges (`lo`/`hi` are
+    * the string renditions — ISO dates for DATE columns), exact residual
+    * filter on the survivors; files without the column's stats are kept.
+    * Same contract as scanRange/scanCol2Range, third skipping dimension.
+    * Returns (frame, filesScanned, filesTotal).
+    */
+  def scanColRange(s: SparkSession, dir: String, c: String, lo: String, hi: String)
+      : (DataFrame, Int, Int) = {
+    val m = readManifest(dir, latestVersion(dir))
+    val live = m.files.filter { f =>
+      f.cstats.find(_._1 == c) match {
+        case Some((_, mn, mx)) => mx >= lo && mn <= hi
+        case None              => true
+      }
+    }
+    val df =
+      if (live.isEmpty) snapshot(s, dir).limit(0)
+      else applyDv(s, dir, live, s.read.option("mergeSchema", "true")
+        .parquet(live.map(f => s"$dir/${f.path}"): _*))
+    (df.filter(col(c).cast("string").between(lo, hi)), live.size, m.files.size)
   }
 
   /** CONVERT an existing plain-parquet directory into an ACID table IN
@@ -2022,6 +2068,44 @@ object Acid {
       .withColumn("files_scanned_some", lit(scanned >= 1))
   }
 
+  /** tbl_stats_multi — string/date file skipping (round-9 verdict #2):
+    * the table carries a k-monotone string `code` and an
+    * ingestion-ordered DATE `odate` (the realistic time-ordered-ingest
+    * shape: arrival date rises with the key), so the range layout gives
+    * every file tight lexicographic [min,max] on BOTH — a string
+    * POINT lookup and a quarter-sized date window each plan a strict
+    * file subset from the manifest alone (pinned booleans), with the
+    * exact residual making the row values oracle-comparable. Before
+    * round 9 these predicates scanned every file: stats existed only
+    * for the numeric key (+ optional second numeric column).
+    */
+  val tblStatsMulti: Q = (s, d) => {
+    val dir = fresh("tbl_stats_multi", d)
+    val mk = maxKey(s, d)
+    val scale = mk / 2000 + 1
+    val t = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      concat(lit("C"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("code"),
+      date_add(to_date(lit("1992-01-01")), expr(s"int(k div $scale)")).as("odate"))
+    create(s, dir, t, "k", 8)
+    // string point lookup on an existing code (the smallest upper-half key)
+    val k0 = Tables.orders(s, d).filter(col("o_orderkey") >= mk / 2)
+      .agg(min(col("o_orderkey"))).head.getLong(0)
+    val probe = "C" + "%010d".format(k0)
+    val (sdf, sScanned, sTotal) = scanColRange(s, dir, "code", probe, probe)
+    val pointAgg = sdf.agg(count(lit(1)).as("n_point"),
+      sum(col("price_cents")).as("point_cents")).head
+    // date window: days 900..999 since 1992-01-01
+    val (ddf, dScanned, dTotal) = scanColRange(s, dir, "odate",
+      "1994-06-19", "1994-09-26")
+    ddf.agg(count(lit(1)).as("n_window"), sum(col("price_cents")).as("window_cents"))
+      .withColumn("n_point", lit(pointAgg.getLong(0)))
+      .withColumn("point_cents", lit(pointAgg.getLong(1)))
+      .withColumn("str_pruned", lit(sScanned >= 1 && sScanned < sTotal))
+      .withColumn("date_pruned", lit(dScanned >= 1 && dScanned < dTotal))
+  }
+
   /** tbl_bloom_skip — point-lookup skipping beyond min/max: delete one
     * residue class (k ≡ 3 mod 7) from the upper key half — the rewritten
     * files' [min,max] still COVER the deleted keys, so range stats alone
@@ -3207,6 +3291,7 @@ object Acid {
   }
 
   val queries: Map[String, Q] = Map(
+    "tbl_stats_multi"       -> tblStatsMulti,
     "tbl_log_checkpoint"    -> tblLogCheckpoint,
     "tbl_positional_delete" -> tblPositionalDelete,
     "tbl_optimize_range"    -> tblOptimizeRange,
@@ -3250,6 +3335,21 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_stats_multi" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |sc AS (SELECT (SELECT m FROM mx) // 2000 + 1 AS s),
+        |w AS (SELECT count(*) AS n_window, CAST(sum(pc) AS BIGINT) AS window_cents
+        |      FROM base WHERE k // (SELECT s FROM sc) BETWEEN 900 AND 999),
+        |p AS (SELECT count(*) AS n_point, CAST(sum(pc) AS BIGINT) AS point_cents
+        |      FROM base
+        |      WHERE k = (SELECT min(k) FROM base
+        |                 WHERE k >= (SELECT m FROM mx) // 2))
+        |SELECT w.n_window, w.window_cents, p.n_point, p.point_cents,
+        |       TRUE AS str_pruned, TRUE AS date_pruned
+        |FROM w, p""".stripMargin,
     "tbl_log_checkpoint" ->
       """SELECT count(*) + 24 AS n,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 3468

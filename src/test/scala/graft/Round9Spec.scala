@@ -151,6 +151,42 @@ class Round9Spec extends AnyFunSuite {
       "append manifest should hold a delta, not the full file list")
   }
 
+  test("cstats: string/date min-max stamp on write, prune scans, survive rewrites") {
+    import spark.implicits._
+    val dir = Scratch.fresh("r9_cstats", sf)
+    val t = spark.range(400).select(col("id").as("k"),
+      concat(lit("S"), lpad(col("id").cast("string"), 6, "0")).as("tag"),
+      date_add(to_date(lit("2020-01-01")), col("id").cast("int")).as("d"),
+      (col("id") * 3).as("v"))
+    Acid.create(spark, dir, t, "k", 8)
+    val m0 = Acid.readManifest(dir, 0)
+    assert(m0.files.forall(f => f.cstats.exists(_._1 == "tag") &&
+      f.cstats.exists(_._1 == "d")), "every file carries string AND date stats")
+    // string point lookup prunes to one file
+    val (sdf, s1, s2) = Acid.scanColRange(spark, dir, "tag", "S000123", "S000123")
+    assert(s1 === 1 && s2 === 8)
+    assert(sdf.count() === 1 && sdf.head.getLong(0) === 123L)
+    // date window prunes and stays exact
+    val (ddf, d1, d2) = Acid.scanColRange(spark, dir, "d",
+      "2020-04-10", "2020-05-09")
+    assert(d1 < d2, s"expected date pruning, scanned $d1/$d2")
+    assert(ddf.count() === 30)
+    // a merge rewrite recomputes stats on its new files, carries the rest
+    val r = Acid.merge(spark, dir,
+      Seq((50L, "S999999", java.sql.Date.valueOf("2031-01-01"), -1L))
+        .toDF("k", "tag", "d", "v"), "w")
+    assert(r.filesRewritten === 1)
+    Acid.clearManifestCache()
+    val m1 = Acid.readManifest(dir, 1)
+    assert(m1.files.forall(_.cstats.nonEmpty))
+    val rewritten = m1.files.filterNot(m0.files.toSet)
+    assert(rewritten.exists(_.cstats.exists { case (c, _, mx) =>
+      c == "tag" && mx == "S999999" }))
+    // the stale-probe now must NOT skip the rewritten file
+    val (pdf, p1, _) = Acid.scanColRange(spark, dir, "tag", "S999999", "S999999")
+    assert(p1 >= 1 && pdf.count() === 1)
+  }
+
   test("delta log: vacuum materializes a horizon checkpoint; retained versions survive") {
     val dir = Scratch.fresh("r9_vac_ckpt", sf)
     Acid.create(spark, dir,
