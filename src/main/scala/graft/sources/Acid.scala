@@ -1132,7 +1132,7 @@ object Acid {
     */
   def mergeAt(s: SparkSession, dir: String, baseVersion: Int, batch0: DataFrame,
               writerTag: String, batchId: Long = -1L, stageSuffix: String = "",
-              writeCdf: Boolean = false)
+              writeCdf: Boolean = false, disjointRebase: Boolean = false)
       : Either[String, MergeResult] = {
     import s.implicits._
     val m = readManifest(dir, baseVersion)
@@ -1263,8 +1263,82 @@ object Acid {
       Right(MergeResult(nextV, touched.size, m.files.size, skipped = false))
     } catch {
       case _: FileAlreadyExistsException =>
-        Left(s"conflict: version $nextV was committed by another writer")
+        if (!disjointRebase)
+          Left(s"conflict: version $nextV was committed by another writer")
+        else {
+          // batch key range for the overlap check, computed lazily — one
+          // batch-sized aggregate, only on the losing-race path (an empty
+          // batch gets an empty range that overlaps nothing)
+          val mm = batch.agg(min(col(keyCol)), max(col(keyCol))).head
+          val (bLo, bHi) =
+            if (mm.isNullAt(0)) (Long.MaxValue, Long.MinValue)
+            else (mm.getLong(0), mm.getLong(1))
+          rebaseDisjoint(dir, m, touched, newEntries,
+            bLo, bHi, writerTag, batchId, cdcPathOpt)
+        }
     }
+  }
+
+  /** Logical conflict detection (the Delta/Iceberg ConflictChecker shape,
+    * re-derived — round-9 verdict #3): after losing the put-if-absent race,
+    * a merge whose work is provably untouched by the interleaved commits
+    * re-targets its ALREADY-WRITTEN data files at the new head — an
+    * O(metadata) commit, no data re-read or re-write (the difference from
+    * `merge`'s rebase loop, which re-applies the whole merge). Refuses
+    * (Left) on any TRUE conflict, leaving re-apply to the caller:
+    *  - an interleaved commit removed or changed one of the merge's
+    *    touched ENTRIES (path gone, or same path with e.g. a new deletion
+    *    vector — re-committing our rewrite would resurrect its rows: the
+    *    lost-update anomaly);
+    *  - an interleaved commit ADDED a file whose key range overlaps the
+    *    batch's (our matched/unmatched classification could be stale —
+    *    Delta's concurrent-append check against the merge condition);
+    *  - the CHECK constraint changed (our output was validated against
+    *    the old one).
+    * A same-tag batchId at or below the new head's high-water mark is a
+    * replay and returns skipped, mirroring `merge`.
+    */
+  private def rebaseDisjoint(dir: String, base: Manifest,
+      touched: Seq[FileEntry], newEntries: Seq[FileEntry],
+      batchLo: Long, batchHi: Long, writerTag: String, batchId: Long,
+      cdcPathOpt: Option[String], maxAttempts: Int = 10)
+      : Either[String, MergeResult] = {
+    val basePaths = base.files.map(_.path).toSet
+    val touchedPaths = touched.map(_.path).toSet
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val lv = latestVersion(dir)
+      val head = readManifest(dir, lv)
+      if (batchId >= 0L && batchId <= head.batchHw.getOrElse(writerTag, -1L))
+        return Right(MergeResult(lv, 0, head.files.size, skipped = true))
+      val live = head.files.map(f => f.path -> f).toMap
+      val lost = touched.filterNot(t => live.get(t.path).contains(t))
+      if (lost.nonEmpty)
+        return Left("overlap conflict: a concurrent commit rewrote " +
+          s"${lost.take(3).map(_.path).mkString(", ")} — re-run the merge " +
+          "against the new snapshot")
+      val overlapAdds = head.files.filter(f =>
+        !basePaths.contains(f.path) && f.minKey <= batchHi && f.maxKey >= batchLo)
+      if (overlapAdds.nonEmpty)
+        return Left("overlap conflict: a concurrent commit added " +
+          s"${overlapAdds.take(3).map(_.path).mkString(", ")} inside the " +
+          s"batch key range [$batchLo, $batchHi] — re-run the merge")
+      if (head.constraint != base.constraint)
+        return Left("overlap conflict: the CHECK constraint changed " +
+          "concurrently — re-run the merge")
+      val hw =
+        if (batchId >= 0L) head.batchHw.updated(writerTag,
+          math.max(head.batchHw.getOrElse(writerTag, -1L), batchId))
+        else head.batchHw
+      val files = head.files.filterNot(f => touchedPaths(f.path)) ++ newEntries
+      try {
+        commitManifest(dir, Manifest(lv + 1, batchId, files, hw, cdcPathOpt,
+          head.constraint, op = "MERGE"))
+        return Right(MergeResult(lv + 1, touched.size, base.files.size,
+          skipped = false))
+      } catch { case _: FileAlreadyExistsException => attempt += 1 }
+    }
+    Left("rebase: too many commit conflicts")
   }
 
   /** MERGE with optimistic retry + exactly-once batch dedup: a `batchId`
@@ -2182,6 +2256,48 @@ object Acid {
       .withColumn("a_committed", lit(a.isRight))
       .withColumn("b_conflicted", lit(bFirst.isLeft))
       .withColumn("b_rebased", lit(bRebase.isRight))
+  }
+
+  /** tbl_concurrent_disjoint — LOGICAL conflict detection (round 9): A and
+    * B both merge from v0 touching DISJOINT key quarters; A commits v1; B
+    * loses the put-if-absent race but none of its touched entries changed,
+    * so B lands v2 via a METADATA-ONLY rebase — its staged `d1_B*` data
+    * files commit as-written, nothing re-read or re-written (pinned: v2
+    * references d1_B paths although B never re-ran). Writer C then merges
+    * from v0 the SAME low quarter A rewrote — a true overlap — and is
+    * REFUSED; C re-applies against the live snapshot (the full-work rebase
+    * the refusal demands) and lands v3. At 100 TB this is the difference
+    * between N disjoint-partition writers paying one metadata commit each
+    * and every loser re-running its whole merge.
+    */
+  val tblConcurrentDisjoint: Q = (s, d) => {
+    val dir = fresh("tbl_concurrent_disjoint", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val batchA = ordersKV(s, d)
+      .filter(col("k") % 97 === 0 && col("k") < lit(mk / 4))
+      .select(col("k"), (col("price_cents") + 100).as("price_cents"))
+    val batchB = ordersKV(s, d)
+      .filter(col("k") % 89 === 0 && col("k") >= lit(mk - mk / 4))
+      .select(col("k"), lit("B2").as("prio"))
+    val batchC = ordersKV(s, d)
+      .filter(col("k") % 97 === 0 && col("k") < lit(mk / 4))
+      .select(col("k"), (col("price_cents") + 7).as("price_cents"))
+    val a = mergeAt(s, dir, 0, batchA, "A")
+    // B from the same stale base: conflicts on v1, rebases metadata-only
+    val b = mergeAt(s, dir, 0, batchB, "B", disjointRebase = true)
+    val bMeta = b.exists(_.version == 2) &&
+      readManifest(dir, 2).files.exists(_.path.startsWith("d1_B"))
+    // C overlaps the files A rewrote: the logical check must REFUSE
+    val c = mergeAt(s, dir, 0, batchC, "C", disjointRebase = true)
+    val cRetry = merge(s, dir, batchC, "C2") // full re-apply, lands v3
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        sum(when(col("prio") === "B2", 1L).otherwise(0L)).as("n_b2"))
+      .withColumn("a_committed", lit(a.isRight))
+      .withColumn("b_rebased_metadata_only", lit(bMeta))
+      .withColumn("c_refused", lit(c.isLeft))
+      .withColumn("c_reapplied", lit(cRetry.version == 3))
   }
 
   /** tbl_vacuum — storage reclamation with liveness proof: after a merge
@@ -3320,6 +3436,7 @@ object Acid {
     "tbl_bloom_skip"        -> tblBloomSkip,
     "tbl_schema_evolve"     -> tblSchemaEvolve,
     "tbl_concurrent_commit" -> tblConcurrentCommit,
+    "tbl_concurrent_disjoint" -> tblConcurrentDisjoint,
     "tbl_vacuum"            -> tblVacuum,
     "tbl_idempotent_retry"  -> tblIdempotentRetry,
     "tbl_optimize_compact"  -> tblOptimizeCompact,
@@ -3747,6 +3864,20 @@ object Acid {
         |    AS sum_cents,
         |  CAST(sum(CASE WHEN k % 89 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b2,
         |  TRUE AS a_committed, TRUE AS b_conflicted, TRUE AS b_rebased
+        |FROM base""".stripMargin,
+    "tbl_concurrent_disjoint" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN k % 97 = 0 AND k < (SELECT m FROM mx) // 4
+        |                THEN pc + 7 ELSE pc END) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN k % 89 = 0
+        |                AND k >= (SELECT m FROM mx) - (SELECT m FROM mx) // 4
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_b2,
+        |  TRUE AS a_committed, TRUE AS b_rebased_metadata_only,
+        |  TRUE AS c_refused, TRUE AS c_reapplied
         |FROM base""".stripMargin,
     "tbl_vacuum" ->
       """WITH base AS (

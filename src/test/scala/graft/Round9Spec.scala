@@ -231,4 +231,54 @@ class Round9Spec extends AnyFunSuite {
     val wide = spark.sql(s"VACUUM '$dir' RETAIN 1000 HOURS DRY RUN").head
     assert(wide.getLong(0) === 0)
   }
+
+  test("events loaders do not mutate the session conf (nanos switch scoped)") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    assert(Tables.eventsTsType(spark, sf) !== null)
+    assert(Tables.events(spark, sf).count() > 0)
+    assert(spark.conf.get(key, "false") === "false",
+      "the events loaders must not leak the nanos switch into the caller's session")
+  }
+
+  test("disjoint-writer merge rebases metadata-only; true overlap refuses") {
+    import spark.implicits._
+    val dir = Scratch.fresh("r9_disjoint", sf)
+    val t = spark.range(800).select(col("id").as("k"), (col("id") * 10).as("v"))
+    Acid.create(spark, dir, t, "k", 8)
+    val batchA = Seq((10L, -1L), (20L, -2L)).toDF("k", "v")
+    val batchB = Seq((700L, -7L), (790L, -8L)).toDF("k", "v")
+    val a = Acid.mergeAt(spark, dir, 0, batchA, "A")
+    assert(a.exists(_.version == 1))
+    // B from the stale base, disjoint key range: loses the race for v1,
+    // lands v2 WITHOUT re-running — its d1_B files commit as written
+    val b = Acid.mergeAt(spark, dir, 0, batchB, "B", disjointRebase = true)
+    assert(b.exists(_.version == 2))
+    val v2 = Acid.readManifest(dir, 2).files
+    assert(v2.exists(_.path.startsWith("d1_B")),
+      "rebased commit must reference the originally staged files")
+    // both writers' updates visible exactly once
+    val snap = Acid.snapshot(spark, dir)
+    assert(snap.count() === 800)
+    assert(snap.filter(col("v") < 0).count() === 4)
+    // C from the stale base touching the files A rewrote: REFUSED, not
+    // silently rebased (lost-update protection)
+    val batchC = Seq((10L, -100L)).toDF("k", "v")
+    val c = Acid.mergeAt(spark, dir, 0, batchC, "C", disjointRebase = true)
+    assert(c.isLeft && c.swap.exists(_.contains("overlap conflict")))
+    // concurrent APPEND inside the batch key range also refuses: the
+    // merge's matched/unmatched classification could be stale
+    val dd = "d_append_x"
+    Seq((750L, 5L)).toDF("k", "v").coalesce(1).write.parquet(s"$dir/$dd")
+    val part = {
+      val ls = Files.list(Paths.get(dir, dd))
+      try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      finally ls.close()
+    }
+    val rel = s"$dd/${Paths.get(part).getFileName}"
+    assert(Acid.appendCommit(dir, Seq(Acid.FileEntry(rel, 1L, 750L, 750L))) === 3)
+    val e = Acid.mergeAt(spark, dir, 2, batchB, "E", disjointRebase = true)
+    assert(e.isLeft && e.swap.exists(_.contains("overlap conflict")),
+      "an interleaved append inside the batch range must refuse the rebase")
+  }
 }
