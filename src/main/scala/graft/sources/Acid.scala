@@ -8,7 +8,8 @@ import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
+  IntegerType, LongType, ShortType, StructType}
 
 import graft.Tables
 
@@ -576,8 +577,7 @@ object Acid {
     }
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
-      else applyDv(s, dir, live, s.read.option("mergeSchema", "true")
-        .parquet(live.map(f => s"$dir/${f.path}"): _*))
+      else applyDv(s, dir, live, readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*))
     (df.filter(col(c).cast("string").between(lo, hi)), live.size, m.files.size)
   }
 
@@ -971,12 +971,44 @@ object Acid {
     }
   }
 
+  /** Allowed merge-time type widenings (Delta's type-widening table
+    * feature, re-derived): same numeric family, strictly larger range.
+    * The parquet readers upcast narrow files to the wide request
+    * natively (verified: int32 files read as BIGINT, float as DOUBLE),
+    * so widening never rewrites carried files.
+    */
+  private[sources] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case _                                              => false
+    }
+
+  /** Multi-file table read that survives TYPE-WIDENED tables: the plain
+    * mergeSchema union refuses conflicting primitive types
+    * (CANNOT_MERGE_SCHEMAS on int vs long), so when a declared-schema
+    * sidecar exists and the union fails, the read retries with the
+    * DECLARED schema pinned — narrow carried files upcast through the
+    * parquet readers' widening support, files lacking a column surface
+    * NULLs. Tables that never widened take the mergeSchema path
+    * unchanged (the sidecar, if any, agrees with the file union).
+    */
+  private[sources] def readMerged(s: SparkSession, dir: String)(paths: String*): DataFrame =
+    try s.read.option("mergeSchema", "true").parquet(paths: _*)
+    catch {
+      case e: Throwable if declaredSchema(dir).isDefined && e.getMessage != null &&
+          e.getMessage.contains("MERGE_SCHEMAS") =>
+        s.read.schema(toPhysical(dir, declaredSchema(dir).get)).parquet(paths: _*)
+    }
+
   private def snapshotPhysical(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version < 0) latestVersion(dir) else version
     val m = readManifest(dir, v)
     if (m.files.isEmpty) emptySnapshot(s, dir, v)
-    else applyDv(s, dir, m.files, s.read.option("mergeSchema", "true")
-      .parquet(m.files.map(f => s"$dir/${f.path}"): _*))
+    else applyDv(s, dir, m.files,
+      readMerged(s, dir)(m.files.map(f => s"$dir/${f.path}"): _*))
   }
 
   /** Stats-based file skipping for a key-range predicate: manifest-only
@@ -989,8 +1021,7 @@ object Acid {
     val live = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
-      else applyDv(s, dir, live, s.read.option("mergeSchema", "true")
-        .parquet(live.map(f => s"$dir/${f.path}"): _*))
+      else applyDv(s, dir, live, readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*))
     (df.filter(col(keyColOf(s, dir)).between(lo, hi)), live.size, m.files.size)
   }
 
@@ -1057,8 +1088,7 @@ object Acid {
     // gymnastics against input_file_name()'s URI form.
     val dim = s.createDataFrame(
       m.files.map(f => (f.path.split('/').last, bloomBits(f.rows)))).toDF("base", "mbits")
-    val sparse = s.read.option("mergeSchema", "true")
-      .parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+    val sparse = readMerged(s, dir)(m.files.map(f => s"$dir/${f.path}"): _*)
       .select(col(key).as("k"),
         element_at(split(input_file_name(), "/"), -1).as("base"))
       .join(broadcast(dim), "base")
@@ -1111,8 +1141,7 @@ object Acid {
     }
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
-      else applyDv(s, dir, live, s.read.option("mergeSchema", "true")
-        .parquet(live.map(f => s"$dir/${f.path}"): _*))
+      else applyDv(s, dir, live, readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*))
     (df.filter(col(key).isInCollection(probes)), live.size, rangeLive.size, m.files.size)
   }
 
@@ -1163,13 +1192,27 @@ object Acid {
       .select("path").distinct().as[String].collect().toSet
     val (touched, untouched) = m.files.partition(f => touchedPaths.contains(f.path))
 
-    val targetSchema: StructType =
+    // Target schema = first file's, upgraded to any WIDER type the
+    // declared sidecar records (a previous widening merge): keeps every
+    // post-widening merge writing at the declared width even when the
+    // sampled file is a narrow carried one.
+    val fileSchema: StructType =
       s.read.parquet(s"$dir/${m.files.head.path}").schema
+    val targetSchema: StructType = declaredSchema(dir) match {
+      case Some(ds) if colMapOf(dir).isEmpty =>
+        StructType(fileSchema.fields.map(f =>
+          ds.fields.find(_.name == f.name) match {
+            case Some(df) if widens(f.dataType, df.dataType) =>
+              f.copy(dataType = df.dataType)
+            case _ => f
+          }))
+      case _ => fileSchema
+    }
     val touchedDf =
       if (touched.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
       else applyDv(s, dir, touched,
-        s.read.parquet(touched.map(f => s"$dir/${f.path}"): _*))
+        readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
 
     // Union column set; batch wins where it carries the column (UPDATE SET),
     // target survives where it doesn't, batch-only columns evolve the schema.
@@ -1183,6 +1226,40 @@ object Acid {
     val isKey        = keyCols.toSet
     val batchCols    = batch.columns.toSet -- isKey
     val evolvedCols  = batch.columns.filter(c => !isKey(c) && !targetSchema.fieldNames.contains(c))
+    // Merge-time TYPE WIDENING (round-9 verdict #5, Delta's mergeSchema/
+    // autoMerge + type-widening contract): a batch column carried at a
+    // STRICTLY WIDER type of the same numeric family widens the table —
+    // this merge's output lands at the wide type, the declared-schema
+    // sidecar records it, and carried narrow files upcast at read time
+    // through readMerged (no rewrite). A batch column at an INCOMPATIBLE
+    // type refuses loudly — silent coercion would corrupt. Narrower batch
+    // columns need nothing: the coalesce legs already coerce them up to
+    // the target type.
+    val widenedCols = batch.schema.fields.filter { bf =>
+      targetSchema.fieldNames.contains(bf.name) &&
+        widens(targetSchema(bf.name).dataType, bf.dataType)
+    }
+    batch.schema.fields.foreach { bf =>
+      if (targetSchema.fieldNames.contains(bf.name)) {
+        val tt = targetSchema(bf.name).dataType
+        require(bf.dataType == tt || widens(tt, bf.dataType) ||
+            widens(bf.dataType, tt),
+          s"batch column ${bf.name} has incompatible type ${bf.dataType} " +
+            s"(table: $tt) — only same-family numeric widenings evolve a " +
+            "merge target")
+      }
+    }
+    if (widenedCols.nonEmpty) {
+      require(widenedCols.forall(f => !isKey(f.name)),
+        s"cannot widen merge-key column(s) " +
+          widenedCols.filter(f => isKey(f.name)).map(_.name).mkString(","))
+      require(colMapOf(dir).isEmpty,
+        "type widening on a column-mapped (renamed) table is not supported" +
+          " — OPTIMIZE first to materialize the mapping")
+      require(!writeCdf,
+        "type widening and CDC-at-commit in one merge are not supported —" +
+          " widen in a dedicated merge first")
+    }
     val keyMatch     = keyCols.map(k => touchedDf(k) === batch(k)).reduce(_ && _)
     val updatedPart = touchedDf
       .join(broadcast(batch), keyMatch, "left_outer")
@@ -1210,6 +1287,19 @@ object Acid {
     // persists): subset-column batches and evolved columns are validated
     // post-coalesce, exactly like Delta invariants at write time
     enforceConstraint(s, dir, dataDir, m.constraint)
+    // A widening merge records the table's wide schema in the declared
+    // sidecar BEFORE the commit: readMerged falls back to it when the
+    // narrow carried files refuse to mergeSchema with the wide rewrites.
+    // If the commit then loses its race, the sidecar declares a width no
+    // live file carries — the mergeSchema fast path still succeeds, so a
+    // premature sidecar is harmless (and the winner's rebase re-runs this).
+    if (widenedCols.nonEmpty)
+      writeDeclaredSchema(dir, StructType(targetSchema.fields.map { f =>
+        widenedCols.find(_.name == f.name) match {
+          case Some(bf) => f.copy(dataType = bf.dataType)
+          case None     => f
+        }
+      } ++ evolvedCols.map(c => batch.schema(c).copy(nullable = true))))
     val newEntries = statsOf(s, dir, dataDir, keyCol)
 
     // CDC-at-commit: the update/insert legs already materialize both
@@ -1536,8 +1626,7 @@ object Acid {
       .filterNot(f => pdvPaths.contains(f.path))
     def readRaw(fs: Seq[FileEntry]): DataFrame =
       if (fs.isEmpty) snapshot(s, dir, v1).limit(0)
-      else applyDv(s, dir, fs, s.read.option("mergeSchema", "true")
-        .parquet(fs.map(f => s"$dir/${f.path}"): _*))
+      else applyDv(s, dir, fs, readMerged(s, dir)(fs.map(f => s"$dir/${f.path}"): _*))
     val oRaw = readRaw(oldOnly)
     val nRaw = readRaw(newOnly)
     // Drift columns = the UNION of both sides' merged schemas, not one
@@ -1580,8 +1669,7 @@ object Acid {
       }
       val nPairs = readPairs(pdvShift)
       val oPairs = readPairs(m0.files.filter(f => pdvPaths.contains(f.path)))
-      val raws = s.read.option("mergeSchema", "true")
-        .parquet(pdvShift.map(f => s"$dir/${f.path}"): _*)
+      val raws = readMerged(s, dir)(pdvShift.map(f => s"$dir/${f.path}"): _*)
         .withColumn("fname", expr("substring_index(_metadata.file_path, '/', -1)"))
         .withColumn("pos", col("_metadata.row_index"))
       def shape(pairs: DataFrame, ct: String): DataFrame = {
@@ -1624,8 +1712,7 @@ object Acid {
       case None           => (m.files, Seq.empty[FileEntry])
     }
     if (touched.isEmpty) return (0L, 0, m.files.size)
-    val touchedDf = applyDv(s, dir, touched, s.read.option("mergeSchema", "true")
-      .parquet(touched.map(f => s"$dir/${f.path}"): _*))
+    val touchedDf = applyDv(s, dir, touched, readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
     // caller predicates are written against LOGICAL names; the files are
     // physical — translate in, filter, translate back before the rewrite
     val kept = toPhysicalDf(dir, toLogicalDf(dir, touchedDf).filter(!pred))
@@ -1688,8 +1775,7 @@ object Acid {
     require(touched.forall(_.pdv.isEmpty),
       "entries carry positional deletion vectors — positional and key-level " +
         "vectors never mix on one entry; run Acid.optimize first")
-    val touchedDf = applyDv(s, dir, touched, s.read.option("mergeSchema", "true")
-      .parquet(touched.map(f => s"$dir/${f.path}"): _*))
+    val touchedDf = applyDv(s, dir, touched, readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
     val newDel = touchedDf.filter(pred).select(col(key))
     val prior = touched.flatMap(_.dv.map(_._1)).distinct
     val allDel =
@@ -1732,8 +1818,7 @@ object Acid {
     require(touched.forall(_.dv.isEmpty),
       "entries carry key-level deletion vectors — positional and key-level " +
         "vectors never mix on one entry; run Acid.optimize first")
-    val withPos = s.read.option("mergeSchema", "true")
-      .parquet(touched.map(f => s"$dir/${f.path}"): _*)
+    val withPos = readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*)
       .withColumn("fname", expr("substring_index(_metadata.file_path, '/', -1)"))
       .withColumn("pos", col("_metadata.row_index"))
     val prior = touched.flatMap(_.pdv.map(_._1)).distinct
@@ -1855,8 +1940,7 @@ object Acid {
       case _                                           => None
     }
     val dataDir = s"d${v + 1}_optr"
-    applyDv(s, dir, touched, s.read.option("mergeSchema", "true")
-      .parquet(touched.map(f => s"$dir/${f.path}"): _*))
+    applyDv(s, dir, touched, readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
       .repartitionByRange(targetFiles, col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     val newV = replaceCommit(dir, touched.map(_.path).toSet,
@@ -1924,8 +2008,7 @@ object Acid {
     })
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
-      else applyDv(s, dir, live, s.read.option("mergeSchema", "true")
-        .parquet(live.map(f => s"$dir/${f.path}"): _*))
+      else applyDv(s, dir, live, readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*))
     (df.filter(col(col2).between(lo, hi)), live.size, m.files.size)
   }
 
@@ -2232,6 +2315,43 @@ object Acid {
         sum(coalesce(col("discount_cents"), lit(0L))).as("sum_discount"),
         sum(when(col("discount_cents").isNotNull, 1L).otherwise(0L))
           .as("n_with_discount"))
+  }
+
+  /** tbl_merge_evolve — merge-time schema evolution WITH type widening
+    * (round 9; the Delta mergeSchema/autoMerge + type-widening contract
+    * re-derived): the table is created with an INT price column; ONE
+    * merge then (a) carries price_cents as BIGINT, widening the column
+    * in place — the declared sidecar records the wide schema and carried
+    * narrow files upcast at read time through readMerged, NO rewrite —
+    * and (b) carries a brand-new `note` column, auto-added by the merge:
+    * WHEN-NOT-MATCHED inserts land it, touched rows get it, rows the
+    * merge never touched surface NULL. Pinned here: the snapshot serves
+    * BIGINT while at least one carried file is still physically INT.
+    */
+  val tblMergeEvolve: Q = (s, d) => {
+    import s.implicits._
+    val dir = fresh("tbl_merge_evolve", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d)
+      .select(col("k"), col("price_cents").cast("int").as("price_cents"),
+        col("prio")), "k", 8)
+    val updates = ordersKV(s, d)
+      .filter(col("k") % 7 === 2 && col("k") < lit(mk / 4))
+      .select(col("k"), (col("price_cents") + 333).as("price_cents"),
+        lit("patched").as("note"))
+    val inserts = Seq((mk + 10, 1111L, "fresh", "NEW"), (mk + 20, 2222L, "fresh", "NEW"))
+      .toDF("k", "price_cents", "note", "prio")
+    merge(s, dir, updates.unionByName(inserts, allowMissingColumns = true), "w")
+    val carried = readManifest(dir, 1).files.filter(_.path.startsWith("d0_init/"))
+    val carriedNarrow = carried.nonEmpty && carried.forall(f =>
+      s.read.parquet(s"$dir/${f.path}").schema("price_cents").dataType ==
+        IntegerType)
+    val snap = snapshot(s, dir)
+    snap.agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        count(col("note")).as("n_note"))
+      .withColumn("widened",
+        lit(snap.schema("price_cents").dataType == LongType))
+      .withColumn("carried_narrow", lit(carriedNarrow))
   }
 
   /** tbl_concurrent_commit — optimistic concurrency end-to-end: writers A
@@ -3435,6 +3555,7 @@ object Acid {
     "tbl_stats_skip"        -> tblStatsSkip,
     "tbl_bloom_skip"        -> tblBloomSkip,
     "tbl_schema_evolve"     -> tblSchemaEvolve,
+    "tbl_merge_evolve"      -> tblMergeEvolve,
     "tbl_concurrent_commit" -> tblConcurrentCommit,
     "tbl_concurrent_disjoint" -> tblConcurrentDisjoint,
     "tbl_vacuum"            -> tblVacuum,
@@ -3855,6 +3976,24 @@ object Acid {
         |  CAST(sum(CASE WHEN k IN (SELECT k FROM hit) THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_with_discount
         |FROM base""".stripMargin,
+    "tbl_merge_evolve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |final AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 2 AND k < (SELECT m FROM mx) // 4
+        |         THEN pc + 333 ELSE pc END AS pc,
+        |    CASE WHEN k % 7 = 2 AND k < (SELECT m FROM mx) // 4
+        |         THEN 'patched' END AS note
+        |  FROM base
+        |  UNION ALL SELECT (SELECT m FROM mx) + 10, 1111, 'fresh'
+        |  UNION ALL SELECT (SELECT m FROM mx) + 20, 2222, 'fresh')
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |  CAST(count(note) AS BIGINT) AS n_note,
+        |  TRUE AS widened, TRUE AS carried_narrow
+        |FROM final""".stripMargin,
     "tbl_concurrent_commit" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -94,11 +94,12 @@ object Xml {
     * namespace URI via a prefix resolved from the caller's bindings (see
     * parseNodePath) — and each step may carry one `[@attr='value']` (or
     * double-quoted) attribute predicate, evaluated at the step's own
-    * start tag — see PathStep. Limitation: captured
-    * subtrees are re-serialized without ancestor namespace declarations —
-    * documents binding prefixes on an ancestor of the record element are
-    * out of scope (prefix would be unbound in the snippet); use
-    * namespace-free feeds or declare the namespace on the record element.
+    * start tag — see PathStep. Captured subtrees RE-INJECT ancestor
+    * namespace declarations the record element doesn't redeclare (round
+    * 9 — closes the former documented limitation): a feed binding
+    * prefixes on the document root (the common real-world shape) yields
+    * snippets whose prefixes stay bound, in both this reader and the
+    * byte-level split reader.
     */
   /** One step of a node path: an element local name plus an optional
     * `[@attr='value']` attribute predicate (single or double quotes) —
@@ -169,12 +170,14 @@ object Xml {
     }
     s.sparkContext.parallelize(files.toSeq, math.max(files.length, 1))
       .flatMap { file =>
-        import javax.xml.stream.{XMLInputFactory, XMLOutputFactory}
+        import javax.xml.stream.{XMLEventFactory, XMLInputFactory, XMLOutputFactory}
+        import javax.xml.stream.events.Namespace
         val xif = XMLInputFactory.newInstance()
         xif.setProperty(XMLInputFactory.SUPPORT_DTD, false)
         xif.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
         xif.setProperty(XMLInputFactory.IS_COALESCING, true)
         val xof = XMLOutputFactory.newInstance()
+        val xef = XMLEventFactory.newInstance()
         val in = Files.newInputStream(Paths.get(file))
         try {
           val reader = xif.createXMLEventReader(in, "UTF-8")
@@ -184,6 +187,13 @@ object Xml {
           // each level's verdict is final at push time and ancestors'
           // verdicts are simply carried down the stack.
           val okStack = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+          // nsStack(i) = CUMULATIVE in-scope namespace bindings (prefix →
+          // URI, "" = default) at depth i+1 — the ancestor context a
+          // captured subtree would lose at re-serialization (round-9
+          // verdict #4): missing bindings are re-injected onto the record
+          // start element so root-declared feeds (the common real-world
+          // shape) yield well-formed, prefix-bound snippets.
+          val nsStack = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
           val out = scala.collection.mutable.ListBuffer.empty[String]
           var sw: java.io.StringWriter = null
           var writer: javax.xml.stream.XMLEventWriter = null
@@ -193,6 +203,18 @@ object Xml {
             if (ev.isStartElement) {
               val se = ev.asStartElement
               stack += se.getName.getLocalPart
+              val declared = {
+                var m = Map.empty[String, String]
+                val it = se.getNamespaces
+                while (it.hasNext) {
+                  val n = it.next().asInstanceOf[Namespace]
+                  m += (Option(n.getPrefix).getOrElse("") -> n.getNamespaceURI)
+                }
+                m
+              }
+              val parentNs =
+                if (nsStack.isEmpty) Map.empty[String, String] else nsStack.last
+              nsStack += (parentNs ++ declared)
               val depth = stack.size
               val ok = (depth == 1 || okStack(depth - 2)) &&
                 depth <= path.size && {
@@ -206,12 +228,26 @@ object Xml {
                     }
                 }
               okStack += ok
+              var evOut: javax.xml.stream.events.XMLEvent = ev
               if (captureDepth < 0 && depth == path.size && ok) {
                 captureDepth = stack.size
                 sw = new java.io.StringWriter()
                 writer = xof.createXMLEventWriter(sw)
+                // re-inject ancestor bindings the record doesn't redeclare
+                val missing = parentNs.filterNot { case (p, _) => declared.contains(p) }
+                if (missing.nonEmpty) {
+                  val nss = new java.util.ArrayList[Namespace]()
+                  val it = se.getNamespaces
+                  while (it.hasNext) nss.add(it.next().asInstanceOf[Namespace])
+                  missing.toSeq.sorted.foreach { case (p, u) =>
+                    nss.add(if (p.isEmpty) xef.createNamespace(u)
+                            else xef.createNamespace(p, u))
+                  }
+                  evOut = xef.createStartElement(
+                    se.getName, se.getAttributes, nss.iterator())
+                }
               }
-              if (captureDepth > 0) writer.add(ev)
+              if (captureDepth > 0) writer.add(evOut)
             } else if (ev.isEndElement) {
               if (captureDepth > 0) {
                 writer.add(ev)
@@ -223,6 +259,7 @@ object Xml {
               }
               stack.remove(stack.size - 1)
               okStack.remove(okStack.size - 1)
+              nsStack.remove(nsStack.size - 1)
             } else if (captureDepth > 0 && (ev.isCharacters ||
                 ev.getEventType == javax.xml.stream.XMLStreamConstants.CDATA ||
                 ev.getEventType == javax.xml.stream.XMLStreamConstants.COMMENT ||
@@ -297,16 +334,45 @@ object Xml {
       }
     }
 
+  /** xmlns declarations of one raw start tag (prefix → raw attribute
+    * value text, "" = the default namespace). Values stay source-raw so
+    * re-serialization preserves the original escaping. */
+  private def nsDeclsOf(tagStr: String): Map[String, String] =
+    AttrRe.findAllMatchIn(tagStr).flatMap { m =>
+      val name = m.group(1)
+      val v = if (m.group(2) != null) m.group(2) else m.group(3)
+      if (name == "xmlns") Some("" -> v)
+      else if (name.startsWith("xmlns:")) Some(name.substring(6) -> v)
+      else None
+    }.toMap
+
+  /** Rewrite a record start tag to carry ancestor bindings it doesn't
+    * redeclare (the byte-level analogue of the StAX reader's re-injected
+    * start element — round-9 verdict #4). */
+  private def injectNs(tagStr: String, missing: Map[String, String]): String = {
+    val cut = if (tagStr.endsWith("/>")) tagStr.length - 2 else tagStr.length - 1
+    val decls = missing.toSeq.sorted.map { case (p, u) =>
+      if (p.isEmpty) s""" xmlns="$u"""" else s""" xmlns:$p="$u""""
+    }.mkString
+    tagStr.substring(0, cut) + decls + tagStr.substring(cut)
+  }
+
   /** One byte-level path-aware scan. `seedOk` pre-seeds the ancestor
     * match flags (phase 2 passes all-true for a planned record start; the
     * parallel planner's pass B passes the exact flags of the stitched
-    * boundary stack); `stopAt >= 0` ends the scan at that offset once
-    * outside a record; `onRecordStart` fires at every capture trigger;
-    * with `captureBytes`, each record's bytes are passed to `onRecord`.
+    * boundary stack) and `seedNs` the in-scope namespace bindings at the
+    * scan start (ancestors are before the seek point, so phase 2 cannot
+    * see their declarations); `stopAt >= 0` ends the scan at that offset
+    * once outside a record; `onRecordStart` fires at every capture
+    * trigger with the record's ANCESTOR-scope bindings; with
+    * `captureBytes`, each record's bytes are passed to `onRecord`, the
+    * start tag rewritten to re-declare any ancestor binding the record
+    * doesn't carry itself.
     */
   private def scanPath(in: java.io.InputStream, base: Long, path: Seq[PathStep],
-      seedOk: Seq[Boolean], captureBytes: Boolean, stopAt: Long,
-      onRecordStart: Long => Unit, onRecord: String => Unit): Unit = {
+      seedOk: Seq[Boolean], seedNs: Map[String, String], captureBytes: Boolean,
+      stopAt: Long, onRecordStart: (Long, Map[String, String]) => Unit,
+      onRecord: String => Unit): Unit = {
     val buf = new Array[Byte](1 << 16)
     var bufLen = 0; var bufI = 0; var pos = base
     def next(): Int = {
@@ -314,6 +380,10 @@ object Xml {
       val b = buf(bufI); bufI += 1; pos += 1; b & 0xFF
     }
     val okStack = scala.collection.mutable.ArrayBuffer.from(seedOk)
+    // cumulative in-scope bindings per open depth, aligned with okStack;
+    // seeded levels collapse to the caller's seedNs (their declarations
+    // live before the seek point)
+    val nsStack = scala.collection.mutable.ArrayBuffer.fill(seedOk.size)(seedNs)
     val cap = new java.io.ByteArrayOutputStream()
     val tag = new java.io.ByteArrayOutputStream()
     var capturing = false
@@ -377,18 +447,31 @@ object Xml {
               capturing = false; captureDepth = -1
             }
             if (okStack.nonEmpty) okStack.remove(okStack.size - 1)
+            if (nsStack.nonEmpty) nsStack.remove(nsStack.size - 1)
           case _ =>
             val selfClosing = readStartRest()
             val tagStr = tag.toString("UTF-8")
             val depth = okStack.size + 1
             val ok = startTagOk(path, depth == 1 || okStack(depth - 2), depth, tagStr)
             okStack += ok
+            val parentNs = if (nsStack.isEmpty) seedNs else nsStack.last
+            val declared = nsDeclsOf(tagStr)
+            nsStack += (parentNs ++ declared)
+            var justStarted = false
             if (captureDepth < 0 && depth == path.size && ok) {
-              onRecordStart(ltOff)
-              if (captureBytes) { capturing = true; cap.reset() }
+              onRecordStart(ltOff, parentNs)
+              if (captureBytes) { capturing = true; cap.reset(); justStarted = true }
               captureDepth = depth // suppresses nested same-path re-trigger
             }
-            if (capturing) cap.write(tag.toByteArray)
+            if (capturing) {
+              val missing =
+                if (justStarted)
+                  parentNs.filterNot { case (p, _) => declared.contains(p) }
+                else Map.empty[String, String]
+              if (missing.nonEmpty)
+                cap.write(injectNs(tagStr, missing).getBytes("UTF-8"))
+              else cap.write(tag.toByteArray)
+            }
             if (selfClosing) {
               if (capturing && okStack.size == captureDepth) {
                 onRecord(cap.toString("UTF-8")); cap.reset()
@@ -396,6 +479,7 @@ object Xml {
               }
               if (!captureBytes && okStack.size == captureDepth) captureDepth = -1
               okStack.remove(okStack.size - 1)
+              nsStack.remove(nsStack.size - 1)
             }
         }
         // phase 1 capture-end bookkeeping for non-self-closing records is
@@ -406,26 +490,31 @@ object Xml {
     }
   }
 
-  private[graft] final case class XmlSplitRange(file: String, start: Long, end: Long)
+  private[graft] final case class XmlSplitRange(file: String, start: Long, end: Long,
+      ns: Map[String, String] = Map.empty)
 
   /** Phase 1: plan split ranges for one file — a sequential skeleton scan
-    * collecting record-start offsets, grouped greedily into
-    * ~`targetSplitBytes` ranges, each beginning at a record start. */
+    * collecting record-start offsets (plus each start's ancestor-scope
+    * namespace bindings, which phase 2 cannot see past its seek point),
+    * grouped greedily into ~`targetSplitBytes` ranges, each beginning at
+    * a record start. */
   private def planSplits(file: String, path: Seq[PathStep],
       targetSplitBytes: Long): Seq[XmlSplitRange] = {
-    val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val starts = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[String, String])]
     val in = Files.newInputStream(Paths.get(file))
-    try scanPath(in, 0L, path, seedOk = Nil, captureBytes = false,
-      stopAt = -1L, onRecordStart = starts += _, onRecord = _ => ())
+    try scanPath(in, 0L, path, seedOk = Nil, seedNs = Map.empty,
+      captureBytes = false, stopAt = -1L,
+      onRecordStart = (off, ns) => starts += ((off, ns)), onRecord = _ => ())
     finally in.close()
     if (starts.isEmpty) Seq.empty
     else {
       val bounds = scala.collection.mutable.ArrayBuffer(starts.head)
-      starts.foreach { off =>
-        if (off - bounds.last >= targetSplitBytes) bounds += off
+      starts.foreach { s =>
+        if (s._1 - bounds.last._1 >= targetSplitBytes) bounds += s
       }
-      bounds.toSeq.zipAll(bounds.toSeq.drop(1), 0L, Long.MaxValue)
-        .map { case (a, b) => XmlSplitRange(file, a, b) }
+      bounds.toSeq.zipAll(bounds.toSeq.drop(1),
+          (0L, Map.empty[String, String]), (Long.MaxValue, Map.empty[String, String]))
+        .map { case ((a, ns), (b, _)) => XmlSplitRange(file, a, b, ns) }
     }
   }
 
@@ -706,7 +795,8 @@ object Xml {
     oks.toSeq
   }
 
-  private final case class PassB(resume: Long, stopAt: Long, seedOk: Seq[Boolean])
+  private final case class PassB(resume: Long, stopAt: Long, seedOk: Seq[Boolean],
+      seedNs: Map[String, String])
 
   /** Driver-side stitch: fold per-chunk summaries into the exact boundary
     * contexts. Returns one pass-B task per chunk whose bytes are reachable
@@ -763,7 +853,8 @@ object Xml {
           }
       }
       if (resume >= 0) {
-        out += PassB(resume, ce, okBooleans(path, stack.toSeq))
+        out += PassB(resume, ce, okBooleans(path, stack.toSeq),
+          stack.foldLeft(Map.empty[String, String])((acc, t) => acc ++ nsDeclsOf(t)))
         val (pops, opens, exit) = sc.contentScans(resume)
         (1 to pops).foreach(_ => pop())
         opens.foreach(stack += _)
@@ -773,20 +864,23 @@ object Xml {
     out.toList
   }
 
-  /** Pass B: first record start in [resume, stopAt), early-exit. */
+  /** Pass B: first record start in [resume, stopAt) with its ancestor-
+    * scope bindings, early-exit. */
   private def firstRecordStart(file: String, p: PassB,
-      path: Seq[PathStep]): Option[Long] = {
-    final class Found(val off: Long) extends RuntimeException(null, null, false, false)
+      path: Seq[PathStep]): Option[(Long, Map[String, String])] = {
+    final class Found(val off: Long, val ns: Map[String, String])
+      extends RuntimeException(null, null, false, false)
     val ch = java.nio.channels.FileChannel.open(Paths.get(file))
     try {
       ch.position(p.resume)
       val in = java.nio.channels.Channels.newInputStream(ch)
       try {
-        scanPath(in, p.resume, path, p.seedOk, captureBytes = false,
-          stopAt = p.stopAt, onRecordStart = off => throw new Found(off),
+        scanPath(in, p.resume, path, p.seedOk, p.seedNs, captureBytes = false,
+          stopAt = p.stopAt,
+          onRecordStart = (off, ns) => throw new Found(off, ns),
           onRecord = _ => ())
         None
-      } catch { case f: Found => Some(f.off) }
+      } catch { case f: Found => Some((f.off, f.ns)) }
     } finally ch.close()
   }
 
@@ -810,11 +904,12 @@ object Xml {
     val starts = s.sparkContext
       .parallelize(passB, math.max(passB.size, 1))
       .flatMap(p => firstRecordStart(file, p, path))
-      .collect().sorted.toSeq
+      .collect().sortBy(_._1).toSeq
     lastPlanChunks.set(chunks.size)
     if (starts.isEmpty) Seq.empty
-    else starts.zipAll(starts.drop(1), 0L, Long.MaxValue)
-      .map { case (a, b) => XmlSplitRange(file, a, b) }
+    else starts.zipAll(starts.drop(1),
+        (0L, Map.empty[String, String]), (Long.MaxValue, Map.empty[String, String]))
+      .map { case ((a, ns), (b, _)) => XmlSplitRange(file, a, b, ns) }
   }
 
   /** Probe hook (XmlPlanProbe): plan ONE file both ways, returning
@@ -869,8 +964,8 @@ object Xml {
           ch.position(r.start)
           val in = java.nio.channels.Channels.newInputStream(ch)
           scanPath(in, r.start, path, seedOk = Seq.fill(path.size - 1)(true),
-            captureBytes = true, stopAt = r.end,
-            onRecordStart = _ => (), onRecord = out += _)
+            seedNs = r.ns, captureBytes = true, stopAt = r.end,
+            onRecordStart = (_, _) => (), onRecord = out += _)
         } finally ch.close()
         out.toList
       }
@@ -942,6 +1037,51 @@ object Xml {
       }.mkString("\n")
       Files.write(Paths.get(dir, s"cat_$fid.xml"),
         s"<catalog>\n$body\n</catalog>".getBytes("UTF-8"))
+    }
+    val schema = StructType(Seq(
+      StructField("_key", LongType),
+      StructField("name", StringType),
+      StructField("region", LongType)))
+    readXmlNodePath(s, dir, "/catalog/ns:book",
+      ns = Map("ns" -> "urn:graft:books"))
+      .withColumn("p", from_xml(col("xml"), schema))
+      .select(
+        col("p._key").as("n_nationkey"),
+        col("p.name").as("n_name"),
+        col("p.region").as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** ROOT-declared namespaces (round 9 — closes the former documented
+    * limitation): the feed binds its prefixes on `<catalog>`, the common
+    * real-world shape, so every captured `<x:book>` subtree would have
+    * carried an UNBOUND prefix before ancestor re-injection. The fixture
+    * also has records that redeclare their own prefix (injection must not
+    * duplicate it) and decoy records whose root-bound prefix resolves to
+    * a decoy URI (URI matching must still exclude them).
+    */
+  val srcXmlNsRoot: Q = (s, d) => {
+    val dir = fresh("src_xml_ns_root", d)
+    val rows = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy(col("n_nationkey")).collect()
+    rows.groupBy(r => r.getLong(0) % 2).foreach { case (fid, rs) =>
+      val body = rs.map { r =>
+        val (k, n, g) = (r.getLong(0), r.getString(1), r.getLong(2))
+        val inner = s"""<name>$n</name><region>$g</region>"""
+        k % 3 match {
+          // prefix bound on the ROOT only — the re-injection case
+          case 0 => s"""  <x:book key="$k">$inner</x:book>"""
+          // record redeclares its own binding — injection must not duplicate
+          case 1 => s"""  <b:book xmlns:b="urn:graft:books" key="$k">$inner</b:book>"""
+          // root-bound DECOY prefix — URI matching must exclude
+          case _ => s"""  <dk:book key="$k">$inner</dk:book>"""
+        }
+      }.mkString("\n")
+      Files.write(Paths.get(dir, s"cat_$fid.xml"),
+        (s"""<catalog xmlns:x="urn:graft:books" xmlns:dk="urn:graft:decoy">""" +
+          s"\n$body\n</catalog>").getBytes("UTF-8"))
     }
     val schema = StructType(Seq(
       StructField("_key", LongType),
@@ -1768,6 +1908,7 @@ object Xml {
     "src_glob_read"         -> srcGlobRead,
     "src_xml_nodepath"      -> srcXmlNodePath,
     "src_xml_ns_path"       -> srcXmlNsPath,
+    "src_xml_ns_root"       -> srcXmlNsRoot,
     "src_xml_split_bigfile" -> srcXmlSplitBigfile,
     "src_xml_nodepath_pred" -> srcXmlNodePathPred,
     "src_csv_json_text"     -> srcCsvJsonText,
@@ -1858,6 +1999,9 @@ object Xml {
     "src_xml_nodepath" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "src_xml_ns_path" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey % 3 <> 2 ORDER BY n_nationkey""".stripMargin,
+    "src_xml_ns_root" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey % 3 <> 2 ORDER BY n_nationkey""".stripMargin,
     "src_xml_split_bigfile" ->

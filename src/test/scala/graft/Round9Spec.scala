@@ -241,6 +241,86 @@ class Round9Spec extends AnyFunSuite {
       "the events loaders must not leak the nanos switch into the caller's session")
   }
 
+  test("captured XML subtrees re-inject root-declared namespace bindings") {
+    import graft.sources.Xml
+    val dir = Scratch.fresh("r9_ns_root", sf)
+    val body = (0 until 40).map { k =>
+      if (k % 2 == 0) s"""  <x:book key="$k"><name>N$k</name></x:book>"""
+      else s"""  <b:book xmlns:b="urn:b" key="$k"><name>N$k</name></b:book>"""
+    }.mkString("\n")
+    Files.write(Paths.get(dir, "cat.xml"),
+      ("""<catalog xmlns:x="urn:x">""" + "\n" + body + "\n</catalog>")
+        .getBytes("UTF-8"))
+    // sequential (StAX) reader: prefixes bound, no duplicate declarations
+    val seqRows = Xml.readXmlNodePath(spark, dir, "/catalog/book")
+      .collect().map(_.getString(0))
+    assert(seqRows.length === 40)
+    assert(seqRows.filter(_.contains("<x:book"))
+      .forall(_.contains("xmlns:x=\"urn:x\"")))
+    assert(seqRows.filter(_.contains("<b:book"))
+      .forall(r => "xmlns:b".r.findAllIn(r).size == 1),
+      "a record redeclaring its own prefix must not get a duplicate")
+    // byte-level split reader at a forced split size: same records, same
+    // re-injection (ranges after the first rely on the planned seedNs)
+    val splitRows = Xml.readXmlNodePathSplit(spark, dir, "/catalog/book",
+        targetSplitBytes = 512)
+      .collect().map(_.getString(0))
+    assert(splitRows.length === 40)
+    assert(splitRows.filter(_.contains("<x:book"))
+      .forall(_.contains("xmlns:x=\"urn:x\"")))
+    assert(splitRows.filter(_.contains("<b:book"))
+      .forall(r => "xmlns:b".r.findAllIn(r).size == 1))
+    // extraction parity between the two readers
+    def keys(rows: Array[String]) = {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import spark.implicits._
+      spark.createDataset(rows.toSeq).toDF("xml")
+        .withColumn("p", from_xml(col("xml"),
+          StructType(Seq(StructField("_key", LongType)))))
+        .select("p._key").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(keys(seqRows) === (0L until 40L) && keys(splitRows) === keys(seqRows))
+  }
+
+  test("merge-time type widening: wide snapshot, narrow carried files, safe follow-ups") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val dir = Scratch.fresh("r9_widen", sf)
+    val t = spark.range(400).select(col("id").as("k"),
+      (col("id") * 3).cast("int").as("v"))
+    Acid.create(spark, dir, t, "k", 4)
+    // widening merge: v arrives as BIGINT, touching only the low file
+    val r = Acid.merge(spark, dir, Seq((5L, 5000000000L)).toDF("k", "v"), "w")
+    assert(!r.skipped)
+    val snap = Acid.snapshot(spark, dir)
+    assert(snap.schema("v").dataType === LongType, "snapshot serves the wide type")
+    assert(snap.filter(col("k") === 5).head.getLong(1) === 5000000000L)
+    assert(snap.filter(col("k") === 399).head.getLong(1) === 1197L,
+      "carried narrow rows upcast, values intact")
+    assert(snap.count() === 400)
+    // carried files stay physically INT — widening never rewrites
+    val carried = Acid.readManifest(dir, 1).files.filter(_.path.startsWith("d0_init/"))
+    assert(carried.nonEmpty && carried.forall(f =>
+      spark.read.parquet(s"$dir/${f.path}").schema("v").dataType === IntegerType))
+    // a SECOND merge with a narrow batch keeps writing at the declared
+    // width (the sampled first file may be a narrow carried one)
+    Acid.merge(spark, dir, Seq((300L, -1)).toDF("k", "v")
+      .select(col("k"), col("v").cast("int").as("v")), "w2")
+    val snap2 = Acid.snapshot(spark, dir)
+    assert(snap2.schema("v").dataType === LongType)
+    assert(snap2.filter(col("k") === 300).head.getLong(1) === -1L)
+    assert(snap2.filter(col("k") === 5).head.getLong(1) === 5000000000L)
+    // scanRange on the mixed-width table prunes and reads through
+    val (df, scanned, total) = Acid.scanRange(spark, dir, 0L, 50L)
+    assert(scanned < total && df.count() === 51)
+    // an INCOMPATIBLE batch type refuses loudly
+    val bad = Try(Acid.merge(spark, dir,
+      Seq((7L, "oops")).toDF("k", "v"), "w3"))
+    assert(bad.isFailure &&
+      bad.failed.get.getMessage.contains("incompatible type"))
+    assert(StringType !== null)
+  }
+
   test("disjoint-writer merge rebases metadata-only; true overlap refuses") {
     import spark.implicits._
     val dir = Scratch.fresh("r9_disjoint", sf)
