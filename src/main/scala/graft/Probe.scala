@@ -566,3 +566,117 @@ object Round7Probe {
     spark.stop()
   }
 }
+
+/** Round-9 scale probes (×10 where the verdict asked for one):
+  *  1. MANIFEST-LOG ×10 FILE-COUNT: 25 single-file merges against an
+  *     8-file and an 80-file table — per-commit log bytes must track the
+  *     CHANGED files (delta manifests), not the table's file count, and a
+  *     fresh reader's resolution must stay bounded by checkpoint + tail.
+  *  2. DISJOINT REBASE: a losing writer's metadata-only rebase vs the
+  *     full re-apply the old conflict path forced, at ×1 and ×10 data.
+  *  3. WIDENED READ: snapshot aggregate before vs after a type-widening
+  *     merge (mergeSchema fast path vs declared-schema fallback read).
+  */
+object Round9Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Acid
+    import java.nio.file.{Files, Paths}
+
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val kShift = base.agg(max(col("k"))).head.getLong(0) + 1
+
+    // ---- 1. manifest log at x10 file count --------------------------------
+    def logProbe(tag: String, mult: Int, nFiles: Int): Unit = {
+      val rows =
+        if (mult == 1) base
+        else base.crossJoin(spark.range(mult).toDF("cp"))
+          .withColumn("k", col("k") + col("cp") * kShift).drop("cp")
+      val dir = Scratch.fresh(s"r9_probe_log_$tag", sfDir)
+      Acid.create(spark, dir, rows, "k", nFiles)
+      import spark.implicits._
+      val (_, commitsS) = t((1 to 25).foreach { i =>
+        Acid.merge(spark, dir,
+          Seq((3L + i, 100L + i)).toDF("k", "price_cents"), s"w$i")
+      })
+      val logSizes = (1 to 25).map(v =>
+        Files.size(Paths.get(dir, "_log", f"v$v%05d.txt")))
+      val fullSize = Files.size(Paths.get(dir, "_log", "v00000.txt"))
+      Acid.clearManifestCache()
+      val (_, freshS) = t(Acid.readManifest(dir, 25).files.size)
+      val depth = Acid.logResolutionDepth(dir, 25)
+      println(f"[r9-probe] log $tag%-4s ($nFiles files): 25 merges in " +
+        f"$commitsS%.1fs, delta manifest avg ${logSizes.sum / 25}%d B " +
+        f"(full snapshot $fullSize%d B), fresh read of v25 $freshS%.3fs " +
+        f"resolving $depth log files")
+    }
+    logProbe("x1", 1, 8)
+    logProbe("x10", 10, 80)
+
+    // ---- 2. disjoint rebase vs full re-apply ------------------------------
+    def disjointProbe(tag: String, mult: Int, nFiles: Int): Unit = {
+      val rows =
+        if (mult == 1) base
+        else base.crossJoin(spark.range(mult).toDF("cp"))
+          .withColumn("k", col("k") + col("cp") * kShift).drop("cp")
+      val mk = kShift * mult - 1
+      def freshTable(): String = {
+        val dir = Scratch.fresh(s"r9_probe_dj_${tag}_${Sys.next()}", sfDir)
+        Acid.create(spark, dir, rows, "k", nFiles)
+        dir
+      }
+      val batchLow = base.filter(col("k") % 97 === 0 && col("k") < lit(kShift / 4))
+        .withColumn("price_cents", col("price_cents") + 1)
+      val batchHigh = rows.filter(col("k") % 89 === 0 && col("k") >= lit(mk - kShift / 4))
+        .select(col("k"), (col("price_cents") + 2).as("price_cents"))
+      // losing writer with LOGICAL rebase: ONE apply + metadata commit
+      val d1 = freshTable()
+      Acid.mergeAt(spark, d1, 0, batchLow, "A")
+      val (r1, rebaseS) = t(Acid.mergeAt(spark, d1, 0, batchHigh, "B",
+        disjointRebase = true))
+      // losing writer on the old RE-APPLY path: the lost apply is sunk
+      // cost, then the whole merge runs again
+      val d2 = freshTable()
+      Acid.mergeAt(spark, d2, 0, batchLow, "A")
+      val (_, lostS) = t(Acid.mergeAt(spark, d2, 0, batchHigh, "B")) // discarded
+      val (r2, reapplyS) = t(Acid.merge(spark, d2, batchHigh, "B2"))
+      println(f"[r9-probe] disjoint $tag%-4s: losing writer total " +
+        f"rebase=$rebaseS%.2fs (v${r1.toOption.get.version}) vs " +
+        f"lost+reapply=${lostS + reapplyS}%.2fs (v${r2.version}) " +
+        "-- the rebase commit is metadata-only, re-apply repeats the merge")
+    }
+    disjointProbe("x1", 1, 8)
+    disjointProbe("x10", 10, 80)
+
+    // ---- 3. widened-table read --------------------------------------------
+    val wDir = Scratch.fresh("r9_probe_widen", sfDir)
+    Acid.create(spark, wDir,
+      base.select(col("k"), col("price_cents").cast("int").as("price_cents")),
+      "k", 8)
+    val (a0, beforeS) = t(Acid.snapshot(spark, wDir)
+      .agg(sum(col("price_cents"))).head.getLong(0))
+    import spark.implicits._
+    Acid.merge(spark, wDir, Seq((3L, 5000000000L)).toDF("k", "price_cents"), "w")
+    val (a1, afterS) = t(Acid.snapshot(spark, wDir)
+      .agg(sum(col("price_cents"))).head.getLong(0))
+    println(f"[r9-probe] widen: snapshot agg before=$beforeS%.2fs " +
+      f"($a0) after=$afterS%.2fs ($a1, declared-schema fallback read)")
+    spark.stop()
+  }
+
+  private object Sys {
+    private val c = new java.util.concurrent.atomic.AtomicInteger(0)
+    def next(): Int = c.incrementAndGet()
+  }
+}
