@@ -18,7 +18,8 @@ import graft.sources.Acid
   * them — falls through to Spark's parser verbatim):
   *
   * {{{
-  *   OPTIMIZE <target> [ZORDER BY (col)] [TARGET <n> FILES]
+  *   OPTIMIZE <target> [WHERE <keyCol> BETWEEN <lo> AND <hi>]
+  *            [ZORDER BY (col)] [TARGET <n> FILES]
   *   VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS] [DRY RUN]
   *   DESCRIBE HISTORY <target>
   * }}}
@@ -39,6 +40,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Tgt = """('[^']*'|\S+)"""
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+""" + Tgt +
+      """(?:\s+WHERE\s+([A-Za-z_]\w*)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+))?""" +
       """(?:\s+ZORDER\s+BY\s+\(\s*([A-Za-z_]\w*)\s*\))?(?:\s+TARGET\s+(\d+)\s+FILES)?\s*;?\s*""").r
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+""" + Tgt +
@@ -47,9 +49,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Tgt + """\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(target, zcol, files) =>
+    case OptimizeRe(target, wcol, wlo, whi, zcol, files) =>
       OptimizeTableCommand(target, Option(zcol),
-        Option(files).map(_.toInt).getOrElse(8))
+        Option(files).map(_.toInt).getOrElse(8),
+        Option(wcol).map(c => (c, wlo.toLong, whi.toLong)))
     case VacuumRe(target, retain, unit, dry) =>
       VacuumTableCommand(target, Option(retain).map(_.toInt),
         Option(unit).map(_.toUpperCase).getOrElse("VERSIONS"), dry != null)
@@ -95,16 +98,35 @@ private[plans] object MaintenanceSql {
   }
 }
 
+/** `range` = the optional `WHERE <keyCol> BETWEEN lo AND hi` clause —
+  * the 100 TB maintenance shape (compact the fragmented range, not the
+  * table), mapping to `Acid.optimizeRange`: only overlapping entries
+  * read + bin-pack, everything else carries forward byte-identical. The
+  * WHERE column must be the table's leading merge key (the manifest's
+  * pruning coordinate); combining WHERE with ZORDER BY refuses.
+  */
 case class OptimizeTableCommand(target: String, zorderCol: Option[String],
-    targetFiles: Int) extends LeafRunnableCommand {
+    targetFiles: Int, range: Option[(String, Long, Long)] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", LongType, nullable = false)(),
     AttributeReference("files_after", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] = {
     val dir = MaintenanceSql.dirOf(s, target)
-    val (before, after) = zorderCol match {
-      case Some(c) => Acid.optimizeZorder(s, dir, c, targetFiles)
-      case None    => Acid.optimize(s, dir, targetFiles)
+    val (before, after) = (range, zorderCol) match {
+      case (Some(_), Some(_)) =>
+        throw new UnsupportedOperationException(
+          "OPTIMIZE ... WHERE cannot be combined with ZORDER BY — " +
+            "range-scope first, then zorder the result")
+      case (Some((c, lo, hi)), None) =>
+        val key = Acid.keyColsOf(s, dir).head
+        require(c == key,
+          s"OPTIMIZE ... WHERE supports only the leading merge-key " +
+            s"column '$key' (the manifest's pruning coordinate), got '$c'")
+        val (_, afterN, beforeN) = Acid.optimizeRange(s, dir, lo, hi, targetFiles)
+        (beforeN, afterN)
+      case (None, Some(c)) => Acid.optimizeZorder(s, dir, c, targetFiles)
+      case (None, None)    => Acid.optimize(s, dir, targetFiles)
     }
     Seq(Row(before.toLong, after.toLong))
   }

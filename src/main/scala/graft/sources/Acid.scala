@@ -716,7 +716,7 @@ object Acid {
 
   /** The table's merge-key columns: the keycols sidecar when present
     * (composite tables), else the positional single-key contract. */
-  private[sources] def keyColsOf(s: SparkSession, dir: String): Seq[String] = {
+  private[graft] def keyColsOf(s: SparkSession, dir: String): Seq[String] = {
     val spec = logDir(dir).resolve("keycols.txt")
     if (Files.exists(spec)) Files.readString(spec).trim.split(',').toSeq
     else Seq(keyColOf(s, dir))
@@ -940,9 +940,20 @@ object Acid {
     * unaffected: their sidecar (if any) matches the file schema. */
   private[sources] def tableSchema(s: SparkSession, dir: String): StructType = {
     val base = snapshot(s, dir).schema
-    declaredSchema(dir).fold(base)(_.fields
-      .filterNot(f => base.fieldNames.contains(f.name))
-      .foldLeft(base)((acc, f) => acc.add(f.copy(nullable = true))))
+    declaredSchema(dir).fold(base) { ds =>
+      // declared WIDENINGS override the file-derived type (the state
+      // right after a metadata-only ALTER COLUMN TYPE — round 9); for
+      // anything else the file-derived side stays authoritative
+      val widened = StructType(base.fields.map { f =>
+        ds.fields.find(_.name == f.name) match {
+          case Some(df) if widens(f.dataType, df.dataType) =>
+            f.copy(dataType = df.dataType)
+          case _ => f
+        }
+      })
+      ds.fields.filterNot(f => base.fieldNames.contains(f.name))
+        .foldLeft(widened)((acc, f) => acc.add(f.copy(nullable = true)))
+    }
   }
 
   private def emptySnapshot(s: SparkSession, dir: String, v: Int): DataFrame = {
@@ -995,12 +1006,38 @@ object Acid {
     * NULLs. Tables that never widened take the mergeSchema path
     * unchanged (the sidecar, if any, agrees with the file union).
     */
-  private[sources] def readMerged(s: SparkSession, dir: String)(paths: String*): DataFrame =
-    try s.read.option("mergeSchema", "true").parquet(paths: _*)
-    catch {
-      case e: Throwable if declaredSchema(dir).isDefined && e.getMessage != null &&
-          e.getMessage.contains("MERGE_SCHEMAS") =>
-        s.read.schema(toPhysical(dir, declaredSchema(dir).get)).parquet(paths: _*)
+  private[sources] def readMerged(s: SparkSession, dir: String)(paths: String*): DataFrame = {
+    val df =
+      try s.read.option("mergeSchema", "true").parquet(paths: _*)
+      catch {
+        case e: Throwable if declaredSchema(dir).isDefined && e.getMessage != null &&
+            e.getMessage.contains("MERGE_SCHEMAS") =>
+          s.read.schema(toPhysical(dir, declaredSchema(dir).get)).parquet(paths: _*)
+      }
+    widenToDeclared(dir, df)
+  }
+
+  /** Upcast columns the declared sidecar records at a WIDER type than the
+    * files read so far carry — the state right after a metadata-only
+    * `ALTER COLUMN ... TYPE` (no wide file landed yet) or a read that
+    * touched only narrow carried files. A no-op select is skipped, so
+    * never-widened tables pay one schema comparison.
+    */
+  private def widenToDeclared(dir: String, df: DataFrame): DataFrame =
+    declaredSchema(dir) match {
+      case Some(ds0) =>
+        val ds = toPhysical(dir, ds0)
+        val needs = df.schema.fields.exists(f =>
+          ds.fields.exists(d => d.name == f.name && widens(f.dataType, d.dataType)))
+        if (!needs) df
+        else df.select(df.schema.fields.map { f =>
+          ds.fields.find(_.name == f.name) match {
+            case Some(d) if widens(f.dataType, d.dataType) =>
+              col(f.name).cast(d.dataType).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toSeq: _*)
+      case None => df
     }
 
   private def snapshotPhysical(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
@@ -3110,6 +3147,47 @@ object Acid {
       .withColumn("schema_widened", lit(widened))
   }
 
+  /** tbl_sql_widen — `ALTER TABLE ... ALTER COLUMN ... TYPE` through the
+    * V2 catalog (round 9; Delta's explicit type-widening DDL
+    * re-derived): the INT→BIGINT change is METADATA-ONLY — the declared
+    * sidecar records the wide type, no data file moves — and reads
+    * upcast everywhere: loadTable serves BIGINT immediately (before any
+    * wide file lands), the V2 columnar reader wraps narrow files'
+    * vectors in a per-access widening view, the V2 row reader decodes
+    * at the file's width and widens in the row, and the library/V1
+    * paths cast up to the declared width in readMerged. A post-ALTER
+    * INSERT carries a value ABOVE int range (the reason users widen);
+    * narrowing and cross-family changes refuse, as does widening a
+    * merge-key column.
+    */
+  val tblSqlWiden: Q = (s, d) => {
+    val root = fresh("tbl_sql_widen_cat", d)
+    val cat = "graft_widen_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val mk = maxKey(s, d)
+    ordersKV(s, d)
+      .select(col("k"), col("price_cents").cast("int").as("price_cents"),
+        col("prio"))
+      .createOrReplaceTempView("graft_widen_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"CREATE TABLE $cat.t AS SELECT k, price_cents, prio FROM graft_widen_src")
+    s.sql(s"ALTER TABLE $cat.t ALTER COLUMN price_cents TYPE BIGINT")
+    val wideNow = s.table(s"$cat.t").schema("price_cents").dataType == LongType
+    // the value every widening exists for: above int range
+    s.sql(s"INSERT INTO $cat.t VALUES (${mk + 1}, CAST(5000000000 AS BIGINT), 'WIDE')")
+    val narrowRefused = Try(
+      s.sql(s"ALTER TABLE $cat.t ALTER COLUMN price_cents TYPE INT")).isFailure
+    val keyRefused = Try(
+      s.sql(s"ALTER TABLE $cat.t ALTER COLUMN k TYPE DOUBLE")).isFailure
+    s.sql(
+      s"""SELECT count(*) AS n, sum(price_cents) AS sum_cents,
+         |       max(price_cents) AS max_cents
+         |FROM $cat.t""".stripMargin)
+      .withColumn("widened_before_data", lit(wideNow))
+      .withColumn("narrow_refused", lit(narrowRefused && keyRefused))
+  }
+
   /** tbl_sql_partitioned — `CREATE TABLE ... PARTITIONED BY` through the
     * V2 catalog plugin: the identity transform persists as the partcol
     * sidecar, the INSERT's V2 write declares a clustered distribution +
@@ -3538,6 +3616,7 @@ object Acid {
     "tbl_sql_travel"        -> tblSqlTravel,
     "tbl_sql_alter"         -> tblSqlAlter,
     "tbl_catalog_evolve"    -> tblCatalogEvolve,
+    "tbl_sql_widen"         -> tblSqlWiden,
     "tbl_history"           -> tblHistory,
     "tbl_convert"           -> tblConvert,
     "tbl_files"             -> tblFiles,
@@ -3723,6 +3802,15 @@ object Acid {
         |       (SELECT count(*) FROM base) AS n_no_disc,
         |       CAST((SELECT sum(k * 2 + 9) FROM ins) AS BIGINT) AS sum_disc,
         |       TRUE AS schema_widened""".stripMargin,
+    "tbl_sql_widen" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |final AS (SELECT pc FROM base UNION ALL SELECT 5000000000)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       CAST(max(pc) AS BIGINT) AS max_cents,
+        |       TRUE AS widened_before_data, TRUE AS narrow_refused
+        |FROM final""".stripMargin,
     "tbl_sql_insert" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

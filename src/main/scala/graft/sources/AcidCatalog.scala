@@ -294,10 +294,40 @@ class AcidCatalog extends StagingTableCatalog {
         Acid.writeDropped(dir, Acid.droppedOf(dir) :+ physD)
         Acid.writeColMap(dir, cmD - from)
         StructType(sch.fields.filterNot(_.name == from))
+      case (sch, up: TableChange.UpdateColumnType) =>
+        // ALTER COLUMN ... TYPE — Delta's explicit type-widening DDL
+        // re-derived (round 9): metadata-only, the declared sidecar
+        // records the wide type; narrow data files upcast at scan time
+        // (readMerged's declared-schema fallback for the library/V1
+        // paths, per-file width adaptation in the V2 readers). Only
+        // same-family numeric WIDENINGS are accepted — a narrowing or
+        // cross-family change would corrupt values. Merge-key columns
+        // refuse: file stats and pruning are keyed on them.
+        if (up.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catName: only top-level ALTER COLUMN TYPE is supported")
+        val name = up.fieldNames().head
+        if (!sch.fieldNames.contains(name))
+          throw new IllegalArgumentException(
+            s"$catName.$ident: no such column $name")
+        val cur = sch(name).dataType
+        val to = up.newDataType()
+        if (!Acid.widens(cur, to))
+          throw new UnsupportedOperationException(
+            s"$catName.$ident: cannot change $name from $cur to $to — " +
+              "only same-family numeric widenings (e.g. INT to BIGINT, " +
+              "FLOAT to DOUBLE) are metadata-only")
+        val physW = Acid.colMapOf(dir).getOrElse(name, name)
+        if (Acid.keyColsOf(SparkSession.active, dir).contains(physW))
+          throw new UnsupportedOperationException(
+            s"$catName.$ident: $name is a merge-key column — it cannot " +
+              "be widened")
+        StructType(sch.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f))
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"$catName: unsupported ALTER TABLE change $other — only " +
-            "ADD COLUMN, RENAME COLUMN, and DROP COLUMN")
+            "ADD COLUMN, RENAME COLUMN, DROP COLUMN, and ALTER COLUMN TYPE")
     }
     Acid.writeDeclaredSchema(dir, evolved)
     new AcidSqlTable(dir, evolved)

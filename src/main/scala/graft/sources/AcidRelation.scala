@@ -65,9 +65,11 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
 
   override def sqlContext: SQLContext = ctx
 
+  // readMerged: survives TYPE-WIDENED tables (declared-schema fallback +
+  // upcast to the declared width) — same contract as the library reads
   override val schema: StructType =
-    ctx.sparkSession.read.option("mergeSchema", "true")
-      .parquet(manifest.files.map(f => s"$dir/${f.path}"): _*).schema
+    Acid.readMerged(ctx.sparkSession, dir)(
+      manifest.files.map(f => s"$dir/${f.path}"): _*).schema
 
   // Conservative key bounds from the pushed predicates: unhandled shapes
   // widen the range (never narrow it) — pruning stays sound because Spark
@@ -111,8 +113,7 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
     val raw =
       if (live.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-      else s.read.option("mergeSchema", "true")
-        .parquet(live.map(f => s"$dir/${f.path}"): _*)
+      else Acid.readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*)
     // merge-on-read deletion vectors: subtract the live entries'
     // sidecar union — key-level with a key anti-join, positional with a
     // (fname, pos) anti-join on the file-source metadata (the same

@@ -979,6 +979,13 @@ class AcidSqlColumnarReader(absPath: String, required: StructType)
     finally fr.close()
   }
   private val present = required.fields.filter(f => fileFields(f.name))
+  // a TYPE-WIDENED table serves e.g. BIGINT while narrow carried files
+  // still hold INT32: the inner vectorized reader decodes at FILE width,
+  // and a delegating vector upcasts per access (round 9)
+  private def adapt(cv: org.apache.spark.sql.vectorized.ColumnVector,
+      want: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.vectorized.ColumnVector =
+    if (cv.dataType() == want) cv else new WideningColumnVector(cv, want)
   // None when the file predates EVERY requested column: the vectorized
   // reader has nothing to decode, so batches are synthesized from the
   // footer row count alone (all-NULL vectors, chunked at capacity)
@@ -997,7 +1004,7 @@ class AcidSqlColumnarReader(absPath: String, required: StructType)
     val presentIdx = present.map(_.name).zipWithIndex.toMap
     val cols = required.fields.map { f =>
       presentIdx.get(f.name) match {
-        case Some(i) => reader.get.resultBatch().column(i)
+        case Some(i) => adapt(reader.get.resultBatch().column(i), f.dataType)
         case None =>
           val v = new org.apache.spark.sql.execution.vectorized
             .OnHeapColumnVector(capacity, f.dataType)
@@ -1025,6 +1032,61 @@ class AcidSqlColumnarReader(absPath: String, required: StructType)
   override def close(): Unit = reader.foreach(_.close())
 }
 
+/** Per-access upcasting view over a NARROW column vector — the columnar
+  * half of reading a TYPE-WIDENED table (round 9): the table's schema
+  * says BIGINT/DOUBLE, a carried file still holds INT32/FLOAT, and the
+  * batch must serve the wide accessors downstream codegen calls. Only
+  * the widened accessor pair diverges; everything else delegates.
+  */
+class WideningColumnVector(base: org.apache.spark.sql.vectorized.ColumnVector,
+    wide: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.vectorized.ColumnVector(wide) {
+  import org.apache.spark.sql.types.{ByteType => BT, FloatType => FT,
+    IntegerType => IT, ShortType => ST}
+  override def close(): Unit = base.close()
+  // ColumnarToRow calls closeIfFreeable() after CONSUMING each batch; the
+  // base writable vector overrides it as a no-op because the parquet
+  // reader reuses its vectors across batches. Inheriting the default here
+  // would free the base's arrays after batch #1 and NPE batch #2's decode
+  // — delegate so the base's reuse contract decides.
+  override def closeIfFreeable(): Unit = base.closeIfFreeable()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = base.numNulls()
+  override def isNullAt(i: Int): Boolean = base.isNullAt(i)
+  override def getBoolean(i: Int): Boolean = base.getBoolean(i)
+  override def getByte(i: Int): Byte = base.getByte(i)
+  override def getShort(i: Int): Short = base.dataType() match {
+    case BT => base.getByte(i).toShort
+    case _  => base.getShort(i)
+  }
+  override def getInt(i: Int): Int = base.dataType() match {
+    case BT => base.getByte(i).toInt
+    case ST => base.getShort(i).toInt
+    case _  => base.getInt(i)
+  }
+  override def getLong(i: Int): Long = base.dataType() match {
+    case BT => base.getByte(i).toLong
+    case ST => base.getShort(i).toLong
+    case IT => base.getInt(i).toLong
+    case _  => base.getLong(i)
+  }
+  override def getFloat(i: Int): Float = base.getFloat(i)
+  override def getDouble(i: Int): Double = base.dataType() match {
+    case FT => base.getFloat(i).toDouble
+    case _  => base.getDouble(i)
+  }
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(i)
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(i)
+  override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    base.getDecimal(i, p, s)
+  override def getUTF8String(i: Int): UTF8String = base.getUTF8String(i)
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(i)
+  override def getChild(o: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    base.getChild(o)
+}
+
 /** One file → InternalRows via the Group API. The requested projection is
   * intersected with the FILE's own schema (footer read) so schema-evolved
   * tables work: columns a file predates are surfaced as NULL, matching
@@ -1048,6 +1110,14 @@ class AcidSqlPartitionReader(absPath: String, required: StructType,
   }
   private val fileFields: Set[String] =
     fileSchema.getFields.asScala.map(_.getName).toSet
+  // FILE-side primitive widths, for upcasting on type-widened tables:
+  // the Group accessors are width-strict (getLong on an INT32 value
+  // throws), so decode at the file's width and widen in the row (r9)
+  private val filePrim: Map[String, org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] =
+    fileSchema.getFields.asScala.collect {
+      case t if t.isPrimitive =>
+        t.getName -> t.asPrimitiveType().getPrimitiveTypeName
+    }.toMap
   private val reader: ParquetReader[Group] = {
     // projection must copy the FILE's own field definitions (a Spark
     // writer emits `required` for non-nullable columns; requesting an
@@ -1096,16 +1166,22 @@ class AcidSqlPartitionReader(absPath: String, required: StructType,
     required.fields.zipWithIndex.foreach { case (f, i) =>
       if (f.name == "_file")
         vals(i) = fileTag
-      else if (fileFields(f.name) && current.getFieldRepetitionCount(f.name) > 0)
+      else if (fileFields(f.name) && current.getFieldRepetitionCount(f.name) > 0) {
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{FLOAT, INT32}
         vals(i) = f.dataType match {
+          case LongType if filePrim.get(f.name).contains(INT32) =>
+            current.getInteger(f.name, 0).toLong // widened table, narrow file
           case LongType    => current.getLong(f.name, 0)
           case IntegerType => current.getInteger(f.name, 0)
+          case DoubleType if filePrim.get(f.name).contains(FLOAT) =>
+            current.getFloat(f.name, 0).toDouble
           case DoubleType  => current.getDouble(f.name, 0)
           case BooleanType => current.getBoolean(f.name, 0)
           case StringType  =>
             UTF8String.fromBytes(current.getBinary(f.name, 0).getBytes)
           case _ => null
         }
+      }
     }
     new GenericInternalRow(vals)
   }

@@ -321,6 +321,54 @@ class Round9Spec extends AnyFunSuite {
     assert(StringType !== null)
   }
 
+  test("OPTIMIZE WHERE compacts only the key range; misuse refuses") {
+    val dir = Scratch.fresh("r9_opt_where", sf)
+    // 16 fragmented files over 0..1599
+    val t = spark.range(1600).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Acid.create(spark, dir, t, "k", 16)
+    val v0 = Acid.readManifest(dir, 0).files.map(_.path).toSet
+    val r = spark.sql(s"OPTIMIZE '$dir' WHERE k BETWEEN 0 AND 399 TARGET 1 FILES").head
+    assert(r.getLong(0) === 16 && r.getLong(1) <= 13,
+      s"low quarter (4 of 16 files) must bin-pack: $r")
+    // untouched entries carried forward byte-identical (same paths)
+    val v1 = Acid.readManifest(dir, 1).files.map(_.path).toSet
+    assert((v0 & v1).size === 12, "the 12 out-of-range files carry forward")
+    assert(Acid.snapshot(spark, dir).count() === 1600)
+    // WHERE must name the leading key; WHERE + ZORDER refuses
+    assert(Try(spark.sql(s"OPTIMIZE '$dir' WHERE v BETWEEN 0 AND 9")).isFailure)
+    assert(Try(spark.sql(
+      s"OPTIMIZE '$dir' WHERE k BETWEEN 0 AND 9 ZORDER BY (v)")).isFailure)
+  }
+
+  test("SQL ALTER COLUMN TYPE widening: both V2 readers adapt, DML follows") {
+    import org.apache.spark.sql.types.LongType
+    val root = Scratch.fresh("r9_sql_widen", sf)
+    val cat = catFor("sw", root)
+    val dir = s"$root/t"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.range(200).select(col("id").as("k"),
+        (col("id") * 2).cast("int").as("v"))
+      .createOrReplaceTempView("r9_sw_src")
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT k, v FROM r9_sw_src")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN v TYPE BIGINT")
+    // wide schema served before any wide file lands, values intact
+    assert(spark.table(s"$cat.t").schema("v").dataType === LongType)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.t").head.getLong(0) === 39800L)
+    // the library read agrees (readMerged upcast to the declared width)
+    assert(Acid.snapshot(spark, dir).schema("v").dataType === LongType)
+    // row-level DML over the widened narrow files: the rewrite scan uses
+    // the V2 ROW reader (width-strict Group API before round 9)
+    spark.sql(s"UPDATE $cat.t SET v = 6000000000 WHERE k = 7")
+    assert(spark.sql(s"SELECT max(v) FROM $cat.t").head.getLong(0) === 6000000000L)
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 190")
+    assert(spark.table(s"$cat.t").count() === 190)
+    // narrowing / cross-family / key widening all refuse
+    assert(Try(spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN v TYPE INT")).isFailure)
+    assert(Try(spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN v TYPE STRING")).isFailure)
+    assert(Try(spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN k TYPE DOUBLE")).isFailure)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("disjoint-writer merge rebases metadata-only; true overlap refuses") {
     import spark.implicits._
     val dir = Scratch.fresh("r9_disjoint", sf)
