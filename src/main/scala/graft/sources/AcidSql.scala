@@ -147,6 +147,49 @@ object AcidSql {
   /** Conservative key bounds from pushed filters — unhandled shapes widen
     * the range (never narrow), so manifest pruning stays sound. Shared by
     * the scan builder and the DELETE pruning hint. */
+  /** Lexicographic bounds per referenced column from pushed filters whose
+    * literal is a STRING or DATE — the cstats pruning coordinates (dates
+    * render ISO `yyyy-MM-dd`, where string order IS date order, matching
+    * statsOf's stamp). `(None, None)` never appears: a column only enters
+    * the map when some shape narrows it. Conservative by construction —
+    * unrecognized shapes bound nothing, prefix filters bound only the low
+    * side, and strict comparisons use their inclusive envelope (pruning
+    * on a superset range is always sound).
+    */
+  private[sources] def cstatsBounds(filters: Array[Filter])
+      : Map[String, (Option[String], Option[String])] = {
+    def render(v: Any): Option[String] = v match {
+      case s: String              => Some(s)
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case d: java.sql.Date       => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _                      => None
+    }
+    val b = scala.collection.mutable.Map
+      .empty[String, (Option[String], Option[String])]
+    def narrow(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = b.getOrElse(c, (None, None))
+      val l = (l0 ++ lo).reduceOption((a, x) => if (a >= x) a else x)
+      val h = (h0 ++ hi).reduceOption((a, x) => if (a <= x) a else x)
+      if (l.isDefined || h.isDefined) b(c) = (l, h)
+    }
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(c, v)            => render(v).foreach(s => narrow(c, Some(s), Some(s)))
+      case GreaterThan(c, v)        => render(v).foreach(s => narrow(c, Some(s), None))
+      case GreaterThanOrEqual(c, v) => render(v).foreach(s => narrow(c, Some(s), None))
+      case LessThan(c, v)           => render(v).foreach(s => narrow(c, None, Some(s)))
+      case LessThanOrEqual(c, v)    => render(v).foreach(s => narrow(c, None, Some(s)))
+      case StringStartsWith(c, p)   => narrow(c, Some(p), None)
+      case In(c, vs) if vs.nonEmpty =>
+        val ss = vs.flatMap(render)
+        if (ss.length == vs.length) narrow(c, Some(ss.min), Some(ss.max))
+      case FAnd(l, r)               => walk(l); walk(r)
+      case _                        => ()
+    }
+    filters.foreach(walk)
+    b.toMap
+  }
+
   private[sources] def keyBounds(filters: Array[Filter], keyCol: String): (Long, Long) = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
@@ -705,6 +748,7 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   private var required: StructType = tableSchema
   private var keyFilters: Array[Filter] = Array.empty
   private var partFilters: Array[Filter] = Array.empty
+  private var allFilters: Array[Filter] = Array.empty
 
   private val keyCol = tableSchema.fields.head.name
   // colmap: partcol sidecar and file stats2 carry PHYSICAL names; pushed
@@ -718,6 +762,7 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    allFilters = filters
     keyFilters = filters.filter(referencesOnlyKey)
     partFilters = partColLogical match {
       case Some(pc) => filters.filter(_.references.forall(_ == pc))
@@ -791,7 +836,26 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
       case (c, mn2, mx2) =>
         !partCol.contains(c) || (mx2 >= plo && mn2 <= phi)
     })
-    val ranged = partPruned.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    val ranged0 = partPruned.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    // STRING/DATE stats pruning (round 9 — the V2 twin of the library's
+    // scanColRange): pushed equality/range/prefix filters on columns the
+    // manifest's cstats stamp drop files whose lexicographic [min,max]
+    // misses the predicate. cstats carry PHYSICAL names; pushed filters
+    // reference logical ones. Files without a column's stats stay —
+    // conservative, never wrong; Spark re-applies every filter above.
+    val cb = AcidSql.cstatsBounds(allFilters)
+    val ranged =
+      if (cb.isEmpty) ranged0
+      else ranged0.filter { f =>
+        cb.forall { case (c, (cLo, cHi)) =>
+          val phys = colMap.getOrElse(c, c)
+          f.cstats.find(_._1 == phys) match {
+            case Some((_, mn, mx)) =>
+              cLo.forall(_ <= mx) && cHi.forall(_ >= mn)
+            case None => true
+          }
+        }
+      }
     // Point probes (IN / = on the key) engage the manifest's Bloom tier:
     // a file is dropped when no probe lands in its range, or its filter
     // rejects every in-range probe. Filterless files stay — conservative.
@@ -952,7 +1016,8 @@ class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
   override def supportColumnarReads(p: InputPartition): Boolean =
     !anyDv && required.fields.nonEmpty && required.fields.forall(f =>
       f.name != "_file" && (f.dataType match {
-        case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+        case LongType | IntegerType | DoubleType | BooleanType | StringType |
+             DateType => true
         case _ => false
       }))
 
@@ -1177,6 +1242,9 @@ class AcidSqlPartitionReader(absPath: String, required: StructType,
             current.getFloat(f.name, 0).toDouble
           case DoubleType  => current.getDouble(f.name, 0)
           case BooleanType => current.getBoolean(f.name, 0)
+          // parquet DATE is INT32 days since epoch — exactly Spark's
+          // internal DateType representation (round 9: was silently NULL)
+          case DateType    => current.getInteger(f.name, 0)
           case StringType  =>
             UTF8String.fromBytes(current.getBinary(f.name, 0).getBytes)
           case _ => null

@@ -321,6 +321,36 @@ class Round9Spec extends AnyFunSuite {
     assert(StringType !== null)
   }
 
+  test("SQL scan prunes on string/date cstats like the library scanColRange") {
+    import graft.sources.AcidSql
+    val root = Scratch.fresh("r9_cstats_sql", sf)
+    val cat = catFor("cs", root)
+    val dir = s"$root/t"
+    // 800 keys in 8 range files; code is k-monotone, odate ingestion-ordered
+    val t = spark.range(800).select(col("id").as("k"),
+      concat(lit("C"), lpad(col("id").cast("string"), 6, "0")).as("code"),
+      date_add(to_date(lit("2024-01-01")), col("id").cast("int")).as("odate"),
+      (col("id") * 3).as("v"))
+    Acid.create(spark, dir, t, "k", 8)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.missing") // catalog init
+    // string POINT lookup: one of 8 files
+    val r1 = spark.sql(s"SELECT v FROM $cat.t WHERE code = 'C000500'").collect()
+    assert(r1.map(_.getLong(0)).toSeq === Seq(1500L))
+    val (s1, t1) = AcidSql.lastScanFor(dir)
+    assert(t1 === 8 && s1 <= 2, s"string point lookup must prune: $s1/$t1")
+    // date window: a quarter of the files
+    val r2 = spark.sql(s"SELECT count(*) FROM $cat.t " +
+      "WHERE odate BETWEEN DATE'2024-04-10' AND DATE'2024-05-09'").head
+    assert(r2.getLong(0) === 30L)
+    val (s2, t2) = AcidSql.lastScanFor(dir)
+    assert(t2 === 8 && s2 <= 2, s"date window must prune: $s2/$t2")
+    // prefix filter bounds the low side only — still a subset
+    spark.sql(s"SELECT count(*) FROM $cat.t WHERE code LIKE 'C0007%'").head
+    val (s3, t3) = AcidSql.lastScanFor(dir)
+    assert(t3 === 8 && s3 <= 2, s"prefix filter must prune: $s3/$t3")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("OPTIMIZE WHERE compacts only the key range; misuse refuses") {
     val dir = Scratch.fresh("r9_opt_where", sf)
     // 16 fragmented files over 0..1599
