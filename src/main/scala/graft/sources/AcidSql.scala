@@ -324,6 +324,8 @@ object AcidSql {
         case BooleanType => b.addField(Types.optional(PrimitiveTypeName.BOOLEAN).named(f.name))
         case StringType  => b.addField(Types.optional(PrimitiveTypeName.BINARY)
           .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case DateType    => b.addField(Types.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name))
         case other => throw new IllegalArgumentException(
           s"graft-acid-sql: unsupported column type $other for '${f.name}'")
       }
@@ -545,7 +547,8 @@ class AcidSqlStreamingWriterFactory(dir: String, stageDir: String,
   * optimizeZorder/createPartitioned populate, so partition pruning rides
   * the existing manifest machinery. */
 case class AcidWriteMessage(path: String, rows: Long, minKey: Long, maxKey: Long,
-    stats2: Option[(String, Long, Long)] = None)
+    stats2: Option[(String, Long, Long)] = None,
+    cstats: Seq[(String, String, String)] = Nil)
   extends WriterCommitMessage
 
 /** A partitioned-table task commits one message carrying ALL the files it
@@ -559,7 +562,8 @@ object AcidWriteMessages {
     * empty files drop. */
   def entriesOf(messages: Array[WriterCommitMessage]): Seq[Acid.FileEntry] =
     flatten(messages).filter(_.rows > 0)
-      .map(m => Acid.FileEntry(m.path, m.rows, m.minKey, m.maxKey, m.stats2))
+      .map(m => Acid.FileEntry(m.path, m.rows, m.minKey, m.maxKey, m.stats2,
+        cstats = m.cstats))
       .sortBy(_.path)
 
   /** Every staged relative path (for abort cleanup), empty files included. */
@@ -649,6 +653,21 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
   private var curPart = 0L
   private var curPartSet = false
 
+  // cstats: lexicographic min/max of the first CStatsBudget string/date
+  // columns, tracked inline per segment (same selection rule as
+  // Acid.statsOf, whose distributed pass stamps library writes) — so
+  // SQL-INSERTed files prune on string/date predicates too. Dates render
+  // ISO `yyyy-MM-dd`; a column with no non-null value gets no stats.
+  private val cstatCols: Seq[(String, Int, Boolean)] =
+    schema.fields.zipWithIndex.iterator
+      .filter { case (f, i) => i != 0 && !partCol.contains(f.name) &&
+        (f.dataType == StringType || f.dataType == DateType) &&
+        !f.name.contains('|') && !f.name.contains(':') }
+      .map { case (f, i) => (f.name, i, f.dataType == DateType) }
+      .take(Acid.CStatsBudget).toSeq
+  private val cMin = new Array[String](cstatCols.size)
+  private val cMax = new Array[String](cstatCols.size)
+
   private def openSegment(): Unit = {
     curPath =
       if (partIdx >= 0) s"$pathBase-s$seg.parquet" else relPath
@@ -664,6 +683,8 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
     min2 = Long.MaxValue; max2 = Long.MinValue
     partConservative = partIdx >= 0 && !partIsLong
     curPartSet = false
+    java.util.Arrays.fill(cMin.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(cMax.asInstanceOf[Array[AnyRef]], null)
   }
 
   private def closeSegment(): Unit = if (writer != null) {
@@ -674,7 +695,10 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         else (minKey, maxKey)
       val s2 = partCol.filter(_ => partIdx >= 0 && !partConservative)
         .map(c => (c, min2, max2))
-      done += AcidWriteMessage(curPath, rows, mn, mx, s2)
+      val cs = cstatCols.zipWithIndex.flatMap { case ((n, _, _), j) =>
+        if (cMin(j) == null) None else Some((n, cMin(j), cMax(j)))
+      }
+      done += AcidWriteMessage(curPath, rows, mn, mx, s2, cs)
     } else
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(tableDir, curPath)): Unit
@@ -701,7 +725,17 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         case BooleanType => g.add(f.name, row.getBoolean(i))
         case StringType  => g.add(f.name,
           Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case DateType    => g.add(f.name, row.getInt(i))
         case _ => ()
+      }
+    }
+    cstatCols.zipWithIndex.foreach { case ((_, i, isDate), j) =>
+      if (!row.isNullAt(i)) {
+        val v =
+          if (isDate) java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+          else row.getUTF8String(i).toString
+        if (cMin(j) == null || v < cMin(j)) cMin(j) = v
+        if (cMax(j) == null || v > cMax(j)) cMax(j) = v
       }
     }
     if (!keyConservative) {

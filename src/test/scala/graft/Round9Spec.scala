@@ -351,6 +351,43 @@ class Round9Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
+  test("V2 writer stamps cstats and round-trips DATE columns") {
+    import graft.sources.AcidSql
+    val root = Scratch.fresh("r9_w_cstats", sf)
+    val cat = catFor("wc", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, code STRING, odate DATE, v BIGINT)")
+    // two inserts with disjoint code/date ranges -> two files with stats
+    spark.range(100).select(col("id").as("k"),
+        concat(lit("A"), lpad(col("id").cast("string"), 4, "0")).as("code"),
+        date_add(to_date(lit("2023-01-01")), col("id").cast("int")).as("odate"),
+        (col("id") * 2).as("v"))
+      .createOrReplaceTempView("r9_wc_lo")
+    spark.range(100, 200).select(col("id").as("k"),
+        concat(lit("B"), lpad(col("id").cast("string"), 4, "0")).as("code"),
+        date_add(to_date(lit("2024-01-01")), col("id").cast("int")).as("odate"),
+        (col("id") * 2).as("v"))
+      .createOrReplaceTempView("r9_wc_hi")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM r9_wc_lo")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM r9_wc_hi")
+    val dir = s"$root/t"
+    val entries = Acid.readManifest(dir, Acid.latestVersion(dir)).files
+    assert(entries.nonEmpty && entries.forall(f =>
+      f.cstats.exists(_._1 == "code") && f.cstats.exists(_._1 == "odate")),
+      s"SQL-inserted files must carry string AND date cstats: $entries")
+    // DATE values round-trip through the V2 writer + readers
+    assert(spark.sql(s"SELECT odate FROM $cat.t WHERE k = 5").head
+      .getDate(0).toString === "2023-01-06")
+    // and the scan prunes on the writer-stamped stats
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE code >= 'B'").head.getLong(0) === 100L)
+    val (s1, t1) = AcidSql.lastScanFor(dir)
+    assert(s1 < t1, s"writer-stamped string stats must prune: $s1/$t1")
+    spark.sql(s"SELECT count(*) FROM $cat.t WHERE odate < DATE'2023-06-01'").head
+    val (s2, t2) = AcidSql.lastScanFor(dir)
+    assert(s2 < t2, s"writer-stamped date stats must prune: $s2/$t2")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("OPTIMIZE WHERE compacts only the key range; misuse refuses") {
     val dir = Scratch.fresh("r9_opt_where", sf)
     // 16 fragmented files over 0..1599
