@@ -680,3 +680,136 @@ object Round9Probe {
     def next(): Int = c.incrementAndGet()
   }
 }
+
+/** Round-9 second-wave probes: scan-statistics broadcast A/B, partition
+  * transforms (days/bucket) at ×1 and ×10, and the rate-limited
+  * admission walk over a deep commit backlog. Run:
+  * {{{ sbt "runMain graft.Round9bProbe /root/testdata/sf0.1" }}} */
+object Round9bProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.{Acid, AcidSql}
+
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val kShift = base.agg(max(col("k"))).head.getLong(0) + 1
+    def rep(mult: Int) =
+      if (mult == 1) base
+      else base.crossJoin(spark.range(mult).toDF("cp"))
+        .withColumn("k", col("k") + col("cp") * kShift).drop("cp")
+
+    // ---- 1. reported statistics → broadcast vs forced shuffle join -------
+    locally {
+      val root = Scratch.fresh("r9b_stats", sfDir)
+      val cat = "graft_r9b_stats"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Acid.create(spark, s"$root/dim",
+        base.filter(col("k") <= lit(kShift / 8)), "k", 4)
+      val fact = rep(10).select(col("k").as("fk"), col("price_cents").as("fpc"))
+        .withColumn("dk", col("fk") % (kShift / 8 + 1))
+      def join() = fact.join(spark.read.table(s"$cat.dim"),
+        col("dk") === col("k")).agg(sum(col("fpc"))).head.getLong(0)
+      val (_, bhjS) = t(join()) // stats → auto-broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (_, smjS) = t(join()) // what every join pays without stats
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      println(f"[r9b-probe] stats-broadcast: x10 fact join auto-BHJ " +
+        f"$bhjS%.2fs vs forced-shuffle $smjS%.2fs")
+    }
+
+    // ---- 2. days(ts) transform: window pruning at x1 / x10 ---------------
+    def daysProbe(tag: String, mult: Int): Unit = {
+      val root = Scratch.fresh(s"r9b_days_$tag", sfDir)
+      val cat = s"graft_r9b_days_$tag"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id").as("k"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      // events frames live in a child session (nanos-scoped conf): view,
+      // catalog registration and INSERT all go through that session
+      val ss = ev.sparkSession
+      ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val evN =
+        if (mult == 1) ev
+        else ev.crossJoin(ss.range(mult).toDF("cp"))
+          .withColumn("k", col("k") * mult + col("cp")).drop("cp")
+      evN.createOrReplaceTempView(s"r9b_days_src_$tag")
+      spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, cents BIGINT)
+                   |PARTITIONED BY (days(ts))""".stripMargin)
+      val (_, insS) = t(ss.sql(
+        s"INSERT INTO $cat.ev SELECT k, ts, cents FROM r9b_days_src_$tag").count())
+      val win = "ts >= TIMESTAMP'2024-01-08 00:00:00' AND " +
+        "ts < TIMESTAMP'2024-01-15 00:00:00'"
+      val (n, qS) = t(spark.sql(
+        s"SELECT count(*) FROM $cat.ev WHERE $win").head.getLong(0))
+      val (scanned, total) = AcidSql.lastScanFor(s"$root/ev")
+      println(f"[r9b-probe] days $tag%-4s: insert $insS%.1fs, 7/30-day window " +
+        f"($n rows) in $qS%.2fs scanning $scanned/$total files")
+    }
+    daysProbe("x1", 1)
+    daysProbe("x10", 10)
+
+    // ---- 3. bucket(8,k) transform: point probe at x1 / x10 ---------------
+    def bucketProbe(tag: String, mult: Int): Unit = {
+      val root = Scratch.fresh(s"r9b_bkt_$tag", sfDir)
+      val cat = s"graft_r9b_bkt_$tag"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      rep(mult).createOrReplaceTempView(s"r9b_bkt_src_$tag")
+      spark.sql(s"""CREATE TABLE $cat.bt (k BIGINT, price_cents BIGINT)
+                   |PARTITIONED BY (bucket(8, k))""".stripMargin)
+      val (_, insS) = t(spark.sql(
+        s"INSERT INTO $cat.bt SELECT k, price_cents FROM r9b_bkt_src_$tag").count())
+      val probe = kShift / 2
+      val (n, qS) = t(spark.sql(
+        s"SELECT count(*) FROM $cat.bt WHERE k = $probe").head.getLong(0))
+      val (scanned, total) = AcidSql.lastScanFor(s"$root/bt")
+      println(f"[r9b-probe] bucket $tag%-4s: insert $insS%.1fs, point probe " +
+        f"($n rows) in $qS%.2fs scanning $scanned/$total files")
+    }
+    bucketProbe("x1", 1)
+    bucketProbe("x10", 10)
+
+    // ---- 4. admission control over a deep backlog ------------------------
+    locally {
+      val dir = Scratch.fresh("r9b_rl", sfDir) + "/t"
+      Acid.create(spark, dir, base, "k", 8)
+      import spark.implicits._
+      (1 to 25).foreach(i => Acid.merge(spark, dir,
+        Seq((kShift + i, 1L)).toDF("k", "price_cents"), s"w$i"): Unit)
+      val stream = new graft.sources.AcidSqlMicroBatchStream(dir,
+        org.apache.spark.sql.types.StructType(Nil), Some(4))
+      val lim = stream.getDefaultReadLimit
+      var off: org.apache.spark.sql.connector.read.streaming.Offset =
+        graft.sources.AcidVersionOffset(-1L)
+      var batches = 0
+      val (_, walkS) = t {
+        var prev = -2L
+        while (prev != off.asInstanceOf[graft.sources.AcidVersionOffset].v) {
+          prev = off.asInstanceOf[graft.sources.AcidVersionOffset].v
+          val nxt = stream.latestOffset(off, lim)
+          if (nxt.asInstanceOf[graft.sources.AcidVersionOffset].v != prev) {
+            batches += 1; off = nxt
+          }
+        }
+      }
+      println(f"[r9b-probe] ratelimit: 25-commit backlog at cap 4 drains in " +
+        f"$batches batches (walk $walkS%.2fs total)")
+    }
+    spark.stop()
+  }
+}

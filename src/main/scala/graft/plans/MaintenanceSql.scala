@@ -155,7 +155,13 @@ case class VacuumTableCommand(target: String, retainN: Option[Int],
           Acid.manifestMtimeMicros(dir, v).exists(_ >= horizon))
           .getOrElse(latest)
       } else math.max(0, latest - (retainN.getOrElse(1) - 1))
-    val (deleted, live) = Acid.vacuum(s, dir, from, dryRun)
+    // RETAIN n HOURS doubles as the orphan GRACE window: unreferenced
+    // files younger than the horizon may belong to an in-flight commit
+    val graceMs =
+      if (retainUnit.equalsIgnoreCase("HOURS"))
+        retainN.getOrElse(0).toLong * 3600L * 1000L
+      else 0L
+    val (deleted, live) = Acid.vacuum(s, dir, from, dryRun, graceMs)
     Seq(Row(deleted.toLong, live.toLong))
   }
 }

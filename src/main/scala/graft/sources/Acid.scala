@@ -555,6 +555,7 @@ object Acid {
         FileEntry(abs.stripPrefix(prefix).stripPrefix("/"),
           r.getAs[Long]("rows"), r.getAs[Long]("mn"), r.getAs[Long]("mx"),
           col2.map(c => (c, r.getAs[Long]("mn2"), r.getAs[Long]("mx2"))),
+          bytes = java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
           cstats = cs)
       }.sortBy(_.path).toSeq
   }
@@ -796,13 +797,59 @@ object Acid {
       cols.mkString("\n")): Unit
   }
 
-  /** The catalog-declared partition column (CREATE TABLE ... PARTITIONED
-    * BY), persisted as a `_log` sidecar by AcidCatalog. Writers cluster
-    * on it and stamp per-file stats2; scans prune on those stats. */
-  private[sources] def partColOf(dir: String): Option[String] = {
-    val spec = logDir(dir).resolve("partcol.txt")
-    if (Files.exists(spec)) Some(Files.readString(spec).trim) else None
+  /** Declared partition TRANSFORM (CREATE TABLE ... PARTITIONED BY):
+    * identity on a BIGINT column (round 8), or — the Iceberg
+    * hidden-partitioning workhorses, round 9 — `days(ts)` over a
+    * timestamp and `bucket(n, c)` over a BIGINT column. The `_log`
+    * sidecar persists the rendered form; `label` doubles as the stats2
+    * tag, so a transformed partition's stats can never be confused with
+    * a real column's. `eval` maps a raw column value (micros for
+    * timestamps, the long itself otherwise) to its partition value —
+    * the SAME function rolls writer segments and prunes scans, so
+    * write/read symmetry holds by construction. */
+  sealed trait PartSpec {
+    def col: String
+    def label: String
+    def eval(raw: Long): Long
   }
+  final case class PartIdentity(col: String) extends PartSpec {
+    def label: String = col
+    def eval(raw: Long): Long = raw
+  }
+  final case class PartDays(col: String) extends PartSpec {
+    def label: String = s"days($col)"
+    def eval(raw: Long): Long = Math.floorDiv(raw, MicrosPerDay)
+  }
+  final case class PartBucket(n: Int, col: String) extends PartSpec {
+    def label: String = s"bucket($n,$col)"
+    def eval(raw: Long): Long = {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      Math.floorMod(XXH64.hashLong(raw, BucketSeed), n.toLong)
+    }
+  }
+  private[sources] val MicrosPerDay = 86400000000L
+  private[sources] val BucketSeed = 42L
+
+  private[sources] def parsePartSpec(s: String): PartSpec = {
+    val D = """days\((.+)\)""".r
+    val B = """bucket\((\d+),(.+)\)""".r
+    s match {
+      case D(c)    => PartDays(c)
+      case B(n, c) => PartBucket(n.toInt, c)
+      case c       => PartIdentity(c)
+    }
+  }
+
+  private[sources] def partSpecOf(dir: String): Option[PartSpec] = {
+    val spec = logDir(dir).resolve("partcol.txt")
+    if (Files.exists(spec)) Some(parsePartSpec(Files.readString(spec).trim))
+    else None
+  }
+
+  /** The partition SOURCE column (the column writers cluster on and
+    * predicates prune against); `partSpecOf` carries the transform. */
+  private[sources] def partColOf(dir: String): Option[String] =
+    partSpecOf(dir).map(_.col)
 
   private[sources] def writePartCol(dir: String, c: String): Unit = {
     Files.createDirectories(logDir(dir))
@@ -2097,9 +2144,18 @@ object Acid {
 
   /** `dryRun = true` reports what WOULD be reclaimed (orphan count, live
     * count) without touching a file or a manifest — the Delta `VACUUM
-    * ... DRY RUN` safety idiom. */
+    * ... DRY RUN` safety idiom.
+    *
+    * `graceMs > 0` spares unreferenced files MODIFIED within the last
+    * `graceMs` wall-clock millis — the Delta/Iceberg retention-window
+    * guard for the staging race: a concurrent writer's data files exist
+    * on disk BEFORE the manifest that references them, so a graceless
+    * vacuum running in that window deletes them and the commit lands
+    * pointing at nothing. At 100 TB with always-on writers the window
+    * is permanent, so operational vacuums should always pass a grace
+    * horizon (SQL `RETAIN n HOURS` wires the same n hours in here). */
   def vacuum(s: SparkSession, dir: String, retainFrom: Int,
-             dryRun: Boolean): (Int, Int) = {
+             dryRun: Boolean, graceMs: Long = 0L): (Int, Int) = {
     val latest = latestVersion(dir)
     val retained = (retainFrom to latest)
       .flatMap(v => Try(readManifest(dir, v)).toOption)
@@ -2119,8 +2175,12 @@ object Acid {
         .map(p => root.relativize(p).toString).toList
       finally st.close()
     }
+    val cutoff = System.currentTimeMillis() - graceMs
     val orphans = all.filterNot(p =>
       live.contains(p) || liveCdcPrefixes.exists(p.startsWith))
+      .filter(p => graceMs <= 0L ||
+        Try(Files.getLastModifiedTime(root.resolve(p)).toMillis)
+          .toOption.forall(_ < cutoff))
     if (!dryRun) {
       orphans.foreach(p => Files.deleteIfExists(root.resolve(p)))
       // Retained delta chains must stay resolvable after the below-horizon
@@ -2483,6 +2543,50 @@ object Acid {
       .withColumn("orphans_removed", lit(abandoned.isLeft && deleted >= 1))
       .withColumn("live_intact", lit(snapshot(s, dir).count() == before))
       .withColumn("v0_refused", lit(v0Gone))
+  }
+
+  /** tbl_vacuum_grace — the staging-race guard (`vacuum(graceMs)`; the
+    * Delta/Iceberg retention-window contract): a concurrent writer's
+    * data files hit disk BEFORE the manifest that references them, so a
+    * graceless vacuum in that window deletes an in-flight commit's
+    * files. The fixture plants both orphan kinds — a freshly-staged
+    * "in-flight" file and an abandoned one whose mtime is pushed 48 h
+    * back — vacuums with a 1 h grace, and pins that exactly the old
+    * orphan died; the surviving file then COMMITS and the snapshot
+    * reads it, proving the grace preserved a correct in-flight write.
+    */
+  val tblVacuumGrace: Q = (s, d) => {
+    val dir = fresh("tbl_vacuum_grace", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 4)
+    def stage(dd: String, tag: String): (String, Long) = {
+      val df = ordersKV(s, d).filter(col("k") % 100 === 0)
+        .select((col("k") + mk + 1).as("k"),
+          lit(555L).as("price_cents"), lit(tag).as("prio"))
+      df.coalesce(1).write.parquet(s"$dir/$dd")
+      val part = {
+        val ls = Files.list(Paths.get(dir, dd))
+        try ls.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.head
+        finally ls.close()
+      }
+      (s"$dd/${Paths.get(part).getFileName}", df.count())
+    }
+    val (inflight, nIn) = stage("d_inflight", "GRACE")
+    val (abandoned, _) = stage("d_abandoned", "DEAD")
+    Files.setLastModifiedTime(Paths.get(dir, abandoned),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    val (deleted, _) = vacuum(s, dir, retainFrom = 0, dryRun = false,
+      graceMs = 3600L * 1000)
+    val freshSurvived = Files.exists(Paths.get(dir, inflight))
+    val oldGone = !Files.exists(Paths.get(dir, abandoned))
+    // the in-flight write now commits and must read back whole
+    appendCommit(dir, Seq(FileEntry(inflight, nIn, mk + 1, 2 * mk + 1)))
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("fresh_survived", lit(freshSurvived))
+      .withColumn("old_deleted", lit(oldGone && deleted == 1))
   }
 
   /** tbl_idempotent_retry — exactly-once under at-least-once delivery: the
@@ -3021,6 +3125,66 @@ object Acid {
           snapshot(s, dir).count() && snapshot(s, dir).count() == total - nDel))
   }
 
+  /** tbl_report_stats — V2 scan STATISTICS reporting
+    * (`SupportsReportStatistics`): without it a DSv2 scan reports
+    * `spark.sql.defaultSizeInBytes` (effectively infinite), so a join
+    * against a small — or sharply pruned — ACID table can never
+    * auto-broadcast and always shuffles both sides. The scan now sums
+    * the PRUNED manifest entries' stamped bytes/rows (minus inlined
+    * deletion vectors), so (a) leaf plan stats equal the manifest
+    * exactly, (b) a point-lookup's reported size shrinks with the file
+    * pruning, and (c) the static planner picks the ACID side as the
+    * BROADCAST build side of a fact join — the boolean pins the build
+    * side structurally (an unreported scan could never be chosen). */
+  val tblReportStats: Q = (s, d) => {
+    val root = fresh("tbl_rstats_cat", d)
+    val cat = "graft_rstats_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    val mk = maxKey(s, d)
+    val dim = ordersKV(s, d).filter(col("k") <= lit(mk / 8))
+    create(s, dir, dim, "k", 4)
+    val m = readManifest(dir, latestVersion(dir))
+    val manifestBytes = m.files.map(_.bytes).sum
+    val manifestRows = m.files.map(_.rows).sum
+
+    def leafStats(df: DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }.head
+    val full = s.read.table(s"$cat.t")
+    val fs = leafStats(full)
+    val statsExact = manifestBytes > 0 &&
+      fs.sizeInBytes == BigInt(manifestBytes) &&
+      fs.rowCount.contains(BigInt(manifestRows))
+    val probeKey = dim.agg(max(col("k"))).head.getLong(0)
+    val ps = leafStats(full.filter(col("k") === lit(probeKey)))
+    val prunedSmaller = ps.sizeInBytes > 0 && ps.sizeInBytes < fs.sizeInBytes
+
+    val fact = ordersKV(s, d)
+      .select(col("k").as("fk"), col("price_cents").as("fpc"))
+    val joined = fact.join(full, col("fk") === col("k"))
+      .agg(count(lit(1)).as("n_join"), sum(col("fpc")).as("join_cents"))
+    val acidBuildSide = joined.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        val build =
+          if (b.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+            b.right
+          else b.left
+        build.exists {
+          case sc: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            sc.scan.isInstanceOf[AcidSqlScan]
+          case _ => false
+        }
+    }.getOrElse(false)
+    joined
+      .withColumn("stats_exact", lit(statsExact))
+      .withColumn("pruned_smaller", lit(prunedSmaller))
+      .withColumn("acid_broadcast", lit(acidBuildSide))
+  }
+
   /** tbl_history — `DESCRIBE HISTORY` through the `.history` metadata
     * table (AcidHistoryTable): one row per retained commit with the
     * manifest's recorded operation (the round-7 `op` field — Delta's
@@ -3223,6 +3387,79 @@ object Acid {
       .withColumn("pruned", lit(scanned >= 1 && scanned < total))
       .withColumn("partitioning_reported", lit(declared == "identity(p)"))
       .orderBy(col("p"))
+  }
+
+  /** tbl_part_days — HIDDEN partitioning by a time transform (Iceberg's
+    * `days(ts)`, re-derived): `CREATE TABLE ... PARTITIONED BY (days(ts))`
+    * persists the transform; the write needs only a LOCAL sort on ts
+    * (days is monotone — sorted tasks roll contiguous one-day segments,
+    * no shuffle), every file's stats2 is one epoch-day wide, and a
+    * plain `WHERE ts >= .. AND ts < ..` predicate — the user never
+    * mentions the partition — prunes the scan to the overlapping days'
+    * files through the same eval that stamped them. The fixture inserts
+    * a 30-day event set and pins a one-week window planning a strict
+    * file subset.
+    */
+  val tblPartDays: Q = (s, d) => {
+    val root = fresh("tbl_part_days_cat", d)
+    val cat = "graft_pdays_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // the events loader hands back a CHILD-session frame (nanos-scoped
+    // conf) — its temp view and the INSERT must run in that session,
+    // with the catalog registered there too; the created table itself
+    // is directory-backed, so the parent session reads it fine
+    val ev = Tables.events(s, d).select(col("event_id").as("k"), col("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val ss = ev.sparkSession
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ev.createOrReplaceTempView("graft_pdays_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    s.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, cents BIGINT)
+             |PARTITIONED BY (days(ts))""".stripMargin)
+    ss.sql(s"INSERT INTO $cat.ev SELECT k, ts, cents FROM graft_pdays_src")
+    val declared = s.table(s"$cat.ev").queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.partitioning().map(_.toString).mkString(",")
+    }.getOrElse("")
+    val win = "ts >= TIMESTAMP'2024-01-08 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-15 00:00:00'"
+    s.sql(s"SELECT count(*) FROM $cat.ev WHERE $win").head
+    val (scanned, total) = AcidSql.lastScanFor(s"$root/ev")
+    s.sql(s"""SELECT count(*) AS n_window, sum(cents) AS window_cents
+             |FROM $cat.ev WHERE $win""".stripMargin)
+      .withColumn("pruned", lit(scanned >= 1 && scanned * 2 <= total))
+      .withColumn("partitioning_reported", lit(declared == "days(ts)"))
+  }
+
+  /** tbl_part_bucket — hash partitioning (Iceberg's `bucket(n, c)`,
+    * re-derived over the same xxhash64 the manifest Bloom tier replays):
+    * every file carries `stats2 = (bucket(8,k), b, b)`; a key
+    * point-lookup hashes its probe to ONE bucket and plans only that
+    * bucket's files — min/max key ranges cannot help a hash-scattered
+    * layout (each file spans nearly the full key range, pinned), so the
+    * bucket tier is what turns a 100 TB point read from all-files into
+    * 1/n of files. Range predicates on k correctly prune nothing.
+    */
+  val tblPartBucket: Q = (s, d) => {
+    val root = fresh("tbl_part_bucket_cat", d)
+    val cat = "graft_pbkt_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val mk = maxKey(s, d)
+    ordersKV(s, d).createOrReplaceTempView("graft_pbkt_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.bt")
+    s.sql(s"""CREATE TABLE $cat.bt (k BIGINT, price_cents BIGINT, prio STRING)
+             |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    s.sql(s"INSERT INTO $cat.bt SELECT k, price_cents, prio FROM graft_pbkt_src")
+    val probe = ordersKV(s, d).filter(col("k") >= lit(mk / 2))
+      .agg(min(col("k"))).head.getLong(0)
+    s.sql(s"SELECT count(*) FROM $cat.bt WHERE k = $probe").head
+    val (scanned, total) = AcidSql.lastScanFor(s"$root/bt")
+    s.sql(s"""SELECT count(*) AS n_probe, sum(price_cents) AS probe_cents
+             |FROM $cat.bt WHERE k = $probe""".stripMargin)
+      .withColumn("bucket_pruned", lit(scanned >= 1 && scanned * 2 <= total))
   }
 
   /** tbl_sql_optimize — table maintenance as SQL statements through the
@@ -3618,10 +3855,13 @@ object Acid {
     "tbl_catalog_evolve"    -> tblCatalogEvolve,
     "tbl_sql_widen"         -> tblSqlWiden,
     "tbl_history"           -> tblHistory,
+    "tbl_report_stats"      -> tblReportStats,
     "tbl_convert"           -> tblConvert,
     "tbl_files"             -> tblFiles,
     "tbl_sql_update"        -> tblSqlUpdate,
     "tbl_sql_partitioned"   -> tblSqlPartitioned,
+    "tbl_part_days"         -> tblPartDays,
+    "tbl_part_bucket"       -> tblPartBucket,
     "tbl_sql_optimize"      -> tblSqlOptimize,
     "tbl_sql_rename"        -> tblSqlRename,
     "tbl_sql_drop"          -> tblSqlDrop,
@@ -3638,6 +3878,7 @@ object Acid {
     "tbl_concurrent_commit" -> tblConcurrentCommit,
     "tbl_concurrent_disjoint" -> tblConcurrentDisjoint,
     "tbl_vacuum"            -> tblVacuum,
+    "tbl_vacuum_grace"      -> tblVacuumGrace,
     "tbl_idempotent_retry"  -> tblIdempotentRetry,
     "tbl_optimize_compact"  -> tblOptimizeCompact,
     "tbl_stream_sink"       -> tblStreamSink,
@@ -3652,6 +3893,43 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_part_days" ->
+      """SELECT count(*) AS n_window,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS window_cents,
+        |       TRUE AS pruned, TRUE AS partitioning_reported
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "tbl_part_bucket" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |p AS (SELECT min(k) AS pk FROM base
+        |      WHERE k >= (SELECT m FROM mx) // 2)
+        |SELECT count(*) AS n_probe, CAST(sum(pc) AS BIGINT) AS probe_cents,
+        |       TRUE AS bucket_pruned
+        |FROM base WHERE k = (SELECT pk FROM p)""".stripMargin,
+    "tbl_vacuum_grace" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |ins AS (SELECT count(*) AS c FROM base WHERE k % 100 = 0)
+        |SELECT count(*) + (SELECT c FROM ins) AS n,
+        |       CAST(sum(pc) + 555 * (SELECT c FROM ins) AS BIGINT) AS sum_cents,
+        |       TRUE AS fresh_survived, TRUE AS old_deleted
+        |FROM base""".stripMargin,
+    "tbl_report_stats" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |dim AS (SELECT * FROM base WHERE k <= (SELECT m FROM mx) // 8)
+        |SELECT count(*) AS n_join, CAST(sum(pc) AS BIGINT) AS join_cents,
+        |       TRUE AS stats_exact, TRUE AS pruned_smaller,
+        |       TRUE AS acid_broadcast
+        |FROM dim""".stripMargin,
     "tbl_stats_multi" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

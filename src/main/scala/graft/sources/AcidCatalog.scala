@@ -9,6 +9,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable, StagingTableCatalog, SupportsRead, SupportsWrite, Table, TableCapability, TableChange, TableInfo}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.StructType
@@ -133,22 +134,48 @@ class AcidCatalog extends StagingTableCatalog {
     * per-file stats2, and every scan prunes on those stats — the
     * wiring is the manifest's existing second-dimension machinery.
     * Anything richer (bucket/days/multi-column) refuses loudly. */
-  private def partColFrom(info: TableInfo): Option[String] =
+  private def partColFrom(info: TableInfo): Option[String] = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    def fieldOf(t: Transform): org.apache.spark.sql.types.StructField = {
+      val c = t.references().head.fieldNames().mkString(".")
+      info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"$catName: PARTITIONED BY ($c) — no such column"))
+    }
     info.partitions() match {
       case ps if ps.isEmpty => None
       case Array(t) if t.name() == "identity" && t.references().length == 1 =>
-        val c = t.references().head.fieldNames().mkString(".")
-        val f = info.schema().fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(
-            s"$catName: PARTITIONED BY ($c) — no such column"))
-        if (f.dataType != org.apache.spark.sql.types.LongType)
+        val f = fieldOf(t)
+        if (f.dataType != LongType)
           throw new UnsupportedOperationException(
-            s"$catName: PARTITIONED BY needs a BIGINT column, $c is ${f.dataType.sql}")
-        Some(c)
+            s"$catName: PARTITIONED BY needs a BIGINT column, $f.name is ${f.dataType.sql}")
+        Some(Acid.PartIdentity(f.name).label)
+      case Array(t) if t.name() == "days" && t.references().length == 1 =>
+        val f = fieldOf(t)
+        if (f.dataType != TimestampType && f.dataType != TimestampNTZType)
+          throw new UnsupportedOperationException(
+            s"$catName: PARTITIONED BY (days(c)) needs a TIMESTAMP column, " +
+              s"${f.name} is ${f.dataType.sql}")
+        Some(Acid.PartDays(f.name).label)
+      case Array(t) if t.name() == "bucket" && t.references().length == 1 =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"$catName: bucket transform needs a literal bucket count"))
+        require(n >= 1 && n <= 1024,
+          s"$catName: bucket count must be in [1, 1024], got $n")
+        val f = fieldOf(t)
+        if (f.dataType != LongType)
+          throw new UnsupportedOperationException(
+            s"$catName: PARTITIONED BY (bucket(n, c)) needs a BIGINT column, " +
+              s"${f.name} is ${f.dataType.sql}")
+        Some(Acid.PartBucket(n, f.name).label)
       case other => throw new UnsupportedOperationException(
-        s"$catName: only single-column identity partitioning is supported, " +
-          s"got ${other.mkString(", ")}")
+        s"$catName: only single-column identity / days / bucket " +
+          s"partitioning is supported, got ${other.mkString(", ")}")
     }
+  }
 
   /** Plain CREATE TABLE (no data): persists the DECLARED schema (the
     * empty manifest has no data files to derive one from — the schema
@@ -381,7 +408,7 @@ class AcidStagedTable(dir: String, tableSchema: StructType)
           private val stageDir = s"d0_ctas_${java.util.UUID.randomUUID().toString.take(8)}"
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
             new AcidSqlWriterFactory(dir, stageDir, info.schema(),
-              Acid.partColOf(dir))
+              Acid.partSpecOf(dir))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             pending = AcidWriteMessages.entriesOf(messages)
           }

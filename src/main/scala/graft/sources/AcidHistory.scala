@@ -130,7 +130,8 @@ object AcidFiles {
     StructField("stats2_max", LongType, nullable = true),
     StructField("dv_rows", LongType, nullable = false),
     StructField("pdv_rows", LongType, nullable = false),
-    StructField("has_bloom", BooleanType, nullable = false)))
+    StructField("has_bloom", BooleanType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
 }
 
 class AcidFilesScan(dir: String) extends Scan with Batch {
@@ -149,7 +150,7 @@ class AcidFilesScan(dir: String) extends Scan with Batch {
           override def next(): Boolean = {
             if (!it.hasNext) return false
             val f = it.next()
-            val r = new GenericInternalRow(10)
+            val r = new GenericInternalRow(11)
             r.update(0, UTF8String.fromString(f.path))
             r.update(1, f.rows); r.update(2, f.minKey); r.update(3, f.maxKey)
             f.stats2 match {
@@ -161,6 +162,7 @@ class AcidFilesScan(dir: String) extends Scan with Batch {
             r.update(7, f.dv.map(_._2).getOrElse(0L))
             r.update(8, f.pdv.map(_._2).getOrElse(0L))
             r.setBoolean(9, f.bloom.isDefined)
+            r.update(10, f.bytes)
             cur = r
             true
           }

@@ -25,7 +25,7 @@ import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, S
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering, Statistics => V2Statistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith, And => FAnd, Not => FNot, Or => FOr}
@@ -223,6 +223,50 @@ object AcidSql {
     (lo, hi)
   }
 
+  /** Pushed-filter bounds over a TIMESTAMP column, in epoch MICROS —
+    * the days(ts) partition transform's pruning input. Spark pushes
+    * timestamp literals as java.sql.Timestamp (TIMESTAMP) or
+    * java.time.LocalDateTime (TIMESTAMP_NTZ, interpreted at UTC, the
+    * session zone every fixture pins). Unconvertible shapes leave the
+    * bound open — conservative, never wrong. */
+  private[sources] def timeBoundsMicros(filters: Array[Filter], c: String): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def us(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case l: java.time.LocalDateTime =>
+        val i = l.toInstant(java.time.ZoneOffset.UTC)
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => None
+    }
+    filters.foreach {
+      case EqualTo(col, v) if col == c =>
+        us(v).foreach { l => lo = math.max(lo, l); hi = math.min(hi, l) }
+      case GreaterThan(col, v) if col == c =>
+        us(v).foreach(l => lo = math.max(lo, l + 1))
+      case GreaterThanOrEqual(col, v) if col == c =>
+        us(v).foreach(l => lo = math.max(lo, l))
+      case LessThan(col, v) if col == c =>
+        us(v).foreach(l => hi = math.min(hi, l - 1))
+      case LessThanOrEqual(col, v) if col == c =>
+        us(v).foreach(l => hi = math.min(hi, l))
+      case In(col, vs) if col == c && vs.nonEmpty =>
+        val ls = vs.flatMap(us(_))
+        if (ls.length == vs.length) {
+          lo = math.max(lo, ls.min); hi = math.min(hi, ls.max)
+        }
+      case FAnd(l, r) =>
+        val (l1, h1) = timeBoundsMicros(Array(l), c)
+        val (l2, h2) = timeBoundsMicros(Array(r), c)
+        lo = math.max(lo, math.max(l1, l2)); hi = math.min(hi, math.min(h1, h2))
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
   /** Inline budget for merge-on-read deleted keys/positions in a SQL
     * scan: up to this many are read once driver-side and shipped inside
     * the input partitions (~800 KB of longs at the cap —
@@ -326,6 +370,14 @@ object AcidSql {
           .as(LogicalTypeAnnotation.stringType()).named(f.name))
         case DateType    => b.addField(Types.optional(PrimitiveTypeName.INT32)
           .as(LogicalTypeAnnotation.dateType()).named(f.name))
+        // TIMESTAMP(MICROS) — exactly Spark's internal long encoding, so
+        // read/write both move the raw micros (NTZ: not UTC-adjusted)
+        case TimestampType => b.addField(Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        case TimestampNTZType => b.addField(Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
         case other => throw new IllegalArgumentException(
           s"graft-acid-sql: unsupported column type $other for '${f.name}'")
       }
@@ -358,14 +410,22 @@ class AcidSqlTable(dir: String, tableSchema: StructType, pinnedVersion: Int = -1
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
 
-  /** Reports the catalog-declared identity partitioning (if any), so
-    * SHOW CREATE / DESCRIBE surface it like Delta does. */
+  /** Reports the catalog-declared partition transform (if any), so
+    * SHOW CREATE / DESCRIBE surface it like Delta/Iceberg do. */
   override def partitioning(): Array[Transform] =
-    Acid.partColOf(dir).map(c => Expressions.identity(c)).toArray
+    Acid.partSpecOf(dir).map {
+      case Acid.PartIdentity(c)  => Expressions.identity(c)
+      case Acid.PartDays(c)      => Expressions.days(c)
+      case Acid.PartBucket(n, c) => Expressions.bucket(n, c)
+    }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val version = Option(options.get("version")).map(_.toInt).getOrElse(pinnedVersion)
-    new AcidSqlScanBuilder(dir, version, tableSchema)
+    new AcidSqlScanBuilder(dir, version, tableSchema,
+      maxFilesPerTrigger =
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger =
+        Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -429,7 +489,8 @@ class AcidRowLevelOperation(dir: String, schema: StructType,
     Array(Expressions.column("_file"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AcidSqlScanBuilder(dir, -1, schema, files => scannedFiles = files)
+    new AcidSqlScanBuilder(dir, -1, schema, files => scannedFiles = files,
+      rowLevel = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -483,15 +544,29 @@ class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
     */
   override def build(): Write = new Write
       with RequiresDistributionAndOrdering {
-    private val partCol = Acid.partColOf(dir)
-    override def requiredDistribution(): Distribution = partCol match {
-      case Some(c) => Distributions.clustered(Array(Expressions.identity(c)))
-      case None    => Distributions.unspecified()
+    private val partSpec = Acid.partSpecOf(dir)
+    /** identity keeps the round-8 contract: cluster + sort on the
+      * partition column, one value per task, tight one-value stats2.
+      * days(ts) asks only for a LOCAL sort on the source column — the
+      * transform is monotone, so sorted tasks roll contiguous one-day
+      * segments without any shuffle (time-ordered ingest, the dominant
+      * 100 TB arrival order, lands ~1 task per day range); clustering
+      * by identity(ts) would scatter a day across every task. bucket
+      * asks for nothing: hash values interleave under ANY sort the
+      * engine can express without a function catalog, and the writer's
+      * per-bucket open-segment map absorbs the interleave (files per
+      * task ≤ bucket count; OPTIMIZE compacts). */
+    override def requiredDistribution(): Distribution = partSpec match {
+      case Some(Acid.PartIdentity(c)) =>
+        Distributions.clustered(Array(Expressions.identity(c)))
+      case _ => Distributions.unspecified()
     }
-    override def requiredOrdering(): Array[SortOrder] = partCol match {
-      case Some(c) => Array(Expressions.sort(Expressions.identity(c),
-        SortDirection.ASCENDING))
-      case None    => Array.empty
+    override def requiredOrdering(): Array[SortOrder] = partSpec match {
+      case Some(Acid.PartIdentity(c)) => Array(Expressions.sort(
+        Expressions.identity(c), SortDirection.ASCENDING))
+      case Some(Acid.PartDays(c)) => Array(Expressions.sort(
+        Expressions.identity(c), SortDirection.ASCENDING))
+      case _ => Array.empty
     }
     override def toBatch: BatchWrite =
       new AcidSqlBatchWrite(dir, writeSchema, doTruncate)
@@ -548,7 +623,8 @@ class AcidSqlStreamingWriterFactory(dir: String, stageDir: String,
   * the existing manifest machinery. */
 case class AcidWriteMessage(path: String, rows: Long, minKey: Long, maxKey: Long,
     stats2: Option[(String, Long, Long)] = None,
-    cstats: Seq[(String, String, String)] = Nil)
+    cstats: Seq[(String, String, String)] = Nil,
+    bytes: Long = 0L)
   extends WriterCommitMessage
 
 /** A partitioned-table task commits one message carrying ALL the files it
@@ -563,7 +639,7 @@ object AcidWriteMessages {
   def entriesOf(messages: Array[WriterCommitMessage]): Seq[Acid.FileEntry] =
     flatten(messages).filter(_.rows > 0)
       .map(m => Acid.FileEntry(m.path, m.rows, m.minKey, m.maxKey, m.stats2,
-        cstats = m.cstats))
+        bytes = m.bytes, cstats = m.cstats))
       .sortBy(_.path)
 
   /** Every staged relative path (for abort cleanup), empty files included. */
@@ -581,11 +657,11 @@ object AcidWriteMessages {
 class AcidSqlBatchWrite(dir: String, writeSchema: StructType, truncate: Boolean)
     extends BatchWrite {
   private val stageDir = s"dv2_${java.util.UUID.randomUUID().toString.take(8)}"
-  private val partCol = Acid.partColOf(dir)
+  private val partSpec = Acid.partSpecOf(dir)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     // column-mapped tables write PHYSICAL field names (rows positional)
-    new AcidSqlWriterFactory(dir, stageDir, Acid.toPhysical(dir, writeSchema), partCol)
+    new AcidSqlWriterFactory(dir, stageDir, Acid.toPhysical(dir, writeSchema), partSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = AcidWriteMessages.entriesOf(messages)
@@ -608,11 +684,11 @@ class AcidSqlBatchWrite(dir: String, writeSchema: StructType, truncate: Boolean)
 }
 
 class AcidSqlWriterFactory(dir: String, stageDir: String, writeSchema: StructType,
-    partCol: Option[String] = None)
+    partSpec: Option[Acid.PartSpec] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AcidSqlDataWriter(dir, s"$stageDir/part-$partitionId-$taskId.parquet",
-      writeSchema, partCol)
+      writeSchema, partSpec)
 }
 
 /** Streams InternalRows into one parquet file via the parquet-hadoop
@@ -626,32 +702,25 @@ class AcidSqlWriterFactory(dir: String, stageDir: String, writeSchema: StructTyp
   * conservative, never wrong.
   */
 class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
-    partCol: Option[String] = None)
+    partSpec: Option[Acid.PartSpec] = None)
     extends DataWriter[InternalRow] {
   private val msgType = AcidSql.toParquetSchema(schema)
   private val factory = new SimpleGroupFactory(msgType)
-  private val partIdx = partCol.map(schema.fieldIndex).getOrElse(-1)
-  private val partIsLong =
-    partIdx >= 0 && schema.fields(partIdx).dataType == LongType
+  private val partIdx = partSpec.map(p => schema.fieldIndex(p.col)).getOrElse(-1)
+  // the transform input must read as a long (BIGINT itself; timestamps
+  // surface micros through getLong) — anything else degrades to a
+  // conservative full-range segment, never a wrong stat
+  private val partReadable = partIdx >= 0 && (schema.fields(partIdx).dataType match {
+    case LongType | TimestampType | TimestampNTZType => true
+    case _ => false
+  })
+  // bucket is the one NON-MONOTONE transform: the clustered write
+  // arrives sorted by the SOURCE column, so bucket values interleave and
+  // roll-on-change would fragment catastrophically — bucketed writers
+  // keep one open segment per live bucket value instead (bounded below)
+  private val bucketed = partSpec.exists(_.isInstanceOf[Acid.PartBucket])
+  private val keyIsLong = schema.fields.head.dataType == LongType
   private val pathBase = relPath.stripSuffix(".parquet")
-
-  // per-segment state: a partitioned write rolls to a new file when the
-  // (sorted) partition value changes, so each file's stats2 is one value
-  // wide — the property manifest partition-pruning depends on. An
-  // unpartitioned write is exactly one segment named relPath.
-  private val done = scala.collection.mutable.ListBuffer.empty[AcidWriteMessage]
-  private var seg = 0
-  private var curPath: String = _
-  private var writer: ParquetWriter[Group] = _
-  private var rows = 0L
-  private var minKey = 0L
-  private var maxKey = 0L
-  private var keyConservative = false
-  private var min2 = 0L
-  private var max2 = 0L
-  private var partConservative = false
-  private var curPart = 0L
-  private var curPartSet = false
 
   // cstats: lexicographic min/max of the first CStatsBudget string/date
   // columns, tracked inline per segment (same selection rule as
@@ -660,48 +729,79 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
   // ISO `yyyy-MM-dd`; a column with no non-null value gets no stats.
   private val cstatCols: Seq[(String, Int, Boolean)] =
     schema.fields.zipWithIndex.iterator
-      .filter { case (f, i) => i != 0 && !partCol.contains(f.name) &&
+      .filter { case (f, i) => i != 0 && !partSpec.exists(_.col == f.name) &&
         (f.dataType == StringType || f.dataType == DateType) &&
         !f.name.contains('|') && !f.name.contains(':') }
       .map { case (f, i) => (f.name, i, f.dataType == DateType) }
       .take(Acid.CStatsBudget).toSeq
-  private val cMin = new Array[String](cstatCols.size)
-  private val cMax = new Array[String](cstatCols.size)
 
-  private def openSegment(): Unit = {
-    curPath =
-      if (partIdx >= 0) s"$pathBase-s$seg.parquet" else relPath
-    seg += 1
-    writer = ExampleParquetWriter.builder(new Path(s"$tableDir/$curPath"))
-      .withType(msgType)
-      .withConf(new Configuration())
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
-    rows = 0L
-    minKey = Long.MaxValue; maxKey = Long.MinValue
-    keyConservative = schema.fields.head.dataType != LongType
-    min2 = Long.MaxValue; max2 = Long.MinValue
-    partConservative = partIdx >= 0 && !partIsLong
-    curPartSet = false
-    java.util.Arrays.fill(cMin.asInstanceOf[Array[AnyRef]], null)
-    java.util.Arrays.fill(cMax.asInstanceOf[Array[AnyRef]], null)
+  /** Per-file write state. A partitioned write keeps each partition
+    * value's rows in their own segment so every file's stats2 is ONE
+    * value wide — the property manifest partition-pruning depends on.
+    * An unpartitioned write is exactly one segment named relPath. */
+  private final class Segment(val path: String) {
+    val writer: ParquetWriter[Group] =
+      ExampleParquetWriter.builder(new Path(s"$tableDir/$path"))
+        .withType(msgType)
+        .withConf(new Configuration())
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    var rows = 0L
+    var minKey = Long.MaxValue
+    var maxKey = Long.MinValue
+    var keyConservative = !keyIsLong
+    var min2 = Long.MaxValue
+    var max2 = Long.MinValue
+    var partConservative = partIdx >= 0 && !partReadable
+    val cMin = new Array[String](cstatCols.size)
+    val cMax = new Array[String](cstatCols.size)
   }
 
-  private def closeSegment(): Unit = if (writer != null) {
-    writer.close(); writer = null
-    if (rows > 0L) {
+  private val done = scala.collection.mutable.ListBuffer.empty[AcidWriteMessage]
+  private var seg = 0
+  // open segments keyed by partition value (monotone transforms hold at
+  // most one — the previous closes on value change; bucket holds up to
+  // MaxOpenSegments, evicting the eldest: a re-opened bucket value just
+  // lands a second tight-stats file)
+  private val open = scala.collection.mutable.LinkedHashMap.empty[Long, Segment]
+
+  private def newSegment(): Segment = {
+    val p = if (partIdx >= 0) s"$pathBase-s$seg.parquet" else relPath
+    seg += 1
+    new Segment(p)
+  }
+
+  private def closeSegment(sg: Segment): Unit = {
+    sg.writer.close()
+    if (sg.rows > 0L) {
       val (mn, mx) =
-        if (keyConservative) (Long.MinValue, Long.MaxValue)
-        else (minKey, maxKey)
-      val s2 = partCol.filter(_ => partIdx >= 0 && !partConservative)
-        .map(c => (c, min2, max2))
+        if (sg.keyConservative) (Long.MinValue, Long.MaxValue)
+        else (sg.minKey, sg.maxKey)
+      val s2 = partSpec.filter(_ => partIdx >= 0 && !sg.partConservative)
+        .map(p => (p.label, sg.min2, sg.max2))
       val cs = cstatCols.zipWithIndex.flatMap { case ((n, _, _), j) =>
-        if (cMin(j) == null) None else Some((n, cMin(j), cMax(j)))
+        if (sg.cMin(j) == null) None else Some((n, sg.cMin(j), sg.cMax(j)))
       }
-      done += AcidWriteMessage(curPath, rows, mn, mx, s2, cs)
+      // file size for the manifest's S: field — the scan's statistics
+      // report (broadcast decisions) reads it back; local metadata call
+      val sz = try java.nio.file.Files.size(
+        java.nio.file.Paths.get(tableDir, sg.path)) catch { case _: Exception => 0L }
+      done += AcidWriteMessage(sg.path, sg.rows, mn, mx, s2, cs, sz)
     } else
       java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(tableDir, curPath)): Unit
+        java.nio.file.Paths.get(tableDir, sg.path)): Unit
+  }
+
+  private def segmentFor(pv: Option[Long]): Segment = {
+    val key = pv.getOrElse(Long.MinValue)
+    open.getOrElse(key, {
+      if (!bucketed) { open.valuesIterator.foreach(closeSegment); open.clear() }
+      else if (open.size >= AcidSqlDataWriter.MaxOpenSegments) {
+        val eldest = open.head._1
+        closeSegment(open(eldest)); open.remove(eldest): Unit
+      }
+      val sg = newSegment(); open(key) = sg; sg
+    })
   }
 
   // row-level rewrites deliver (metadata, row); the group identity in the
@@ -710,12 +810,10 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
 
   override def write(row: InternalRow): Unit = {
     val pv =
-      if (partIsLong && !row.isNullAt(partIdx)) Some(row.getLong(partIdx))
+      if (partReadable && !row.isNullAt(partIdx))
+        Some(partSpec.get.eval(row.getLong(partIdx)))
       else None
-    if (writer == null) openSegment()
-    else if (pv.isDefined && curPartSet && pv.get != curPart) {
-      closeSegment(); openSegment()
-    }
+    val sg = segmentFor(pv)
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (!row.isNullAt(i)) f.dataType match {
@@ -726,6 +824,7 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         case StringType  => g.add(f.name,
           Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
         case DateType    => g.add(f.name, row.getInt(i))
+        case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(i))
         case _ => ()
       }
     }
@@ -734,49 +833,61 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         val v =
           if (isDate) java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
           else row.getUTF8String(i).toString
-        if (cMin(j) == null || v < cMin(j)) cMin(j) = v
-        if (cMax(j) == null || v > cMax(j)) cMax(j) = v
+        if (sg.cMin(j) == null || v < sg.cMin(j)) sg.cMin(j) = v
+        if (sg.cMax(j) == null || v > sg.cMax(j)) sg.cMax(j) = v
       }
     }
-    if (!keyConservative) {
-      if (row.isNullAt(0)) keyConservative = true
+    if (!sg.keyConservative) {
+      if (row.isNullAt(0)) sg.keyConservative = true
       else {
         val k = row.getLong(0)
-        minKey = math.min(minKey, k); maxKey = math.max(maxKey, k)
+        sg.minKey = math.min(sg.minKey, k); sg.maxKey = math.max(sg.maxKey, k)
       }
     }
     pv match {
       case Some(v) =>
-        if (!partConservative) { min2 = math.min(min2, v); max2 = math.max(max2, v) }
-        curPart = v; curPartSet = true
-      case None => if (partIdx >= 0) partConservative = true
+        if (!sg.partConservative) {
+          sg.min2 = math.min(sg.min2, v); sg.max2 = math.max(sg.max2, v)
+        }
+      case None => if (partIdx >= 0) sg.partConservative = true
     }
-    writer.write(g)
-    rows += 1L
+    sg.writer.write(g)
+    sg.rows += 1L
   }
 
   override def commit(): WriterCommitMessage = {
-    closeSegment()
+    open.valuesIterator.foreach(closeSegment); open.clear()
     if (partIdx >= 0) AcidMultiWriteMessage(done.toSeq)
     else done.headOption.getOrElse(
       AcidWriteMessage(relPath, 0L, Long.MinValue, Long.MaxValue))
   }
 
   // close() runs after commit() too (the harness contract) — it only
-  // releases the handle; staged files are deleted on abort alone
+  // releases handles; staged files are deleted on abort alone
   override def abort(): Unit = {
     close()
-    (done.map(_.path) :+ Option(curPath).getOrElse(relPath)).distinct.foreach {
-      p => java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(tableDir, p)): Unit
-    }
+    (done.map(_.path) ++ open.valuesIterator.map(_.path) :+ relPath)
+      .distinct.foreach { p =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tableDir, p)): Unit
+      }
+    open.clear()
   }
   override def close(): Unit =
-    if (writer != null) { writer.close(); writer = null }
+    open.valuesIterator.foreach { sg =>
+      try sg.writer.close() catch { case _: Exception => () }
+    }
+}
+
+object AcidSqlDataWriter {
+  /** Bucketed writes keep ≤ this many parquet writers open per task. */
+  val MaxOpenSegments = 64
 }
 
 class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
-    onPlan: Seq[String] => Unit = _ => ())
+    onPlan: Seq[String] => Unit = _ => (), rowLevel: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
@@ -788,7 +899,8 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   // colmap: partcol sidecar and file stats2 carry PHYSICAL names; pushed
   // filters reference LOGICAL ones
   private val colMap = Acid.colMapOf(dir)
-  private val partCol = Acid.partColOf(dir)
+  private val partSpec = Acid.partSpecOf(dir)
+  private val partCol = partSpec.map(_.col)
   private val partColLogical = partCol.map(pc =>
     colMap.collectFirst { case (lo, ph) if ph == pc => lo }.getOrElse(pc))
 
@@ -861,14 +973,34 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
       }
     val (lo, hi) = AcidSql.keyBounds(keyFilters, keyCol)
     // Partition pruning for catalog-partitioned tables: drop files whose
-    // stats2 range (stamped by the clustered write) misses the predicate's
-    // partition-column bounds. Files without matching stats2 stay —
-    // conservative, never wrong.
-    val (plo, phi) = partColLogical.map(pc => AcidSql.keyBounds(partFilters, pc))
-      .getOrElse((Long.MinValue, Long.MaxValue))
+    // stats2 range (stamped by the clustered write under the table's
+    // partition TRANSFORM label) misses the predicate-derived partition
+    // bounds. Identity: long bounds verbatim; days(ts): timestamp bounds
+    // → epoch-day bounds through the same eval that stamped the files;
+    // bucket(n,c): equality/IN probes hash to their buckets (range
+    // predicates can't prune a hash layout — correctly left alone).
+    // Files without matching stats2 stay — conservative, never wrong.
+    val partLabel = partSpec.map(_.label)
+    val (plo, phi) = (partSpec, partColLogical) match {
+      case (Some(_: Acid.PartIdentity), Some(pc)) =>
+        AcidSql.keyBounds(partFilters, pc)
+      case (Some(ps: Acid.PartDays), Some(pc)) =>
+        val (tLo, tHi) = AcidSql.timeBoundsMicros(partFilters, pc)
+        (if (tLo == Long.MinValue) Long.MinValue else ps.eval(tLo),
+         if (tHi == Long.MaxValue) Long.MaxValue else ps.eval(tHi))
+      case _ => (Long.MinValue, Long.MaxValue)
+    }
+    val bucketAllowed: Option[Set[Long]] = (partSpec, partColLogical) match {
+      case (Some(pb: Acid.PartBucket), Some(pc)) =>
+        AcidSql.probeKeys(partFilters, pc).map(_.map(pb.eval).toSet)
+      case _ => None
+    }
     val partPruned = all.filter(f => f.stats2.forall {
       case (c, mn2, mx2) =>
-        !partCol.contains(c) || (mx2 >= plo && mn2 <= phi)
+        partLabel.forall(_ != c) || (bucketAllowed match {
+          case Some(ks) => ks.exists(k => k >= mn2 && k <= mx2)
+          case None     => mx2 >= plo && mn2 <= phi
+        })
     })
     val ranged0 = partPruned.filter(f => f.maxKey >= lo && f.minKey <= hi)
     // STRING/DATE stats pruning (round 9 — the V2 twin of the library's
@@ -907,9 +1039,10 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     // Readers receive the PHYSICAL required schema (column-mapped tables)
     // but the scan reports the logical one to Spark — rows are positional,
     // so the translation is free.
-    new AcidSqlScan(dir, live.map(_.path), required,
+    new AcidSqlScan(dir, live, required,
       Acid.toPhysical(dir, required), onPlan, dvKeys,
-      colMap.getOrElse(keyCol, keyCol), dvPos)
+      colMap.getOrElse(keyCol, keyCol), dvPos, rowLevel, maxFilesPerTrigger,
+      maxBytesPerTrigger)
   }
 }
 
@@ -921,19 +1054,60 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   * rewritten, and swapped at commit (`onPlan` keeps the row-level
   * operation's group list in sync with the filtered plan).
   */
-class AcidSqlScan(dir: String, files0: Seq[String], required: StructType,
+class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
     physicalRequired: StructType,
     onPlan: Seq[String] => Unit = _ => (),
     dvKeys: Map[String, Array[Long]] = Map.empty, keyCol: String = "",
-    dvPos: Map[String, Array[Long]] = Map.empty)
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
-  private var files: Seq[String] = files0
+    dvPos: Map[String, Array[Long]] = Map.empty, rowLevel: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
+  private var live: Seq[Acid.FileEntry] = live0
+  private def files: Seq[String] = live.map(_.path)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Accurate, PRUNE-AWARE statistics from the manifest — without this a
+    * V2 scan defaults to `defaultSizeInBytes` (effectively "huge"), so a
+    * join against a small (or sharply pruned) ACID table could never
+    * auto-broadcast and every such join would shuffle both sides — at
+    * 100 TB the difference between a map-side hash join and a full
+    * exchange. `live` already reflects manifest pruning (key range,
+    * partition, cstats, bloom), so a point-lookup over a billion-row
+    * table reports only the surviving files' bytes — the Delta-style
+    * filter-aware sizeInBytes. Rows subtract the inlined deletion
+    * vectors; files from pre-stats manifests (bytes 0) fall back to
+    * rows x pruned-projection width, erring small only when rows is
+    * also tiny. Parquet bytes understate in-memory width about as much
+    * as full-file bytes overstate a pruned projection — the same
+    * compensating estimate Delta ships. */
+  override def estimateStatistics(): V2Statistics = {
+    val rowW = math.max(1, required.defaultSize)
+    val rows = live.iterator.map { f =>
+      math.max(0L, f.rows -
+        dvKeys.get(f.path).map(_.length.toLong).getOrElse(0L) -
+        dvPos.get(f.path).map(_.length.toLong).getOrElse(0L))
+    }.sum
+    val bytes = live.iterator
+      .map(f => if (f.bytes > 0L) f.bytes else f.rows * rowW).sum
+    new V2Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  /** `_file` is advertised ONLY for row-level-operation scans (where
+    * RowLevelOperationRuntimeGroupFiltering consumes it and the
+    * `_file` metadata column is in scope). Advertising it on ordinary
+    * reads breaks PartitionPruning: once the scan reports real
+    * statistics, broadcast joins qualify for DPP consideration, whose
+    * resolver throws on a filter attribute the projection lacks. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("_file"))
+    if (rowLevel) Array(Expressions.column("_file")) else Array.empty
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     // Sound narrowing only: an IN over _file keeps exactly the named
@@ -949,7 +1123,7 @@ class AcidSqlScan(dir: String, files0: Seq[String], required: StructType,
         }.toSet
     }
     keep.foreach { absPaths =>
-      files = files.filter(p => absPaths.contains(s"$dir/$p"))
+      live = live.filter(f => absPaths.contains(s"$dir/${f.path}"))
       onPlan(files)
     }
   }
@@ -965,7 +1139,8 @@ class AcidSqlScan(dir: String, files0: Seq[String], required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AcidSqlMicroBatchStream(dir, physicalRequired)
+    new AcidSqlMicroBatchStream(dir, physicalRequired, maxFilesPerTrigger,
+      maxBytesPerTrigger)
 }
 
 /** `spark.readStream.table(<cat>.t)` — the catalog table as a V2
@@ -983,15 +1158,74 @@ class AcidSqlScan(dir: String, files0: Seq[String], required: StructType,
   * and a checkpoint below the vacuum horizon refuses rather than
   * silently skipping, same as time travel.
   */
-class AcidSqlMicroBatchStream(dir: String, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
+class AcidSqlMicroBatchStream(dir: String, required: StructType,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   override def initialOffset(): StreamOffset = AcidVersionOffset(-1L)
   override def latestOffset(): StreamOffset =
     AcidVersionOffset(Acid.latestVersion(dir).toLong)
   override def deserializeOffset(json: String): StreamOffset =
     AcidVersionOffset(json.trim.toLong)
+
+  /** ADMISSION CONTROL (`maxFilesPerTrigger`, the Delta/FileStreamSource
+    * rate-limit contract): a 100 TB backfill that lands mid-stream would
+    * otherwise arrive as ONE micro-batch — state-store pressure, one
+    * giant commit downstream, no incremental checkpoints. With the
+    * option set, each batch's end offset advances version by version
+    * until the next version's ADDED-file count would exceed the budget.
+    * Offsets stay version-granular (a single huge commit still processes
+    * whole — versions are the atomicity unit), so a batch takes at
+    * least one version however small the cap. The walk costs one cached
+    * manifest set-diff per admitted version — driver metadata only.
+    *
+    * `SupportsTriggerAvailableNow` is implemented DIRECTLY (capturing
+    * the target version at query start) because Spark's fallback
+    * `AvailableNowDataStreamWrapper.latestOffset(start, limit)` returns
+    * its pre-fetched end offset unconditionally — a wrapped stream's
+    * admission control is silently ignored and the whole catch-up
+    * arrives as one batch (verified against the shipped bytecode). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .orElse(maxBytesPerTrigger.map(ReadLimit.maxBytes))
+      .getOrElse(ReadLimit.allAvailable())
+
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(Acid.latestVersion(dir).toLong)
+
+  override def reportLatestOffset(): StreamOffset =
+    AcidVersionOffset(Acid.latestVersion(dir).toLong)
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val vLatest = availableNowTarget
+      .map(_.toInt).getOrElse(Acid.latestVersion(dir))
+    val v0 = start.asInstanceOf[AcidVersionOffset].v.toInt
+    // cost of admitting one version = its added-file COUNT (maxFiles) or
+    // their manifest-stamped BYTES (maxBytes; pre-stats legacy entries
+    // weigh 0 — conservative toward larger batches, never a stall)
+    val (budget0, costOf): (Long, Seq[Acid.FileEntry] => Long) = limit match {
+      case mf: ReadMaxFiles => (mf.maxFiles().toLong, fs => fs.size.toLong)
+      case mb: ReadMaxBytes => (mb.maxBytes(), fs => fs.map(_.bytes).sum)
+      case _                => return AcidVersionOffset(vLatest.toLong)
+    }
+    var v = v0
+    var budget = budget0
+    var prev: Set[String] =
+      if (v0 < 0) Set.empty
+      else Acid.readManifest(dir, v0).files.map(_.path).toSet
+    var full = false
+    while (!full && v < vLatest) {
+      val nxtEntries = Acid.readManifest(dir, v + 1).files
+      val added = costOf(nxtEntries.filterNot(f => prev(f.path)))
+      if (added > budget && v > v0) full = true
+      else { v += 1; budget -= added; prev = nxtEntries.map(_.path).toSet }
+    }
+    AcidVersionOffset(v.toLong)
+  }
 
   override def planInputPartitions(start: StreamOffset, end: StreamOffset)
       : Array[InputPartition] = {
@@ -1051,7 +1285,7 @@ class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
     !anyDv && required.fields.nonEmpty && required.fields.forall(f =>
       f.name != "_file" && (f.dataType match {
         case LongType | IntegerType | DoubleType | BooleanType | StringType |
-             DateType => true
+             DateType | TimestampType | TimestampNTZType => true
         case _ => false
       }))
 
@@ -1279,6 +1513,8 @@ class AcidSqlPartitionReader(absPath: String, required: StructType,
           // parquet DATE is INT32 days since epoch — exactly Spark's
           // internal DateType representation (round 9: was silently NULL)
           case DateType    => current.getInteger(f.name, 0)
+          // TIMESTAMP(MICROS) is INT64 micros — Spark's internal encoding
+          case TimestampType | TimestampNTZType => current.getLong(f.name, 0)
           case StringType  =>
             UTF8String.fromBytes(current.getBinary(f.name, 0).getBytes)
           case _ => null

@@ -842,6 +842,57 @@ object Streaming {
       .orderBy(col("prio"))
   }
 
+  /** st_stream_ratelimit — `maxFilesPerTrigger` ADMISSION CONTROL on the
+    * table streaming source (the Delta/FileStreamSource rate-limit
+    * contract, `SupportsAdmissionControl`): without it, however far a
+    * restarted stream is behind — or however large a backfill lands —
+    * everything arrives as ONE micro-batch. The fixture creates the
+    * table as 8 range files (v0) plus four single-file commits (v1–v4)
+    * and streams with `maxFilesPerTrigger = 2` under AvailableNow:
+    * admission walks version by version, so the run must land exactly
+    * THREE non-empty batches — v0 alone (8 files exceed the cap but a
+    * version is the atomicity unit, so at least one version per batch),
+    * then v1+v2, then v3+v4 — while draining the same total rows. The
+    * `rate_limited` boolean pins the 3-batch shape from the query
+    * progress; totals pin no data loss under the chunked catch-up.
+    */
+  val stStreamRatelimit: Q = (s, d) => {
+    import graft.sources.Acid
+    val root = fresh("st_stream_ratelimit", d)
+    val cat = "graft_rl_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    val kv = graft.Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      col("o_orderpriority").as("prio"))
+    val mk = graft.Tables.orders(s, d).agg(max(col("o_orderkey"))).head.getLong(0)
+    Acid.create(s, s"$root/t", kv, "k", 8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (1 to 4).foreach { i =>
+      s.sql(s"""INSERT INTO $cat.t VALUES
+               |(CAST(${mk + i} AS BIGINT), CAST(${i * 100} AS BIGINT), 'RL$i')"""
+        .stripMargin)
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val q = ss.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table(s"$cat.t").writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory").queryName("st_stream_ratelimit")
+      .option("checkpointLocation", s"$root/_streamcp")
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    ss.table("st_stream_ratelimit")
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("n_batches", lit(nBatches.toLong))
+      .withColumn("rate_limited", lit(nBatches == 3))
+  }
+
   /** st_table_changes — change-data-feed THROUGH THE CATALOG:
     * `spark.readStream.table("<cat>.t.changes")` streams the table's CDF
     * metadata table (Delta-shaped rows: data columns + `_change_type` +
@@ -1001,6 +1052,7 @@ object Streaming {
     "st_realtime_rate"   -> stRealtimeRate,
     "st_table_cdf"       -> stTableCdf,
     "st_table_stream"    -> stTableStream,
+    "st_stream_ratelimit" -> stStreamRatelimit,
     "st_table_changes"   -> stTableChanges,
     "st_foreachbatch_upsert" -> stForeachBatchUpsert,
     "st_checkpoint_resume" -> stCheckpointResume,
@@ -1049,6 +1101,12 @@ object Streaming {
         |SELECT prio, count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
         |       TRUE AS three_versions
         |FROM streamed GROUP BY prio ORDER BY prio""".stripMargin,
+    "st_stream_ratelimit" ->
+      """SELECT count(*) + 4 AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 1000
+        |            AS BIGINT) AS sum_cents,
+        |       CAST(3 AS BIGINT) AS n_batches, TRUE AS rate_limited
+        |FROM orders""".stripMargin,
     "st_table_changes" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -213,11 +213,20 @@ class Round9Spec extends AnyFunSuite {
       spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v")), "k", 4)
     Acid.optimize(spark, dir, 2) // v1; v0's originals become orphans
     Acid.optimize(spark, dir, 3) // v2
-    // age v0 and v1 beyond a 1-hour horizon; v2 stays fresh
+    // age v0 and v1 beyond a 1-hour horizon; v2 stays fresh. The DATA
+    // files those versions orphaned must age too: RETAIN n HOURS also
+    // graces young unreferenced files (the staging-race guard), exactly
+    // Delta's "only files older than retention" contract
     for (v <- 0 to 1)
       Files.setLastModifiedTime(Paths.get(dir, "_log", f"v$v%05d.txt"),
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() - 3 * 3600 * 1000L))
+    val liveNow = Acid.readManifest(dir, 2).files.map(_.path).toSet
+    (0 to 1).flatMap(v => Acid.readManifest(dir, v).files.map(_.path))
+      .distinct.filterNot(liveNow)
+      .foreach(p => Files.setLastModifiedTime(Paths.get(dir, p),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3 * 3600 * 1000L)))
     // DRY RUN parity: reports without reclaiming
     val dry = spark.sql(s"VACUUM '$dir' RETAIN 1 HOURS DRY RUN").head
     assert(dry.getLong(0) >= 1)
@@ -475,5 +484,215 @@ class Round9Spec extends AnyFunSuite {
     val e = Acid.mergeAt(spark, dir, 2, batchB, "E", disjointRebase = true)
     assert(e.isLeft && e.swap.exists(_.contains("overlap conflict")),
       "an interleaved append inside the batch range must refuse the rebase")
+  }
+
+  test("V2 scan reports prune-aware statistics; small ACID dims broadcast") {
+    val root = Scratch.fresh("r9_rstats", sf)
+    val cat = catFor("rs", root)
+    val dir = s"$root/t"
+    val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+    Acid.create(spark, dir, dim, "k", 4)
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m.files.nonEmpty && m.files.forall(_.bytes > 0L),
+      "library create stamps file bytes")
+
+    def leaf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }.head
+    val full = spark.read.table(s"$cat.t")
+    val fs = leaf(full)
+    assert(fs.sizeInBytes === BigInt(m.files.map(_.bytes).sum),
+      "leaf stats equal the manifest byte sum exactly")
+    assert(fs.rowCount.contains(BigInt(1000)))
+    // a point lookup prunes to 1 of 4 range files -> the reported
+    // statistics shrink with the pruning (filter-aware sizeInBytes)
+    val ps = leaf(full.filter(col("k") === lit(999L)))
+    assert(ps.sizeInBytes > 0 && ps.sizeInBytes < fs.sizeInBytes)
+    assert(ps.rowCount.exists(_ <= BigInt(250)))
+    // static planner: the ACID scan must be the BHJ build side — only
+    // possible because the scan reports its true (small) size; an
+    // unreported V2 scan sizes at defaultSizeInBytes and never builds
+    val fact = spark.range(100000).select(col("id").as("fk"))
+    val j = fact.join(full, col("fk") === col("k")).groupBy().count()
+    val acidBuild = j.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        val build =
+          if (b.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+            b.right
+          else b.left
+        build.exists {
+          case sc: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            sc.scan.isInstanceOf[graft.sources.AcidSqlScan]
+          case _ => false
+        }
+    }.getOrElse(false)
+    assert(acidBuild, "ACID side is the broadcast build side")
+    // the V2 writer stamps bytes on its staged files too
+    spark.sql(s"INSERT INTO $cat.t VALUES (CAST(2000 AS BIGINT), CAST(1 AS BIGINT))")
+    val m2 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val added = m2.files.filterNot(m.files.toSet)
+    assert(added.nonEmpty && added.forall(_.bytes > 0L),
+      "V2 INSERT stamps file bytes")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
+  test("table stream admission control caps added files per micro-batch") {
+    val root = Scratch.fresh("r9_ratelimit", sf)
+    val dir = s"$root/t"
+    val t = spark.range(800).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Acid.create(spark, dir, t, "k", 8)
+    (1 to 4).foreach { i =>
+      val dd = s"d_rl_$i"
+      spark.range(1).select(lit(1000L + i).as("k"), lit(0L).as("v"))
+        .coalesce(1).write.parquet(s"$dir/$dd")
+      val part = {
+        val ls = Files.list(Paths.get(dir, dd))
+        try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        finally ls.close()
+      }
+      val rel = s"$dd/${Paths.get(part).getFileName}"
+      assert(Acid.appendCommit(dir,
+        Seq(Acid.FileEntry(rel, 1L, 1000L + i, 1000L + i,
+          bytes = Files.size(Paths.get(dir, rel))))) === i)
+    }
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("v", "long")
+    val stream = new graft.sources.AcidSqlMicroBatchStream(dir, sch, Some(2))
+    def off(v: Long) = graft.sources.AcidVersionOffset(v)
+    val lim = stream.getDefaultReadLimit
+    // v0 has 8 files — over the cap, but a version is the atomicity
+    // unit, so the first batch takes exactly v0 and stops there
+    assert(stream.latestOffset(off(-1), lim) === off(0))
+    // then two single-file versions per batch
+    assert(stream.latestOffset(off(0), lim) === off(2))
+    assert(stream.latestOffset(off(2), lim) === off(4))
+    assert(stream.latestOffset(off(4), lim) === off(4), "caught up")
+    assert(stream.latestOffset(off(-1), ReadLimit.allAvailable()) === off(4),
+      "no cap -> everything in one batch")
+    // bytes budget: cap = one single-row file's stamped size, so each
+    // batch admits exactly one of the v1..v4 commits
+    val m4 = Acid.readManifest(dir, 4)
+    val oneFile = m4.files.filter(_.path.startsWith("d_rl_")).map(_.bytes).max
+    assert(oneFile > 0L, "appendCommit entries carry no bytes? stamp them in the test")
+    val byBytes = new graft.sources.AcidSqlMicroBatchStream(dir, sch,
+      maxBytesPerTrigger = Some(oneFile))
+    val bLim = byBytes.getDefaultReadLimit
+    assert(byBytes.latestOffset(off(0), bLim) === off(1))
+    assert(byBytes.latestOffset(off(1), bLim) === off(2))
+  }
+
+  test("vacuum grace spares young orphans; SQL RETAIN HOURS wires the grace") {
+    val root = Scratch.fresh("r9_vac_grace", sf)
+    val dir = s"$root/t"
+    val t = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Acid.create(spark, dir, t, "k", 2)
+    def stage(dd: String): String = {
+      spark.range(1).select(lit(500L).as("k"), lit(0L).as("v"))
+        .coalesce(1).write.parquet(s"$dir/$dd")
+      val ls = Files.list(Paths.get(dir, dd))
+      val part =
+        try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        finally ls.close()
+      s"$dd/${Paths.get(part).getFileName}"
+    }
+    val freshO = stage("d_fresh")
+    val agedO = stage("d_aged")
+    Files.setLastModifiedTime(Paths.get(dir, agedO),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    // dry run: grace counts only the aged orphan; graceless counts both
+    assert(Acid.vacuum(spark, dir, 0, dryRun = true, graceMs = 3600000L)._1 === 1)
+    assert(Acid.vacuum(spark, dir, 0, dryRun = true)._1 === 2)
+    // SQL RETAIN n HOURS wires the same horizon in as the orphan grace
+    spark.sql(s"VACUUM '$dir' RETAIN 1 HOURS").collect()
+    assert(Files.exists(Paths.get(dir, freshO)),
+      "in-flight staged file survives the graced vacuum")
+    assert(!Files.exists(Paths.get(dir, agedO)), "aged orphan reclaimed")
+  }
+
+  test("days(ts) partition transform: one-day files, predicate-derived pruning") {
+    val root = Scratch.fresh("r9_pdays", sf)
+    val cat = catFor("pd", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v BIGINT)
+                 |PARTITIONED BY (days(ts))""".stripMargin)
+    // 10 days x 5 rows, timestamps inside the day
+    spark.range(50).coalesce(1).selectExpr("id AS k",
+      "timestamp_micros(CAST(1704067200000000 + (id % 10) * 86400000000 + id * 1000000 AS BIGINT)) AS ts",
+      "id * 7 AS v")
+      .createOrReplaceTempView("r9_pdays_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM r9_pdays_src")
+    val m = Acid.readManifest(s"$root/ev", Acid.latestVersion(s"$root/ev"))
+    // every file is stamped one epoch-day wide under the transform label
+    assert(m.files.nonEmpty && m.files.forall(_.stats2.exists {
+      case (c, lo2, hi2) => c == "days(ts)" && lo2 == hi2
+    }), s"one-day stats2 per file, got ${m.files.map(_.stats2)}")
+    assert(m.files.map(_.stats2.get._2).distinct.size == 10, "10 day files")
+    // a 3-day window plans exactly 3 files; the predicate names only ts
+    val win = "ts >= TIMESTAMP'2024-01-03 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-06 00:00:00'"
+    val got = spark.sql(s"SELECT sum(v) FROM $cat.ev WHERE $win").head.getLong(0)
+    val (scanned, total) = graft.sources.AcidSql.lastScanFor(s"$root/ev")
+    assert(total == 10 && scanned == 3, s"pruned $scanned/$total, want 3/10")
+    val want = spark.sql(s"SELECT sum(v) FROM r9_pdays_src WHERE $win").head.getLong(0)
+    assert(got === want)
+    // timestamps round-trip exactly through the V2 writer+readers
+    val back = spark.sql(s"SELECT ts FROM $cat.ev ORDER BY k").collect().map(_.getTimestamp(0))
+    val src = spark.sql("SELECT ts FROM r9_pdays_src ORDER BY k").collect().map(_.getTimestamp(0))
+    assert(back.toSeq === src.toSeq)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+  }
+
+  test("bucket(n,k) partition transform: hash-bucket files, point-probe pruning") {
+    val root = Scratch.fresh("r9_pbkt", sf)
+    val cat = catFor("pb", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.bt")
+    spark.sql(s"""CREATE TABLE $cat.bt (k BIGINT, v BIGINT)
+                 |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.range(400).coalesce(1).selectExpr("id AS k", "id * 3 AS v")
+      .createOrReplaceTempView("r9_pbkt_src")
+    spark.sql(s"INSERT INTO $cat.bt SELECT k, v FROM r9_pbkt_src")
+    val m = Acid.readManifest(s"$root/bt", Acid.latestVersion(s"$root/bt"))
+    val buckets = m.files.flatMap(_.stats2).map { case (c, lo2, hi2) =>
+      assert(c == "bucket(4,k)" && lo2 == hi2 && lo2 >= 0 && lo2 < 4); lo2
+    }
+    assert(buckets.distinct.size == 4, s"4 bucket files, got $buckets")
+    // hash scatter: every bucket file spans nearly the full key range, so
+    // min/max could never prune a point probe — the bucket tier does
+    assert(m.files.forall(f => f.maxKey - f.minKey > 200))
+    val got = spark.sql(s"SELECT v FROM $cat.bt WHERE k = 137").head.getLong(0)
+    val (scanned, total) = graft.sources.AcidSql.lastScanFor(s"$root/bt")
+    assert(total == 4 && scanned == 1, s"pruned $scanned/$total, want 1/4")
+    assert(got === 411L)
+    // a RANGE predicate on k correctly prunes nothing (hash layout)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.bt WHERE k >= 100 AND k < 200")
+      .head.getLong(0) === 100L)
+    assert(graft.sources.AcidSql.lastScanFor(s"$root/bt")._1 === 4)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.bt")
+  }
+
+  test("round-9b fixture rows run end-to-end with true booleans") {
+    val r1 = Acid.queries("tbl_part_days")(spark, sf).head
+    assert(r1.getAs[Boolean]("pruned") && r1.getAs[Boolean]("partitioning_reported"),
+      s"tbl_part_days: $r1")
+    val r2 = Acid.queries("tbl_part_bucket")(spark, sf).head
+    assert(r2.getAs[Boolean]("bucket_pruned"), s"tbl_part_bucket: $r2")
+    val r3 = Acid.queries("tbl_vacuum_grace")(spark, sf).head
+    assert(r3.getAs[Boolean]("fresh_survived") && r3.getAs[Boolean]("old_deleted"),
+      s"tbl_vacuum_grace: $r3")
+    val r4 = Acid.queries("tbl_report_stats")(spark, sf).head
+    assert(r4.getAs[Boolean]("stats_exact") && r4.getAs[Boolean]("pruned_smaller") &&
+      r4.getAs[Boolean]("acid_broadcast"), s"tbl_report_stats: $r4")
+  }
+
+  test("st_stream_ratelimit fixture lands three bounded batches end-to-end") {
+    val df = graft.streaming.Streaming.queries("st_stream_ratelimit")(spark, sf)
+    val r = df.head
+    assert(r.getAs[Long]("n_batches") === 3L,
+      "AvailableNow catch-up under maxFilesPerTrigger=2 is v0 | v1+v2 | v3+v4")
+    assert(r.getAs[Boolean]("rate_limited"))
   }
 }
