@@ -18,10 +18,14 @@ import graft.sources.Acid
   * them — falls through to Spark's parser verbatim):
   *
   * {{{
-  *   OPTIMIZE <target> [WHERE <keyCol> BETWEEN <lo> AND <hi>]
+  *   OPTIMIZE <target> [PARTITIONS] [WHERE <keyCol> BETWEEN <lo> AND <hi>]
   *            [ZORDER BY (col)] [TARGET <n> FILES]
   *   VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS] [DRY RUN]
   *   DESCRIBE HISTORY <target>
+  *   CREATE BRANCH <name> ON <target>
+  *   PUBLISH BRANCH <name> ON <target>
+  *   DROP BRANCH <name> ON <target>
+  *   CREATE TAG <name> ON <target> [AS OF VERSION <v>]
   * }}}
   *
   * `<target>` is either a quoted table directory (`'/data/t'`) or a
@@ -39,7 +43,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // generic parse error.
   private val Tgt = """('[^']*'|\S+)"""
   private val OptimizeRe =
-    ("""(?is)\s*OPTIMIZE\s+""" + Tgt +
+    ("""(?is)\s*OPTIMIZE\s+""" + Tgt + """(\s+PARTITIONS)?""" +
       """(?:\s+WHERE\s+([A-Za-z_]\w*)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+))?""" +
       """(?:\s+ZORDER\s+BY\s+\(\s*([A-Za-z_]\w*)\s*\))?(?:\s+TARGET\s+(\d+)\s+FILES)?\s*;?\s*""").r
   private val VacuumRe =
@@ -47,17 +51,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
   private val HistoryRe =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Tgt + """\s*;?\s*""").r
+  private val BranchRe =
+    ("""(?is)\s*(CREATE|PUBLISH|DROP)\s+BRANCH\s+([A-Za-z0-9_-]+)\s+ON\s+""" +
+      Tgt + """\s*;?\s*""").r
+  private val TagRe =
+    ("""(?is)\s*CREATE\s+TAG\s+([A-Za-z0-9_-]+)\s+ON\s+""" + Tgt +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(target, wcol, wlo, whi, zcol, files) =>
+    case OptimizeRe(target, parts, wcol, wlo, whi, zcol, files) =>
       OptimizeTableCommand(target, Option(zcol),
-        Option(files).map(_.toInt).getOrElse(8),
-        Option(wcol).map(c => (c, wlo.toLong, whi.toLong)))
+        Option(files).map(_.toInt),
+        Option(wcol).map(c => (c, wlo.toLong, whi.toLong)),
+        perPartition = parts != null)
     case VacuumRe(target, retain, unit, dry) =>
       VacuumTableCommand(target, Option(retain).map(_.toInt),
         Option(unit).map(_.toUpperCase).getOrElse("VERSIONS"), dry != null)
     case HistoryRe(target) =>
       DescribeHistoryCommand(target)
+    case BranchRe(verb, name, target) =>
+      BranchCommand(verb.toUpperCase, name, target)
+    case TagRe(name, target, v) =>
+      CreateTagCommand(name, target, Option(v).map(_.toInt))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -106,27 +121,39 @@ private[plans] object MaintenanceSql {
   * pruning coordinate); combining WHERE with ZORDER BY refuses.
   */
 case class OptimizeTableCommand(target: String, zorderCol: Option[String],
-    targetFiles: Int, range: Option[(String, Long, Long)] = None)
+    targetFilesOpt: Option[Int], range: Option[(String, Long, Long)] = None,
+    perPartition: Boolean = false)
     extends LeafRunnableCommand {
+  private def targetFiles = targetFilesOpt.getOrElse(8)
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", LongType, nullable = false)(),
     AttributeReference("files_after", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] = {
     val dir = MaintenanceSql.dirOf(s, target)
-    val (before, after) = (range, zorderCol) match {
-      case (Some(_), Some(_)) =>
+    val (before, after) = (perPartition, range, zorderCol) match {
+      case (true, Some(_), _) | (true, _, Some(_)) =>
+        throw new UnsupportedOperationException(
+          "OPTIMIZE ... PARTITIONS cannot be combined with WHERE or " +
+            "ZORDER BY — partition compaction preserves the declared layout")
+      case (true, None, None) =>
+        // `TARGET n FILES` means n files PER PARTITION VALUE here
+        // (default 1: each fragmented value bin-packs to one file)
+        val (_, beforeN, afterN) = Acid.optimizePartitions(s, dir,
+          targetFilesOpt.getOrElse(1))
+        (beforeN, afterN)
+      case (false, Some(_), Some(_)) =>
         throw new UnsupportedOperationException(
           "OPTIMIZE ... WHERE cannot be combined with ZORDER BY — " +
             "range-scope first, then zorder the result")
-      case (Some((c, lo, hi)), None) =>
+      case (false, Some((c, lo, hi)), None) =>
         val key = Acid.keyColsOf(s, dir).head
         require(c == key,
           s"OPTIMIZE ... WHERE supports only the leading merge-key " +
             s"column '$key' (the manifest's pruning coordinate), got '$c'")
         val (_, afterN, beforeN) = Acid.optimizeRange(s, dir, lo, hi, targetFiles)
         (beforeN, afterN)
-      case (None, Some(c)) => Acid.optimizeZorder(s, dir, c, targetFiles)
-      case (None, None)    => Acid.optimize(s, dir, targetFiles)
+      case (false, None, Some(c)) => Acid.optimizeZorder(s, dir, c, targetFiles)
+      case (false, None, None)    => Acid.optimize(s, dir, targetFiles)
     }
     Seq(Row(before.toLong, after.toLong))
   }
@@ -163,6 +190,43 @@ case class VacuumTableCommand(target: String, retainN: Option[Int],
       else 0L
     val (deleted, live) = Acid.vacuum(s, dir, from, dryRun, graceMs)
     Seq(Row(deleted.toLong, live.toLong))
+  }
+}
+
+/** `CREATE | PUBLISH | DROP BRANCH <name> ON <target>` — the SQL surface
+  * of the write-audit-publish refs (Iceberg's branch DDL re-derived):
+  * thin wrappers over the library calls, so SQL and library users see
+  * identical ref state. PUBLISH surfaces a stale-audit conflict as an
+  * error (the library's Left) — SQL callers re-branch and re-audit. */
+case class BranchCommand(verb: String, name: String, target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = MaintenanceSql.dirOf(s, target)
+    val v = verb match {
+      case "CREATE"  => Acid.createBranch(s, dir, name)
+      case "PUBLISH" => Acid.publishBranch(s, dir, name) match {
+        case Right(nv) => nv
+        case Left(msg) => throw new IllegalStateException(msg)
+      }
+      case "DROP"    => Acid.dropBranch(dir, name); Acid.latestVersion(dir)
+    }
+    Seq(Row(v.toLong))
+  }
+}
+
+/** `CREATE TAG <name> ON <target> [AS OF VERSION <v>]` — pin a version
+  * by name; vacuum retains it whatever the horizon. Default: latest. */
+case class CreateTagCommand(name: String, target: String, version: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = MaintenanceSql.dirOf(s, target)
+    val v = version.getOrElse(Acid.latestVersion(dir))
+    Acid.tagVersion(dir, name, v)
+    Seq(Row(v.toLong))
   }
 }
 

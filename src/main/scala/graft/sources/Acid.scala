@@ -2032,6 +2032,50 @@ object Acid {
     (touched.size, readManifest(dir, newV).files.size, m.files.size)
   }
 
+  /** OPTIMIZE scoped to fragmented PARTITION VALUES — the Iceberg
+    * binPack-per-partition maintenance shape for transform-partitioned
+    * tables: every partition value holding more than `targetPerValue`
+    * files is compacted down to `targetPerValue`, its one-value
+    * `(label, v, v)` stats2 pin PRESERVED — a plain optimize() would
+    * re-cluster by key and erase the day/bucket layout the table was
+    * declared for. Untouched values' entries carry forward
+    * byte-identical; touched entries' deletion vectors are materialized
+    * away (the read subtracts them, the new entries carry none). Each
+    * value compacts as its own bounded job — embarrassingly parallel
+    * across maintenance workers at 100 TB, cost ∝ fragmented bytes,
+    * never table size — and the swap is one atomic `replaceCommit`, so
+    * a concurrent writer that touched a compacted file surfaces as a
+    * conflict instead of a lost update.
+    * Returns (valuesCompacted, filesBefore, filesAfter). */
+  def optimizePartitions(s: SparkSession, dir: String,
+      targetPerValue: Int = 1): (Int, Int, Int) = {
+    val spec = partSpecOf(dir).getOrElse(throw new IllegalArgumentException(
+      s"optimizePartitions: $dir declares no partition transform"))
+    val v = latestVersion(dir)
+    val m = readManifest(dir, v)
+    val key = keyColOf(s, dir)
+    val compact = m.files.groupBy(_.stats2 match {
+      case Some((c, lo, hi)) if c == spec.label && lo == hi => Some(lo)
+      case _                                                => None
+    }).collect {
+      case (Some(pv), fs) if fs.size > targetPerValue => (pv, fs)
+    }.toSeq.sortBy(_._1)
+    if (compact.isEmpty) return (0, m.files.size, m.files.size)
+    val removed = scala.collection.mutable.Set.empty[String]
+    val added = scala.collection.mutable.ListBuffer.empty[FileEntry]
+    compact.foreach { case (pv, fs) =>
+      val dd = s"d${v + 1}_optp_$pv"
+      applyDv(s, dir, fs, readMerged(s, dir)(fs.map(f => s"$dir/${f.path}"): _*))
+        .repartitionByRange(math.max(1, targetPerValue), col(key))
+        .write.mode("overwrite").parquet(s"$dir/$dd")
+      added ++= statsOf(s, dir, dd, key)
+        .map(_.copy(stats2 = Some((spec.label, pv, pv))))
+      removed ++= fs.map(_.path)
+    }
+    val newV = replaceCommit(dir, removed.toSet, added.toSeq, op = "OPTIMIZE")
+    (compact.size, m.files.size, readManifest(dir, newV).files.size)
+  }
+
   /** Z-ORDER rewrite: cluster the table on the Morton (bit-interleaved)
     * value of (key, col2) so per-file min/max stats become selective on
     * BOTH columns — the multi-dimensional data-skipping technique behind
@@ -2139,6 +2183,163 @@ object Acid {
     * attempts), then drop the older manifests so time travel below the
     * horizon refuses explicitly. Returns (deletedFiles, liveFiles).
     */
+  // ======================================================================
+  // Snapshot refs: branches (write-audit-publish) and tags — the Iceberg
+  // refs model re-derived for the text log. A BRANCH is a parallel chain
+  // of full manifests (`_log/b_<name>_v%05d.txt`) seeded from a main
+  // version: its data files land in the table dir but NO main manifest
+  // references them, so main readers never see un-audited rows; the
+  // branch manifest itself is the only reference (vacuum counts it as
+  // liveness). PUBLISH fast-forwards main to the audited branch state in
+  // one atomic commit. A TAG pins a main version by name — vacuum
+  // retains tagged versions (checkpointing them first) however far the
+  // horizon advances.
+  // ======================================================================
+
+  private def refPath(dir: String, kind: String, name: String) =
+    logDir(dir).resolve(s"refs_$kind.$name.txt")
+  private def branchManifestPath(dir: String, name: String, i: Int) =
+    logDir(dir).resolve(f"b_${name}_v$i%05d.txt")
+  private def checkRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"ref name '$name' must be [A-Za-z0-9_-]+")
+
+  private def listRefs(dir: String, kind: String): Seq[String] =
+    if (!Files.exists(logDir(dir))) Nil
+    else {
+      val st = Files.list(logDir(dir))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith(s"refs_$kind.") && n.endsWith(".txt"))
+        .map(_.stripPrefix(s"refs_$kind.").stripSuffix(".txt")).toList
+      finally st.close()
+    }
+
+  /** CREATE BRANCH from the current main head. The ref records the base
+    * version; creation is put-if-absent (duplicate names refuse). */
+  def createBranch(s: SparkSession, dir: String, name: String): Int = {
+    checkRefName(name)
+    val base = latestVersion(dir)
+    require(base >= 0, s"createBranch: $dir has no committed version")
+    Files.createDirectories(logDir(dir))
+    Files.write(refPath(dir, "branch", name),
+      base.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    base
+  }
+
+  def branchBase(dir: String, name: String): Int = {
+    val p = refPath(dir, "branch", name)
+    require(Files.exists(p), s"no branch '$name' on $dir")
+    Files.readString(p).trim.toInt
+  }
+
+  private def branchHead(dir: String, name: String): Int = {
+    var i = 0
+    while (Files.exists(branchManifestPath(dir, name, i))) i += 1
+    i - 1
+  }
+
+  private def branchFilesAt(dir: String, name: String, head: Int): Seq[FileEntry] =
+    if (head < 0) readManifest(dir, branchBase(dir, name)).files
+    else Files.readString(branchManifestPath(dir, name, head)).linesIterator
+      .filter(_.nonEmpty).map(parseEntry).toSeq
+
+  /** APPEND to a branch (the WAP staging write): the rows land as data
+    * files in the table dir, referenced only by the new branch manifest
+    * — invisible to every main reader until PUBLISH. The branch base's
+    * CHECK constraint still enforces (the audit flow validates real
+    * contracts, it does not suspend them). Racing writers on one branch
+    * serialize through put-if-absent on the branch manifest. */
+  def writeToBranch(s: SparkSession, dir: String, name: String,
+      df: DataFrame): Int = {
+    val h = branchHead(dir, name)
+    val dd = s"d_br_${name}_${java.util.UUID.randomUUID().toString.take(8)}"
+    toPhysicalDf(dir, df).write.parquet(s"$dir/$dd")
+    enforceConstraint(s, dir, dd,
+      readManifest(dir, branchBase(dir, name)).constraint)
+    val entries = statsOf(s, dir, dd, keyColOf(s, dir))
+    val files = branchFilesAt(dir, name, h) ++ entries
+    val tmp = logDir(dir)
+      .resolve(s".tmp-b$name-${java.util.UUID.randomUUID()}")
+    Files.write(tmp,
+      files.map(renderEntry).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, branchManifestPath(dir, name, h + 1))
+    finally Files.deleteIfExists(tmp)
+    h + 1
+  }
+
+  /** Read the branch's current state (base ∪ staged writes) — the AUDIT
+    * query surface. Same dropped/rename post-processing as snapshot. */
+  def snapshotBranch(s: SparkSession, dir: String, name: String): DataFrame = {
+    val fs = branchFilesAt(dir, name, branchHead(dir, name))
+    val raw = applyDv(s, dir, fs,
+      readMerged(s, dir)(fs.map(f => s"$dir/${f.path}"): _*))
+    val dropped = droppedOf(dir)
+    val undead =
+      if (dropped.isEmpty) raw
+      else raw.drop(dropped.filter(raw.columns.contains): _*)
+    colMapOf(dir).foldLeft(undead) { case (df2, (lo, ph)) =>
+      if (df2.columns.contains(ph)) df2.withColumnRenamed(ph, lo) else df2
+    }
+  }
+
+  /** PUBLISH (fast-forward): main commits ONE version whose file list is
+    * the audited branch head's — atomic cut-over, zero data movement.
+    * Refuses when main advanced past the branch base (the staged
+    * classification could be stale — re-branch and re-audit, same
+    * contract as the disjoint-rebase refusal) or when the commit race
+    * is lost. */
+  def publishBranch(s: SparkSession, dir: String, name: String): Either[String, Int] = {
+    val base = branchBase(dir, name)
+    val latest = latestVersion(dir)
+    if (latest != base)
+      return Left(s"publish conflict: main advanced to v$latest " +
+        s"past branch base v$base — re-branch and re-audit")
+    val m = readManifest(dir, base)
+    val files = branchFilesAt(dir, name, branchHead(dir, name))
+    try {
+      commitManifest(dir, Manifest(base + 1, -1L, files, m.batchHw, None,
+        m.constraint, op = "PUBLISH"))
+      Right(base + 1)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Left("publish conflict: lost the commit race — re-branch and re-audit")
+    }
+  }
+
+  /** Drop a branch: its manifests vanish, its data files become orphans
+    * (vacuum reclaims them past the grace window). Returns the number of
+    * branch manifests removed. */
+  def dropBranch(dir: String, name: String): Int = {
+    val h = branchHead(dir, name)
+    (0 to h).foreach(i =>
+      Files.deleteIfExists(branchManifestPath(dir, name, i)): Unit)
+    Files.deleteIfExists(refPath(dir, "tag", name)): Unit
+    Files.deleteIfExists(refPath(dir, "branch", name))
+    h + 1
+  }
+
+  /** TAG a main version by name: `snapshotTag` reads it forever, and
+    * vacuum RETAINS it (checkpoint + manifest survive any horizon). */
+  def tagVersion(dir: String, name: String, v: Int): Unit = {
+    checkRefName(name)
+    require(v >= 0 && v <= latestVersion(dir),
+      s"tagVersion: v$v is not a committed version of $dir")
+    Files.createDirectories(logDir(dir))
+    Files.write(refPath(dir, "tag", name),
+      v.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+  }
+
+  def tagVersionOf(dir: String, name: String): Int = {
+    val p = refPath(dir, "tag", name)
+    require(Files.exists(p), s"no tag '$name' on $dir")
+    Files.readString(p).trim.toInt
+  }
+
+  def snapshotTag(s: SparkSession, dir: String, name: String): DataFrame =
+    snapshot(s, dir, tagVersionOf(dir, name))
+
   def vacuum(s: SparkSession, dir: String, retainFrom: Int): (Int, Int) =
     vacuum(s, dir, retainFrom, dryRun = false)
 
@@ -2157,16 +2358,26 @@ object Acid {
   def vacuum(s: SparkSession, dir: String, retainFrom: Int,
              dryRun: Boolean, graceMs: Long = 0L): (Int, Int) = {
     val latest = latestVersion(dir)
-    val retained = (retainFrom to latest)
+    // TAGGED versions are retained whatever the horizon; BRANCH heads'
+    // files are live even though no main manifest references them (the
+    // branch manifest is the reference — deleting its files would turn
+    // an un-published audit branch into dangling pointers).
+    val tagVs = listRefs(dir, "tag").map(tagVersionOf(dir, _)).distinct
+    val branchLive = listRefs(dir, "branch").flatMap(n =>
+      Try(branchFilesAt(dir, n, branchHead(dir, n))).toOption.toSeq.flatten)
+    val retained = ((retainFrom to latest) ++ tagVs).distinct.sorted
       .flatMap(v => Try(readManifest(dir, v)).toOption)
-    val live = retained.flatMap(_.files.map(_.path)).toSet
+    val live = (retained.flatMap(_.files.map(_.path)) ++
+      branchLive.map(_.path)).toSet
     // CDC dirs of retained versions stay readable (the stream may still
     // replay them); below-horizon and loser-attempt CDC dirs are orphans.
     // Deletion-vector sidecars referenced by retained entries are live —
     // deleting one would resurrect its rows.
     val liveCdcPrefixes = retained.flatMap(_.cdcPath).map(_ + "/") ++
       retained.flatMap(_.files.flatMap(_.dv.map(_._1 + "/"))) ++
-      retained.flatMap(_.files.flatMap(_.pdv.map(_._1 + "/")))
+      retained.flatMap(_.files.flatMap(_.pdv.map(_._1 + "/"))) ++
+      branchLive.flatMap(_.dv.map(_._1 + "/")) ++
+      branchLive.flatMap(_.pdv.map(_._1 + "/"))
     val root = Paths.get(dir)
     val all = {
       val st = Files.walk(root)
@@ -2192,7 +2403,12 @@ object Acid {
         if (lastCheckpointVersion(dir).forall(_ < retainFrom))
           writeLastCheckpoint(dir, retainFrom)
       }
-      (0 until retainFrom).foreach { v =>
+      // tagged versions below the horizon: checkpoint them first (their
+      // delta chains are about to lose links), then keep their manifests
+      tagVs.filter(_ < retainFrom).foreach { tv =>
+        Try(readManifest(dir, tv)).foreach(writeCheckpoint(dir, _))
+      }
+      (0 until retainFrom).filterNot(tagVs.contains).foreach { v =>
         Files.deleteIfExists(manifestPath(dir, v))
         Files.deleteIfExists(checkpointPath(dir, v)): Unit
       }
@@ -2587,6 +2803,50 @@ object Acid {
       .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
       .withColumn("fresh_survived", lit(freshSurvived))
       .withColumn("old_deleted", lit(oldGone && deleted == 1))
+  }
+
+  /** tbl_branch_wap — WRITE-AUDIT-PUBLISH through snapshot refs (the
+    * Iceberg branches/tags model re-derived): a batch stages onto a
+    * BRANCH (data files on disk, referenced only by the branch's
+    * parallel manifest chain — main readers cannot see one un-audited
+    * row), the audit queries run on `snapshotBranch`, and PUBLISH
+    * fast-forwards main to the audited state in one atomic commit.
+    * Re-publishing after main moved refuses (stale audit). A TAG pins
+    * the pre-publish version: vacuum past it keeps the tagged snapshot
+    * readable forever — the compliance-snapshot contract.
+    */
+  val tblBranchWap: Q = (s, d) => {
+    val dir = fresh("tbl_branch_wap", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    createBranch(s, dir, "audit")
+    val staged = ordersKV(s, d).filter(col("k") % 100 === 0)
+      .select((col("k") + mk + 1).as("k"),
+        (col("k") * 3 + 45).as("price_cents"), lit("WAP").as("prio"))
+    writeToBranch(s, dir, "audit", staged)
+    val baseN = ordersKV(s, d).count()
+    val stagedN = staged.count()
+    val mainIsolated = latestVersion(dir) == 0 &&
+      snapshot(s, dir).count() == baseN
+    val br = snapshotBranch(s, dir, "audit")
+    val auditPassed = br.filter(col("prio") === "WAP").count() == stagedN &&
+      br.count() == baseN + stagedN
+    val pub = publishBranch(s, dir, "audit")
+    val published = pub.isRight && latestVersion(dir) == 1
+    val v0Intact = snapshot(s, dir, 0).count() == baseN
+    val rePub = publishBranch(s, dir, "audit")
+    tagVersion(dir, "prewap", 0)
+    vacuum(s, dir, retainFrom = 1)
+    val tagReadable =
+      Try(snapshotTag(s, dir, "prewap").count()).toOption.contains(baseN)
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("main_isolated", lit(mainIsolated))
+      .withColumn("audit_passed", lit(auditPassed))
+      .withColumn("published", lit(published))
+      .withColumn("v0_intact", lit(v0Intact))
+      .withColumn("republish_refused", lit(rePub.isLeft))
+      .withColumn("tag_survives_vacuum", lit(tagReadable))
   }
 
   /** tbl_idempotent_retry — exactly-once under at-least-once delivery: the
@@ -3462,6 +3722,68 @@ object Acid {
       .withColumn("bucket_pruned", lit(scanned >= 1 && scanned * 2 <= total))
   }
 
+  /** tbl_partitions_meta — the `.partitions` metadata table (Iceberg's
+    * `db.table.partitions` idiom): one row per live partition value with
+    * file/row/byte totals from a single driver-side manifest read — the
+    * operator's first look before partition-scoped maintenance (which
+    * days are fragmented, which buckets skewed), no data touched.
+    */
+  val tblPartitionsMeta: Q = (s, d) => {
+    val root = fresh("tbl_parts_meta_cat", d)
+    val cat = "graft_pmeta_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_pmeta_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.pt")
+    s.sql(s"""CREATE TABLE $cat.pt (k BIGINT, p BIGINT, price_cents BIGINT)
+             |PARTITIONED BY (p)""".stripMargin)
+    s.sql(s"INSERT INTO $cat.pt SELECT k, k % 5, price_cents FROM graft_pmeta_src")
+    s.read.table(s"$cat.pt.partitions")
+      .select(col("transform"), col("value"), col("rows").as("n_rows"),
+        (col("n_files") >= 1).as("files_positive"),
+        (col("bytes") > 0).as("bytes_positive"))
+      .orderBy(col("value"))
+  }
+
+  /** tbl_optimize_partitions — partition-scoped compaction (`OPTIMIZE
+    * ... PARTITIONS`, the Iceberg binPack-per-partition shape): three
+    * appends fragment every bucket of a bucket(4,k) table to 3 files;
+    * the compaction bin-packs each value back to one file with its
+    * `(bucket(4,k), b, b)` stats2 pin PRESERVED — a plain OPTIMIZE
+    * would re-cluster by key and erase the hash layout — so the point
+    * probe still plans 1-of-4 files afterwards and the totals are
+    * byte-for-byte the same.
+    */
+  val tblOptimizePartitions: Q = (s, d) => {
+    val root = fresh("tbl_optp_cat", d)
+    val cat = "graft_optp_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val mk = maxKey(s, d)
+    ordersKV(s, d).createOrReplaceTempView("graft_optp_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.bt")
+    s.sql(s"""CREATE TABLE $cat.bt (k BIGINT, price_cents BIGINT)
+             |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    s.sql(s"INSERT INTO $cat.bt SELECT k, price_cents FROM graft_optp_src")
+    s.sql(s"INSERT INTO $cat.bt SELECT k, price_cents FROM graft_optp_src WHERE k % 3 = 0")
+    s.sql(s"INSERT INTO $cat.bt SELECT k, price_cents FROM graft_optp_src WHERE k % 7 = 0")
+    val r = s.sql(s"OPTIMIZE $cat.bt PARTITIONS").head
+    val (before, after) = (r.getLong(0), r.getLong(1))
+    val m = readManifest(s"$root/bt", latestVersion(s"$root/bt"))
+    val statsPreserved = m.files.nonEmpty && m.files.forall(_.stats2.exists {
+      case (c, lo2, hi2) => c == "bucket(4,k)" && lo2 == hi2
+    })
+    val probe = ordersKV(s, d).filter(col("k") >= lit(mk / 2))
+      .agg(min(col("k"))).head.getLong(0)
+    s.sql(s"SELECT count(*) FROM $cat.bt WHERE k = $probe").head
+    val (scanned, total) = AcidSql.lastScanFor(s"$root/bt")
+    s.sql(s"""SELECT count(*) AS n, sum(price_cents) AS sum_cents
+             |FROM $cat.bt""".stripMargin)
+      .withColumn("compacted", lit(after < before && after <= 4))
+      .withColumn("stats_preserved", lit(statsPreserved))
+      .withColumn("probe_pruned", lit(scanned >= 1 && scanned * 2 <= total))
+  }
+
   /** tbl_sql_optimize — table maintenance as SQL statements through the
     * injected parser (GraftSqlParser, the Delta idiom): CTAS + two
     * fragmenting INSERTs, then `OPTIMIZE ... TARGET 2 FILES` compacts,
@@ -3862,6 +4184,8 @@ object Acid {
     "tbl_sql_partitioned"   -> tblSqlPartitioned,
     "tbl_part_days"         -> tblPartDays,
     "tbl_part_bucket"       -> tblPartBucket,
+    "tbl_partitions_meta"   -> tblPartitionsMeta,
+    "tbl_optimize_partitions" -> tblOptimizePartitions,
     "tbl_sql_optimize"      -> tblSqlOptimize,
     "tbl_sql_rename"        -> tblSqlRename,
     "tbl_sql_drop"          -> tblSqlDrop,
@@ -3879,6 +4203,7 @@ object Acid {
     "tbl_concurrent_disjoint" -> tblConcurrentDisjoint,
     "tbl_vacuum"            -> tblVacuum,
     "tbl_vacuum_grace"      -> tblVacuumGrace,
+    "tbl_branch_wap"        -> tblBranchWap,
     "tbl_idempotent_retry"  -> tblIdempotentRetry,
     "tbl_optimize_compact"  -> tblOptimizeCompact,
     "tbl_stream_sink"       -> tblStreamSink,
@@ -3893,6 +4218,34 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_branch_wap" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |st AS (SELECT k * 3 + 45 AS pc FROM base WHERE k % 100 = 0)
+        |SELECT (SELECT count(*) FROM base) + (SELECT count(*) FROM st) AS n,
+        |       CAST((SELECT sum(pc) FROM base) + (SELECT sum(pc) FROM st)
+        |            AS BIGINT) AS sum_cents,
+        |       TRUE AS main_isolated, TRUE AS audit_passed,
+        |       TRUE AS published, TRUE AS v0_intact,
+        |       TRUE AS republish_refused, TRUE AS tag_survives_vacuum""".stripMargin,
+    "tbl_optimize_partitions" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |u AS (
+        |  SELECT k, pc FROM base
+        |  UNION ALL SELECT k, pc FROM base WHERE k % 3 = 0
+        |  UNION ALL SELECT k, pc FROM base WHERE k % 7 = 0)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       TRUE AS compacted, TRUE AS stats_preserved,
+        |       TRUE AS probe_pruned
+        |FROM u""".stripMargin,
+    "tbl_partitions_meta" ->
+      """SELECT 'p' AS transform, CAST(o_orderkey % 5 AS BIGINT) AS value,
+        |       count(*) AS n_rows,
+        |       TRUE AS files_positive, TRUE AS bytes_positive
+        |FROM orders GROUP BY 2 ORDER BY value""".stripMargin,
     "tbl_part_days" ->
       """SELECT count(*) AS n_window,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

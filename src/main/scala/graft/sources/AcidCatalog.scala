@@ -92,6 +92,14 @@ class AcidCatalog extends StagingTableCatalog {
         ident.namespace().dropRight(1), ident.namespace().last))
       if (!exists(base)) throw new NoSuchTableException(ident)
       new AcidHistoryTable(base)
+    } else if (ident.name() == "partitions" && ident.namespace().nonEmpty) {
+      // `<cat>.t.partitions` — per-partition-value totals (Iceberg's
+      // `db.table.partitions` idiom); a literal table named `partitions`
+      // wins, same shadowing rule as the other metadata tables.
+      val base = dirOf(Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last))
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new AcidPartitionsTable(base)
     } else if (ident.name() == "changes" && ident.namespace().nonEmpty) {
       // `<cat>.t.changes` — the change-data-feed METADATA TABLE (Iceberg's
       // `db.table.files` idiom): the trailing name selects the CDF view of

@@ -175,3 +175,77 @@ class AcidFilesScan(dir: String) extends Scan with Batch {
 
 case class AcidFilesInputPartition(entries: Seq[Acid.FileEntry])
   extends InputPartition
+
+/** `<cat>.t.partitions` — the Iceberg `db.table.partitions` idiom: one
+  * row per live partition value with file/row/byte totals, aggregated
+  * from ONE driver-side manifest read (partition-count sized, data
+  * never touched). The operator's first look before partition-scoped
+  * maintenance: which days are fragmented, which buckets skewed.
+  * Files carrying no stats under the table's partition label (e.g.
+  * rewritten by a partition-agnostic OPTIMIZE) land on a NULL-value
+  * row, so totals always reconcile with `.files`.
+  */
+class AcidPartitionsTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-acid-partitions:$dir"
+  override def schema(): StructType = AcidPartitions.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new AcidPartitionsScan(dir)
+    }
+}
+
+object AcidPartitions {
+  val schema: StructType = StructType(Seq(
+    StructField("transform", StringType, nullable = false),
+    StructField("value", LongType, nullable = true),
+    StructField("n_files", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+}
+
+case class AcidPartitionsRow(value: Option[Long], nFiles: Long, rows: Long,
+    bytes: Long)
+case class AcidPartitionsInputPartition(label: String,
+    rows: Seq[AcidPartitionsRow]) extends InputPartition
+
+class AcidPartitionsScan(dir: String) extends Scan with Batch {
+  override def readSchema(): StructType = AcidPartitions.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val label = Acid.partSpecOf(dir).map(_.label).getOrElse("")
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val grouped = m.files.groupBy(_.stats2 match {
+      case Some((c, lo, hi)) if c == label && lo == hi => Some(lo)
+      case _                                           => None
+    })
+    val rows = grouped.toSeq.map { case (v, fs) =>
+      AcidPartitionsRow(v, fs.size.toLong, fs.map(_.rows).sum,
+        fs.map(_.bytes).sum)
+    }.sortBy(_.value.getOrElse(Long.MinValue))
+    Array(AcidPartitionsInputPartition(label, rows))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val ip = p.asInstanceOf[AcidPartitionsInputPartition]
+        new PartitionReader[InternalRow] {
+          private val it = ip.rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            val g = it.next()
+            val r = new GenericInternalRow(5)
+            r.update(0, UTF8String.fromString(ip.label))
+            r.update(1, g.value.map(Long.box).orNull)
+            r.update(2, g.nFiles); r.update(3, g.rows); r.update(4, g.bytes)
+            cur = r
+            true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+}

@@ -674,6 +674,108 @@ class Round9Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.bt")
   }
 
+  test(".partitions metadata table and partition-scoped OPTIMIZE") {
+    val root = Scratch.fresh("r9_optp", sf)
+    val cat = catFor("op", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.bt")
+    spark.sql(s"""CREATE TABLE $cat.bt (k BIGINT, v BIGINT)
+                 |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.range(200).coalesce(1).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("r9_optp_src")
+    (1 to 3).foreach(_ =>
+      spark.sql(s"INSERT INTO $cat.bt SELECT k, v FROM r9_optp_src"))
+    val before = spark.read.table(s"$cat.bt.partitions").collect()
+    assert(before.length === 4, s"4 bucket rows, got ${before.toSeq}")
+    assert(before.forall(r => r.getAs[Long]("n_files") === 3L &&
+      r.getAs[String]("transform") == "bucket(4,k)" &&
+      r.getAs[Long]("bytes") > 0L))
+    assert(before.map(_.getAs[Long]("rows")).sum === 600L)
+    val sumBefore = spark.sql(s"SELECT sum(v) FROM $cat.bt").head.getLong(0)
+    // compaction: every value bin-packs to one file, stats pin preserved
+    val r = spark.sql(s"OPTIMIZE $cat.bt PARTITIONS").head
+    assert(r.getLong(0) === 12L && r.getLong(1) === 4L,
+      s"12 files -> 4, got $r")
+    val after = spark.read.table(s"$cat.bt.partitions").collect()
+    assert(after.length === 4 && after.forall(_.getAs[Long]("n_files") === 1L))
+    assert(after.map(_.getAs[Long]("rows")).sum === 600L)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.bt").head.getLong(0) === sumBefore)
+    // the hash layout still prunes point probes after compaction
+    spark.sql(s"SELECT count(*) FROM $cat.bt WHERE k = 57").head
+    assert(graft.sources.AcidSql.lastScanFor(s"$root/bt") === ((1, 4)))
+    // refusals: PARTITIONS composes with nothing; untransformed dirs refuse
+    assert(Try(spark.sql(s"OPTIMIZE $cat.bt PARTITIONS ZORDER BY (v)")).isFailure)
+    val plain = Scratch.fresh("r9_optp_plain", sf) + "/t"
+    Acid.create(spark, plain,
+      spark.range(10).selectExpr("id AS k", "id AS v"), "k", 2)
+    assert(Try(Acid.optimizePartitions(spark, plain)).isFailure)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.bt")
+  }
+
+  test("WAP branches: isolation, constraint on staging, conflicts, drop+vacuum") {
+    val root = Scratch.fresh("r9_wap", sf)
+    val dir = s"$root/t"
+    import spark.implicits._
+    Acid.create(spark, dir,
+      spark.range(100).selectExpr("id AS k", "id * 2 AS v"), "k", 2)
+    Acid.setConstraint(spark, dir, Some("v >= 0"))
+    Acid.createBranch(spark, dir, "b1")
+    assert(Try(Acid.createBranch(spark, dir, "b1")).isFailure,
+      "duplicate branch name refuses")
+    // the base constraint still enforces on STAGED writes — the audit
+    // flow validates contracts, it doesn't suspend them
+    assert(Try(Acid.writeToBranch(spark, dir, "b1",
+      Seq((200L, -5L)).toDF("k", "v"))).isFailure)
+    Acid.writeToBranch(spark, dir, "b1", Seq((200L, 7L)).toDF("k", "v"))
+    assert(Acid.snapshot(spark, dir).count() === 100,
+      "main readers never see un-audited rows")
+    assert(Acid.snapshotBranch(spark, dir, "b1").count() === 101)
+    // main advances past the base -> the audit is stale, publish refuses
+    assert(!Acid.merge(spark, dir, Seq((5L, 500L)).toDF("k", "v"), "w").skipped)
+    val pub = Acid.publishBranch(spark, dir, "b1")
+    assert(pub.isLeft && pub.swap.exists(_.contains("publish conflict")))
+    // drop: the staged files become orphans and a graceless vacuum
+    // reclaims them (plus the constraint-violating attempt's stage)
+    Acid.dropBranch(dir, "b1")
+    // retain only the merge result (v2 — setConstraint committed v1):
+    // the dropped branch's staged file AND the merge-replaced original
+    // are now unreferenced, and a graceless vacuum reclaims both
+    val (deleted, _) = Acid.vacuum(spark, dir, 2)
+    assert(deleted >= 2, s"staged + replaced orphans reclaimed, got $deleted")
+    assert(Try(Acid.snapshotBranch(spark, dir, "b1")).isFailure)
+    // tag retention: pre-vacuum versions pinned by tag stay readable
+    val dir2 = s"$root/t2"
+    Acid.create(spark, dir2,
+      spark.range(50).selectExpr("id AS k", "id AS v"), "k", 2)
+    assert(!Acid.merge(spark, dir2, Seq((1L, 99L)).toDF("k", "v"), "w").skipped)
+    Acid.tagVersion(dir2, "rel", 0)
+    Acid.vacuum(spark, dir2, 1)
+    assert(Acid.snapshotTag(spark, dir2, "rel").count() === 50,
+      "tagged version survives the vacuum horizon")
+    assert(Try(Acid.tagVersion(dir2, "rel", 1)).isFailure, "duplicate tag refuses")
+  }
+
+  test("branch/tag SQL statements mirror the library refs") {
+    val root = Scratch.fresh("r9_wap_sql", sf)
+    val cat = catFor("ws", root)
+    val dir = s"$root/t"
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (CAST(1 AS BIGINT), CAST(10 AS BIGINT))")
+    assert(spark.sql(s"CREATE BRANCH wap ON $cat.t").head.getLong(0) === 1L)
+    Acid.writeToBranch(spark, dir, "wap", Seq((2L, 20L)).toDF("k", "v"))
+    assert(spark.table(s"$cat.t").count() === 1L, "main blind to the branch")
+    assert(spark.sql(s"PUBLISH BRANCH wap ON $cat.t").head.getLong(0) === 2L)
+    assert(spark.table(s"$cat.t").count() === 2L)
+    // re-publish after main moved: the library Left surfaces as an error
+    assert(Try(spark.sql(s"PUBLISH BRANCH wap ON $cat.t").collect()).isFailure)
+    assert(spark.sql(s"CREATE TAG rel ON $cat.t AS OF VERSION 1").head.getLong(0) === 1L)
+    assert(Acid.tagVersionOf(dir, "rel") === 1)
+    spark.sql(s"DROP BRANCH wap ON $cat.t").collect()
+    assert(Try(Acid.branchBase(dir, "wap")).isFailure)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("round-9b fixture rows run end-to-end with true booleans") {
     val r1 = Acid.queries("tbl_part_days")(spark, sf).head
     assert(r1.getAs[Boolean]("pruned") && r1.getAs[Boolean]("partitioning_reported"),
@@ -686,6 +788,16 @@ class Round9Spec extends AnyFunSuite {
     val r4 = Acid.queries("tbl_report_stats")(spark, sf).head
     assert(r4.getAs[Boolean]("stats_exact") && r4.getAs[Boolean]("pruned_smaller") &&
       r4.getAs[Boolean]("acid_broadcast"), s"tbl_report_stats: $r4")
+    val r5 = Acid.queries("tbl_optimize_partitions")(spark, sf).head
+    assert(r5.getAs[Boolean]("compacted") && r5.getAs[Boolean]("stats_preserved") &&
+      r5.getAs[Boolean]("probe_pruned"), s"tbl_optimize_partitions: $r5")
+    val r6 = Acid.queries("tbl_partitions_meta")(spark, sf).collect()
+    assert(r6.length === 5 && r6.forall(r => r.getAs[Boolean]("files_positive") &&
+      r.getAs[Boolean]("bytes_positive")), s"tbl_partitions_meta: ${r6.toSeq}")
+    val r7 = Acid.queries("tbl_branch_wap")(spark, sf).head
+    assert(Seq("main_isolated", "audit_passed", "published", "v0_intact",
+      "republish_refused", "tag_survives_vacuum")
+      .forall(r7.getAs[Boolean](_)), s"tbl_branch_wap: $r7")
   }
 
   test("st_stream_ratelimit fixture lands three bounded batches end-to-end") {
