@@ -830,6 +830,16 @@ object Acid {
   private[sources] val MicrosPerDay = 86400000000L
   private[sources] val BucketSeed = 42L
 
+  /** The ONE-VALUE partition rule shared by `.partitions` reporting and
+    * `optimizePartitions`: an entry belongs to partition value v iff its
+    * stats2 carries the table's transform label with lo == hi == v —
+    * keeping reporting and compaction in agreement by construction. */
+  private[sources] def partitionValueOf(f: FileEntry, label: String): Option[Long] =
+    f.stats2 match {
+      case Some((c, lo, hi)) if c == label && lo == hi => Some(lo)
+      case _                                           => None
+    }
+
   private[sources] def parsePartSpec(s: String): PartSpec = {
     val D = """days\((.+)\)""".r
     val B = """bucket\((\d+),(.+)\)""".r
@@ -2054,10 +2064,7 @@ object Acid {
     val v = latestVersion(dir)
     val m = readManifest(dir, v)
     val key = keyColOf(s, dir)
-    val compact = m.files.groupBy(_.stats2 match {
-      case Some((c, lo, hi)) if c == spec.label && lo == hi => Some(lo)
-      case _                                                => None
-    }).collect {
+    val compact = m.files.groupBy(partitionValueOf(_, spec.label)).collect {
       case (Some(pv), fs) if fs.size > targetPerValue => (pv, fs)
     }.toSeq.sortBy(_._1)
     if (compact.isEmpty) return (0, m.files.size, m.files.size)
@@ -2314,7 +2321,8 @@ object Acid {
     val h = branchHead(dir, name)
     (0 to h).foreach(i =>
       Files.deleteIfExists(branchManifestPath(dir, name, i)): Unit)
-    Files.deleteIfExists(refPath(dir, "tag", name)): Unit
+    // branches and tags are SEPARATE ref kinds: a tag sharing the name
+    // is someone's pinned snapshot, never collateral of a branch drop
     Files.deleteIfExists(refPath(dir, "branch", name))
     h + 1
   }
@@ -2325,6 +2333,12 @@ object Acid {
     checkRefName(name)
     require(v >= 0 && v <= latestVersion(dir),
       s"tagVersion: v$v is not a committed version of $dir")
+    // a version whose manifest was already vacuumed would make a DEAD
+    // tag — created without error, unreadable forever, silently dropped
+    // from retention; refuse at creation instead
+    require(Try(readManifest(dir, v)).isSuccess,
+      s"tagVersion: v$v of $dir is no longer resolvable (vacuumed) — " +
+        "cannot pin it")
     Files.createDirectories(logDir(dir))
     Files.write(refPath(dir, "tag", name),
       v.toString.getBytes(StandardCharsets.UTF_8),
@@ -2363,9 +2377,15 @@ object Acid {
     // branch manifest is the reference — deleting its files would turn
     // an un-published audit branch into dangling pointers).
     val tagVs = listRefs(dir, "tag").map(tagVersionOf(dir, _)).distinct
+    // Branch BASE manifests are retained like tags: an un-written branch
+    // resolves its state from the base, so dropping that manifest would
+    // both orphan its files (branchFilesAt could no longer list them)
+    // and leave the branch dangling. Pinned versions = tags ∪ bases.
+    val branchVs = listRefs(dir, "branch").map(branchBase(dir, _)).distinct
+    val pinnedVs = (tagVs ++ branchVs).distinct
     val branchLive = listRefs(dir, "branch").flatMap(n =>
-      Try(branchFilesAt(dir, n, branchHead(dir, n))).toOption.toSeq.flatten)
-    val retained = ((retainFrom to latest) ++ tagVs).distinct.sorted
+      branchFilesAt(dir, n, branchHead(dir, n)))
+    val retained = ((retainFrom to latest) ++ pinnedVs).distinct.sorted
       .flatMap(v => Try(readManifest(dir, v)).toOption)
     val live = (retained.flatMap(_.files.map(_.path)) ++
       branchLive.map(_.path)).toSet
@@ -2403,12 +2423,13 @@ object Acid {
         if (lastCheckpointVersion(dir).forall(_ < retainFrom))
           writeLastCheckpoint(dir, retainFrom)
       }
-      // tagged versions below the horizon: checkpoint them first (their
-      // delta chains are about to lose links), then keep their manifests
-      tagVs.filter(_ < retainFrom).foreach { tv =>
+      // tagged / branch-base versions below the horizon: checkpoint them
+      // first (their delta chains are about to lose links), keep their
+      // manifests
+      pinnedVs.filter(_ < retainFrom).foreach { tv =>
         Try(readManifest(dir, tv)).foreach(writeCheckpoint(dir, _))
       }
-      (0 until retainFrom).filterNot(tagVs.contains).foreach { v =>
+      (0 until retainFrom).filterNot(pinnedVs.contains).foreach { v =>
         Files.deleteIfExists(manifestPath(dir, v))
         Files.deleteIfExists(checkpointPath(dir, v)): Unit
       }

@@ -156,7 +156,7 @@ class AcidCatalog extends StagingTableCatalog {
         val f = fieldOf(t)
         if (f.dataType != LongType)
           throw new UnsupportedOperationException(
-            s"$catName: PARTITIONED BY needs a BIGINT column, $f.name is ${f.dataType.sql}")
+            s"$catName: PARTITIONED BY needs a BIGINT column, ${f.name} is ${f.dataType.sql}")
         Some(Acid.PartIdentity(f.name).label)
       case Array(t) if t.name() == "days" && t.references().length == 1 =>
         val f = fieldOf(t)

@@ -216,10 +216,7 @@ class AcidPartitionsScan(dir: String) extends Scan with Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val label = Acid.partSpecOf(dir).map(_.label).getOrElse("")
     val m = Acid.readManifest(dir, Acid.latestVersion(dir))
-    val grouped = m.files.groupBy(_.stats2 match {
-      case Some((c, lo, hi)) if c == label && lo == hi => Some(lo)
-      case _                                           => None
-    })
+    val grouped = m.files.groupBy(Acid.partitionValueOf(_, label))
     val rows = grouped.toSeq.map { case (v, fs) =>
       AcidPartitionsRow(v, fs.size.toLong, fs.map(_.rows).sum,
         fs.map(_.bytes).sum)

@@ -190,82 +190,69 @@ object AcidSql {
     b.toMap
   }
 
-  private[sources] def keyBounds(filters: Array[Filter], keyCol: String): (Long, Long) = {
+  /** Generic pushed-filter bound fold over one column: EqualTo/GT/GTE/
+    * LT/LTE/In/And narrow [lo, hi]; anything undecodable (or an OR) is
+    * ignored — bounds stay open, conservative, never wrong. The literal
+    * decoder is the only thing that differs between the key (long) and
+    * timestamp (micros) variants, so both share this fold.
+    */
+  private def boundsFold(filters: Array[Filter], c: String,
+      dec: Any => Option[Long]): (Long, Long) = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
-    def asLong(v: Any): Option[Long] = v match {
-      case l: Long => Some(l)
-      case i: Int  => Some(i.toLong)
-      case _       => None
-    }
     filters.foreach {
-      case EqualTo(c, v) if c == keyCol =>
-        asLong(v).foreach { l => lo = math.max(lo, l); hi = math.min(hi, l) }
-      case GreaterThan(c, v) if c == keyCol =>
-        asLong(v).foreach(l => lo = math.max(lo, l + 1))
-      case GreaterThanOrEqual(c, v) if c == keyCol =>
-        asLong(v).foreach(l => lo = math.max(lo, l))
-      case LessThan(c, v) if c == keyCol =>
-        asLong(v).foreach(l => hi = math.min(hi, l - 1))
-      case LessThanOrEqual(c, v) if c == keyCol =>
-        asLong(v).foreach(l => hi = math.min(hi, l))
-      case In(c, vs) if c == keyCol && vs.nonEmpty =>
-        val ls = vs.flatMap(asLong)
+      case EqualTo(col, v) if col == c =>
+        dec(v).foreach { l => lo = math.max(lo, l); hi = math.min(hi, l) }
+      case GreaterThan(col, v) if col == c =>
+        dec(v).foreach(l => lo = math.max(lo, l + 1))
+      case GreaterThanOrEqual(col, v) if col == c =>
+        dec(v).foreach(l => lo = math.max(lo, l))
+      case LessThan(col, v) if col == c =>
+        dec(v).foreach(l => hi = math.min(hi, l - 1))
+      case LessThanOrEqual(col, v) if col == c =>
+        dec(v).foreach(l => hi = math.min(hi, l))
+      case In(col, vs) if col == c && vs.nonEmpty =>
+        val ls = vs.flatMap(dec(_))
         if (ls.length == vs.length) {
           lo = math.max(lo, ls.min); hi = math.min(hi, ls.max)
         }
       case FAnd(l, r) =>
-        val (l1, h1) = keyBounds(Array(l), keyCol)
-        val (l2, h2) = keyBounds(Array(r), keyCol)
+        val (l1, h1) = boundsFold(Array(l), c, dec)
+        val (l2, h2) = boundsFold(Array(r), c, dec)
         lo = math.max(lo, math.max(l1, l2)); hi = math.min(hi, math.min(h1, h2))
       case _ => ()
     }
     (lo, hi)
   }
 
-  /** Pushed-filter bounds over a TIMESTAMP column, in epoch MICROS —
-    * the days(ts) partition transform's pruning input. Spark pushes
-    * timestamp literals as java.sql.Timestamp (TIMESTAMP) or
-    * java.time.LocalDateTime (TIMESTAMP_NTZ, interpreted at UTC, the
-    * session zone every fixture pins). Unconvertible shapes leave the
-    * bound open — conservative, never wrong. */
-  private[sources] def timeBoundsMicros(filters: Array[Filter], c: String): (Long, Long) = {
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
-    def us(v: Any): Option[Long] = v match {
-      case t: java.sql.Timestamp =>
-        Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
-      case i: java.time.Instant =>
-        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-      case l: java.time.LocalDateTime =>
-        val i = l.toInstant(java.time.ZoneOffset.UTC)
-        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-      case _ => None
-    }
-    filters.foreach {
-      case EqualTo(col, v) if col == c =>
-        us(v).foreach { l => lo = math.max(lo, l); hi = math.min(hi, l) }
-      case GreaterThan(col, v) if col == c =>
-        us(v).foreach(l => lo = math.max(lo, l + 1))
-      case GreaterThanOrEqual(col, v) if col == c =>
-        us(v).foreach(l => lo = math.max(lo, l))
-      case LessThan(col, v) if col == c =>
-        us(v).foreach(l => hi = math.min(hi, l - 1))
-      case LessThanOrEqual(col, v) if col == c =>
-        us(v).foreach(l => hi = math.min(hi, l))
-      case In(col, vs) if col == c && vs.nonEmpty =>
-        val ls = vs.flatMap(us(_))
-        if (ls.length == vs.length) {
-          lo = math.max(lo, ls.min); hi = math.min(hi, ls.max)
-        }
-      case FAnd(l, r) =>
-        val (l1, h1) = timeBoundsMicros(Array(l), c)
-        val (l2, h2) = timeBoundsMicros(Array(r), c)
-        lo = math.max(lo, math.max(l1, l2)); hi = math.min(hi, math.min(h1, h2))
-      case _ => ()
-    }
-    (lo, hi)
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int  => Some(i.toLong)
+    case _       => None
   }
+
+  /** Timestamp literal → epoch MICROS: Spark pushes java.sql.Timestamp
+    * (TIMESTAMP), Instant (java8 datetime API), or LocalDateTime
+    * (TIMESTAMP_NTZ, interpreted at UTC — the session zone every
+    * fixture pins). */
+  private def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case l: java.time.LocalDateTime =>
+      val i = l.toInstant(java.time.ZoneOffset.UTC)
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
+  }
+
+  private[sources] def keyBounds(filters: Array[Filter], keyCol: String): (Long, Long) =
+    boundsFold(filters, keyCol, asLong)
+
+  /** Pushed-filter bounds over a TIMESTAMP column, in epoch micros —
+    * the days(ts) partition transform's pruning input. */
+  private[sources] def timeBoundsMicros(filters: Array[Filter], c: String): (Long, Long) =
+    boundsFold(filters, c, tsMicros)
 
   /** Inline budget for merge-on-read deleted keys/positions in a SQL
     * scan: up to this many are read once driver-side and shipped inside
@@ -1163,7 +1150,7 @@ class AcidSqlMicroBatchStream(dir: String, required: StructType,
     maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit, ReadMaxBytes, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => StreamOffset, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   override def initialOffset(): StreamOffset = AcidVersionOffset(-1L)
   override def latestOffset(): StreamOffset =
@@ -1189,9 +1176,13 @@ class AcidSqlMicroBatchStream(dir: String, required: StructType,
     * admission control is silently ignored and the whole catch-up
     * arrives as one batch (verified against the shipped bytecode). */
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles)
-      .orElse(maxBytesPerTrigger.map(ReadLimit.maxBytes))
-      .getOrElse(ReadLimit.allAvailable())
+    (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (Some(f), Some(b)) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _               => ReadLimit.allAvailable()
+    }
 
   private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
@@ -1204,25 +1195,40 @@ class AcidSqlMicroBatchStream(dir: String, required: StructType,
     val vLatest = availableNowTarget
       .map(_.toInt).getOrElse(Acid.latestVersion(dir))
     val v0 = start.asInstanceOf[AcidVersionOffset].v.toInt
-    // cost of admitting one version = its added-file COUNT (maxFiles) or
-    // their manifest-stamped BYTES (maxBytes; pre-stats legacy entries
-    // weigh 0 — conservative toward larger batches, never a stall)
-    val (budget0, costOf): (Long, Seq[Acid.FileEntry] => Long) = limit match {
-      case mf: ReadMaxFiles => (mf.maxFiles().toLong, fs => fs.size.toLong)
-      case mb: ReadMaxBytes => (mb.maxBytes(), fs => fs.map(_.bytes).sum)
-      case _                => return AcidVersionOffset(vLatest.toLong)
+    // cost of admitting one version = its added-file COUNT (maxFiles)
+    // and/or their manifest-stamped BYTES (maxBytes; pre-stats legacy
+    // entries weigh 0 — conservative toward larger batches, never a
+    // stall). Both options set compose (Spark's CompositeReadLimit):
+    // whichever budget the next version would exceed ends the batch.
+    def caps(l: ReadLimit): (Option[Long], Option[Long]) = l match {
+      case mf: ReadMaxFiles => (Some(mf.maxFiles().toLong), None)
+      case mb: ReadMaxBytes => (None, Some(mb.maxBytes()))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft((Option.empty[Long], Option.empty[Long])) {
+          case ((f, b), l2) =>
+            val (f2, b2) = caps(l2); (f.orElse(f2), b.orElse(b2))
+        }
+      case _ => (None, None)
     }
+    val (fileCap, byteCap) = caps(limit)
+    if (fileCap.isEmpty && byteCap.isEmpty)
+      return AcidVersionOffset(vLatest.toLong)
     var v = v0
-    var budget = budget0
+    var fBudget = fileCap.getOrElse(Long.MaxValue)
+    var bBudget = byteCap.getOrElse(Long.MaxValue)
     var prev: Set[String] =
       if (v0 < 0) Set.empty
       else Acid.readManifest(dir, v0).files.map(_.path).toSet
     var full = false
     while (!full && v < vLatest) {
       val nxtEntries = Acid.readManifest(dir, v + 1).files
-      val added = costOf(nxtEntries.filterNot(f => prev(f.path)))
-      if (added > budget && v > v0) full = true
-      else { v += 1; budget -= added; prev = nxtEntries.map(_.path).toSet }
+      val added = nxtEntries.filterNot(f => prev(f.path))
+      val (fA, bA) = (added.size.toLong, added.map(_.bytes).sum)
+      if ((fA > fBudget || bA > bBudget) && v > v0) full = true
+      else {
+        v += 1; fBudget -= fA; bBudget -= bA
+        prev = nxtEntries.map(_.path).toSet
+      }
     }
     AcidVersionOffset(v.toLong)
   }

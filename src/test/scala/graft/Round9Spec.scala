@@ -754,6 +754,64 @@ class Round9Spec extends AnyFunSuite {
     assert(Try(Acid.tagVersion(dir2, "rel", 1)).isFailure, "duplicate tag refuses")
   }
 
+  test("ref-namespace and retention edges: tag survives branch drop, base pinned, caps compose") {
+    val root = Scratch.fresh("r9_refedge", sf)
+    val dir = s"$root/t"
+    import spark.implicits._
+    Acid.create(spark, dir,
+      spark.range(60).selectExpr("id AS k", "id AS v"), "k", 2)
+    // a tag and a branch sharing a name are independent refs: dropping
+    // the branch must not destroy the pinned snapshot
+    Acid.tagVersion(dir, "rel", 0)
+    Acid.createBranch(spark, dir, "rel")
+    Acid.dropBranch(dir, "rel")
+    assert(Acid.tagVersionOf(dir, "rel") === 0, "tag survives same-name branch drop")
+    // an UN-WRITTEN branch pins its base: vacuum past it keeps the base
+    // manifest and files, so the branch stays usable
+    Acid.createBranch(spark, dir, "audit")
+    assert(!Acid.merge(spark, dir, Seq((1L, 99L)).toDF("k", "v"), "w").skipped)
+    Acid.vacuum(spark, dir, 1)
+    assert(Acid.snapshotBranch(spark, dir, "audit").count() === 60L,
+      "empty branch resolves from its retained base after vacuum")
+    Acid.writeToBranch(spark, dir, "audit", Seq((100L, 5L)).toDF("k", "v"))
+    assert(Acid.snapshotBranch(spark, dir, "audit").count() === 61L)
+    // tagging an unresolvable (vacuumed) version refuses at creation
+    val dir2 = s"$root/t2"
+    Acid.create(spark, dir2,
+      spark.range(10).selectExpr("id AS k", "id AS v"), "k", 1)
+    assert(!Acid.merge(spark, dir2, Seq((1L, 7L)).toDF("k", "v"), "w").skipped)
+    Acid.vacuum(spark, dir2, 1)
+    assert(Try(Acid.tagVersion(dir2, "dead", 0)).isFailure,
+      "dead tag refused at creation")
+    // maxFiles + maxBytes COMPOSE: the tighter budget ends the batch
+    val dir3 = s"$root/t3"
+    Acid.create(spark, dir3,
+      spark.range(40).selectExpr("id AS k", "id AS v"), "k", 2)
+    (1 to 3).foreach { i =>
+      val dd = s"d_c_$i"
+      spark.range(1).select(lit(100L + i).as("k"), lit(0L).as("v"))
+        .coalesce(1).write.parquet(s"$dir3/$dd")
+      val ls = Files.list(Paths.get(dir3, dd))
+      val part =
+        try ls.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        finally ls.close()
+      val rel = s"$dd/${Paths.get(part).getFileName}"
+      Acid.appendCommit(dir3, Seq(Acid.FileEntry(rel, 1L, 100L + i, 100L + i,
+        bytes = Files.size(Paths.get(dir3, rel))))): Unit
+    }
+    val one = Acid.readManifest(dir3, 3).files
+      .filter(_.path.startsWith("d_c_")).map(_.bytes).max
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("v", "long")
+    // generous file cap, one-file byte cap -> bytes are the binding
+    // budget and each batch admits exactly one of the small commits
+    val st = new graft.sources.AcidSqlMicroBatchStream(dir3, sch,
+      maxFilesPerTrigger = Some(100), maxBytesPerTrigger = Some(one))
+    def off(v: Long) = graft.sources.AcidVersionOffset(v)
+    assert(st.latestOffset(off(0), st.getDefaultReadLimit) === off(1),
+      "composite limit applies the byte budget, not just maxFiles")
+  }
+
   test("branch/tag SQL statements mirror the library refs") {
     val root = Scratch.fresh("r9_wap_sql", sf)
     val cat = catFor("ws", root)
