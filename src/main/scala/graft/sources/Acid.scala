@@ -6,10 +6,10 @@ import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 import scala.util.Try
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
-  IntegerType, LongType, ShortType, StructType}
+  IntegerType, LongType, ShortType, StructType, TimestampNTZType, TimestampType}
 
 import graft.Tables
 
@@ -558,6 +558,53 @@ object Acid {
           bytes = java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
           cstats = cs)
       }.sortBy(_.path).toSeq
+  }
+
+  /** Re-stamp transform-partition stats on freshly REWRITTEN files: a
+    * key-range rewrite (merge / delete-where) on a transform-partitioned
+    * table would otherwise drop the files' `(label, ...)` stats2, and
+    * partition pruning decays as rewrites accumulate. For MONOTONE
+    * transforms (identity, days) a file's transformed range is exactly
+    * [eval(min(src)), eval(max(src))] — one grouped min/max pass over
+    * the new data dir, #files-sized result. The range may legitimately
+    * span several partition values (key-packing straddles days): range
+    * pruning stays exact, and `.partitions`/OPTIMIZE PARTITIONS classify
+    * multi-value files under the NULL bucket until a partition
+    * compaction re-bins them. bucket is not monotone — its rewritten
+    * files stay unstamped (conservatively scanned), as before. */
+  private def restampPartStats(s: SparkSession, tableDir: String,
+      dataDir: String, entries: Seq[FileEntry]): Seq[FileEntry] = {
+    val specOpt = partSpecOf(tableDir).filterNot(_.isInstanceOf[PartBucket])
+    specOpt match {
+      case None => entries
+      case Some(ps) =>
+        val prefix = Paths.get(tableDir).toAbsolutePath.toString
+        val df = s.read.parquet(s"$tableDir/$dataDir")
+        val srcLong: Option[Column] =
+          if (!df.columns.contains(ps.col)) None
+          else df.schema(ps.col).dataType match {
+            case LongType => Some(col(ps.col))
+            case TimestampType | TimestampNTZType =>
+              Some(unix_micros(col(ps.col).cast(TimestampType)))
+            case _ => None
+          }
+        srcLong match {
+          case None => entries
+          case Some(src) =>
+            val ranges = df.groupBy(input_file_name().as("f"))
+              .agg(min(src).as("mn"), max(src).as("mx"))
+              .collect().flatMap { r =>
+                if (r.isNullAt(1) || r.isNullAt(2)) None
+                else Some(new java.net.URI(r.getString(0)).getPath
+                  .stripPrefix(prefix).stripPrefix("/") ->
+                  ((ps.eval(r.getLong(1)), ps.eval(r.getLong(2)))))
+              }.toMap
+            entries.map(e => ranges.get(e.path) match {
+              case Some((lo, hi)) => e.copy(stats2 = Some((ps.label, lo, hi)))
+              case None           => e
+            })
+        }
+    }
   }
 
   /** Stats-based file skipping on a STRING or DATE column: manifest-only
@@ -1394,7 +1441,8 @@ object Acid {
           case None     => f
         }
       } ++ evolvedCols.map(c => batch.schema(c).copy(nullable = true))))
-    val newEntries = statsOf(s, dir, dataDir, keyCol)
+    val newEntries = restampPartStats(s, dir, dataDir,
+      statsOf(s, dir, dataDir, keyCol))
 
     // CDC-at-commit: the update/insert legs already materialize both
     // images, so persisting the classified change rows costs one extra
@@ -1814,7 +1862,8 @@ object Acid {
     val dataDir = s"d${nextV}_$writerTag"
     kept.repartitionByRange(math.max(1, touched.size), col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
-    val newEntries = statsOf(s, dir, dataDir, key)
+    val newEntries = restampPartStats(s, dir, dataDir,
+      statsOf(s, dir, dataDir, key))
     val cdcPathOpt =
       if (!writeCdf) None
       else {

@@ -754,6 +754,47 @@ class Round9Spec extends AnyFunSuite {
     assert(Try(Acid.tagVersion(dir2, "rel", 1)).isFailure, "duplicate tag refuses")
   }
 
+  test("library merges on days-partitioned tables re-stamp transform stats") {
+    val root = Scratch.fresh("r9_restamp", sf)
+    val cat = catFor("rs2", root)
+    val dir = s"$root/ev"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v BIGINT)
+                 |PARTITIONED BY (days(ts))""".stripMargin)
+    // 10 days x 5 rows, keys contiguous per day (time-ordered ingest)
+    spark.range(50).coalesce(1).selectExpr("id AS k",
+      "timestamp_micros(CAST(1704067200000000 + (id DIV 5) * 86400000000 + id * 1000000 AS BIGINT)) AS ts",
+      "id AS v")
+      .createOrReplaceTempView("r9_restamp_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM r9_restamp_src")
+    val m0 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m0.files.size === 10)
+    // LIBRARY merge updating day-0 keys: the rewrite re-stamps the new
+    // files' days(ts) range instead of dropping the partition stats
+    val batch = spark.range(3).select(col("id").as("k"),
+      expr("timestamp_micros(CAST(1704067200000000 + id * 1000000 AS BIGINT))").as("ts"),
+      lit(999L).as("v"))
+    assert(!Acid.merge(spark, dir, batch, "w").skipped)
+    val m1 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val rewritten = m1.files.filterNot(m0.files.toSet)
+    assert(rewritten.nonEmpty)
+    assert(rewritten.forall(_.stats2.exists { case (c, lo2, hi2) =>
+      c == "days(ts)" && lo2 <= hi2 }),
+      s"rewritten files carry ranged days(ts) stats2: ${rewritten.map(_.stats2)}")
+    // pruning stays sharp after the merge: a 3-day window away from the
+    // rewrite still plans a strict subset
+    val win = "ts >= TIMESTAMP'2024-01-06 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-09 00:00:00'"
+    val got = spark.sql(s"SELECT sum(v) FROM $cat.ev WHERE $win").head.getLong(0)
+    val (scanned, total) = graft.sources.AcidSql.lastScanFor(dir)
+    assert(scanned <= 3 && total === m1.files.size,
+      s"post-merge window pruned $scanned/$total")
+    assert(got === (25 until 40).sum.toLong)
+    // and the merge result itself reads correctly
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ev WHERE k < 3").head.getLong(0) === 3 * 999L)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+  }
+
   test("ref-namespace and retention edges: tag survives branch drop, base pinned, caps compose") {
     val root = Scratch.fresh("r9_refedge", sf)
     val dir = s"$root/t"
