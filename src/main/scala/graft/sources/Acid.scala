@@ -2313,12 +2313,72 @@ object Acid {
     toPhysicalDf(dir, df).write.parquet(s"$dir/$dd")
     enforceConstraint(s, dir, dd,
       readManifest(dir, branchBase(dir, name)).constraint)
-    val entries = statsOf(s, dir, dd, keyColOf(s, dir))
+    val k = keyColOf(s, dir)
+    val entries = statsOf(s, dir, dd, colMapOf(dir).getOrElse(k, k))
     val files = branchFilesAt(dir, name, h) ++ entries
     val tmp = logDir(dir)
       .resolve(s".tmp-b$name-${java.util.UUID.randomUUID()}")
     Files.write(tmp,
       files.map(renderEntry).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, branchManifestPath(dir, name, h + 1))
+    finally Files.deleteIfExists(tmp)
+    h + 1
+  }
+
+  /** MERGE (upsert) into a BRANCH — the full write-audit-publish story:
+    * updates and inserts stage against the branch's current state and
+    * commit a new branch manifest; main is untouched until PUBLISH.
+    * Same copy-on-write core as mergeAt — touched = branch files whose
+    * key range can hold a batch key; their rows anti-join the batch
+    * keys out and the batch unions in (update + insert in one pass);
+    * untouched entries carry forward byte-identical; touched files'
+    * deletion vectors are materialized away by the rewrite; transform
+    * partition stats re-stamp on the new files. The heavyweight main
+    * machinery (CDC, batch-id high-water, conflict rebase) deliberately
+    * does not apply: branch writers serialize through put-if-absent on
+    * the branch manifest, and the audited state re-materializes as ONE
+    * main commit at publish. The base's CHECK constraint enforces on
+    * the rewrite. Returns the new branch head index. */
+  def mergeBranch(s: SparkSession, dir: String, name: String,
+      batch: DataFrame): Int = {
+    val key = keyColOf(s, dir)
+    val h = branchHead(dir, name)
+    val files = branchFilesAt(dir, name, h)
+    val b = toPhysicalDf(dir, batch)
+    val keyPhys = colMapOf(dir).getOrElse(key, key)
+    // same file pruning as mergeAt: a file is touched iff a batch key
+    // can land INSIDE its range (broadcast range-join, #files-sized
+    // result) — pure inserts beyond every range rewrite nothing
+    val fdf = {
+      import s.implicits._
+      files.zipWithIndex.map { case (f, i) => (i, f.minKey, f.maxKey) }
+        .toDF("__fi", "__mn", "__mx")
+    }
+    val touchedIdx = b.select(col(keyPhys).as("__bk"))
+      .join(broadcast(fdf),
+        col("__bk") >= col("__mn") && col("__bk") <= col("__mx"))
+      .select("__fi").distinct().collect().map(_.getInt(0)).toSet
+    val (touched, carried) = files.zipWithIndex.partition {
+      case (_, i) => touchedIdx(i)
+    } match { case (t, c) => (t.map(_._1), c.map(_._1)) }
+    val dd = s"d_br_${name}_m${java.util.UUID.randomUUID().toString.take(8)}"
+    val kept =
+      if (touched.isEmpty) b.limit(0)
+      else applyDv(s, dir, touched,
+        readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
+        .join(b.select(col(keyPhys).as("__bk")).distinct(),
+          col(keyPhys) === col("__bk"), "left_anti")
+    kept.unionByName(b)
+      .repartitionByRange(math.max(1, touched.size), col(keyPhys))
+      .write.mode("overwrite").parquet(s"$dir/$dd")
+    enforceConstraint(s, dir, dd,
+      readManifest(dir, branchBase(dir, name)).constraint)
+    val entries = restampPartStats(s, dir, dd, statsOf(s, dir, dd, keyPhys))
+    val newList = carried ++ entries
+    val tmp = logDir(dir)
+      .resolve(s".tmp-b$name-${java.util.UUID.randomUUID()}")
+    Files.write(tmp,
+      newList.map(renderEntry).mkString("\n").getBytes(StandardCharsets.UTF_8))
     try Files.move(tmp, branchManifestPath(dir, name, h + 1))
     finally Files.deleteIfExists(tmp)
     h + 1
@@ -2917,6 +2977,43 @@ object Acid {
       .withColumn("v0_intact", lit(v0Intact))
       .withColumn("republish_refused", lit(rePub.isLeft))
       .withColumn("tag_survives_vacuum", lit(tagReadable))
+  }
+
+  /** tbl_branch_merge — UPSERTS on a WAP branch (the full
+    * write-audit-publish story — tbl_branch_wap stages appends, this
+    * row stages a real MERGE): updates + inserts land on the branch
+    * through the same copy-on-write core as the main merge (touched
+    * files via broadcast range-join, anti-join + union rewrite), main
+    * readers stay blind to every staged change until PUBLISH
+    * fast-forwards the audited state in one atomic commit.
+    */
+  val tblBranchMerge: Q = (s, d) => {
+    val dir = fresh("tbl_branch_merge", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    createBranch(s, dir, "audit")
+    val updates = ordersKV(s, d)
+      .filter(col("k") % 10 === 3 && col("k") < lit(mk / 4))
+      .withColumn("price_cents", col("price_cents") + 777)
+      .withColumn("prio", lit("PATCHED"))
+    val inserts = ordersKV(s, d).filter(col("k") % 100 === 0)
+      .select((col("k") + mk + 1).as("k"),
+        (col("k") * 3 + 45).as("price_cents"), lit("WAP").as("prio"))
+    mergeBranch(s, dir, "audit", updates.unionByName(inserts))
+    val mainIsolated = latestVersion(dir) == 0 &&
+      snapshot(s, dir).filter(col("prio").isin("PATCHED", "WAP")).count() == 0
+    val br = snapshotBranch(s, dir, "audit")
+    val auditPassed =
+      br.count() == ordersKV(s, d).count() + inserts.count() &&
+      br.filter(col("prio") === "PATCHED").count() == updates.count()
+    val pub = publishBranch(s, dir, "audit")
+    snapshot(s, dir)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("main_isolated", lit(mainIsolated))
+      .withColumn("audit_passed", lit(auditPassed))
+      .withColumn("published", lit(pub.isRight))
+      .orderBy(col("prio"))
   }
 
   /** tbl_idempotent_retry — exactly-once under at-least-once delivery: the
@@ -4274,6 +4371,7 @@ object Acid {
     "tbl_vacuum"            -> tblVacuum,
     "tbl_vacuum_grace"      -> tblVacuumGrace,
     "tbl_branch_wap"        -> tblBranchWap,
+    "tbl_branch_merge"      -> tblBranchMerge,
     "tbl_idempotent_retry"  -> tblIdempotentRetry,
     "tbl_optimize_compact"  -> tblOptimizeCompact,
     "tbl_stream_sink"       -> tblStreamSink,
@@ -4299,6 +4397,23 @@ object Acid {
         |       TRUE AS main_isolated, TRUE AS audit_passed,
         |       TRUE AS published, TRUE AS v0_intact,
         |       TRUE AS republish_refused, TRUE AS tag_survives_vacuum""".stripMargin,
+    "tbl_branch_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |merged AS (
+        |  SELECT CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN pc + 777 ELSE pc END AS price_cents,
+        |         CASE WHEN k % 10 = 3 AND k < (SELECT m FROM mx) // 4
+        |              THEN 'PATCHED' ELSE prio END AS prio
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k * 3 + 45, 'WAP' FROM base WHERE k % 100 = 0)
+        |SELECT prio, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS main_isolated, TRUE AS audit_passed, TRUE AS published
+        |FROM merged GROUP BY prio ORDER BY prio""".stripMargin,
     "tbl_optimize_partitions" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -853,6 +853,37 @@ class Round9Spec extends AnyFunSuite {
       "composite limit applies the byte budget, not just maxFiles")
   }
 
+  test("mergeBranch prunes touched files and upserts on the branch only") {
+    val root = Scratch.fresh("r9_brmerge", sf)
+    val dir = s"$root/t"
+    import spark.implicits._
+    Acid.create(spark, dir,
+      spark.range(100).selectExpr("id AS k", "id AS v"), "k", 4)
+    Acid.createBranch(spark, dir, "b")
+    def nParquet: Int = {
+      val w = Files.walk(Paths.get(dir))
+      try w.toArray.map(_.toString).count(_.endsWith(".parquet"))
+      finally w.close()
+    }
+    val n0 = nParquet
+    // pure insert beyond every file range: stages new data, rewrites NO
+    // base file (the broadcast range-join prunes touched to zero)
+    Acid.mergeBranch(spark, dir, "b", Seq((500L, 1L)).toDF("k", "v"))
+    assert(nParquet === n0 + 1, "out-of-range insert stages one file only")
+    assert(Acid.snapshotBranch(spark, dir, "b").count() === 101L)
+    // upsert on one key rewrites only its file; main stays blind
+    Acid.mergeBranch(spark, dir, "b", Seq((10L, -1L)).toDF("k", "v"))
+    val br = Acid.snapshotBranch(spark, dir, "b")
+    assert(br.count() === 101L)
+    assert(br.filter(col("k") === 10).head.getLong(1) === -1L)
+    assert(Acid.snapshot(spark, dir).filter(col("k") === 10).head.getLong(1) === 10L,
+      "main blind to the branch upsert")
+    assert(Acid.publishBranch(spark, dir, "b").isRight)
+    val main = Acid.snapshot(spark, dir)
+    assert(main.count() === 101L)
+    assert(main.filter(col("k") === 10).head.getLong(1) === -1L)
+  }
+
   test("branch/tag SQL statements mirror the library refs") {
     val root = Scratch.fresh("r9_wap_sql", sf)
     val cat = catFor("ws", root)
@@ -897,6 +928,10 @@ class Round9Spec extends AnyFunSuite {
     assert(Seq("main_isolated", "audit_passed", "published", "v0_intact",
       "republish_refused", "tag_survives_vacuum")
       .forall(r7.getAs[Boolean](_)), s"tbl_branch_wap: $r7")
+    val r8 = Acid.queries("tbl_branch_merge")(spark, sf).collect()
+    assert(r8.nonEmpty && r8.forall(r =>
+      Seq("main_isolated", "audit_passed", "published")
+        .forall(r.getAs[Boolean](_))), s"tbl_branch_merge: ${r8.toSeq}")
   }
 
   test("st_stream_ratelimit fixture lands three bounded batches end-to-end") {
