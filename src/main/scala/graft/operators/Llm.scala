@@ -545,7 +545,12 @@ object Llm {
     * mean). Returns (cid, cv).
     */
   private[graft] def refinedCentroids(base: DataFrame, k: Long): DataFrame = {
+    // The frame below the window is ≤ K (=16) rows post-limit, so a
+    // single-partition window is correct and bounded; the constant
+    // partition key keeps Spark's unbounded-window WARN (which assumes a
+    // data-sized frame) out of the logs without changing the plan.
     val wSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(col("h"), col("vec_id"))
     val seeds = base
       .withColumn("h", expr("md5(cast(vec_id as string))"))

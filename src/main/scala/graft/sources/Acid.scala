@@ -160,8 +160,63 @@ object Acid {
 
   private[graft] val LogCheckpointInterval = 10
 
+  // ---- Sharded full snapshots (round-10 verdict #1) --------------------
+  // A FULL file list above this many entries is written as N shard files
+  // plus an O(N)-line "@shards" pointer (the Iceberg manifest-list /
+  // Delta multi-part-checkpoint shape re-derived for the text log):
+  // a cold reader parses shards on all cores instead of one O(table)
+  // text file, and range planning (planRangeEntries) opens ONLY the
+  // shards whose [minKey, maxKey] — recorded in the pointer — overlap
+  // the predicate, so cold planning cost is O(pointer + touched shards),
+  // not O(table files). Shard names carry a per-attempt token so two
+  // writers racing one version can never cross-link each other's shards
+  // (the put-if-absent pointer rename stays the single commit point; a
+  // loser's shards are unreferenced _log orphans, reclaimed with their
+  // version). Below the threshold nothing changes — small tables keep
+  // single-file manifests and pay zero.
+  private[graft] val CheckpointShardEntries = 256
+
+  /** Live-file count above which vacuum's orphan discovery, live-set
+    * diff and deletion run as a Spark job instead of a driver walk —
+    * below it the walk is faster than job scheduling. */
+  private[graft] val VacuumDistributeThreshold = 512
+
   private def checkpointPath(dir: String, v: Int) =
     logDir(dir).resolve(f"c$v%05d.txt")
+
+  /** Write `files` as shard files under `_log`; returns the pointer body
+    * lines ("@shards" + one `name|n|minKey|maxKey` line per shard). */
+  private def writeShards(dir: String, kind: String, v: Int,
+      files: Seq[FileEntry]): Seq[String] = {
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val specs = files.grouped(CheckpointShardEntries).zipWithIndex.map {
+      case (fs, i) =>
+        val name = f"s_$kind$v%05d${"_"}$tok.$i%03d.txt"
+        val tmp = logDir(dir).resolve(s".tmp-$name")
+        Files.write(tmp, fs.map(renderEntry).mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+        try Files.move(tmp, logDir(dir).resolve(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        finally Files.deleteIfExists(tmp): Unit
+        s"$name|${fs.size}|${fs.map(_.minKey).min}|${fs.map(_.maxKey).max}"
+    }.toSeq
+    "@shards" +: specs
+  }
+
+  /** Parse the shard files a pointer references, in parallel — shards are
+    * independent, so a cold full-manifest read uses every core. Encounter
+    * order is preserved (entry order = shard order = writer order). */
+  private def loadShards(logd: java.nio.file.Path, specs: Seq[String])
+      : Seq[FileEntry] = {
+    val names = new java.util.ArrayList[String]()
+    specs.filter(_.nonEmpty).foreach(l => names.add(l.split('|')(0)): Unit)
+    names.parallelStream()
+      .map[Seq[FileEntry]](n =>
+        Files.readAllLines(logd.resolve(n), StandardCharsets.UTF_8).asScala
+          .filter(_.nonEmpty).map(parseEntry).toSeq)
+      .collect(java.util.stream.Collectors.toList[Seq[FileEntry]])
+      .asScala.flatten.toSeq
+  }
 
   private def lastCheckpointPath(dir: String) =
     logDir(dir).resolve("_last_checkpoint")
@@ -275,7 +330,7 @@ object Acid {
         val st = Files.list(ld)
         try st.iterator().asScala
           .map(_.getFileName.toString)
-          .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+          .collect { case n if n.matches("v\\d+\\.txt") =>
             n.stripPrefix("v").stripSuffix(".txt").toInt }
           .foldLeft(-1)(math.max)
         finally st.close()
@@ -381,7 +436,10 @@ object Acid {
         else throw new IllegalStateException(s"$p: bad delta line '$l'")
       }
       LogFile(lines.head, None, rm.toSeq, add.toSeq)
-    } else LogFile(lines.head, Some(lines.tail.map(parseEntry).toSeq), Nil, Nil)
+    } else if (lines.size >= 2 && lines(1) == "@shards")
+      LogFile(lines.head, Some(loadShards(p.getParent, lines.drop(2).toSeq)),
+        Nil, Nil)
+    else LogFile(lines.head, Some(lines.tail.map(parseEntry).toSeq), Nil, Nil)
   }
 
   /** Materialize version `v`: nearest full base at or below it (cache →
@@ -440,6 +498,93 @@ object Acid {
     }
   }
 
+  /** Range-planning read that avoids materializing the whole manifest:
+    * resolve version `v` like readManifest (cache → checkpoint → full →
+    * delta descent), but when the full base is a SHARDED pointer, parse
+    * ONLY the shards whose pointer-recorded [minKey, maxKey] overlap
+    * [lo, hi] — the Iceberg manifest-list planning contract: cold
+    * planning cost is O(delta tail + pointer + overlapping shards), not
+    * O(table files). The delta tail folds exactly like readManifest's
+    * (a removed path in an unparsed shard only affects the total, which
+    * the pointer's per-shard counts supply without a parse). Returns
+    * (overlapping live entries, total live files, shards parsed — -1
+    * when the base was not sharded).
+    */
+  private[graft] def planRangeEntries(dir: String, v: Int, lo: Long, hi: Long)
+      : (Seq[FileEntry], Int, Int) = {
+    def over(f: FileEntry) = f.maxKey >= lo && f.minKey <= hi
+    cacheGet(dir, v) match {
+      case Some(m) => (m.files.filter(over), m.files.size, -1)
+      case None =>
+        // descend to a full base, collecting the delta tail in order
+        val deltas = scala.collection.mutable.ListBuffer.empty[LogFile]
+        var cur = v
+        var base: (Seq[FileEntry], Int, Int) = null // (overlap, total, shards)
+        while (base == null) {
+          require(cur >= 0,
+            s"version $v: delta chain reaches below v0 — corrupt log")
+          val cached = if (cur < v) cacheGet(dir, cur) else None
+          cached match {
+            case Some(cm) => base = (cm.files.filter(over), cm.files.size, -1)
+            case None =>
+              val mp = manifestPath(dir, cur)
+              val lines = Files.readAllLines(mp, StandardCharsets.UTF_8).asScala
+              val isDelta = lines.size >= 2 && lines(1) == "@delta"
+              val src =
+                if (isDelta && Files.exists(checkpointPath(dir, cur))) {
+                  // a checkpoint AT cur IS cur materialized — use it, drop
+                  // nothing (the delta at cur is subsumed)
+                  Some(Files.readAllLines(checkpointPath(dir, cur),
+                    StandardCharsets.UTF_8).asScala)
+                } else if (isDelta) {
+                  val rm = scala.collection.mutable.ListBuffer.empty[String]
+                  val add = scala.collection.mutable.ListBuffer.empty[FileEntry]
+                  lines.drop(2).foreach { l =>
+                    if (l.startsWith("-")) rm += l.substring(1)
+                    else if (l.startsWith("+")) add += parseEntry(l.substring(1))
+                  }
+                  deltas.prepend(LogFile(lines.head, None, rm.toSeq, add.toSeq))
+                  cur -= 1
+                  None
+                } else Some(lines)
+              src.foreach { fl =>
+                base =
+                  if (fl.size >= 2 && fl(1) == "@shards") {
+                    val specs = fl.drop(2).filter(_.nonEmpty).map(_.split('|'))
+                    val total = specs.map(_(1).toInt).sum
+                    val touched = specs.filter(sp =>
+                      sp(3).toLong >= lo && sp(2).toLong <= hi)
+                    val ents = loadShards(logDir(dir),
+                      touched.map(_.mkString("|")).toSeq).filter(over)
+                    (ents, total, touched.size)
+                  } else
+                    (fl.tail.filter(_.nonEmpty).map(parseEntry).filter(over).toSeq,
+                      fl.size - 1, -1)
+              }
+          }
+        }
+        val (baseOver, baseTotal, shards) = base
+        if (deltas.isEmpty) (baseOver, baseTotal, shards)
+        else {
+          // fold the tail against per-path identity: a path removed at
+          // step k was live at k-1 — either base (count down) or an
+          // earlier delta's add (drop there)
+          val added = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+          val baseRemoved = scala.collection.mutable.Set.empty[String]
+          deltas.foreach { d =>
+            d.removed.foreach { p =>
+              if (added.remove(p).isEmpty) baseRemoved += p: Unit
+            }
+            d.added.foreach(f => added.put(f.path, f): Unit)
+          }
+          val live = baseOver.filterNot(f =>
+            baseRemoved(f.path) || added.contains(f.path)) ++
+            added.values.filter(over)
+          (live, baseTotal - baseRemoved.size + added.size, shards)
+        }
+    }
+  }
+
   /** Atomic put-if-absent commit: write a temp record, then rename WITHOUT
     * replace — a second writer racing to the same version gets
     * FileAlreadyExistsException, the optimistic-concurrency signal. (On
@@ -477,8 +622,10 @@ object Acid {
             added.map(f => "+" + renderEntry(f)))
         else None
       }
-    val body = (header +: deltaBody.getOrElse(m.files.map(renderEntry)))
-      .mkString("\n")
+    val body = (header +: deltaBody.getOrElse {
+      if (m.files.size <= CheckpointShardEntries) m.files.map(renderEntry)
+      else writeShards(dir, "v", m.version, m.files)
+    }).mkString("\n")
     // UUID suffix: two writers racing the same version in DIFFERENT JVMs
     // can share a thread id, which would let the second Files.write
     // truncate the first writer's tmp record mid-commit. The finally
@@ -504,8 +651,10 @@ object Acid {
       .map { case (t, v) => s"$t=$v" }.mkString(",")
     val cstr = m.constraint.map(c => java.util.Base64.getEncoder
       .encodeToString(c.getBytes(StandardCharsets.UTF_8))).getOrElse("")
-    val body = (s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}|$cstr|${m.op}" +:
-      m.files.map(renderEntry)).mkString("\n")
+    val body = (s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}|$cstr|${m.op}" +: {
+      if (m.files.size <= CheckpointShardEntries) m.files.map(renderEntry)
+      else writeShards(dir, "c", m.version, m.files)
+    }).mkString("\n")
     val tmp = logDir(dir)
       .resolve(s".tmp-c${m.version}-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -584,8 +733,18 @@ object Acid {
           if (!df.columns.contains(ps.col)) None
           else df.schema(ps.col).dataType match {
             case LongType => Some(col(ps.col))
-            case TimestampType | TimestampNTZType =>
-              Some(unix_micros(col(ps.col).cast(TimestampType)))
+            case TimestampType => Some(unix_micros(col(ps.col)))
+            case TimestampNTZType =>
+              // The V2 writer stamped an NTZ value's RAW micros (wall clock
+              // as-if-UTC) and scan pruning decodes at UTC; a cast to
+              // TimestampType would re-interpret the wall clock in the
+              // SESSION zone and shift the stamped range. Re-derive the
+              // raw basis from zone-free field extractions instead.
+              Some(expr(
+                s"unix_date(cast(`${ps.col}` as date)) * ${MicrosPerDay}L" +
+                s" + hour(`${ps.col}`) * 3600000000L" +
+                s" + minute(`${ps.col}`) * 60000000L" +
+                s" + cast(date_part('SECOND', `${ps.col}`) * 1000000 as bigint)"))
             case _ => None
           }
         srcLong match {
@@ -1158,12 +1317,18 @@ object Acid {
     */
   def scanRange(s: SparkSession, dir: String, lo: Long, hi: Long)
       : (DataFrame, Int, Int) = {
-    val m = readManifest(dir, latestVersion(dir))
-    val live = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    // planRangeEntries parses only pointer-overlapping shards on sharded
+    // tables — cold planning is O(touched shards), not O(table files)
+    val (live, total, _) = planRangeEntries(dir, latestVersion(dir), lo, hi)
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
       else applyDv(s, dir, live, readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*))
-    (df.filter(col(keyColOf(s, dir)).between(lo, hi)), live.size, m.files.size)
+    // the key column's name comes from a surviving file's footer, not a
+    // full-manifest read (which would defeat the pruned planning)
+    val key = live.headOption
+      .map(f => s.read.parquet(s"$dir/${f.path}").schema.fields.head.name)
+      .getOrElse(keyColOf(s, dir))
+    (df.filter(col(key).between(lo, hi)), live.size, total)
   }
 
   // The merge key is positional by contract: first column of the table.
@@ -2078,16 +2243,26 @@ object Acid {
     val key = keyColOf(s, dir)
     val touched = m.files.filter(f => f.maxKey >= keyLo && f.minKey <= keyHi)
     if (touched.isEmpty) return (0, m.files.size, m.files.size)
-    val col2 = touched.flatMap(_.stats2.map(_._1)).distinct match {
-      case Seq(c) if touched.forall(_.stats2.nonEmpty) => Some(c)
-      case _                                           => None
-    }
     val dataDir = s"d${v + 1}_optr"
-    applyDv(s, dir, touched, readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
+    val rewrite = applyDv(s, dir, touched,
+      readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
+    // The stats2 label is only a real column on identity/col2-stamped
+    // tables; on a transform table it is 'days(ts)'/'bucket(n,k)' — not a
+    // column statsOf could aggregate. Promote it only when it resolves;
+    // transform tables re-stamp via restampPartStats like merge/delete.
+    val col2 = touched.flatMap(_.stats2.map(_._1)).distinct match {
+      case Seq(c) if touched.forall(_.stats2.nonEmpty) &&
+        rewrite.columns.contains(c) => Some(c)
+      case _ => None
+    }
+    rewrite
       .repartitionByRange(targetFiles, col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
+    val newEntries =
+      if (col2.isDefined) statsOf(s, dir, dataDir, key, col2)
+      else restampPartStats(s, dir, dataDir, statsOf(s, dir, dataDir, key))
     val newV = replaceCommit(dir, touched.map(_.path).toSet,
-      statsOf(s, dir, dataDir, key, col2), op = "OPTIMIZE")
+      newEntries, op = "OPTIMIZE")
     (touched.size, readManifest(dir, newV).files.size, m.files.size)
   }
 
@@ -2341,11 +2516,18 @@ object Acid {
     * the rewrite. Returns the new branch head index. */
   def mergeBranch(s: SparkSession, dir: String, name: String,
       batch: DataFrame): Int = {
-    val key = keyColOf(s, dir)
+    val keyCols = keyColsOf(s, dir)
     val h = branchHead(dir, name)
     val files = branchFilesAt(dir, name, h)
     val b = toPhysicalDf(dir, batch)
-    val keyPhys = colMapOf(dir).getOrElse(key, key)
+    // Composite-key tables match on EVERY key column (leading-key-only
+    // matching would delete sibling lines that share a batch row's leading
+    // key); file pruning stays leading-column — a superset range, exact.
+    val keysPhys = keyCols.map(k => colMapOf(dir).getOrElse(k, k))
+    val keyPhys = keysPhys.head
+    require(b.columns.take(keysPhys.size).sameElements(keysPhys),
+      s"branch-merge batch must lead with the table's key columns " +
+        s"${keysPhys.mkString(",")}, got ${b.columns.take(keysPhys.size).mkString(",")}")
     // same file pruning as mergeAt: a file is touched iff a batch key
     // can land INSIDE its range (broadcast range-join, #files-sized
     // result) — pure inserts beyond every range rewrite nothing
@@ -2366,8 +2548,7 @@ object Acid {
       if (touched.isEmpty) b.limit(0)
       else applyDv(s, dir, touched,
         readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
-        .join(b.select(col(keyPhys).as("__bk")).distinct(),
-          col(keyPhys) === col("__bk"), "left_anti")
+        .join(b.select(keysPhys.map(col): _*).distinct(), keysPhys, "left_anti")
     kept.unionByName(b)
       .repartitionByRange(math.max(1, touched.size), col(keyPhys))
       .write.mode("overwrite").parquet(s"$dir/$dd")
@@ -2508,21 +2689,82 @@ object Acid {
       branchLive.flatMap(_.dv.map(_._1 + "/")) ++
       branchLive.flatMap(_.pdv.map(_._1 + "/"))
     val root = Paths.get(dir)
-    val all = {
-      val st = Files.walk(root)
-      try st.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet"))
-        .map(p => root.relativize(p).toString).toList
-      finally st.close()
-    }
     val cutoff = System.currentTimeMillis() - graceMs
-    val orphans = all.filterNot(p =>
-      live.contains(p) || liveCdcPrefixes.exists(p.startsWith))
-      .filter(p => graceMs <= 0L ||
-        Try(Files.getLastModifiedTime(root.resolve(p)).toMillis)
-          .toOption.forall(_ < cutoff))
+    // Orphan discovery + deletion (round-10 verdict #1). Below the
+    // threshold a driver walk beats Spark job scheduling; above it —
+    // 10^5-10^6 files at 100 TB — discovery parallelizes one task per
+    // top-level prefix, the live-set diff runs as a distributed
+    // anti-join, and deletes batch across executors, so vacuum wall time
+    // is bounded by the largest prefix, not the table.
+    val nOrphans: Int =
+      if (live.size < VacuumDistributeThreshold) {
+        val all = {
+          val st = Files.walk(root)
+          try st.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet"))
+            .map(p => root.relativize(p).toString).toList
+          finally st.close()
+        }
+        val orphans = all.filterNot(p =>
+          live.contains(p) || liveCdcPrefixes.exists(p.startsWith))
+          // fail safe: an unreadable mtime (transient stat failure) SPARES
+          // the file — .exists, not .forall, or the grace window itself races
+          .filter(p => graceMs <= 0L ||
+            Try(Files.getLastModifiedTime(root.resolve(p)).toMillis)
+              .toOption.exists(_ < cutoff))
+        if (!dryRun) orphans.foreach(p => Files.deleteIfExists(root.resolve(p)))
+        orphans.size
+      } else {
+        val rootStr = root.toAbsolutePath.toString
+        val prefixes = "" :: {
+          val st = Files.list(root)
+          try st.iterator().asScala.filter(Files.isDirectory(_))
+            .map(_.getFileName.toString).filter(_ != "_log").toList
+          finally st.close()
+        }
+        val cdcArr = liveCdcPrefixes.toArray
+        val g = graceMs
+        import s.implicits._
+        val listed = s.createDataset(prefixes)
+          .repartition(math.min(prefixes.size, 64))
+          .flatMap { pfx =>
+            val base =
+              if (pfx.isEmpty) Paths.get(rootStr) else Paths.get(rootStr, pfx)
+            if (!Files.exists(base)) Iterator.empty
+            else {
+              // "" covers root-level loose files (CONVERTed tables)
+              // non-recursively; every other prefix walks its own subtree
+              val st = if (pfx.isEmpty) Files.list(base) else Files.walk(base)
+              try st.iterator().asScala
+                .filter(p => p.toString.endsWith(".parquet"))
+                .map { p =>
+                  // unreadable mtime -> MaxValue: spared by the grace test
+                  val mt = if (g <= 0L) 0L
+                    else Try(Files.getLastModifiedTime(p).toMillis)
+                      .getOrElse(Long.MaxValue)
+                  (Paths.get(rootStr).relativize(p).toString, mt)
+                }.toList.iterator
+              finally st.close()
+            }
+          }.toDF("path", "mtime")
+        val liveDf = s.createDataset(live.toSeq).toDF("path")
+        val orphanDs = listed.join(liveDf, Seq("path"), "left_anti")
+          .as[(String, Long)]
+          .filter(t => !cdcArr.exists(t._1.startsWith) &&
+            (g <= 0L || t._2 < cutoff))
+        if (dryRun) orphanDs.count().toInt
+        else {
+          val acc = s.sparkContext.longAccumulator("graft.vacuum.orphans")
+          orphanDs.foreachPartition { (it: Iterator[(String, Long)]) =>
+            it.foreach { t =>
+              acc.add(1L)
+              Files.deleteIfExists(Paths.get(rootStr).resolve(t._1)): Unit
+            }
+          }
+          acc.value.toInt
+        }
+      }
     if (!dryRun) {
-      orphans.foreach(p => Files.deleteIfExists(root.resolve(p)))
       // Retained delta chains must stay resolvable after the below-horizon
       // manifests vanish: materialize a FULL checkpoint at the horizon
       // first, and advance the _last_checkpoint pointer so latestVersion
@@ -2538,12 +2780,26 @@ object Acid {
       pinnedVs.filter(_ < retainFrom).foreach { tv =>
         Try(readManifest(dir, tv)).foreach(writeCheckpoint(dir, _))
       }
-      (0 until retainFrom).filterNot(pinnedVs.contains).foreach { v =>
+      val dropVs = (0 until retainFrom).filterNot(pinnedVs.contains)
+      dropVs.foreach { v =>
         Files.deleteIfExists(manifestPath(dir, v))
         Files.deleteIfExists(checkpointPath(dir, v)): Unit
       }
+      // shard files of dropped versions (including losing commit
+      // attempts' unreferenced shards): one _log listing, the owning
+      // version is in the name at a fixed offset (s_v00012_/s_c00012_)
+      if (dropVs.nonEmpty) {
+        val drop = dropVs.toSet
+        val st = Files.list(logDir(dir))
+        try st.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("s_") && n.length > 8 &&
+            Try(n.substring(3, 8).toInt).toOption.exists(drop.contains)
+        }.foreach(p => Files.deleteIfExists(p): Unit)
+        finally st.close()
+      }
     }
-    (orphans.size, live.size)
+    (nOrphans, live.size)
   }
 
   // ======================================================================

@@ -352,7 +352,10 @@ object Xml {
   private def injectNs(tagStr: String, missing: Map[String, String]): String = {
     val cut = if (tagStr.endsWith("/>")) tagStr.length - 2 else tagStr.length - 1
     val decls = missing.toSeq.sorted.map { case (p, u) =>
-      if (p.isEmpty) s""" xmlns="$u"""" else s""" xmlns:$p="$u""""
+      // nsDeclsOf also captures single-quoted values, which may legally
+      // contain a double quote — escape before re-wrapping in double quotes
+      val v = u.replace("\"", "&quot;")
+      if (p.isEmpty) s""" xmlns="$v"""" else s""" xmlns:$p="$v""""
     }.mkString
     tagStr.substring(0, cut) + decls + tagStr.substring(cut)
   }

@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Acid
+
+/** Round-10 regression pins for the round-9 advisor findings: composite-key
+  * branch merge (leading-key-only matching silently deleted sibling lines),
+  * OPTIMIZE WHERE on transform-partitioned tables (the stats2 label is not
+  * a real column), session-zone-independent NTZ partition re-stamping, and
+  * xmlns re-injection of single-quoted values carrying double quotes.
+  */
+class Round10Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def catFor(tag: String, root: String): String = {
+    val cat = s"graft_r10${tag}_" +
+      Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  test("mergeBranch matches composite keys on every key column") {
+    val root = Scratch.fresh("r10_br_comp", sf)
+    val dir = s"$root/t"
+    import spark.implicits._
+    // 10 groups x 20 lines: (k1, k2) unique, k1 alone is not
+    val t = spark.range(200).select(expr("id div 20").as("k1"),
+      expr("id % 20").as("k2"), (col("id") * 3).as("v"))
+    Acid.create(spark, dir, t, Seq("k1", "k2"), 4, None)
+    Acid.createBranch(spark, dir, "b")
+    // update exactly (3,7) and insert the new pair (3,99): the 19 sibling
+    // lines of k1=3 share the batch rows' leading key and must survive
+    Acid.mergeBranch(spark, dir, "b",
+      Seq((3L, 7L, -1L), (3L, 99L, -2L)).toDF("k1", "k2", "v"))
+    val br = Acid.snapshotBranch(spark, dir, "b")
+    assert(br.count() === 201L, "200 base rows + 1 inserted pair")
+    assert(br.filter(col("k1") === 3).count() === 21L,
+      "k1=3 group keeps its 20 lines and gains the insert")
+    assert(br.filter(col("k1") === 3 && col("k2") === 7).head.getLong(2) === -1L)
+    assert(br.filter(col("k1") === 3 && col("k2") === 8).head.getLong(2) === (3L * 20 + 8) * 3,
+      "sibling line untouched")
+    assert(br.filter(col("k1") === 3 && col("k2") === 99).head.getLong(2) === -2L)
+    // main stays blind until publish; publish lands the audited state
+    assert(Acid.snapshot(spark, dir).count() === 200L)
+    assert(Acid.publishBranch(spark, dir, "b").isRight)
+    assert(Acid.snapshot(spark, dir).filter(col("k1") === 3).count() === 21L)
+  }
+
+  test("OPTIMIZE WHERE on a days-partitioned table re-stamps transform stats") {
+    val root = Scratch.fresh("r10_optr_days", sf)
+    val cat = catFor("od", root)
+    val dir = s"$root/ev"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v BIGINT)
+                 |PARTITIONED BY (days(ts))""".stripMargin)
+    // 10 days x 5 rows, keys contiguous per day
+    spark.range(50).coalesce(1).selectExpr("id AS k",
+      "timestamp_micros(CAST(1704067200000000 + (id DIV 5) * 86400000000 + id * 1000000 AS BIGINT)) AS ts",
+      "id AS v").createOrReplaceTempView("r10_optr_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM r10_optr_src")
+    val m0 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m0.files.size === 10)
+    // the stats2 label here is 'days(ts)' — not a column; promoting it to
+    // statsOf's col2 crashed the whole statement after the rewrite landed
+    val (touched, after, before) =
+      Acid.optimizeRange(spark, dir, 0L, 9L, targetFiles = 1)
+    assert(touched === 2 && before === 10 && after === 9,
+      s"days 0-1 bin-pack to one file: ($touched, $after, $before)")
+    val m1 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val rewritten = m1.files.filterNot(m0.files.toSet)
+    assert(rewritten.nonEmpty && rewritten.forall(_.stats2.exists {
+      case (c, lo2, hi2) => c == "days(ts)" && lo2 <= hi2 }),
+      s"rewritten files re-stamp days(ts): ${rewritten.map(_.stats2)}")
+    assert(spark.table(s"$cat.ev").count() === 50L)
+    // pruning away from the rewrite stays sharp
+    val win = "ts >= TIMESTAMP'2024-01-06 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-09 00:00:00'"
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ev WHERE $win").head.getLong(0)
+      === (25 until 40).sum.toLong)
+    val (scanned, total) = graft.sources.AcidSql.lastScanFor(dir)
+    assert(scanned <= 3 && total === m1.files.size,
+      s"post-optimize window pruned $scanned/$total")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+  }
+
+  test("NTZ partition re-stamp is session-zone independent") {
+    val root = Scratch.fresh("r10_ntz", sf)
+    val cat = catFor("nz", root)
+    val dir = s"$root/ev"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP_NTZ, v BIGINT)
+                 |PARTITIONED BY (days(ts))""".stripMargin)
+    // 5 days x 4 rows at 00:30 wall clock — early hours, maximally
+    // sensitive to a positive-zone cast shift; NTZ built zone-free
+    spark.range(20).coalesce(1).selectExpr("id AS k",
+      "timestampadd(SECOND, CAST(id AS INT), timestampadd(DAY, CAST(id DIV 4 AS INT), " +
+        "TIMESTAMP_NTZ'2024-01-01 00:30:00')) AS ts",
+      "id AS v").createOrReplaceTempView("r10_ntz_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM r10_ntz_src")
+    val m0 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m0.files.size === 5)
+    assert(m0.files.map(_.stats2).min === Some(("days(ts)", 19723L, 19723L)),
+      "writer stamps raw NTZ micros (2024-01-01 = epoch day 19723)")
+    // library merge under Auckland (+13 in January): the rewrite's
+    // re-stamp must reproduce the writer's as-if-UTC basis, not shift the
+    // day to 19722 through a session-zone cast
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Auckland")
+    try {
+      import spark.implicits._
+      assert(!Acid.merge(spark, dir,
+        Seq((0L, 999L), (1L, 999L), (2L, 999L)).toDF("k", "v"), "w").skipped)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    val m1 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val rewritten = m1.files.filterNot(m0.files.toSet)
+    assert(rewritten.nonEmpty && rewritten.forall(
+      _.stats2.contains(("days(ts)", 19723L, 19723L))),
+      s"re-stamp zone-shifted: ${rewritten.map(_.stats2)}")
+    // the day-0 window scan must therefore still see the merged rows
+    val win = "ts >= TIMESTAMP_NTZ'2024-01-01 00:00:00' AND " +
+      "ts < TIMESTAMP_NTZ'2024-01-02 00:00:00'"
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ev WHERE $win").head.getLong(0)
+      === 999L * 3 + 3)
+    val (scanned, total) = graft.sources.AcidSql.lastScanFor(dir)
+    assert(scanned === 1 && total === m1.files.size,
+      s"day-0 probe pruned $scanned/$total")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+  }
+
+  test("sharded manifests: pointer format, fresh-parse parity, pruned planning") {
+    val dir = Scratch.fresh("r10_shard", sf)
+    val t = spark.range(6000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Acid.create(spark, dir, t, "k", 600)
+    val v0 = Files.readAllLines(Paths.get(dir, "_log", "v00000.txt"))
+    assert(v0.get(1) === "@shards", "a 600-entry full manifest writes a pointer")
+    val nShards = (600 + Acid.CheckpointShardEntries - 1) / Acid.CheckpointShardEntries
+    assert(v0.size === 2 + nShards, "pointer is O(shards) lines, not O(files)")
+    Acid.clearManifestCache()
+    assert(Acid.snapshot(spark, dir).count() === 6000L,
+      "fresh parse through shards reproduces the snapshot")
+    // pruned planning: a 20-key window parses ONE shard, not the table
+    Acid.clearManifestCache()
+    val (ents, total, shardsParsed) = Acid.planRangeEntries(dir, 0, 100L, 119L)
+    assert(total === 600 && shardsParsed === 1 && ents.size <= 3,
+      s"window planning: ${ents.size} entries, $shardsParsed shards")
+    val (df, scanned, total2) = Acid.scanRange(spark, dir, 100L, 119L)
+    assert(total2 === 600 && scanned === ents.size && df.count() === 20L)
+    // a delta tail folds over the sharded base without parsing all shards
+    import spark.implicits._
+    assert(!Acid.merge(spark, dir, Seq((9999L, -1L)).toDF("k", "v"), "w").skipped)
+    Acid.clearManifestCache()
+    val (e1, t1, sp1) = Acid.planRangeEntries(dir, 1, 9999L, 9999L)
+    assert(t1 === 601 && sp1 === 0 && e1.size === 1 && e1.head.minKey === 9999L,
+      s"insert beyond every shard range plans zero shards: ($t1, $sp1, $e1)")
+    // an update rewrite swaps the touched entry in pruned planning
+    assert(!Acid.merge(spark, dir, Seq((100L, -5L)).toDF("k", "v"), "w2").skipped)
+    Acid.clearManifestCache()
+    val (e2, t2, _) = Acid.planRangeEntries(dir, 2, 100L, 119L)
+    assert(t2 === 601 && e2.nonEmpty)
+    val (df2, _, _) = Acid.scanRange(spark, dir, 100L, 119L)
+    assert(df2.agg(sum(col("v"))).head.getLong(0)
+      === (101 to 119).map(_ * 2L).sum - 5L)
+    // full fresh read agrees with pruned planning's total
+    Acid.clearManifestCache()
+    assert(Acid.readManifest(dir, 2).files.size === t2)
+  }
+
+  test("vacuum distributes orphan discovery and deletion past the threshold") {
+    val dir = Scratch.fresh("r10_vac_dist", sf)
+    Acid.create(spark, dir,
+      spark.range(6000).select(col("id").as("k"), col("id").as("v")), "k", 600)
+    // an abandoned (never-committed) write attempt leaves 25 orphans
+    spark.range(100).select(col("id").as("k"), col("id").as("v"))
+      .repartition(25).write.parquet(s"$dir/d_orphan")
+    val (dry, liveN) = Acid.vacuum(spark, dir, 0, dryRun = true)
+    assert(dry === 25 && liveN === 600, s"dry run: ($dry, $liveN)")
+    val (del, liveN2) = Acid.vacuum(spark, dir, 0)
+    assert(del === 25 && liveN2 === 600, s"vacuum: ($del, $liveN2)")
+    val leftover = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(Paths.get(dir, "d_orphan"))
+      try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    assert(leftover === 0, "orphan parquet files deleted by executors")
+    assert(Acid.snapshot(spark, dir).count() === 6000L, "live data untouched")
+  }
+
+  test("re-injected xmlns preserves single-quoted values with double quotes") {
+    import graft.sources.Xml
+    val dir = Scratch.fresh("r10_ns_quote", sf)
+    val body = (0 until 6).map(k =>
+      s"""  <x:book key="$k"><name>N$k</name></x:book>""").mkString("\n")
+    // a legal single-quoted xmlns value containing a double quote
+    Files.write(Paths.get(dir, "cat.xml"),
+      ("<catalog xmlns:x='urn:x?q=\"1\"'>\n" + body + "\n</catalog>")
+        .getBytes("UTF-8"))
+    val rows = Xml.readXmlNodePath(spark, dir, "/catalog/book")
+      .collect().map(_.getString(0))
+    assert(rows.length === 6)
+    assert(rows.forall(_.contains("xmlns:x=\"urn:x?q=&quot;1&quot;\"")),
+      s"embedded quotes must escape, got: ${rows.head}")
+    // the rewritten snippets stay well-formed records
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val keys = spark.createDataset(rows.toSeq).toDF("xml")
+      .withColumn("p", from_xml(col("xml"),
+        StructType(Seq(StructField("_key", LongType)))))
+      .select("p._key").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys === (0L until 6L))
+  }
+}
