@@ -813,3 +813,106 @@ object Round9bProbe {
     spark.stop()
   }
 }
+
+/** Round-10 probes: (1) the metadata plane at ×10 FILE COUNT — sharded
+  * manifest cold read, pointer-pruned range planning, and distributed
+  * vacuum must grow sublinearly vs the table's file count (verdict #1);
+  * (2) whether `spark.sql.cbo.enabled` changes any ACID join plan given
+  * the V2 scan's reported statistics (verdict #3 gate — implement column
+  * NDV stats only if a plan actually moves).
+  *
+  *   sbt "runMain graft.Round10Probe /root/testdata/sf0.1"
+  */
+object Round10Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Acid
+
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- 1. metadata plane at x10 file count ------------------------------
+    def metaProbe(tag: String, nFiles: Int): Unit = {
+      val dir = Scratch.fresh(s"r10_probe_meta_$tag", sfDir)
+      val rows = spark.range(nFiles * 10L)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      val (_, createS) = t(Acid.create(spark, dir, rows, "k", nFiles))
+      // orphans: one abandoned staging dir, nFiles/10 files
+      spark.range(nFiles.toLong).select(col("id").as("k"), col("id").as("v"))
+        .repartition(math.max(1, nFiles / 10))
+        .write.parquet(s"$dir/d_abandoned")
+      Acid.clearManifestCache()
+      val (nRead, coldS) = t(Acid.readManifest(dir, 0).files.size)
+      Acid.clearManifestCache()
+      val ((ents, total, shards), planS) =
+        t(Acid.planRangeEntries(dir, 0, 42L, 58L))
+      val (dry, dryS) = t(Acid.vacuum(spark, dir, 0, dryRun = true))
+      val (vac, vacS) = t(Acid.vacuum(spark, dir, 0))
+      println(f"[r10-probe] meta $tag%-4s ($nFiles%5d files): create $createS%5.1fs, " +
+        f"cold full read $coldS%6.3fs ($nRead entries), range plan $planS%6.3fs " +
+        f"(${ents.size} entries, $shards of ${(total + 255) / 256} shards), " +
+        f"vacuum dry $dryS%5.2fs / real $vacS%5.2fs (${dry._1}/${vac._1} orphans)")
+    }
+    metaProbe("x1", 500)
+    metaProbe("x10", 5000)
+
+    // ---- 2. does CBO move any ACID join plan? ------------------------------
+    locally {
+      val root = Scratch.fresh("r10_probe_cbo", sfDir)
+      val cat = "graft_r10cbo"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.orders(spark, sfDir).select(col("o_orderkey").as("k"),
+          col("o_custkey").as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("r10cbo_orders")
+      Tables.customer(spark, sfDir).select(col("c_custkey").as("ck"),
+          col("c_nationkey").as("nk")).createOrReplaceTempView("r10cbo_cust")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.fact")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.dim1")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.dim2")
+      spark.sql(s"CREATE TABLE $cat.fact AS SELECT * FROM r10cbo_orders")
+      spark.sql(s"CREATE TABLE $cat.dim1 AS SELECT DISTINCT ck FROM r10cbo_cust")
+      spark.sql(s"CREATE TABLE $cat.dim2 AS " +
+        "SELECT DISTINCT nk AS k2 FROM r10cbo_cust WHERE nk < 3")
+      val q = s"""SELECT count(*), sum(f.cents) FROM $cat.fact f
+                 |JOIN $cat.dim1 d1 ON f.ck = d1.ck
+                 |JOIN $cat.dim2 d2 ON f.k % 25 = d2.k2""".stripMargin
+      def planOf(): String = {
+        val p = spark.sql(q).queryExecution.executedPlan.toString
+        // strip ids/paths so the comparison sees shape, not naming
+        p.replaceAll("#\\d+L?", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+      }
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val off = planOf()
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val on = planOf()
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      println(s"[r10-probe] cbo: 3-table ACID join plan " +
+        (if (off == on) "IDENTICAL with cbo+joinReorder on (V2 stats already drive broadcast; no colStats consumer) -- deprioritize column NDV stamping"
+         else "CHANGED with cbo on -- column stats are live, implement NDV stamping"))
+      if (off != on) {
+        val ol = off.linesIterator.toSeq; val nl = on.linesIterator.toSeq
+        ol.zipAll(nl, "<end>", "<end>").filter(p => p._1 != p._2).take(12)
+          .foreach { case (a, b) =>
+            println(s"[r10-probe]   off: $a")
+            println(s"[r10-probe]   on : $b")
+          }
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $cat.fact")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.dim1")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.dim2")
+    }
+    spark.stop()
+  }
+}

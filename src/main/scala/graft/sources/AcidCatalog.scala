@@ -135,13 +135,13 @@ class AcidCatalog extends StagingTableCatalog {
     new AcidSqlTable(dir, Acid.snapshot(SparkSession.active, dir, v).schema, v)
   }
 
-  /** `PARTITIONED BY` support: exactly one identity transform on a
-    * declared BIGINT column (the categorical-partition shape
-    * createPartitioned models). The column name persists as a `_log`
-    * sidecar; from then on every insert clusters on it and stamps
-    * per-file stats2, and every scan prunes on those stats — the
-    * wiring is the manifest's existing second-dimension machinery.
-    * Anything richer (bucket/days/multi-column) refuses loudly. */
+  /** `PARTITIONED BY` support: any combination of single-column identity
+    * / days / bucket transforms (round-10 verdict #4 widened this from
+    * one transform). The rendered spec persists as a `_log` sidecar;
+    * from then on every insert rolls segments on the transform-value
+    * tuple — leading transform's stats in stats2, the rest tagged in
+    * pstats — and every scan intersects the transforms' pruning
+    * verdicts. Unsupported transform shapes refuse loudly. */
   private def partColFrom(info: TableInfo): Option[String] = {
     import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     def fieldOf(t: Transform): org.apache.spark.sql.types.StructField = {
@@ -150,22 +150,21 @@ class AcidCatalog extends StagingTableCatalog {
         throw new IllegalArgumentException(
           s"$catName: PARTITIONED BY ($c) — no such column"))
     }
-    info.partitions() match {
-      case ps if ps.isEmpty => None
-      case Array(t) if t.name() == "identity" && t.references().length == 1 =>
+    def labelOf(t: Transform): String = t match {
+      case t if t.name() == "identity" && t.references().length == 1 =>
         val f = fieldOf(t)
         if (f.dataType != LongType)
           throw new UnsupportedOperationException(
             s"$catName: PARTITIONED BY needs a BIGINT column, ${f.name} is ${f.dataType.sql}")
-        Some(Acid.PartIdentity(f.name).label)
-      case Array(t) if t.name() == "days" && t.references().length == 1 =>
+        Acid.PartIdentity(f.name).label
+      case t if t.name() == "days" && t.references().length == 1 =>
         val f = fieldOf(t)
         if (f.dataType != TimestampType && f.dataType != TimestampNTZType)
           throw new UnsupportedOperationException(
             s"$catName: PARTITIONED BY (days(c)) needs a TIMESTAMP column, " +
               s"${f.name} is ${f.dataType.sql}")
-        Some(Acid.PartDays(f.name).label)
-      case Array(t) if t.name() == "bucket" && t.references().length == 1 =>
+        Acid.PartDays(f.name).label
+      case t if t.name() == "bucket" && t.references().length == 1 =>
         val n = t.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
             l.value().toString.toInt
@@ -178,10 +177,19 @@ class AcidCatalog extends StagingTableCatalog {
           throw new UnsupportedOperationException(
             s"$catName: PARTITIONED BY (bucket(n, c)) needs a BIGINT column, " +
               s"${f.name} is ${f.dataType.sql}")
-        Some(Acid.PartBucket(n, f.name).label)
+        Acid.PartBucket(n, f.name).label
       case other => throw new UnsupportedOperationException(
         s"$catName: only single-column identity / days / bucket " +
-          s"partitioning is supported, got ${other.mkString(", ")}")
+          s"transforms are supported, got $other")
+    }
+    info.partitions() match {
+      case ps if ps.isEmpty => None
+      case ps =>
+        val labels = ps.map(labelOf)
+        require(labels.map(l => Acid.parsePartSpec(l).col).distinct.length
+          == labels.length,
+          s"$catName: each partition transform needs a distinct source column")
+        Some(labels.mkString(","))
     }
   }
 
@@ -315,10 +323,12 @@ class AcidCatalog extends StagingTableCatalog {
           throw new UnsupportedOperationException(
             s"$catName.$ident: $from is a merge-key column — it cannot be " +
               "dropped")
-        if (Acid.partColOf(dir).contains(physD))
+        // every spec version's source columns are guarded: an old spec's
+        // column still prunes the files written under it
+        if (Acid.partColsOf(dir).contains(physD))
           throw new UnsupportedOperationException(
-            s"$catName.$ident: $from is the partition column — it cannot " +
-              "be dropped")
+            s"$catName.$ident: $from is a partition source column — it " +
+              "cannot be dropped")
         val vD = Acid.latestVersion(dir)
         val cstrD = if (vD >= 0) Acid.readManifest(dir, vD).constraint else None
         cstrD.filter(_.contains(from)).foreach { c =>
@@ -416,7 +426,7 @@ class AcidStagedTable(dir: String, tableSchema: StructType)
           private val stageDir = s"d0_ctas_${java.util.UUID.randomUUID().toString.take(8)}"
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
             new AcidSqlWriterFactory(dir, stageDir, info.schema(),
-              Acid.partSpecOf(dir))
+              Acid.partSpecsOf(dir))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             pending = AcidWriteMessages.entriesOf(messages)
           }

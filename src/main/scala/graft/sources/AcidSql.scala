@@ -400,7 +400,7 @@ class AcidSqlTable(dir: String, tableSchema: StructType, pinnedVersion: Int = -1
   /** Reports the catalog-declared partition transform (if any), so
     * SHOW CREATE / DESCRIBE surface it like Delta/Iceberg do. */
   override def partitioning(): Array[Transform] =
-    Acid.partSpecOf(dir).map {
+    Acid.partSpecsOf(dir).map {
       case Acid.PartIdentity(c)  => Expressions.identity(c)
       case Acid.PartDays(c)      => Expressions.days(c)
       case Acid.PartBucket(n, c) => Expressions.bucket(n, c)
@@ -531,7 +531,10 @@ class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
     */
   override def build(): Write = new Write
       with RequiresDistributionAndOrdering {
-    private val partSpec = Acid.partSpecOf(dir)
+    // multi-column specs: the LEADING transform decides distribution /
+    // ordering (identity clusters+sorts, days sorts, bucket asks nothing);
+    // secondary transforms are absorbed by the writer's open-segment map
+    private val partSpec = Acid.partSpecsOf(dir).headOption
     /** identity keeps the round-8 contract: cluster + sort on the
       * partition column, one value per task, tight one-value stats2.
       * days(ts) asks only for a LOCAL sort on the source column — the
@@ -611,7 +614,8 @@ class AcidSqlStreamingWriterFactory(dir: String, stageDir: String,
 case class AcidWriteMessage(path: String, rows: Long, minKey: Long, maxKey: Long,
     stats2: Option[(String, Long, Long)] = None,
     cstats: Seq[(String, String, String)] = Nil,
-    bytes: Long = 0L)
+    bytes: Long = 0L,
+    pstats: Seq[(String, Long, Long)] = Nil)
   extends WriterCommitMessage
 
 /** A partitioned-table task commits one message carrying ALL the files it
@@ -626,7 +630,7 @@ object AcidWriteMessages {
   def entriesOf(messages: Array[WriterCommitMessage]): Seq[Acid.FileEntry] =
     flatten(messages).filter(_.rows > 0)
       .map(m => Acid.FileEntry(m.path, m.rows, m.minKey, m.maxKey, m.stats2,
-        bytes = m.bytes, cstats = m.cstats))
+        bytes = m.bytes, cstats = m.cstats, pstats = m.pstats))
       .sortBy(_.path)
 
   /** Every staged relative path (for abort cleanup), empty files included. */
@@ -644,11 +648,11 @@ object AcidWriteMessages {
 class AcidSqlBatchWrite(dir: String, writeSchema: StructType, truncate: Boolean)
     extends BatchWrite {
   private val stageDir = s"dv2_${java.util.UUID.randomUUID().toString.take(8)}"
-  private val partSpec = Acid.partSpecOf(dir)
+  private val partSpecs = Acid.partSpecsOf(dir)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     // column-mapped tables write PHYSICAL field names (rows positional)
-    new AcidSqlWriterFactory(dir, stageDir, Acid.toPhysical(dir, writeSchema), partSpec)
+    new AcidSqlWriterFactory(dir, stageDir, Acid.toPhysical(dir, writeSchema), partSpecs)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = AcidWriteMessages.entriesOf(messages)
@@ -671,11 +675,11 @@ class AcidSqlBatchWrite(dir: String, writeSchema: StructType, truncate: Boolean)
 }
 
 class AcidSqlWriterFactory(dir: String, stageDir: String, writeSchema: StructType,
-    partSpec: Option[Acid.PartSpec] = None)
+    partSpecs: Seq[Acid.PartSpec] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AcidSqlDataWriter(dir, s"$stageDir/part-$partitionId-$taskId.parquet",
-      writeSchema, partSpec)
+      writeSchema, partSpecs)
 }
 
 /** Streams InternalRows into one parquet file via the parquet-hadoop
@@ -689,23 +693,30 @@ class AcidSqlWriterFactory(dir: String, stageDir: String, writeSchema: StructTyp
   * conservative, never wrong.
   */
 class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
-    partSpec: Option[Acid.PartSpec] = None)
+    partSpecs: Seq[Acid.PartSpec] = Seq.empty)
     extends DataWriter[InternalRow] {
   private val msgType = AcidSql.toParquetSchema(schema)
   private val factory = new SimpleGroupFactory(msgType)
-  private val partIdx = partSpec.map(p => schema.fieldIndex(p.col)).getOrElse(-1)
-  // the transform input must read as a long (BIGINT itself; timestamps
-  // surface micros through getLong) — anything else degrades to a
-  // conservative full-range segment, never a wrong stat
-  private val partReadable = partIdx >= 0 && (schema.fields(partIdx).dataType match {
-    case LongType | TimestampType | TimestampNTZType => true
-    case _ => false
-  })
+  // per-transform (spec, field index, readable): the transform input must
+  // read as a long (BIGINT itself; timestamps surface micros through
+  // getLong) — anything else degrades to a conservative full-range
+  // segment, never a wrong stat. Multi-column specs roll segments on the
+  // VALUE TUPLE, so every file's stamped range is one value wide in
+  // every monotone dimension.
+  private val partDims: Seq[(Acid.PartSpec, Int, Boolean)] = partSpecs.map { ps =>
+    val i = schema.fields.indexWhere(_.name == ps.col)
+    val ok = i >= 0 && (schema.fields(i).dataType match {
+      case LongType | TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    (ps, i, ok)
+  }
+  private val partitioned = partDims.nonEmpty
   // bucket is the one NON-MONOTONE transform: the clustered write
   // arrives sorted by the SOURCE column, so bucket values interleave and
   // roll-on-change would fragment catastrophically — bucketed writers
-  // keep one open segment per live bucket value instead (bounded below)
-  private val bucketed = partSpec.exists(_.isInstanceOf[Acid.PartBucket])
+  // keep one open segment per live value tuple instead (bounded below)
+  private val bucketed = partSpecs.exists(_.isInstanceOf[Acid.PartBucket])
   private val keyIsLong = schema.fields.head.dataType == LongType
   private val pathBase = relPath.stripSuffix(".parquet")
 
@@ -716,7 +727,7 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
   // ISO `yyyy-MM-dd`; a column with no non-null value gets no stats.
   private val cstatCols: Seq[(String, Int, Boolean)] =
     schema.fields.zipWithIndex.iterator
-      .filter { case (f, i) => i != 0 && !partSpec.exists(_.col == f.name) &&
+      .filter { case (f, i) => i != 0 && !partSpecs.exists(_.col == f.name) &&
         (f.dataType == StringType || f.dataType == DateType) &&
         !f.name.contains('|') && !f.name.contains(':') }
       .map { case (f, i) => (f.name, i, f.dataType == DateType) }
@@ -737,23 +748,23 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
     var minKey = Long.MaxValue
     var maxKey = Long.MinValue
     var keyConservative = !keyIsLong
-    var min2 = Long.MaxValue
-    var max2 = Long.MinValue
-    var partConservative = partIdx >= 0 && !partReadable
+    val pMin = Array.fill(partDims.size)(Long.MaxValue)
+    val pMax = Array.fill(partDims.size)(Long.MinValue)
+    val pCons = partDims.map { case (_, i, ok) => i < 0 || !ok }.toArray
     val cMin = new Array[String](cstatCols.size)
     val cMax = new Array[String](cstatCols.size)
   }
 
   private val done = scala.collection.mutable.ListBuffer.empty[AcidWriteMessage]
   private var seg = 0
-  // open segments keyed by partition value (monotone transforms hold at
-  // most one — the previous closes on value change; bucket holds up to
-  // MaxOpenSegments, evicting the eldest: a re-opened bucket value just
-  // lands a second tight-stats file)
-  private val open = scala.collection.mutable.LinkedHashMap.empty[Long, Segment]
+  // open segments keyed by the transform VALUE TUPLE (monotone-only specs
+  // hold at most one — the previous closes on tuple change; any bucket
+  // dimension holds up to MaxOpenSegments, evicting the eldest: a
+  // re-opened tuple just lands a second tight-stats file)
+  private val open = scala.collection.mutable.LinkedHashMap.empty[Seq[Long], Segment]
 
   private def newSegment(): Segment = {
-    val p = if (partIdx >= 0) s"$pathBase-s$seg.parquet" else relPath
+    val p = if (partitioned) s"$pathBase-s$seg.parquet" else relPath
     seg += 1
     new Segment(p)
   }
@@ -764,8 +775,15 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
       val (mn, mx) =
         if (sg.keyConservative) (Long.MinValue, Long.MaxValue)
         else (sg.minKey, sg.maxKey)
-      val s2 = partSpec.filter(_ => partIdx >= 0 && !sg.partConservative)
-        .map(p => (p.label, sg.min2, sg.max2))
+      // leading transform → the stats2 slot (single-spec contract);
+      // secondary transforms → tagged pstats entries
+      val stamped: Seq[Option[(String, Long, Long)]] =
+        partDims.zipWithIndex.map { case ((ps, _, _), d) =>
+          if (sg.pCons(d) || sg.pMin(d) == Long.MaxValue) None
+          else Some((ps.label, sg.pMin(d), sg.pMax(d)))
+        }
+      val s2 = stamped.headOption.flatten
+      val pst = stamped.drop(1).flatten
       val cs = cstatCols.zipWithIndex.flatMap { case ((n, _, _), j) =>
         if (sg.cMin(j) == null) None else Some((n, sg.cMin(j), sg.cMax(j)))
       }
@@ -773,14 +791,14 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
       // report (broadcast decisions) reads it back; local metadata call
       val sz = try java.nio.file.Files.size(
         java.nio.file.Paths.get(tableDir, sg.path)) catch { case _: Exception => 0L }
-      done += AcidWriteMessage(sg.path, sg.rows, mn, mx, s2, cs, sz)
+      done += AcidWriteMessage(sg.path, sg.rows, mn, mx, s2, cs, sz, pst)
     } else
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(tableDir, sg.path)): Unit
   }
 
-  private def segmentFor(pv: Option[Long]): Segment = {
-    val key = pv.getOrElse(Long.MinValue)
+  private def segmentFor(pv: Seq[Option[Long]]): Segment = {
+    val key: Seq[Long] = pv.map(_.getOrElse(Long.MinValue))
     open.getOrElse(key, {
       if (!bucketed) { open.valuesIterator.foreach(closeSegment); open.clear() }
       else if (open.size >= AcidSqlDataWriter.MaxOpenSegments) {
@@ -796,10 +814,9 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
   override def write(metadata: InternalRow, row: InternalRow): Unit = write(row)
 
   override def write(row: InternalRow): Unit = {
-    val pv =
-      if (partReadable && !row.isNullAt(partIdx))
-        Some(partSpec.get.eval(row.getLong(partIdx)))
-      else None
+    val pv: Seq[Option[Long]] = partDims.map { case (ps, i, ok) =>
+      if (ok && !row.isNullAt(i)) Some(ps.eval(row.getLong(i))) else None
+    }
     val sg = segmentFor(pv)
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -831,12 +848,13 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         sg.minKey = math.min(sg.minKey, k); sg.maxKey = math.max(sg.maxKey, k)
       }
     }
-    pv match {
-      case Some(v) =>
-        if (!sg.partConservative) {
-          sg.min2 = math.min(sg.min2, v); sg.max2 = math.max(sg.max2, v)
+    pv.zipWithIndex.foreach {
+      case (Some(v), d) =>
+        if (!sg.pCons(d)) {
+          sg.pMin(d) = math.min(sg.pMin(d), v)
+          sg.pMax(d) = math.max(sg.pMax(d), v)
         }
-      case None => if (partIdx >= 0) sg.partConservative = true
+      case (None, d) => sg.pCons(d) = true
     }
     sg.writer.write(g)
     sg.rows += 1L
@@ -844,7 +862,7 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     open.valuesIterator.foreach(closeSegment); open.clear()
-    if (partIdx >= 0) AcidMultiWriteMessage(done.toSeq)
+    if (partitioned) AcidMultiWriteMessage(done.toSeq)
     else done.headOption.getOrElse(
       AcidWriteMessage(relPath, 0L, Long.MinValue, Long.MaxValue))
   }
@@ -883,13 +901,16 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   private var allFilters: Array[Filter] = Array.empty
 
   private val keyCol = tableSchema.fields.head.name
-  // colmap: partcol sidecar and file stats2 carry PHYSICAL names; pushed
+  // colmap: partcol sidecar and file stats carry PHYSICAL names; pushed
   // filters reference LOGICAL ones
   private val colMap = Acid.colMapOf(dir)
-  private val partSpec = Acid.partSpecOf(dir)
-  private val partCol = partSpec.map(_.col)
-  private val partColLogical = partCol.map(pc =>
-    colMap.collectFirst { case (lo, ph) if ph == pc => lo }.getOrElse(pc))
+  // every transform the table has EVER declared (spec evolution): each
+  // file prunes under the labels its writing spec stamped
+  private val partSpecs = Acid.partSpecHistory(dir).flatten.distinct
+  private val partColsLogical: Seq[(Acid.PartSpec, String)] = partSpecs.map {
+    ps => ps -> colMap.collectFirst {
+      case (lo, ph) if ph == ps.col => lo }.getOrElse(ps.col)
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -897,9 +918,11 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     allFilters = filters
     keyFilters = filters.filter(referencesOnlyKey)
-    partFilters = partColLogical match {
-      case Some(pc) => filters.filter(_.references.forall(_ == pc))
-      case None     => Array.empty
+    partFilters = {
+      val cols = partColsLogical.map(_._2).toSet
+      if (cols.isEmpty) Array.empty
+      else filters.filter(f =>
+        f.references.nonEmpty && f.references.forall(cols.contains))
     }
     filters // everything stays residual: Spark re-applies above the scan
   }
@@ -959,36 +982,44 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         }).toMap
       }
     val (lo, hi) = AcidSql.keyBounds(keyFilters, keyCol)
-    // Partition pruning for catalog-partitioned tables: drop files whose
-    // stats2 range (stamped by the clustered write under the table's
-    // partition TRANSFORM label) misses the predicate-derived partition
-    // bounds. Identity: long bounds verbatim; days(ts): timestamp bounds
-    // → epoch-day bounds through the same eval that stamped the files;
-    // bucket(n,c): equality/IN probes hash to their buckets (range
-    // predicates can't prune a hash layout — correctly left alone).
-    // Files without matching stats2 stay — conservative, never wrong.
-    val partLabel = partSpec.map(_.label)
-    val (plo, phi) = (partSpec, partColLogical) match {
-      case (Some(_: Acid.PartIdentity), Some(pc)) =>
-        AcidSql.keyBounds(partFilters, pc)
-      case (Some(ps: Acid.PartDays), Some(pc)) =>
-        val (tLo, tHi) = AcidSql.timeBoundsMicros(partFilters, pc)
-        (if (tLo == Long.MinValue) Long.MinValue else ps.eval(tLo),
-         if (tHi == Long.MaxValue) Long.MaxValue else ps.eval(tHi))
-      case _ => (Long.MinValue, Long.MaxValue)
+    // Partition pruning, PER TRANSFORM across the whole spec history: a
+    // file is dropped when any transform-labeled stat it carries (stats2
+    // for the leading transform, tagged pstats for the rest) misses that
+    // transform's predicate-derived bounds. Identity: long bounds
+    // verbatim; days(ts): timestamp bounds → epoch-day bounds through
+    // the same eval that stamped the files; bucket(n,c): equality/IN
+    // probes hash to their buckets (range predicates can't prune a hash
+    // layout — correctly left alone). Multi-column specs intersect their
+    // transforms' verdicts; files without a transform's stats stay —
+    // conservative, never wrong; old-spec files prune under their own
+    // labels (spec evolution).
+    def statFor(f: Acid.FileEntry, label: String): Option[(Long, Long)] =
+      (f.stats2.toSeq ++ f.pstats).collectFirst {
+        case (c, mn, mx) if c == label => (mn, mx) }
+    val verdicts: Seq[Acid.FileEntry => Boolean] = partColsLogical.map {
+      case (ps, pc) =>
+        val mine = partFilters.filter(_.references.forall(_ == pc))
+        ps match {
+          case _: Acid.PartIdentity =>
+            val (plo, phi) = AcidSql.keyBounds(mine, pc)
+            f => statFor(f, ps.label).forall {
+              case (mn2, mx2) => mx2 >= plo && mn2 <= phi }
+          case pd: Acid.PartDays =>
+            val (tLo, tHi) = AcidSql.timeBoundsMicros(mine, pc)
+            val plo = if (tLo == Long.MinValue) Long.MinValue else pd.eval(tLo)
+            val phi = if (tHi == Long.MaxValue) Long.MaxValue else pd.eval(tHi)
+            f => statFor(f, pd.label).forall {
+              case (mn2, mx2) => mx2 >= plo && mn2 <= phi }
+          case pb: Acid.PartBucket =>
+            AcidSql.probeKeys(mine, pc).map(_.map(pb.eval).toSet) match {
+              case Some(ks) =>
+                f => statFor(f, pb.label).forall {
+                  case (mn2, mx2) => ks.exists(k => k >= mn2 && k <= mx2) }
+              case None => _ => true
+            }
+        }
     }
-    val bucketAllowed: Option[Set[Long]] = (partSpec, partColLogical) match {
-      case (Some(pb: Acid.PartBucket), Some(pc)) =>
-        AcidSql.probeKeys(partFilters, pc).map(_.map(pb.eval).toSet)
-      case _ => None
-    }
-    val partPruned = all.filter(f => f.stats2.forall {
-      case (c, mn2, mx2) =>
-        partLabel.forall(_ != c) || (bucketAllowed match {
-          case Some(ks) => ks.exists(k => k >= mn2 && k <= mx2)
-          case None     => mx2 >= plo && mn2 <= phi
-        })
-    })
+    val partPruned = all.filter(f => verdicts.forall(_(f)))
     val ranged0 = partPruned.filter(f => f.maxKey >= lo && f.minKey <= hi)
     // STRING/DATE stats pruning (round 9 — the V2 twin of the library's
     // scanColRange): pushed equality/range/prefix filters on columns the
@@ -1079,11 +1110,39 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
     }.sum
     val bytes = live.iterator
       .map(f => if (f.bytes > 0L) f.bytes else f.rows * rowW).sum
+    // COLUMN statistics for the merge key (round-10 verdict #3, the CBO
+    // join-reorder feed): min/max fold the pruned entries' exact ranges,
+    // and distinctCount = rows EXACTLY — merge keys are unique by the
+    // format's contract, so no write-time NDV sketch is needed. Entries
+    // whose key stats are conservative (sentinel full range) withhold
+    // the column stats rather than report a wrong range.
+    val keyExact = live.nonEmpty &&
+      live.forall(f => f.minKey != Long.MinValue || f.maxKey != Long.MaxValue)
+    val colStatsMap = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (keyExact && required.fieldNames.contains(keyCol)) {
+      val mn = live.iterator.map(_.minKey).min
+      val mx = live.iterator.map(_.maxKey).max
+      colStatsMap.put(Expressions.column(keyCol),
+        new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(rows)
+          override def min(): java.util.Optional[Object] =
+            java.util.Optional.of(java.lang.Long.valueOf(mn))
+          override def max(): java.util.Optional[Object] =
+            java.util.Optional.of(java.lang.Long.valueOf(mx))
+          override def nullCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(0L)
+        })
+    }
     new V2Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStatsMap
     }
   }
 

@@ -191,6 +191,188 @@ class Round10Spec extends AnyFunSuite {
     assert(Acid.snapshot(spark, dir).count() === 6000L, "live data untouched")
   }
 
+  test("multi-column partition spec: day window and bucket probe intersect") {
+    val root = Scratch.fresh("r10_multi", sf)
+    val cat = catFor("mp", root)
+    val dir = s"$root/ev"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(
+      s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, uid BIGINT, v BIGINT)
+         |PARTITIONED BY (days(ts), bucket(4, uid))""".stripMargin)
+    // 10 days x 8 uids: the writer rolls (day, bucket) tuple segments
+    spark.range(800).coalesce(1).selectExpr("id AS k",
+      "timestamp_micros(CAST(1704067200000000 + (id DIV 80) * 86400000000 + id * 1000 AS BIGINT)) AS ts",
+      "CAST(id % 8 AS BIGINT) AS uid", "id AS v")
+      .createOrReplaceTempView("r10_multi_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, uid, v FROM r10_multi_src")
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m.files.nonEmpty && m.files.forall(_.stats2.exists {
+      case (c, lo, hi) => c == "days(ts)" && lo == hi }),
+      s"leading transform one-value stats2: ${m.files.map(_.stats2).take(3)}")
+    assert(m.files.forall(_.pstats.exists {
+      case (c, lo, hi) => c == "bucket(4,uid)" && lo == hi }),
+      s"secondary transform one-value pstats: ${m.files.map(_.pstats).take(3)}")
+    val win = "ts >= TIMESTAMP'2024-01-03 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-05 00:00:00'"
+    spark.sql(s"SELECT count(*) FROM $cat.ev WHERE $win").head
+    val (sDay, total) = graft.sources.AcidSql.lastScanFor(dir)
+    spark.sql(s"SELECT count(*) FROM $cat.ev WHERE uid = 3").head
+    val (sBkt, _) = graft.sources.AcidSql.lastScanFor(dir)
+    spark.sql(s"SELECT count(*) FROM $cat.ev WHERE $win AND uid = 3").head
+    val (sBoth, _) = graft.sources.AcidSql.lastScanFor(dir)
+    assert(sDay < total && sBkt < total && sBoth < sDay && sBoth < sBkt,
+      s"intersection plan: day=$sDay bucket=$sBkt both=$sBoth of $total")
+    val got = spark.sql(
+      s"SELECT sum(v) FROM $cat.ev WHERE $win AND uid = 3").head.getLong(0)
+    val want = spark.sql("SELECT sum(v) FROM r10_multi_src " +
+      "WHERE k >= 160 AND k < 320 AND k % 8 = 3").head.getLong(0)
+    assert(got === want)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+  }
+
+  test("partition-spec evolution: each file generation prunes under its own spec") {
+    val root = Scratch.fresh("r10_evolve", sf)
+    val cat = catFor("pe", root)
+    val dir = s"$root/ev"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(
+      s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, p BIGINT, v BIGINT)
+         |PARTITIONED BY (p)""".stripMargin)
+    spark.range(200).coalesce(1).selectExpr("id AS k",
+      "timestamp_micros(CAST(1704067200000000 + (id DIV 40) * 86400000000 AS BIGINT)) AS ts",
+      "id % 5 AS p", "id AS v").createOrReplaceTempView("r10_evolve_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, p, v FROM r10_evolve_src")
+    val gen1 = Acid.readManifest(dir, Acid.latestVersion(dir)).files.toSet
+    assert(gen1.forall(_.stats2.exists(_._1 == "p")))
+    // ALTER the spec — metadata only, no rewrite; new files stamp days(ts)
+    assert(Acid.evolvePartSpec(spark, dir, "days(ts)") === 1)
+    spark.sql(s"INSERT INTO $cat.ev SELECT k + 200, ts, p, v + 200 " +
+      "FROM r10_evolve_src")
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val gen2 = m.files.filterNot(gen1)
+    assert(gen2.nonEmpty && gen2.forall(_.stats2.exists(_._1 == "days(ts)")))
+    assert(gen1.forall(m.files.contains), "no gen-1 file rewritten")
+    // a p-probe prunes gen-1 under identity(p); gen-2 kept conservatively
+    spark.sql(s"SELECT count(*) FROM $cat.ev WHERE p = 3").head
+    val (sP, total) = graft.sources.AcidSql.lastScanFor(dir)
+    assert(sP < total && sP >= gen2.size,
+      s"p-probe pruned gen-1 only: $sP of $total")
+    // a ts-window prunes gen-2 under days(ts); gen-1 kept conservatively
+    val win = "ts >= TIMESTAMP'2024-01-02 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-03 00:00:00'"
+    spark.sql(s"SELECT count(*) FROM $cat.ev WHERE $win").head
+    val (sT, _) = graft.sources.AcidSql.lastScanFor(dir)
+    assert(sT < total && sT >= gen1.size,
+      s"ts-window pruned gen-2 only: $sT of $total")
+    // correctness across both generations
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE p = 3").head.getLong(0)
+      === 80L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE $win").head.getLong(0)
+      === 80L)
+    // both specs' source columns are drop-guarded
+    assert(scala.util.Try(
+      spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN p")).isFailure)
+    assert(scala.util.Try(
+      spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN ts")).isFailure)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+  }
+
+  test("deep clone survives source vacuum; branch DELETE stays isolated until publish") {
+    val root = Scratch.fresh("r10_deep_brdel", sf)
+    import spark.implicits._
+    val src = s"$root/src"
+    Acid.create(spark, src,
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v")), "k", 4)
+    // rewrite k=5's file so the source has a non-trivial history
+    assert(!Acid.merge(spark, src, Seq((5L, -5L)).toDF("k", "v"), "w").skipped)
+    val dst = s"$root/deep"
+    val copied = Acid.cloneDeep(spark, src, dst)
+    assert(copied >= 4)
+    assert(Acid.snapshot(spark, dst).count() === 100L)
+    // vacuum the source to its head and drop every pre-head manifest:
+    // the deep clone must be unaffected (the shallow clone's hazard)
+    Acid.vacuum(spark, src, Acid.latestVersion(src))
+    Acid.clearManifestCache()
+    assert(Acid.snapshot(spark, dst).count() === 100L)
+    assert(Acid.snapshot(spark, dst).filter(col("k") === 5).head.getLong(1) === -5L)
+    // branch-scoped DELETE: staged on the branch, invisible on main
+    Acid.createBranch(spark, dst, "gdpr")
+    val (h, deleted) = Acid.deleteOnBranch(spark, dst, "gdpr",
+      col("k") % 10 === 3 && col("k") < 50, Some((0L, 50L)))
+    assert(h === 0 && deleted === 5L, s"head=$h deleted=$deleted")
+    assert(Acid.snapshotBranch(spark, dst, "gdpr").count() === 95L)
+    assert(Acid.snapshot(spark, dst).count() === 100L, "main blind to the delete")
+    assert(Acid.publishBranch(spark, dst, "gdpr").isRight)
+    val after = Acid.snapshot(spark, dst)
+    assert(after.count() === 95L)
+    assert(after.filter(col("k") === 3).isEmpty &&
+      after.filter(col("k") === 53).count() === 1L,
+      "only the keyRange-scoped matches deleted")
+  }
+
+  test("V2 key column stats feed CBO: attribute stats exposed, join reorder engages") {
+    val root = Scratch.fresh("r10_cbo", sf)
+    val cat = catFor("cb", root)
+    Seq("fact", "dim1", "dim2").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $cat.$t"))
+    spark.range(10000).selectExpr("id AS k", "id % 100 AS ck", "id AS cents")
+      .createOrReplaceTempView("r10_cbo_fact")
+    spark.sql(s"CREATE TABLE $cat.fact AS SELECT * FROM r10_cbo_fact")
+    spark.sql(s"CREATE TABLE $cat.dim1 AS SELECT id AS ck FROM range(100)")
+    spark.sql(s"CREATE TABLE $cat.dim2 AS SELECT id AS k2 FROM range(3)")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // merge keys are unique by contract -> distinctCount == numRows,
+      // min/max fold the manifest's exact per-file ranges
+      val stats = spark.table(s"$cat.fact").queryExecution.optimizedPlan.stats
+      val kStat = stats.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStat.exists(_.distinctCount.exists(_.toLong == 10000L)),
+        s"key attribute stats: ${stats.attributeStats}")
+      assert(kStat.exists(_.min.exists(_.toString.toLong == 0L)))
+      assert(kStat.exists(_.max.exists(_.toString.toLong == 9999L)))
+      // with stats live, CBO's join reorder applies the 3-row dim FIRST
+      val q = s"""SELECT count(*) AS n FROM $cat.fact f
+                 |JOIN $cat.dim1 d1 ON f.ck = d1.ck
+                 |JOIN $cat.dim2 d2 ON f.k % 25 = d2.k2""".stripMargin
+      val plan = spark.sql(q).queryExecution.executedPlan.toString
+      assert(plan.contains("/dim1[") && plan.contains("/dim2["))
+      assert(plan.indexOf("/dim2[") < plan.indexOf("/dim1["),
+        s"selective dim joins first under CBO:\n$plan")
+      assert(spark.sql(q).head.getLong(0) === 1200L)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+    Seq("fact", "dim1", "dim2").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $cat.$t"))
+  }
+
+  test("round-10 fixture rows run end-to-end with true booleans") {
+    val r1 = Acid.queries("tbl_vacuum_scale")(spark, sf).head
+    assert(r1.getAs[Boolean]("distributed") && r1.getAs[Boolean]("orphans_reclaimed"),
+      s"tbl_vacuum_scale: $r1")
+    val r2 = Acid.queries("tbl_ckpt_shard")(spark, sf).head
+    assert(r2.getAs[Boolean]("sharded_pointer") && r2.getAs[Boolean]("shards_pruned"),
+      s"tbl_ckpt_shard: $r2")
+    val r3 = Acid.queries("tbl_branch_delete")(spark, sf).head
+    assert(Seq("main_isolated", "published", "carried_byte_identical")
+      .forall(r3.getAs[Boolean](_)), s"tbl_branch_delete: $r3")
+    val r4 = Acid.queries("tbl_clone_deep")(spark, sf).head
+    assert(r4.getAs[Boolean]("independent"), s"tbl_clone_deep: $r4")
+    val r5 = Acid.queries("tbl_part_multi")(spark, sf).head
+    assert(Seq("day_pruned", "bucket_pruned", "intersected")
+      .forall(r5.getAs[Boolean](_)), s"tbl_part_multi: $r5")
+    val r6 = Acid.queries("tbl_part_evolve")(spark, sf).head
+    assert(Seq("own_spec_stats", "old_spec_prunes", "new_spec_prunes",
+      "drop_guarded").forall(r6.getAs[Boolean](_)), s"tbl_part_evolve: $r6")
+    val r7 = Acid.queries("tbl_cbo_stats")(spark, sf).head
+    assert(r7.getAs[Boolean]("stats_exposed") && r7.getAs[Boolean]("reordered"),
+      s"tbl_cbo_stats: $r7")
+  }
+
   test("re-injected xmlns preserves single-quoted values with double quotes") {
     import graft.sources.Xml
     val dir = Scratch.fresh("r10_ns_quote", sf)
