@@ -18,7 +18,8 @@ import graft.sources.Acid
   * them — falls through to Spark's parser verbatim):
   *
   * {{{
-  *   OPTIMIZE <target> [PARTITIONS] [WHERE <keyCol> BETWEEN <lo> AND <hi>]
+  *   OPTIMIZE <target> [BRANCH <name>] [PARTITIONS]
+  *            [WHERE <keyCol> BETWEEN <lo> AND <hi>]
   *            [ZORDER BY (col)] [TARGET <n> FILES]
   *   VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS] [DRY RUN]
   *   DESCRIBE HISTORY <target>
@@ -26,6 +27,10 @@ import graft.sources.Acid
   *   PUBLISH BRANCH <name> ON <target>
   *   DROP BRANCH <name> ON <target>
   *   CREATE TAG <name> ON <target> [AS OF VERSION <v>]
+  *   ALTER TABLE <target> SET PARTITION SPEC (<transforms>)
+  *   CLONE <src-target> TO <dst-target> [DEEP]
+  *   DELETE FROM <target> BRANCH <name> WHERE <pred>
+  *   SHOW REFS ON <target>
   * }}}
   *
   * `<target>` is either a quoted table directory (`'/data/t'`) or a
@@ -43,7 +48,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // generic parse error.
   private val Tgt = """('[^']*'|\S+)"""
   private val OptimizeRe =
-    ("""(?is)\s*OPTIMIZE\s+""" + Tgt + """(\s+PARTITIONS)?""" +
+    ("""(?is)\s*OPTIMIZE\s+""" + Tgt +
+      """(?:\s+BRANCH\s+([A-Za-z0-9_-]+))?(\s+PARTITIONS)?""" +
       """(?:\s+WHERE\s+([A-Za-z_]\w*)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+))?""" +
       """(?:\s+ZORDER\s+BY\s+\(\s*([A-Za-z_]\w*)\s*\))?(?:\s+TARGET\s+(\d+)\s+FILES)?\s*;?\s*""").r
   private val VacuumRe =
@@ -57,13 +63,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val TagRe =
     ("""(?is)\s*CREATE\s+TAG\s+([A-Za-z0-9_-]+)\s+ON\s+""" + Tgt +
       """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
+  // Spark has no `SET PARTITION SPEC`, so this ALTER shape can never
+  // shadow a legitimate built-in statement; everything else ALTER falls
+  // through to the delegate untouched.
+  private val AlterSpecRe =
+    // greedy body up to the LAST ')': transforms nest parens (days(ts))
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt +
+      """\s+SET\s+PARTITION\s+SPEC\s*\((.+)\)\s*;?\s*""").r
+  private val CloneRe =
+    ("""(?is)\s*CLONE\s+""" + Tgt + """\s+TO\s+""" + Tgt +
+      """(\s+DEEP)?\s*;?\s*""").r
+  private val BranchDeleteRe =
+    ("""(?is)\s*DELETE\s+FROM\s+""" + Tgt +
+      """\s+BRANCH\s+([A-Za-z0-9_-]+)\s+WHERE\s+(.+?)\s*;?\s*""").r
+  private val ShowRefsRe =
+    ("""(?is)\s*SHOW\s+REFS\s+ON\s+""" + Tgt + """\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(target, parts, wcol, wlo, whi, zcol, files) =>
+    case OptimizeRe(target, branch, parts, wcol, wlo, whi, zcol, files) =>
       OptimizeTableCommand(target, Option(zcol),
         Option(files).map(_.toInt),
         Option(wcol).map(c => (c, wlo.toLong, whi.toLong)),
-        perPartition = parts != null)
+        perPartition = parts != null, branch = Option(branch))
     case VacuumRe(target, retain, unit, dry) =>
       VacuumTableCommand(target, Option(retain).map(_.toInt),
         Option(unit).map(_.toUpperCase).getOrElse("VERSIONS"), dry != null)
@@ -73,6 +94,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       BranchCommand(verb.toUpperCase, name, target)
     case TagRe(name, target, v) =>
       CreateTagCommand(name, target, Option(v).map(_.toInt))
+    case AlterSpecRe(target, spec) =>
+      AlterPartSpecCommand(target, spec.trim)
+    case CloneRe(src, dst, deep) =>
+      CloneTableCommand(src, dst, deep != null)
+    case BranchDeleteRe(target, name, pred) =>
+      BranchDeleteCommand(target, name, pred)
+    case ShowRefsRe(target) =>
+      ShowRefsCommand(target)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -122,7 +151,7 @@ private[plans] object MaintenanceSql {
   */
 case class OptimizeTableCommand(target: String, zorderCol: Option[String],
     targetFilesOpt: Option[Int], range: Option[(String, Long, Long)] = None,
-    perPartition: Boolean = false)
+    perPartition: Boolean = false, branch: Option[String] = None)
     extends LeafRunnableCommand {
   private def targetFiles = targetFilesOpt.getOrElse(8)
   override val output: Seq[Attribute] = Seq(
@@ -130,6 +159,16 @@ case class OptimizeTableCommand(target: String, zorderCol: Option[String],
     AttributeReference("files_after", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] = {
     val dir = MaintenanceSql.dirOf(s, target)
+    // branch compaction stages on the branch manifest only — main sees
+    // the compacted layout at PUBLISH; modifiers don't apply
+    branch.foreach { b =>
+      if (perPartition || range.isDefined || zorderCol.isDefined)
+        throw new UnsupportedOperationException(
+          "OPTIMIZE ... BRANCH compacts the branch head whole — " +
+            "PARTITIONS / WHERE / ZORDER BY do not apply")
+      val (_, beforeN, afterN) = Acid.optimizeBranch(s, dir, b, targetFiles)
+      return Seq(Row(beforeN.toLong, afterN.toLong))
+    }
     val (before, after) = (perPartition, range, zorderCol) match {
       case (true, Some(_), _) | (true, _, Some(_)) =>
         throw new UnsupportedOperationException(
@@ -227,6 +266,68 @@ case class CreateTagCommand(name: String, target: String, version: Option[Int])
     val v = version.getOrElse(Acid.latestVersion(dir))
     Acid.tagVersion(dir, name, v)
     Seq(Row(v.toLong))
+  }
+}
+
+/** `ALTER TABLE <target> SET PARTITION SPEC (<transforms>)` — partition
+  * spec EVOLUTION as one metadata write (Iceberg's ALTER ... PARTITION
+  * contract): existing files keep pruning under the spec that wrote
+  * them, new writes stamp the new spec. Returns the new spec id. */
+case class AlterPartSpecCommand(target: String, spec: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("spec_id", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = MaintenanceSql.dirOf(s, target)
+    Seq(Row(Acid.evolvePartSpec(s, dir, spec).toLong))
+  }
+}
+
+/** `CLONE <src> TO <dst> [DEEP]` — shallow by default (zero-copy
+  * metadata fork); DEEP copies the live bytes (one task per file) for
+  * promotion / vacuum independence. `<dst>` is a quoted directory or a
+  * catalog identifier. Returns the referenced/copied file count. */
+case class CloneTableCommand(src: String, dst: String, deep: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val srcDir = MaintenanceSql.dirOf(s, src)
+    val dstDir = MaintenanceSql.dirOf(s, dst)
+    val n = if (deep) Acid.cloneDeep(s, srcDir, dstDir)
+            else Acid.cloneShallow(s, srcDir, dstDir)
+    Seq(Row(n.toLong))
+  }
+}
+
+/** `DELETE FROM <target> BRANCH <name> WHERE <pred>` — the branch-scoped
+  * DELETE (write-audit-publish backfills): rows leave the BRANCH state
+  * only; main is untouched until PUBLISH. The predicate text parses
+  * through the session's expression parser against logical names. */
+case class BranchDeleteCommand(target: String, name: String, predText: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch_head", LongType, nullable = false)(),
+    AttributeReference("rows_deleted", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = MaintenanceSql.dirOf(s, target)
+    val (h, n) = Acid.deleteOnBranch(s, dir, name,
+      org.apache.spark.sql.functions.expr(predText))
+    Seq(Row(h.toLong, n))
+  }
+}
+
+/** `SHOW REFS ON <target>` — every branch (base version + staged commit
+  * count) and tag (pinned version), the Iceberg `.refs` listing. */
+case class ShowRefsCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("staged", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = MaintenanceSql.dirOf(s, target)
+    Acid.refs(s, dir).collect().toSeq
   }
 }
 

@@ -2653,14 +2653,7 @@ object Acid {
       readManifest(dir, branchBase(dir, name)).constraint)
     val k = keyColOf(s, dir)
     val entries = statsOf(s, dir, dd, colMapOf(dir).getOrElse(k, k))
-    val files = branchFilesAt(dir, name, h) ++ entries
-    val tmp = logDir(dir)
-      .resolve(s".tmp-b$name-${java.util.UUID.randomUUID()}")
-    Files.write(tmp,
-      files.map(renderEntry).mkString("\n").getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, branchManifestPath(dir, name, h + 1))
-    finally Files.deleteIfExists(tmp)
-    h + 1
+    commitBranchManifest(dir, name, h, branchFilesAt(dir, name, h) ++ entries)
   }
 
   /** MERGE (upsert) into a BRANCH — the full write-audit-publish story:
@@ -2718,14 +2711,7 @@ object Acid {
     enforceConstraint(s, dir, dd,
       readManifest(dir, branchBase(dir, name)).constraint)
     val entries = restampPartStats(s, dir, dd, statsOf(s, dir, dd, keyPhys))
-    val newList = carried ++ entries
-    val tmp = logDir(dir)
-      .resolve(s".tmp-b$name-${java.util.UUID.randomUUID()}")
-    Files.write(tmp,
-      newList.map(renderEntry).mkString("\n").getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, branchManifestPath(dir, name, h + 1))
-    finally Files.deleteIfExists(tmp)
-    h + 1
+    commitBranchManifest(dir, name, h, carried ++ entries)
   }
 
   /** DELETE WHERE staged on a BRANCH — the other half of the
@@ -2762,19 +2748,66 @@ object Acid {
     enforceConstraint(s, dir, dd,
       readManifest(dir, branchBase(dir, name)).constraint)
     val entries = restampPartStats(s, dir, dd, statsOf(s, dir, dd, keyPhys))
-    val newList = carried ++ entries
-    val tmp = logDir(dir)
-      .resolve(s".tmp-b$name-${java.util.UUID.randomUUID()}")
-    Files.write(tmp,
-      newList.map(renderEntry).mkString("\n").getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, branchManifestPath(dir, name, h + 1))
-    finally Files.deleteIfExists(tmp)
+    val newHead = commitBranchManifest(dir, name, h, carried ++ entries)
     // physical row stats overcount under deletion vectors — count the
     // DV-applied frame instead (just read for the rewrite anyway)
     val touchedRows =
       if (touched.exists(f => f.dv.isDefined || f.pdv.isDefined)) touchedDf.count()
       else touched.map(_.rows).sum
-    (h + 1, touchedRows - entries.map(_.rows).sum)
+    (newHead, touchedRows - entries.map(_.rows).sum)
+  }
+
+  /** Put-if-absent write of a branch manifest at head `h`+1 — the one
+    * serialization point every branch writer (append / merge / delete /
+    * optimize) goes through. */
+  private def commitBranchManifest(dir: String, name: String, h: Int,
+      files: Seq[FileEntry]): Int = {
+    val tmp = logDir(dir)
+      .resolve(s".tmp-b$name-${java.util.UUID.randomUUID()}")
+    Files.write(tmp,
+      files.map(renderEntry).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, branchManifestPath(dir, name, h + 1))
+    finally Files.deleteIfExists(tmp)
+    h + 1
+  }
+
+  /** OPTIMIZE a BRANCH's staged state (round-10: branch maintenance —
+    * the audit flow's compaction step): bin-pack the branch head's
+    * files into `targetFiles` range-partitioned files so the ONE main
+    * commit at PUBLISH lands the compacted layout. Main is untouched
+    * (the new files are referenced only by the branch manifest);
+    * touched files' deletion vectors materialize away; transform
+    * partition stats re-stamp. Returns (new head, filesBefore,
+    * filesAfter). */
+  def optimizeBranch(s: SparkSession, dir: String, name: String,
+      targetFiles: Int): (Int, Int, Int) = {
+    val h = branchHead(dir, name)
+    val files = branchFilesAt(dir, name, h)
+    val keyCols = keyColsOf(s, dir)
+    val keyPhys = colMapOf(dir).getOrElse(keyCols.head, keyCols.head)
+    val dd = s"d_br_${name}_o${java.util.UUID.randomUUID().toString.take(8)}"
+    applyDv(s, dir, files,
+      readMerged(s, dir)(files.map(f => s"$dir/${f.path}"): _*))
+      .repartitionByRange(math.max(1, targetFiles), col(keyPhys))
+      .write.mode("overwrite").parquet(s"$dir/$dd")
+    val entries = restampPartStats(s, dir, dd, statsOf(s, dir, dd, keyPhys))
+    (commitBranchManifest(dir, name, h, entries), files.size, entries.size)
+  }
+
+  /** The table's snapshot REFS as rows — (kind, name, version, staged):
+    * every branch (version = its base, staged = branch commits on top)
+    * and every tag (version = the pinned main version). One driver-side
+    * listing of `_log`, no data touched — the Iceberg `.refs` metadata
+    * table re-derived. */
+  def refs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows =
+      listRefs(dir, "branch").sorted.map(n =>
+        ("branch", n, branchBase(dir, n).toLong,
+          (branchHead(dir, n) + 1).toLong)) ++
+      listRefs(dir, "tag").sorted.map(n =>
+        ("tag", n, tagVersionOf(dir, n).toLong, 0L))
+    rows.toDF("kind", "name", "version", "staged")
   }
 
   /** Read the branch's current state (base ∪ staged writes) — the AUDIT
@@ -4941,6 +4974,59 @@ object Acid {
     }
   }
 
+  /** tbl_branch_optimize — BRANCH maintenance (round-10: the
+    * audit-flow's compaction step): three fragmented staging appends on
+    * a WAP branch bin-pack through `OPTIMIZE ... BRANCH` into two
+    * range-packed files — main untouched (its manifest never moves) —
+    * and PUBLISH lands the COMPACTED layout as one commit, so the
+    * audited table goes live already optimized.
+    */
+  val tblBranchOptimize: Q = (s, d) => {
+    val dir = fresh("tbl_branch_optimize", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 4)
+    createBranch(s, dir, "wap"): Unit
+    (1 to 3).foreach { i =>
+      writeToBranch(s, dir, "wap", s.range(1)
+        .select(lit(mk + i).as("k"), lit(555L).as("price_cents"),
+          lit("OPT").as("prio"))): Unit
+    }
+    val r = s.sql(s"OPTIMIZE '$dir' BRANCH wap TARGET 2 FILES").head
+    val (before, after) = (r.getLong(0), r.getLong(1))
+    val mainIntact = readManifest(dir, latestVersion(dir)).files.size == 4 &&
+      snapshot(s, dir).count() == ordersKV(s, d).count()
+    val pub = publishBranch(s, dir, "wap")
+    val mainCompacted = readManifest(dir, latestVersion(dir)).files.size == 2
+    snapshot(s, dir)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("compacted", lit(before == 7 && after == 2))
+      .withColumn("main_isolated", lit(mainIntact))
+      .withColumn("published_compacted", lit(pub.isRight && mainCompacted))
+  }
+
+  /** tbl_refs_meta — the REFS listing (Iceberg's `.refs` metadata table
+    * re-derived, served by `Acid.refs` and SQL `SHOW REFS ON t`): one
+    * row per branch (base version + staged commit count) and per tag
+    * (pinned version) from a single `_log` listing — the operator's
+    * view of what write-audit-publish state exists before publish/drop
+    * decisions; no data touched.
+    */
+  val tblRefsMeta: Q = (s, d) => {
+    val dir = fresh("tbl_refs_meta", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 4)
+    createBranch(s, dir, "audit"): Unit
+    writeToBranch(s, dir, "audit", s.range(1)
+      .select(lit(mk + 1).as("k"), lit(1L).as("price_cents"),
+        lit("REF").as("prio"))): Unit
+    createBranch(s, dir, "dev"): Unit
+    tagVersion(dir, "rel-v0", 0)
+    val sqlRows = s.sql(s"SHOW REFS ON '$dir'")
+      .orderBy(col("kind"), col("name")).collect().toSeq
+    val lib = refs(s, dir).orderBy(col("kind"), col("name"))
+    lib.withColumn("sql_matches", lit(sqlRows == lib.collect().toSeq))
+  }
+
   /** tbl_vacuum_scale — VACUUM past the distribution threshold (round-10
     * verdict #1): a 600-file table crosses `VacuumDistributeThreshold`,
     * so orphan discovery lists one task per top-level prefix, the
@@ -5061,6 +5147,8 @@ object Acid {
 
   val queries: Map[String, Q] = Map(
     "tbl_vacuum_scale"      -> tblVacuumScale,
+    "tbl_branch_optimize"   -> tblBranchOptimize,
+    "tbl_refs_meta"         -> tblRefsMeta,
     "tbl_ckpt_shard"        -> tblCkptShard,
     "tbl_branch_delete"     -> tblBranchDelete,
     "tbl_clone_deep"        -> tblCloneDeep,
@@ -5122,6 +5210,20 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_branch_optimize" ->
+      """SELECT count(*) + 3 AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            + 3 * 555 AS BIGINT) AS sum_cents,
+        |       TRUE AS compacted, TRUE AS main_isolated,
+        |       TRUE AS published_compacted
+        |FROM orders""".stripMargin,
+    "tbl_refs_meta" ->
+      """SELECT * FROM (VALUES
+        |  ('branch', 'audit', CAST(0 AS BIGINT), CAST(1 AS BIGINT), TRUE),
+        |  ('branch', 'dev',   CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+        |  ('tag',    'rel-v0', CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE))
+        |  AS t(kind, name, version, staged, sql_matches)
+        |ORDER BY kind, name""".stripMargin,
     "tbl_vacuum_scale" ->
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

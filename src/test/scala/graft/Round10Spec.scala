@@ -350,7 +350,47 @@ class Round10Spec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $cat.$t"))
   }
 
+  test("round-10 SQL statements: spec evolution, clone, branch delete, refs") {
+    val root = Scratch.fresh("r10_sql", sf)
+    val dir = s"$root/t"
+    import spark.implicits._
+    Acid.create(spark, dir, spark.range(100).select(col("id").as("k"),
+      expr("timestamp_micros(1704067200000000 + id * 86400000000)").as("ts"),
+      (col("id") % 5).as("p"), col("id").as("v")), "k", 4)
+    // ALTER ... SET PARTITION SPEC appends a spec version
+    assert(spark.sql(s"ALTER TABLE '$dir' SET PARTITION SPEC (p)")
+      .head.getLong(0) === 0L)
+    assert(spark.sql(s"ALTER TABLE '$dir' SET PARTITION SPEC (days(ts))")
+      .head.getLong(0) === 1L)
+    // a malformed spec refuses (no such column)
+    assert(scala.util.Try(spark.sql(
+      s"ALTER TABLE '$dir' SET PARTITION SPEC (days(nope))")).isFailure)
+    // CLONE ... TO ... [DEEP]
+    assert(spark.sql(s"CLONE '$dir' TO '$root/shallow'").head.getLong(0) === 4L)
+    assert(spark.sql(s"CLONE '$dir' TO '$root/deep' DEEP").head.getLong(0) === 4L)
+    assert(Acid.snapshot(spark, s"$root/deep").count() === 100L)
+    // DELETE FROM ... BRANCH ... WHERE: staged only, main blind
+    spark.sql(s"CREATE BRANCH fix ON '$dir'")
+    val r = spark.sql(s"DELETE FROM '$dir' BRANCH fix WHERE v % 10 = 7").head
+    assert(r.getLong(1) === 10L, s"branch delete: $r")
+    assert(Acid.snapshot(spark, dir).count() === 100L)
+    assert(Acid.snapshotBranch(spark, dir, "fix").count() === 90L)
+    // SHOW REFS lists the branch with one staged commit
+    val refs = spark.sql(s"SHOW REFS ON '$dir'").collect()
+    assert(refs.exists(x => x.getString(0) == "branch" &&
+      x.getString(1) == "fix" && x.getLong(3) == 1L), refs.toSeq.toString)
+    // OPTIMIZE ... BRANCH refuses modifier combos
+    assert(scala.util.Try(spark.sql(
+      s"OPTIMIZE '$dir' BRANCH fix ZORDER BY (v)")).isFailure)
+  }
+
   test("round-10 fixture rows run end-to-end with true booleans") {
+    val r8 = Acid.queries("tbl_branch_optimize")(spark, sf).head
+    assert(Seq("compacted", "main_isolated", "published_compacted")
+      .forall(r8.getAs[Boolean](_)), s"tbl_branch_optimize: $r8")
+    val r9 = Acid.queries("tbl_refs_meta")(spark, sf).collect()
+    assert(r9.length === 3 && r9.forall(_.getAs[Boolean]("sql_matches")),
+      s"tbl_refs_meta: ${r9.toSeq}")
     val r1 = Acid.queries("tbl_vacuum_scale")(spark, sf).head
     assert(r1.getAs[Boolean]("distributed") && r1.getAs[Boolean]("orphans_reclaimed"),
       s"tbl_vacuum_scale: $r1")
