@@ -1265,9 +1265,96 @@ object Llm {
       .orderBy(col("canonical_url"))
   }
 
+  /** Gopher-style heuristic quality RULES (Rae et al. 2021 §A1.1 / the
+    * C4 filter family, re-derived as an execution shape): per-document
+    * word count, mean word length, alphabetic-word ratio, and
+    * distinct-stopword presence each gate independently; `keep` is the
+    * conjunction. All codegen'd string/array builtins — ONE narrow map
+    * over the corpus with no shuffle before the output order: the first
+    * filter a 100 TB raw crawl passes, at scan speed.
+    */
+  val gopherRules: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("mean_wlen", round(
+        length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          col("n_words"), 4))
+      .withColumn("alpha_words",
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stop", size(array_intersect(array_distinct(toks),
+        array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to"))))
+        .cast("long"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("n_words").between(10L, 100000L).as("r_words"),
+        col("mean_wlen").between(2.0, 12.0).as("r_wlen"),
+        (col("alpha_words") * 10 >= col("n_words") * 8).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stop"))
+      .withColumn("keep",
+        col("r_words") && col("r_wlen") && col("r_alpha") && col("r_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-vs-benchmark dedup with a BLOOM pre-filter (the two-phase
+    * shape a 100 TB decontamination actually runs): the benchmark
+    * side's keys fold into ONE `bloom_filter_agg` sketch (constant
+    * size, inlined as a literal — a broadcast in cluster terms), the
+    * corpus pre-filters through the codegen'd `might_contain` with NO
+    * join and NO shuffle — the non-matching bulk drops at scan speed —
+    * and only the surviving candidates pay the exact semi-join. Bloom
+    * false positives cannot leak: phase 2 is exact, so the OUTPUT is
+    * deterministic and DuckDB-oracled even though the filter is
+    * probabilistic. Match key = the first-5-word prefix (the
+    * contamination signature exact-hash matching misses).
+    */
+  val dedupBloom: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 5), " ").as("pre"))
+      .createOrReplaceTempView("g_dbloom_docs")
+    s.sql(
+      """WITH bench AS (
+        |  SELECT pre FROM g_dbloom_docs WHERE doc_id % 5 = 0),
+        |corpus AS (
+        |  SELECT doc_id, pre FROM g_dbloom_docs WHERE doc_id % 5 <> 0),
+        |cand AS (
+        |  SELECT doc_id, pre FROM corpus
+        |  WHERE bloom_might_contain(
+        |    (SELECT bloom_agg(xxhash64(pre), 1000L, 16384L) FROM bench),
+        |    xxhash64(pre))),
+        |hits AS (
+        |  SELECT doc_id, pre FROM cand WHERE pre IN (SELECT pre FROM bench))
+        |SELECT doc_id, pre,
+        |  (SELECT count(*) FROM cand) >= (SELECT count(*) FROM hits)
+        |    AND (SELECT count(*) FROM hits) > 0 AS prefilter_sound
+        |FROM hits ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Exact dedup over an opaque BINARY payload column (image/audio/video
+    * bytes): group by the payload's md5 — computed on the BYTES, not a
+    * string rendition — keep the min doc_id per digest, count copies,
+    * bucketed by mime type. The binary column is synthesized from text
+    * (this container ships no codecs) but the plan is the production
+    * one: binary digest + hash agg, shuffle keyed on digests — uniform
+    * and skew-free at any corpus size.
+    */
+  val multimodalDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("mime", when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
+        .otherwise("video/mp4"))
+      .groupBy(col("mime"), md5(col("payload")).as("payload_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("mime"), col("payload_md5"), col("keep_id"), col("n_copies"))
+      .orderBy(col("mime"), col("keep_id"))
+
   // =====================================================================
 
   def queries: Map[String, Q] = Map(
+    "llm_gopher_rules" -> gopherRules,
+    "llm_dedup_bloom" -> dedupBloom,
+    "llm_multimodal_dedup" -> multimodalDedup,
     "llm_dedup_substring" -> dedupSubstring,
     "llm_semdedup" -> semDedup,
     "llm_dedup_exact" -> dedupExact,
@@ -1353,6 +1440,45 @@ object Llm {
       |  WHERE jaccard >= 0.5)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "llm_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |   CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |     AS chars_no_ws,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |   CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |     ['the','a','of','and','to'])) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |   round(chars_no_ws / n_words, 4) AS mean_wlen,
+        |   n_words BETWEEN 10 AND 100000 AS r_words,
+        |   round(chars_no_ws / n_words, 4) BETWEEN 2.0 AND 12.0 AS r_wlen,
+        |   alpha_words * 10 >= n_words * 8 AS r_alpha,
+        |   n_stop >= 2 AS r_stop
+        |  FROM base)
+        |SELECT doc_id, n_words, mean_wlen, r_words, r_wlen, r_alpha, r_stop,
+        |       r_words AND r_wlen AND r_alpha AND r_stop AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "llm_dedup_bloom" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         array_to_string(string_split(text, ' ')[1:5], ' ') AS pre
+        |  FROM documents)
+        |SELECT doc_id, pre, TRUE AS prefilter_sound
+        |FROM k WHERE doc_id % 5 <> 0
+        |  AND pre IN (SELECT pre FROM k WHERE doc_id % 5 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_multimodal_dedup" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |            ELSE 'video/mp4' END AS mime,
+        |       md5(text) AS payload_md5,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY mime, keep_id""".stripMargin,
     "llm_semdedup" ->
       """WITH b0 AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1540,9 +1540,16 @@ object Acid {
     */
   def scanKeys(s: SparkSession, dir: String, probes: Seq[Long])
       : (DataFrame, Int, Int, Int) = {
-    val m = readManifest(dir, latestVersion(dir))
-    val key = keyColOf(s, dir)
-    val rangeLive = m.files.filter(f => probes.exists(k => k >= f.minKey && k <= f.maxKey))
+    // a sharded table plans from the pointer-overlapping shards of the
+    // probes' envelope, never the whole manifest (same pruned path as
+    // scanRange); the per-probe range test below stays exact
+    val (envelope, total, _) = planRangeEntries(dir, latestVersion(dir),
+      probes.min, probes.max)
+    // key name from a surviving file's footer, not a full-manifest read
+    val key = envelope.headOption
+      .map(f => s.read.parquet(s"$dir/${f.path}").schema.fields.head.name)
+      .getOrElse(keyColOf(s, dir))
+    val rangeLive = envelope.filter(f => probes.exists(k => k >= f.minKey && k <= f.maxKey))
     val live = rangeLive.filter { f =>
       val inRange = probes.filter(k => k >= f.minKey && k <= f.maxKey)
       f.bloom.forall { case (bits, hx) => inRange.exists(k => bloomMayContain(bits, hx, k)) }
@@ -1550,7 +1557,7 @@ object Acid {
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
       else applyDv(s, dir, live, readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*))
-    (df.filter(col(key).isInCollection(probes)), live.size, rangeLive.size, m.files.size)
+    (df.filter(col(key).isInCollection(probes)), live.size, rangeLive.size, total)
   }
 
   /** One MERGE attempt against an explicit base version (exposed so the

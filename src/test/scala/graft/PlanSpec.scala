@@ -251,4 +251,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("llm_gopher_rules is one narrow map — no shuffle before the output sort") {
+    val p = simplePlan("llm_gopher_rules")
+    // exactly the final-order exchange: the rule columns are scan-speed maps
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"gopher rules grew an extra shuffle:\n$p")
+    assert(!p.contains("Join"), "rule evaluation must not join")
+  }
+
+  test("llm_dedup_bloom prefilters with might_contain before any join") {
+    val p = plan("llm_dedup_bloom")
+    assert(p.toLowerCase.contains("might_contain"),
+      "bloom prefilter missing from the corpus scan side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decontamination degenerated into an all-pairs join")
+    assert(p.contains("LeftSemi"), "exact verify must be a semi-join")
+  }
+
+  test("llm_multimodal_dedup aggregates with map-side partials on the digest") {
+    val p = plan("llm_multimodal_dedup")
+    assert(p.contains("partial_"), "digest agg must have a map-side partial")
+    assert(!p.contains("Join"), "binary dedup is a pure hash agg")
+  }
 }

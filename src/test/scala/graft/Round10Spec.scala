@@ -413,6 +413,26 @@ class Round10Spec extends AnyFunSuite {
       s"tbl_cbo_stats: $r7")
   }
 
+  test("round-10 llm rows: gopher rules gate, bloom prefilter sound, binary dedup") {
+    import graft.operators.Llm
+    val g = Llm.queries("llm_gopher_rules")(spark, sf).collect()
+    assert(g.length > 0 && g.exists(_.getAs[Boolean]("keep")),
+      "some documents pass the gopher gate")
+    assert(g.forall { r =>
+      r.getAs[Boolean]("keep") == (r.getAs[Boolean]("r_words") &&
+        r.getAs[Boolean]("r_wlen") && r.getAs[Boolean]("r_alpha") &&
+        r.getAs[Boolean]("r_stop"))
+    }, "keep is the conjunction of the rules")
+    val b = Llm.queries("llm_dedup_bloom")(spark, sf).collect()
+    assert(b.nonEmpty && b.forall(_.getAs[Boolean]("prefilter_sound")),
+      s"bloom prefilter found ${b.length} contaminated docs")
+    assert(b.forall(_.getAs[Long]("doc_id") % 5 != 0), "hits are corpus-side only")
+    val m = Llm.queries("llm_multimodal_dedup")(spark, sf).collect()
+    assert(m.map(_.getAs[String]("mime")).distinct.sorted ===
+      Seq("audio/wav", "image/png", "video/mp4"))
+    assert(m.forall(_.getAs[Long]("n_copies") >= 1L))
+  }
+
   test("re-injected xmlns preserves single-quoted values with double quotes") {
     import graft.sources.Xml
     val dir = Scratch.fresh("r10_ns_quote", sf)
