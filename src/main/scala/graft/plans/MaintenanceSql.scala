@@ -78,6 +78,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """\s+BRANCH\s+([A-Za-z0-9_-]+)\s+WHERE\s+(.+?)\s*;?\s*""").r
   private val ShowRefsRe =
     ("""(?is)\s*SHOW\s+REFS\s+ON\s+""" + Tgt + """\s*;?\s*""").r
+  // Delta-only statement shape — Spark's DESCRIBE TABLE is untouched
+  private val DetailRe =
+    ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + Tgt + """\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(target, branch, parts, wcol, wlo, whi, zcol, files) =>
@@ -102,6 +105,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       BranchDeleteCommand(target, name, pred)
     case ShowRefsRe(target) =>
       ShowRefsCommand(target)
+    case DetailRe(target) =>
+      DescribeDetailCommand(target)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -329,6 +334,23 @@ case class ShowRefsCommand(target: String) extends LeafRunnableCommand {
     val dir = MaintenanceSql.dirOf(s, target)
     Acid.refs(s, dir).collect().toSeq
   }
+}
+
+/** `DESCRIBE DETAIL <target>` — the one-row table summary (format,
+  * version, file/row counts, refs, current partition spec). */
+case class DescribeDetailCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("size_positive",
+      org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    AttributeReference("n_branches", LongType, nullable = false)(),
+    AttributeReference("n_tags", LongType, nullable = false)(),
+    AttributeReference("partition_spec", StringType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Acid.describeDetail(s, MaintenanceSql.dirOf(s, target)).collect().toSeq
 }
 
 case class DescribeHistoryCommand(target: String) extends LeafRunnableCommand {

@@ -2817,6 +2817,27 @@ object Acid {
     rows.toDF("kind", "name", "version", "staged")
   }
 
+  /** One-row table summary (Delta's `DESCRIBE DETAIL` re-derived):
+    * format, head version, live file count, LOGICAL row count (physical
+    * minus distinct deletion-sidecar counts), stamped-bytes flag,
+    * branch/tag counts and the rendered CURRENT partition spec — all
+    * from one manifest read plus a `_log` listing; no data touched. */
+  def describeDetail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = latestVersion(dir)
+    val m = readManifest(dir, v)
+    val phys = m.files.map(_.rows).sum
+    val dvN = m.files.flatMap(_.dv).distinct.map(_._2).sum +
+      m.files.flatMap(_.pdv).distinct.map(_._2).sum
+    Seq((
+      "graft-acid", v.toLong, m.files.size.toLong, phys - dvN,
+      m.files.map(_.bytes).sum > 0L,
+      listRefs(dir, "branch").size.toLong, listRefs(dir, "tag").size.toLong,
+      partSpecsOf(dir).map(_.label).mkString(",")))
+      .toDF("format", "version", "num_files", "n_rows", "size_positive",
+        "n_branches", "n_tags", "partition_spec")
+  }
+
   /** Read the branch's current state (base ∪ staged writes) — the AUDIT
     * query surface. Same dropped/rename post-processing as snapshot. */
   def snapshotBranch(s: SparkSession, dir: String, name: String): DataFrame = {
@@ -4861,7 +4882,7 @@ object Acid {
     val probeUid = ev.agg(min(col("uid"))).head.getLong(0)
     s.sql(s"DROP TABLE IF EXISTS $cat.ev")
     s.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, uid BIGINT, cents BIGINT)
-             |PARTITIONED BY (days(ts), bucket(8, uid))""".stripMargin)
+             |PARTITIONED BY (days(ts), bucket(4, uid))""".stripMargin)
     ss.sql(s"INSERT INTO $cat.ev SELECT k, ts, uid, cents FROM graft_pmulti_src")
     val win = "ts >= TIMESTAMP'2024-01-08 00:00:00' AND " +
       "ts < TIMESTAMP'2024-01-15 00:00:00'"
@@ -5034,6 +5055,20 @@ object Acid {
     lib.withColumn("sql_matches", lit(sqlRows == lib.collect().toSeq))
   }
 
+  /** tbl_describe_detail — `DESCRIBE DETAIL` (Delta's one-row table
+    * summary re-derived): format, head version, live file and LOGICAL
+    * row counts, stamped-bytes flag, branch/tag counts and the current
+    * partition spec — one manifest read + one `_log` listing, the first
+    * thing an operator asks a table before any maintenance decision.
+    */
+  val tblDescribeDetail: Q = (s, d) => {
+    val dir = fresh("tbl_describe_detail", d)
+    create(s, dir, ordersKV(s, d), "k", 4)
+    createBranch(s, dir, "audit"): Unit
+    tagVersion(dir, "rel", 0)
+    s.sql(s"DESCRIBE DETAIL '$dir'")
+  }
+
   /** tbl_vacuum_scale — VACUUM past the distribution threshold (round-10
     * verdict #1): a 600-file table crosses `VacuumDistributeThreshold`,
     * so orphan discovery lists one task per top-level prefix, the
@@ -5154,6 +5189,7 @@ object Acid {
 
   val queries: Map[String, Q] = Map(
     "tbl_vacuum_scale"      -> tblVacuumScale,
+    "tbl_describe_detail"   -> tblDescribeDetail,
     "tbl_branch_optimize"   -> tblBranchOptimize,
     "tbl_refs_meta"         -> tblRefsMeta,
     "tbl_ckpt_shard"        -> tblCkptShard,
@@ -5217,6 +5253,12 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_describe_detail" ->
+      """SELECT 'graft-acid' AS format, CAST(0 AS BIGINT) AS version,
+        |       CAST(4 AS BIGINT) AS num_files, count(*) AS n_rows,
+        |       TRUE AS size_positive, CAST(1 AS BIGINT) AS n_branches,
+        |       CAST(1 AS BIGINT) AS n_tags, '' AS partition_spec
+        |FROM orders""".stripMargin,
     "tbl_branch_optimize" ->
       """SELECT count(*) + 3 AS n,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -413,7 +413,38 @@ class Round10Spec extends AnyFunSuite {
       s"tbl_cbo_stats: $r7")
   }
 
+  test("manifest render/parse roundtrip holds with pstats and sharded fulls") {
+    val rnd = new scala.util.Random(7)
+    def entry(i: Int) = Acid.FileEntry(
+      path = s"d0/x$i.parquet", rows = rnd.nextInt(1000).toLong,
+      minKey = i * 10L, maxKey = i * 10L + 9,
+      stats2 = if (i % 3 == 0) Some(("days(ts)", i.toLong, i.toLong)) else None,
+      bloom = if (i % 17 == 0) Some((64, "0123456789abcdef")) else None,
+      dv = if (i % 11 == 0) Some((s"dv/d$i", 3L)) else None,
+      pdv = if (i % 13 == 0) Some((s"pdv/p$i", 2L)) else None,
+      bytes = i.toLong,
+      cstats = if (i % 5 == 0) Seq(("lang", "aa|b:c", "zz")) else Nil,
+      pstats = if (i % 2 == 0)
+        Seq(("bucket(4,uid)", i.toLong, i.toLong), ("p2", 0L, 5L)) else Nil)
+    for (n <- Seq(10, 600)) { // below and above the shard threshold
+      val dir = Scratch.fresh(s"r10_roundtrip_$n", sf)
+      val entries = (0 until n).map(entry)
+      Acid.commitManifest(dir, Acid.Manifest(0, -1L, entries, Map("w" -> 5L),
+        Some("_cdc/x"), Some("price_cents >= 0"), op = "CREATE"))
+      Acid.clearManifestCache()
+      val m = Acid.readManifest(dir, 0)
+      assert(m.files == entries, s"n=$n entry roundtrip")
+      assert(m.batchHw == Map("w" -> 5L) && m.cdcPath.contains("_cdc/x") &&
+        m.constraint.contains("price_cents >= 0") && m.op == "CREATE")
+    }
+  }
+
   test("round-10 llm rows: gopher rules gate, bloom prefilter sound, binary dedup") {
+    val dd = Acid.queries("tbl_describe_detail")(spark, sf).head
+    assert(dd.getAs[String]("format") == "graft-acid" &&
+      dd.getAs[Long]("num_files") == 4L && dd.getAs[Boolean]("size_positive") &&
+      dd.getAs[Long]("n_branches") == 1L && dd.getAs[Long]("n_tags") == 1L,
+      s"tbl_describe_detail: $dd")
     import graft.operators.Llm
     val g = Llm.queries("llm_gopher_rules")(spark, sf).collect()
     assert(g.length > 0 && g.exists(_.getAs[Boolean]("keep")),
