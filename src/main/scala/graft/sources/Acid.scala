@@ -1163,6 +1163,16 @@ object Acid {
           s"${ps.label} needs a BIGINT column, got ${f.dataType.sql}")
       }
     }
+    // the sidecar carries PHYSICAL column names (the writer resolves
+    // them against the physical write schema and the scan translates
+    // physical → logical for pushed filters) — a caller on a renamed
+    // table writes the LOGICAL name, so map it through before persisting
+    val cm = colMapOf(dir)
+    val stored = specs.map {
+      case PartIdentity(c)  => PartIdentity(cm.getOrElse(c, c))
+      case PartDays(c)      => PartDays(cm.getOrElse(c, c))
+      case PartBucket(n, c) => PartBucket(n, cm.getOrElse(c, c))
+    }.map(_.label).mkString(",")
     val p = logDir(dir).resolve("partcol.txt")
     val prev =
       if (Files.exists(p))
@@ -1170,7 +1180,7 @@ object Acid {
           .map(_.trim).filter(_.nonEmpty).toSeq
       else Seq.empty
     Files.createDirectories(logDir(dir))
-    Files.writeString(p, (prev :+ rendered).mkString("\n")): Unit
+    Files.writeString(p, (prev :+ stored).mkString("\n")): Unit
     prev.size
   }
 
@@ -1542,9 +1552,12 @@ object Acid {
       : (DataFrame, Int, Int, Int) = {
     // a sharded table plans from the pointer-overlapping shards of the
     // probes' envelope, never the whole manifest (same pruned path as
-    // scanRange); the per-probe range test below stays exact
-    val (envelope, total, _) = planRangeEntries(dir, latestVersion(dir),
-      probes.min, probes.max)
+    // scanRange); the per-probe range test below stays exact. An empty
+    // probe set plans nothing (an empty envelope) but still reports the
+    // correct total.
+    val (envelope, total, _) =
+      if (probes.isEmpty) planRangeEntries(dir, latestVersion(dir), 0L, -1L)
+      else planRangeEntries(dir, latestVersion(dir), probes.min, probes.max)
     // key name from a surviving file's footer, not a full-manifest read
     val key = envelope.headOption
       .map(f => s.read.parquet(s"$dir/${f.path}").schema.fields.head.name)
@@ -2790,6 +2803,7 @@ object Acid {
       targetFiles: Int): (Int, Int, Int) = {
     val h = branchHead(dir, name)
     val files = branchFilesAt(dir, name, h)
+    if (files.isEmpty) return (h, 0, 0)
     val keyCols = keyColsOf(s, dir)
     val keyPhys = colMapOf(dir).getOrElse(keyCols.head, keyCols.head)
     val dd = s"d_br_${name}_o${java.util.UUID.randomUUID().toString.take(8)}"

@@ -246,6 +246,13 @@ object AcidSql {
     case _ => None
   }
 
+  /** LOGICAL name of a physical column (inverse of the column mapping;
+    * identity when unmapped) — V2 transform/ordering declarations and
+    * reports resolve against the logical schema. */
+  private[sources] def logicalName(dir: String, phys: String): String =
+    Acid.colMapOf(dir).collectFirst {
+      case (lo, ph) if ph == phys => lo }.getOrElse(phys)
+
   private[sources] def keyBounds(filters: Array[Filter], keyCol: String): (Long, Long) =
     boundsFold(filters, keyCol, asLong)
 
@@ -400,10 +407,12 @@ class AcidSqlTable(dir: String, tableSchema: StructType, pinnedVersion: Int = -1
   /** Reports the catalog-declared partition transform (if any), so
     * SHOW CREATE / DESCRIBE surface it like Delta/Iceberg do. */
   override def partitioning(): Array[Transform] =
+    // report LOGICAL column names: the sidecar carries physical ones,
+    // but Spark resolves transforms against the logical schema
     Acid.partSpecsOf(dir).map {
-      case Acid.PartIdentity(c)  => Expressions.identity(c)
-      case Acid.PartDays(c)      => Expressions.days(c)
-      case Acid.PartBucket(n, c) => Expressions.bucket(n, c)
+      case Acid.PartIdentity(c)  => Expressions.identity(AcidSql.logicalName(dir, c))
+      case Acid.PartDays(c)      => Expressions.days(AcidSql.logicalName(dir, c))
+      case Acid.PartBucket(n, c) => Expressions.bucket(n, AcidSql.logicalName(dir, c))
     }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -546,16 +555,21 @@ class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
       * engine can express without a function catalog, and the writer's
       * per-bucket open-segment map absorbs the interleave (files per
       * task ≤ bucket count; OPTIMIZE compacts). */
+    // declarations resolve against the LOGICAL schema (a renamed table's
+    // sidecar carries physical names); the writer itself stays physical
     override def requiredDistribution(): Distribution = partSpec match {
       case Some(Acid.PartIdentity(c)) =>
-        Distributions.clustered(Array(Expressions.identity(c)))
+        Distributions.clustered(Array(
+          Expressions.identity(AcidSql.logicalName(dir, c))))
       case _ => Distributions.unspecified()
     }
     override def requiredOrdering(): Array[SortOrder] = partSpec match {
       case Some(Acid.PartIdentity(c)) => Array(Expressions.sort(
-        Expressions.identity(c), SortDirection.ASCENDING))
+        Expressions.identity(AcidSql.logicalName(dir, c)),
+        SortDirection.ASCENDING))
       case Some(Acid.PartDays(c)) => Array(Expressions.sort(
-        Expressions.identity(c), SortDirection.ASCENDING))
+        Expressions.identity(AcidSql.logicalName(dir, c)),
+        SortDirection.ASCENDING))
       case _ => Array.empty
     }
     override def toBatch: BatchWrite =

@@ -413,6 +413,38 @@ class Round10Spec extends AnyFunSuite {
       s"tbl_cbo_stats: $r7")
   }
 
+  test("spec evolution on a RENAMED table stores physical names, prunes on logical") {
+    val root = Scratch.fresh("r10_evo_ren", sf)
+    val cat = catFor("er", root)
+    val dir = s"$root/t"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, ts TIMESTAMP, v BIGINT)")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN ts TO event_ts")
+    // caller evolves using the LOGICAL name; the sidecar must persist the
+    // PHYSICAL one (the writer resolves against the physical write schema)
+    assert(Acid.evolvePartSpec(spark, dir, "days(event_ts)") === 0)
+    spark.range(40).coalesce(1).selectExpr("id AS k",
+      "timestamp_micros(CAST(1704067200000000 + (id DIV 10) * 86400000000 AS BIGINT)) AS ts",
+      "id AS v").createOrReplaceTempView("r10_evoren_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, ts, v FROM r10_evoren_src")
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m.files.nonEmpty && m.files.forall(_.stats2.exists {
+      case (c, lo, hi) => c == "days(ts)" && lo == hi }),
+      s"stamped under the physical label: ${m.files.map(_.stats2)}")
+    // predicates on the LOGICAL name prune through the mapping
+    spark.sql(s"SELECT count(*) FROM $cat.t WHERE " +
+      "event_ts >= TIMESTAMP'2024-01-02 00:00:00' AND " +
+      "event_ts < TIMESTAMP'2024-01-03 00:00:00'").head
+    val (scanned, total) = graft.sources.AcidSql.lastScanFor(dir)
+    assert(scanned >= 1 && scanned * 2 <= total,
+      s"logical-name window pruned $scanned/$total")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.t WHERE " +
+      "event_ts >= TIMESTAMP'2024-01-02 00:00:00' AND " +
+      "event_ts < TIMESTAMP'2024-01-03 00:00:00'").head.getLong(0)
+      === (10 until 20).sum.toLong)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("manifest render/parse roundtrip holds with pstats and sharded fulls") {
     val rnd = new scala.util.Random(7)
     def entry(i: Int) = Acid.FileEntry(
