@@ -863,6 +863,36 @@ object Round10Probe {
     metaProbe("x1", 500)
     metaProbe("x10", 5000)
 
+    // ---- 1b. multi-column partition spec at x10 rows ----------------------
+    def multiProbe(tag: String, rows: Long): Unit = {
+      val root = Scratch.fresh(s"r10_probe_multi_$tag", sfDir)
+      val cat = s"graft_r10m$tag"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.range(rows).selectExpr("id AS k",
+        s"timestamp_micros(CAST(1704067200000000 + (id DIV ${rows / 30}) * 86400000000 + id AS BIGINT)) AS ts",
+        "CAST(id % 400 AS BIGINT) AS uid", "id AS v")
+        .createOrReplaceTempView(s"r10m_src_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+      spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, uid BIGINT, v BIGINT)
+                   |PARTITIONED BY (days(ts), bucket(8, uid))""".stripMargin)
+      val (_, insS) = t(
+        spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, uid, v FROM r10m_src_$tag"))
+      val win = "ts >= TIMESTAMP'2024-01-08 00:00:00' AND " +
+        "ts < TIMESTAMP'2024-01-15 00:00:00'"
+      spark.sql(s"SELECT count(*) FROM $cat.ev WHERE $win").head
+      val (sDay, total) = graft.sources.AcidSql.lastScanFor(s"$root/ev")
+      spark.sql(s"SELECT count(*) FROM $cat.ev WHERE uid = 7").head
+      val (sBkt, _) = graft.sources.AcidSql.lastScanFor(s"$root/ev")
+      spark.sql(s"SELECT count(*) FROM $cat.ev WHERE $win AND uid = 7").head
+      val (sBoth, _) = graft.sources.AcidSql.lastScanFor(s"$root/ev")
+      println(f"[r10-probe] multi $tag%-4s ($rows%8d rows): insert $insS%5.1fs, " +
+        f"$total%4d files; scans week=$sDay/$total bucket=$sBkt/$total " +
+        f"both=$sBoth/$total")
+    }
+    multiProbe("x1", 100000L)
+    multiProbe("x10", 1000000L)
+
     // ---- 2. does CBO move any ACID join plan? ------------------------------
     locally {
       val root = Scratch.fresh("r10_probe_cbo", sfDir)

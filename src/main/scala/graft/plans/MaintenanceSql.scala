@@ -31,6 +31,8 @@ import graft.sources.Acid
   *   CLONE <src-target> TO <dst-target> [DEEP]
   *   DELETE FROM <target> BRANCH <name> WHERE <pred>
   *   SHOW REFS ON <target>
+  *   DESCRIBE DETAIL <target>
+  *   RESTORE TABLE <target> TO VERSION AS OF <v> | TO TIMESTAMP AS OF '<ts>'
   * }}}
   *
   * `<target>` is either a quoted table directory (`'/data/t'`) or a
@@ -81,6 +83,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // Delta-only statement shape — Spark's DESCRIBE TABLE is untouched
   private val DetailRe =
     ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + Tgt + """\s*;?\s*""").r
+  private val RestoreRe =
+    ("""(?is)\s*RESTORE\s+TABLE\s+""" + Tgt +
+      """\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(target, branch, parts, wcol, wlo, whi, zcol, files) =>
@@ -107,6 +112,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ShowRefsCommand(target)
     case DetailRe(target) =>
       DescribeDetailCommand(target)
+    case RestoreRe(target, kind, v) =>
+      RestoreTableCommand(target, kind.toUpperCase, v)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -333,6 +340,37 @@ case class ShowRefsCommand(target: String) extends LeafRunnableCommand {
   override def run(s: SparkSession): Seq[Row] = {
     val dir = MaintenanceSql.dirOf(s, target)
     Acid.refs(s, dir).collect().toSeq
+  }
+}
+
+/** `RESTORE TABLE <target> TO VERSION AS OF <v>` /
+  * `... TO TIMESTAMP AS OF '<ts>'` — rollback as roll-forward (the
+  * library `Acid.restore`): one new commit carrying the target
+  * version's file list, history intact. Timestamp literals resolve in
+  * the SESSION zone against commit wall-clock, the same rule as
+  * time-travel reads. Returns (restored_to, new_version). */
+case class RestoreTableCommand(target: String, kind: String, value: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val dir = MaintenanceSql.dirOf(s, target)
+    val toV =
+      if (kind == "VERSION") value.toInt
+      else {
+        val lit = value.stripPrefix("'").stripSuffix("'")
+        val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(
+            org.apache.spark.unsafe.types.UTF8String.fromString(lit),
+            java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone))
+          .getOrElse(throw new IllegalArgumentException(
+            s"RESTORE: cannot parse timestamp '$lit'"))
+        Acid.versionAtTimestamp(dir, micros).getOrElse(
+          throw new IllegalArgumentException(
+            s"RESTORE: '$lit' predates the table's first commit"))
+      }
+    Seq(Row(toV.toLong, Acid.restore(s, dir, toV).toLong))
   }
 }
 

@@ -445,6 +445,30 @@ class Round10Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
+  test("RESTORE TABLE SQL rolls back by version and by timestamp") {
+    val dir = Scratch.fresh("r10_restore_sql", sf)
+    import spark.implicits._
+    Acid.create(spark, dir,
+      spark.range(50).select(col("id").as("k"), col("id").as("v")), "k", 2)
+    assert(!Acid.merge(spark, dir, Seq((1L, -1L)).toDF("k", "v"), "bad").skipped)
+    val r = spark.sql(s"RESTORE TABLE '$dir' TO VERSION AS OF 0").head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 2L)
+    assert(Acid.snapshot(spark, dir).filter(col("k") === 1).head.getLong(1) === 1L,
+      "bad merge undone")
+    // timestamp form: anything at-or-after v2's commit resolves to v2
+    val ts = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .plusMinutes(1).toString.replace('T', ' ').takeWhile(_ != '.')
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try {
+      val r2 = spark.sql(s"RESTORE TABLE '$dir' TO TIMESTAMP AS OF '$ts'").head
+      assert(r2.getLong(0) === 2L && r2.getLong(1) === 3L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // a pre-v0 timestamp refuses
+    assert(scala.util.Try(spark.sql(
+      s"RESTORE TABLE '$dir' TO TIMESTAMP AS OF '1999-01-01 00:00:00'")).isFailure)
+  }
+
   test("manifest render/parse roundtrip holds with pstats and sharded fulls") {
     val rnd = new scala.util.Random(7)
     def entry(i: Int) = Acid.FileEntry(
