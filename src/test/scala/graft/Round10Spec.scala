@@ -445,6 +445,56 @@ class Round10Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
+  test("pruned planning agrees with readManifest across checkpoint+delta+shard chains") {
+    val dir = Scratch.fresh("r10_plan_parity", sf)
+    import spark.implicits._
+    Acid.create(spark, dir,
+      spark.range(6000).select(col("id").as("k"), (col("id") * 2).as("v")), "k", 600)
+    // 25 single-row merges: delta manifests + checkpoints at v10/v20
+    (1 to 25).foreach { i =>
+      assert(!Acid.merge(spark, dir,
+        Seq((9000L + i, i.toLong)).toDF("k", "v"), s"w$i").skipped)
+    }
+    val head = Acid.latestVersion(dir)
+    assert(head === 25)
+    for (v <- Seq(5, 10, 19, 25); (lo, hi) <- Seq((0L, 59L), (9000L, 9030L),
+        (Long.MinValue, Long.MaxValue))) {
+      Acid.clearManifestCache()
+      val (ents, total, _) = Acid.planRangeEntries(dir, v, lo, hi)
+      Acid.clearManifestCache()
+      val m = Acid.readManifest(dir, v)
+      val want = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+      assert(total === m.files.size, s"v$v [$lo,$hi] total")
+      assert(ents.map(_.path).toSet === want.map(_.path).toSet,
+        s"v$v [$lo,$hi] overlap set")
+    }
+  }
+
+  test("deep clone of a SHALLOW clone resolves source references") {
+    val root = Scratch.fresh("r10_deep_of_shallow", sf)
+    import spark.implicits._
+    Acid.create(spark, s"$root/orig",
+      spark.range(60).select(col("id").as("k"), col("id").as("v")), "k", 3)
+    Acid.cloneShallow(spark, s"$root/orig", s"$root/sh"): Unit
+    // diverge the shallow clone, then deep-copy it: the deep clone must
+    // materialize BOTH the clone-local rewrite and the ../orig references
+    assert(!Acid.merge(spark, s"$root/sh", Seq((5L, -5L)).toDF("k", "v"), "w").skipped)
+    val copied = Acid.cloneDeep(spark, s"$root/sh", s"$root/deep")
+    assert(copied >= 3)
+    // obliterate BOTH ancestors
+    Seq("orig", "sh").foreach { t =>
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(Paths.get(root, t))
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    Acid.clearManifestCache()
+    val snap = Acid.snapshot(spark, s"$root/deep")
+    assert(snap.count() === 60L)
+    assert(snap.filter(col("k") === 5).head.getLong(1) === -5L)
+  }
+
   test("RESTORE TABLE SQL rolls back by version and by timestamp") {
     val dir = Scratch.fresh("r10_restore_sql", sf)
     import spark.implicits._
