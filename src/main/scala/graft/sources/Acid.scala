@@ -1074,6 +1074,13 @@ object Acid {
       case _                                           => None
     }
 
+  /** Like partitionValueOf but across BOTH stat slots (leading stats2 +
+    * tagged pstats) — the `.partitions` classification for secondary
+    * transforms of a multi-column spec. */
+  private[sources] def partitionValueOfAny(f: FileEntry, label: String): Option[Long] =
+    (f.stats2.toSeq ++ f.pstats).collectFirst {
+      case (c, lo, hi) if c == label && lo == hi => lo }
+
   private[sources] def parsePartSpec(s: String): PartSpec = {
     val D = """days\((.+)\)""".r
     val B = """bucket\((\d+),(.+)\)""".r

@@ -214,14 +214,22 @@ class AcidPartitionsScan(dir: String) extends Scan with Batch {
   override def readSchema(): StructType = AcidPartitions.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val label = Acid.partSpecOf(dir).map(_.label).getOrElse("")
+    // one row-group PER TRANSFORM across the spec history (round-10
+    // multi-column specs / spec evolution): each transform's files
+    // classify by its own one-value stat — stats2 for a leading
+    // transform, tagged pstats for secondaries — so `.partitions` shows
+    // every declared dimension; single-spec tables read as before
+    val specs = Acid.partSpecHistory(dir).flatten.distinct
+    val labels = if (specs.isEmpty) Seq("") else specs.map(_.label)
     val m = Acid.readManifest(dir, Acid.latestVersion(dir))
-    val grouped = m.files.groupBy(Acid.partitionValueOf(_, label))
-    val rows = grouped.toSeq.map { case (v, fs) =>
-      AcidPartitionsRow(v, fs.size.toLong, fs.map(_.rows).sum,
-        fs.map(_.bytes).sum)
-    }.sortBy(_.value.getOrElse(Long.MinValue))
-    Array(AcidPartitionsInputPartition(label, rows))
+    labels.map { label =>
+      val grouped = m.files.groupBy(Acid.partitionValueOfAny(_, label))
+      val rows = grouped.toSeq.map { case (v, fs) =>
+        AcidPartitionsRow(v, fs.size.toLong, fs.map(_.rows).sum,
+          fs.map(_.bytes).sum)
+      }.sortBy(_.value.getOrElse(Long.MinValue))
+      AcidPartitionsInputPartition(label, rows)
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {

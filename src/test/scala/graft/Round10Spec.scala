@@ -227,6 +227,10 @@ class Round10Spec extends AnyFunSuite {
     val want = spark.sql("SELECT sum(v) FROM r10_multi_src " +
       "WHERE k >= 160 AND k < 320 AND k % 8 = 3").head.getLong(0)
     assert(got === want)
+    // .partitions lists BOTH transforms' dimensions
+    val parts = spark.read.table(s"$cat.ev.partitions")
+      .select("transform").distinct().collect().map(_.getString(0)).sorted
+    assert(parts === Array("bucket(4,uid)", "days(ts)"), parts.toSeq.toString)
     spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
   }
 
