@@ -736,14 +736,17 @@ object Acid {
     * multi-value files under the NULL bucket until a partition
     * compaction re-bins them. bucket is not monotone — its rewritten
     * files stay unstamped (conservatively scanned), as before. */
-  private def restampPartStats(s: SparkSession, tableDir: String,
-      dataDir: String, entries: Seq[FileEntry]): Seq[FileEntry] = {
+  private[sources] def restampPartStats(s: SparkSession, tableDir: String,
+      entries: Seq[FileEntry]): Seq[FileEntry] = {
     val specs = partSpecsOf(tableDir)
     val lead = specs.headOption
     val monotone = specs.filterNot(_.isInstanceOf[PartBucket])
-    if (monotone.isEmpty) return entries
+    if (monotone.isEmpty || entries.isEmpty) return entries
     val prefix = Paths.get(tableDir).toAbsolutePath.toString
-    val df = s.read.parquet(s"$tableDir/$dataDir")
+    // read exactly the entries' files (not their directory): streaming
+    // epochs share one stage dir, and a dir read would re-scan every
+    // prior epoch on each commit
+    val df = s.read.parquet(entries.map(e => s"$tableDir/${e.path}"): _*)
     def srcLong(c: String): Option[Column] =
       if (!df.columns.contains(c)) None
       else df.schema(c).dataType match {
@@ -1735,7 +1738,7 @@ object Acid {
           case None     => f
         }
       } ++ evolvedCols.map(c => batch.schema(c).copy(nullable = true))))
-    val newEntries = restampPartStats(s, dir, dataDir,
+    val newEntries = restampPartStats(s, dir,
       statsOf(s, dir, dataDir, keyCol))
 
     // CDC-at-commit: the update/insert legs already materialize both
@@ -2156,7 +2159,7 @@ object Acid {
     val dataDir = s"d${nextV}_$writerTag"
     kept.repartitionByRange(math.max(1, touched.size), col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
-    val newEntries = restampPartStats(s, dir, dataDir,
+    val newEntries = restampPartStats(s, dir,
       statsOf(s, dir, dataDir, key))
     val cdcPathOpt =
       if (!writeCdf) None
@@ -2389,7 +2392,7 @@ object Acid {
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     val newEntries =
       if (col2.isDefined) statsOf(s, dir, dataDir, key, col2)
-      else restampPartStats(s, dir, dataDir, statsOf(s, dir, dataDir, key))
+      else restampPartStats(s, dir, statsOf(s, dir, dataDir, key))
     val newV = replaceCommit(dir, touched.map(_.path).toSet,
       newEntries, op = "OPTIMIZE")
     (touched.size, readManifest(dir, newV).files.size, m.files.size)
@@ -2737,7 +2740,7 @@ object Acid {
       .write.mode("overwrite").parquet(s"$dir/$dd")
     enforceConstraint(s, dir, dd,
       readManifest(dir, branchBase(dir, name)).constraint)
-    val entries = restampPartStats(s, dir, dd, statsOf(s, dir, dd, keyPhys))
+    val entries = restampPartStats(s, dir, statsOf(s, dir, dd, keyPhys))
     commitBranchManifest(dir, name, h, carried ++ entries)
   }
 
@@ -2774,7 +2777,7 @@ object Acid {
       .write.mode("overwrite").parquet(s"$dir/$dd")
     enforceConstraint(s, dir, dd,
       readManifest(dir, branchBase(dir, name)).constraint)
-    val entries = restampPartStats(s, dir, dd, statsOf(s, dir, dd, keyPhys))
+    val entries = restampPartStats(s, dir, statsOf(s, dir, dd, keyPhys))
     val newHead = commitBranchManifest(dir, name, h, carried ++ entries)
     // physical row stats overcount under deletion vectors — count the
     // DV-applied frame instead (just read for the rewrite anyway)
@@ -2818,7 +2821,7 @@ object Acid {
       readMerged(s, dir)(files.map(f => s"$dir/${f.path}"): _*))
       .repartitionByRange(math.max(1, targetFiles), col(keyPhys))
       .write.mode("overwrite").parquet(s"$dir/$dd")
-    val entries = restampPartStats(s, dir, dd, statsOf(s, dir, dd, keyPhys))
+    val entries = restampPartStats(s, dir, statsOf(s, dir, dd, keyPhys))
     (commitBranchManifest(dir, name, h, entries), files.size, entries.size)
   }
 

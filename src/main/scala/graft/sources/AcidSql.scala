@@ -512,7 +512,12 @@ class AcidReplaceGroupsWrite(dir: String, writeSchema: StructType,
     new AcidSqlWriterFactory(dir, stageDir, Acid.toPhysical(dir, writeSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = AcidWriteMessages.entriesOf(messages)
+    // row-level rewrites (UPDATE / MERGE INTO) carry no transform
+    // clustering guarantee, so the writer stamps nothing — re-derive the
+    // monotone transform ranges from the staged files (same pass the
+    // library merge runs) or partition pruning decays with every rewrite
+    val entries = Acid.restampPartStats(SparkSession.active, dir,
+      AcidWriteMessages.entriesOf(messages))
     Acid.replaceCommit(dir, op.scannedFiles.toSet, entries,
       op = "REWRITE"): Unit
   }
@@ -600,7 +605,11 @@ class AcidSqlStreamingWrite(dir: String, writeSchema: StructType,
     new AcidSqlStreamingWriterFactory(dir, stageDir, Acid.toPhysical(dir, writeSchema))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val entries = AcidWriteMessages.entriesOf(messages)
+    // streamed epochs arrive unclustered — re-stamp monotone transform
+    // ranges over THIS epoch's files so a streaming sink into a
+    // partitioned table keeps its pruning (cost ∝ epoch, not stage dir)
+    val entries = Acid.restampPartStats(SparkSession.active, dir,
+      AcidWriteMessages.entriesOf(messages))
     Acid.appendCommitExactlyOnce(dir, entries, writerTag, epochId): Unit
   }
 

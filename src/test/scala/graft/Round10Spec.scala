@@ -499,6 +499,54 @@ class Round10Spec extends AnyFunSuite {
     assert(snap.filter(col("k") === 5).head.getLong(1) === -5L)
   }
 
+  test("SQL UPDATE and streamed epochs re-stamp transform stats") {
+    val root = Scratch.fresh("r10_v2_restamp", sf)
+    val cat = catFor("vr", root)
+    val dir = s"$root/ev"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v BIGINT)
+                 |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.range(50).coalesce(1).selectExpr("id AS k",
+      "timestamp_micros(CAST(1704067200000000 + (id DIV 10) * 86400000000 AS BIGINT)) AS ts",
+      "id AS v").createOrReplaceTempView("r10_v2r_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM r10_v2r_src")
+    val m0 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    // a row-level rewrite (UPDATE) previously dropped the day stamps
+    spark.sql(s"UPDATE $cat.ev SET v = -1 WHERE k < 3")
+    val m1 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val rewritten = m1.files.filterNot(m0.files.toSet)
+    assert(rewritten.nonEmpty && rewritten.forall(_.stats2.exists {
+      case (c, lo, hi) => c == "days(ts)" && lo <= hi }),
+      s"UPDATE re-stamps days(ts): ${rewritten.map(_.stats2)}")
+    // pruning away from the rewrite stays sharp
+    spark.sql(s"SELECT count(*) FROM $cat.ev WHERE " +
+      "ts >= TIMESTAMP'2024-01-03 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-04 00:00:00'").head
+    val (scanned, total) = graft.sources.AcidSql.lastScanFor(dir)
+    assert(scanned >= 1 && scanned * 2 <= total, s"pruned $scanned/$total")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ev WHERE k < 3").head.getLong(0)
+      === -3L)
+    // a streamed epoch into the partitioned table stamps day ranges too
+    val srcDir = s"$root/stream_src"
+    spark.range(10).coalesce(1).selectExpr("id + 100 AS k",
+      "timestamp_micros(CAST(1704067200000000 + 6 * 86400000000 + id AS BIGINT)) AS ts",
+      "id AS v").write.parquet(srcDir)
+    val q = spark.readStream
+      .schema("k BIGINT, ts TIMESTAMP, v BIGINT").parquet(srcDir)
+      .writeStream.format("graft-acid-sql")
+      .option("path", dir)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val m2 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val streamed = m2.files.filterNot(m1.files.toSet)
+    assert(streamed.nonEmpty && streamed.forall(_.stats2.exists {
+      case (c, lo, hi) => c == "days(ts)" && lo == hi && lo == 19729L }),
+      s"streamed epoch stamps day 19729: ${streamed.map(_.stats2)}")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+  }
+
   test("RESTORE TABLE SQL rolls back by version and by timestamp") {
     val dir = Scratch.fresh("r10_restore_sql", sf)
     import spark.implicits._
