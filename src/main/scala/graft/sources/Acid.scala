@@ -3082,16 +3082,44 @@ object Acid {
         Files.deleteIfExists(manifestPath(dir, v))
         Files.deleteIfExists(checkpointPath(dir, v)): Unit
       }
-      // shard files of dropped versions (including losing commit
-      // attempts' unreferenced shards): one _log listing, the owning
-      // version is in the name at a fixed offset (s_v00012_/s_c00012_)
-      if (dropVs.nonEmpty) {
+      // Shard-file reclamation: one _log listing, the owning version at
+      // a fixed name offset (s_v00012_/s_c00012_). A shard dies when its
+      // version was dropped above, OR when its version is RETAINED but
+      // no live pointer (manifest or checkpoint) references it — a
+      // losing commit attempt's shards, or a superseded horizon
+      // checkpoint's. Versions ABOVE the head are an in-flight writer's
+      // staging — always spared (deleting them would be harmless to
+      // correctness, the loser fails its rename regardless, but sparing
+      // avoids churn). Referenced names come from the retained pointers'
+      // raw lines — O(retained log files), no shard parsed.
+      locally {
         val drop = dropVs.toSet
+        val referenced: Set[String] =
+          (retainFrom to latest).flatMap { v =>
+            Seq(manifestPath(dir, v), checkpointPath(dir, v))
+              .filter(Files.exists(_)).flatMap { p =>
+                val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+                if (lines.size >= 2 && lines(1) == "@shards")
+                  lines.drop(2).filter(_.nonEmpty).map(_.split('|')(0))
+                else Seq.empty
+              }
+          }.toSet ++ pinnedVs.flatMap { v =>
+            Seq(manifestPath(dir, v), checkpointPath(dir, v))
+              .filter(Files.exists(_)).flatMap { p =>
+                val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+                if (lines.size >= 2 && lines(1) == "@shards")
+                  lines.drop(2).filter(_.nonEmpty).map(_.split('|')(0))
+                else Seq.empty
+              }
+          }
         val st = Files.list(logDir(dir))
         try st.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
           n.startsWith("s_") && n.length > 8 &&
-            Try(n.substring(3, 8).toInt).toOption.exists(drop.contains)
+            Try(n.substring(3, 8).toInt).toOption.exists(v =>
+              // strictly below the head: the head's cadence checkpoint
+              // may be mid-write (shards before pointer) — spared
+              drop.contains(v) || (v < latest && !referenced.contains(n)))
         }.foreach(p => Files.deleteIfExists(p): Unit)
         finally st.close()
       }

@@ -547,6 +547,61 @@ class Round10Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
   }
 
+  test("three-transform partition spec stamps and prunes every dimension") {
+    val root = Scratch.fresh("r10_tri", sf)
+    val cat = catFor("t3", root)
+    val dir = s"$root/ev"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(
+      s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, uid BIGINT, src BIGINT, v BIGINT)
+         |PARTITIONED BY (days(ts), bucket(4, uid), bucket(2, src))""".stripMargin)
+    spark.range(400).coalesce(1).selectExpr("id AS k",
+      "timestamp_micros(CAST(1704067200000000 + (id DIV 80) * 86400000000 AS BIGINT)) AS ts",
+      "CAST(id % 8 AS BIGINT) AS uid", "CAST(id % 2 AS BIGINT) AS src", "id AS v")
+      .createOrReplaceTempView("r10_tri_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM r10_tri_src")
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m.files.forall(f => f.stats2.exists(_._1 == "days(ts)") &&
+      f.pstats.exists(_._1 == "bucket(4,uid)") &&
+      f.pstats.exists(_._1 == "bucket(2,src)")),
+      s"all three transforms stamped: ${m.files.take(2).map(f => (f.stats2, f.pstats))}")
+    // the triple-predicate scan intersects all three verdicts
+    val q = "ts >= TIMESTAMP'2024-01-02 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-03 00:00:00' AND uid = 3 AND src = 1"
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE $q").head.getLong(0)
+      === spark.sql(s"SELECT count(*) FROM r10_tri_src WHERE " +
+        "k >= 80 AND k < 160 AND k % 8 = 3 AND k % 2 = 1").head.getLong(0))
+    val (scanned, total) = graft.sources.AcidSql.lastScanFor(dir)
+    assert(scanned >= 1 && scanned * 4 <= total,
+      s"triple intersection pruned $scanned/$total")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+  }
+
+  test("vacuum reclaims unreferenced shard files of retained versions") {
+    val dir = Scratch.fresh("r10_shard_orphan", sf)
+    Acid.create(spark, dir,
+      spark.range(3000).select(col("id").as("k"), col("id").as("v")), "k", 300)
+    import spark.implicits._
+    assert(!Acid.merge(spark, dir, Seq((9999L, 1L)).toDF("k", "v"), "w").skipped)
+    val logd = Paths.get(dir, "_log")
+    // plant a losing commit attempt's shard for the RETAINED v0
+    val orphan = logd.resolve("s_v00000_deadbeef.000.txt")
+    Files.writeString(orphan, "junk/x.parquet|1|0|0")
+    val liveShards = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(logd)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("s_") && n != orphan.getFileName.toString).toSet
+      finally st.close()
+    }
+    Acid.vacuum(spark, dir, 0)
+    assert(!Files.exists(orphan), "unreferenced shard of a retained version dies")
+    liveShards.foreach(n => assert(Files.exists(logd.resolve(n)),
+      s"referenced shard $n survives"))
+    Acid.clearManifestCache()
+    assert(Acid.snapshot(spark, dir).count() === 3001L)
+  }
+
   test("RESTORE TABLE SQL rolls back by version and by timestamp") {
     val dir = Scratch.fresh("r10_restore_sql", sf)
     import spark.implicits._
