@@ -3095,7 +3095,7 @@ object Acid {
       locally {
         val drop = dropVs.toSet
         val referenced: Set[String] =
-          (retainFrom to latest).flatMap { v =>
+          ((retainFrom to latest) ++ pinnedVs).distinct.flatMap { v =>
             Seq(manifestPath(dir, v), checkpointPath(dir, v))
               .filter(Files.exists(_)).flatMap { p =>
                 val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
@@ -3103,15 +3103,7 @@ object Acid {
                   lines.drop(2).filter(_.nonEmpty).map(_.split('|')(0))
                 else Seq.empty
               }
-          }.toSet ++ pinnedVs.flatMap { v =>
-            Seq(manifestPath(dir, v), checkpointPath(dir, v))
-              .filter(Files.exists(_)).flatMap { p =>
-                val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-                if (lines.size >= 2 && lines(1) == "@shards")
-                  lines.drop(2).filter(_.nonEmpty).map(_.split('|')(0))
-                else Seq.empty
-              }
-          }
+          }.toSet
         val st = Files.list(logDir(dir))
         try st.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
