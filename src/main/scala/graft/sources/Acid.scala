@@ -2832,14 +2832,17 @@ object Acid {
     * table re-derived. */
   def refs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows =
-      listRefs(dir, "branch").sorted.map(n =>
-        ("branch", n, branchBase(dir, n).toLong,
-          (branchHead(dir, n) + 1).toLong)) ++
-      listRefs(dir, "tag").sorted.map(n =>
-        ("tag", n, tagVersionOf(dir, n).toLong, 0L))
-    rows.toDF("kind", "name", "version", "staged")
+    refRows(dir).toDF("kind", "name", "version", "staged")
   }
+
+  /** The refs listing as plain rows — shared by `refs`, SHOW REFS and
+    * the `.refs` metadata table. */
+  private[sources] def refRows(dir: String): Seq[(String, String, Long, Long)] =
+    listRefs(dir, "branch").sorted.map(n =>
+      ("branch", n, branchBase(dir, n).toLong,
+        (branchHead(dir, n) + 1).toLong)) ++
+    listRefs(dir, "tag").sorted.map(n =>
+      ("tag", n, tagVersionOf(dir, n).toLong, 0L))
 
   /** One-row table summary (Delta's `DESCRIBE DETAIL` re-derived):
     * format, head version, live file count, LOGICAL row count (physical

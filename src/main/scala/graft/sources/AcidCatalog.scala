@@ -100,6 +100,13 @@ class AcidCatalog extends StagingTableCatalog {
         ident.namespace().dropRight(1), ident.namespace().last))
       if (!exists(base)) throw new NoSuchTableException(ident)
       new AcidPartitionsTable(base)
+    } else if (ident.name() == "refs" && ident.namespace().nonEmpty) {
+      // `<cat>.t.refs` — branches and tags as a metadata table (Iceberg's
+      // `db.table.refs` idiom); a literal table named `refs` wins.
+      val base = dirOf(Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last))
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new AcidRefsTable(base)
     } else if (ident.name() == "changes" && ident.namespace().nonEmpty) {
       // `<cat>.t.changes` — the change-data-feed METADATA TABLE (Iceberg's
       // `db.table.files` idiom): the trailing name selects the CDF view of

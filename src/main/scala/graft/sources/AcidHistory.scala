@@ -254,3 +254,61 @@ class AcidPartitionsScan(dir: String) extends Scan with Batch {
       }
     }
 }
+
+// ============================================================================
+// `.refs` — branches and tags as a metadata table (round 10; the Iceberg
+// `db.table.refs` idiom): one row per branch (kind, name, base version,
+// STAGED commit count) and per tag (pinned version), from one `_log`
+// listing. Same rows as SHOW REFS / `Acid.refs`, served as a table so
+// ref state composes into SQL (joins against `.history`, audits).
+// ============================================================================
+
+class AcidRefsTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-acid-refs:$dir"
+  override def schema(): StructType = AcidRefs.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new AcidRefsScan(dir)
+    }
+}
+
+object AcidRefs {
+  val schema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("staged", LongType, nullable = false)))
+}
+
+case class AcidRefsInputPartition(rows: Seq[(String, String, Long, Long)])
+  extends InputPartition
+
+class AcidRefsScan(dir: String) extends Scan with Batch {
+  override def readSchema(): StructType = AcidRefs.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AcidRefsInputPartition(Acid.refRows(dir)))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val it = p.asInstanceOf[AcidRefsInputPartition].rows.iterator
+        new PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            val g = it.next()
+            val r = new GenericInternalRow(4)
+            r.update(0, UTF8String.fromString(g._1))
+            r.update(1, UTF8String.fromString(g._2))
+            r.update(2, g._3); r.update(3, g._4)
+            cur = r
+            true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+}

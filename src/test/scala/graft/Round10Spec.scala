@@ -383,6 +383,12 @@ class Round10Spec extends AnyFunSuite {
     val refs = spark.sql(s"SHOW REFS ON '$dir'").collect()
     assert(refs.exists(x => x.getString(0) == "branch" &&
       x.getString(1) == "fix" && x.getLong(3) == 1L), refs.toSeq.toString)
+    // the `.refs` METADATA TABLE serves identical rows through the catalog
+    val cat2 = catFor("sqm", root)
+    val viaTable = spark.read.table(s"$cat2.t.refs")
+      .orderBy(col("kind"), col("name")).collect().toSeq
+    assert(viaTable == Acid.refs(spark, dir)
+      .orderBy(col("kind"), col("name")).collect().toSeq, viaTable.toString)
     // OPTIMIZE ... BRANCH refuses modifier combos
     assert(scala.util.Try(spark.sql(
       s"OPTIMIZE '$dir' BRANCH fix ZORDER BY (v)")).isFailure)
