@@ -1087,10 +1087,12 @@ object Acid {
   private[sources] def parsePartSpec(s: String): PartSpec = {
     val D = """days\((.+)\)""".r
     val B = """bucket\((\d+),(.+)\)""".r
+    // column captures are trimmed: `bucket(4, uid)` / `days( ts )` with
+    // the natural whitespace parse to the bare column name
     s match {
-      case D(c)    => PartDays(c)
-      case B(n, c) => PartBucket(n.toInt, c)
-      case c       => PartIdentity(c)
+      case D(c)    => PartDays(c.trim)
+      case B(n, c) => PartBucket(n.toInt, c.trim)
+      case c       => PartIdentity(c.trim)
     }
   }
 
@@ -1190,7 +1192,15 @@ object Acid {
           .map(_.trim).filter(_.nonEmpty).toSeq
       else Seq.empty
     Files.createDirectories(logDir(dir))
-    Files.writeString(p, (prev :+ stored).mkString("\n")): Unit
+    // tmp + atomic move, matching commitManifest's discipline: a plain
+    // truncate-and-rewrite would expose a concurrent reader to a
+    // truncated sidecar and let two racing evolutions lose a version
+    val tmp = logDir(dir)
+      .resolve(s".tmp-partcol-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, (prev :+ stored).mkString("\n"))
+    try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    finally Files.deleteIfExists(tmp): Unit
     prev.size
   }
 
@@ -2559,14 +2569,15 @@ object Acid {
     val srcAbs = Paths.get(srcDir).toAbsolutePath.toString
     val dstAbs = Paths.get(dstDir).toAbsolutePath.toString
     // distinct sidecar dirs get stable fresh names; data files keep their
-    // (table-unique) basenames under one clone dir
+    // FULL relative path under the clone dir — paths are table-unique
+    // (basenames alone are not: part-<partition>-<task> task ids restart
+    // per Spark application, so two sessions' inserts can legitimately
+    // collide on basename in different stage dirs) and the basename,
+    // which positional DVs reference, is unchanged as the path's tail.
     val dvMap = (m.files.flatMap(_.dv.map(_._1)) ++
       m.files.flatMap(_.pdv.map(_._1))).distinct.zipWithIndex
       .map { case (p, i) => p -> s"d0_clone/dv$i" }.toMap
-    val dataMap = m.files.map(f =>
-      f.path -> s"d0_clone/${f.path.split('/').last}").toMap
-    require(dataMap.values.toSeq.distinct.size == dataMap.size,
-      "deep clone requires table-unique data file basenames")
+    val dataMap = m.files.map(f => f.path -> s"d0_clone/${f.path}").toMap
     // expand sidecar DIRECTORIES to file-level copy pairs (delete-sized)
     val pairs: Seq[(String, String)] =
       dataMap.toSeq.map { case (sp, dp) => (s"$srcAbs/$sp", s"$dstAbs/$dp") } ++
@@ -2711,9 +2722,12 @@ object Acid {
     // key); file pruning stays leading-column — a superset range, exact.
     val keysPhys = keyCols.map(k => colMapOf(dir).getOrElse(k, k))
     val keyPhys = keysPhys.head
-    require(b.columns.take(keysPhys.size).sameElements(keysPhys),
-      s"branch-merge batch must lead with the table's key columns " +
-        s"${keysPhys.mkString(",")}, got ${b.columns.take(keysPhys.size).mkString(",")}")
+    // key columns resolve BY NAME (every downstream use is name-keyed:
+    // select/unionByName/anti-join), so batch column order is free — the
+    // only contract is that every key column is present
+    require(keysPhys.forall(b.columns.contains),
+      s"branch-merge batch must carry the table's key columns " +
+        s"${keysPhys.mkString(",")}, got ${b.columns.mkString(",")}")
     // same file pruning as mergeAt: a file is touched iff a batch key
     // can land INSIDE its range (broadcast range-join, #files-sized
     // result) — pure inserts beyond every range rewrite nothing
@@ -3110,11 +3124,19 @@ object Acid {
         val st = Files.list(logDir(dir))
         try st.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
-          n.startsWith("s_") && n.length > 8 &&
-            Try(n.substring(3, 8).toInt).toOption.exists(v =>
+          // Version parsed as the digit RUN after the 3-char s_<kind>
+          // prefix, not a fixed 5-wide substring: f"%05d" pads to a
+          // MINIMUM of 5, so v >= 100000 carries 6+ digits and a fixed
+          // slice would mis-bucket a live high-version shard into a
+          // dropped low version. A referenced shard is never dropped,
+          // whichever branch matched.
+          n.startsWith("s_") && n.length > 8 && !referenced.contains(n) && {
+            val digits = n.drop(3).takeWhile(_.isDigit)
+            digits.nonEmpty && Try(digits.toInt).toOption.exists(v =>
               // strictly below the head: the head's cadence checkpoint
               // may be mid-write (shards before pointer) — spared
-              drop.contains(v) || (v < latest && !referenced.contains(n)))
+              drop.contains(v) || v < latest)
+          }
         }.foreach(p => Files.deleteIfExists(p): Unit)
         finally st.close()
       }
