@@ -190,7 +190,16 @@ object Acid {
   private def writeShards(dir: String, kind: String, v: Int,
       files: Seq[FileEntry]): Seq[String] = {
     val tok = java.util.UUID.randomUUID().toString.take(8)
-    val specs = files.grouped(CheckpointShardEntries).zipWithIndex.map {
+    // Shard by KEY ORDER, not manifest order (round-11 verdict #2): a
+    // fresh CREATE appends range-clustered entries so manifest order is
+    // key order, but an append/merge-heavy history lands new entries at
+    // the tail — unsorted shards drift toward fully-overlapping key
+    // ranges and the pointer's range pruning silently degrades to
+    // parse-everything. Sorting at full-list write keeps shard ranges
+    // disjoint forever; every consumer folds deltas/liveness BY PATH, so
+    // entry order is free (ties broken by path for determinism).
+    val sorted = files.sortBy(f => (f.minKey, f.path))
+    val specs = sorted.grouped(CheckpointShardEntries).zipWithIndex.map {
       case (fs, i) =>
         val name = f"s_$kind$v%05d${"_"}$tok.$i%03d.txt"
         val tmp = logDir(dir).resolve(s".tmp-$name")
@@ -2399,6 +2408,11 @@ object Acid {
     }
     rewrite
       .repartitionByRange(targetFiles, col(key))
+      // local sort inside each output file (no extra shuffle): row groups
+      // get tight disjoint key [min,max], which is what lets the V2
+      // readers' FilterCompat row-group filter skip inside a file —
+      // OPTIMIZE is exactly when that clustering should be established
+      .sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(s"$dir/$dataDir")
     val newEntries =
       if (col2.isDefined) statsOf(s, dir, dataDir, key, col2)
@@ -3333,6 +3347,60 @@ object Acid {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .withColumn("bloom_skipped", lit(nBloom < nRange))
       .withColumn("scanned_some", lit(nBloom >= 1 && nRange <= nTotal))
+  }
+
+  /** tbl_rowgroup_skip — row-group pruning INSIDE a touched file
+    * (round-11 verdict #1): an OPTIMIZE RANGE rewrite under a small
+    * `parquet.block.size` leaves each file key-sorted across many row
+    * groups with tight disjoint [min,max]; the V2 columnar reader
+    * re-expresses the pushed key range as a parquet FilterCompat
+    * row-group filter at open, so groups whose footer stats exclude the
+    * predicate never decode. Manifest stats prune FILES — at 100 TB each
+    * surviving ~1 GB file still holds ~8 × 128 MB row groups and a
+    * selective query needs one, so this is the next 10× on selective
+    * scans. The decode accounting (footer blocks vs blocks surviving the
+    * filter, local-mode LongAdder probe) is asserted strictly — read at
+    * least one group, read strictly fewer than the footer total — and
+    * pinned as booleans; the aggregate's values travel through the
+    * DuckDB oracle. The `pad` column only widens rows so the small-block
+    * rewrite yields many groups at every sf; it never reaches the output.
+    */
+  val tblRowgroupSkip: Q = (s, d) => {
+    val dir = fresh("tbl_rowgroup_skip", d)
+    val mk = maxKey(s, d)
+    val t = ordersKV(s, d)
+      .withColumn("pad", rpad(col("k").cast("string"), 64, "x"))
+    create(s, dir, t, "k", 2)
+    val hc = s.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    val oldPage = Option(hc.get("parquet.page.size"))
+    try {
+      hc.set("parquet.block.size", "16384")
+      hc.set("parquet.page.size", "4096")
+      optimizeRange(s, dir, 0L, Long.MaxValue, 2): Unit
+    } finally {
+      oldBlock.fold(hc.unset("parquet.block.size"))(
+        hc.set("parquet.block.size", _))
+      oldPage.fold(hc.unset("parquet.page.size"))(
+        hc.set("parquet.page.size", _))
+    }
+    AcidSql.resetRowGroupMetrics()
+    val lo = mk / 2
+    val hi = mk / 2 + mk / 16
+    val res = s.read.format("graft-acid-sql").load(dir)
+      .filter(col("k") >= lo && col("k") <= hi)
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k")).head
+    val read = AcidSql.rowGroupsRead.sum
+    val total = AcidSql.rowGroupsTotal.sum
+    require(read >= 1 && read < total,
+      s"tbl_rowgroup_skip: expected a strict row-group subset, " +
+        s"read $read of $total")
+    import s.implicits._
+    Seq((res.getLong(0), res.getLong(1), res.getLong(2), res.getLong(3)))
+      .toDF("n", "sum_cents", "min_k", "max_k")
+      .withColumn("rowgroups_skipped", lit(read < total))
+      .withColumn("rowgroups_read_some", lit(read >= 1L))
   }
 
   /** tbl_schema_evolve — additive column without rewrite: the CDC batch
@@ -5300,6 +5368,7 @@ object Acid {
     "tbl_time_travel"       -> tblTimeTravel,
     "tbl_stats_skip"        -> tblStatsSkip,
     "tbl_bloom_skip"        -> tblBloomSkip,
+    "tbl_rowgroup_skip"     -> tblRowgroupSkip,
     "tbl_schema_evolve"     -> tblSchemaEvolve,
     "tbl_merge_evolve"      -> tblMergeEvolve,
     "tbl_concurrent_commit" -> tblConcurrentCommit,
@@ -5870,6 +5939,17 @@ object Acid {
         |       TRUE AS bloom_skipped, TRUE AS scanned_some
         |FROM base
         |WHERE k % 97 = 0 AND k <= (SELECT m FROM mx) // 2""".stripMargin,
+    "tbl_rowgroup_skip" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       TRUE AS rowgroups_skipped, TRUE AS rowgroups_read_some
+        |FROM base
+        |WHERE k BETWEEN (SELECT m FROM mx) // 2
+        |            AND (SELECT m FROM mx) // 2 + (SELECT m FROM mx) // 16""".stripMargin,
     "tbl_stats_skip" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -118,6 +118,129 @@ object AcidSql {
   def lastScanFor(dir: String, version: Int = -1): (Int, Int) =
     lastScan((dir, if (version < 0) Acid.latestVersion(dir) else version))
 
+  /** Row-group accounting across columnar V2 file opens: `total` = footer
+    * block count of every opened file, `read` = blocks surviving the
+    * row-group filter. A LOCAL-MODE probe by design — driver and executor
+    * threads share the JVM under local[*], which is exactly where the
+    * correctness gate and specs run; on a real cluster the same
+    * accounting would ride task metrics instead. */
+  val rowGroupsTotal = new java.util.concurrent.atomic.LongAdder
+  val rowGroupsRead = new java.util.concurrent.atomic.LongAdder
+  def resetRowGroupMetrics(): Unit = {
+    rowGroupsTotal.reset(); rowGroupsRead.reset()
+  }
+
+  /** Pushed V1 filters re-expressed as a parquet `FilterPredicate` over
+    * the FILE's own primitive widths (round-11 verdict #1): opening a
+    * reader with this filter prunes ROW GROUPS by footer
+    * stats/dictionary/bloom before any page decodes — manifest stats
+    * prune files, this prunes inside a touched file, the next 10× on
+    * selective scans at 100 TB. Built PER FILE on the executor so
+    * schema-evolved files simply drop conjuncts on columns they predate
+    * and type-widened tables compare at the file's decoded width — both
+    * conservative. A conjunct that doesn't translate is dropped (widens
+    * the read, never narrows); a disjunction translates only when every
+    * arm does. Spark re-applies every filter above the scan, so this is
+    * pure I/O avoidance — results never depend on it. */
+  private[sources] def rowGroupPredicate(filters: Array[Filter],
+      colMap: Map[String, String],
+      filePrim: Map[String, PrimitiveTypeName])
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    def micros(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => None
+    }
+    def days(v: Any): Option[Int] = v match {
+      case d: java.sql.Date      => Some(d.toLocalDate.toEpochDay.toInt)
+      case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+      case _                     => None
+    }
+    def asLong(v: Any): Option[Long] = v match {
+      case l: java.lang.Long    => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case s: java.lang.Short   => Some(s.toLong)
+      case b: java.lang.Byte    => Some(b.toLong)
+      case _                    => micros(v)
+    }
+    def asInt(v: Any): Option[Int] = v match {
+      case i: java.lang.Integer => Some(i)
+      case s: java.lang.Short   => Some(s.toInt)
+      case b: java.lang.Byte    => Some(b.toInt)
+      case l: java.lang.Long if l >= Int.MinValue && l <= Int.MaxValue =>
+        Some(l.toInt)
+      case _ => days(v)
+    }
+    sealed trait Cmp
+    object EQ extends Cmp; object GT extends Cmp; object GE extends Cmp
+    object LT extends Cmp; object LE extends Cmp
+    def atom(c0: String, v: Any, op: Cmp): Option[FilterPredicate] = {
+      if (v == null) return None
+      val c = colMap.getOrElse(c0, c0)
+      filePrim.get(c).flatMap {
+        case PrimitiveTypeName.INT64 => asLong(v).map { l =>
+          val jc = FilterApi.longColumn(c)
+          val j = java.lang.Long.valueOf(l)
+          (op match {
+            case EQ => FilterApi.eq(jc, j)
+            case GT => FilterApi.gt(jc, j)
+            case GE => FilterApi.gtEq(jc, j)
+            case LT => FilterApi.lt(jc, j)
+            case LE => FilterApi.ltEq(jc, j)
+          }): FilterPredicate
+        }
+        case PrimitiveTypeName.INT32 => asInt(v).map { i =>
+          val jc = FilterApi.intColumn(c)
+          val j = java.lang.Integer.valueOf(i)
+          (op match {
+            case EQ => FilterApi.eq(jc, j)
+            case GT => FilterApi.gt(jc, j)
+            case GE => FilterApi.gtEq(jc, j)
+            case LT => FilterApi.lt(jc, j)
+            case LE => FilterApi.ltEq(jc, j)
+          }): FilterPredicate
+        }
+        case PrimitiveTypeName.BINARY => v match {
+          case str: String =>
+            val jc = FilterApi.binaryColumn(c)
+            val b = Binary.fromString(str)
+            Some((op match {
+              case EQ => FilterApi.eq(jc, b)
+              case GT => FilterApi.gt(jc, b)
+              case GE => FilterApi.gtEq(jc, b)
+              case LT => FilterApi.lt(jc, b)
+              case LE => FilterApi.ltEq(jc, b)
+            }): FilterPredicate)
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    def conv(f: Filter): Option[FilterPredicate] = f match {
+      case EqualTo(c, v)                        => atom(c, v, EQ)
+      case EqualNullSafe(c, v) if v != null     => atom(c, v, EQ)
+      case GreaterThan(c, v)                    => atom(c, v, GT)
+      case GreaterThanOrEqual(c, v)             => atom(c, v, GE)
+      case LessThan(c, v)                       => atom(c, v, LT)
+      case LessThanOrEqual(c, v)                => atom(c, v, LE)
+      case In(c, vs) if vs.nonEmpty && vs.length <= 32 =>
+        val arms = vs.toSeq.map(v => atom(c, v, EQ))
+        if (arms.forall(_.isDefined)) Some(arms.flatten.reduce(FilterApi.or))
+        else None
+      case FAnd(l, r) => (conv(l), conv(r)) match {
+        case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case (a, b)             => a.orElse(b) // dropping a conjunct widens
+      }
+      case FOr(l, r) => for { a <- conv(l); b <- conv(r) }
+        yield FilterApi.or(a, b)
+      case _ => None
+    }
+    filters.flatMap(conv(_)).reduceOption(FilterApi.and)
+  }
+
   /** Translate a pushed V1 Filter back to a Column predicate (for the
     * DELETE path). None = not expressible → the operation must refuse. */
   private[sources] def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
@@ -1080,10 +1203,16 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     // Readers receive the PHYSICAL required schema (column-mapped tables)
     // but the scan reports the logical one to Spark — rows are positional,
     // so the translation is free.
+    // Row-group pruning feed: the full pushed-filter set rides to the
+    // readers (per-file FilterCompat at open). NEVER on row-level
+    // operation scans — a rewrite must see every row of its matched
+    // groups, and dropping rows there would lose data, not I/O.
     new AcidSqlScan(dir, live, required,
       Acid.toPhysical(dir, required), onPlan, dvKeys,
       colMap.getOrElse(keyCol, keyCol), dvPos, rowLevel, maxFilesPerTrigger,
-      maxBytesPerTrigger)
+      maxBytesPerTrigger,
+      pushed = if (rowLevel) Array.empty else allFilters,
+      pushedColMap = colMap)
   }
 }
 
@@ -1101,7 +1230,9 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
     dvKeys: Map[String, Array[Long]] = Map.empty, keyCol: String = "",
     dvPos: Map[String, Array[Long]] = Map.empty, rowLevel: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    pushed: Array[Filter] = Array.empty,
+    pushedColMap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
   private var live: Seq[Acid.FileEntry] = live0
@@ -1204,7 +1335,8 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new AcidSqlReaderFactory(physicalRequired, keyCol,
       anyDv = files.exists(p => dvKeys.get(p).exists(_.nonEmpty) ||
-        dvPos.get(p).exists(_.nonEmpty)))
+        dvPos.get(p).exists(_.nonEmpty)),
+      pushed = pushed, colMap = pushedColMap)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1350,11 +1482,12 @@ case class AcidSqlInputPartition(absPath: String, dvKeys: Array[Long] = Array.em
   extends InputPartition
 
 class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
-    anyDv: Boolean = false) extends PartitionReaderFactory {
+    anyDv: Boolean = false, pushed: Array[Filter] = Array.empty,
+    colMap: Map[String, String] = Map.empty) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[AcidSqlInputPartition]
     new AcidSqlPartitionReader(part.absPath, required, keyCol, part.dvKeys,
-      part.dvPos)
+      part.dvPos, pushed, colMap)
   }
 
   /** Columnar fast path: the whole scan (Spark requires the choice to be
@@ -1378,7 +1511,8 @@ class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
       }))
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
-    new AcidSqlColumnarReader(p.asInstanceOf[AcidSqlInputPartition].absPath, required)
+    new AcidSqlColumnarReader(p.asInstanceOf[AcidSqlInputPartition].absPath,
+      required, pushed, colMap)
 }
 
 /** One file → ColumnarBatches via Spark's own VectorizedParquetRecordReader
@@ -1389,16 +1523,22 @@ class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
   * are surfaced as constant-NULL vectors spliced into each batch, so an
   * evolved table reads identically to the mergeSchema snapshot.
   */
-class AcidSqlColumnarReader(absPath: String, required: StructType)
+class AcidSqlColumnarReader(absPath: String, required: StructType,
+    pushed: Array[Filter] = Array.empty,
+    colMap: Map[String, String] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
   private val capacity = 4096
-  private val (fileFields: Set[String], totalRows: Long) = {
-    val in = HadoopInputFile.fromPath(new Path(absPath), new Configuration())
+  private val conf = new Configuration()
+  // footer-only open: schema + raw block/row census (no pages touched)
+  private val (fileSchema: MessageType, totalRows: Long, totalBlocks: Int) = {
+    val in = HadoopInputFile.fromPath(new Path(absPath), conf)
     val fr = ParquetFileReader.open(in)
-    try (fr.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet,
-      fr.getRecordCount)
+    try (fr.getFooter.getFileMetaData.getSchema, fr.getRecordCount,
+      fr.getFooter.getBlocks.size)
     finally fr.close()
   }
+  private val fileFields: Set[String] =
+    fileSchema.getFields.asScala.map(_.getName).toSet
   private val present = required.fields.filter(f => fileFields(f.name))
   // a TYPE-WIDENED table serves e.g. BIGINT while narrow carried files
   // still hold INT32: the inner vectorized reader decodes at FILE width,
@@ -1409,11 +1549,35 @@ class AcidSqlColumnarReader(absPath: String, required: StructType)
     if (cv.dataType() == want) cv else new WideningColumnVector(cv, want)
   // None when the file predates EVERY requested column: the vectorized
   // reader has nothing to decode, so batches are synthesized from the
-  // footer row count alone (all-NULL vectors, chunked at capacity)
+  // footer row count alone (all-NULL vectors, chunked at capacity).
+  // Otherwise the file opens through ParquetFileReader with the pushed
+  // filters re-expressed as a FilterCompat row-group filter, so blocks
+  // whose footer stats/dictionary/bloom exclude the predicate never
+  // decode (round-11 verdict #1) — column-index (page) filtering stays
+  // OFF because the vectorized reader consumes whole row groups.
   private val reader = if (present.isEmpty) None else Some {
+    val filePrim = fileSchema.getFields.asScala.collect {
+      case t if t.isPrimitive =>
+        t.getName -> t.asPrimitiveType().getPrimitiveTypeName
+    }.toMap
+    val pred =
+      if (pushed.isEmpty) None
+      else AcidSql.rowGroupPredicate(pushed, colMap, filePrim)
+    val ob = org.apache.parquet.HadoopReadOptions
+      .builder(conf, new Path(absPath))
+      .useColumnIndexFilter(false)
+    pred.foreach(p => ob.withRecordFilter(
+      org.apache.parquet.filter2.compat.FilterCompat.get(p)): Unit)
+    val fr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(absPath), conf), ob.build())
+    AcidSql.rowGroupsTotal.add(totalBlocks.toLong)
+    AcidSql.rowGroupsRead.add(fr.getRowGroups.size.toLong)
+    val requested = new MessageType("graft_acid_v2",
+      present.map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
     val r = new org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader(false, capacity)
-    r.initialize(absPath, present.map(_.name).toList.asJava)
+    org.apache.spark.sql.execution.datasources.parquet.GraftParquetBridge
+      .initVectorized(r, fr, fileSchema, requested)
     r.initBatch(new StructType(), InternalRow.empty)
     r.enableReturningBatches()
     r
@@ -1515,7 +1679,8 @@ class WideningColumnVector(base: org.apache.spark.sql.vectorized.ColumnVector,
   */
 class AcidSqlPartitionReader(absPath: String, required: StructType,
     keyCol: String = "", dvKeys: Array[Long] = Array.empty,
-    dvPos: Array[Long] = Array.empty)
+    dvPos: Array[Long] = Array.empty, pushed: Array[Filter] = Array.empty,
+    colMap: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val conf = new Configuration()
   private val deleted: java.util.HashSet[java.lang.Long] = {
@@ -1545,15 +1710,32 @@ class AcidSqlPartitionReader(absPath: String, required: StructType,
     // `optional` twin trips parquet's strict schema check). With an
     // inlined deletion vector the merge key rides along even when the
     // query pruned it — the skip test needs it.
-    val names = required.fields.map(_.name).filter(fileFields) ++
+    // Row-group + record filter from the pushed predicates (round-11
+    // verdict #1) — NEVER with inlined positional deletes: those address
+    // absolute row ordinals, and any skipping would shift `ord`. Filter
+    // columns ride along in the projection (parquet's record filtering
+    // requires them in the read schema); the name-driven row conversion
+    // ignores extras. Record-level drops are sound: Spark re-applies
+    // every filter above the scan.
+    val rgPred =
+      if (pushed.isEmpty || dvPos.nonEmpty) None
+      else AcidSql.rowGroupPredicate(pushed, colMap, filePrim)
+    val filterCols: Seq[String] =
+      if (rgPred.isEmpty) Seq.empty
+      else pushed.flatMap(_.references).toSeq
+        .map(c => colMap.getOrElse(c, c)).filter(fileFields).distinct
+    val names = (required.fields.map(_.name).filter(fileFields) ++
       (if (!deleted.isEmpty && !required.fieldNames.contains(keyCol) &&
-        fileFields(keyCol)) Seq(keyCol) else Seq.empty)
+        fileFields(keyCol)) Seq(keyCol) else Seq.empty) ++ filterCols).distinct
     val projected = names.map(n => fileSchema.getType(fileSchema.getFieldIndex(n)))
     if (projected.nonEmpty)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA,
         new MessageType("graft_acid_v2", projected: _*).toString)
-    ParquetReader.builder(new GroupReadSupport(), new Path(absPath))
-      .withConf(conf).build()
+    val b0 = ParquetReader.builder(new GroupReadSupport(), new Path(absPath))
+      .withConf(conf)
+    rgPred.foreach(p => b0.withFilter(
+      org.apache.parquet.filter2.compat.FilterCompat.get(p)): Unit)
+    b0.build()
   }
   private var current: Group = _
 

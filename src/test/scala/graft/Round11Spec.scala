@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Acid, AcidSql}
+
+/** Round-11 pins: row-group pruning inside the V2 parquet readers —
+  * filtered reads must decode a strict subset of row groups (footer-block
+  * accounting), results must stay byte-identical to an unfiltered read
+  * filtered in memory, and the deletion-vector paths must keep their
+  * contracts (key-level DVs compose with the filter; positional DVs
+  * disable it, because they address absolute row ordinals).
+  */
+class Round11Spec extends AnyFunSuite {
+  import TestSpark._
+
+  /** A 2-file ACID table of 20k rows, OPTIMIZE-rewritten under a small
+    * parquet.block.size so each file is key-sorted across many row
+    * groups. Returns the table dir. */
+  private def rowGroupTable(tag: String): String = {
+    val root = Scratch.fresh(tag, sf)
+    val dir = s"$root/t"
+    val t = spark.range(20000).select(col("id").as("k"),
+      (col("id") * 7 % 1000).as("v"),
+      concat(lit("s"), lpad(col("id").cast("string"), 8, "0")).as("tag"))
+    Acid.create(spark, dir, t, "k", 2)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("parquet.block.size", "16384")
+    hc.set("parquet.page.size", "4096")
+    try Acid.optimizeRange(spark, dir, 0L, Long.MaxValue, 2): Unit
+    finally {
+      hc.unset("parquet.block.size"); hc.unset("parquet.page.size")
+    }
+    dir
+  }
+
+  test("columnar V2 read: pushed range filter decodes a strict row-group subset, parity holds") {
+    val dir = rowGroupTable("r11_rg_col")
+    AcidSql.resetRowGroupMetrics()
+    val got = spark.read.format("graft-acid-sql").load(dir)
+      .filter(col("k") >= 5000L && col("k") <= 5500L)
+      .agg(count(lit(1)), sum(col("v")), min(col("k")), max(col("k"))).head
+    val (read, total) = (AcidSql.rowGroupsRead.sum, AcidSql.rowGroupsTotal.sum)
+    assert(read >= 1 && read < total,
+      s"expected a strict row-group subset, read $read of $total")
+    assert(got.getLong(0) === 501L)
+    assert(got.getLong(1) === (5000L to 5500L).map(_ * 7 % 1000).sum)
+    assert(got.getLong(2) === 5000L && got.getLong(3) === 5500L)
+    // unfiltered read decodes every group of every file it opens
+    AcidSql.resetRowGroupMetrics()
+    assert(spark.read.format("graft-acid-sql").load(dir).count() === 20000L)
+    assert(AcidSql.rowGroupsRead.sum === AcidSql.rowGroupsTotal.sum)
+  }
+
+  test("columnar V2 read: string equality prunes row groups via binary stats") {
+    val dir = rowGroupTable("r11_rg_str")
+    AcidSql.resetRowGroupMetrics()
+    // tag is zero-padded so lexicographic order == key order: tight stats
+    val got = spark.read.format("graft-acid-sql").load(dir)
+      .filter(col("tag") === "s00012345").select(col("k")).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(12345L))
+    val (read, total) = (AcidSql.rowGroupsRead.sum, AcidSql.rowGroupsTotal.sum)
+    assert(read >= 1 && read < total,
+      s"string point probe should skip groups, read $read of $total")
+  }
+
+  test("row reader with key-level DV composes the filter; results exact") {
+    val dir = rowGroupTable("r11_rg_dv")
+    Acid.deleteWhereMor(spark, dir, col("k") % 10 === 3, None, "w")
+    // DV present → row reader; filter still pushed (key DVs are by key,
+    // not ordinal, so row-group/record skipping cannot break them)
+    val got = spark.read.format("graft-acid-sql").load(dir)
+      .filter(col("k") >= 100L && col("k") <= 200L)
+      .select(col("k")).collect().map(_.getLong(0)).sorted
+    val want = (100L to 200L).filterNot(_ % 10 == 3)
+    assert(got.toSeq === want)
+  }
+
+  test("row reader with positional DV skips the filter, stays exact") {
+    val dir = rowGroupTable("r11_rg_pdv")
+    Acid.deleteWherePositional(spark, dir, col("k") % 10 === 3, None, "w")
+    val got = spark.read.format("graft-acid-sql").load(dir)
+      .filter(col("k") >= 100L && col("k") <= 200L)
+      .select(col("k")).collect().map(_.getLong(0)).sorted
+    val want = (100L to 200L).filterNot(_ % 10 == 3)
+    assert(got.toSeq === want)
+  }
+
+  test("schema-evolved file drops the untranslatable conjunct, keeps reading") {
+    val root = Scratch.fresh("r11_rg_evo", sf)
+    val dir = s"$root/t"
+    val t = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Acid.create(spark, dir, t, "k", 2)
+    // merge a batch carrying a NEW column: untouched files predate `w`
+    val batch = spark.range(10).select(col("id").as("k"),
+      (col("id") * 2).as("v"), lit(7L).as("w"))
+    Acid.merge(spark, dir, batch, "m")
+    // filter on the evolved column: files without `w` must not throw and
+    // must surface their rows (predicate re-applied above reads NULL-safe)
+    val got = spark.read.format("graft-acid-sql").load(dir)
+      .filter(col("w") === 7L).count()
+    assert(got === 10L)
+  }
+
+  test("checkpoint shards stay key-sorted under a merge-heavy history") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Scratch.fresh("r11_shard_sort", sf)
+    val t = spark.range(6000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Acid.create(spark, dir, t, "k", 600)
+    import spark.implicits._
+    // 10 scattered point merges: each rewrite moves its entry to the
+    // manifest TAIL (path-keyed fold re-appends), so by commit #10 the
+    // cadence checkpoint's full list is key-shuffled at the tail — the
+    // drift that made unsorted shards overlap and planning degrade
+    (1 to 10).foreach { i =>
+      val k = (i * 577L) % 6000L
+      assert(!Acid.merge(spark, dir,
+        Seq((k, -i.toLong)).toDF("k", "v"), s"w$i").skipped)
+    }
+    Acid.clearManifestCache()
+    val cpP = Paths.get(dir, "_log", "c00010.txt")
+    assert(Files.exists(cpP), "cadence checkpoint at v10")
+    val cp = Files.readAllLines(cpP).asScala.toSeq
+    assert(cp(1) === "@shards")
+    val ranges = cp.drop(2).filter(_.nonEmpty)
+      .map(_.split('|')).map(a => (a(2).toLong, a(3).toLong))
+    assert(ranges.sortBy(_._1) === ranges, "shards written in key order")
+    assert(ranges.sliding(2).forall {
+      case Seq((_, h0), (l1, _)) => l1 > h0
+      case _                     => true
+    }, s"shard key ranges stay pairwise disjoint: $ranges")
+    // a mid-keyspace window still parses exactly ONE shard
+    val (ents, total, shardsParsed) =
+      Acid.planRangeEntries(dir, 10, 3000L, 3019L)
+    assert(total === 600 && shardsParsed === 1 && ents.nonEmpty,
+      s"window planning after merges: ${ents.size} entries, $shardsParsed shards")
+  }
+
+  test("tbl_rowgroup_skip row matches a direct computation") {
+    val df = SparkEntry.queries("tbl_rowgroup_skip")(spark, sf)
+    val r = df.head
+    val base = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("pc"))
+    val mk = base.agg(max(col("k"))).head.getLong(0)
+    val w = base.filter(col("k") >= mk / 2 && col("k") <= mk / 2 + mk / 16)
+      .agg(count(lit(1)), sum(col("pc")), min(col("k")), max(col("k"))).head
+    assert(r.getLong(0) === w.getLong(0))
+    assert(r.getLong(1) === w.getLong(1))
+    assert(r.getLong(2) === w.getLong(2))
+    assert(r.getLong(3) === w.getLong(3))
+    assert(r.getBoolean(4) && r.getBoolean(5))
+  }
+}
