@@ -4555,6 +4555,51 @@ object Acid {
       .withColumn("bucket_pruned", lit(scanned >= 1 && scanned * 2 <= total))
   }
 
+  /** tbl_spj_join — STORAGE-PARTITIONED JOIN over the table's own
+    * transforms (round-11 verdict #3, Iceberg's SPJ re-derived): two
+    * `bucket(8, k)` tables joining on k plan with ZERO exchanges. The
+    * scans report `KeyGroupedPartitioning(bucket(8, k))` with each input
+    * partition carrying its bucket value (`HasPartitionKey`), and the
+    * catalog's V2 FunctionCatalog resolves `bucket` so Spark can align
+    * the two sides — at 100 TB the difference between a co-located join
+    * and shuffling two tables. The exchange-free boolean is pinned
+    * STRUCTURALLY from the physical plan under a no-broadcast threshold
+    * (a broadcast join would also skip the shuffle but proves nothing);
+    * the join aggregate's values travel through the DuckDB oracle.
+    */
+  val tblSpjJoin: Q = (s, d) => {
+    val root = fresh("tbl_spj_cat", d)
+    val cat = "graft_spj_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_spj_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.a")
+    s.sql(s"DROP TABLE IF EXISTS $cat.b")
+    s.sql(s"""CREATE TABLE $cat.a (k BIGINT, price_cents BIGINT, prio STRING)
+             |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    s.sql(s"""CREATE TABLE $cat.b (k BIGINT, rebate_cents BIGINT)
+             |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    s.sql(s"INSERT INTO $cat.a SELECT k, price_cents, prio FROM graft_spj_src")
+    s.sql(s"""INSERT INTO $cat.b SELECT k, price_cents * 2
+             |FROM graft_spj_src WHERE k % 3 = 0""".stripMargin)
+    val oldThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val exchangeFree =
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val probe = s.sql(
+          s"""SELECT a.k, a.price_cents, b.rebate_cents
+             |FROM $cat.a a JOIN $cat.b b ON a.k = b.k""".stripMargin)
+        !probe.queryExecution.executedPlan.toString.contains("Exchange")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    require(exchangeFree,
+      "tbl_spj_join: the bucket(8,k) self-layout join planned an exchange")
+    s.sql(s"""SELECT count(*) AS n,
+             |       sum(a.price_cents + b.rebate_cents) AS cents,
+             |       min(a.k) AS min_k, max(a.k) AS max_k
+             |FROM $cat.a a JOIN $cat.b b ON a.k = b.k""".stripMargin)
+      .withColumn("exchange_free", lit(exchangeFree))
+  }
+
   /** tbl_partitions_meta — the `.partitions` metadata table (Iceberg's
     * `db.table.partitions` idiom): one row per live partition value with
     * file/row/byte totals from a single driver-side manifest read — the
@@ -5369,6 +5414,7 @@ object Acid {
     "tbl_stats_skip"        -> tblStatsSkip,
     "tbl_bloom_skip"        -> tblBloomSkip,
     "tbl_rowgroup_skip"     -> tblRowgroupSkip,
+    "tbl_spj_join"          -> tblSpjJoin,
     "tbl_schema_evolve"     -> tblSchemaEvolve,
     "tbl_merge_evolve"      -> tblMergeEvolve,
     "tbl_concurrent_commit" -> tblConcurrentCommit,
@@ -5939,6 +5985,16 @@ object Acid {
         |       TRUE AS bloom_skipped, TRUE AS scanned_some
         |FROM base
         |WHERE k % 97 = 0 AND k <= (SELECT m FROM mx) // 2""".stripMargin,
+    "tbl_spj_join" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT count(*) AS n,
+        |       CAST(sum(a.pc + b.pc * 2) AS BIGINT) AS cents,
+        |       min(a.k) AS min_k, max(a.k) AS max_k,
+        |       TRUE AS exchange_free
+        |FROM base a JOIN (SELECT k, pc FROM base WHERE k % 3 = 0) b
+        |  ON a.k = b.k""".stripMargin,
     "tbl_rowgroup_skip" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

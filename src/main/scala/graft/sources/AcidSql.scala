@@ -25,7 +25,8 @@ import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, S
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering, Statistics => V2Statistics}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering, Statistics => V2Statistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith, And => FAnd, Not => FNot, Or => FOr}
@@ -1234,7 +1235,7 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
     pushed: Array[Filter] = Array.empty,
     pushedColMap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
   private var live: Seq[Acid.FileEntry] = live0
   private def files: Seq[String] = live.map(_.path)
 
@@ -1328,10 +1329,64 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(p => AcidSqlInputPartition(s"$dir/$p",
-      dvKeys.getOrElse(p, Array.empty),
-      dvPos.getOrElse(p, Array.empty)): InputPartition).toArray
+  // ---- Storage-partitioned joins (round-11 verdict #3) -----------------
+  // The scan reports KeyGroupedPartitioning over the table's CURRENT
+  // declared transforms when every live entry carries a one-value stamp
+  // for every transform; each input partition then carries its value
+  // tuple (HasPartitionKey) and Spark aligns two such scans into an
+  // exchange-free join — at 100 TB the difference between a co-located
+  // join and shuffling two tables. Spec evolution, unstamped files, and
+  // row-level-operation scans fall back to UnknownPartitioning: a
+  // shuffle, never a wrong answer.
+
+  private def spjValue(ps: Acid.PartSpec, v: Long): Any = ps match {
+    case _: Acid.PartIdentity => java.lang.Long.valueOf(v)
+    case _                    => java.lang.Integer.valueOf(v.toInt)
+  }
+
+  private def spjPlan
+      : Option[(Seq[Acid.PartSpec], Seq[(Acid.FileEntry, Array[Any])])] = {
+    if (rowLevel || live.isEmpty) return None
+    val specs = Acid.partSpecsOf(dir)
+    if (specs.isEmpty) return None
+    val keyed = live.map { f =>
+      val vs = specs.map(ps =>
+        Acid.partitionValueOfAny(f, ps.label).map(spjValue(ps, _)))
+      f -> (if (vs.forall(_.isDefined)) Some(vs.map(_.get).toArray) else None)
+    }
+    if (keyed.exists(_._2.isEmpty)) None
+    else Some((specs, keyed.map { case (f, k) => (f, k.get) }))
+  }
+
+  override def outputPartitioning(): Partitioning = spjPlan match {
+    case Some((specs, keyed)) =>
+      val transforms: Array[org.apache.spark.sql.connector.expressions.Expression] =
+        specs.map {
+          case Acid.PartIdentity(c) =>
+            Expressions.identity(AcidSql.logicalName(dir, c))
+              : org.apache.spark.sql.connector.expressions.Expression
+          case Acid.PartDays(c) =>
+            Expressions.days(AcidSql.logicalName(dir, c))
+          case Acid.PartBucket(n, c) =>
+            Expressions.bucket(n, AcidSql.logicalName(dir, c))
+        }.toArray
+      new KeyGroupedPartitioning(transforms,
+        keyed.map(_._2.toSeq).distinct.size)
+    case None => new UnknownPartitioning(live.size)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = spjPlan match {
+    case Some((_, keyed)) =>
+      keyed.map { case (f, k) =>
+        AcidSqlKeyedInputPartition(s"$dir/${f.path}",
+          dvKeys.getOrElse(f.path, Array.empty),
+          dvPos.getOrElse(f.path, Array.empty), k): InputPartition
+      }.toArray
+    case None =>
+      files.map(p => AcidSqlInputPartition(s"$dir/$p",
+        dvKeys.getOrElse(p, Array.empty),
+        dvPos.getOrElse(p, Array.empty)): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new AcidSqlReaderFactory(physicalRequired, keyCol,
       anyDv = files.exists(p => dvKeys.get(p).exists(_.nonEmpty) ||
@@ -1481,14 +1536,32 @@ case class AcidSqlInputPartition(absPath: String, dvKeys: Array[Long] = Array.em
     dvPos: Array[Long] = Array.empty)
   extends InputPartition
 
+/** Input partition carrying its partition-transform VALUE tuple — the
+  * `HasPartitionKey` half of storage-partitioned joins: when the scan
+  * reports `KeyGroupedPartitioning`, Spark groups same-key partitions
+  * into co-located tasks and aligns both join sides without an exchange.
+  * Element types must match the clustering expressions' catalyst types:
+  * `java.lang.Long` for identity transforms (BIGINT columns),
+  * `java.lang.Integer` for bucket/days (the V2 functions' result type).
+  */
+case class AcidSqlKeyedInputPartition(absPath: String,
+    dvKeys: Array[Long], dvPos: Array[Long], pkey: Array[Any])
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(pkey)
+}
+
 class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
     anyDv: Boolean = false, pushed: Array[Filter] = Array.empty,
     colMap: Map[String, String] = Map.empty) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[AcidSqlInputPartition]
-    new AcidSqlPartitionReader(part.absPath, required, keyCol, part.dvKeys,
-      part.dvPos, pushed, colMap)
-  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case part: AcidSqlInputPartition =>
+        new AcidSqlPartitionReader(part.absPath, required, keyCol,
+          part.dvKeys, part.dvPos, pushed, colMap)
+      case part: AcidSqlKeyedInputPartition =>
+        new AcidSqlPartitionReader(part.absPath, required, keyCol,
+          part.dvKeys, part.dvPos, pushed, colMap)
+    }
 
   /** Columnar fast path: the whole scan (Spark requires the choice to be
     * uniform across partitions, so this cannot look at the file) goes
@@ -1510,9 +1583,13 @@ class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
         case _ => false
       }))
 
-  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
-    new AcidSqlColumnarReader(p.asInstanceOf[AcidSqlInputPartition].absPath,
-      required, pushed, colMap)
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val absPath = p match {
+      case part: AcidSqlInputPartition      => part.absPath
+      case part: AcidSqlKeyedInputPartition => part.absPath
+    }
+    new AcidSqlColumnarReader(absPath, required, pushed, colMap)
+  }
 }
 
 /** One file → ColumnarBatches via Spark's own VectorizedParquetRecordReader

@@ -138,6 +138,52 @@ class Round11Spec extends AnyFunSuite {
       s"window planning after merges: ${ents.size} entries, $shardsParsed shards")
   }
 
+  test("storage-partitioned join: two bucket(8,k) tables join with zero exchanges") {
+    val root = Scratch.fresh("r11_spj", sf)
+    val cat = "graft_r11spj_" +
+      java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.a")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.b")
+    spark.sql(s"CREATE TABLE $cat.a (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"CREATE TABLE $cat.b (k BIGINT, w BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.range(5000).selectExpr("id AS k", "id * 2 AS v")
+      .createOrReplaceTempView("r11a")
+    spark.sql(s"INSERT INTO $cat.a SELECT k, v FROM r11a")
+    spark.sql(s"INSERT INTO $cat.b SELECT k, v * 3 FROM r11a WHERE k % 2 = 0")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = spark.sql(
+        s"SELECT a.k, a.v, b.w FROM $cat.a a JOIN $cat.b b ON a.k = b.k")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected an exchange-free storage-partitioned join:\n$plan")
+      val rows = q.collect()
+      assert(rows.length === 2500)
+      assert(rows.map(_.getLong(2)).sum === (0L until 5000L by 2).map(_ * 6L).sum)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("tbl_spj_join row matches a direct computation and pins exchange-free") {
+    val df = SparkEntry.queries("tbl_spj_join")(spark, sf)
+    val r = df.head
+    val base = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("pc"))
+    val b = base.filter(col("k") % 3 === 0)
+    val w = base.as("a").join(b.as("b"), "k")
+      .agg(count(lit(1)),
+        sum(col("a.pc") + col("b.pc") * 2),
+        min(col("k")), max(col("k"))).head
+    assert(r.getLong(0) === w.getLong(0))
+    assert(r.getLong(1) === w.getLong(1))
+    assert(r.getLong(2) === w.getLong(2))
+    assert(r.getLong(3) === w.getLong(3))
+    assert(r.getBoolean(4))
+  }
+
   test("tbl_rowgroup_skip row matches a direct computation") {
     val df = SparkEntry.queries("tbl_rowgroup_skip")(spark, sf)
     val r = df.head
