@@ -8,8 +8,9 @@ import scala.util.Try
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
-  IntegerType, LongType, ShortType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType,
+  FloatType, IntegerType, LongType, MapType, ShortType, StructType,
+  TimestampNTZType, TimestampType}
 
 import graft.Tables
 
@@ -99,7 +100,8 @@ object Acid {
                              pdv: Option[(String, Long)] = None,
                              bytes: Long = 0L,
                              cstats: Seq[(String, String, String)] = Nil,
-                             pstats: Seq[(String, Long, Long)] = Nil)
+                             pstats: Seq[(String, Long, Long)] = Nil,
+                             ndv: Seq[(String, Long)] = Nil)
   /** `batchHw` maps each writer identity (the `writerTag` a merge commits
     * under — the analogue of Delta's `txnAppId`) to the high-water mark of
     * batch ids THAT writer has committed. Keyed per writer, not
@@ -360,8 +362,15 @@ object Acid {
     var bytes = 0L
     var cstats: Seq[(String, String, String)] = Nil
     var pstats: Seq[(String, Long, Long)] = Nil
+    var ndv: Seq[(String, Long)] = Nil
     var rest = a.drop(4).toList
     while (rest.nonEmpty) rest.head match {
+      case nd if nd.startsWith("N:") =>
+        // per-file distinct-count sketch result "N:<col>:<ndv>" (CBO
+        // feed for non-key columns; absent on pre-round-11 manifests)
+        val i = nd.lastIndexOf(':')
+        ndv = ndv :+ ((nd.substring(2, i), nd.substring(i + 1).toLong))
+        rest = rest.tail
       case ts if ts.startsWith("T:") =>
         // secondary partition-transform stats "T:<label>:<lo>:<hi>" —
         // labels carry parens/commas but never ':' (enforced at render),
@@ -401,7 +410,7 @@ object Acid {
         rest = rest.drop(3)
     }
     FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom, dv, pdv,
-      bytes, cstats, pstats)
+      bytes, cstats, pstats, ndv)
   }
 
   private def renderEntry(f: FileEntry): String = {
@@ -422,7 +431,12 @@ object Acid {
         s"transform label '$c' must not contain manifest delimiters")
       s"|T:$c:$mn:$mx"
     }.mkString
-    s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs$sz$cs$pst"
+    val nd = f.ndv.map { case (c, n) =>
+      require(!c.contains('|') && !c.contains(':'),
+        s"stats column '$c' must not contain manifest delimiters")
+      s"|N:$c:$n"
+    }.mkString
+    s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs$sz$cs$pst$nd"
   }
 
   private def parseHeader(line: String, files: Seq[FileEntry]): Manifest = {
@@ -715,7 +729,12 @@ object Acid {
       col2.toSeq.flatMap(c => Seq(min(col(c)).as("mn2"), max(col(c)).as("mx2"))) ++
       strCols.flatMap(c => Seq(
         min(col(c).cast("string")).as(s"cmn_$c"),
-        max(col(c).cast("string")).as(s"cmx_$c")))
+        max(col(c).cast("string")).as(s"cmx_$c"),
+        // per-file distinct-count sketch, same single pass (round-11
+        // verdict #4): the CBO join-reorder feed for NON-key columns —
+        // HLL, so the write-time cost is one sketch per column, never a
+        // distinct shuffle
+        approx_count_distinct(col(c)).as(s"cnd_$c")))
     df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -725,11 +744,15 @@ object Acid {
           val mn = r.getAs[String](s"cmn_$c"); val mx = r.getAs[String](s"cmx_$c")
           if (mn == null || mx == null) None else Some((c, mn, mx))
         }
+        val nd = strCols.flatMap { c =>
+          val n = r.getAs[Long](s"cnd_$c")
+          if (n > 0L) Some((c, n)) else None
+        }
         FileEntry(abs.stripPrefix(prefix).stripPrefix("/"),
           r.getAs[Long]("rows"), r.getAs[Long]("mn"), r.getAs[Long]("mx"),
           col2.map(c => (c, r.getAs[Long]("mn2"), r.getAs[Long]("mx2"))),
           bytes = java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
-          cstats = cs)
+          cstats = cs, ndv = nd)
       }.sortBy(_.path).toSeq
   }
 
@@ -1401,6 +1424,89 @@ object Acid {
       case _                                              => false
     }
 
+  /** Structural type equality modulo nullability at every depth — the
+    * comparison evolution paths need: a parquet-derived struct and a
+    * declared one legitimately disagree on field nullable flags. */
+  private[sources] def sameIgnoreNull(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameIgnoreNull(f.dataType, g.dataType) }
+      case (x: ArrayType, y: ArrayType) =>
+        sameIgnoreNull(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameIgnoreNull(x.keyType, y.keyType) &&
+          sameIgnoreNull(x.valueType, y.valueType)
+      case _ => a == b
+    }
+
+  /** `to` carries every field of `from` (recursively, leaves equal
+    * modulo nullability) and possibly MORE — the shape an ALTER ADD
+    * COLUMN into a struct produces (round-11 verdict #6). */
+  private[sources] def structSupersetEq(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (f: StructType, t: StructType) =>
+        f.fields.forall(ff => t.fields.exists(tf =>
+          tf.name == ff.name && structSupersetEq(ff.dataType, tf.dataType)))
+      case _ => sameIgnoreNull(from, to)
+    }
+
+  /** Strictly wider struct: superset and not merely a nullability echo. */
+  private[sources] def structWider(from: DataType, to: DataType): Boolean =
+    structSupersetEq(from, to) && !sameIgnoreNull(from, to)
+
+  /** Column expression rebuilding `cur` (typed `from`) at the declared
+    * struct shape `to`: shared fields recurse, declared-only leaves
+    * splice in as NULL, and a NULL struct stays NULL. The per-file
+    * projection splice that makes a nested ADD COLUMN metadata-only. */
+  private def spliceTo(cur: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f: StructType, t: StructType) if !sameIgnoreNull(from, to) =>
+        val inner = struct(t.fields.map { tf =>
+          f.fields.find(_.name == tf.name) match {
+            case Some(ff) =>
+              spliceTo(cur.getField(tf.name), ff.dataType, tf.dataType)
+                .as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }.toSeq: _*)
+        when(cur.isNull, lit(null).cast(t)).otherwise(inner)
+      case _ => cur
+    }
+
+  /** ALTER-style ADD COLUMN, including INTO A STRUCT (round-11 verdict
+    * #6 — Delta's nested schema evolution re-derived): `path` names the
+    * new field (`Seq("tags")` top-level, `Seq("meta", "score")` nested).
+    * The declared-schema sidecar records the spliced schema — METADATA
+    * ONLY, no file rewritten — and every read path (snapshot, merge,
+    * scanRange: all through readMerged → widenToDeclared) splices
+    * carried files up to the declared shape with the new leaf NULL. Once
+    * a merge writes the field, the file-derived side takes over: exactly
+    * the top-level tbl_schema_evolve contract, one level down.
+    */
+  def addColumn(s: SparkSession, dir: String, path: Seq[String],
+      dt: DataType): Unit = {
+    require(path.nonEmpty, "addColumn: empty field path")
+    def ins(st: StructType, p: Seq[String]): StructType =
+      if (p.length == 1) {
+        require(!st.fieldNames.exists(_.equalsIgnoreCase(p.head)),
+          s"addColumn: ${p.head} already exists")
+        st.add(p.head, dt, nullable = true)
+      } else {
+        require(st.fieldNames.contains(p.head),
+          s"addColumn: no column '${p.head}'")
+        StructType(st.fields.map { f =>
+          if (f.name == p.head) f.dataType match {
+            case inner: StructType => f.copy(dataType = ins(inner, p.tail))
+            case other => throw new IllegalArgumentException(
+              s"addColumn: ${p.head} is ${other.sql}, not a struct")
+          }
+          else f
+        })
+      }
+    writeDeclaredSchema(dir, ins(tableSchema(s, dir), path))
+  }
+
   /** Multi-file table read that survives TYPE-WIDENED tables: the plain
     * mergeSchema union refuses conflicting primitive types
     * (CANNOT_MERGE_SCHEMAS on int vs long), so when a declared-schema
@@ -1432,12 +1538,17 @@ object Acid {
       case Some(ds0) =>
         val ds = toPhysical(dir, ds0)
         val needs = df.schema.fields.exists(f =>
-          ds.fields.exists(d => d.name == f.name && widens(f.dataType, d.dataType)))
+          ds.fields.exists(d => d.name == f.name &&
+            (widens(f.dataType, d.dataType) ||
+              structWider(f.dataType, d.dataType))))
         if (!needs) df
         else df.select(df.schema.fields.map { f =>
           ds.fields.find(_.name == f.name) match {
             case Some(d) if widens(f.dataType, d.dataType) =>
               col(f.name).cast(d.dataType).as(f.name)
+            case Some(d) if structWider(f.dataType, d.dataType) =>
+              // nested ADD COLUMN: splice declared-only leaves in as NULL
+              spliceTo(col(f.name), f.dataType, d.dataType).as(f.name)
             case _ => col(f.name)
           }
         }.toSeq: _*)
@@ -1659,7 +1770,10 @@ object Acid {
       case Some(ds) if colMapOf(dir).isEmpty =>
         StructType(fileSchema.fields.map(f =>
           ds.fields.find(_.name == f.name) match {
-            case Some(df) if widens(f.dataType, df.dataType) =>
+            case Some(df) if widens(f.dataType, df.dataType) ||
+                structWider(f.dataType, df.dataType) =>
+              // declared numeric widening OR nested ADD COLUMN: the merge
+              // target carries the declared shape (readMerged serves it)
               f.copy(dataType = df.dataType)
             case _ => f
           }))
@@ -1699,10 +1813,11 @@ object Acid {
     batch.schema.fields.foreach { bf =>
       if (targetSchema.fieldNames.contains(bf.name)) {
         val tt = targetSchema(bf.name).dataType
-        require(bf.dataType == tt || widens(tt, bf.dataType) ||
+        require(sameIgnoreNull(bf.dataType, tt) || widens(tt, bf.dataType) ||
             widens(bf.dataType, tt),
           s"batch column ${bf.name} has incompatible type ${bf.dataType} " +
-            s"(table: $tt) — only same-family numeric widenings evolve a " +
+            s"(table: $tt) — only same-family numeric widenings (or an " +
+            "ALTER-declared struct shape the batch matches) evolve a " +
             "merge target")
       }
     }
@@ -3044,49 +3159,71 @@ object Acid {
         orphans.size
       } else {
         val rootStr = root.toAbsolutePath.toString
-        val prefixes = "" :: {
-          val st = Files.list(root)
-          try st.iterator().asScala.filter(Files.isDirectory(_))
-            .map(_.getFileName.toString).filter(_ != "_log").toList
-          finally st.close()
-        }
+        // Recursive prefix split (round-11 verdict #5): a prefix with
+        // child directories expands into one SHALLOW task for its loose
+        // files plus one task per child subtree, up to a fixed depth —
+        // the driver pays only directory-entry reads (names, no stat)
+        // and the listing fan-out is bounded by SUBTREE, not top-level
+        // directory. A flat directory cannot split its own listing
+        // (one readdir is one readdir), so the per-file work — mtime
+        // grace stat and delete — moves BELOW the anti-join, after a
+        // repartition: it distributes evenly however skewed the layout,
+        // and only orphan CANDIDATES are ever stat'd, not the live set.
+        val MaxSplitDepth = 2
+        def expand(rel: String, depth: Int): List[(String, Boolean)] =
+          if (depth >= MaxSplitDepth) List((rel, true))
+          else {
+            val base = if (rel.isEmpty) root else root.resolve(rel)
+            val subdirs = {
+              val st = Files.list(base)
+              try st.iterator().asScala.filter(Files.isDirectory(_))
+                .map(_.getFileName.toString)
+                .filterNot(n => rel.isEmpty && n == "_log").toList
+              finally st.close()
+            }
+            if (subdirs.isEmpty && rel.nonEmpty) List((rel, true))
+            else (rel, false) :: subdirs.flatMap(n =>
+              expand(if (rel.isEmpty) n else s"$rel/$n", depth + 1))
+          }
+        val prefixes = expand("", 0)
         val cdcArr = liveCdcPrefixes.toArray
         val g = graceMs
         import s.implicits._
         val listed = s.createDataset(prefixes)
           .repartition(math.min(prefixes.size, 64))
-          .flatMap { pfx =>
+          .flatMap { case (pfx, walk) =>
             val base =
               if (pfx.isEmpty) Paths.get(rootStr) else Paths.get(rootStr, pfx)
             if (!Files.exists(base)) Iterator.empty
             else {
-              // "" covers root-level loose files (CONVERTed tables)
-              // non-recursively; every other prefix walks its own subtree
-              val st = if (pfx.isEmpty) Files.list(base) else Files.walk(base)
+              // shallow prefixes cover their own loose files only (their
+              // subtrees are other tasks); leaf prefixes walk their tree
+              val st = if (walk) Files.walk(base) else Files.list(base)
               try st.iterator().asScala
                 .filter(p => p.toString.endsWith(".parquet"))
-                .map { p =>
-                  // unreadable mtime -> MaxValue: spared by the grace test
-                  val mt = if (g <= 0L) 0L
-                    else Try(Files.getLastModifiedTime(p).toMillis)
-                      .getOrElse(Long.MaxValue)
-                  (Paths.get(rootStr).relativize(p).toString, mt)
-                }.toList.iterator
+                .map(p => Paths.get(rootStr).relativize(p).toString)
+                .toList.iterator
               finally st.close()
             }
-          }.toDF("path", "mtime")
+          }.toDF("path")
         val liveDf = s.createDataset(live.toSeq).toDF("path")
         val orphanDs = listed.join(liveDf, Seq("path"), "left_anti")
-          .as[(String, Long)]
-          .filter(t => !cdcArr.exists(t._1.startsWith) &&
-            (g <= 0L || t._2 < cutoff))
+          .as[String]
+          .filter(p => !cdcArr.exists(p.startsWith))
+          .repartition(32)
+          .filter { p =>
+            // unreadable mtime -> MaxValue: spared by the grace test
+            g <= 0L || Try(
+              Files.getLastModifiedTime(Paths.get(rootStr).resolve(p)).toMillis)
+              .getOrElse(Long.MaxValue) < cutoff
+          }
         if (dryRun) orphanDs.count().toInt
         else {
           val acc = s.sparkContext.longAccumulator("graft.vacuum.orphans")
-          orphanDs.foreachPartition { (it: Iterator[(String, Long)]) =>
-            it.foreach { t =>
+          orphanDs.foreachPartition { (it: Iterator[String]) =>
+            it.foreach { p =>
               acc.add(1L)
-              Files.deleteIfExists(Paths.get(rootStr).resolve(t._1)): Unit
+              Files.deleteIfExists(Paths.get(rootStr).resolve(p)): Unit
             }
           }
           acc.value.toInt
@@ -3347,6 +3484,45 @@ object Acid {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .withColumn("bloom_skipped", lit(nBloom < nRange))
       .withColumn("scanned_some", lit(nBloom >= 1 && nRange <= nTotal))
+  }
+
+  /** tbl_nested_evolve — ADD COLUMN INTO A STRUCT without rewrite
+    * (round-11 verdict #6; Delta's nested evolution re-derived): the
+    * table carries a `meta` struct; `addColumn(meta.score)` rewrites
+    * only the declared-schema sidecar — metadata-only, pinned by the
+    * every-row-NULL read that follows — and every read splices carried
+    * files up to the declared shape (new leaf NULL). A merge then
+    * writes the field for a clustered key slice: touched files land the
+    * wide struct, untouched files stay narrow and keep splicing. The
+    * flattened aggregate (price state + score mass + scored-row count)
+    * travels through the DuckDB oracle.
+    */
+  val tblNestedEvolve: Q = (s, d) => {
+    val dir = fresh("tbl_nested_evolve", d)
+    val mk = maxKey(s, d)
+    val t = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+      struct(col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("status")).as("meta"))
+    create(s, dir, t, "k", 4)
+    addColumn(s, dir, Seq("meta", "score"), LongType)
+    val preNull =
+      snapshot(s, dir).filter(col("meta.score").isNotNull).count() == 0L
+    val batch = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 7 === 1 && col("o_orderkey") < lit(mk / 3))
+      .select(col("o_orderkey").as("k"),
+        (round(col("o_totalprice") * 100).cast("long") + 50).as("price_cents"),
+        struct(col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("status"),
+          (col("o_orderkey") * 3).as("score")).as("meta"))
+    merge(s, dir, batch, "m")
+    snapshot(s, dir).agg(
+      count(lit(1)).as("n"),
+      sum(col("price_cents")).as("sum_cents"),
+      sum(coalesce(col("meta.score"), lit(0L))).as("sum_score"),
+      sum(when(col("meta.score").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+      countDistinct(col("meta.prio")).as("n_prio"))
+      .withColumn("alter_metadata_only", lit(preNull))
   }
 
   /** tbl_rowgroup_skip — row-group pruning INSIDE a touched file
@@ -5184,6 +5360,64 @@ object Acid {
     }
   }
 
+  /** tbl_cbo_ndv — CBO join reorder driven by a NON-key column's NDV
+    * (round-11 verdict #4): `statsOf` stamps a per-file HLL distinct
+    * count for every cstats string/date column in the same single write
+    * pass, the scan folds them (max across pruned entries — a lower
+    * bound, exact for low-cardinality columns present in every file) and
+    * serves `distinctCount` through V2 `columnStats`. Here BOTH join
+    * columns are non-key strings: `code` is row-unique (its join against
+    * the full code dim reduces nothing) while `prio` has 5 values of
+    * which the dim keeps 2 (a 60% cut) — with the string NDVs exposed,
+    * `joinReorder` applies the prio dim FIRST (plan-order pinned), which
+    * is invisible to the round-10 key-only stats. Values travel through
+    * the DuckDB oracle.
+    */
+  val tblCboNdv: Q = (s, d) => {
+    val root = fresh("tbl_cbo_ndv_cat", d)
+    val cat = "graft_cbondv_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val fact = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      concat(lit("C"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("code"),
+      col("o_orderpriority").as("prio"))
+    // library CREATE: statsOf stamps cstats min/max + the HLL NDV for
+    // `code` and `prio`; the catalog is a naming layer over the same dir
+    create(s, s"$root/fact", fact, "k", 8)
+    create(s, s"$root/dcode", fact.select(col("k").as("kk"), col("code"))
+      .orderBy("kk"), "kk", 1)
+    val d2 = fact.filter(col("prio") < "3").groupBy(col("prio"))
+      .agg(min(col("k")).as("kk")).select(col("kk"), col("prio"))
+      .orderBy("kk")
+    create(s, s"$root/dprio", d2, "kk", 1)
+    val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+    val prevReorder = s.conf.get("spark.sql.cbo.joinReorder.enabled")
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val stats = s.table(s"$cat.fact").queryExecution.optimizedPlan.stats
+      val ndvExposed = stats.attributeStats.find(_._1.name == "prio")
+        .exists(_._2.distinctCount.exists(n => n.toLong >= 1 && n.toLong <= 8))
+      val q = s"""SELECT f.cents FROM $cat.fact f
+                 |JOIN $cat.dcode dc ON f.code = dc.code
+                 |JOIN $cat.dprio dp ON f.prio = dp.prio""".stripMargin
+      val plan = s.sql(q).queryExecution.executedPlan.toString
+      val reordered = plan.contains("/dprio[") && plan.contains("/dcode[") &&
+        plan.indexOf("/dprio[") < plan.indexOf("/dcode[")
+      s.sql(s"""SELECT count(*) AS n, CAST(sum(f.cents) AS BIGINT) AS sum_cents
+               |FROM $cat.fact f
+               |JOIN $cat.dcode dc ON f.code = dc.code
+               |JOIN $cat.dprio dp ON f.prio = dp.prio""".stripMargin)
+        .withColumn("ndv_exposed", lit(ndvExposed))
+        .withColumn("reordered", lit(reordered))
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
+
   /** tbl_branch_optimize — BRANCH maintenance (round-10: the
     * audit-flow's compaction step): three fragmented staging appends on
     * a WAP branch bin-pack through `OPTIMIZE ... BRANCH` into two
@@ -5415,6 +5649,8 @@ object Acid {
     "tbl_bloom_skip"        -> tblBloomSkip,
     "tbl_rowgroup_skip"     -> tblRowgroupSkip,
     "tbl_spj_join"          -> tblSpjJoin,
+    "tbl_cbo_ndv"           -> tblCboNdv,
+    "tbl_nested_evolve"     -> tblNestedEvolve,
     "tbl_schema_evolve"     -> tblSchemaEvolve,
     "tbl_merge_evolve"      -> tblMergeEvolve,
     "tbl_concurrent_commit" -> tblConcurrentCommit,
@@ -5985,6 +6221,32 @@ object Acid {
         |       TRUE AS bloom_skipped, TRUE AS scanned_some
         |FROM base
         |WHERE k % 97 = 0 AND k <= (SELECT m FROM mx) // 2""".stripMargin,
+    "tbl_nested_evolve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |hit AS (SELECT k FROM base
+        |        WHERE k % 7 = 1 AND k < (SELECT m FROM mx) // 3)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN k IN (SELECT k FROM hit) THEN pc + 50 ELSE pc END)
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN k IN (SELECT k FROM hit) THEN k * 3 ELSE 0 END)
+        |    AS BIGINT) AS sum_score,
+        |  CAST(sum(CASE WHEN k IN (SELECT k FROM hit) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_scored,
+        |  count(DISTINCT prio) AS n_prio,
+        |  TRUE AS alter_metadata_only
+        |FROM base""".stripMargin,
+    "tbl_cbo_ndv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderpriority AS prio FROM orders)
+        |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       TRUE AS ndv_exposed, TRUE AS reordered
+        |FROM base WHERE prio < '3'""".stripMargin,
     "tbl_spj_join" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -184,6 +184,121 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getBoolean(4))
   }
 
+  test("tbl_cbo_ndv row: non-key NDV exposed, reorder pinned, values match") {
+    val df = SparkEntry.queries("tbl_cbo_ndv")(spark, sf)
+    val r = df.head
+    val base = Tables.orders(spark, sf).select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderpriority").as("prio")).filter(col("prio") < "3")
+    val w = base.agg(count(lit(1)), sum(col("cents"))).head
+    assert(r.getLong(0) === w.getLong(0))
+    assert(r.getLong(1) === w.getLong(1))
+    assert(r.getBoolean(2), "non-key NDV must surface in attribute stats")
+    assert(r.getBoolean(3), "prio dim must reorder before the code dim")
+  }
+
+  test("ndv stamps round-trip the manifest and fold into scan stats") {
+    val root = Scratch.fresh("r11_ndv", sf)
+    val dir = s"$root/t"
+    val t = spark.range(4000).select(col("id").as("k"),
+      concat(lit("g"), (col("id") % 7).cast("string")).as("grp"))
+    Acid.create(spark, dir, t, "k", 4)
+    val m = Acid.readManifest(dir, 0)
+    assert(m.files.nonEmpty && m.files.forall(_.ndv.exists(_._1 == "grp")),
+      "every file carries an NDV stamp for grp")
+    // 7 values present in every range file: HLL is exact at this size
+    assert(m.files.forall(_.ndv.find(_._1 == "grp").get._2 === 7L))
+  }
+
+  test("distributed vacuum splits prefixes recursively; exact counts, no double-listing") {
+    import java.nio.file.{Files, Paths}
+    val dir = Scratch.fresh("r11_vac_split", sf)
+    Acid.create(spark, dir,
+      spark.range(6000).select(col("id").as("k"), col("id").as("v")), "k", 600)
+    // orphans in THREE shapes the split must each cover exactly once:
+    // root-level loose file, flat orphan dir, nested orphan subtree
+    spark.range(10).select(col("id").as("k")).coalesce(1)
+      .write.parquet(s"$dir/d_orphan_flat")
+    spark.range(10).select(col("id").as("k")).coalesce(1)
+      .write.parquet(s"$dir/d_orphan_nest/sub/leaf")
+    val flatParts = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(Paths.get(dir, "d_orphan_flat"))
+      try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    Files.copy(
+      {
+        import scala.jdk.CollectionConverters._
+        val st = Files.walk(Paths.get(dir, "d_orphan_flat"))
+        try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally st.close()
+      },
+      Paths.get(dir, "loose_orphan.parquet"))
+    val expect = flatParts * 2 + 1
+    val (dry, liveN) = Acid.vacuum(spark, dir, 0, dryRun = true)
+    assert(dry === expect && liveN === 600,
+      s"dry run counts each orphan exactly once: ($dry, $liveN), want $expect")
+    val (del, _) = Acid.vacuum(spark, dir, 0)
+    assert(del === expect)
+    assert(!Files.exists(Paths.get(dir, "loose_orphan.parquet")))
+    assert(Acid.snapshot(spark, dir).count() === 6000L, "live data untouched")
+  }
+
+  test("nested ADD COLUMN: metadata-only splice, physical schemas stay mixed") {
+    val root = Scratch.fresh("r11_nested", sf)
+    val dir = s"$root/t"
+    import org.apache.spark.sql.types.LongType
+    val t = spark.range(1000).select(col("id").as("k"),
+      struct((col("id") % 5).cast("string").as("tag"),
+        (col("id") * 2).as("w")).as("m"))
+    Acid.create(spark, dir, t, "k", 4)
+    Acid.addColumn(spark, dir, Seq("m", "extra"), LongType)
+    // read splices the declared-only leaf as NULL on every carried file
+    val snap = Acid.snapshot(spark, dir)
+    assert(snap.schema("m").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("tag", "w", "extra"))
+    assert(snap.filter(col("m.extra").isNotNull).count() === 0L)
+    assert(snap.filter(col("m.w").isNotNull).count() === 1000L,
+      "existing leaves untouched by the splice")
+    // a merge writes the field for keys 0..99; untouched files stay narrow
+    import spark.implicits._
+    val batch = spark.range(100).select(col("id").as("k"),
+      struct((col("id") % 5).cast("string").as("tag"), (col("id") * 2).as("w"),
+        (col("id") + 7).as("extra")).as("m"))
+    assert(!Acid.merge(spark, dir, batch, "w1").skipped)
+    val after = Acid.snapshot(spark, dir)
+    assert(after.filter(col("m.extra").isNotNull).count() === 100L)
+    assert(after.filter(col("k") === 42L).select(col("m.extra")).head.getLong(0) === 49L)
+    assert(after.filter(col("k") === 500L).select(col("m.extra")).head.isNullAt(0))
+    // physical proof: at least one carried file still has the NARROW struct
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val widths = m.files.map(f => spark.read.parquet(s"$dir/${f.path}")
+      .schema("m").dataType.asInstanceOf[org.apache.spark.sql.types.StructType].length).toSet
+    assert(widths === Set(2, 3), s"mixed physical widths expected, got $widths")
+    // deeper nesting refuses cleanly on a non-struct parent
+    intercept[IllegalArgumentException] {
+      Acid.addColumn(spark, dir, Seq("k", "x"), LongType)
+    }
+  }
+
+  test("tbl_nested_evolve row matches a direct computation") {
+    val df = SparkEntry.queries("tbl_nested_evolve")(spark, sf)
+    val r = df.head
+    val base = Tables.orders(spark, sf).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("pc"),
+      col("o_orderpriority").as("prio"))
+    val mk = base.agg(max(col("k"))).head.getLong(0)
+    val hit = col("k") % 7 === 1 && col("k") < lit(mk / 3)
+    val w = base.agg(count(lit(1)),
+      sum(when(hit, col("pc") + 50).otherwise(col("pc"))),
+      sum(when(hit, col("k") * 3).otherwise(0L)),
+      sum(when(hit, 1L).otherwise(0L)),
+      countDistinct(col("prio"))).head
+    (0 to 4).foreach(i => assert(r.getLong(i) === w.getLong(i), s"col $i"))
+    assert(r.getBoolean(5), "ALTER must be metadata-only (pre-merge NULLs)")
+  }
+
   test("tbl_rowgroup_skip row matches a direct computation") {
     val df = SparkEntry.queries("tbl_rowgroup_skip")(spark, sf)
     val r = df.head
