@@ -946,3 +946,98 @@ object Round10Probe {
     spark.stop()
   }
 }
+
+/** Round-11 measurement probes backing SURVEY §6:
+  * (1) row-group pruning — a selective key-range aggregate over a
+  *     key-sorted multi-row-group layout must decode a strict block
+  *     subset and beat the full-scan wall;
+  * (2) storage-partitioned join — the same bucket(16,k) join timed with
+  *     SPJ on vs off (spark.sql.sources.v2.bucketing.enabled), exchange
+  *     counts pinned from the plans.
+  *
+  *   sbt "runMain graft.Round11Probe /root/testdata/sf0.1"
+  */
+object Round11Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.{Acid, AcidSql}
+
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- 1. row-group pruning on a 4M-row key-sorted layout ---------------
+    locally {
+      val dir = Scratch.fresh("r11_probe_rg", sfDir)
+      val rows = spark.range(4000000L).select(col("id").as("k"),
+        (col("id") * 7 % 99991).as("v"),
+        concat(lit("u"), col("id") % 1000).as("tag"))
+      Acid.create(spark, dir, rows, "k", 4)
+      // default 128 MB block size would give ~1 group/file; 1 MiB blocks
+      // model the many-groups-per-file shape a 1 GB file has at 100 TB
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("parquet.block.size", (1 << 20).toString)
+      try Acid.optimizeRange(spark, dir, 0L, Long.MaxValue, 4)
+      finally hc.unset("parquet.block.size")
+      def read() = spark.read.format("graft-acid-sql").load(dir)
+      // warm
+      read().agg(count(lit(1))).head
+      AcidSql.resetRowGroupMetrics()
+      val (_, fullS) = t(read().agg(sum(col("v"))).head)
+      val fullBlocks = AcidSql.rowGroupsRead.sum
+      AcidSql.resetRowGroupMetrics()
+      val (_, selS) = t(read()
+        .filter(col("k") >= 2000000L && col("k") <= 2040000L)
+        .agg(sum(col("v"))).head)
+      val (selRead, selTotal) = (AcidSql.rowGroupsRead.sum, AcidSql.rowGroupsTotal.sum)
+      println(f"[r11-probe] rowgroup: full scan $fullS%5.2fs ($fullBlocks blocks), " +
+        f"1%% key window $selS%5.2fs ($selRead of $selTotal blocks in touched files) " +
+        f"-> ${fullS / selS}%4.1fx wall, ${fullBlocks.toDouble / math.max(selRead, 1)}%4.1fx decode")
+    }
+
+    // ---- 2. SPJ on/off A/B on a bucket(16, k) join ------------------------
+    locally {
+      val root = Scratch.fresh("r11_probe_spj", sfDir)
+      val cat = "graft_r11p_spj"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Seq("a", "b").foreach { tn =>
+        spark.sql(s"DROP TABLE IF EXISTS $cat.$tn")
+        spark.sql(s"CREATE TABLE $cat.$tn (k BIGINT, v BIGINT) " +
+          "PARTITIONED BY (bucket(16, k))")
+      }
+      spark.range(4000000L).selectExpr("id AS k", "id * 3 AS v")
+        .createOrReplaceTempView("r11p_src")
+      spark.sql(s"INSERT INTO $cat.a SELECT k, v FROM r11p_src")
+      spark.sql(s"INSERT INTO $cat.b SELECT k, v * 2 FROM r11p_src")
+      val q = s"SELECT sum(a.v + b.v) FROM $cat.a a JOIN $cat.b b ON a.k = b.k"
+      val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def run(): (Double, Int) = {
+        val df = spark.sql(q)
+        val (_, s) = t(df.head)
+        (s, "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length)
+      }
+      try {
+        spark.sql(q).head // warm file caches
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        val (offS, offEx) = run()
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val (onS, onEx) = run()
+        println(f"[r11-probe] spj: bucket(16,k) 4M x 4M join — shuffle $offS%5.2fs " +
+          f"($offEx exchanges) vs spj $onS%5.2fs ($onEx exchanges) " +
+          f"-> ${offS / onS}%4.1fx")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      }
+    }
+    spark.stop()
+  }
+}

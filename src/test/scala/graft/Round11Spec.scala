@@ -166,6 +166,37 @@ class Round11Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("SPJ on a (days, bucket) two-transform layout joins exchange-free") {
+    val root = Scratch.fresh("r11_spj2", sf)
+    val cat = "graft_r11spj2_" +
+      java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Seq("a", "b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $cat.$t")
+      spark.sql(s"""CREATE TABLE $cat.$t (k BIGINT, ts TIMESTAMP, uid BIGINT,
+                   |v BIGINT) PARTITIONED BY (days(ts), bucket(4, uid))""".stripMargin)
+    }
+    spark.range(800).coalesce(1).selectExpr("id AS k",
+      "timestamp_micros(CAST(1704067200000000 + (id DIV 80) * 86400000000 + id * 1000 AS BIGINT)) AS ts",
+      "CAST(id % 8 AS BIGINT) AS uid", "id AS v")
+      .createOrReplaceTempView("r11_spj2_src")
+    spark.sql(s"INSERT INTO $cat.a SELECT k, ts, uid, v FROM r11_spj2_src")
+    spark.sql(s"INSERT INTO $cat.b SELECT k, ts, uid, v * 10 FROM r11_spj2_src")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = spark.sql(s"""SELECT a.k, b.v FROM $cat.a a JOIN $cat.b b
+                           |ON a.ts = b.ts AND a.uid = b.uid""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"two-transform SPJ should plan exchange-free:\n$plan")
+      // each (ts, uid) pair is unique, so the join is 1:1
+      assert(q.count() === 800L)
+      assert(q.agg(sum(col("v"))).head.getLong(0) === (0L until 800L).map(_ * 10L).sum)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("tbl_spj_join row matches a direct computation and pins exchange-free") {
     val df = SparkEntry.queries("tbl_spj_join")(spark, sf)
     val r = df.head
