@@ -1485,7 +1485,13 @@ object Acid {
     * the top-level tbl_schema_evolve contract, one level down.
     */
   def addColumn(s: SparkSession, dir: String, path: Seq[String],
-      dt: DataType): Unit = {
+      dt: DataType): Unit =
+    writeDeclaredSchema(dir, addColumnInto(tableSchema(s, dir), path, dt))
+
+  /** The splice itself, shared by the library API and the catalog's
+    * SQL `ALTER TABLE ... ADD COLUMNS (s.b TYPE)` path. */
+  private[sources] def addColumnInto(base: StructType, path: Seq[String],
+      dt: DataType): StructType = {
     require(path.nonEmpty, "addColumn: empty field path")
     def ins(st: StructType, p: Seq[String]): StructType =
       if (p.length == 1) {
@@ -1504,7 +1510,7 @@ object Acid {
           else f
         })
       }
-    writeDeclaredSchema(dir, ins(tableSchema(s, dir), path))
+    ins(base, path)
   }
 
   /** Multi-file table read that survives TYPE-WIDENED tables: the plain
@@ -3522,6 +3528,50 @@ object Acid {
       sum(coalesce(col("meta.score"), lit(0L))).as("sum_score"),
       sum(when(col("meta.score").isNotNull, 1L).otherwise(0L)).as("n_scored"),
       countDistinct(col("meta.prio")).as("n_prio"))
+      .withColumn("alter_metadata_only", lit(preNull))
+  }
+
+  /** tbl_sql_nested — STRUCT columns as first-class citizens of the V2
+    * SQL surface (round-11: XML-derived schemas are nested, so the
+    * catalog tables must hold them, not just the library path): CREATE
+    * TABLE with a STRUCT column, INSERT through the V2 writer (nested
+    * parquet groups), SELECT through the V2 row reader (nested
+    * projection intersect + Group conversion), then
+    * `ALTER TABLE ... ADD COLUMNS (meta.score BIGINT)` — metadata-only,
+    * pinned by the every-row-NULL read — and a second INSERT at the
+    * wide shape; narrow files keep NULL-filling the new leaf. The
+    * flattened aggregate travels through the DuckDB oracle.
+    */
+  val tblSqlNested: Q = (s, d) => {
+    val root = fresh("tbl_sql_nested_cat", d)
+    val cat = "graft_sqln_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("graft_sqln_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.n")
+    s.sql(s"""CREATE TABLE $cat.n (k BIGINT,
+             |meta STRUCT<prio: STRING, status: STRING>,
+             |cents BIGINT)""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.n SELECT k,
+             |named_struct('prio', prio, 'status', status), cents
+             |FROM graft_sqln_src""".stripMargin)
+    s.sql(s"ALTER TABLE $cat.n ADD COLUMNS (meta.score BIGINT)")
+    val preNull = s.sql(
+      s"SELECT count(*) FROM $cat.n WHERE meta.score IS NOT NULL")
+      .head.getLong(0) == 0L
+    val mk = maxKey(s, d)
+    s.sql(s"""INSERT INTO $cat.n SELECT k + $mk + 1,
+             |named_struct('prio', prio, 'status', status, 'score', k * 5),
+             |cents FROM graft_sqln_src WHERE k % 11 = 0""".stripMargin)
+    s.sql(s"""SELECT count(*) AS n, sum(cents) AS sum_cents,
+             |sum(coalesce(meta.score, 0)) AS sum_score,
+             |sum(CASE WHEN meta.score IS NOT NULL THEN 1 ELSE 0 END)
+             |  AS n_scored,
+             |count(DISTINCT meta.prio) AS n_prio
+             |FROM $cat.n""".stripMargin)
       .withColumn("alter_metadata_only", lit(preNull))
   }
 
@@ -5651,6 +5701,7 @@ object Acid {
     "tbl_spj_join"          -> tblSpjJoin,
     "tbl_cbo_ndv"           -> tblCboNdv,
     "tbl_nested_evolve"     -> tblNestedEvolve,
+    "tbl_sql_nested"        -> tblSqlNested,
     "tbl_schema_evolve"     -> tblSchemaEvolve,
     "tbl_merge_evolve"      -> tblMergeEvolve,
     "tbl_concurrent_commit" -> tblConcurrentCommit,
@@ -6221,6 +6272,22 @@ object Acid {
         |       TRUE AS bloom_skipped, TRUE AS scanned_some
         |FROM base
         |WHERE k % 97 = 0 AND k <= (SELECT m FROM mx) // 2""".stripMargin,
+    "tbl_sql_nested" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |allr AS (
+        |  SELECT cents, CAST(NULL AS BIGINT) AS score, prio FROM base
+        |  UNION ALL
+        |  SELECT cents, k * 5 AS score, prio FROM base WHERE k % 11 = 0)
+        |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(sum(coalesce(score, 0)) AS BIGINT) AS sum_score,
+        |       CAST(sum(CASE WHEN score IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_scored,
+        |       count(DISTINCT prio) AS n_prio,
+        |       TRUE AS alter_metadata_only
+        |FROM allr""".stripMargin,
     "tbl_nested_evolve" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -262,9 +262,6 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     if (!exists(dir)) throw new NoSuchTableException(ident)
     val evolved = changes.foldLeft(Acid.tableSchema(SparkSession.active, dir)) {
       case (sch, add: TableChange.AddColumn) =>
-        if (add.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            s"$catName: only top-level ADD COLUMN is supported")
         if (!add.isNullable)
           throw new UnsupportedOperationException(
             s"$catName: ADD COLUMN must be nullable — existing rows have no value")
@@ -272,6 +269,15 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
           throw new UnsupportedOperationException(
             s"$catName: ADD COLUMN FIRST/AFTER would reorder existing data; " +
               "only appended columns are additive")
+        if (add.fieldNames().length > 1)
+          // ADD COLUMN INTO A STRUCT (round-11 verdict #6): splice the
+          // new field into the declared schema — metadata-only; readers
+          // NULL-fill the leaf on files that predate it (the nested
+          // projection intersect in the V2 row reader / the library's
+          // widenToDeclared splice). Shares Acid.addColumnInto so SQL
+          // ALTER and Acid.addColumn stay one implementation.
+          Acid.addColumnInto(sch, add.fieldNames().toSeq, add.dataType())
+        else {
         val name = add.fieldNames().head
         if (sch.fieldNames.exists(_.equalsIgnoreCase(name)))
           throw new IllegalArgumentException(
@@ -286,6 +292,7 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
           Acid.writeColMap(dir,
             Acid.colMapOf(dir) + (name -> s"${name}__v$gens"))
         sch.add(name, add.dataType(), nullable = true)
+        }
       case (sch, rn: TableChange.RenameColumn) =>
         // RENAME via column mapping (Delta's column-mapping mode): data
         // files keep their PHYSICAL field name forever; the rename edits

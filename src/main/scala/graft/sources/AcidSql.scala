@@ -474,33 +474,64 @@ object AcidSql {
 
   /** Supported column types of the V2 writer/reader — the table format's
     * own surface is long/int/double/bool/string (money as integer cents
-    * per the house rule); everything else should land via the library
-    * API's parquet writers. */
+    * per the house rule) plus STRUCTs of these at any depth (round-11:
+    * XML-derived schemas are nested, so the SQL surface holds them
+    * natively); arrays/maps should land via the library API's parquet
+    * writers. */
+  private[sources] def parquetField(name: String, dt: DataType)
+      : org.apache.parquet.schema.Type = dt match {
+    case LongType    => Types.optional(PrimitiveTypeName.INT64).named(name)
+    case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(name)
+    case DoubleType  => Types.optional(PrimitiveTypeName.DOUBLE).named(name)
+    case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(name)
+    case StringType  => Types.optional(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(name)
+    case DateType    => Types.optional(PrimitiveTypeName.INT32)
+      .as(LogicalTypeAnnotation.dateType()).named(name)
+    // TIMESTAMP(MICROS) — exactly Spark's internal long encoding, so
+    // read/write both move the raw micros (NTZ: not UTC-adjusted)
+    case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(false,
+        LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    case st: StructType =>
+      require(st.fields.nonEmpty,
+        s"graft-acid-sql: empty struct '$name' is not writable")
+      val gb = Types.optionalGroup()
+      st.fields.foreach(f => gb.addField(parquetField(f.name, f.dataType)))
+      gb.named(name)
+    case other => throw new IllegalArgumentException(
+      s"graft-acid-sql: unsupported column type $other for '$name'")
+  }
+
   private[sources] def toParquetSchema(schema: StructType): MessageType = {
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      f.dataType match {
-        case LongType    => b.addField(Types.optional(PrimitiveTypeName.INT64).named(f.name))
-        case IntegerType => b.addField(Types.optional(PrimitiveTypeName.INT32).named(f.name))
-        case DoubleType  => b.addField(Types.optional(PrimitiveTypeName.DOUBLE).named(f.name))
-        case BooleanType => b.addField(Types.optional(PrimitiveTypeName.BOOLEAN).named(f.name))
-        case StringType  => b.addField(Types.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name))
-        case DateType    => b.addField(Types.optional(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name))
-        // TIMESTAMP(MICROS) — exactly Spark's internal long encoding, so
-        // read/write both move the raw micros (NTZ: not UTC-adjusted)
-        case TimestampType => b.addField(Types.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
-        case TimestampNTZType => b.addField(Types.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
-        case other => throw new IllegalArgumentException(
-          s"graft-acid-sql: unsupported column type $other for '${f.name}'")
-      }
-    }
+    schema.fields.foreach(f => b.addField(parquetField(f.name, f.dataType)))
     b.named("graft_acid_v2")
+  }
+
+  /** FILE-side projection for one requested column: primitives copy the
+    * file's own definition (parquet's strict schema check wants the
+    * file's repetition verbatim); STRUCTS intersect recursively with the
+    * requested shape, so a file is never asked for a nested field it
+    * predates — the row conversion NULL-fills those (nested schema
+    * evolution, round-11). A requested struct with no surviving leaves
+    * keeps the file's own group (groups must be non-empty; the values
+    * go unread). */
+  private[sources] def projectFileType(fileT: org.apache.parquet.schema.Type,
+      want: DataType): org.apache.parquet.schema.Type = (fileT, want) match {
+    case (g: org.apache.parquet.schema.GroupType, st: StructType) =>
+      val kids = st.fields.flatMap { wf =>
+        if (g.containsField(wf.name))
+          Some(projectFileType(g.getType(wf.name), wf.dataType))
+        else None
+      }
+      if (kids.isEmpty) g
+      else new org.apache.parquet.schema.GroupType(
+        g.getRepetition, g.getName, kids.toList.asJava)
+    case _ => fileT
   }
 }
 
@@ -966,19 +997,7 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
     }
     val sg = segmentFor(pv)
     val g = factory.newGroup()
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (!row.isNullAt(i)) f.dataType match {
-        case LongType    => g.add(f.name, row.getLong(i))
-        case IntegerType => g.add(f.name, row.getInt(i))
-        case DoubleType  => g.add(f.name, row.getDouble(i))
-        case BooleanType => g.add(f.name, row.getBoolean(i))
-        case StringType  => g.add(f.name,
-          Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-        case DateType    => g.add(f.name, row.getInt(i))
-        case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(i))
-        case _ => ()
-      }
-    }
+    AcidSqlDataWriter.fillGroup(g, schema, row)
     cstatCols.zipWithIndex.foreach { case ((_, i, isDate), j) =>
       if (!row.isNullAt(i)) {
         val v =
@@ -1034,6 +1053,27 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
 object AcidSqlDataWriter {
   /** Bucketed writes keep ≤ this many parquet writers open per task. */
   val MaxOpenSegments = 64
+
+  /** Fill a parquet Group from an internal row, recursing into STRUCT
+    * columns as nested groups (a NULL struct adds nothing — the whole
+    * group is absent, distinct from a group of NULL leaves). */
+  private[sources] def fillGroup(g: Group, schema: StructType,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters): Unit =
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType    => g.add(f.name, row.getLong(i))
+        case IntegerType => g.add(f.name, row.getInt(i))
+        case DoubleType  => g.add(f.name, row.getDouble(i))
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case StringType  => g.add(f.name,
+          Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case DateType    => g.add(f.name, row.getInt(i))
+        case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(i))
+        case st: StructType =>
+          fillGroup(g.addGroup(f.name), st, row.getStruct(i, st.length))
+        case _ => ()
+      }
+    }
 }
 
 class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
@@ -1826,7 +1866,16 @@ class AcidSqlPartitionReader(absPath: String, required: StructType,
     val names = (required.fields.map(_.name).filter(fileFields) ++
       (if (!deleted.isEmpty && !required.fieldNames.contains(keyCol) &&
         fileFields(keyCol)) Seq(keyCol) else Seq.empty) ++ filterCols).distinct
-    val projected = names.map(n => fileSchema.getType(fileSchema.getFieldIndex(n)))
+    val projected = names.map { n =>
+      val ft = fileSchema.getType(fileSchema.getFieldIndex(n))
+      // struct columns project the INTERSECTION of the file's group and
+      // the requested shape (nested pruning + nested evolution); the
+      // ride-along columns (dv key, filter cols) are primitives
+      required.fields.find(_.name == n) match {
+        case Some(rf) => AcidSql.projectFileType(ft, rf.dataType)
+        case None     => ft
+      }
+    }
     if (projected.nonEmpty)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA,
         new MessageType("graft_acid_v2", projected: _*).toString)
@@ -1886,6 +1935,9 @@ class AcidSqlPartitionReader(absPath: String, required: StructType,
           case TimestampType | TimestampNTZType => current.getLong(f.name, 0)
           case StringType  =>
             UTF8String.fromBytes(current.getBinary(f.name, 0).getBytes)
+          case st: StructType =>
+            AcidSqlPartitionReader.convertGroup(
+              current.getGroup(f.name, 0), st)
           case _ => null
         }
       }
@@ -1894,4 +1946,32 @@ class AcidSqlPartitionReader(absPath: String, required: StructType,
   }
 
   override def close(): Unit = reader.close()
+}
+
+object AcidSqlPartitionReader {
+  /** Projected parquet Group → nested InternalRow at the requested
+    * struct shape; leaves the file predates (absent from the projected
+    * group) or NULL values surface as NULL. Nested widths are exact —
+    * type widening inside structs is out of scope. */
+  private[sources] def convertGroup(g: Group, want: StructType)
+      : GenericInternalRow = {
+    val gt = g.getType
+    val vals = new Array[Any](want.length)
+    want.fields.zipWithIndex.foreach { case (f, i) =>
+      if (gt.containsField(f.name) && g.getFieldRepetitionCount(f.name) > 0) {
+        vals(i) = f.dataType match {
+          case st: StructType => convertGroup(g.getGroup(f.name, 0), st)
+          case LongType       => g.getLong(f.name, 0)
+          case IntegerType | DateType => g.getInteger(f.name, 0)
+          case DoubleType     => g.getDouble(f.name, 0)
+          case BooleanType    => g.getBoolean(f.name, 0)
+          case TimestampType | TimestampNTZType => g.getLong(f.name, 0)
+          case StringType     =>
+            UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
+          case _              => null
+        }
+      }
+    }
+    new GenericInternalRow(vals)
+  }
 }
