@@ -119,6 +119,14 @@ object AcidSql {
   def lastScanFor(dir: String, version: Int = -1): (Int, Int) =
     lastScan((dir, if (version < 0) Acid.latestVersion(dir) else version))
 
+  /** Session knob: V2 writer row-group size in bytes (0 = parquet's
+    * default ~128 MB). Captured DRIVER-side at write-factory
+    * construction and shipped with the factory; exposed mainly so specs
+    * build many-group files through the V2 writer — production tables
+    * keep the default. */
+  def writeRowGroupBytes: Long = SparkSession.active.conf
+    .get("spark.graft.write.rowGroupBytes", "0").toLong
+
   /** Row-group accounting across columnar V2 file opens: `total` = footer
     * block count of every opened file, `read` = blocks surviving the
     * row-group filter. A LOCAL-MODE probe by design — driver and executor
@@ -777,10 +785,12 @@ class AcidSqlStreamingWrite(dir: String, writeSchema: StructType,
 
 class AcidSqlStreamingWriterFactory(dir: String, stageDir: String,
     writeSchema: StructType) extends streaming.StreamingDataWriterFactory {
+  private val rowGroupBytes = AcidSql.writeRowGroupBytes
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new AcidSqlDataWriter(dir,
-      s"$stageDir/e$epochId-part-$partitionId-$taskId.parquet", writeSchema)
+      s"$stageDir/e$epochId-part-$partitionId-$taskId.parquet", writeSchema,
+      rowGroupBytes = rowGroupBytes)
 }
 
 /** Task-level commit message: file metadata only — the manifest entry the
@@ -855,9 +865,11 @@ class AcidSqlBatchWrite(dir: String, writeSchema: StructType, truncate: Boolean)
 class AcidSqlWriterFactory(dir: String, stageDir: String, writeSchema: StructType,
     partSpecs: Seq[Acid.PartSpec] = Seq.empty)
     extends DataWriterFactory {
+  // captured driver-side at factory construction; ships with the factory
+  private val rowGroupBytes = AcidSql.writeRowGroupBytes
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AcidSqlDataWriter(dir, s"$stageDir/part-$partitionId-$taskId.parquet",
-      writeSchema, partSpecs)
+      writeSchema, partSpecs, rowGroupBytes)
 }
 
 /** Streams InternalRows into one parquet file via the parquet-hadoop
@@ -871,7 +883,7 @@ class AcidSqlWriterFactory(dir: String, stageDir: String, writeSchema: StructTyp
   * conservative, never wrong.
   */
 class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
-    partSpecs: Seq[Acid.PartSpec] = Seq.empty)
+    partSpecs: Seq[Acid.PartSpec] = Seq.empty, rowGroupBytes: Long = 0L)
     extends DataWriter[InternalRow] {
   private val msgType = AcidSql.toParquetSchema(schema)
   private val factory = new SimpleGroupFactory(msgType)
@@ -916,12 +928,22 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
     * value wide — the property manifest partition-pruning depends on.
     * An unpartitioned write is exactly one segment named relPath. */
   private final class Segment(val path: String) {
-    val writer: ParquetWriter[Group] =
-      ExampleParquetWriter.builder(new Path(s"$tableDir/$path"))
+    val writer: ParquetWriter[Group] = {
+      val b = ExampleParquetWriter.builder(new Path(s"$tableDir/$path"))
         .withType(msgType)
         .withConf(new Configuration())
         .withCompressionCodec(CompressionCodecName.SNAPPY)
+        // adaptive parquet BLOOM on the merge key (round-11): the format's
+        // point-probe column. Min/max row-group stats only skip when keys
+        // are clustered; a bucketed/unsorted layout's groups all span the
+        // full key range, and the bloom is what lets the readers'
+        // FilterCompat row-group filter skip an eq/IN probe there. Sized
+        // adaptively by observed NDV — tens of KB per group, not MB.
+        .withBloomFilterEnabled(schema.fields.head.name, true)
+        .withAdaptiveBloomFilterEnabled(true)
+      (if (rowGroupBytes > 0L) b.withRowGroupSize(rowGroupBytes) else b)
         .build()
+    }
     var rows = 0L
     var minKey = Long.MaxValue
     var maxKey = Long.MinValue

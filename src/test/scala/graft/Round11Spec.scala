@@ -313,6 +313,33 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("parquet bloom on the key skips row groups in an UNSORTED layout") {
+    val root = Scratch.fresh("r11_bloomrg", sf)
+    val cat = "graft_r11brg_" +
+      java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.u")
+    spark.sql(s"CREATE TABLE $cat.u (k BIGINT, v BIGINT)")
+    try {
+      spark.conf.set("spark.graft.write.rowGroupBytes", "65536")
+      // keys SHUFFLED before the write: every row group spans ~the full
+      // key range, so min/max stats cannot skip a point probe — only the
+      // key bloom the V2 writer embeds can
+      spark.range(60000).selectExpr("id AS k", "id * 2 AS v")
+        .orderBy(expr("hash(id)")).coalesce(1)
+        .createOrReplaceTempView("r11brg_src")
+      spark.sql(s"INSERT INTO $cat.u SELECT k, v FROM r11brg_src")
+    } finally spark.conf.set("spark.graft.write.rowGroupBytes", "0")
+    AcidSql.resetRowGroupMetrics()
+    val got = spark.sql(s"SELECT v FROM $cat.u WHERE k = 31337").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(62674L))
+    val (read, total) = (AcidSql.rowGroupsRead.sum, AcidSql.rowGroupsTotal.sum)
+    assert(total >= 4, s"fixture must span several row groups, got $total")
+    assert(read >= 1 && read * 2 <= total,
+      s"bloom should reject most groups of an unsorted layout: $read of $total")
+  }
+
   test("V2 SQL surface holds struct columns: create, insert, select, nested ALTER") {
     val root = Scratch.fresh("r11_sqlnested", sf)
     val cat = "graft_r11sn_" +
