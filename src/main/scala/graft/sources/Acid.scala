@@ -3575,6 +3575,33 @@ object Acid {
       .withColumn("alter_metadata_only", lit(preNull))
   }
 
+  /** tbl_sql_embed — ARRAY<FLOAT> embedding columns as first-class
+    * citizens of the V2 SQL surface (round-11; the training-pipeline
+    * shape): CREATE TABLE with an embedding column, INSERT through the
+    * V2 writer (standard parquet 3-level LIST groups), and read back
+    * through the V2 row reader's positional list conversion. The check
+    * aggregate quantizes elements via an EXPLICIT double cast + floor —
+    * float→double is exact and floor is engine-independent, so the
+    * per-label sums hash-match DuckDB's `list_transform`/`list_sum`
+    * despite the float payload.
+    */
+  val tblSqlEmbed: Q = (s, d) => {
+    val root = fresh("tbl_sql_embed_cat", d)
+    val cat = "graft_sqle_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.embeddings(s, d).createOrReplaceTempView("graft_sqle_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.e")
+    s.sql(s"CREATE TABLE $cat.e (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)")
+    s.sql(s"INSERT INTO $cat.e SELECT vec_id, embedding, label FROM graft_sqle_src")
+    s.sql(s"""SELECT label, count(*) AS n,
+             |sum(aggregate(transform(embedding,
+             |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+             |  CAST(0 AS BIGINT), (a, x) -> a + x)) AS qsum,
+             |sum(size(embedding)) AS n_elems
+             |FROM $cat.e GROUP BY label ORDER BY label""".stripMargin)
+  }
+
   /** tbl_rowgroup_skip — row-group pruning INSIDE a touched file
     * (round-11 verdict #1): an OPTIMIZE RANGE rewrite under a small
     * `parquet.block.size` leaves each file key-sorted across many row
@@ -5702,6 +5729,7 @@ object Acid {
     "tbl_cbo_ndv"           -> tblCboNdv,
     "tbl_nested_evolve"     -> tblNestedEvolve,
     "tbl_sql_nested"        -> tblSqlNested,
+    "tbl_sql_embed"         -> tblSqlEmbed,
     "tbl_schema_evolve"     -> tblSchemaEvolve,
     "tbl_merge_evolve"      -> tblMergeEvolve,
     "tbl_concurrent_commit" -> tblConcurrentCommit,
@@ -6272,6 +6300,13 @@ object Acid {
         |       TRUE AS bloom_skipped, TRUE AS scanned_some
         |FROM base
         |WHERE k % 97 = 0 AND k <= (SELECT m FROM mx) // 2""".stripMargin,
+    "tbl_sql_embed" ->
+      """SELECT label, count(*) AS n,
+        |  CAST(sum(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))))
+        |    AS BIGINT) AS qsum,
+        |  CAST(sum(len(embedding)) AS BIGINT) AS n_elems
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "tbl_sql_nested" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderpriority AS prio,

@@ -504,12 +504,20 @@ object AcidSql {
     case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
       .as(LogicalTypeAnnotation.timestampType(false,
         LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+    case FloatType => Types.optional(PrimitiveTypeName.FLOAT).named(name)
     case st: StructType =>
       require(st.fields.nonEmpty,
         s"graft-acid-sql: empty struct '$name' is not writable")
       val gb = Types.optionalGroup()
       st.fields.foreach(f => gb.addField(parquetField(f.name, f.dataType)))
       gb.named(name)
+    // ARRAY<...> as the standard parquet 3-level LIST (round-11: the SQL
+    // surface holds embedding columns natively — ARRAY<FLOAT> is the
+    // training-pipeline shape)
+    case at: ArrayType =>
+      Types.optionalList()
+        .setElementType(parquetField("element", at.elementType))
+        .named(name)
     case other => throw new IllegalArgumentException(
       s"graft-acid-sql: unsupported column type $other for '$name'")
   }
@@ -1091,8 +1099,29 @@ object AcidSqlDataWriter {
           Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
         case DateType    => g.add(f.name, row.getInt(i))
         case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(i))
+        case FloatType   => g.add(f.name, row.getFloat(i))
         case st: StructType =>
           fillGroup(g.addGroup(f.name), st, row.getStruct(i, st.length))
+        case at: ArrayType =>
+          // 3-level LIST: one repeated "list" entry per element; a NULL
+          // element is an entry without the optional "element" field
+          val outer = g.addGroup(f.name)
+          val arr = row.getArray(i)
+          var j = 0
+          while (j < arr.numElements()) {
+            val entry = outer.addGroup(0)
+            if (!arr.isNullAt(j)) at.elementType match {
+              case LongType    => entry.add(0, arr.getLong(j))
+              case IntegerType => entry.add(0, arr.getInt(j))
+              case DoubleType  => entry.add(0, arr.getDouble(j))
+              case FloatType   => entry.add(0, arr.getFloat(j))
+              case BooleanType => entry.add(0, arr.getBoolean(j))
+              case StringType  => entry.add(0,
+                Binary.fromConstantByteArray(arr.getUTF8String(j).getBytes))
+              case _           => ()
+            }
+            j += 1
+          }
         case _ => ()
       }
     }
@@ -1662,8 +1691,8 @@ class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
   override def supportColumnarReads(p: InputPartition): Boolean =
     !anyDv && required.fields.nonEmpty && required.fields.forall(f =>
       f.name != "_file" && (f.dataType match {
-        case LongType | IntegerType | DoubleType | BooleanType | StringType |
-             DateType | TimestampType | TimestampNTZType => true
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+             StringType | DateType | TimestampType | TimestampNTZType => true
         case _ => false
       }))
 
@@ -1957,9 +1986,13 @@ class AcidSqlPartitionReader(absPath: String, required: StructType,
           case TimestampType | TimestampNTZType => current.getLong(f.name, 0)
           case StringType  =>
             UTF8String.fromBytes(current.getBinary(f.name, 0).getBytes)
+          case FloatType   => current.getFloat(f.name, 0)
           case st: StructType =>
             AcidSqlPartitionReader.convertGroup(
               current.getGroup(f.name, 0), st)
+          case at: ArrayType =>
+            AcidSqlPartitionReader.convertArray(
+              current.getGroup(f.name, 0), at)
           case _ => null
         }
       }
@@ -1983,9 +2016,11 @@ object AcidSqlPartitionReader {
       if (gt.containsField(f.name) && g.getFieldRepetitionCount(f.name) > 0) {
         vals(i) = f.dataType match {
           case st: StructType => convertGroup(g.getGroup(f.name, 0), st)
+          case at: ArrayType  => convertArray(g.getGroup(f.name, 0), at)
           case LongType       => g.getLong(f.name, 0)
           case IntegerType | DateType => g.getInteger(f.name, 0)
           case DoubleType     => g.getDouble(f.name, 0)
+          case FloatType      => g.getFloat(f.name, 0)
           case BooleanType    => g.getBoolean(f.name, 0)
           case TimestampType | TimestampNTZType => g.getLong(f.name, 0)
           case StringType     =>
@@ -1995,5 +2030,33 @@ object AcidSqlPartitionReader {
       }
     }
     new GenericInternalRow(vals)
+  }
+
+  /** Parquet 3-level LIST group -> Spark array: one repeated entry per
+    * element (positional field access - naming conventions vary across
+    * writers); an entry without its optional element field is a NULL
+    * element. */
+  private[sources] def convertArray(outer: Group, at: ArrayType)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = outer.getFieldRepetitionCount(0)
+    val vals = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val entry = outer.getGroup(0, j)
+      if (entry.getFieldRepetitionCount(0) > 0) {
+        vals(j) = at.elementType match {
+          case LongType    => entry.getLong(0, 0)
+          case IntegerType => entry.getInteger(0, 0)
+          case DoubleType  => entry.getDouble(0, 0)
+          case FloatType   => entry.getFloat(0, 0)
+          case BooleanType => entry.getBoolean(0, 0)
+          case StringType  =>
+            UTF8String.fromBytes(entry.getBinary(0, 0).getBytes)
+          case _           => null
+        }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
   }
 }

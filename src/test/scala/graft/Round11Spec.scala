@@ -396,6 +396,36 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getBoolean(5), "nested ALTER must be metadata-only")
   }
 
+  test("V2 SQL surface holds ARRAY<FLOAT> embedding columns") {
+    val root = Scratch.fresh("r11_sqlembed", sf)
+    val cat = "graft_r11se_" +
+      java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.e")
+    spark.sql(s"CREATE TABLE $cat.e (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)")
+    Tables.embeddings(spark, sf).createOrReplaceTempView("r11se_src")
+    spark.sql(s"INSERT INTO $cat.e SELECT vec_id, embedding, label FROM r11se_src")
+    val n = Tables.embeddings(spark, sf).count()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.e").head.getLong(0) === n)
+    // element-exact round-trip: quantized per-row sums match the source
+    val q = "aggregate(transform(embedding, " +
+      "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)), " +
+      "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    val got = spark.sql(s"SELECT sum($q) FROM $cat.e").head.getLong(0)
+    val want = spark.sql(s"SELECT sum($q) FROM r11se_src").head.getLong(0)
+    assert(got === want)
+    assert(spark.sql(s"SELECT size(embedding) FROM $cat.e WHERE vec_id = 3")
+      .head.getInt(0) === 64)
+    // NULL array and empty array both survive the round-trip
+    spark.sql(s"INSERT INTO $cat.e VALUES (900001, NULL, 7), " +
+      "(900002, array(), 7)")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.e WHERE embedding IS NULL").head.getLong(0) === 1L)
+    assert(spark.sql(
+      s"SELECT size(embedding) FROM $cat.e WHERE vec_id = 900002").head.getInt(0) === 0)
+  }
+
   test("tbl_nested_evolve row matches a direct computation") {
     val df = SparkEntry.queries("tbl_nested_evolve")(spark, sf)
     val r = df.head
