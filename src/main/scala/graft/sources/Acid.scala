@@ -3602,6 +3602,31 @@ object Acid {
              |FROM $cat.e GROUP BY label ORDER BY label""".stripMargin)
   }
 
+  /** tbl_sql_map — MAP columns on the V2 SQL surface (round-11; document
+    * metadata's natural shape, completing the nested-type triad with
+    * tbl_sql_nested and tbl_sql_embed): CREATE TABLE with a
+    * MAP<STRING, BIGINT>, INSERT through the V2 writer (standard parquet
+    * MAP key_value groups; NULL values are entries without the optional
+    * value field), read back through the row reader's positional
+    * key_value conversion. The aggregate extracts by key Spark-side so
+    * the oracle recomputes from plain orders scalars — no DuckDB map
+    * functions in the comparison path.
+    */
+  val tblSqlMap: Q = (s, d) => {
+    val root = fresh("tbl_sql_map_cat", d)
+    val cat = "graft_sqlm_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_sqlm_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.m")
+    s.sql(s"CREATE TABLE $cat.m (k BIGINT, attrs MAP<STRING, BIGINT>)")
+    s.sql(s"""INSERT INTO $cat.m SELECT k,
+             |map('pc', price_cents, 'mod7', k % 7) FROM graft_sqlm_src""".stripMargin)
+    s.sql(s"""SELECT count(*) AS n, sum(attrs['pc']) AS sum_cents,
+             |sum(attrs['mod7']) AS sum_mod, sum(size(attrs)) AS n_entries
+             |FROM $cat.m""".stripMargin)
+  }
+
   /** tbl_rowgroup_skip — row-group pruning INSIDE a touched file
     * (round-11 verdict #1): an OPTIMIZE RANGE rewrite under a small
     * `parquet.block.size` leaves each file key-sorted across many row
@@ -5730,6 +5755,7 @@ object Acid {
     "tbl_nested_evolve"     -> tblNestedEvolve,
     "tbl_sql_nested"        -> tblSqlNested,
     "tbl_sql_embed"         -> tblSqlEmbed,
+    "tbl_sql_map"           -> tblSqlMap,
     "tbl_schema_evolve"     -> tblSchemaEvolve,
     "tbl_merge_evolve"      -> tblMergeEvolve,
     "tbl_concurrent_commit" -> tblConcurrentCommit,
@@ -6300,6 +6326,14 @@ object Acid {
         |       TRUE AS bloom_skipped, TRUE AS scanned_some
         |FROM base
         |WHERE k % 97 = 0 AND k <= (SELECT m FROM mx) // 2""".stripMargin,
+    "tbl_sql_map" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       CAST(sum(k % 7) AS BIGINT) AS sum_mod,
+        |       CAST(count(*) * 2 AS BIGINT) AS n_entries
+        |FROM base""".stripMargin,
     "tbl_sql_embed" ->
       """SELECT label, count(*) AS n,
         |  CAST(sum(list_sum(list_transform(embedding,

@@ -518,6 +518,23 @@ object AcidSql {
       Types.optionalList()
         .setElementType(parquetField("element", at.elementType))
         .named(name)
+    // MAP<primitive, ...> as the standard parquet MAP annotation:
+    // repeated key_value { required key; optional value } — document
+    // metadata's natural shape
+    case mtp: MapType =>
+      val keyT = mtp.keyType match {
+        case StringType => Types.required(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named("key")
+        case LongType    => Types.required(PrimitiveTypeName.INT64).named("key")
+        case IntegerType => Types.required(PrimitiveTypeName.INT32).named("key")
+        case other => throw new IllegalArgumentException(
+          s"graft-acid-sql: unsupported MAP key type $other for '$name'")
+      }
+      Types.optionalGroup().as(LogicalTypeAnnotation.mapType())
+        .addField(Types.repeatedGroup()
+          .addFields(keyT, parquetField("value", mtp.valueType))
+          .named("key_value"))
+        .named(name)
     case other => throw new IllegalArgumentException(
       s"graft-acid-sql: unsupported column type $other for '$name'")
   }
@@ -1084,6 +1101,21 @@ object AcidSqlDataWriter {
   /** Bucketed writes keep ≤ this many parquet writers open per task. */
   val MaxOpenSegments = 64
 
+  /** Write one primitive element of an array/map container into field
+    * `idx` of a repeated entry group. */
+  private def addPrim(g: Group, idx: Int, dt: DataType,
+      a: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      j: Int): Unit = dt match {
+    case LongType    => g.add(idx, a.getLong(j))
+    case IntegerType => g.add(idx, a.getInt(j))
+    case DoubleType  => g.add(idx, a.getDouble(j))
+    case FloatType   => g.add(idx, a.getFloat(j))
+    case BooleanType => g.add(idx, a.getBoolean(j))
+    case StringType  => g.add(idx,
+      Binary.fromConstantByteArray(a.getUTF8String(j).getBytes))
+    case _           => ()
+  }
+
   /** Fill a parquet Group from an internal row, recursing into STRUCT
     * columns as nested groups (a NULL struct adds nothing — the whole
     * group is absent, distinct from a group of NULL leaves). */
@@ -1110,15 +1142,24 @@ object AcidSqlDataWriter {
           var j = 0
           while (j < arr.numElements()) {
             val entry = outer.addGroup(0)
-            if (!arr.isNullAt(j)) at.elementType match {
-              case LongType    => entry.add(0, arr.getLong(j))
-              case IntegerType => entry.add(0, arr.getInt(j))
-              case DoubleType  => entry.add(0, arr.getDouble(j))
-              case FloatType   => entry.add(0, arr.getFloat(j))
-              case BooleanType => entry.add(0, arr.getBoolean(j))
-              case StringType  => entry.add(0,
-                Binary.fromConstantByteArray(arr.getUTF8String(j).getBytes))
-              case _           => ()
+            if (!arr.isNullAt(j)) addPrim(entry, 0, at.elementType, arr, j)
+            j += 1
+          }
+        case mtp: MapType =>
+          // MAP: one repeated key_value entry per pair; a NULL value is
+          // an entry without the optional "value" field (keys are
+          // non-null by Spark's map contract)
+          val outer = g.addGroup(f.name)
+          val m = row.getMap(i)
+          val ks = m.keyArray(); val vs = m.valueArray()
+          var j = 0
+          while (j < m.numElements()) {
+            val kv = outer.addGroup(0)
+            addPrim(kv, 0, mtp.keyType, ks, j)
+            if (!vs.isNullAt(j)) mtp.valueType match {
+              case st2: StructType =>
+                fillGroup(kv.addGroup(1), st2, vs.getStruct(j, st2.length))
+              case vt => addPrim(kv, 1, vt, vs, j)
             }
             j += 1
           }
@@ -1993,6 +2034,9 @@ class AcidSqlPartitionReader(absPath: String, required: StructType,
           case at: ArrayType =>
             AcidSqlPartitionReader.convertArray(
               current.getGroup(f.name, 0), at)
+          case mtp: MapType =>
+            AcidSqlPartitionReader.convertMap(
+              current.getGroup(f.name, 0), mtp)
           case _ => null
         }
       }
@@ -2017,6 +2061,7 @@ object AcidSqlPartitionReader {
         vals(i) = f.dataType match {
           case st: StructType => convertGroup(g.getGroup(f.name, 0), st)
           case at: ArrayType  => convertArray(g.getGroup(f.name, 0), at)
+          case mtp: MapType   => convertMap(g.getGroup(f.name, 0), mtp)
           case LongType       => g.getLong(f.name, 0)
           case IntegerType | DateType => g.getInteger(f.name, 0)
           case DoubleType     => g.getDouble(f.name, 0)
@@ -2043,20 +2088,44 @@ object AcidSqlPartitionReader {
     var j = 0
     while (j < n) {
       val entry = outer.getGroup(0, j)
-      if (entry.getFieldRepetitionCount(0) > 0) {
-        vals(j) = at.elementType match {
-          case LongType    => entry.getLong(0, 0)
-          case IntegerType => entry.getInteger(0, 0)
-          case DoubleType  => entry.getDouble(0, 0)
-          case FloatType   => entry.getFloat(0, 0)
-          case BooleanType => entry.getBoolean(0, 0)
-          case StringType  =>
-            UTF8String.fromBytes(entry.getBinary(0, 0).getBytes)
-          case _           => null
-        }
-      }
+      if (entry.getFieldRepetitionCount(0) > 0)
+        vals(j) = prim(entry, 0, at.elementType)
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+  }
+
+  /** Parquet MAP group -> Spark map: repeated key_value entries with a
+    * required key at field 0 and an optional value at field 1 (an entry
+    * without it is a NULL value). */
+  private[sources] def convertMap(outer: Group, mtp: MapType)
+      : org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val n = outer.getFieldRepetitionCount(0)
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val kv = outer.getGroup(0, j)
+      keys(j) = prim(kv, 0, mtp.keyType)
+      if (kv.getFieldRepetitionCount(1) > 0)
+        vals(j) = mtp.valueType match {
+          case st: StructType => convertGroup(kv.getGroup(1, 0), st)
+          case vt             => prim(kv, 1, vt)
+        }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+  }
+
+  private def prim(g: Group, idx: Int, dt: DataType): Any = dt match {
+    case LongType    => g.getLong(idx, 0)
+    case IntegerType => g.getInteger(idx, 0)
+    case DoubleType  => g.getDouble(idx, 0)
+    case FloatType   => g.getFloat(idx, 0)
+    case BooleanType => g.getBoolean(idx, 0)
+    case StringType  => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case _           => null
   }
 }

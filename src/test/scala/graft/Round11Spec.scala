@@ -426,6 +426,75 @@ class Round11Spec extends AnyFunSuite {
       s"SELECT size(embedding) FROM $cat.e WHERE vec_id = 900002").head.getInt(0) === 0)
   }
 
+  test("V2 SQL surface holds MAP columns: round-trip, NULL map, NULL values") {
+    val root = Scratch.fresh("r11_sqlmap", sf)
+    val cat = "graft_r11sm_" +
+      java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.m")
+    spark.sql(s"CREATE TABLE $cat.m (k BIGINT, attrs MAP<STRING, BIGINT>)")
+    spark.range(300).selectExpr("id AS k",
+      "map(concat('a', CAST(id % 3 AS STRING)), id * 2, 'b', id) AS attrs")
+      .createOrReplaceTempView("r11sm_src")
+    spark.sql(s"INSERT INTO $cat.m SELECT k, attrs FROM r11sm_src")
+    spark.sql(s"INSERT INTO $cat.m VALUES (9001, NULL), " +
+      "(9002, map()), (9003, map('x', CAST(NULL AS BIGINT)))")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m").head.getLong(0) === 303L)
+    assert(spark.sql(s"SELECT sum(attrs['b']) FROM $cat.m").head.getLong(0)
+      === (0L until 300L).sum)
+    assert(spark.sql(s"SELECT attrs['a1'] FROM $cat.m WHERE k = 7")
+      .head.getLong(0) === 14L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m WHERE attrs IS NULL")
+      .head.getLong(0) === 1L)
+    assert(spark.sql(s"SELECT size(attrs) FROM $cat.m WHERE k = 9002")
+      .head.getInt(0) === 0)
+    val r3 = spark.sql(
+      s"SELECT size(attrs), attrs['x'] FROM $cat.m WHERE k = 9003").head
+    assert(r3.getInt(0) === 1 && r3.isNullAt(1), "NULL value under a live key")
+  }
+
+  test("row-level UPDATE and MERGE work on a struct-carrying catalog table") {
+    val root = Scratch.fresh("r11_rowlevel_nested", sf)
+    val cat = "graft_r11rn_" +
+      java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, meta STRUCT<tag: STRING, w: BIGINT>, v BIGINT)")
+    spark.range(200).selectExpr("id AS k",
+      "named_struct('tag', concat('t', CAST(id % 4 AS STRING)), 'w', id) AS meta",
+      "id AS v").createOrReplaceTempView("r11rn_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, meta, v FROM r11rn_src")
+    spark.sql(s"UPDATE $cat.t SET v = v + 1000 WHERE meta.tag = 't2'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE v >= 1000")
+      .head.getLong(0) === 50L)
+    assert(spark.sql(s"SELECT sum(meta.w) FROM $cat.t").head.getLong(0)
+      === (0L until 200L).sum, "struct payload survives the rewrite")
+    spark.sql(s"DELETE FROM $cat.t WHERE meta.w < 10 AND meta.tag = 't1'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) === 197L)
+  }
+
+  test("KeyGroupedPartitioning satisfies a groupBy on the bucket column") {
+    val root = Scratch.fresh("r11_spjagg", sf)
+    val cat = "graft_r11sa_" +
+      java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.g")
+    spark.sql(s"CREATE TABLE $cat.g (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.range(4000).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("r11sa_src")
+    spark.sql(s"INSERT INTO $cat.g SELECT k, v FROM r11sa_src")
+    // same-key rows are co-located by the storage partitioning, so the
+    // partial/final aggregate pair collapses without an exchange
+    val q = spark.sql(s"SELECT k, sum(v) FROM $cat.g GROUP BY k")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"groupBy on the bucketed key should plan exchange-free:\n$plan")
+    assert(q.count() === 4000L)
+  }
+
   test("tbl_nested_evolve row matches a direct computation") {
     val df = SparkEntry.queries("tbl_nested_evolve")(spark, sf)
     val r = df.head
