@@ -1001,6 +1001,32 @@ object Round11Probe {
         f"-> ${fullS / selS}%4.1fx wall, ${fullBlocks.toDouble / math.max(selRead, 1)}%4.1fx decode")
     }
 
+    // ---- 1b. nested columnar decode: V2 scan vs builtin vectorized reader --
+    locally {
+      val root = Scratch.fresh("r11_probe_nest", sfDir)
+      val cat = "graft_r11p_nest"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT, " +
+        "meta STRUCT<a: BIGINT, tag: STRING>, emb ARRAY<FLOAT>)")
+      spark.range(2000000L).selectExpr("id AS k",
+        "named_struct('a', id * 2, 'tag', concat('t', id % 100)) AS meta",
+        "array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT), CAST(id + 2 AS FLOAT)) AS emb")
+        .createOrReplaceTempView("r11p_nest_src")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM r11p_nest_src")
+      val agg = "sum(meta.a) + sum(size(emb))"
+      spark.sql(s"SELECT $agg FROM $cat.t").head // warm
+      val (v2, v2S) = t(spark.sql(s"SELECT $agg FROM $cat.t").head.getLong(0))
+      val builtin = spark.read.parquet(s"$root/t/dv2_*")
+      builtin.createOrReplaceTempView("r11p_nest_raw")
+      spark.sql(s"SELECT $agg FROM r11p_nest_raw").head // warm
+      val (bi, biS) = t(spark.sql(s"SELECT $agg FROM r11p_nest_raw").head.getLong(0))
+      require(v2 == bi, s"nested parity: $v2 vs $bi")
+      println(f"[r11-probe] nested: 2M-row struct+array aggregate — v2 scan $v2S%5.2fs " +
+        f"vs builtin vectorized $biS%5.2fs -> ${v2S / biS}%4.2fx of builtin")
+    }
+
     // ---- 2. SPJ on/off A/B on a bucket(16, k) join ------------------------
     locally {
       val root = Scratch.fresh("r11_probe_spj", sfDir)

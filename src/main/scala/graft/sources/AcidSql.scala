@@ -1729,13 +1729,19 @@ class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
     * vectors drops to the row reader (masking a ColumnarBatch would
     * mean copying vectors) — a transitional state until OPTIMIZE.
     */
+  private def vectorizable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | DateType | TimestampType | TimestampNTZType => true
+    // nested types ride Spark's nested vectorized decode (round-11);
+    // schema-evolved narrow structs remap through StructRemapVector
+    case st: StructType => st.fields.forall(f => vectorizable(f.dataType))
+    case at: ArrayType  => vectorizable(at.elementType)
+    case mt: MapType    => vectorizable(mt.keyType) && vectorizable(mt.valueType)
+    case _ => false
+  }
   override def supportColumnarReads(p: InputPartition): Boolean =
     !anyDv && required.fields.nonEmpty && required.fields.forall(f =>
-      f.name != "_file" && (f.dataType match {
-        case LongType | IntegerType | DoubleType | FloatType | BooleanType |
-             StringType | DateType | TimestampType | TimestampNTZType => true
-        case _ => false
-      }))
+      f.name != "_file" && vectorizable(f.dataType))
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
     val absPath = p match {
@@ -1777,7 +1783,14 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
   private def adapt(cv: org.apache.spark.sql.vectorized.ColumnVector,
       want: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.vectorized.ColumnVector =
-    if (cv.dataType() == want) cv else new WideningColumnVector(cv, want)
+    if (Acid.sameIgnoreNull(cv.dataType(), want)) cv
+    else (cv.dataType(), want) match {
+      case (f: StructType, t: StructType) =>
+        // nested ADD COLUMN: the file decoded a NARROW struct; serve the
+        // declared WIDE shape with constant-NULL children for new leaves
+        new StructRemapVector(cv, f, t, capacity)
+      case _ => new WideningColumnVector(cv, want)
+    }
   // None when the file predates EVERY requested column: the vectorized
   // reader has nothing to decode, so batches are synthesized from the
   // footer row count alone (all-NULL vectors, chunked at capacity).
@@ -1804,7 +1817,8 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
     AcidSql.rowGroupsTotal.add(totalBlocks.toLong)
     AcidSql.rowGroupsRead.add(fr.getRowGroups.size.toLong)
     val requested = new MessageType("graft_acid_v2",
-      present.map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
+      present.map(f => AcidSql.projectFileType(
+        fileSchema.getType(fileSchema.getFieldIndex(f.name)), f.dataType)): _*)
     val r = new org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader(false, capacity)
     org.apache.spark.sql.execution.datasources.parquet.GraftParquetBridge
@@ -1846,6 +1860,61 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
       composed
   }
   override def close(): Unit = reader.foreach(_.close())
+}
+
+/** Struct view remapping a NARROW decoded struct vector to the table's
+  * declared WIDE shape — the columnar half of nested schema evolution
+  * (round-11): shared children delegate (recursively adapted for deeper
+  * evolution), declared-only children are constant-NULL vectors sized at
+  * the batch capacity. Null-ness of the struct itself delegates to the
+  * base, so NULL structs stay NULL and only present structs surface NULL
+  * new leaves.
+  */
+class StructRemapVector(base: org.apache.spark.sql.vectorized.ColumnVector,
+    from: StructType, to: StructType, capacity: Int)
+    extends org.apache.spark.sql.vectorized.ColumnVector(to) {
+  private val children: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+    to.fields.map { tf =>
+      from.fields.indexWhere(_.name == tf.name) match {
+        case -1 =>
+          val v = new org.apache.spark.sql.execution.vectorized
+            .OnHeapColumnVector(capacity, tf.dataType)
+          v.putNulls(0, capacity)
+          v: org.apache.spark.sql.vectorized.ColumnVector
+        case i =>
+          val c = base.getChild(i)
+          if (Acid.sameIgnoreNull(c.dataType(), tf.dataType)) c
+          else (c.dataType(), tf.dataType) match {
+            case (f: StructType, t: StructType) =>
+              new StructRemapVector(c, f, t, capacity)
+            case _ => new WideningColumnVector(c, tf.dataType)
+          }
+      }
+    }
+  override def getChild(o: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    children(o)
+  override def close(): Unit = base.close()
+  override def closeIfFreeable(): Unit = base.closeIfFreeable()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = base.numNulls()
+  override def isNullAt(i: Int): Boolean = base.isNullAt(i)
+  // scalar accessors are never invoked on a struct-typed vector; delegate
+  // for completeness
+  override def getBoolean(i: Int): Boolean = base.getBoolean(i)
+  override def getByte(i: Int): Byte = base.getByte(i)
+  override def getShort(i: Int): Short = base.getShort(i)
+  override def getInt(i: Int): Int = base.getInt(i)
+  override def getLong(i: Int): Long = base.getLong(i)
+  override def getFloat(i: Int): Float = base.getFloat(i)
+  override def getDouble(i: Int): Double = base.getDouble(i)
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(i)
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(i)
+  override def getDecimal(i: Int, p: Int, sc: Int): org.apache.spark.sql.types.Decimal =
+    base.getDecimal(i, p, sc)
+  override def getUTF8String(i: Int): UTF8String = base.getUTF8String(i)
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(i)
 }
 
 /** Per-access upcasting view over a NARROW column vector — the columnar

@@ -454,6 +454,26 @@ class Round11Spec extends AnyFunSuite {
     assert(r3.getInt(0) === 1 && r3.isNullAt(1), "NULL value under a live key")
   }
 
+  test("nested scans take the vectorized path; DV scans stay on the row reader") {
+    val root = Scratch.fresh("r11_nestcol", sf)
+    val cat = "graft_r11nc_" +
+      java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, meta STRUCT<tag: STRING, w: BIGINT>, " +
+      "emb ARRAY<FLOAT>)")
+    spark.range(100).selectExpr("id AS k",
+      "named_struct('tag', 'x', 'w', id) AS meta",
+      "array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT)) AS emb")
+      .createOrReplaceTempView("r11nc_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM r11nc_src")
+    val q = spark.sql(s"SELECT meta.w, emb FROM $cat.t")
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "struct+array scan should be vectorized")
+    assert(q.collect().map(_.getLong(0)).sum === (0L until 100L).sum)
+  }
+
   test("row-level UPDATE and MERGE work on a struct-carrying catalog table") {
     val root = Scratch.fresh("r11_rowlevel_nested", sf)
     val cat = "graft_r11rn_" +
