@@ -1766,12 +1766,15 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
     extends PartitionReader[ColumnarBatch] {
   private val capacity = 4096
   private val conf = new Configuration()
-  // footer-only open: schema + raw block/row census (no pages touched)
-  private val (fileSchema: MessageType, totalRows: Long, totalBlocks: Int) = {
+  // footer-only open: schema + raw block/row census (no pages touched);
+  // the parsed footer is REUSED by the data open below, so each file
+  // pays one footer read per scan, not two
+  private val (footerMd: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      fileSchema: MessageType, totalRows: Long, totalBlocks: Int) = {
     val in = HadoopInputFile.fromPath(new Path(absPath), conf)
     val fr = ParquetFileReader.open(in)
-    try (fr.getFooter.getFileMetaData.getSchema, fr.getRecordCount,
-      fr.getFooter.getBlocks.size)
+    try (fr.getFooter, fr.getFooter.getFileMetaData.getSchema,
+      fr.getRecordCount, fr.getFooter.getBlocks.size)
     finally fr.close()
   }
   private val fileFields: Set[String] =
@@ -1812,8 +1815,9 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
       .useColumnIndexFilter(false)
     pred.foreach(p => ob.withRecordFilter(
       org.apache.parquet.filter2.compat.FilterCompat.get(p)): Unit)
-    val fr = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(absPath), conf), ob.build())
+    val dataIn = HadoopInputFile.fromPath(new Path(absPath), conf)
+    val fr = ParquetFileReader.open(dataIn, footerMd, ob.build(),
+      dataIn.newStream())
     AcidSql.rowGroupsTotal.add(totalBlocks.toLong)
     AcidSql.rowGroupsRead.add(fr.getRowGroups.size.toLong)
     val requested = new MessageType("graft_acid_v2",
