@@ -1096,7 +1096,22 @@ object Acid {
       Math.floorMod(XXH64.hashLong(raw, BucketSeed), n.toLong)
     }
   }
+  /** `truncate(n, col)` — Iceberg's numeric truncate transform
+    * (round-12 verdict #2): floor to a multiple of n. MONOTONE, so the
+    * restamp path and range pruning treat it exactly like identity/days;
+    * partition values stay in the source column's LONG domain. */
+  final case class PartTruncate(n: Int, col: String) extends PartSpec {
+    def label: String = s"truncate($n,$col)"
+    def eval(raw: Long): Long = raw - Math.floorMod(raw, n.toLong)
+  }
+  /** `hours(ts)` — hour-grain time partitioning (round-12 verdict #2):
+    * UTC epoch-hour of a micros timestamp. MONOTONE like days. */
+  final case class PartHours(col: String) extends PartSpec {
+    def label: String = s"hours($col)"
+    def eval(raw: Long): Long = Math.floorDiv(raw, MicrosPerHour)
+  }
   private[sources] val MicrosPerDay = 86400000000L
+  private[sources] val MicrosPerHour = 3600000000L
   private[sources] val BucketSeed = 42L
 
   /** The ONE-VALUE partition rule shared by `.partitions` reporting and
@@ -1118,12 +1133,16 @@ object Acid {
 
   private[sources] def parsePartSpec(s: String): PartSpec = {
     val D = """days\((.+)\)""".r
+    val H = """hours\((.+)\)""".r
     val B = """bucket\((\d+),(.+)\)""".r
+    val T = """truncate\((\d+),(.+)\)""".r
     // column captures are trimmed: `bucket(4, uid)` / `days( ts )` with
     // the natural whitespace parse to the bare column name
     s match {
       case D(c)    => PartDays(c.trim)
+      case H(c)    => PartHours(c.trim)
       case B(n, c) => PartBucket(n.toInt, c.trim)
+      case T(n, c) => PartTruncate(n.toInt, c.trim)
       case c       => PartIdentity(c.trim)
     }
   }
@@ -1200,9 +1219,9 @@ object Acid {
         throw new IllegalArgumentException(
           s"evolvePartSpec: no column '${ps.col}' in $dir"))
       ps match {
-        case _: PartDays => require(
+        case _: PartDays | _: PartHours => require(
           f.dataType == TimestampType || f.dataType == TimestampNTZType,
-          s"days(${ps.col}) needs a TIMESTAMP column, got ${f.dataType.sql}")
+          s"${ps.label} needs a TIMESTAMP column, got ${f.dataType.sql}")
         case _ => require(f.dataType == LongType,
           s"${ps.label} needs a BIGINT column, got ${f.dataType.sql}")
       }
@@ -1213,9 +1232,11 @@ object Acid {
     // table writes the LOGICAL name, so map it through before persisting
     val cm = colMapOf(dir)
     val stored = specs.map {
-      case PartIdentity(c)  => PartIdentity(cm.getOrElse(c, c))
-      case PartDays(c)      => PartDays(cm.getOrElse(c, c))
-      case PartBucket(n, c) => PartBucket(n, cm.getOrElse(c, c))
+      case PartIdentity(c)    => PartIdentity(cm.getOrElse(c, c))
+      case PartDays(c)        => PartDays(cm.getOrElse(c, c))
+      case PartHours(c)       => PartHours(cm.getOrElse(c, c))
+      case PartBucket(n, c)   => PartBucket(n, cm.getOrElse(c, c))
+      case PartTruncate(n, c) => PartTruncate(n, cm.getOrElse(c, c))
     }.map(_.label).mkString(",")
     val p = logDir(dir).resolve("partcol.txt")
     val prev =
@@ -4071,6 +4092,64 @@ object Acid {
       .withColumn("dv_materialized", lit(dvGone && n1 > 0 && n2 > 0))
   }
 
+  /** tbl_dv_columnar — merge-on-read debt scans VECTORIZED (round-12
+    * verdict #1): with LIVE deletion vectors (no OPTIMIZE) the V2 scan
+    * keeps Spark's vectorized parquet reader and masks each batch with a
+    * zero-copy selection vector, instead of dropping to the per-cell
+    * Group row reader. At 100 TB, DV debt between maintenance passes is
+    * the steady state — this row pins that the debt window keeps
+    * per-column decode. `columnar_with_dv` pins the plan (ColumnarToRow
+    * over the scan) while a DV is provably live in the manifest; the
+    * aggregate travels through the oracle, so the masked batches must
+    * hash-match DuckDB's subtract-in-SQL result exactly.
+    */
+  val tblDvColumnar: Q = (s, d) => {
+    val dir = fresh("tbl_dv_columnar", d)
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    val (n1, _, _) = deleteWhereMor(s, dir,
+      col("k") % 10 === 6 && col("k") < lit(mk / 4), Some((0L, mk / 4)), "dv1")
+    val dvLive = readManifest(dir, latestVersion(dir)).files.exists(_.dv.nonEmpty)
+    val q = s.read.format("graft-acid-sql").load(dir)
+    val columnar =
+      q.queryExecution.executedPlan.toString.contains("ColumnarToRow")
+    q.agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("columnar_with_dv", lit(columnar && dvLive && n1 > 0))
+  }
+
+  /** tbl_sql_composite — composite ELEMENT types on the V2 SQL surface
+    * (round-12 advice: ARRAY<STRUCT<...>> and MAP<STRING, ARRAY<...>>
+    * previously passed CREATE but wrote nothing and read back NULL):
+    * CREATE TABLE holding both shapes, INSERT through the V2 writer's
+    * recursive Group fill, read back and extract scalars Spark-side so
+    * the oracle recomputes from plain orders arithmetic. Forces the
+    * GROUP row reader's recursive conversion too via the struct
+    * element's nested access.
+    */
+  val tblSqlComposite: Q = (s, d) => {
+    val root = fresh("tbl_sql_composite_cat", d)
+    val cat = "graft_sqlc_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_sqlc_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.c")
+    s.sql(s"""CREATE TABLE $cat.c (k BIGINT,
+             |parts ARRAY<STRUCT<pid: BIGINT, qty: BIGINT>>,
+             |tags MAP<STRING, ARRAY<BIGINT>>)""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.c SELECT k,
+             |array(named_struct('pid', k % 11, 'qty', price_cents % 5),
+             |      named_struct('pid', k % 13, 'qty', price_cents % 7)),
+             |map('lo', array(k % 3, k % 5), 'hi', array(price_cents % 2))
+             |FROM graft_sqlc_src""".stripMargin)
+    s.sql(s"""SELECT count(*) AS n,
+             |sum(parts[0].pid * 100 + parts[0].qty) AS s0,
+             |sum(parts[1].pid * 100 + parts[1].qty) AS s1,
+             |sum(tags['lo'][0] + tags['lo'][1] + tags['hi'][0]) AS s_tags,
+             |sum(size(parts)) AS n_parts
+             |FROM $cat.c""".stripMargin)
+  }
+
   /** tbl_constraint — CHECK constraints (the Delta invariant contract):
     * the table is created WITH `price_cents >= 0 AND prio IS NOT NULL`;
     * a valid merge commits; a violating merge (negative prices) REFUSES
@@ -4831,6 +4910,80 @@ object Acid {
     s.sql(s"""SELECT count(*) AS n_probe, sum(price_cents) AS probe_cents
              |FROM $cat.bt WHERE k = $probe""".stripMargin)
       .withColumn("bucket_pruned", lit(scanned >= 1 && scanned * 2 <= total))
+  }
+
+  /** tbl_part_truncate — Iceberg's numeric `truncate(n, col)` transform
+    * (round-12 verdict #2): every file carries one truncate-bucket value
+    * in stats2 (the segment-rolling writer rolls on floor(k/1024)*1024
+    * change under the local sort the write declares); a key RANGE probe
+    * floors its bounds through the SAME eval and plans a strict file
+    * subset — unlike bucket, truncate is monotone, so range predicates
+    * prune too. DESCRIBE reports the transform; SPJ alignment over
+    * truncate is pinned in Round12Spec.
+    */
+  val tblPartTruncate: Q = (s, d) => {
+    val root = fresh("tbl_part_trunc_cat", d)
+    val cat = "graft_ptrc_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_ptrc_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.tt")
+    // the transform rides a NON-key column (grp = k % 4096, buckets
+    // {0,1024,2048,3072}) so the pin proves TRANSFORM pruning — key
+    // min/max ranges span every file and cannot help
+    s.sql(s"""CREATE TABLE $cat.tt (k BIGINT, grp BIGINT, price_cents BIGINT)
+             |PARTITIONED BY (truncate(1024, grp))""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.tt SELECT k, k % 4096, price_cents
+             |FROM graft_ptrc_src""".stripMargin)
+    val declared = s.table(s"$cat.tt").queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.partitioning().map(_.toString).mkString(",")
+    }.getOrElse("")
+    // probe entirely inside the 1024-bucket: floor(1100..2000 / 1024) = 1024
+    s.sql(s"SELECT count(*) FROM $cat.tt WHERE grp BETWEEN 1100 AND 2000").head
+    val (scanned, total) = AcidSql.lastScanFor(s"$root/tt")
+    s.sql(s"""SELECT count(*) AS n_window, sum(price_cents) AS window_cents
+             |FROM $cat.tt WHERE grp BETWEEN 1100 AND 2000""".stripMargin)
+      .withColumn("pruned", lit(scanned >= 1 && scanned * 2 <= total))
+      .withColumn("partitioning_reported",
+        lit(declared.replace(" ", "") == "truncate(1024,grp)"))
+  }
+
+  /** tbl_part_hours — hour-grain time partitioning (round-12 verdict #2,
+    * the finer sibling of days(ts) for streaming-freshness layouts):
+    * INSERT restricted to a 3-day slice rolls ~72 one-hour segments
+    * under the declared local sort; an hour-window probe floors its
+    * timestamp bounds to epoch-hours through the same eval and scans a
+    * strict subset. The hours V2 catalog function serves SPJ alignment.
+    */
+  val tblPartHours: Q = (s, d) => {
+    val root = fresh("tbl_part_hours_cat", d)
+    val cat = "graft_phrs_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ev = Tables.events(s, d).select(col("event_id").as("k"), col("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+    val ss = ev.sparkSession
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ev.createOrReplaceTempView("graft_phrs_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    s.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, cents BIGINT)
+             |PARTITIONED BY (hours(ts))""".stripMargin)
+    ss.sql(s"INSERT INTO $cat.ev SELECT k, ts, cents FROM graft_phrs_src")
+    val declared = s.table(s"$cat.ev").queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.partitioning().map(_.toString).mkString(",")
+    }.getOrElse("")
+    val win = "ts >= TIMESTAMP'2024-01-02 03:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-02 09:00:00'"
+    s.sql(s"SELECT count(*) FROM $cat.ev WHERE $win").head
+    val (scanned, total) = AcidSql.lastScanFor(s"$root/ev")
+    s.sql(s"""SELECT count(*) AS n_window, sum(cents) AS window_cents
+             |FROM $cat.ev WHERE $win""".stripMargin)
+      .withColumn("pruned", lit(scanned >= 1 && scanned * 4 <= total))
+      .withColumn("partitioning_reported", lit(declared == "hours(ts)"))
   }
 
   /** tbl_spj_join — STORAGE-PARTITIONED JOIN over the table's own
@@ -5736,6 +5889,8 @@ object Acid {
     "tbl_sql_partitioned"   -> tblSqlPartitioned,
     "tbl_part_days"         -> tblPartDays,
     "tbl_part_bucket"       -> tblPartBucket,
+    "tbl_part_truncate"     -> tblPartTruncate,
+    "tbl_part_hours"        -> tblPartHours,
     "tbl_partitions_meta"   -> tblPartitionsMeta,
     "tbl_optimize_partitions" -> tblOptimizePartitions,
     "tbl_sql_optimize"      -> tblSqlOptimize,
@@ -5771,6 +5926,8 @@ object Acid {
     "tbl_restore"           -> tblRestore,
     "tbl_constraint"        -> tblConstraint,
     "tbl_delete_vector"     -> tblDeleteVector,
+    "tbl_dv_columnar"       -> tblDvColumnar,
+    "tbl_sql_composite"     -> tblSqlComposite,
     "tbl_partitioned"       -> tblPartitioned,
     "tbl_change_feed"       -> tblChangeFeed,
     "tbl_delete_where"      -> tblDeleteWhere,
@@ -5911,6 +6068,22 @@ object Acid {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "tbl_part_truncate" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT count(*) AS n_window, CAST(sum(pc) AS BIGINT) AS window_cents,
+        |       TRUE AS pruned, TRUE AS partitioning_reported
+        |FROM base
+        |WHERE k % 4096 BETWEEN 1100 AND 2000""".stripMargin,
+    "tbl_part_hours" ->
+      """SELECT count(*) AS n_window,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS window_cents,
+        |       TRUE AS pruned, TRUE AS partitioning_reported
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02 03:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-02 09:00:00'""".stripMargin,
     "tbl_part_bucket" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,
@@ -6254,6 +6427,26 @@ object Acid {
         |FROM base
         |WHERE NOT (k % 10 = 6 AND k < (SELECT m FROM mx) // 4)
         |  AND NOT (k % 10 = 1 AND k < (SELECT m FROM mx) // 2)""".stripMargin,
+    "tbl_dv_columnar" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       TRUE AS columnar_with_dv
+        |FROM base
+        |WHERE NOT (k % 10 = 6 AND k < (SELECT m FROM mx) // 4)""".stripMargin,
+    "tbl_sql_composite" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT count(*) AS n,
+        |       CAST(sum((k % 11) * 100 + pc % 5) AS BIGINT) AS s0,
+        |       CAST(sum((k % 13) * 100 + pc % 7) AS BIGINT) AS s1,
+        |       CAST(sum(k % 3 + k % 5 + pc % 2) AS BIGINT) AS s_tags,
+        |       CAST(2 * count(*) AS BIGINT) AS n_parts
+        |FROM base""".stripMargin,
     "tbl_constraint" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

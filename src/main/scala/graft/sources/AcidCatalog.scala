@@ -58,14 +58,22 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     * transform resolution looks (`Identifier.of(Array.empty, name)`). */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array("bucket", "days").map(Identifier.of(Array.empty[String], _))
+      Array("bucket", "days", "hours", "truncate")
+        .map(Identifier.of(Array.empty[String], _))
     else Array.empty
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.namespace().isEmpty) ident.name() match {
-      case "bucket" => AcidFunctions.BucketUnbound
-      case "days"   => AcidFunctions.DaysUnbound
-      case _        => throw new NoSuchFunctionException(ident)
+      case "bucket"   => AcidFunctions.BucketUnbound
+      case "days"     => AcidFunctions.DaysUnbound
+      case "hours"    => AcidFunctions.HoursUnbound
+      case "truncate" => AcidFunctions.TruncateUnbound
+      // width-specialized SPJ spelling (see TruncateNUnbound's scaladoc)
+      case tn if tn.startsWith("truncate_") &&
+          tn.drop("truncate_".length).forall(_.isDigit) &&
+          tn.length > "truncate_".length =>
+        AcidFunctions.TruncateNUnbound(tn.drop("truncate_".length).toInt)
+      case _          => throw new NoSuchFunctionException(ident)
     } else throw new NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -190,6 +198,27 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
             s"$catName: PARTITIONED BY (days(c)) needs a TIMESTAMP column, " +
               s"${f.name} is ${f.dataType.sql}")
         Acid.PartDays(f.name).label
+      case t if t.name() == "hours" && t.references().length == 1 =>
+        val f = fieldOf(t)
+        if (f.dataType != TimestampType && f.dataType != TimestampNTZType)
+          throw new UnsupportedOperationException(
+            s"$catName: PARTITIONED BY (hours(c)) needs a TIMESTAMP column, " +
+              s"${f.name} is ${f.dataType.sql}")
+        Acid.PartHours(f.name).label
+      case t if t.name() == "truncate" && t.references().length == 1 =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"$catName: truncate transform needs a literal width"))
+        require(n >= 1,
+          s"$catName: truncate width must be positive, got $n")
+        val f = fieldOf(t)
+        if (f.dataType != LongType)
+          throw new UnsupportedOperationException(
+            s"$catName: PARTITIONED BY (truncate(n, c)) needs a BIGINT " +
+              s"column, ${f.name} is ${f.dataType.sql}")
+        Acid.PartTruncate(n, f.name).label
       case t if t.name() == "bucket" && t.references().length == 1 =>
         val n = t.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
@@ -205,8 +234,8 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
               s"${f.name} is ${f.dataType.sql}")
         Acid.PartBucket(n, f.name).label
       case other => throw new UnsupportedOperationException(
-        s"$catName: only single-column identity / days / bucket " +
-          s"transforms are supported, got $other")
+        s"$catName: only single-column identity / days / hours / bucket " +
+          s"/ truncate transforms are supported, got $other")
     }
     info.partitions() match {
       case ps if ps.isEmpty => None
@@ -226,6 +255,11 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     val dir = dirOf(ident)
     if (exists(dir)) throw new TableAlreadyExistsException(ident.toString)
+    // eager schema validation (round-12 advice): every declared type —
+    // including composite element/value types — must be one the V2
+    // writer/reader cover, or CREATE refuses here instead of data
+    // silently failing at the first INSERT/read
+    AcidSql.toParquetSchema(info.schema()): Unit
     Files.createDirectories(Paths.get(dir))
     Acid.writeDeclaredSchema(dir, info.schema())
     partColFrom(info).foreach(Acid.writePartCol(dir, _))
@@ -238,6 +272,7 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     val dir = dirOf(ident)
     if (exists(dir)) throw new TableAlreadyExistsException(ident.toString)
+    AcidSql.toParquetSchema(info.schema()): Unit // same eager check as createTable
     Files.createDirectories(Paths.get(dir))
     // CTAS with a zero-row SELECT commits an empty v0 too — persist the
     // declared schema so the created table is still readable/insertable.

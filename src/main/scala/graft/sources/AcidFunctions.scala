@@ -24,11 +24,16 @@ object AcidFunctions {
     override def description(): String =
       "bucket(n, col): floorMod(xxhash64(col, seed=42), n) — the " +
         "graft-acid write-time bucket transform"
+    // UnsupportedOperationException per the UnboundFunction.bind
+    // contract (round-12 advice): Spark's transform resolution treats it
+    // as "this catalog can't serve the transform" and falls back to a
+    // shuffle instead of failing the query
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.fields.length == 2 &&
+      if (!(inputType.fields.length == 2 &&
         inputType.fields(0).dataType == IntegerType &&
-        inputType.fields(1).dataType == LongType,
-        s"bucket(n, col) binds (INT, BIGINT), got ${inputType.sql}")
+        inputType.fields(1).dataType == LongType))
+        throw new UnsupportedOperationException(
+          s"bucket(n, col) binds (INT, BIGINT), got ${inputType.sql}")
       Bucket
     }
   }
@@ -53,10 +58,11 @@ object AcidFunctions {
       "days(ts): UTC epoch-day of a micros timestamp — the graft-acid " +
         "write-time day transform"
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.fields.length == 1 &&
+      if (!(inputType.fields.length == 1 &&
         (inputType.fields(0).dataType == TimestampType ||
-          inputType.fields(0).dataType == TimestampNTZType),
-        s"days(ts) binds a TIMESTAMP, got ${inputType.sql}")
+          inputType.fields(0).dataType == TimestampNTZType)))
+        throw new UnsupportedOperationException(
+          s"days(ts) binds a TIMESTAMP, got ${inputType.sql}")
       DaysBound(inputType.fields(0).dataType)
     }
   }
@@ -72,5 +78,93 @@ object AcidFunctions {
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): Integer =
       Math.floorDiv(input.getLong(0), Acid.MicrosPerDay).toInt
+  }
+
+  object HoursUnbound extends UnboundFunction {
+    override def name(): String = "hours"
+    override def description(): String =
+      "hours(ts): UTC epoch-hour of a micros timestamp — the graft-acid " +
+        "write-time hour transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (!(inputType.fields.length == 1 &&
+        (inputType.fields(0).dataType == TimestampType ||
+          inputType.fields(0).dataType == TimestampNTZType)))
+        throw new UnsupportedOperationException(
+          s"hours(ts) binds a TIMESTAMP, got ${inputType.sql}")
+      HoursBound(inputType.fields(0).dataType)
+    }
+  }
+
+  case class HoursBound(in: DataType) extends ScalarFunction[Integer] {
+    override def name(): String = "hours"
+    override def canonicalName(): String = "graft.hours(timestamp)"
+    override def inputTypes(): Array[DataType] = Array(in)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer =
+      Math.floorDiv(input.getLong(0), Acid.MicrosPerHour).toInt
+  }
+
+  /** Width-specialized single-argument truncate, `truncate_<n>(col)` —
+    * the SPJ spelling: Spark's `KeyGroupedPartitioning
+    * .supportsExpressions` only accepts transforms with ONE child (the
+    * bucket transform smuggles its literal into `numBucketsOpt`; a
+    * generic 2-arg transform is rejected and the scan degrades to
+    * UnknownPartitioning). The scan therefore reports `truncate_1024(k)`
+    * while DDL/DESCRIBE keep the standard `truncate(1024, k)`; both
+    * sides of a join resolve the same name through this catalog and
+    * compare equal canonical names per width. */
+  case class TruncateNUnbound(n: Int) extends UnboundFunction {
+    override def name(): String = s"truncate_$n"
+    override def description(): String =
+      s"truncate_$n(col): col - floorMod(col, $n) — width-specialized " +
+        "single-arg spelling of the truncate transform (SPJ alignment)"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (!(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == LongType))
+        throw new UnsupportedOperationException(
+          s"truncate_$n(col) binds a BIGINT, got ${inputType.sql}")
+      TruncateN(n)
+    }
+  }
+
+  case class TruncateN(n: Int) extends ScalarFunction[java.lang.Long] {
+    override def name(): String = s"truncate_$n"
+    override def canonicalName(): String = s"graft.truncate_$n(bigint)"
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): java.lang.Long = {
+      val v = input.getLong(0)
+      java.lang.Long.valueOf(v - Math.floorMod(v, n.toLong))
+    }
+  }
+
+  object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(n, col): col - floorMod(col, n) — the graft-acid " +
+        "write-time numeric truncate transform (Iceberg semantics)"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (!(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == LongType))
+        throw new UnsupportedOperationException(
+          s"truncate(n, col) binds (INT, BIGINT), got ${inputType.sql}")
+      Truncate
+    }
+  }
+
+  object Truncate extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate(int,bigint)"
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): java.lang.Long = {
+      val n = input.getInt(0).toLong
+      val v = input.getLong(1)
+      java.lang.Long.valueOf(v - Math.floorMod(v, n))
+    }
   }
 }

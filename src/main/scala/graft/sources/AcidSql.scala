@@ -139,6 +139,12 @@ object AcidSql {
     rowGroupsTotal.reset(); rowGroupsRead.reset()
   }
 
+  /** TEST-ONLY escape hatch: forces every V2 scan onto the Group row
+    * reader so specs can compare the two paths on identical plans
+    * (local-mode probe, same JVM-sharing caveat as the row-group
+    * counters). Never set in production code. */
+  @volatile private[graft] var forceRowReads = false
+
   /** Pushed V1 filters re-expressed as a parquet `FilterPredicate` over
     * the FILE's own primitive widths (round-11 verdict #1): opening a
     * reader with this filter prunes ROW GROUPS by footer
@@ -481,11 +487,14 @@ object AcidSql {
   }
 
   /** Supported column types of the V2 writer/reader — the table format's
-    * own surface is long/int/double/bool/string (money as integer cents
-    * per the house rule) plus STRUCTs of these at any depth (round-11:
-    * XML-derived schemas are nested, so the SQL surface holds them
-    * natively); arrays/maps should land via the library API's parquet
-    * writers. */
+    * own surface is long/int/float/double/bool/string/date/timestamp
+    * (money as integer cents per the house rule) plus STRUCT/ARRAY/MAP
+    * of these at any depth (round-11: XML-derived schemas are nested,
+    * so the SQL surface holds them natively; round-12: the Group
+    * writer/reader recurse through every shape admitted here —
+    * `addValue`/`value` are the exact mirrors of this function, and both
+    * throw rather than silently dropping an unhandled type). MAP keys
+    * are restricted to string/long/int. */
   private[sources] def parquetField(name: String, dt: DataType)
       : org.apache.parquet.schema.Type = dt match {
     case LongType    => Types.optional(PrimitiveTypeName.INT64).named(name)
@@ -600,7 +609,10 @@ class AcidSqlTable(dir: String, tableSchema: StructType, pinnedVersion: Int = -1
     Acid.partSpecsOf(dir).map {
       case Acid.PartIdentity(c)  => Expressions.identity(AcidSql.logicalName(dir, c))
       case Acid.PartDays(c)      => Expressions.days(AcidSql.logicalName(dir, c))
+      case Acid.PartHours(c)     => Expressions.hours(AcidSql.logicalName(dir, c))
       case Acid.PartBucket(n, c) => Expressions.bucket(n, AcidSql.logicalName(dir, c))
+      case Acid.PartTruncate(n, c) => Expressions.apply("truncate",
+        Expressions.literal(n), Expressions.column(AcidSql.logicalName(dir, c)))
     }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -761,6 +773,14 @@ class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
         Expressions.identity(AcidSql.logicalName(dir, c)),
         SortDirection.ASCENDING))
       case Some(Acid.PartDays(c)) => Array(Expressions.sort(
+        Expressions.identity(AcidSql.logicalName(dir, c)),
+        SortDirection.ASCENDING))
+      // hours/truncate are monotone like days: a LOCAL sort on the
+      // source column rolls contiguous one-value segments shuffle-free
+      case Some(Acid.PartHours(c)) => Array(Expressions.sort(
+        Expressions.identity(AcidSql.logicalName(dir, c)),
+        SortDirection.ASCENDING))
+      case Some(Acid.PartTruncate(_, c)) => Array(Expressions.sort(
         Expressions.identity(AcidSql.logicalName(dir, c)),
         SortDirection.ASCENDING))
       case _ => Array.empty
@@ -1101,9 +1121,14 @@ object AcidSqlDataWriter {
   /** Bucketed writes keep ≤ this many parquet writers open per task. */
   val MaxOpenSegments = 64
 
-  /** Write one primitive element of an array/map container into field
-    * `idx` of a repeated entry group. */
-  private def addPrim(g: Group, idx: Int, dt: DataType,
+  /** Write one element of an array/map container into field `idx` of a
+    * repeated entry group. Covers every type `parquetField` admits —
+    * primitives write directly; STRUCT/ARRAY/MAP recurse, so nested
+    * composites (ARRAY<STRUCT<...>>, MAP<K, ARRAY<...>>, ...) round-trip
+    * instead of silently dropping values (round-12 fix). The terminal
+    * throw is a guard against writer/schema drift — reaching it means
+    * `parquetField` admitted a shape this writer does not cover. */
+  private def addValue(g: Group, idx: Int, dt: DataType,
       a: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
       j: Int): Unit = dt match {
     case LongType    => g.add(idx, a.getLong(j))
@@ -1113,7 +1138,43 @@ object AcidSqlDataWriter {
     case BooleanType => g.add(idx, a.getBoolean(j))
     case StringType  => g.add(idx,
       Binary.fromConstantByteArray(a.getUTF8String(j).getBytes))
-    case _           => ()
+    // parquet DATE = INT32 epoch days, TIMESTAMP(MICROS) = INT64 —
+    // both exactly Spark's internal encodings
+    case DateType    => g.add(idx, a.getInt(j))
+    case TimestampType | TimestampNTZType => g.add(idx, a.getLong(j))
+    case st: StructType =>
+      fillGroup(g.addGroup(idx), st, a.getStruct(j, st.length))
+    case at: ArrayType => fillList(g.addGroup(idx), at, a.getArray(j))
+    case mt: MapType   => fillMap(g.addGroup(idx), mt, a.getMap(j))
+    case other => throw new IllegalArgumentException(
+      s"graft-acid-sql: container element type $other has no writer")
+  }
+
+  /** Fill a 3-level LIST group: one repeated entry per element; a NULL
+    * element is an entry without the optional element field. */
+  private def fillList(outer: Group, at: ArrayType,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    var j = 0
+    while (j < arr.numElements()) {
+      val entry = outer.addGroup(0)
+      if (!arr.isNullAt(j)) addValue(entry, 0, at.elementType, arr, j)
+      j += 1
+    }
+  }
+
+  /** Fill a MAP group: one repeated key_value entry per pair; a NULL
+    * value is an entry without the optional value field (keys are
+    * non-null by Spark's map contract). */
+  private def fillMap(outer: Group, mtp: MapType,
+      m: org.apache.spark.sql.catalyst.util.MapData): Unit = {
+    val ks = m.keyArray(); val vs = m.valueArray()
+    var j = 0
+    while (j < m.numElements()) {
+      val kv = outer.addGroup(0)
+      addValue(kv, 0, mtp.keyType, ks, j)
+      if (!vs.isNullAt(j)) addValue(kv, 1, mtp.valueType, vs, j)
+      j += 1
+    }
   }
 
   /** Fill a parquet Group from an internal row, recursing into STRUCT
@@ -1134,36 +1195,10 @@ object AcidSqlDataWriter {
         case FloatType   => g.add(f.name, row.getFloat(i))
         case st: StructType =>
           fillGroup(g.addGroup(f.name), st, row.getStruct(i, st.length))
-        case at: ArrayType =>
-          // 3-level LIST: one repeated "list" entry per element; a NULL
-          // element is an entry without the optional "element" field
-          val outer = g.addGroup(f.name)
-          val arr = row.getArray(i)
-          var j = 0
-          while (j < arr.numElements()) {
-            val entry = outer.addGroup(0)
-            if (!arr.isNullAt(j)) addPrim(entry, 0, at.elementType, arr, j)
-            j += 1
-          }
-        case mtp: MapType =>
-          // MAP: one repeated key_value entry per pair; a NULL value is
-          // an entry without the optional "value" field (keys are
-          // non-null by Spark's map contract)
-          val outer = g.addGroup(f.name)
-          val m = row.getMap(i)
-          val ks = m.keyArray(); val vs = m.valueArray()
-          var j = 0
-          while (j < m.numElements()) {
-            val kv = outer.addGroup(0)
-            addPrim(kv, 0, mtp.keyType, ks, j)
-            if (!vs.isNullAt(j)) mtp.valueType match {
-              case st2: StructType =>
-                fillGroup(kv.addGroup(1), st2, vs.getStruct(j, st2.length))
-              case vt => addPrim(kv, 1, vt, vs, j)
-            }
-            j += 1
-          }
-        case _ => ()
+        case at: ArrayType => fillList(g.addGroup(f.name), at, row.getArray(i))
+        case mtp: MapType  => fillMap(g.addGroup(f.name), mtp, row.getMap(i))
+        case other => throw new IllegalArgumentException(
+          s"graft-acid-sql: column type $other has no writer for '${f.name}'")
       }
     }
 }
@@ -1283,11 +1318,21 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
             val (plo, phi) = AcidSql.keyBounds(mine, pc)
             f => statFor(f, ps.label).forall {
               case (mn2, mx2) => mx2 >= plo && mn2 <= phi }
-          case pd: Acid.PartDays =>
+          case pd @ (_: Acid.PartDays | _: Acid.PartHours) =>
+            // days/hours share the monotone time-transform verdict:
+            // timestamp bounds → transformed bounds via the SAME eval
+            // that stamped the files
             val (tLo, tHi) = AcidSql.timeBoundsMicros(mine, pc)
             val plo = if (tLo == Long.MinValue) Long.MinValue else pd.eval(tLo)
             val phi = if (tHi == Long.MaxValue) Long.MaxValue else pd.eval(tHi)
             f => statFor(f, pd.label).forall {
+              case (mn2, mx2) => mx2 >= plo && mn2 <= phi }
+          case pt: Acid.PartTruncate =>
+            // monotone on the long domain: floor the long bounds
+            val (tLo, tHi) = AcidSql.keyBounds(mine, pc)
+            val plo = if (tLo == Long.MinValue) Long.MinValue else pt.eval(tLo)
+            val phi = if (tHi == Long.MaxValue) Long.MaxValue else pt.eval(tHi)
+            f => statFor(f, pt.label).forall {
               case (mn2, mx2) => mx2 >= plo && mn2 <= phi }
           case pb: Acid.PartBucket =>
             AcidSql.probeKeys(mine, pc).map(_.map(pb.eval).toSet) match {
@@ -1423,19 +1468,21 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
         })
     }
     // NON-key NDV (round-11 verdict #4): the write-time per-file HLL
-    // results fold as MAX across the pruned entries — a LOWER bound,
-    // exact for low-cardinality columns present in every file (the case
-    // that drives dimension-order decisions) and an underestimate for
-    // value-clustered columns, which only inflates that join's output
-    // estimate and defers it — the safe failure direction for reorder
-    // (an overestimating fold could pull a join earlier wrongly). Served
-    // only when every live entry carries the column's stamp.
+    // results fold as MAX across the pruned entries — intended as a
+    // LOWER bound (an underestimate only inflates that join's output
+    // estimate and defers it, the safe failure direction for reorder;
+    // an overestimating fold could pull a join earlier wrongly). The
+    // per-file values come from approx_count_distinct (~5% relative
+    // error) and can individually OVERestimate, so the fold is
+    // discounted by that margin (round-12 advice) to restore the
+    // lower-bound property: serve floor(max * 0.95), floored at 1.
+    // Served only when every live entry carries the column's stamp.
     required.fields.foreach { f =>
       val phys = pushedColMap.getOrElse(f.name, f.name)
       if (phys != keyCol && live.nonEmpty &&
         live.forall(_.ndv.exists(_._1 == phys))) {
-        val nd = math.min(
-          live.iterator.map(_.ndv.find(_._1 == phys).get._2).max, rows)
+        val fold = live.iterator.map(_.ndv.find(_._1 == phys).get._2).max
+        val nd = math.min(math.max(1L, (fold * 0.95).toLong), rows)
         if (nd > 0L)
           colStatsMap.put(Expressions.column(f.name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -1494,8 +1541,10 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
   // shuffle, never a wrong answer.
 
   private def spjValue(ps: Acid.PartSpec, v: Long): Any = ps match {
-    case _: Acid.PartIdentity => java.lang.Long.valueOf(v)
-    case _                    => java.lang.Integer.valueOf(v.toInt)
+    // identity/truncate values live in the source column's LONG domain;
+    // days/hours/bucket produce the V2 functions' INT result type
+    case _: Acid.PartIdentity | _: Acid.PartTruncate => java.lang.Long.valueOf(v)
+    case _ => java.lang.Integer.valueOf(v.toInt)
   }
 
   private def spjPlan
@@ -1521,8 +1570,16 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
               : org.apache.spark.sql.connector.expressions.Expression
           case Acid.PartDays(c) =>
             Expressions.days(AcidSql.logicalName(dir, c))
+          case Acid.PartHours(c) =>
+            Expressions.hours(AcidSql.logicalName(dir, c))
           case Acid.PartBucket(n, c) =>
             Expressions.bucket(n, AcidSql.logicalName(dir, c))
+          case Acid.PartTruncate(n, c) =>
+            // single-arg width-specialized spelling: Spark's SPJ
+            // machinery rejects transforms with a literal child (see
+            // AcidFunctions.TruncateNUnbound)
+            Expressions.apply(s"truncate_$n",
+              Expressions.column(AcidSql.logicalName(dir, c)))
         }.toArray
       new KeyGroupedPartitioning(transforms,
         keyed.map(_._2.toSeq).distinct.size)
@@ -1725,9 +1782,14 @@ class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
     * touch small pruned groups, where row decode cost is irrelevant.
     * Schema-evolved files are handled INSIDE the columnar reader
     * (missing columns become constant-NULL vectors), so evolution never
-    * forces the scan off the fast path. A scan with inlined deletion
-    * vectors drops to the row reader (masking a ColumnarBatch would
-    * mean copying vectors) — a transitional state until OPTIMIZE.
+    * forces the scan off the fast path. Deletion-vector-carrying scans
+    * STAY columnar (round-12 verdict #1): the reader masks each batch
+    * with a selection vector — zero-copy index views over the decoded
+    * vectors — so merge-on-read debt (the 100 TB steady state between
+    * OPTIMIZE passes) keeps per-column decode. Key-level DVs decode the
+    * key column (added to the inner read when not requested) and drop
+    * masked keys; positional DVs address absolute file ordinals, so they
+    * disable row-group skipping for that file and mask by ordinal.
     */
   private def vectorizable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | BooleanType |
@@ -1740,15 +1802,19 @@ class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
     case _ => false
   }
   override def supportColumnarReads(p: InputPartition): Boolean =
-    !anyDv && required.fields.nonEmpty && required.fields.forall(f =>
-      f.name != "_file" && vectorizable(f.dataType))
+    !AcidSql.forceRowReads && (!anyDv || keyCol.nonEmpty) &&
+      required.fields.nonEmpty && required.fields.forall(f =>
+        f.name != "_file" && vectorizable(f.dataType))
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
-    val absPath = p match {
-      case part: AcidSqlInputPartition      => part.absPath
-      case part: AcidSqlKeyedInputPartition => part.absPath
+    val (absPath, dvK, dvP) = p match {
+      case part: AcidSqlInputPartition =>
+        (part.absPath, part.dvKeys, part.dvPos)
+      case part: AcidSqlKeyedInputPartition =>
+        (part.absPath, part.dvKeys, part.dvPos)
     }
-    new AcidSqlColumnarReader(absPath, required, pushed, colMap)
+    new AcidSqlColumnarReader(absPath, required, pushed, colMap,
+      keyCol, dvK, dvP)
   }
 }
 
@@ -1762,7 +1828,10 @@ class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
   */
 class AcidSqlColumnarReader(absPath: String, required: StructType,
     pushed: Array[Filter] = Array.empty,
-    colMap: Map[String, String] = Map.empty)
+    colMap: Map[String, String] = Map.empty,
+    keyCol: String = "",
+    dvKeys: Array[Long] = Array.empty,
+    dvPos: Array[Long] = Array.empty)
     extends PartitionReader[ColumnarBatch] {
   private val capacity = 4096
   private val conf = new Configuration()
@@ -1780,6 +1849,17 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
   private val fileFields: Set[String] =
     fileSchema.getFields.asScala.map(_.getName).toSet
   private val present = required.fields.filter(f => fileFields(f.name))
+  // DV masking (round-12 verdict #1): key-level DVs need the merge key
+  // decoded — it rides the inner read as a TRAILING extra column when
+  // the projection pruned it, and never surfaces in the composed batch.
+  // Positional DVs address absolute file ordinals, so they force the
+  // row-group filter OFF for this file (skipping would shift ordinals)
+  // and mask by a running ordinal instead.
+  private val keyExtra: Option[StructField] =
+    if (dvKeys.nonEmpty && keyCol.nonEmpty && fileFields(keyCol) &&
+      !present.exists(_.name == keyCol)) Some(StructField(keyCol, LongType))
+    else None
+  private val innerRead: Array[StructField] = present ++ keyExtra
   // a TYPE-WIDENED table serves e.g. BIGINT while narrow carried files
   // still hold INT32: the inner vectorized reader decodes at FILE width,
   // and a delegating vector upcasts per access (round 9)
@@ -1802,13 +1882,13 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
   // whose footer stats/dictionary/bloom exclude the predicate never
   // decode (round-11 verdict #1) — column-index (page) filtering stays
   // OFF because the vectorized reader consumes whole row groups.
-  private val reader = if (present.isEmpty) None else Some {
+  private val reader = if (innerRead.isEmpty) None else Some {
     val filePrim = fileSchema.getFields.asScala.collect {
       case t if t.isPrimitive =>
         t.getName -> t.asPrimitiveType().getPrimitiveTypeName
     }.toMap
     val pred =
-      if (pushed.isEmpty) None
+      if (pushed.isEmpty || dvPos.nonEmpty) None
       else AcidSql.rowGroupPredicate(pushed, colMap, filePrim)
     val ob = org.apache.parquet.HadoopReadOptions
       .builder(conf, new Path(absPath))
@@ -1821,7 +1901,7 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
     AcidSql.rowGroupsTotal.add(totalBlocks.toLong)
     AcidSql.rowGroupsRead.add(fr.getRowGroups.size.toLong)
     val requested = new MessageType("graft_acid_v2",
-      present.map(f => AcidSql.projectFileType(
+      innerRead.map(f => AcidSql.projectFileType(
         fileSchema.getType(fileSchema.getFieldIndex(f.name)), f.dataType)): _*)
     val r = new org.apache.spark.sql.execution.datasources.parquet
       .VectorizedParquetRecordReader(false, capacity)
@@ -1849,21 +1929,125 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
     new ColumnarBatch(cols)
   }
 
-  override def next(): Boolean = reader match {
-    case Some(r) => r.nextBatch()
-    case None    => emitted < totalRows
+  // ---- DV selection-vector masking (round-12 verdict #1) ---------------
+  // Per batch: survivors' physical indices land in `sel`; the served
+  // batch is either the raw composed batch (no deletions hit — the
+  // common case once most files are clean) or `maskedBatch`, zero-copy
+  // index views over the same vectors sized to `selLen`.
+  private val hasDv = dvKeys.nonEmpty || dvPos.nonEmpty
+  private val dvKeySet: java.util.HashSet[java.lang.Long] =
+    if (dvKeys.isEmpty) null else {
+      val s = new java.util.HashSet[java.lang.Long](dvKeys.length * 2)
+      dvKeys.foreach(k => s.add(k)); s
+    }
+  private val dvPosSet: java.util.HashSet[java.lang.Long] =
+    if (dvPos.isEmpty) null else {
+      val s = new java.util.HashSet[java.lang.Long](dvPos.length * 2)
+      dvPos.foreach(p => s.add(p)); s
+    }
+  private val sel: Array[Int] = if (hasDv) new Array[Int](capacity) else null
+  private var selLen = 0
+  private var allSurvive = true
+  private var ord = 0L      // absolute file ordinal of the NEXT batch row
+  private var pendingRows = 0 // current batch size when reader.isEmpty
+  // the decoded merge-key vector, widened to LONG whatever the file width
+  private lazy val keyVec: org.apache.spark.sql.vectorized.ColumnVector = {
+    val idx = present.indexWhere(_.name == keyCol) match {
+      case -1 => present.length // the trailing keyExtra column
+      case i  => i
+    }
+    adapt(reader.get.resultBatch().column(idx), LongType)
   }
-  override def get(): ColumnarBatch = reader match {
+  private def computeSel(n: Int): Unit = {
+    selLen = 0; allSurvive = true
+    var i = 0
+    while (i < n) {
+      val dead =
+        (dvPosSet != null && dvPosSet.contains(ord + i)) ||
+          (dvKeySet != null && !keyVec.isNullAt(i) &&
+            dvKeySet.contains(keyVec.getLong(i)))
+      if (dead) allSurvive = false
+      else { sel(selLen) = i; selLen += 1 }
+      i += 1
+    }
+    ord += n
+  }
+  private lazy val maskedBatch: ColumnarBatch = new ColumnarBatch(
+    Array.tabulate(required.length)(i =>
+      new SelectionVectorView(composed.column(i), sel)
+        : org.apache.spark.sql.vectorized.ColumnVector))
+
+  override def next(): Boolean = reader match {
     case Some(r) =>
-      composed.setNumRows(r.resultBatch().numRows())
-      composed
+      val has = r.nextBatch()
+      if (has && hasDv) computeSel(r.resultBatch().numRows())
+      has
     case None =>
-      val n = math.min(capacity.toLong, totalRows - emitted).toInt
-      emitted += n
-      composed.setNumRows(n)
-      composed
+      if (emitted >= totalRows) false
+      else {
+        pendingRows = math.min(capacity.toLong, totalRows - emitted).toInt
+        // no inner reader means no key column was needed: only
+        // positional DVs can mask here, by synthesized-row ordinal
+        if (hasDv) computeSel(pendingRows)
+        emitted += pendingRows
+        true
+      }
+  }
+  override def get(): ColumnarBatch = {
+    val n = reader match {
+      case Some(r) => r.resultBatch().numRows()
+      case None    => pendingRows
+    }
+    if (!hasDv || allSurvive) { composed.setNumRows(n); composed }
+    else { maskedBatch.setNumRows(selLen); maskedBatch }
   }
   override def close(): Unit = reader.foreach(_.close())
+}
+
+/** Zero-copy selection-vector view (round-12 verdict #1): serves logical
+  * row `i` from physical row `sel(i)` of the base vector — the masked
+  * ColumnarBatch's columns after deletion-vector filtering, no vector
+  * copied, decode stays per-column. Children (struct fields) wrap with
+  * the SAME selection, because Spark's ColumnarRow reads struct leaves
+  * at the parent's row id. getArray/getMap need no element remapping:
+  * the returned ColumnarArray/ColumnarMap carry physical offsets into
+  * the base child data. `hasNull`/`numNulls` delegate unremapped — a
+  * conservative over-report consumers use only to elide null checks in
+  * the all-non-null case, never to assert nullability.
+  */
+class SelectionVectorView(base: org.apache.spark.sql.vectorized.ColumnVector,
+    sel: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType()) {
+  private lazy val kids: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+    base.dataType() match {
+      case st: StructType =>
+        Array.tabulate(st.length)(o =>
+          new SelectionVectorView(base.getChild(o), sel)
+            : org.apache.spark.sql.vectorized.ColumnVector)
+      case _ => Array.empty
+    }
+  override def getChild(o: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    kids(o)
+  override def close(): Unit = base.close()
+  override def closeIfFreeable(): Unit = base.closeIfFreeable()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = base.numNulls()
+  override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = base.getByte(sel(i))
+  override def getShort(i: Int): Short = base.getShort(sel(i))
+  override def getInt(i: Int): Int = base.getInt(sel(i))
+  override def getLong(i: Int): Long = base.getLong(sel(i))
+  override def getFloat(i: Int): Float = base.getFloat(sel(i))
+  override def getDouble(i: Int): Double = base.getDouble(sel(i))
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(sel(i))
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(sel(i))
+  override def getDecimal(i: Int, p: Int, sc: Int): org.apache.spark.sql.types.Decimal =
+    base.getDecimal(sel(i), p, sc)
+  override def getUTF8String(i: Int): UTF8String = base.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
 }
 
 /** Struct view remapping a NARROW decoded struct vector to the table's
@@ -2143,7 +2327,8 @@ object AcidSqlPartitionReader {
           case TimestampType | TimestampNTZType => g.getLong(f.name, 0)
           case StringType     =>
             UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
-          case _              => null
+          case other => throw new IllegalArgumentException(
+            s"graft-acid-sql: struct field type $other has no reader")
         }
       }
     }
@@ -2162,7 +2347,7 @@ object AcidSqlPartitionReader {
     while (j < n) {
       val entry = outer.getGroup(0, j)
       if (entry.getFieldRepetitionCount(0) > 0)
-        vals(j) = prim(entry, 0, at.elementType)
+        vals(j) = value(entry, 0, at.elementType)
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
@@ -2179,12 +2364,9 @@ object AcidSqlPartitionReader {
     var j = 0
     while (j < n) {
       val kv = outer.getGroup(0, j)
-      keys(j) = prim(kv, 0, mtp.keyType)
+      keys(j) = value(kv, 0, mtp.keyType)
       if (kv.getFieldRepetitionCount(1) > 0)
-        vals(j) = mtp.valueType match {
-          case st: StructType => convertGroup(kv.getGroup(1, 0), st)
-          case vt             => prim(kv, 1, vt)
-        }
+        vals(j) = value(kv, 1, mtp.valueType)
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
@@ -2192,13 +2374,25 @@ object AcidSqlPartitionReader {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
   }
 
-  private def prim(g: Group, idx: Int, dt: DataType): Any = dt match {
+  /** One container element/value at field `idx` — the read-side mirror
+    * of the writer's `addValue`: primitives decode directly (DATE is
+    * INT32 epoch days, TIMESTAMP(MICROS) is INT64 — Spark's internal
+    * encodings), composites recurse. The terminal throw guards against
+    * schema/reader drift: reaching it means the table schema admitted a
+    * shape this reader does not cover (round-12 — was a silent NULL). */
+  private def value(g: Group, idx: Int, dt: DataType): Any = dt match {
     case LongType    => g.getLong(idx, 0)
     case IntegerType => g.getInteger(idx, 0)
     case DoubleType  => g.getDouble(idx, 0)
     case FloatType   => g.getFloat(idx, 0)
     case BooleanType => g.getBoolean(idx, 0)
     case StringType  => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-    case _           => null
+    case DateType    => g.getInteger(idx, 0)
+    case TimestampType | TimestampNTZType => g.getLong(idx, 0)
+    case st: StructType => convertGroup(g.getGroup(idx, 0), st)
+    case at: ArrayType  => convertArray(g.getGroup(idx, 0), at)
+    case mt: MapType    => convertMap(g.getGroup(idx, 0), mt)
+    case other => throw new IllegalArgumentException(
+      s"graft-acid-sql: container element type $other has no reader")
   }
 }

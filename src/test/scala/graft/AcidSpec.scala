@@ -204,8 +204,8 @@ class AcidSpec extends AnyFunSuite {
       .withColumn("prio", lit("TOUCH")), "m")
     assert(Acid.snapshot(spark, dir).count() == total - n1)
     // SQL surfaces subtract the vectors too: V1 anti-joins the sidecar
-    // union, V2 inlines the keys into its partitions (row-reader path
-    // while DVs exist — masking a ColumnarBatch would copy vectors)
+    // union, V2 inlines the keys into its partitions (masked COLUMNAR
+    // path since round 12 — zero-copy selection-vector views)
     spark.read.format("graft-acid").load(dir).createOrReplaceTempView("dv_v")
     assert(spark.sql("SELECT count(*) FROM dv_v").head.getLong(0) == total - n1)
     assert(spark.read.format("graft-acid-sql").load(dir).count() == total - n1)

@@ -65,11 +65,12 @@ class Round11Spec extends AnyFunSuite {
       s"string point probe should skip groups, read $read of $total")
   }
 
-  test("row reader with key-level DV composes the filter; results exact") {
+  test("key-level DV composes with the pushed filter; results exact") {
     val dir = rowGroupTable("r11_rg_dv")
     Acid.deleteWhereMor(spark, dir, col("k") % 10 === 3, None, "w")
-    // DV present → row reader; filter still pushed (key DVs are by key,
-    // not ordinal, so row-group/record skipping cannot break them)
+    // DV present → masked columnar read since round 12 (was the row
+    // reader); filter still pushed (key DVs are by key, not ordinal, so
+    // row-group/record skipping cannot break them)
     val got = spark.read.format("graft-acid-sql").load(dir)
       .filter(col("k") >= 100L && col("k") <= 200L)
       .select(col("k")).collect().map(_.getLong(0)).sorted
@@ -77,7 +78,7 @@ class Round11Spec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
-  test("row reader with positional DV skips the filter, stays exact") {
+  test("positional DV disables row-group skipping, stays exact") {
     val dir = rowGroupTable("r11_rg_pdv")
     Acid.deleteWherePositional(spark, dir, col("k") % 10 === 3, None, "w")
     val got = spark.read.format("graft-acid-sql").load(dir)
@@ -454,7 +455,7 @@ class Round11Spec extends AnyFunSuite {
     assert(r3.getInt(0) === 1 && r3.isNullAt(1), "NULL value under a live key")
   }
 
-  test("nested scans take the vectorized path; DV scans stay on the row reader") {
+  test("nested scans take the vectorized path") {
     val root = Scratch.fresh("r11_nestcol", sf)
     val cat = "graft_r11nc_" +
       java.nio.file.Paths.get(sf).getFileName.toString.replace('.', '_')
