@@ -2733,7 +2733,25 @@ object Acid {
     val dvMap = (m.files.flatMap(_.dv.map(_._1)) ++
       m.files.flatMap(_.pdv.map(_._1))).distinct.zipWithIndex
       .map { case (p, i) => p -> s"d0_clone/dv$i" }.toMap
-    val dataMap = m.files.map(f => f.path -> s"d0_clone/${f.path}").toMap
+    // Carried `../` references (the source is itself a SHALLOW clone whose
+    // manifest points outside its own dir) must NOT survive into the
+    // destination path: a dst like `d0_clone/../orig/…` only resolves in
+    // the kernel once a SIBLING copy task has created `d0_clone`, so the
+    // 64-way-parallel copy below intermittently threw NoSuchFileException.
+    // Each distinct carried source DIRECTORY flattens to a stable
+    // clone-local `ext<i>` dir; files keep their basenames (positional
+    // delete vectors reference files BY basename) and same-dir basenames
+    // are unique, so the flattening cannot collide.
+    val carriedDirs = m.files.map(_.path)
+      .filter(_.split('/').contains(".."))
+      .map(p => p.substring(0, p.lastIndexOf('/'))).distinct.sorted
+      .zipWithIndex.map { case (d, i) => d -> s"ext$i" }.toMap
+    val dataMap = m.files.map { f =>
+      f.path -> (if (f.path.split('/').contains("..")) {
+        val cut = f.path.lastIndexOf('/')
+        s"d0_clone/${carriedDirs(f.path.substring(0, cut))}/${f.path.substring(cut + 1)}"
+      } else s"d0_clone/${f.path}")
+    }.toMap
     // expand sidecar DIRECTORIES to file-level copy pairs (delete-sized)
     val pairs: Seq[(String, String)] =
       dataMap.toSeq.map { case (sp, dp) => (s"$srcAbs/$sp", s"$dstAbs/$dp") } ++
@@ -2748,7 +2766,10 @@ object Acid {
     s.createDataset(pairs)
       .repartition(math.min(math.max(pairs.size, 1), 64))
       .foreach { t =>
-        val dst = Paths.get(t._2)
+        // normalize() is belt-and-braces: no dst built above carries `..`
+        // anymore, and a normalized path keeps createDirectories/copy free
+        // of cross-task kernel-resolution ordering even if one ever does.
+        val dst = Paths.get(t._2).normalize()
         Files.createDirectories(dst.getParent)
         Files.copy(Paths.get(t._1), dst,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
