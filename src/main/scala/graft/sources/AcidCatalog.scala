@@ -67,11 +67,19 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
       case "bucket"   => AcidFunctions.BucketUnbound
       case "days"     => AcidFunctions.DaysUnbound
       case "hours"    => AcidFunctions.HoursUnbound
+      case "months"   => AcidFunctions.MonthsUnbound
+      case "years"    => AcidFunctions.YearsUnbound
       case "truncate" => AcidFunctions.TruncateUnbound
-      // width-specialized SPJ spelling (see TruncateNUnbound's scaladoc)
+      // width-specialized SPJ spelling (see TruncateNUnbound's scaladoc).
+      // The width is validated like partColFrom's require(n >= 1):
+      // truncate_0 would throw ArithmeticException at execution
+      // (floorMod(v, 0)) and an over-Int width would NumberFormatException
+      // here — both resolve to NoSuchFunctionException instead (r12 advice)
       case tn if tn.startsWith("truncate_") &&
           tn.drop("truncate_".length).forall(_.isDigit) &&
-          tn.length > "truncate_".length =>
+          tn.length > "truncate_".length &&
+          scala.util.Try(tn.drop("truncate_".length).toInt).toOption
+            .exists(_ >= 1) =>
         AcidFunctions.TruncateNUnbound(tn.drop("truncate_".length).toInt)
       case _          => throw new NoSuchFunctionException(ident)
     } else throw new NoSuchFunctionException(ident)
@@ -205,6 +213,15 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
             s"$catName: PARTITIONED BY (hours(c)) needs a TIMESTAMP column, " +
               s"${f.name} is ${f.dataType.sql}")
         Acid.PartHours(f.name).label
+      case t if (t.name() == "months" || t.name() == "years") &&
+          t.references().length == 1 =>
+        val f = fieldOf(t)
+        if (f.dataType != TimestampType && f.dataType != TimestampNTZType)
+          throw new UnsupportedOperationException(
+            s"$catName: PARTITIONED BY (${t.name()}(c)) needs a TIMESTAMP " +
+              s"column, ${f.name} is ${f.dataType.sql}")
+        if (t.name() == "months") Acid.PartMonths(f.name).label
+        else Acid.PartYears(f.name).label
       case t if t.name() == "truncate" && t.references().length == 1 =>
         val n = t.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>

@@ -105,6 +105,61 @@ object AcidFunctions {
       Math.floorDiv(input.getLong(0), Acid.MicrosPerHour).toInt
   }
 
+  object MonthsUnbound extends UnboundFunction {
+    override def name(): String = "months"
+    override def description(): String =
+      "months(ts): months since 1970-01 of a micros timestamp (UTC " +
+        "calendar) — the graft-acid write-time month transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (!(inputType.fields.length == 1 &&
+        (inputType.fields(0).dataType == TimestampType ||
+          inputType.fields(0).dataType == TimestampNTZType)))
+        throw new UnsupportedOperationException(
+          s"months(ts) binds a TIMESTAMP, got ${inputType.sql}")
+      MonthsBound(inputType.fields(0).dataType)
+    }
+  }
+
+  /** produceResult calls the SAME `PartMonths.eval` that stamped the
+    * layout, so SPJ evaluation agrees with the on-disk partition values
+    * byte-for-byte (calendar arithmetic re-derivation would risk drift). */
+  case class MonthsBound(in: DataType) extends ScalarFunction[Integer] {
+    override def name(): String = "months"
+    override def canonicalName(): String = "graft.months(timestamp)"
+    override def inputTypes(): Array[DataType] = Array(in)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = false
+    private val spec = Acid.PartMonths("x")
+    override def produceResult(input: InternalRow): Integer =
+      spec.eval(input.getLong(0)).toInt
+  }
+
+  object YearsUnbound extends UnboundFunction {
+    override def name(): String = "years"
+    override def description(): String =
+      "years(ts): years since 1970 of a micros timestamp (UTC " +
+        "calendar) — the graft-acid write-time year transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (!(inputType.fields.length == 1 &&
+        (inputType.fields(0).dataType == TimestampType ||
+          inputType.fields(0).dataType == TimestampNTZType)))
+        throw new UnsupportedOperationException(
+          s"years(ts) binds a TIMESTAMP, got ${inputType.sql}")
+      YearsBound(inputType.fields(0).dataType)
+    }
+  }
+
+  case class YearsBound(in: DataType) extends ScalarFunction[Integer] {
+    override def name(): String = "years"
+    override def canonicalName(): String = "graft.years(timestamp)"
+    override def inputTypes(): Array[DataType] = Array(in)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = false
+    private val spec = Acid.PartYears("x")
+    override def produceResult(input: InternalRow): Integer =
+      spec.eval(input.getLong(0)).toInt
+  }
+
   /** Width-specialized single-argument truncate, `truncate_<n>(col)` —
     * the SPJ spelling: Spark's `KeyGroupedPartitioning
     * .supportsExpressions` only accepts transforms with ONE child (the

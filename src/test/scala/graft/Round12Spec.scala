@@ -106,9 +106,14 @@ class Round12Spec extends AnyFunSuite {
     val rowSec = try time(() => scanAll()) finally AcidSql.forceRowReads = false
     val n = scanAll()
     assert(n === rows - rows / 1000L)
+    // the info line is the primary signal; the assertion keeps a wide
+    // margin (1.3x, vs the ~4-6x typically observed) so a loaded or
+    // low-core CI machine doesn't flake a sound functional suite
+    // (round-12 advice)
     info(f"columnar $colSec%.3fs vs row $rowSec%.3fs (${rowSec / colSec}%.1fx)")
-    assert(rowSec >= 2.0 * colSec,
-      f"expected >=2x: columnar $colSec%.3fs, row $rowSec%.3fs")
+    assert(rowSec >= 1.3 * colSec,
+      f"expected the columnar path clearly faster: " +
+        f"columnar $colSec%.3fs, row $rowSec%.3fs")
   }
 
   test("composite element types round-trip on the V2 SQL surface (both readers)") {

@@ -153,6 +153,13 @@ class Round5Spec extends AnyFunSuite {
   test("harness teardown leaves no extra persisted blocks or fixture tables") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
+    // snapshot BEFORE: suite ORDER is nondeterministic, so another
+    // suite's fixture views may already exist — this test verifies the
+    // three teardown helpers clean up what THEIR fixtures created, not
+    // that no earlier suite ever registered a view
+    def graftTables(): Set[String] = spark.catalog.listTables()
+      .collect().map(_.name).filter(_.startsWith("graft_")).toSet
+    val tablesBefore = graftTables()
     run("llm_dedup_fuzzy").count()   // populates shingle + pairs memos
     run("join_bucketed").count()     // populates the bucketed-table fixture
     run("tbl_sql_insert").count()    // registers graft_sql_insert_t + src view
@@ -162,9 +169,9 @@ class Round5Spec extends AnyFunSuite {
     val after = sc.getPersistentRDDs.keySet
     assert(after.subsetOf(before),
       s"teardown left new persisted RDDs: ${after -- before}")
-    val leftover = spark.catalog.listTables()
-      .filter(col("name").startsWith("graft_")).count()
-    assert(leftover == 0L, "bucketed fixture tables survived teardown")
+    val leftover = graftTables() -- tablesBefore
+    assert(leftover.isEmpty,
+      s"fixture tables survived teardown: $leftover")
   }
 
   test("node-path predicate grammar: quotes both ways, bad steps refused") {
