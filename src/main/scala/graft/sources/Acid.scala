@@ -9,8 +9,8 @@ import scala.util.Try
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType,
-  FloatType, IntegerType, LongType, MapType, ShortType, StructType,
-  TimestampNTZType, TimestampType}
+  FloatType, IntegerType, LongType, MapType, ShortType, StringType,
+  StructType, TimestampNTZType, TimestampType}
 
 import graft.Tables
 
@@ -823,8 +823,28 @@ object Acid {
             s" + cast(date_part('SECOND', `$c`) * 1000000 as bigint)"))
         case _ => None
       }
+    // String-truncate stamps re-derive through the SAME packing the
+    // writer used, expressed in codegen'd built-ins (no UDF): zero-pad
+    // the prefix's hex to 16 digits, reassemble the raw 64-bit pattern
+    // from two 32-bit halves (shiftleft/bitwiseOR wrap — ANSI-safe;
+    // conv of <= 8 hex digits fits signed), then flip the sign bit —
+    // byte-identical to packPrefix, and monotone, so min/max of the
+    // packed column IS the packed [min,max].
+    def srcCol(ps: PartSpec): Option[Column] = ps match {
+      case st: PartTruncateStr =>
+        if (!df.columns.contains(st.col) ||
+          df.schema(st.col).dataType != StringType) None
+        else {
+          val h = rpad(hex(substring(encode(col(st.col), "UTF-8"),
+            1, math.min(st.n, 8))), 16, "0")
+          Some(shiftleft(conv(substring(h, 1, 8), 16, 10).cast(LongType), 32)
+            .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast(LongType))
+            .bitwiseXOR(lit(Long.MinValue)))
+        }
+      case _ => srcLong(ps.col)
+    }
     val srcs: Seq[(PartSpec, Column)] =
-      monotone.flatMap(ps => srcLong(ps.col).map(ps -> _))
+      monotone.flatMap(ps => srcCol(ps).map(ps -> _))
     if (srcs.isEmpty) return entries
     // ONE grouped pass stamps every monotone transform; #files-sized result
     val aggs = srcs.zipWithIndex.flatMap { case ((_, c), i) =>
@@ -844,11 +864,17 @@ object Acid {
         srcs.zip(rs).foldLeft(e) {
           case (e2, ((ps, _), Some((lo, hi)))) =>
             // leading transform → the stats2 slot (single-spec contract);
-            // the rest → tagged pstats entries
+            // the rest → tagged pstats entries. The string-truncate
+            // column is ALREADY in the partition-value domain (packed);
+            // everything else evals its raw min/max (monotone).
+            val (plo, phi) = ps match {
+              case _: PartTruncateStr => (lo, hi)
+              case _                  => (ps.eval(lo), ps.eval(hi))
+            }
             if (lead.contains(ps))
-              e2.copy(stats2 = Some((ps.label, ps.eval(lo), ps.eval(hi))))
+              e2.copy(stats2 = Some((ps.label, plo, phi)))
             else e2.copy(pstats = e2.pstats.filterNot(_._1 == ps.label) :+
-              ((ps.label, ps.eval(lo), ps.eval(hi))))
+              ((ps.label, plo, phi)))
           case (e2, _) => e2
         }
       case None => e
@@ -1186,6 +1212,46 @@ object Acid {
       (java.time.LocalDate.ofEpochDay(Math.floorDiv(raw, MicrosPerDay))
         .getYear - 1970).toLong
   }
+  /** `truncate(n, col)` over a STRING column (the other half of round-12
+    * verdict missing #5; Iceberg's string truncate): partition values
+    * are the ORDER-PRESERVING 8-byte packing of the value's first
+    * min(n, 8) UTF-8 bytes (`packPrefix`) — a deliberately coarser floor
+    * than Iceberg's first-n-characters for n > 8, chosen so string
+    * layouts ride the SAME Long-domain machinery as every other
+    * transform (one-value segment stamps, monotone range pruning, SPJ
+    * value tuples) instead of growing a parallel string-stats tier.
+    * Sound wherever it is consumed: packing is monotone in the string
+    * (s <= t ⇒ pack(s) <= pack(t) byte-lexicographically, which is
+    * UTF-8 code-point order), so lexicographic predicate bounds pack
+    * into partition-value bounds, and SPJ sides align by computing the
+    * same function. The sidecar label is `truncstr(n,col)` so
+    * parsePartSpec picks the flavor without schema context; DDL and
+    * DESCRIBE report the standard `truncate(n, col)`. Rewrites restamp
+    * through a built-ins-only re-expression of the same packing
+    * (restampPartStats.srcCol), so pruning survives maintenance. */
+  final case class PartTruncateStr(n: Int, col: String) extends PartSpec {
+    def label: String = s"truncstr($n,$col)"
+    def eval(raw: Long): Long =
+      throw new UnsupportedOperationException(
+        s"$label evaluates strings — use evalBytes")
+    def evalBytes(b: Array[Byte]): Long = packPrefix(b, n)
+    def evalString(s: String): Long =
+      packPrefix(s.getBytes(StandardCharsets.UTF_8), n)
+  }
+
+  /** Order-preserving prefix packing: first min(n, 8) bytes big-endian,
+    * zero-padded to 8 bytes, sign bit flipped so SIGNED Long comparison
+    * equals UNSIGNED byte lexicographic comparison. */
+  private[graft] def packPrefix(bytes: Array[Byte], n: Int): Long = {
+    val m = math.min(math.min(n, 8), bytes.length)
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < m) bytes(i) & 0xFFL else 0L)
+      i += 1
+    }
+    v ^ Long.MinValue
+  }
   private[sources] val MicrosPerDay = 86400000000L
   private[sources] val MicrosPerHour = 3600000000L
   private[sources] val BucketSeed = 42L
@@ -1214,6 +1280,7 @@ object Acid {
     val Y = """years\((.+)\)""".r
     val B = """bucket\((\d+),(.+)\)""".r
     val T = """truncate\((\d+),(.+)\)""".r
+    val TS = """truncstr\((\d+),(.+)\)""".r
     // column captures are trimmed: `bucket(4, uid)` / `days( ts )` with
     // the natural whitespace parse to the bare column name
     s match {
@@ -1221,9 +1288,10 @@ object Acid {
       case H(c)    => PartHours(c.trim)
       case M(c)    => PartMonths(c.trim)
       case Y(c)    => PartYears(c.trim)
-      case B(n, c) => PartBucket(n.toInt, c.trim)
-      case T(n, c) => PartTruncate(n.toInt, c.trim)
-      case c       => PartIdentity(c.trim)
+      case B(n, c)  => PartBucket(n.toInt, c.trim)
+      case T(n, c)  => PartTruncate(n.toInt, c.trim)
+      case TS(n, c) => PartTruncateStr(n.toInt, c.trim)
+      case c        => PartIdentity(c.trim)
     }
   }
 
@@ -1303,6 +1371,8 @@ object Acid {
           require(
             f.dataType == TimestampType || f.dataType == TimestampNTZType,
             s"${ps.label} needs a TIMESTAMP column, got ${f.dataType.sql}")
+        case _: PartTruncateStr => require(f.dataType == StringType,
+          s"${ps.label} needs a STRING column, got ${f.dataType.sql}")
         case _ => require(f.dataType == LongType,
           s"${ps.label} needs a BIGINT column, got ${f.dataType.sql}")
       }
@@ -1320,6 +1390,7 @@ object Acid {
       case PartYears(c)       => PartYears(cm.getOrElse(c, c))
       case PartBucket(n, c)   => PartBucket(n, cm.getOrElse(c, c))
       case PartTruncate(n, c) => PartTruncate(n, cm.getOrElse(c, c))
+      case PartTruncateStr(n, c) => PartTruncateStr(n, cm.getOrElse(c, c))
     }.map(_.label).mkString(",")
     val p = logDir(dir).resolve("partcol.txt")
     val prev =
@@ -5105,6 +5176,40 @@ object Acid {
       .withColumn("partitioning_reported", lit(declared == "hours(ts)"))
   }
 
+  /** tbl_part_truncstr — STRING truncate partitioning (the other half of
+    * round-12 verdict missing #5; Iceberg's string truncate): orders'
+    * o_orderpriority clusters by its first-3-byte prefix ("1-U".."5-L",
+    * five values); partition values are the order-preserving packed
+    * prefix, so an equality probe on the full string packs to ONE
+    * partition value and scans a strict file subset — pinned with the
+    * key min/max provably useless (priorities interleave every key
+    * range). The truncstr_N V2 function serves SPJ alignment
+    * (Round13Spec pins the exchange-free join).
+    */
+  val tblPartTruncstr: Q = (s, d) => {
+    val root = fresh("tbl_part_truncstr_cat", d)
+    val cat = "graft_ptstr_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_ptstr_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.ts")
+    s.sql(s"""CREATE TABLE $cat.ts (k BIGINT, prio STRING, price_cents BIGINT)
+             |PARTITIONED BY (truncate(3, prio))""".stripMargin)
+    s.sql(s"INSERT INTO $cat.ts SELECT k, prio, price_cents FROM graft_ptstr_src")
+    s.catalog.dropTempView("graft_ptstr_src"): Unit
+    val declared = s.table(s"$cat.ts").queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.partitioning().map(_.toString).mkString(",")
+    }.getOrElse("")
+    s.sql(s"SELECT count(*) FROM $cat.ts WHERE prio = '3-MEDIUM'").head
+    val (scanned, total) = AcidSql.lastScanFor(s"$root/ts")
+    s.sql(s"""SELECT count(*) AS n_probe, sum(price_cents) AS probe_cents
+             |FROM $cat.ts WHERE prio = '3-MEDIUM'""".stripMargin)
+      .withColumn("pruned", lit(scanned >= 1 && scanned * 2 <= total))
+      .withColumn("partitioning_reported",
+        lit(declared.replace(" ", "") == "truncate(3,prio)"))
+  }
+
   /** tbl_part_months — month-grain archive partitioning (round-12
     * verdict missing #5; Iceberg's month transform, the long-horizon
     * sibling of days/hours): orders' multi-year o_orderdate span rolls
@@ -6130,6 +6235,7 @@ object Acid {
     "tbl_part_truncate"     -> tblPartTruncate,
     "tbl_part_hours"        -> tblPartHours,
     "tbl_part_months"       -> tblPartMonths,
+    "tbl_part_truncstr"     -> tblPartTruncstr,
     "tbl_partitions_meta"   -> tblPartitionsMeta,
     "tbl_optimize_partitions" -> tblOptimizePartitions,
     "tbl_sql_optimize"      -> tblSqlOptimize,
@@ -6325,6 +6431,13 @@ object Acid {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-02 03:00:00'
         |  AND ts <  TIMESTAMP '2024-01-02 09:00:00'""".stripMargin,
+    "tbl_part_truncstr" ->
+      """WITH base AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders)
+        |SELECT count(*) AS n_probe, CAST(sum(pc) AS BIGINT) AS probe_cents,
+        |       TRUE AS pruned, TRUE AS partitioning_reported
+        |FROM base WHERE prio = '3-MEDIUM'""".stripMargin,
     "tbl_part_months" ->
       """SELECT count(*) AS n_window,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -81,6 +81,13 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
           scala.util.Try(tn.drop("truncate_".length).toInt).toOption
             .exists(_ >= 1) =>
         AcidFunctions.TruncateNUnbound(tn.drop("truncate_".length).toInt)
+      // the string flavor's SPJ spelling, same width discipline
+      case tn if tn.startsWith("truncstr_") &&
+          tn.drop("truncstr_".length).forall(_.isDigit) &&
+          tn.length > "truncstr_".length &&
+          scala.util.Try(tn.drop("truncstr_".length).toInt).toOption
+            .exists(_ >= 1) =>
+        AcidFunctions.TruncStrNUnbound(tn.drop("truncstr_".length).toInt)
       case _          => throw new NoSuchFunctionException(ident)
     } else throw new NoSuchFunctionException(ident)
 
@@ -231,11 +238,16 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
         require(n >= 1,
           s"$catName: truncate width must be positive, got $n")
         val f = fieldOf(t)
-        if (f.dataType != LongType)
-          throw new UnsupportedOperationException(
+        f.dataType match {
+          case LongType => Acid.PartTruncate(n, f.name).label
+          // STRING truncate stores as the truncstr flavor (packed-prefix
+          // partition values — see Acid.PartTruncateStr's scaladoc)
+          case org.apache.spark.sql.types.StringType =>
+            Acid.PartTruncateStr(n, f.name).label
+          case other => throw new UnsupportedOperationException(
             s"$catName: PARTITIONED BY (truncate(n, c)) needs a BIGINT " +
-              s"column, ${f.name} is ${f.dataType.sql}")
-        Acid.PartTruncate(n, f.name).label
+              s"or STRING column, ${f.name} is ${other.sql}")
+        }
       case t if t.name() == "bucket" && t.references().length == 1 =>
         val n = t.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>

@@ -195,6 +195,36 @@ object AcidFunctions {
     }
   }
 
+  /** String-truncate SPJ spelling, `truncstr_<n>(col)`: the bound
+    * function replays `PartTruncateStr.evalBytes` — the order-preserving
+    * packed prefix that stamped the layout — so SPJ evaluation agrees
+    * with the on-disk partition values byte-for-byte. Width-specialized
+    * for the same reason as TruncateNUnbound. */
+  case class TruncStrNUnbound(n: Int) extends UnboundFunction {
+    override def name(): String = s"truncstr_$n"
+    override def description(): String =
+      s"truncstr_$n(col): order-preserving packed prefix of the first " +
+        s"min($n, 8) UTF-8 bytes — the graft-acid string truncate transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (!(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == StringType))
+        throw new UnsupportedOperationException(
+          s"truncstr_$n(col) binds a STRING, got ${inputType.sql}")
+      TruncStrN(n)
+    }
+  }
+
+  case class TruncStrN(n: Int) extends ScalarFunction[java.lang.Long] {
+    override def name(): String = s"truncstr_$n"
+    override def canonicalName(): String = s"graft.truncstr_$n(string)"
+    override def inputTypes(): Array[DataType] = Array(StringType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): java.lang.Long =
+      java.lang.Long.valueOf(
+        Acid.packPrefix(input.getUTF8String(0).getBytes, n))
+  }
+
   object TruncateUnbound extends UnboundFunction {
     override def name(): String = "truncate"
     override def description(): String =

@@ -615,6 +615,10 @@ class AcidSqlTable(dir: String, tableSchema: StructType, pinnedVersion: Int = -1
       case Acid.PartBucket(n, c) => Expressions.bucket(n, AcidSql.logicalName(dir, c))
       case Acid.PartTruncate(n, c) => Expressions.apply("truncate",
         Expressions.literal(n), Expressions.column(AcidSql.logicalName(dir, c)))
+      // string truncate reports the STANDARD 2-arg spelling; the packed
+      // truncstr flavor is an internal stats representation
+      case Acid.PartTruncateStr(n, c) => Expressions.apply("truncate",
+        Expressions.literal(n), Expressions.column(AcidSql.logicalName(dir, c)))
     }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -792,6 +796,11 @@ class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
       case Some(Acid.PartTruncate(_, c)) => Array(Expressions.sort(
         Expressions.identity(AcidSql.logicalName(dir, c)),
         SortDirection.ASCENDING))
+      // string truncate: packing is monotone in the string, so a local
+      // sort on the source column rolls contiguous one-prefix segments
+      case Some(Acid.PartTruncateStr(_, c)) => Array(Expressions.sort(
+        Expressions.identity(AcidSql.logicalName(dir, c)),
+        SortDirection.ASCENDING))
       case _ => Array.empty
     }
     override def toBatch: BatchWrite =
@@ -951,8 +960,11 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
   // every monotone dimension.
   private val partDims: Seq[(Acid.PartSpec, Int, Boolean)] = partSpecs.map { ps =>
     val i = schema.fields.indexWhere(_.name == ps.col)
-    val ok = i >= 0 && (schema.fields(i).dataType match {
-      case LongType | TimestampType | TimestampNTZType => true
+    val ok = i >= 0 && ((ps, schema.fields(i).dataType) match {
+      // the string-truncate flavor reads bytes; everything else a long
+      case (_: Acid.PartTruncateStr, StringType) => true
+      case (_: Acid.PartTruncateStr, _) => false
+      case (_, LongType | TimestampType | TimestampNTZType) => true
       case _ => false
     })
     (ps, i, ok)
@@ -1075,7 +1087,12 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
 
   override def write(row: InternalRow): Unit = {
     val pv: Seq[Option[Long]] = partDims.map { case (ps, i, ok) =>
-      if (ok && !row.isNullAt(i)) Some(ps.eval(row.getLong(i))) else None
+      if (!ok || row.isNullAt(i)) None
+      else ps match {
+        case st: Acid.PartTruncateStr =>
+          Some(st.evalBytes(row.getUTF8String(i).getBytes))
+        case _ => Some(ps.eval(row.getLong(i)))
+      }
     }
     val sg = segmentFor(pv)
     val g = factory.newGroup()
@@ -1350,6 +1367,16 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
             val phi = if (tHi == Long.MaxValue) Long.MaxValue else pt.eval(tHi)
             f => statFor(f, pt.label).forall {
               case (mn2, mx2) => mx2 >= plo && mn2 <= phi }
+          case st: Acid.PartTruncateStr =>
+            // monotone in the STRING domain: lexicographic predicate
+            // bounds (eq/range/prefix, via cstatsBounds) pack through
+            // the SAME prefix packing that stamped the files
+            val (sLo, sHi) = AcidSql.cstatsBounds(mine)
+              .getOrElse(pc, (None, None))
+            val plo = sLo.fold(Long.MinValue)(st.evalString)
+            val phi = sHi.fold(Long.MaxValue)(st.evalString)
+            f => statFor(f, st.label).forall {
+              case (mn2, mx2) => mx2 >= plo && mn2 <= phi }
           case pb: Acid.PartBucket =>
             AcidSql.probeKeys(mine, pc).map(_.map(pb.eval).toSet) match {
               case Some(ks) =>
@@ -1577,9 +1604,12 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
   // shuffle, never a wrong answer.
 
   private def spjValue(ps: Acid.PartSpec, v: Long): Any = ps match {
-    // identity/truncate values live in the source column's LONG domain;
-    // days/hours/bucket produce the V2 functions' INT result type
-    case _: Acid.PartIdentity | _: Acid.PartTruncate => java.lang.Long.valueOf(v)
+    // identity/truncate values live in the LONG domain (string truncate:
+    // the packed prefix IS the partition value, served as LONG by
+    // truncstr_N); days/hours/months/years/bucket produce the V2
+    // functions' INT result type
+    case _: Acid.PartIdentity | _: Acid.PartTruncate |
+         _: Acid.PartTruncateStr => java.lang.Long.valueOf(v)
     case _ => java.lang.Integer.valueOf(v.toInt)
   }
 
@@ -1619,6 +1649,9 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
             // machinery rejects transforms with a literal child (see
             // AcidFunctions.TruncateNUnbound)
             Expressions.apply(s"truncate_$n",
+              Expressions.column(AcidSql.logicalName(dir, c)))
+          case Acid.PartTruncateStr(n, c) =>
+            Expressions.apply(s"truncstr_$n",
               Expressions.column(AcidSql.logicalName(dir, c)))
         }.toArray
       new KeyGroupedPartitioning(transforms,

@@ -193,6 +193,93 @@ class Round13Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
+  /** (7) truncate over STRING (the other half of r12 missing #5):
+    * partition values are the order-preserving packed prefix
+    * (`Acid.packPrefix` — first min(n,8) UTF-8 bytes, big-endian, sign
+    * bit flipped), so string layouts ride the Long-domain machinery.
+    * Pinned: packing is monotone (incl. non-ASCII where the sign bit
+    * matters), equality probes prune through the packed stamps, and two
+    * truncate(4, tag) tables join exchange-free via truncstr_4.
+    */
+  test("truncate over STRING: packing order, pruning, exchange-free SPJ join") {
+    import graft.sources.Acid.packPrefix
+    def pk(s0: String, n: Int) = packPrefix(s0.getBytes("UTF-8"), n)
+    // order preservation, including the unsigned-byte edge (0xC3 > 0x7A)
+    val samples = Seq("", "a", "ab", "abc", "abcd", "az", "b", "z",
+      "zz", "éclair", "中文", "0", "9-LOW")
+    val n = 3
+    val sorted = samples.sorted // Java string order = code-unit order; all
+    // samples are BMP so it matches UTF-8 byte order
+    sorted.sliding(2).foreach { case Seq(x, y) =>
+      assert(pk(x, n) <= pk(y, n), s"packing must be monotone: '$x' vs '$y'")
+    case _ => () }
+    // prefix floor: equal prefixes pack equal; distinct prefixes distinct
+    assert(pk("abcX", 3) === pk("abcY", 3))
+    assert(pk("abc", 8) !== pk("abd", 8))
+    assert(pk("ab", 3) === pk("ab", 8) && pk("ab", 3) < pk("abc", 3))
+    // equality probe prunes through packed partition stamps
+    val root = Scratch.fresh("r13_truncstr", sf)
+    val cat = "r13ts"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, tag STRING, v BIGINT) " +
+      "PARTITIONED BY (truncate(4, tag))")
+    spark.range(4000).selectExpr("id AS k",
+      "concat('tag', id % 8, '-', id) AS tag", "id AS v")
+      .createOrReplaceTempView("r13ts_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, tag, v FROM r13ts_src")
+    spark.sql(s"SELECT count(*) FROM $cat.t WHERE tag = 'tag5-5'").head
+    val (scanned, total) = graft.sources.AcidSql.lastScanFor(s"$root/t")
+    assert(scanned >= 1 && scanned * 2 <= total,
+      s"string eq probe pruned $scanned/$total")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE tag = 'tag5-5'")
+      .head.getLong(0) === 1L)
+    // exchange-free SPJ over the packed prefix
+    spark.sql(s"DROP TABLE IF EXISTS $cat.b")
+    spark.sql(s"CREATE TABLE $cat.b (k BIGINT, tag STRING, w BIGINT) " +
+      "PARTITIONED BY (truncate(4, tag))")
+    spark.sql(s"INSERT INTO $cat.b SELECT k, tag, v * 3 AS w FROM r13ts_src")
+    spark.catalog.dropTempView("r13ts_src"): Unit
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val j = spark.sql(
+        s"""SELECT count(*) AS n, sum(a.v + b.w) AS s
+           |FROM $cat.t a JOIN $cat.b b ON a.tag = b.tag""".stripMargin)
+      val row = j.head()
+      assert(row.getAs[Long]("n") === 4000L)
+      assert(row.getAs[Long]("s") === (0L until 4000L).map(_ * 4).sum)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected an exchange-free string-truncate join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // a key-range rewrite RESTAMPS the packed stamps (the built-ins
+    // re-expression of packPrefix) — rewritten files carry real ranges,
+    // not conservative nothing, and match the writer's packing exactly
+    val dir = s"$root/t"
+    val before = Acid.readManifest(dir, Acid.latestVersion(dir)).files.toSet
+    val (_, touchedN, _) =
+      Acid.deleteWhere(spark, dir, col("k") < 50L, Some((0L, 49L)), "w")
+    assert(touchedN >= 1)
+    val after = Acid.readManifest(dir, Acid.latestVersion(dir)).files
+    val rewritten = after.filterNot(before)
+    assert(rewritten.nonEmpty && rewritten.forall(_.stats2.exists {
+      case (c, lo0, hi0) => c == "truncstr(4,tag)" && lo0 <= hi0 }),
+      s"rewrite must restamp packed prefixes: ${rewritten.map(_.stats2)}")
+    val expectLo = graft.sources.Acid.packPrefix("tag0".getBytes("UTF-8"), 4)
+    val expectHi = graft.sources.Acid.packPrefix("tag7".getBytes("UTF-8"), 4)
+    rewritten.flatMap(_.stats2).foreach { case (_, lo0, hi0) =>
+      assert(lo0 >= expectLo && hi0 <= expectHi,
+        s"restamped range [$lo0,$hi0] outside [$expectLo,$expectHi]") }
+    // pruning still strict after the rewrite (untouched one-prefix files)
+    spark.sql(s"SELECT count(*) FROM $cat.t WHERE tag = 'tag5-565'").head
+    val (sc2, tot2) = graft.sources.AcidSql.lastScanFor(dir)
+    assert(sc2 >= 1 && sc2 * 2 <= tot2, s"post-rewrite pruned $sc2/$tot2")
+    Seq("t", "b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $cat.$t"))
+  }
+
   /** The three new §2 fixture rows run end-to-end with true booleans. */
   test("round-13 fixture rows: tbl_cbo_nulls, tbl_sql_clone, tbl_part_months") {
     val r1 = Acid.queries("tbl_cbo_nulls")(spark, sf).head
@@ -207,6 +294,10 @@ class Round13Spec extends AnyFunSuite {
     assert(r3.getAs[Boolean]("pruned"), s"tbl_part_months: $r3")
     assert(r3.getAs[Boolean]("partitioning_reported"), s"tbl_part_months: $r3")
     assert(r3.getAs[Long]("n_window") > 0L)
+    val r4 = Acid.queries("tbl_part_truncstr")(spark, sf).head
+    assert(r4.getAs[Boolean]("pruned"), s"tbl_part_truncstr: $r4")
+    assert(r4.getAs[Boolean]("partitioning_reported"), s"tbl_part_truncstr: $r4")
+    assert(r4.getAs[Long]("n_probe") > 0L)
   }
 
   /** (6) months/years transforms (r12 verdict missing #5): calendar
