@@ -5248,6 +5248,41 @@ object Acid {
       .withColumn("partitioning_reported", lit(declared == "months(ts)"))
   }
 
+  /** tbl_part_years — year-grain archive partitioning (months' coarser
+    * sibling; Iceberg's year transform): orders' multi-year o_orderdate
+    * span rolls one-year segments; a one-year window probe floors its
+    * timestamp bounds to years-since-1970 through the SAME calendar
+    * eval that stamped the files and scans a strict subset. Shares every
+    * code path with tbl_part_months except the grain (`PartYears`).
+    */
+  val tblPartYears: Q = (s, d) => {
+    val root = fresh("tbl_part_years_cat", d)
+    val cat = "graft_pyrs_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderdate").cast("timestamp").as("ts"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("graft_pyrs_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.ar")
+    s.sql(s"""CREATE TABLE $cat.ar (k BIGINT, ts TIMESTAMP, cents BIGINT)
+             |PARTITIONED BY (years(ts))""".stripMargin)
+    s.sql(s"INSERT INTO $cat.ar SELECT k, ts, cents FROM graft_pyrs_src")
+    s.catalog.dropTempView("graft_pyrs_src"): Unit
+    val declared = s.table(s"$cat.ar").queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.partitioning().map(_.toString).mkString(",")
+    }.getOrElse("")
+    val win = "ts >= TIMESTAMP'1997-01-01 00:00:00' AND " +
+      "ts < TIMESTAMP'1998-01-01 00:00:00'"
+    s.sql(s"SELECT count(*) FROM $cat.ar WHERE $win").head
+    val (scanned, total) = AcidSql.lastScanFor(s"$root/ar")
+    s.sql(s"""SELECT count(*) AS n_window, sum(cents) AS window_cents
+             |FROM $cat.ar WHERE $win""".stripMargin)
+      .withColumn("pruned", lit(scanned >= 1 && scanned * 2 <= total))
+      .withColumn("partitioning_reported", lit(declared == "years(ts)"))
+  }
+
   /** tbl_spj_join — STORAGE-PARTITIONED JOIN over the table's own
     * transforms (round-11 verdict #3, Iceberg's SPJ re-derived): two
     * `bucket(8, k)` tables joining on k plan with ZERO exchanges. The
@@ -6236,6 +6271,7 @@ object Acid {
     "tbl_part_hours"        -> tblPartHours,
     "tbl_part_months"       -> tblPartMonths,
     "tbl_part_truncstr"     -> tblPartTruncstr,
+    "tbl_part_years"        -> tblPartYears,
     "tbl_partitions_meta"   -> tblPartitionsMeta,
     "tbl_optimize_partitions" -> tblOptimizePartitions,
     "tbl_sql_optimize"      -> tblSqlOptimize,
@@ -6446,6 +6482,14 @@ object Acid {
         |FROM orders
         |WHERE o_orderdate >= DATE '1996-03-01'
         |  AND o_orderdate <  DATE '1996-04-01'""".stripMargin,
+    "tbl_part_years" ->
+      """SELECT count(*) AS n_window,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS window_cents,
+        |       TRUE AS pruned, TRUE AS partitioning_reported
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1997-01-01'
+        |  AND o_orderdate <  DATE '1998-01-01'""".stripMargin,
     "tbl_part_bucket" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -298,6 +298,10 @@ class Round13Spec extends AnyFunSuite {
     assert(r4.getAs[Boolean]("pruned"), s"tbl_part_truncstr: $r4")
     assert(r4.getAs[Boolean]("partitioning_reported"), s"tbl_part_truncstr: $r4")
     assert(r4.getAs[Long]("n_probe") > 0L)
+    val r5 = Acid.queries("tbl_part_years")(spark, sf).head
+    assert(r5.getAs[Boolean]("pruned"), s"tbl_part_years: $r5")
+    assert(r5.getAs[Boolean]("partitioning_reported"), s"tbl_part_years: $r5")
+    assert(r5.getAs[Long]("n_window") > 0L)
   }
 
   /** (6) months/years transforms (r12 verdict missing #5): calendar
