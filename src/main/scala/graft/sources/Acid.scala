@@ -691,7 +691,17 @@ object Acid {
     val tmp = logDir(dir)
       .resolve(s".tmp-v${m.version}-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, manifestPath(dir, m.version))
+    // Put-if-absent must be KERNEL-atomic. Files.move WITHOUT
+    // REPLACE_EXISTING is check-then-rename on the POSIX provider: two
+    // racers can both pass the exists check and the second rename(2)
+    // silently REPLACES the first — both writers return success for the
+    // same version and one commit's updates are LOST (observed
+    // intermittently in AcidSpec's four-writer stress: two of four
+    // merges landing, no exception). link(2) is the atomic
+    // exclusive-create of an already-fully-written file: it fails EEXIST
+    // if the target exists, and readers can never see partial content
+    // because tmp was completely written first.
+    try Files.createLink(manifestPath(dir, m.version), tmp)
     finally Files.deleteIfExists(tmp)
     // Only the rename winner reaches here: cache the committed manifest
     // (the next commit's parent read becomes a cache hit) and, on the
@@ -3155,7 +3165,10 @@ object Acid {
       .resolve(s".tmp-b$name-${java.util.UUID.randomUUID()}")
     Files.write(tmp,
       files.map(renderEntry).mkString("\n").getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, branchManifestPath(dir, name, h + 1))
+    // link(2), not move: the same atomic put-if-absent as commitManifest
+    // (move without REPLACE_EXISTING is check-then-rename — racing branch
+    // writers could silently replace each other's head)
+    try Files.createLink(branchManifestPath(dir, name, h + 1), tmp)
     finally Files.deleteIfExists(tmp)
     h + 1
   }

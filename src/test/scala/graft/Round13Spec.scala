@@ -280,6 +280,38 @@ class Round13Spec extends AnyFunSuite {
     Seq("t", "b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $cat.$t"))
   }
 
+  /** (8) The commit's put-if-absent is now KERNEL-atomic (link(2) via
+    * Files.createLink): Files.move without REPLACE_EXISTING is
+    * check-then-rename on the POSIX provider, and under real contention
+    * two committers could both pass the exists check — the second
+    * rename(2) silently replaced the first, losing a commit with no
+    * exception (reproduced intermittently in AcidSpec's four-writer
+    * stress: 2 of 4 merges landing). Eight single-row writers with a
+    * deep retry budget must all land exactly once.
+    */
+  test("eight concurrent writers all land through the atomic put-if-absent commit") {
+    import spark.implicits._
+    val root = Scratch.fresh("r13_commit_race", sf)
+    val dir = s"$root/t"
+    Acid.create(spark, dir,
+      spark.range(800).select(col("id").as("k"), lit(0L).as("v")), "k", 4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { i =>
+      val th = new Thread(() => {
+        Acid.merge(spark, dir, Seq((100L * i, 1L)).toDF("k", "v"),
+          s"w$i", maxAttempts = 64): Unit
+      })
+      th.setUncaughtExceptionHandler((_, e) => { errs.add(e); () })
+      th
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer thread failed: ${Option(errs.peek())}")
+    assert(Acid.latestVersion(dir) === 8, "all eight commits must land")
+    val snap = Acid.snapshot(spark, dir)
+    assert(snap.filter(col("v") === 1L).count() === 8L,
+      "every writer's row must apply exactly once")
+  }
+
   /** The three new §2 fixture rows run end-to-end with true booleans. */
   test("round-13 fixture rows: tbl_cbo_nulls, tbl_sql_clone, tbl_part_months") {
     val r1 = Acid.queries("tbl_cbo_nulls")(spark, sf).head
