@@ -50,6 +50,17 @@ import graft.Tables
 object Acid {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** UTF-8 binary string comparison — Spark's STRING ordering (and the
+    * order `statsOf`'s min/max aggregates stamped the manifest cstats
+    * in, and the order `packPrefix` embeds). Java `String` comparison
+    * is UTF-16 code-unit order, which DISAGREES for BMP chars in
+    * [U+E000, U+FFFF] vs supplementary (non-BMP) code points — using it
+    * against UTF-8-ordered stats can prune a file that holds matching
+    * rows. Every lexicographic pruning compare must go through here. */
+  def u8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   private def fresh(tag: String, sfDir: String): String =
     graft.Scratch.fresh(tag, sfDir)
 
@@ -903,7 +914,7 @@ object Acid {
     val m = readManifest(dir, latestVersion(dir))
     val live = m.files.filter { f =>
       f.cstats.find(_._1 == c) match {
-        case Some((_, mn, mx)) => mx >= lo && mn <= hi
+        case Some((_, mn, mx)) => u8Cmp(mx, lo) >= 0 && u8Cmp(mn, hi) <= 0
         case None              => true
       }
     }

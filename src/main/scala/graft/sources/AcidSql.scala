@@ -305,10 +305,15 @@ object AcidSql {
     }
     val b = scala.collection.mutable.Map
       .empty[String, (Option[String], Option[String])]
+    // Bound selection MUST use UTF-8 binary order (Acid.u8Cmp), not Java
+    // String order: the consumers compare these against UTF-8-ordered
+    // manifest stats / packPrefix values, and picking the UTF-16-max of
+    // two candidates can under-shoot the real UTF-8 envelope → a file
+    // with matching rows pruned (not just a loose plan).
     def narrow(c: String, lo: Option[String], hi: Option[String]): Unit = {
       val (l0, h0) = b.getOrElse(c, (None, None))
-      val l = (l0 ++ lo).reduceOption((a, x) => if (a >= x) a else x)
-      val h = (h0 ++ hi).reduceOption((a, x) => if (a <= x) a else x)
+      val l = (l0 ++ lo).reduceOption((a, x) => if (Acid.u8Cmp(a, x) >= 0) a else x)
+      val h = (h0 ++ hi).reduceOption((a, x) => if (Acid.u8Cmp(a, x) <= 0) a else x)
       if (l.isDefined || h.isDefined) b(c) = (l, h)
     }
     def walk(f: Filter): Unit = f match {
@@ -320,7 +325,8 @@ object AcidSql {
       case StringStartsWith(c, p)   => narrow(c, Some(p), None)
       case In(c, vs) if vs.nonEmpty =>
         val ss = vs.flatMap(render)
-        if (ss.length == vs.length) narrow(c, Some(ss.min), Some(ss.max))
+        val u8 = Ordering.fromLessThan[String](Acid.u8Cmp(_, _) < 0)
+        if (ss.length == vs.length) narrow(c, Some(ss.min(u8)), Some(ss.max(u8)))
       case FAnd(l, r)               => walk(l); walk(r)
       case _                        => ()
     }
@@ -1402,7 +1408,9 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
           val phys = colMap.getOrElse(c, c)
           f.cstats.find(_._1 == phys) match {
             case Some((_, mn, mx)) =>
-              cLo.forall(_ <= mx) && cHi.forall(_ >= mn)
+              // UTF-8 order, matching the stamped stats' aggregate order
+              cLo.forall(Acid.u8Cmp(_, mx) <= 0) &&
+                cHi.forall(Acid.u8Cmp(_, mn) >= 0)
             case None => true
           }
         }
