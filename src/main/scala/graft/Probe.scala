@@ -1067,3 +1067,118 @@ object Round11Probe {
     spark.stop()
   }
 }
+
+/** Round-14 probes (verdict items #2 and #4).
+  *
+  * 1. REWRITE COMMIT TAX: every rewrite commit since round 13 builds a
+  *    sized key bloom (`bloomWrite`) and stamps cstats/NDV/nullCount in
+  *    the stats pass. A/B the same merge + optimize workload with the
+  *    measurement gates (`spark.graft.bloomOnRewrite`,
+  *    `spark.graft.stampColStats`) on vs off to put a number on the tax
+  *    the r13 verdict could only infer from noisy totals.
+  * 2. MANIFEST-SCALE PLANNING: a synthetic 50,000-entry manifest
+  *    (metadata only — no data files needed for metadata-tier timing)
+  *    through commit (sharded full snapshot), cold full parse, delta
+  *    tail + checkpoint read, and the shard-pruned point-window plan
+  *    (`planRangeEntries`) — the O(50k)-entries regime a 100 TB table's
+  *    log actually lives in.
+  *
+  *   sbt "runMain graft.Round14Probe"
+  */
+object Round14Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Acid
+
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- 1. rewrite commit tax: bloom + column-stats stamps on vs off ----
+    locally {
+      def run(bloom: Boolean, stats: Boolean): (Double, Double, Double) = {
+        spark.conf.set("spark.graft.bloomOnRewrite", bloom.toString)
+        spark.conf.set("spark.graft.stampColStats", stats.toString)
+        val dir = Scratch.fresh(s"r14_tax_${bloom}_$stats", sfDir)
+        val rows = spark.range(100000L).select(col("id").as("k"),
+          (col("id") * 7 % 99991).as("v"),
+          concat(lit("u"), col("id") % 1000).as("tag"))
+        Acid.create(spark, dir, rows, "k", 8)
+        def batch(i: Int) = spark.range(1000L).select(
+          (col("id") * 97 + i).as("k"), lit(-1L).as("v"),
+          lit(s"patched$i").as("tag"))
+        Acid.merge(spark, dir, batch(0), "w")  // warm
+        val times = (1 to 5).map { i =>
+          t(Acid.merge(spark, dir, batch(i), "w"))._2
+        }
+        val (_, optS) = t(Acid.optimize(spark, dir, 4))
+        val (_, smallS) = t(Acid.merge(spark, dir,
+          batch(6).limit(50), "w")) // tiny-commit shape
+        (times.sum / times.size, optS, smallS)
+      }
+      val (onMerge, onOpt, onSmall) = run(bloom = true, stats = true)
+      val (nbMerge, nbOpt, nbSmall) = run(bloom = false, stats = true)
+      val (offMerge, offOpt, offSmall) = run(bloom = false, stats = false)
+      spark.conf.set("spark.graft.bloomOnRewrite", "true")
+      spark.conf.set("spark.graft.stampColStats", "true")
+      println(f"[r14-probe] commit tax (both on / bloom off / both off): " +
+        f"merge ${onMerge}%5.3f / ${nbMerge}%5.3f / ${offMerge}%5.3fs " +
+        f"(bloom ${(onMerge / nbMerge - 1) * 100}%+5.1f%%, total ${(onMerge / offMerge - 1) * 100}%+5.1f%%), " +
+        f"optimize ${onOpt}%5.3f / ${nbOpt}%5.3f / ${offOpt}%5.3fs " +
+        f"(bloom ${(onOpt / nbOpt - 1) * 100}%+5.1f%%, total ${(onOpt / offOpt - 1) * 100}%+5.1f%%), " +
+        f"tiny merge ${onSmall}%5.3f / ${nbSmall}%5.3f / ${offSmall}%5.3fs " +
+        f"(total ${(onSmall / offSmall - 1) * 100}%+5.1f%%)")
+    }
+
+    // ---- 2. 50k-entry manifest: commit, cold parse, plan, checkpoint ----
+    locally {
+      val dir = Scratch.fresh("r14_manifest50k", sfDir)
+      val n = 50000
+      val entries = (0 until n).map { i =>
+        Acid.FileEntry(f"d0/part-$i%05d.parquet", 1000L,
+          i.toLong * 1000L, i.toLong * 1000L + 999L,
+          bytes = 4L << 20,
+          cstats = Seq(("tag", f"a$i%05d", f"z$i%05d")),
+          ndv = Seq(("tag", 900L)), nulls = Seq(("tag", 3L)))
+      }
+      val (_, commitS) = t(Acid.commitManifest(dir,
+        Acid.Manifest(0, -1L, entries, op = "CREATE")))
+      // a 10-deep delta tail, then the v10 checkpoint (cadence)
+      val deltaS = (1 to 10).map { v =>
+        val swapped = entries.updated(v,
+          entries(v).copy(path = f"d$v/part-swap$v%02d.parquet"))
+        t(Acid.commitManifest(dir,
+          Acid.Manifest(v, -1L, swapped.take(v + 1) ++ entries.drop(v + 1),
+            op = "MERGE")))._2
+      }.sum / 10
+      Acid.clearManifestCache()
+      val (m0, coldS) = t(Acid.readManifest(dir, 0))
+      require(m0.files.size == n, s"cold parse lost entries: ${m0.files.size}")
+      Acid.clearManifestCache()
+      val (mc, ckptS) = t(Acid.readManifest(dir, 10))
+      require(mc.files.size == n, s"checkpoint parse: ${mc.files.size}")
+      Acid.clearManifestCache()
+      val ((live, total, shards), planS) =
+        t(Acid.planRangeEntries(dir, 0, 25000000L, 25010000L))
+      require(total == n && live.size >= 10 && live.size <= 12 &&
+        shards >= 1 && shards <= 2,
+        s"shard-pruned plan: ${live.size} of $total via $shards shards")
+      val (warmPlan, warmS) = {
+        Acid.readManifest(dir, 10): Unit // warm the cache
+        t(Acid.planRangeEntries(dir, 10, 25000000L, 25010000L))
+      }
+      require(warmPlan._1.size >= 10)
+      println(f"[r14-probe] 50k manifest: commit ${commitS}%5.2fs " +
+        f"(196 shards), delta commit ${deltaS}%5.3fs, cold full parse ${coldS}%5.2fs, " +
+        f"checkpoint+tail parse ${ckptS}%5.2fs, shard-pruned point plan ${planS}%5.3fs " +
+        f"($shards of 196 shards), warm plan ${warmS * 1000}%5.1fms")
+    }
+    spark.stop()
+  }
+}

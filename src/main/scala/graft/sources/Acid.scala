@@ -712,7 +712,7 @@ object Acid {
     // exclusive-create of an already-fully-written file: it fails EEXIST
     // if the target exists, and readers can never see partial content
     // because tmp was completely written first.
-    try Files.createLink(manifestPath(dir, m.version), tmp)
+    try linkPutIfAbsent(manifestPath(dir, m.version), tmp)
     finally Files.deleteIfExists(tmp)
     // Only the rename winner reaches here: cache the committed manifest
     // (the next commit's parent read becomes a cache hit) and, on the
@@ -758,7 +758,12 @@ object Acid {
                       keyCol: String, col2: Option[String] = None): Seq[FileEntry] = {
     val prefix = Paths.get(tableDir).toAbsolutePath.toString
     val df = s.read.parquet(s"$tableDir/$dataDir")
-    val strCols = df.schema.fields.iterator
+    // Measurement-only off-switch for the per-column stats tail (cstats
+    // min/max + HLL NDV + nullCount — the round-14 commit-tax probe's
+    // A/B). Production default is ON.
+    val strCols = if (!s.conf.get("spark.graft.stampColStats", "true").toBoolean)
+      Seq.empty[String]
+    else df.schema.fields.iterator
       .filter(f => f.name != keyCol && !col2.contains(f.name) &&
         (f.dataType == org.apache.spark.sql.types.StringType ||
          f.dataType == org.apache.spark.sql.types.DateType) &&
@@ -1046,14 +1051,43 @@ object Acid {
     * its own segments adaptively. The options ride Spark's documented
     * parquet write-option passthrough into the job's hadoop conf.
     */
+  /** r13 advice: the hint is a PRE-image estimate, and a merge landing a
+    * large pure-insert batch (or an OPTIMIZE with targetFiles far from
+    * touched.size) can put materially more keys in a file than the hint,
+    * undersizing the bloom (FPR up, perf only). Two guards: (a) a ×2
+    * insert margin on the hint; (b) the margined hint is passed ONLY
+    * while it stays under the adaptive floor's break-even (~50k keys ≈
+    * the 64 KB smallest adaptive candidate at ~1.2 B/key) — above that
+    * the floor doesn't bloat anything, so adaptive sizing from the
+    * ACTUAL written keys is strictly better than any estimate. Net: the
+    * hint exists only where it prevents small-file bloat, and files big
+    * enough to be hurt by undersizing never see it. */
+  /** Per-file row floor under which rewrite blooms are SKIPPED (round-14,
+    * measured: the bloom build adds ~10-20% to a rewrite commit): a file
+    * of ≤ one vectorized batch decodes in a single step, so a point
+    * probe's bloom skip saves almost nothing there — min/max row-group
+    * stats plus the trivial decode already cover it. Large files (where
+    * a probe would otherwise decode millions of cells) keep the bloom;
+    * the floor only sheds the build cost exactly where the structure
+    * can't pay it back — streaming micro-batch commits and small
+    * fixtures, the shapes the r13 bench showed regressing. */
+  private[graft] val BloomRowFloor = 4096L
+
   private def bloomWrite(df: DataFrame, keyPhys: String,
       ndvPerFile: Option[Long] = None) = {
-    val w = df.write
-      .option(s"parquet.bloom.filter.enabled#$keyPhys", "true")
-      .option("parquet.bloom.filter.adaptive.enabled", "true")
-    ndvPerFile.fold(w)(n =>
-      w.option(s"parquet.bloom.filter.expected.ndv#$keyPhys",
-        math.max(1L, n).toString))
+    // Measurement-only off-switch (round-14 probe: quantify the rewrite
+    // commit's bloom-build tax A/B). Production default is ON — never
+    // set this in operator code.
+    if (!SparkSession.active.conf
+        .get("spark.graft.bloomOnRewrite", "true").toBoolean) df.write
+    else if (ndvPerFile.exists(_ < BloomRowFloor)) df.write
+    else {
+      val w = df.write
+        .option(s"parquet.bloom.filter.enabled#$keyPhys", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+      ndvPerFile.map(n => math.max(1L, 2L * n)).filter(_ <= 50000L).fold(w)(n =>
+        w.option(s"parquet.bloom.filter.expected.ndv#$keyPhys", n.toString))
+    }
   }
 
   def create(s: SparkSession, dir: String, df: DataFrame, keyCol: String,
@@ -3179,10 +3213,29 @@ object Acid {
     // link(2), not move: the same atomic put-if-absent as commitManifest
     // (move without REPLACE_EXISTING is check-then-rename — racing branch
     // writers could silently replace each other's head)
-    try Files.createLink(branchManifestPath(dir, name, h + 1), tmp)
+    try linkPutIfAbsent(branchManifestPath(dir, name, h + 1), tmp)
     finally Files.deleteIfExists(tmp)
     h + 1
   }
+
+  /** link(2)-based atomic put-if-absent with a portability fallback
+    * (r13 advice): some filesystems (FUSE/object-store/network mounts)
+    * refuse hard links entirely — there, degrade to Files.move WITHOUT
+    * REPLACE_EXISTING, the pre-round-13 check-then-rename. That window
+    * is only as racy as the old code was, and only on filesystems that
+    * cannot do better; every POSIX-local commit keeps the kernel-atomic
+    * EEXIST guarantee. FileAlreadyExistsException passes through
+    * untouched — it IS the conflict signal optimistic retry loops
+    * handle. */
+  private def linkPutIfAbsent(target: java.nio.file.Path,
+      tmp: java.nio.file.Path): Unit =
+    try Files.createLink(target, tmp): Unit
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException => throw e
+      case _: UnsupportedOperationException |
+           _: java.nio.file.FileSystemException =>
+        Files.move(tmp, target): Unit
+    }
 
   /** OPTIMIZE a BRANCH's staged state (round-10: branch maintenance —
     * the audit flow's compaction step): bin-pack the branch head's

@@ -241,8 +241,18 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
         f.dataType match {
           case LongType => Acid.PartTruncate(n, f.name).label
           // STRING truncate stores as the truncstr flavor (packed-prefix
-          // partition values — see Acid.PartTruncateStr's scaladoc)
+          // partition values — see Acid.PartTruncateStr's scaladoc).
+          // Widths above the 8-byte packing grain are REFUSED at DDL time
+          // (r13 advice): accepting truncate(16, c) would silently serve
+          // 8-byte-grain partitions while DESCRIBE advertises 16 — a
+          // consumer aligning SPJ or layouts against the advertised
+          // transform would mismatch the stored values.
           case org.apache.spark.sql.types.StringType =>
+            if (n > 8) throw new UnsupportedOperationException(
+              s"$catName: truncate($n, ${f.name}) over STRING exceeds the " +
+                "packed-prefix partition grain — values are packed from the " +
+                "first min(n, 8) UTF-8 bytes, so widths above 8 cannot be " +
+                "honored; declare truncate(8, ...) or narrower")
             Acid.PartTruncateStr(n, f.name).label
           case other => throw new UnsupportedOperationException(
             s"$catName: PARTITIONED BY (truncate(n, c)) needs a BIGINT " +
