@@ -1034,8 +1034,14 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
     val pMin = Array.fill(partDims.size)(Long.MaxValue)
     val pMax = Array.fill(partDims.size)(Long.MinValue)
     val pCons = partDims.map { case (_, i, ok) => i < 0 || !ok }.toArray
-    val cMin = new Array[String](cstatCols.size)
-    val cMax = new Array[String](cstatCols.size)
+    // UTF8String, not String: running min/max MUST be picked in UTF-8
+    // binary order (the order u8Cmp pruning consumes) — Java String's
+    // UTF-16 order disagrees for BMP [U+E000,U+FFFF] vs supplementary
+    // code points, and a wrong pick here stamps a bound that prunes a
+    // file holding matching rows (write-side twin of the r14 read-side
+    // u8Cmp routing).
+    val cMin = new Array[org.apache.spark.unsafe.types.UTF8String](cstatCols.size)
+    val cMax = new Array[org.apache.spark.unsafe.types.UTF8String](cstatCols.size)
     val cNull = new Array[Long](cstatCols.size)
   }
 
@@ -1069,7 +1075,12 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
       val s2 = stamped.headOption.flatten
       val pst = stamped.drop(1).flatten
       val cs = cstatCols.zipWithIndex.flatMap { case ((n, _, _), j) =>
-        if (sg.cMin(j) == null) None else Some((n, sg.cMin(j), sg.cMax(j)))
+        // bounds truncate Iceberg-style (Acid.CStatsBoundLen), same rule
+        // as the library path's statsOf: wide text values must not embed
+        // whole documents in the manifest entry
+        if (sg.cMin(j) == null) None
+        else Some((n, Acid.truncBoundMin(sg.cMin(j).toString),
+          Acid.truncBoundMax(sg.cMax(j).toString)))
       }
       val nl = cstatCols.zipWithIndex.map { case ((n, _, _), j) =>
         (n, sg.cNull(j))
@@ -1114,11 +1125,17 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
     AcidSqlDataWriter.fillGroup(g, schema, row)
     cstatCols.zipWithIndex.foreach { case ((_, i, isDate), j) =>
       if (!row.isNullAt(i)) {
+        // getUTF8String may serve a reused buffer — clone only on keep
+        // (comparisons are allocation-free; the old per-row toString is
+        // gone from the hot path)
         val v =
-          if (isDate) java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-          else row.getUTF8String(i).toString
-        if (sg.cMin(j) == null || v < sg.cMin(j)) sg.cMin(j) = v
-        if (sg.cMax(j) == null || v > sg.cMax(j)) sg.cMax(j) = v
+          if (isDate) org.apache.spark.unsafe.types.UTF8String.fromString(
+            java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString)
+          else row.getUTF8String(i)
+        if (sg.cMin(j) == null || v.binaryCompare(sg.cMin(j)) < 0)
+          sg.cMin(j) = v.clone()
+        if (sg.cMax(j) == null || v.binaryCompare(sg.cMax(j)) > 0)
+          sg.cMax(j) = v.clone()
       } else sg.cNull(j) += 1L
     }
     if (!sg.keyConservative) {
