@@ -1121,6 +1121,32 @@ object Acid {
     * fixtures, the shapes the r13 bench showed regressing. */
   private[graft] val BloomRowFloor = 4096L
 
+  /** Driver-side row ESTIMATE for a batch about to be written — plan
+    * statistics only, never an extra job: rowCount when the optimizer
+    * knows it (LocalRelation, CBO); else sizeInBytes over the schema's
+    * default row width. Feeds only perf heuristics (the bloom floor and
+    * expected-NDV hint) — an error here flips a build-or-skip decision
+    * or a sizing hint, never correctness, and the hint already drops to
+    * adaptive sizing above 50k keys. */
+  private def estRowsOf(df: DataFrame): Long = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
+      val w = BigInt(math.max(1, df.schema.defaultSize))
+      (st.sizeInBytes / w).min(BigInt(Long.MaxValue)).toLong
+    }
+  }
+
+  /** Per-file key estimate for a MERGE rewrite: pre-image rows of the
+    * touched files PLUS the incoming batch's estimated rows, over the
+    * output file count (r14 advice + verdict missing #4 — the pre-image
+    * alone missed two shapes: an insert-only commit has NO touched files
+    * but still paid an adaptive bloom build however tiny the batch, and
+    * a large insert landing on small touched files under-counted so the
+    * floor wrongly skipped blooms on files that end up large). */
+  private def mergeNdvHint(touched: Seq[FileEntry], batch: DataFrame): Some[Long] =
+    Some((touched.map(_.rows).sum + estRowsOf(batch)) /
+      math.max(1, touched.size))
+
   private def bloomWrite(df: DataFrame, keyPhys: String,
       ndvPerFile: Option[Long] = None) = {
     // Measurement-only off-switch (round-14 probe: quantify the rewrite
@@ -2138,9 +2164,7 @@ object Acid {
     val nextV = baseVersion + 1
     val dataDir = s"d${nextV}_$writerTag$stageSuffix"
     bloomWrite(merged.repartitionByRange(math.max(1, touched.size),
-      keyCols.map(col): _*), keyCols.head,
-      if (touched.nonEmpty)
-        Some(touched.map(_.rows).sum / touched.size) else None)
+      keyCols.map(col): _*), keyCols.head, mergeNdvHint(touched, batch))
       .mode("overwrite").parquet(s"$dir/$dataDir")
     // CHECK constraint on the WRITTEN merge result (what actually
     // persists): subset-column batches and evolved columns are validated
@@ -3195,8 +3219,7 @@ object Acid {
         .join(b.select(keysPhys.map(col): _*).distinct(), keysPhys, "left_anti")
     bloomWrite(kept.unionByName(b)
       .repartitionByRange(math.max(1, touched.size), col(keyPhys)),
-      keyPhys, if (touched.nonEmpty)
-        Some(touched.map(_.rows).sum / touched.size) else None)
+      keyPhys, mergeNdvHint(touched, b))
       .mode("overwrite").parquet(s"$dir/$dd")
     enforceConstraint(s, dir, dd,
       readManifest(dir, branchBase(dir, name)).constraint)
