@@ -3297,16 +3297,31 @@ object Acid {
     * cannot do better; every POSIX-local commit keeps the kernel-atomic
     * EEXIST guarantee. FileAlreadyExistsException passes through
     * untouched — it IS the conflict signal optimistic retry loops
-    * handle. */
+    * handle. Only link-INCAPABILITY degrades (r14 advice): a transient
+    * non-EEXIST failure — access denied, quota, missing parent — on a
+    * filesystem that CAN hard-link must surface to the caller, not
+    * silently downgrade the commit to the non-atomic path. */
   private def linkPutIfAbsent(target: java.nio.file.Path,
       tmp: java.nio.file.Path): Unit =
     try Files.createLink(target, tmp): Unit
     catch {
       case e: java.nio.file.FileAlreadyExistsException => throw e
-      case _: UnsupportedOperationException |
-           _: java.nio.file.FileSystemException =>
+      case _: UnsupportedOperationException => Files.move(tmp, target): Unit
+      case e: java.nio.file.FileSystemException if linkUnsupported(e) =>
         Files.move(tmp, target): Unit
     }
+
+  /** True iff the failure signals the filesystem cannot hard-link at
+    * all (EPERM/ENOTSUP on no-link mounts, EXDEV cross-device, ENOSYS),
+    * matched on the OS reason text — the only cases where the move
+    * fallback is the right degradation. */
+  private[sources] def linkUnsupported(e: java.nio.file.FileSystemException): Boolean = {
+    val r = (Option(e.getReason) ++ Option(e.getMessage))
+      .mkString(" ").toLowerCase(java.util.Locale.ROOT)
+    r.contains("not permitted") || r.contains("not supported") ||
+      r.contains("unsupported") || r.contains("cross-device") ||
+      r.contains("not implemented")
+  }
 
   /** OPTIMIZE a BRANCH's staged state (round-10: branch maintenance —
     * the audit flow's compaction step): bin-pack the branch head's
