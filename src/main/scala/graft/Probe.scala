@@ -1174,11 +1174,82 @@ object Round14Probe {
         t(Acid.planRangeEntries(dir, 10, 25000000L, 25010000L))
       }
       require(warmPlan._1.size >= 10)
+      // shard denominator derived from the actual fanout constant, not a
+      // literal (r14 advice: a changed fanout must not misreport here)
+      val totalShards =
+        (n + Acid.CheckpointShardEntries - 1) / Acid.CheckpointShardEntries
       println(f"[r14-probe] 50k manifest: commit ${commitS}%5.2fs " +
-        f"(196 shards), delta commit ${deltaS}%5.3fs, cold full parse ${coldS}%5.2fs, " +
+        f"($totalShards shards), delta commit ${deltaS}%5.3fs, cold full parse ${coldS}%5.2fs, " +
         f"checkpoint+tail parse ${ckptS}%5.2fs, shard-pruned point plan ${planS}%5.3fs " +
-        f"($shards of 196 shards), warm plan ${warmS * 1000}%5.1fms")
+        f"($shards of $totalShards shards), warm plan ${warmS * 1000}%5.1fms")
     }
+    spark.stop()
+  }
+}
+
+/** Round-15 probe — column-index (page-filter) OPEN cost on
+  * NON-selective filtered scans (round-14 verdict next #5): the
+  * vectorized V2 open enables `useColumnIndexFilter` whenever ANY
+  * filter is pushed, so a full scan with an all-matching residual
+  * (`v >= 0`) pays the column-index read for every row group while
+  * pruning nothing. A/B via `AcidSql.disableColumnIndexFilter`
+  * (measurement-only hook): if the index read costs real time, the open
+  * should gate on bound-style predicates; if it's noise (parquet-mr
+  * lazy-loads indexes per-row-group), the unconditional flip stands.
+  * A selective point window runs the same A/B as the paired benefit
+  * side.
+  *
+  *   sbt "runMain graft.Round15Probe"
+  */
+object Round15Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.{Acid, AcidSql}
+
+    val dir = Scratch.fresh("r15_ci_cost", sfDir)
+    val n = 4000000L
+    // many pages per group: a 32-byte pad column inflates page counts so
+    // index reads have something to cost
+    val t = spark.range(n).select(col("id").as("k"),
+      (col("id") * 7 % 1000003).as("v"),
+      rpad(col("id").cast("string"), 32, "x").as("pad"))
+    Acid.create(spark, dir, t, "k", 8)
+
+    def v2 = spark.read.format("graft-acid-sql").load(dir)
+    // pushed filter that matches EVERY row: pred.isDefined, zero pruning
+    def fullScan(): Long =
+      v2.filter(col("v") >= 0L).agg(count(lit(1))).head.getLong(0)
+    def pointWindow(): Long =
+      v2.filter(col("k") >= n / 2 && col("k") <= n / 2 + 2000)
+        .agg(count(lit(1))).head.getLong(0)
+
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def bench(reps: Int)(f: => Long): Double = median((1 to reps).map { _ =>
+      val t0 = System.nanoTime(); val r = f
+      require(r > 0); (System.nanoTime() - t0) / 1e9
+    })
+
+    fullScan(); pointWindow() // warm
+    val reps = 7
+    val fullOn  = bench(reps)(fullScan())
+    AcidSql.disableColumnIndexFilter = true
+    val fullOff = bench(reps)(fullScan())
+    AcidSql.disableColumnIndexFilter = false
+    val ptOn  = bench(reps)(pointWindow())
+    AcidSql.disableColumnIndexFilter = true
+    val ptOff = bench(reps)(pointWindow())
+    AcidSql.disableColumnIndexFilter = false
+    println(f"[r15-probe] column-index open cost (median of $reps): " +
+      f"non-selective full scan ${fullOn}%5.3fs with / ${fullOff}%5.3fs without " +
+      f"(${(fullOn / fullOff - 1) * 100}%+5.1f%%); " +
+      f"selective point window ${ptOn}%5.3fs with / ${ptOff}%5.3fs without " +
+      f"(${(ptOn / ptOff - 1) * 100}%+5.1f%%)")
     spark.stop()
   }
 }

@@ -154,6 +154,13 @@ object AcidSql {
     * counters). Never set in production code. */
   @volatile private[graft] var forceRowReads = false
 
+  /** Measurement-only A/B switch for column-index (page-level) filtering
+    * on the vectorized open (round-14 verdict next #5: quantify the
+    * index-read open cost on NON-selective filtered scans). Local-mode
+    * probe hook, same JVM-sharing caveat as the row-group counters.
+    * Never set in production code. */
+  @volatile private[graft] var disableColumnIndexFilter = false
+
   /** Pushed V1 filters re-expressed as a parquet `FilterPredicate` over
     * the FILE's own primitive widths (round-11 verdict #1): opening a
     * reader with this filter prunes ROW GROUPS by footer
@@ -2005,7 +2012,8 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
       else AcidSql.rowGroupPredicate(pushed, colMap, filePrim)
     val ob = org.apache.parquet.HadoopReadOptions
       .builder(conf, new Path(absPath))
-      .useColumnIndexFilter(pred.isDefined)
+      .useColumnIndexFilter(pred.isDefined &&
+        !AcidSql.disableColumnIndexFilter)
     pred.foreach(p => ob.withRecordFilter(
       org.apache.parquet.filter2.compat.FilterCompat.get(p)): Unit)
     val dataIn = HadoopInputFile.fromPath(new Path(absPath), conf)
