@@ -1220,6 +1220,12 @@ object Round15Probe {
       (col("id") * 7 % 1000003).as("v"),
       rpad(col("id").cast("string"), 32, "x").as("pad"))
     Acid.create(spark, dir, t, "k", 8)
+    // decode-heavy twin: 256-byte rows — where skipping pages actually
+    // saves real decode, the regime the page filter exists for
+    val dirW = Scratch.fresh("r15_ci_wide", sfDir)
+    Acid.create(spark, dirW, spark.range(n / 2).select(col("id").as("k"),
+      (col("id") * 7 % 1000003).as("v"),
+      rpad(col("id").cast("string"), 256, "x").as("pad")), "k", 4)
 
     def v2 = spark.read.format("graft-acid-sql").load(dir)
     // pushed filter that matches EVERY row: pred.isDefined, zero pruning
@@ -1228,28 +1234,43 @@ object Round15Probe {
     def pointWindow(): Long =
       v2.filter(col("k") >= n / 2 && col("k") <= n / 2 + 2000)
         .agg(count(lit(1))).head.getLong(0)
+    // wide variant reads the fat pad column through the probe so page
+    // skipping saves its decode, not just the longs'
+    def pointWide(): Long =
+      spark.read.format("graft-acid-sql").load(dirW)
+        .filter(col("k") >= n / 4 && col("k") <= n / 4 + 2000)
+        .agg(count(lit(1)), max(length(col("pad")))).head.getLong(0)
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    def bench(reps: Int)(f: => Long): Double = median((1 to reps).map { _ =>
-      val t0 = System.nanoTime(); val r = f
-      require(r > 0); (System.nanoTime() - t0) / 1e9
-    })
+    // INTERLEAVED A/B per rep: back-to-back on/off pairs cancel the
+    // drift (JIT, GC, page cache) that a run-them-in-blocks design
+    // charges entirely to whichever side runs first
+    def abBench(reps: Int)(f: => Long): (Double, Double) = {
+      val pairs = (1 to reps).map { _ =>
+        AcidSql.disableColumnIndexFilter = false
+        val t0 = System.nanoTime(); require(f > 0)
+        val on = (System.nanoTime() - t0) / 1e9
+        AcidSql.disableColumnIndexFilter = true
+        val t1 = System.nanoTime(); require(f > 0)
+        val off = (System.nanoTime() - t1) / 1e9
+        AcidSql.disableColumnIndexFilter = false
+        (on, off)
+      }
+      (median(pairs.map(_._1)), median(pairs.map(_._2)))
+    }
 
-    fullScan(); pointWindow() // warm
+    fullScan(); pointWindow(); pointWide() // warm
     val reps = 7
-    val fullOn  = bench(reps)(fullScan())
-    AcidSql.disableColumnIndexFilter = true
-    val fullOff = bench(reps)(fullScan())
-    AcidSql.disableColumnIndexFilter = false
-    val ptOn  = bench(reps)(pointWindow())
-    AcidSql.disableColumnIndexFilter = true
-    val ptOff = bench(reps)(pointWindow())
-    AcidSql.disableColumnIndexFilter = false
+    val (fullOn, fullOff) = abBench(reps)(fullScan())
+    val (ptOn, ptOff) = abBench(reps)(pointWindow())
+    val (wdOn, wdOff) = abBench(reps)(pointWide())
     println(f"[r15-probe] column-index open cost (median of $reps): " +
       f"non-selective full scan ${fullOn}%5.3fs with / ${fullOff}%5.3fs without " +
       f"(${(fullOn / fullOff - 1) * 100}%+5.1f%%); " +
       f"selective point window ${ptOn}%5.3fs with / ${ptOff}%5.3fs without " +
-      f"(${(ptOn / ptOff - 1) * 100}%+5.1f%%)")
+      f"(${(ptOn / ptOff - 1) * 100}%+5.1f%%); " +
+      f"wide-row point window ${wdOn}%5.3fs with / ${wdOff}%5.3fs without " +
+      f"(${(wdOn / wdOff - 1) * 100}%+5.1f%%)")
     spark.stop()
   }
 }
