@@ -1271,6 +1271,31 @@ object Round15Probe {
       f"(${(ptOn / ptOff - 1) * 100}%+5.1f%%); " +
       f"wide-row point window ${wdOn}%5.3fs with / ${wdOff}%5.3fs without " +
       f"(${(wdOn / wdOff - 1) * 100}%+5.1f%%)")
+
+    // ---- manifest footprint over a REAL wide-text corpus (round-15
+    // truncation evidence): documents.text averages KBs per value; the
+    // stamped bounds must keep the per-entry manifest cost at the
+    // Iceberg-like few-hundred-bytes scale, not two-documents scale ----
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").as("k"), col("text"), col("lang"), col("source"))
+      val avgText = docs.agg(avg(length(col("text")))).head.getDouble(0)
+      val ddir = Scratch.fresh("r15_docs_manifest", sfDir)
+      Acid.create(spark, ddir, docs, "k", 50)
+      val m = Acid.readManifest(ddir, Acid.latestVersion(ddir))
+      val logDir = java.nio.file.Paths.get(ddir, "_log")
+      val walked = java.nio.file.Files.walk(logDir)
+      val logBytes =
+        try {
+          import scala.jdk.CollectionConverters._
+          walked.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } finally walked.close()
+      println(f"[r15-probe] documents manifest: ${m.files.size} entries over " +
+        f"avg-${avgText}%.0f-char text, $logBytes%d log bytes " +
+        f"(${logBytes / m.files.size}%d B/entry)")
+    }
     spark.stop()
   }
 }

@@ -145,10 +145,14 @@ object Acid {
   /** `cstats` = per-file (column, min, max) stats for STRING and DATE
     * columns (round-9 verdict #2 — Delta collects per-column stats for
     * the first 32 columns; this log stamps the first few string/date
-    * columns): values are compared lexicographically, which IS value
-    * order for strings and for dates rendered as ISO `yyyy-MM-dd`.
-    * Files without a column's stats are conservatively kept by every
-    * pruning path. */
+    * columns): values are compared lexicographically (UTF-8 binary
+    * order, `u8Cmp`), which IS value order for strings and for dates
+    * rendered as ISO `yyyy-MM-dd`. Bounds are TRUNCATED at write time
+    * (round-15, Iceberg parity): min to a ≤`CStatsBoundLen`-code-point
+    * prefix, max truncated-then-incremented — so a wide text column
+    * never embeds documents in the manifest, and every pruning overlap
+    * check stays sound on the widened range. Files without a column's
+    * stats are conservatively kept by every pruning path. */
   /** `nulls` = per-file (column, nullCount) for the same stats columns
     * cstats covers (round-12 verdict missing #2 — Delta stamps nullCount
     * per column): the CBO filter-selectivity feed for nullable dimension
