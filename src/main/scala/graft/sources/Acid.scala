@@ -67,7 +67,12 @@ object Acid {
     * documents in every file entry for wide text columns — the
     * `documents.text` LLM-corpus shape — and at O(50k) entries that
     * bloats the metadata tier from MBs to GBs (round-14 verdict
-    * missing #1). Worst case 16 code points = 64 UTF-8 bytes. */
+    * missing #1). Worst case 16 code points = 64 UTF-8 bytes. Known
+    * trade (Iceberg shares it): domains whose values exceed the budget
+    * with a COMMON prefix — URLs under one host, path-like ids — stamp
+    * near-identical bounds and get no cstats pruning; partition by
+    * `truncate(n, col)` (order-preserving packed prefixes) to make
+    * such columns prune. */
   private[graft] val CStatsBoundLen = 16
 
   /** Truncated LOWER stats bound: a ≤`CStatsBoundLen`-code-point prefix.

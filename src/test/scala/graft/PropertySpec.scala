@@ -152,4 +152,42 @@ class PropertySpec extends AnyFunSuite {
       assert(ids.last <= langTokens / 4096, s"$lang bin id beyond token mass")
     }
   }
+
+  test("stats-bound truncation law: min <= s <= max under UTF-8 order, bounded size") {
+    import graft.sources.Acid
+    // code points across every regime the ordering bugs lived in: ASCII,
+    // BMP low, BMP above the surrogate gap, supplementary, and the exact
+    // boundary values (U+D7FF, U+E000, U+FFFD, U+10000, U+10FFFF)
+    val cp: Gen[Int] = Gen.frequency(
+      4 -> Gen.choose(0x20, 0x7E),
+      2 -> Gen.choose(0xA0, 0x2FFF),
+      2 -> Gen.choose(0xE000, 0xFFFD),
+      2 -> Gen.choose(0x10000, 0x10FFFF),
+      1 -> Gen.oneOf(0xD7FF, 0xE000, 0xFFFD, 0x10000, 0x10FFFF))
+    val str: Gen[String] = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, cp).map(_.flatMap(Character.toChars(_).toSeq).mkString))
+    val samples = sample(Gen.listOfN(500, str))
+    samples.foreach { s =>
+      val mn = Acid.truncBoundMin(s); val mx = Acid.truncBoundMax(s)
+      assert(Acid.u8Cmp(mn, s) <= 0, s"min bound must be <= value: ${dbg(s)}")
+      assert(Acid.u8Cmp(s, mx) <= 0, s"max bound must be >= value: ${dbg(s)}")
+      assert(mn.codePointCount(0, mn.length) <= Acid.CStatsBoundLen)
+      // only the all-U+10FFFF-prefix fallback may exceed the budget
+      assert(mx == s || mx.codePointCount(0, mx.length) <= Acid.CStatsBoundLen,
+        s"max bound must truncate: ${dbg(s)} -> ${dbg(mx)}")
+      assert(mn.getBytes("UTF-8").length <= 4 * Acid.CStatsBoundLen)
+    }
+    // transitivity corollary: any probe v inside a file's true [a, b]
+    // range stays inside the truncated stamp [truncMin(a), truncMax(b)]
+    val u8 = Ordering.fromLessThan[String](Acid.u8Cmp(_, _) < 0)
+    samples.grouped(3).filter(_.size == 3).foreach { g =>
+      val Seq(a, v, b) = g.sorted(u8)
+      assert(Acid.u8Cmp(Acid.truncBoundMin(a), v) <= 0 &&
+        Acid.u8Cmp(v, Acid.truncBoundMax(b)) <= 0,
+        s"probe inside [a,b] escaped the truncated stamp: ${g.map(dbg)}")
+    }
+  }
+
+  private def dbg(s: String): String =
+    s.codePoints().toArray.map(c => f"U+$c%04X").mkString("[", " ", "]")
 }
