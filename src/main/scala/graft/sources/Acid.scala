@@ -85,30 +85,40 @@ object Acid {
     if (s.codePointCount(0, s.length) <= CStatsBoundLen) s
     else s.substring(0, s.offsetByCodePoints(0, CStatsBoundLen))
 
-  /** Truncated UPPER stats bound: the `CStatsBoundLen`-code-point prefix
-    * with its last code point INCREMENTED, so the result is ≥ the full
-    * value in UTF-8 binary order (UTF-8 encodes code-point order, and
-    * the first differing position carries the larger code point).
-    * Increments landing in the surrogate gap [U+D800, U+DFFF] skip to
-    * U+E000 (surrogates are not scalar values — `String.getBytes` would
-    * mangle them to `?`, breaking the ordering the bound exists for);
-    * a max-code-point position carries into the previous one, dropping
-    * trailing positions like a decimal carry. Only when EVERY truncated
-    * code point is U+10FFFF does the carry fail — keep the full value
-    * (pathological, and still correct). */
-  private[graft] def truncBoundMax(s: String): String = {
-    if (s.codePointCount(0, s.length) <= CStatsBoundLen) return s
-    val cps = s.codePoints().limit(CStatsBoundLen.toLong).toArray
-    var i = CStatsBoundLen - 1
+  /** Increment `s`'s LAST code point, so the result is > `s` — and > any
+    * string having `s` as a prefix — in UTF-8 binary order (UTF-8
+    * encodes code-point order, and the first differing position carries
+    * the larger code point). Increments landing in the surrogate gap
+    * [U+D800, U+DFFF] skip to U+E000 (surrogates are not scalar values —
+    * `String.getBytes` would mangle them to `?`, breaking the ordering
+    * the bound exists for); a max-code-point position carries into the
+    * previous one, dropping trailing positions like a decimal carry.
+    * None when EVERY code point is U+10FFFF (no finite upper bound
+    * exists — pathological). Shared by `truncBoundMax` and the
+    * prefix-predicate upper envelope in `cstatsBounds`. */
+  private[graft] def incrementBound(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    var i = cps.length - 1
     while (i >= 0) {
       var c = cps(i) + 1
       if (c >= Character.MIN_SURROGATE.toInt && c <= Character.MAX_SURROGATE.toInt)
         c = 0xE000
       if (c <= Character.MAX_CODE_POINT)
-        return new String(cps, 0, i) + new String(Character.toChars(c))
+        return Some(new String(cps, 0, i) + new String(Character.toChars(c)))
       i -= 1
     }
-    s
+    None
+  }
+
+  /** Truncated UPPER stats bound: the `CStatsBoundLen`-code-point prefix
+    * with its last code point INCREMENTED (`incrementBound`), so the
+    * result is ≥ the full value in UTF-8 binary order. Only when every
+    * truncated code point is U+10FFFF does the carry fail — keep the
+    * full value (pathological, and still correct). */
+  private[graft] def truncBoundMax(s: String): String = {
+    if (s.codePointCount(0, s.length) <= CStatsBoundLen) return s
+    incrementBound(
+      s.substring(0, s.offsetByCodePoints(0, CStatsBoundLen))).getOrElse(s)
   }
 
   private def fresh(tag: String, sfDir: String): String =

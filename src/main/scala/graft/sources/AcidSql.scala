@@ -338,7 +338,12 @@ object AcidSql {
       case GreaterThanOrEqual(c, v) => render(v).foreach(s => narrow(c, Some(s), None))
       case LessThan(c, v)           => render(v).foreach(s => narrow(c, None, Some(s)))
       case LessThanOrEqual(c, v)    => render(v).foreach(s => narrow(c, None, Some(s)))
-      case StringStartsWith(c, p)   => narrow(c, Some(p), None)
+      // a prefix bounds BOTH sides: every p-prefixed string sits in
+      // [p, incrementBound(p)) — the round-15 increment helper gives the
+      // upper envelope, so `LIKE 'p%'` prunes files ABOVE the prefix
+      // range too (inclusive use of the exclusive bound is conservative)
+      case StringStartsWith(c, p) if p.nonEmpty =>
+        narrow(c, Some(p), Acid.incrementBound(p))
       case In(c, vs) if vs.nonEmpty =>
         val ss = vs.flatMap(render)
         val u8 = Ordering.fromLessThan[String](Acid.u8Cmp(_, _) < 0)
