@@ -107,7 +107,26 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val (lo, hi) = keyBounds(filters)
-    val live = manifest.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    // STRING/DATE cstats pruning (round-15 — V1 parity with the V2 scan
+    // and scanColRange): pushed eq/range/prefix predicates on stamped
+    // columns drop files whose lexicographic [min, max] misses the
+    // predicate, compared in UTF-8 binary order against the (possibly
+    // truncated) bounds. Files without a column's stats are kept, and
+    // Spark re-applies every filter above this scan — conservative,
+    // never wrong. Library tables keep logical = physical names, so no
+    // column mapping applies on this surface.
+    val cb = AcidSql.cstatsBounds(filters)
+    val inProbes = AcidSql.cstatsInProbes(filters)
+    val live = manifest.files.filter(f =>
+      f.maxKey >= lo && f.minKey <= hi &&
+        cb.forall { case (c, (cLo, cHi)) =>
+          f.cstats.find(_._1 == c) match {
+            case Some((_, mn, mx)) =>
+              cLo.forall(Acid.u8Cmp(_, mx) <= 0) &&
+                cHi.forall(Acid.u8Cmp(_, mn) >= 0)
+            case None => true
+          }
+        } && AcidSql.survivesInProbes(f, inProbes))
     AcidRelation.lastScan.put((dir, resolvedVersion), (live.size, manifest.files.size))
     val s = ctx.sparkSession
     val raw =

@@ -355,6 +355,52 @@ object AcidSql {
     b.toMap
   }
 
+  /** Per-value string/date IN probe sets from pushed filters (round-15):
+    * the envelope above reduces `c IN (a, m, z)` to [a, z], keeping every
+    * file BETWEEN scattered values — per-value checks prune the gaps (a
+    * file survives a probe set iff SOME value lands inside its stamped
+    * range). ANDed sets on one column each apply independently. Capped
+    * at 64 values per set: beyond that the driver-side #files × #probes
+    * sweep costs more than the envelope leaves on the table. Only
+    * conjunctive top-level shapes contribute — anything else adds no
+    * set, never wrong. */
+  private[sources] def cstatsInProbes(filters: Array[Filter])
+      : Map[String, Seq[Seq[String]]] = {
+    def render(v: Any): Option[String] = v match {
+      case s: String              => Some(s)
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case d: java.sql.Date       => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _                      => None
+    }
+    val b = scala.collection.mutable.Map.empty[String, List[Seq[String]]]
+    def walk(f: Filter): Unit = f match {
+      case In(c, vs) if vs.nonEmpty && vs.length <= 64 =>
+        val ss = vs.flatMap(render).toSeq
+        if (ss.length == vs.length) b(c) = ss :: b.getOrElse(c, Nil)
+      case FAnd(l, r) => walk(l); walk(r)
+      case _          => ()
+    }
+    filters.foreach(walk)
+    b.view.mapValues(_.toSeq).toMap
+  }
+
+  /** True iff `f`'s stamped range admits every probe set on its columns:
+    * for each set, some value must land inside the (possibly truncated —
+    * widened, so conservative) [min, max]. Files without a column's
+    * stats are kept. Shared by the V2 scan and the V1 relation. */
+  private[sources] def survivesInProbes(f: Acid.FileEntry,
+      probes: Map[String, Seq[Seq[String]]],
+      colMap: Map[String, String] = Map.empty): Boolean =
+    probes.forall { case (c, sets) =>
+      val phys = colMap.getOrElse(c, c)
+      f.cstats.find(_._1 == phys) match {
+        case Some((_, mn, mx)) => sets.forall(_.exists(v =>
+          Acid.u8Cmp(v, mn) >= 0 && Acid.u8Cmp(v, mx) <= 0))
+        case None => true
+      }
+    }
+
   /** Generic pushed-filter bound fold over one column: EqualTo/GT/GTE/
     * LT/LTE/In/And narrow [lo, hi]; anything undecodable (or an OR) is
     * ignored — bounds stay open, conservative, never wrong. The literal
@@ -1439,7 +1485,7 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     // reference logical ones. Files without a column's stats stay —
     // conservative, never wrong; Spark re-applies every filter above.
     val cb = AcidSql.cstatsBounds(allFilters)
-    val ranged =
+    val ranged1 =
       if (cb.isEmpty) ranged0
       else ranged0.filter { f =>
         cb.forall { case (c, (cLo, cHi)) =>
@@ -1453,6 +1499,11 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
           }
         }
       }
+    // per-value IN probes prune the gaps the envelope keeps (round-15)
+    val inProbes = AcidSql.cstatsInProbes(allFilters)
+    val ranged =
+      if (inProbes.isEmpty) ranged1
+      else ranged1.filter(AcidSql.survivesInProbes(_, inProbes, colMap))
     // Point probes (IN / = on the key) engage the manifest's Bloom tier:
     // a file is dropped when no probe lands in its range, or its filter
     // rejects every in-range probe. Filterless files stay — conservative.
