@@ -6418,7 +6418,40 @@ object Acid {
         !Files.exists(Paths.get(src))))
   }
 
+  /** tbl_agg_pushdown — metadata-answered aggregates (round-15): an
+    * unfiltered count(*)/min(key)/max(key) over a V2 catalog table pushes
+    * into the scan builder (`SupportsPushDownAggregates`) and answers
+    * from the MANIFEST — zero parquet files opened, counter-pinned. At
+    * 100 TB this turns a full-table scan into one metadata read, the
+    * same shapes Iceberg/Delta answer from their stats. After a DV
+    * delete every push REFUSES (a sidecar's stamped count is the
+    * sidecar TOTAL shared by every referencing entry — exact metadata
+    * arithmetic is impossible once a merge can partially materialize
+    * it) and the scan path keeps counts exact; OPTIMIZE re-enables the
+    * push.
+    */
+  val tblAggPushdown: Q = (s, d) => {
+    val root = fresh("tbl_aggpd_cat", d)
+    val cat = "graft_aggpd_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    create(s, dir, ordersKV(s, d), "k", 8)
+    AcidSql.resetRowGroupMetrics()
+    val r = s.sql(s"SELECT count(*) AS c, min(k) AS lo, max(k) AS hi FROM $cat.t")
+      .collect()(0)
+    val metaOnly = AcidSql.vecRowsFooter.sum() == 0L &&
+      AcidSql.rowGroupsRead.sum() == 0L
+    val (nDel, _, _) = deleteWhereMor(s, dir, col("k") % 97 === 3, None, "w")
+    val r2 = s.sql(s"SELECT count(*) AS c2 FROM $cat.t").collect()(0)
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), metaOnly,
+      r2.getLong(0) + nDel, r2.getLong(0) == r.getLong(0) - nDel))
+      .toDF("n", "lo", "hi", "meta_only", "n2_plus_del", "dv_count_exact")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tbl_agg_pushdown"      -> tblAggPushdown,
     "tbl_vacuum_scale"      -> tblVacuumScale,
     "tbl_describe_detail"   -> tblDescribeDetail,
     "tbl_branch_optimize"   -> tblBranchOptimize,
@@ -6500,6 +6533,11 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_agg_pushdown" ->
+      """SELECT count(*) AS n, CAST(min(o_orderkey) AS BIGINT) AS lo,
+        |       CAST(max(o_orderkey) AS BIGINT) AS hi, TRUE AS meta_only,
+        |       count(*) AS n2_plus_del, TRUE AS dv_count_exact
+        |FROM orders""".stripMargin,
     "tbl_describe_detail" ->
       """SELECT 'graft-acid' AS format, CAST(0 AS BIGINT) AS version,
         |       CAST(4 AS BIGINT) AS num_files, count(*) AS n_rows,
