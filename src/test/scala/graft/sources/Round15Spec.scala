@@ -160,6 +160,144 @@ class Round15Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
+  /** (6) Prefix predicates now bound BOTH sides of the cstats envelope
+    * (round-15): every p-prefixed string sits in [p, incrementBound(p)),
+    * so `LIKE 'p%'` prunes files ABOVE the prefix range too — the old
+    * low-side-only envelope kept every file from the prefix upward. */
+  test("prefix predicates bound both sides; LIKE prunes above the prefix") {
+    import org.apache.spark.sql.sources.{Filter, StringStartsWith}
+    val got = AcidSql.cstatsBounds(Array[Filter](StringStartsWith("c", "C0004")))
+    assert(got === Map("c" -> (Some("C0004"), Some("C0005"))), s"$got")
+    // surrogate-gap and saturated prefixes keep the envelope sound
+    assert(Acid.incrementBound("a퟿") === Some("a" + bmpHi))
+    val top = new String(Character.toChars(Character.MAX_CODE_POINT))
+    assert(Acid.incrementBound(top * 3) === None)
+    assert(Acid.incrementBound("a" + top) === Some("b"))
+    // e2e over the V2 scan: monotone code column, 8 range files — the
+    // old envelope scanned the prefix file AND the whole tail
+    val root = Scratch.fresh("r15_prefix_prune", sf)
+    val dir = s"$root/t"
+    val t = spark.range(800).select(col("id").as("k"),
+      concat(lit("C"), lpad(col("id").cast("string"), 6, "0")).as("code"),
+      (col("id") * 3).as("v"))
+    Acid.create(spark, dir, t, "k", 8)
+    val q = spark.read.format("graft-acid-sql").load(dir)
+      .filter(col("code").startsWith("C0004"))
+    assert(q.count() === 100L)
+    val (s1, t1) = AcidSql.lastScanFor(dir)
+    assert(t1 === 8 && s1 === 1,
+      s"two-sided prefix envelope must prune to one file: $s1/$t1")
+  }
+
+  /** (7) Scattered string IN probes prune PER VALUE (round-15): the
+    * envelope reduces `c IN (a, z)` to [a, z] and keeps every file in
+    * between; the per-value pass keeps a file only when SOME probe lands
+    * inside its stamped range. Shared by the V2 scan and V1 relation. */
+  test("scattered string IN prunes per value, not by envelope") {
+    import org.apache.spark.sql.sources.{Filter, In}
+    val got = AcidSql.cstatsInProbes(Array[Filter](In("c", Array("a", "z"))))
+    assert(got === Map("c" -> Seq(Seq("a", "z"))), s"$got")
+    // beyond the 64-value cap the set is dropped (envelope still applies)
+    assert(AcidSql.cstatsInProbes(Array[Filter](
+      In("c", (0 to 64).map(_.toString).toArray))).isEmpty)
+    val root = Scratch.fresh("r15_in_prune", sf)
+    val dir = s"$root/t"
+    val t = spark.range(800).select(col("id").as("k"),
+      concat(lit("C"), lpad(col("id").cast("string"), 6, "0")).as("code"),
+      (col("id") * 3).as("v"))
+    Acid.create(spark, dir, t, "k", 8)
+    // first and last file only — the envelope alone keeps all 8
+    val q = spark.read.format("graft-acid-sql").load(dir)
+      .filter(col("code").isin("C000050", "C000750"))
+    assert(q.count() === 2L)
+    val (s1, t1) = AcidSql.lastScanFor(dir)
+    assert(t1 === 8 && s1 === 2, s"per-value IN pruning: $s1/$t1")
+    val v1 = spark.read.format("graft-acid").load(dir)
+      .filter(col("code").isin("C000050", "C000750"))
+    assert(v1.count() === 2L)
+    assert(AcidRelation.lastScanFor(dir) === ((2, 8)),
+      s"V1 per-value IN pruning: ${AcidRelation.lastScanFor(dir)}")
+  }
+
+  /** (5) The V1 `graft-acid` relation now prunes on string/date cstats
+    * like the V2 scan and scanColRange (round-15 parity): pushed
+    * predicates on stamped columns drop files manifest-side, residual
+    * filters keep results exact, and the supplementary-plane probe that
+    * exposed the UTF-16 bugs stays un-pruned here too. */
+  test("V1 relation prunes on string cstats; UTF-8 probe survives") {
+    import spark.implicits._
+    val root = Scratch.fresh("r15_v1_cstats", sf)
+    val dir = s"$root/t"
+    val rows = (0L until 20L).map { k =>
+      val c = if (k >= 10) f"zz$k%03d" else if (k == 1) supp else bmpHi + k
+      (k, c)
+    }
+    Acid.create(spark, dir, rows.toDF("k", "c"), "k", 2)
+    val v1 = spark.read.format("graft-acid").load(dir)
+    // string point probe prunes to the one matching file
+    assert(v1.filter(col("c") === "zz015").count() === 1L)
+    assert(AcidRelation.lastScanFor(dir) === ((1, 2)),
+      s"string probe must prune: ${AcidRelation.lastScanFor(dir)}")
+    // the supplementary-plane value must not be pruned away (UTF-8 order)
+    assert(v1.filter(col("c") === supp).count() === 1L)
+    assert(AcidRelation.lastScanFor(dir) === ((1, 2)))
+    // range predicate spanning both files keeps both
+    assert(v1.filter(col("c") >= "a").count() === 20L)
+    assert(AcidRelation.lastScanFor(dir)._1 === 2)
+  }
+
+  /** (8) Metadata-answered aggregate pushdown (round-15): unfiltered
+    * count(*)/min(key)/max(key) over a V2 catalog table answer from the
+    * manifest with ZERO parquet opens; ANY deletion vector flips every
+    * push back to a real scan — min/max because a vector may hold the
+    * extreme row, count(*) because a sidecar's stamped count is the
+    * sidecar TOTAL shared by every referencing entry (after a merge
+    * materializes some of them, metadata arithmetic overcounts — found
+    * live by AcidSpec when the push first subtracted sidecars); a
+    * filtered aggregate never pushes. */
+  test("aggregate pushdown: manifest answers, DV and filter guards hold") {
+    val root = Scratch.fresh("r15_aggpd", sf)
+    val cat = "r15ag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    import spark.implicits._
+    Acid.create(spark, dir,
+      spark.range(1000L).select((col("id") + 5).as("k"), col("id").as("v")),
+      "k", 4)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.missing") // catalog init
+    AcidSql.resetRowGroupMetrics()
+    val q = spark.sql(s"SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM $cat.t")
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1000L, 5L, 1004L)))
+    assert(AcidSql.vecRowsFooter.sum() === 0L && AcidSql.rowGroupsRead.sum() === 0L,
+      "manifest-answered aggregate must open no data file")
+    assert(q.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "plan must show the pushed aggregate scan")
+    // filtered aggregate must NOT push — exact results through the scan
+    val rf = spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE k <= 104").head
+    assert(rf.getLong(0) === 100L)
+    // a DV delete: EVERY push falls back to the scan and stays CORRECT
+    Acid.deleteWhereMor(spark, dir, col("k") === 5L || col("k") === 1004L,
+      None, "w"): Unit
+    val qDv = spark.sql(s"SELECT count(*) AS n FROM $cat.t")
+    assert(qDv.head.getLong(0) === 998L,
+      "DV count must be exact (sidecar counts are table-level uppers — " +
+        "metadata arithmetic would overcount)")
+    assert(!qDv.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "count(*) over a DV table must NOT push to the manifest")
+    val r2 = spark.sql(s"SELECT min(k) AS lo, max(k) AS hi FROM $cat.t").head
+    assert((r2.getLong(0), r2.getLong(1)) === ((6L, 1003L)),
+      "DV-deleted extremes must not surface from stale manifest bounds")
+    // OPTIMIZE materializes the DVs away and re-enables the push
+    Acid.optimize(spark, dir, 2): Unit
+    AcidSql.resetRowGroupMetrics()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head.getLong(0) === 998L)
+    assert(AcidSql.vecRowsFooter.sum() === 0L && AcidSql.rowGroupsRead.sum() === 0L,
+      "post-OPTIMIZE count must be metadata-answered again")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   /** (4) The put-if-absent link fallback triggers ONLY on
     * link-incapability (r14 advice): a transient non-EEXIST failure —
     * access denied, quota, missing parent — on a filesystem that CAN
