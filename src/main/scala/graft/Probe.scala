@@ -1272,6 +1272,18 @@ object Round15Probe {
       f"wide-row point window ${wdOn}%5.3fs with / ${wdOff}%5.3fs without " +
       f"(${(wdOn / wdOff - 1) * 100}%+5.1f%%)")
 
+    // ---- metadata-answered count(*) vs the residual-filtered scan over
+    // the same 4M rows: the aggregate-pushdown payoff in one number ----
+    locally {
+      val pushed = median((1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        require(v2.agg(count(lit(1))).head.getLong(0) == n)
+        (System.nanoTime() - t0) / 1e9
+      })
+      println(f"[r15-probe] count(*) pushdown ${pushed * 1000}%5.1fms " +
+        f"vs scan-side count ${fullOff}%5.3fs (${fullOff / pushed}%.0fx)")
+    }
+
     // ---- manifest footprint over a REAL wide-text corpus (round-15
     // truncation evidence): documents.text averages KBs per value; the
     // stamped bounds must keep the per-entry manifest cost at the

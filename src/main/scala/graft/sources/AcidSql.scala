@@ -1440,8 +1440,29 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         case nr: NamedReference => nr.fieldNames.toSeq == Seq(keyCol)
         case _ => false
       }
+    // count(col) = Σ rows − Σ nullCount(col), valid when EVERY entry
+    // stamps the column's nullCount (post-r13 writes stamp zero
+    // explicitly, so "stamped" is distinguishable from "unknown";
+    // any unstamped entry — pre-r13 files, non-stats columns — refuses)
+    def nonNullCount(c: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = c match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val phys = colMap.getOrElse(nr.fieldNames.head, nr.fieldNames.head)
+        if (nr.fieldNames.head == keyCol)
+          // merge-key rows are non-null wherever stats are exact; a file
+          // that SAW a null key stamps the conservative full range and
+          // `conservative` already refuses the push
+          (if (conservative) None else Some(files.map(_.rows).sum))
+        else if (files.forall(_.nulls.exists(_._1 == phys)))
+          Some(files.map(f => f.rows - f.nulls.find(_._1 == phys).get._2).sum)
+        else None
+      case _ => None
+    }
     val mapped = agg.aggregateExpressions.toSeq.map {
       case _: CountStar if !anyDv => Some(("count_star", files.map(_.rows).sum))
+      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !c.isDistinct && !anyDv =>
+        nonNullCount(c.column).map(n => ("count_col", n))
       case m: Min if isKey(m.column) && files.nonEmpty && !anyDv && !conservative =>
         Some((s"min_$keyCol", files.map(_.minKey).min))
       case m: Max if isKey(m.column) && files.nonEmpty && !anyDv && !conservative =>

@@ -277,6 +277,24 @@ class Round15Spec extends AnyFunSuite {
     // filtered aggregate must NOT push — exact results through the scan
     val rf = spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE k <= 104").head
     assert(rf.getLong(0) === 100L)
+    // count(col): a stamped string column answers from rows − nullCount;
+    // an unstamped LONG column refuses and scans (both exact)
+    val dir2 = s"$root/t2"
+    Acid.create(spark, dir2, spark.range(1000L).select(col("id").as("k"),
+      col("id").as("v"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(lit("x")).as("tag")),
+      "k", 4)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.missing2") // catalog refresh
+    AcidSql.resetRowGroupMetrics()
+    val qc = spark.sql(s"SELECT count(tag) AS n FROM $cat.t2")
+    assert(qc.head.getLong(0) === 800L)
+    assert(AcidSql.vecRowsFooter.sum() === 0L &&
+      qc.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "count(stamped col) must answer from rows - nullCount")
+    val qv = spark.sql(s"SELECT count(v) AS n FROM $cat.t2")
+    assert(qv.head.getLong(0) === 1000L)
+    assert(!qv.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "count(unstamped col) must refuse the push and scan")
     // a DV delete: EVERY push falls back to the scan and stays CORRECT
     Acid.deleteWhereMor(spark, dir, col("k") === 5L || col("k") === 1004L,
       None, "w"): Unit
