@@ -313,6 +313,14 @@ class Round15Spec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head.getLong(0) === 998L)
     assert(AcidSql.vecRowsFooter.sum() === 0L && AcidSql.rowGroupsRead.sum() === 0L,
       "post-OPTIMIZE count must be metadata-answered again")
+    // time travel: the pushed aggregate answers from the PINNED version's
+    // manifest — v0 predates the delete and the optimize
+    val qv0 = spark.sql(s"SELECT count(*) AS n, min(k) AS lo, max(k) AS hi " +
+      s"FROM $cat.t VERSION AS OF 0")
+    val rv0 = qv0.head
+    assert((rv0.getLong(0), rv0.getLong(1), rv0.getLong(2)) === ((1000L, 5L, 1004L)),
+      "time-travel push must read the pinned manifest, not the latest")
+    assert(qv0.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
