@@ -222,14 +222,19 @@ object Bench {
         // is quiet (median_vs_prev ≤ 1.25, or no prior to compare);
         // otherwise park the record as a candidate — still persisted,
         // promoted only by an explicit commit-time decision.
-        val artifactPath =
-          if (medianVsPrev.forall(_ <= 1.25)) committedPath
-          else java.nio.file.Paths.get("BENCH_full_candidate.json")
+        val quiet = medianVsPrev.forall(_ <= 1.25)
+        val candidatePath = java.nio.file.Paths.get("BENCH_full_candidate.json")
+        val artifactPath = if (quiet) committedPath else candidatePath
         try {
           java.nio.file.Files.deleteIfExists(artifactPath)
           java.nio.file.Files.writeString(artifactPath, json + "\n",
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
+          // a quiet run that wrote the committed artifact supersedes any
+          // parked candidate from an earlier inflated run (r15 advice:
+          // a stale candidate lingering next to a newer committed record
+          // reads as current evidence when it isn't)
+          if (quiet) java.nio.file.Files.deleteIfExists(candidatePath): Unit
         } catch { case _: java.io.IOException => () } // read-only cwd: skip
       }
     }
