@@ -1143,15 +1143,23 @@ object Acid {
   /** Driver-side row ESTIMATE for a batch about to be written — plan
     * statistics only, never an extra job: rowCount when the optimizer
     * knows it (LocalRelation, CBO); else sizeInBytes over the schema's
-    * default row width. Feeds only perf heuristics (the bloom floor and
-    * expected-NDV hint) — an error here flips a build-or-skip decision
-    * or a sizing hint, never correctness, and the hint already drops to
-    * adaptive sizing above 50k keys. */
-  private def estRowsOf(df: DataFrame): Long = {
+    * default row width — UNLESS sizeInBytes carries Spark's no-stats
+    * sentinel (`spark.sql.defaultSizeInBytes`, Long.MaxValue by default;
+    * r15 advice), where dividing the sentinel would fabricate a huge
+    * count and the estimate must instead admit it knows nothing (None).
+    * Feeds only perf heuristics (the bloom floor and expected-NDV hint)
+    * — an error here flips a build-or-skip decision or a sizing hint,
+    * never correctness, and the hint already drops to adaptive sizing
+    * above 50k keys. */
+  private[graft] def estRowsOf(df: DataFrame): Option[Long] = {
     val st = df.queryExecution.optimizedPlan.stats
-    st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
-      val w = BigInt(math.max(1, df.schema.defaultSize))
-      (st.sizeInBytes / w).min(BigInt(Long.MaxValue)).toLong
+    st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).orElse {
+      val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+      if (st.sizeInBytes >= sentinel) None
+      else {
+        val w = BigInt(math.max(1, df.schema.defaultSize))
+        Some((st.sizeInBytes / w).min(BigInt(Long.MaxValue)).toLong)
+      }
     }
   }
 
@@ -1161,10 +1169,19 @@ object Acid {
     * alone missed two shapes: an insert-only commit has NO touched files
     * but still paid an adaptive bloom build however tiny the batch, and
     * a large insert landing on small touched files under-counted so the
-    * floor wrongly skipped blooms on files that end up large). */
-  private def mergeNdvHint(touched: Seq[FileEntry], batch: DataFrame): Some[Long] =
-    Some((touched.map(_.rows).sum + estRowsOf(batch)) /
-      math.max(1, touched.size))
+    * floor wrongly skipped blooms on files that end up large). When the
+    * batch estimate is UNKNOWN (no-stats sentinel, r15 advice): fall
+    * back to the pre-image-only r13 estimate when files were touched,
+    * and to no hint at all on a pure insert — the adaptive build from
+    * actual keys is never a wrong skip, just the (rare) old build tax. */
+  private def mergeNdvHint(touched: Seq[FileEntry],
+      batch: DataFrame): Option[Long] = estRowsOf(batch) match {
+    case Some(b) =>
+      Some((touched.map(_.rows).sum + b) / math.max(1, touched.size))
+    case None if touched.nonEmpty =>
+      Some(touched.map(_.rows).sum / touched.size)
+    case None => None
+  }
 
   private def bloomWrite(df: DataFrame, keyPhys: String,
       ndvPerFile: Option[Long] = None) = {
