@@ -3336,27 +3336,68 @@ object Acid {
     * handle. Only link-INCAPABILITY degrades (r14 advice): a transient
     * non-EEXIST failure — access denied, quota, missing parent — on a
     * filesystem that CAN hard-link must surface to the caller, not
-    * silently downgrade the commit to the non-atomic path. */
+    * silently downgrade the commit to the non-atomic path. Incapability
+    * is detected by a CAPABILITY PROBE, not by matching strerror text
+    * (r15 advice): FileSystemException reason strings are
+    * locale-dependent, so an English substring match missed a genuine
+    * EPERM/EXDEV on any non-English JVM and the commit errored where it
+    * should have degraded. */
   private def linkPutIfAbsent(target: java.nio.file.Path,
       tmp: java.nio.file.Path): Unit =
     try Files.createLink(target, tmp): Unit
     catch {
-      case e: java.nio.file.FileAlreadyExistsException => throw e
-      case _: UnsupportedOperationException => Files.move(tmp, target): Unit
-      case e: java.nio.file.FileSystemException if linkUnsupported(e) =>
+      case e: Throwable if linkDegrades(e, target.getParent) =>
         Files.move(tmp, target): Unit
     }
 
-  /** True iff the failure signals the filesystem cannot hard-link at
-    * all (EPERM/ENOTSUP on no-link mounts, EXDEV cross-device, ENOSYS),
-    * matched on the OS reason text — the only cases where the move
-    * fallback is the right degradation. */
-  private[sources] def linkUnsupported(e: java.nio.file.FileSystemException): Boolean = {
-    val r = (Option(e.getReason) ++ Option(e.getMessage))
-      .mkString(" ").toLowerCase(java.util.Locale.ROOT)
-    r.contains("not permitted") || r.contains("not supported") ||
-      r.contains("unsupported") || r.contains("cross-device") ||
-      r.contains("not implemented")
+  /** True iff `e` from a createLink should degrade to the move fallback:
+    * UnsupportedOperationException always (the JDK's own "no links here"
+    * signal); any other FileSystemException only when a capability probe
+    * of the REAL target directory shows links don't work there —
+    * locale-independent, unlike the r15 strerror-text classifier.
+    * FileAlreadyExistsException never degrades (it IS the put-if-absent
+    * conflict signal), and neither does anything non-filesystem. */
+  private[sources] def linkDegrades(e: Throwable,
+      parent: java.nio.file.Path): Boolean = e match {
+    case _: java.nio.file.FileAlreadyExistsException => false
+    case _: UnsupportedOperationException            => true
+    case _: java.nio.file.FileSystemException => !probeLinkCapable(parent)
+    case _                                            => false
+  }
+
+  /** One capability verdict per directory (manifests of one table all
+    * land in its `_log` dir, so this is probed once per table per JVM).
+    * Fail-safe direction: when the probe itself cannot run (scratch
+    * write fails, unexpected error), report CAPABLE so the caller's
+    * original exception SURFACES — the commit may fail loudly but is
+    * never silently non-atomic. */
+  private val linkCapableCache =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Boolean]()
+  private[sources] def probeLinkCapable(parent: java.nio.file.Path): Boolean =
+    linkCapableCache.computeIfAbsent(parent, { d =>
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val src = d.resolve(s".lnk-probe-$tag-s")
+      val dst = d.resolve(s".lnk-probe-$tag-d")
+      try {
+        Files.write(src, Array.emptyByteArray): Unit
+        try { Files.createLink(dst, src): Unit; true }
+        catch {
+          // a fresh scratch pair rules out EEXIST/ENOENT, so a
+          // filesystem-level failure here is the incapability signal
+          case _: UnsupportedOperationException => false
+          case _: java.nio.file.FileSystemException => false
+        }
+      } catch { case _: Exception => true } // probe couldn't run: surface
+      finally {
+        try { Files.deleteIfExists(dst): Unit; Files.deleteIfExists(src): Unit }
+        catch { case _: Exception => () }
+      }
+    })
+  /** TEST hook: pre-seed / clear a directory's capability verdict. */
+  private[sources] def seedLinkCapability(parent: java.nio.file.Path,
+      verdict: Option[Boolean]): Unit = verdict match {
+    case Some(v) => linkCapableCache.put(parent, v): Unit
+    case None    => linkCapableCache.remove(parent): Unit
   }
 
   /** OPTIMIZE a BRANCH's staged state (round-10: branch maintenance —

@@ -325,25 +325,41 @@ class Round15Spec extends AnyFunSuite {
   }
 
   /** (4) The put-if-absent link fallback triggers ONLY on
-    * link-incapability (r14 advice): a transient non-EEXIST failure —
-    * access denied, quota, missing parent — on a filesystem that CAN
-    * hard-link must surface to the caller instead of silently
-    * downgrading the commit to the non-atomic check-then-rename path. */
-  test("link fallback classifier: incapability degrades, transient errors surface") {
-    import java.nio.file.FileSystemException
-    def fse(reason: String) = new FileSystemException("f", "t", reason)
-    // EPERM / ENOTSUP / ENOSYS / EXDEV shapes → fall back to move
-    assert(Acid.linkUnsupported(fse("Operation not permitted")))
-    assert(Acid.linkUnsupported(fse("Operation not supported")))
-    assert(Acid.linkUnsupported(fse("Function not implemented")))
-    assert(Acid.linkUnsupported(fse("Invalid cross-device link")))
-    // transient / unrelated filesystem failures → rethrow to the caller
-    assert(!Acid.linkUnsupported(fse("Disk quota exceeded")))
-    assert(!Acid.linkUnsupported(fse("No space left on device")))
-    assert(!Acid.linkUnsupported(
-      new java.nio.file.AccessDeniedException("f", "t", null)))
-    assert(!Acid.linkUnsupported(
-      new java.nio.file.NoSuchFileException("f", "t", null)))
+    * link-incapability (r14 advice), detected by a CAPABILITY PROBE of
+    * the real target directory, not by matching strerror text (r15
+    * advice — reason strings are locale-dependent, so an English
+    * substring match missed a genuine EPERM/EXDEV on a non-English JVM
+    * and the commit errored where it should have degraded). The probe
+    * verdict is what classifies: the SAME exception text degrades on a
+    * probed-incapable directory and surfaces on a capable one. */
+  test("link fallback probe: capability verdict classifies, not locale text") {
+    import java.nio.file.{FileSystemException, Files}
+    val d = Files.createTempDirectory("r15lnk")
+    // the local filesystem hard-links: probe says capable
+    Acid.seedLinkCapability(d, None)
+    assert(Acid.probeLinkCapable(d), "tmpfs/ext4 must probe link-capable")
+    // an unmatched-locale EPERM (German strerror) on a capable directory
+    // SURFACES; the same exception on a probed-incapable one DEGRADES
+    val german = new FileSystemException("f", "t", "Vorgang nicht zulässig")
+    assert(!Acid.linkDegrades(german, d),
+      "capable directory: even an EPERM-shaped failure must surface")
+    val dBad = d.resolve("claims-no-links")
+    Files.createDirectory(dBad)
+    Acid.seedLinkCapability(dBad, Some(false))
+    assert(Acid.linkDegrades(german, dBad),
+      "incapable directory: any locale's failure text degrades to move")
+    // EEXIST is the put-if-absent conflict signal — never degrades,
+    // whatever the probe says
+    assert(!Acid.linkDegrades(
+      new java.nio.file.FileAlreadyExistsException("f", "t", null), dBad))
+    // the JDK's own no-links signal degrades without any probe
+    assert(Acid.linkDegrades(new UnsupportedOperationException, d))
+    // non-filesystem failures never degrade
+    assert(!Acid.linkDegrades(new RuntimeException("boom"), dBad))
+    // verdicts are cached per directory: one probe, no per-commit cost
+    assert(Acid.probeLinkCapable(d) && !Acid.probeLinkCapable(dBad))
+    Acid.seedLinkCapability(dBad, None)
+    Acid.seedLinkCapability(d, None): Unit
   }
 
   /** (3) The rewrite-bloom row floor now covers INSERT-ONLY merges
