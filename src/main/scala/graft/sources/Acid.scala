@@ -174,6 +174,16 @@ object Acid {
     * columns (`IS [NOT] NULL` and null-discarding predicates). Stamped
     * unconditionally for every stats column — zero included — so the
     * scan-side fold can tell "no nulls" from "not stamped". */
+  /** `cexact` = per-column (column, minExact, maxExact) EXACTNESS marker
+    * for the cstats bounds (round-16, r15 verdict missing #3): a bound
+    * stamped verbatim (short value) is the VALUE; a truncated one is
+    * only an envelope. Pruning never needs the distinction (overlap
+    * checks are sound on envelopes), but metadata-answered min/max DOES
+    * — a 16-code-point min is ambiguous by construction, and a
+    * carry-shortened truncBoundMax can even be SHORTER than the budget,
+    * so length inference is unsafe. Absent (pre-r16 manifests) ⇒ the
+    * aggregate pushdown refuses min/max on that column — conservative,
+    * never wrong. */
   final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
                              stats2: Option[(String, Long, Long)] = None,
                              bloom: Option[(Int, String)] = None,
@@ -183,7 +193,8 @@ object Acid {
                              cstats: Seq[(String, String, String)] = Nil,
                              pstats: Seq[(String, Long, Long)] = Nil,
                              ndv: Seq[(String, Long)] = Nil,
-                             nulls: Seq[(String, Long)] = Nil)
+                             nulls: Seq[(String, Long)] = Nil,
+                             cexact: Seq[(String, Boolean, Boolean)] = Nil)
   /** `batchHw` maps each writer identity (the `writerTag` a merge commits
     * under — the analogue of Delta's `txnAppId`) to the high-water mark of
     * batch ids THAT writer has committed. Keyed per writer, not
@@ -446,8 +457,19 @@ object Acid {
     var pstats: Seq[(String, Long, Long)] = Nil
     var ndv: Seq[(String, Long)] = Nil
     var nulls: Seq[(String, Long)] = Nil
+    var cexact: Seq[(String, Boolean, Boolean)] = Nil
     var rest = a.drop(4).toList
     while (rest.nonEmpty) rest.head match {
+      case ex if ex.startsWith("E:") =>
+        // cstats bound exactness "E:<col>:<mm>" with mm in {e,t}{e,t}
+        // (min, max): e = the stamped bound IS the value, t = truncated
+        // envelope. Absent on pre-round-16 manifests.
+        val i = ex.lastIndexOf(':')
+        val mm = ex.substring(i + 1)
+        cexact = cexact :+ ((ex.substring(2, i),
+          mm.length == 2 && mm.charAt(0) == 'e',
+          mm.length == 2 && mm.charAt(1) == 'e'))
+        rest = rest.tail
       case nl if nl.startsWith("Z:") =>
         // per-file null count "Z:<col>:<nulls>" (CBO filter-selectivity
         // feed; absent on pre-round-13 manifests)
@@ -499,7 +521,7 @@ object Acid {
         rest = rest.drop(3)
     }
     FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom, dv, pdv,
-      bytes, cstats, pstats, ndv, nulls)
+      bytes, cstats, pstats, ndv, nulls, cexact)
   }
 
   private def renderEntry(f: FileEntry): String = {
@@ -530,7 +552,12 @@ object Acid {
         s"stats column '$c' must not contain manifest delimiters")
       s"|Z:$c:$n"
     }.mkString
-    s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs$sz$cs$pst$nd$nl"
+    val ce = f.cexact.map { case (c, em, ex) =>
+      require(!c.contains('|') && !c.contains(':'),
+        s"stats column '$c' must not contain manifest delimiters")
+      s"|E:$c:${if (em) "e" else "t"}${if (ex) "e" else "t"}"
+    }.mkString
+    s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs$sz$cs$pst$nd$nl$ce"
   }
 
   private def parseHeader(line: String, files: Seq[FileEntry]): Manifest = {
@@ -859,6 +886,14 @@ object Acid {
           if (mn == null || mx == null) None
           else Some((c, truncBoundMin(mn), truncBoundMax(mx)))
         }
+        // exactness marker per bound (round-16): a short value stamps
+        // verbatim — the bound IS the value and min/max can answer from
+        // the manifest; a truncated one is only a pruning envelope
+        val ce = strCols.flatMap { c =>
+          val mn = r.getAs[String](s"cmn_$c"); val mx = r.getAs[String](s"cmx_$c")
+          if (mn == null || mx == null) None
+          else Some((c, truncBoundMin(mn) == mn, truncBoundMax(mx) == mx))
+        }
         val nd = strCols.flatMap { c =>
           val n = r.getAs[Long](s"cnd_$c")
           if (n > 0L) Some((c, n)) else None
@@ -871,7 +906,7 @@ object Acid {
           rws, r.getAs[Long]("mn"), r.getAs[Long]("mx"),
           col2.map(c => (c, r.getAs[Long]("mn2"), r.getAs[Long]("mx2"))),
           bytes = java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
-          cstats = cs, ndv = nd, nulls = nl)
+          cstats = cs, ndv = nd, nulls = nl, cexact = ce)
       }.sortBy(_.path).toSeq
   }
 
@@ -939,36 +974,51 @@ object Acid {
     val srcs: Seq[(PartSpec, Column)] =
       monotone.flatMap(ps => srcCol(ps).map(ps -> _))
     if (srcs.isEmpty) return entries
-    // ONE grouped pass stamps every monotone transform; #files-sized result
+    // ONE grouped pass stamps every monotone transform; #files-sized
+    // result. The same pass counts each source column's NULLs (round-16
+    // — the transform expressions all null-propagate, so the transformed
+    // column's null count IS the source's): the exact-filter claim needs
+    // a stamped ZERO to prove an inside file has no rows the predicate
+    // would exclude but the file-level classification would keep.
     val aggs = srcs.zipWithIndex.flatMap { case ((_, c), i) =>
-      Seq(min(c).as(s"mn$i"), max(c).as(s"mx$i")) }
+      Seq(min(c).as(s"mn$i"), max(c).as(s"mx$i"),
+        sum(when(c.isNull, lit(1L)).otherwise(lit(0L))).as(s"nl$i")) }
     val ranges = df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val rel = new java.net.URI(r.getString(0)).getPath
           .stripPrefix(prefix).stripPrefix("/")
         rel -> srcs.indices.map { i =>
-          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-          else Some((r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+          val nulls = r.getLong(3 + 3 * i)
+          if (r.isNullAt(1 + 3 * i) || r.isNullAt(2 + 3 * i)) (None, nulls)
+          else (Some((r.getLong(1 + 3 * i), r.getLong(2 + 3 * i))), nulls)
         }
       }.toMap
     entries.map(e => ranges.get(e.path) match {
       case Some(rs) =>
         srcs.zip(rs).foldLeft(e) {
-          case (e2, ((ps, _), Some((lo, hi)))) =>
-            // leading transform → the stats2 slot (single-spec contract);
-            // the rest → tagged pstats entries. The string-truncate
-            // column is ALREADY in the partition-value domain (packed);
-            // everything else evals its raw min/max (monotone).
-            val (plo, phi) = ps match {
-              case _: PartTruncateStr => (lo, hi)
-              case _                  => (ps.eval(lo), ps.eval(hi))
+          case (e2, ((ps, _), (rng, nulls))) =>
+            // always stamp the source column's observed null count
+            // (replacing any stale entry for it)
+            val e3 = e2.copy(nulls =
+              e2.nulls.filterNot(_._1 == ps.col) :+ ((ps.col, nulls)))
+            rng match {
+              case Some((lo, hi)) =>
+                // leading transform → the stats2 slot (single-spec
+                // contract); the rest → tagged pstats entries. The
+                // string-truncate column is ALREADY in the
+                // partition-value domain (packed); everything else
+                // evals its raw min/max (monotone).
+                val (plo, phi) = ps match {
+                  case _: PartTruncateStr => (lo, hi)
+                  case _                  => (ps.eval(lo), ps.eval(hi))
+                }
+                if (lead.contains(ps))
+                  e3.copy(stats2 = Some((ps.label, plo, phi)))
+                else e3.copy(pstats = e3.pstats.filterNot(_._1 == ps.label) :+
+                  ((ps.label, plo, phi)))
+              case None => e3
             }
-            if (lead.contains(ps))
-              e2.copy(stats2 = Some((ps.label, plo, phi)))
-            else e2.copy(pstats = e2.pstats.filterNot(_._1 == ps.label) :+
-              ((ps.label, plo, phi)))
-          case (e2, _) => e2
         }
       case None => e
     })

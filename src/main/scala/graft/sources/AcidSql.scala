@@ -940,7 +940,8 @@ case class AcidWriteMessage(path: String, rows: Long, minKey: Long, maxKey: Long
     cstats: Seq[(String, String, String)] = Nil,
     bytes: Long = 0L,
     pstats: Seq[(String, Long, Long)] = Nil,
-    nulls: Seq[(String, Long)] = Nil)
+    nulls: Seq[(String, Long)] = Nil,
+    cexact: Seq[(String, Boolean, Boolean)] = Nil)
   extends WriterCommitMessage
 
 /** A partitioned-table task commits one message carrying ALL the files it
@@ -956,7 +957,7 @@ object AcidWriteMessages {
     flatten(messages).filter(_.rows > 0)
       .map(m => Acid.FileEntry(m.path, m.rows, m.minKey, m.maxKey, m.stats2,
         bytes = m.bytes, cstats = m.cstats, pstats = m.pstats,
-        nulls = m.nulls))
+        nulls = m.nulls, cexact = m.cexact))
       .sortBy(_.path)
 
   /** Every staged relative path (for abort cleanup), empty files included. */
@@ -1092,6 +1093,13 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
     val pMin = Array.fill(partDims.size)(Long.MaxValue)
     val pMax = Array.fill(partDims.size)(Long.MinValue)
     val pCons = partDims.map { case (_, i, ok) => i < 0 || !ok }.toArray
+    // observed NULL count per partition-dim SOURCE column (round-16):
+    // stamped into the manifest's nulls field so the exact-filter claim
+    // can prove an inside file has no null source rows. By segment-key
+    // construction a stamped monotone segment counts zero here, but the
+    // stamp must be EXPLICIT — restamped rewrites can legitimately carry
+    // a stamp over null-bearing data, so "absent" cannot mean "zero".
+    val pNull = new Array[Long](partDims.size)
     // UTF8String, not String: running min/max MUST be picked in UTF-8
     // binary order (the order u8Cmp pruning consumes) — Java String's
     // UTF-16 order disagrees for BMP [U+E000,U+FFFF] vs supplementary
@@ -1140,14 +1148,29 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         else Some((n, Acid.truncBoundMin(sg.cMin(j).toString),
           Acid.truncBoundMax(sg.cMax(j).toString)))
       }
+      // bound exactness (round-16): verbatim stamp = the value itself —
+      // metadata min/max may serve it; truncated = envelope only
+      val cex = cstatCols.zipWithIndex.flatMap { case ((n, _, _), j) =>
+        if (sg.cMin(j) == null) None
+        else {
+          val mnS = sg.cMin(j).toString; val mxS = sg.cMax(j).toString
+          Some((n, Acid.truncBoundMin(mnS) == mnS,
+            Acid.truncBoundMax(mxS) == mxS))
+        }
+      }
       val nl = cstatCols.zipWithIndex.map { case ((n, _, _), j) =>
         (n, sg.cNull(j))
-      }
+      } ++ partDims.zipWithIndex.collect {
+        // partition-dim source-column null counts (round-16): only for
+        // readable dims — an unreadable one was never null-checked
+        case (((ps, _, true)), d) => (ps.col, sg.pNull(d))
+      }.distinctBy(_._1)
       // file size for the manifest's S: field — the scan's statistics
       // report (broadcast decisions) reads it back; local metadata call
       val sz = try java.nio.file.Files.size(
         java.nio.file.Paths.get(tableDir, sg.path)) catch { case _: Exception => 0L }
-      done += AcidWriteMessage(sg.path, sg.rows, mn, mx, s2, cs, sz, pst, nl)
+      done += AcidWriteMessage(sg.path, sg.rows, mn, mx, s2, cs, sz, pst, nl,
+        cex)
     } else
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(tableDir, sg.path)): Unit
@@ -1209,7 +1232,10 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
           sg.pMin(d) = math.min(sg.pMin(d), v)
           sg.pMax(d) = math.max(sg.pMax(d), v)
         }
-      case (None, d) => sg.pCons(d) = true
+      case (None, d) =>
+        sg.pCons(d) = true
+        // readable dim + None ⇒ the source value was NULL — count it
+        if (partDims(d)._3) sg.pNull(d) += 1L
     }
     sg.writer.write(g)
     sg.rows += 1L
