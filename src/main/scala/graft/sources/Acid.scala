@@ -1471,6 +1471,45 @@ object Acid {
   private[sources] val MicrosPerHour = 3600000000L
   private[sources] val BucketSeed = 42L
 
+  /** Inclusive RAW-domain range of one partition cell — every raw value
+    * v with eval(v) == p — for the MONOTONE invertible transforms
+    * (round-16: the partition-aligned exact-filter claim and aggregate
+    * pushdown classify files fully-inside / fully-outside a predicate
+    * interval through this inverse). None for bucket (hash — not
+    * invertible), string-truncate (string domain), or when a cell
+    * boundary leaves the long domain (overflow / calendar range) — the
+    * caller then refuses the claim, conservative and never wrong. */
+  private[sources] def partCellRange(ps: PartSpec, p: Long): Option[(Long, Long)] =
+    try ps match {
+      case _: PartIdentity => Some((p, p))
+      case _: PartDays =>
+        Some((Math.multiplyExact(p, MicrosPerDay),
+          Math.subtractExact(
+            Math.multiplyExact(Math.addExact(p, 1L), MicrosPerDay), 1L)))
+      case _: PartHours =>
+        Some((Math.multiplyExact(p, MicrosPerHour),
+          Math.subtractExact(
+            Math.multiplyExact(Math.addExact(p, 1L), MicrosPerHour), 1L)))
+      case _: PartMonths =>
+        def monthStart(m: Long): Long = {
+          val y = Math.toIntExact(1970L + Math.floorDiv(m, 12L))
+          val mo = Math.toIntExact(Math.floorMod(m, 12L)) + 1
+          Math.multiplyExact(
+            java.time.LocalDate.of(y, mo, 1).toEpochDay, MicrosPerDay)
+        }
+        Some((monthStart(p), Math.subtractExact(monthStart(p + 1L), 1L)))
+      case _: PartYears =>
+        def yearStart(yy: Long): Long =
+          Math.multiplyExact(java.time.LocalDate
+            .of(Math.toIntExact(1970L + yy), 1, 1).toEpochDay, MicrosPerDay)
+        Some((yearStart(p), Math.subtractExact(yearStart(p + 1L), 1L)))
+      case pt: PartTruncate => Some((p, Math.addExact(p, pt.n - 1L)))
+      case _ => None // bucket (hash), truncstr (string domain)
+    } catch {
+      case _: ArithmeticException        => None
+      case _: java.time.DateTimeException => None
+    }
+
   /** The ONE-VALUE partition rule shared by `.partitions` reporting and
     * `optimizePartitions`: an entry belongs to partition value v iff its
     * stats2 carries the table's transform label with lo == hi == v —

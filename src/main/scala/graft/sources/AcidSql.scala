@@ -472,6 +472,46 @@ object AcidSql {
   private[sources] def timeBoundsMicros(filters: Array[Filter], c: String): (Long, Long) =
     boundsFold(filters, c, tsMicros)
 
+  /** STRICT interval decode (round-16, the exact-filter claim's input):
+    * Some((lo, hi)) iff the conjunction of `filters` over column `c` is
+    * EXACTLY `lo <= c <= hi` (IsNotNull conjuncts are absorbed — the
+    * interval already excludes nulls). Unlike boundsFold — which may
+    * RELAX (an In's gaps, an undecodable conjunct) because pruning only
+    * needs an upper envelope — any shape that is not exactly an interval
+    * bound fails the whole decode: In (gaps), Or, Not, IsNull,
+    * string predicates, undecodable literals. lo > hi encodes a
+    * provably-empty predicate (e.g. `c > MAX_LONG`). `time` picks the
+    * literal decoder: epoch-micros for timestamp columns (where `c > t`
+    * is exactly `c >= t+1micro` — micros IS the storage grain), raw
+    * long otherwise. */
+  private[sources] def exactInterval(filters: Seq[Filter], c: String,
+      time: Boolean): Option[(Long, Long)] = {
+    val dec: Any => Option[Long] = if (time) tsMicros else asLong
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def markEmpty(): Boolean = { lo = 1L; hi = 0L; true }
+    def walk(f: Filter): Boolean = f match {
+      case EqualTo(col, v) if col == c =>
+        dec(v).exists { l => lo = math.max(lo, l); hi = math.min(hi, l); true }
+      case GreaterThan(col, v) if col == c =>
+        dec(v).exists(l =>
+          if (l == Long.MaxValue) markEmpty()
+          else { lo = math.max(lo, l + 1); true })
+      case GreaterThanOrEqual(col, v) if col == c =>
+        dec(v).exists { l => lo = math.max(lo, l); true }
+      case LessThan(col, v) if col == c =>
+        dec(v).exists(l =>
+          if (l == Long.MinValue) markEmpty()
+          else { hi = math.min(hi, l - 1); true })
+      case LessThanOrEqual(col, v) if col == c =>
+        dec(v).exists { l => hi = math.min(hi, l); true }
+      case IsNotNull(col) if col == c => true
+      case FAnd(l, r)                 => walk(l) && walk(r)
+      case _                          => false
+    }
+    if (filters.forall(walk)) Some((lo, hi)) else None
+  }
+
   /** Inline budget for merge-on-read deleted keys/positions in a SQL
     * scan: up to this many are read once driver-side and shipped inside
     * the input partitions (~800 KB of longs at the cap —
@@ -1409,6 +1449,94 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // Version + manifest resolved ONCE per builder, shared by the filter
+  // claim, the aggregate pushdown, and the built scan — a commit landing
+  // between planning phases can no longer hand them different snapshots.
+  private lazy val resolvedVersion: Int =
+    if (version < 0) Acid.latestVersion(dir) else version
+  private lazy val manifestFiles: Seq[Acid.FileEntry] =
+    if (resolvedVersion < 0) Seq.empty
+    else Acid.readManifest(dir, resolvedVersion).files
+
+  // ---- Exact partition-aligned filter claim (round-16) ----
+  // A pushed conjunction that is EXACTLY an interval over ONE monotone
+  // partition source column, where every live file's stamped partition
+  // range proves it fully-inside or fully-outside the interval, is
+  // claimed as FULLY pushed — removed from Spark's residual. The scan
+  // then serves exactly the inside files: every row of an inside file
+  // satisfies the predicate (its stamp bounds every non-null source
+  // value, and inside additionally requires a stamped ZERO nullCount
+  // for the source column — rows a null would smuggle past the
+  // comparison can provably not exist), and no row of an outside file
+  // can. Two wins at 100 TB: the per-row residual re-filter disappears
+  // from partition-aligned scans (Iceberg does the same), and — since
+  // Spark only attempts aggregate pushdown when NO residual filter
+  // remains — `count(*) WHERE ts` on partition boundaries can now
+  // answer from the manifest (aggAnswer below). Any straddling file,
+  // missing stamp, missing nullCount, or non-interval shape refuses
+  // the claim and the filters stay residual — conservative, never wrong.
+  private case class ExactClaim(claimed: Set[Filter],
+      insidePaths: Set[String], insideFiles: Seq[Acid.FileEntry])
+  private var exactClaim: Option[ExactClaim] = None
+
+  /** Some(true)=provably fully-inside [lo,hi] (and null-free),
+    * Some(false)=provably fully-outside, None=cannot prove either. */
+  private def classifyFile(f: Acid.FileEntry, specs: Seq[Acid.PartSpec],
+      lo: Long, hi: Long, physPc: String): Option[Boolean] = {
+    if (lo > hi) return Some(false) // empty interval excludes every row
+    val stamps = f.stats2.toSeq ++ f.pstats
+    specs.iterator.flatMap { ps =>
+      stamps.collectFirst { case (c, mn2, mx2) if c == ps.label =>
+        for {
+          loCell <- Acid.partCellRange(ps, mn2)
+          hiCell <- Acid.partCellRange(ps, mx2)
+        } yield (loCell._1, hiCell._2)
+      }.flatten.flatMap { case (rawLo, rawHi) =>
+        if (lo <= rawLo && rawHi <= hi)
+          // fully inside — valid only with a stamped zero nullCount
+          // (restamped files can carry a stamp yet hold null source
+          // rows, which the predicate excludes but the file wouldn't)
+          (if (f.nulls.contains((physPc, 0L))) Some(true) else None)
+        else if (rawHi < lo || rawLo > hi) Some(false)
+        else None
+      }
+    }.nextOption()
+  }
+
+  private def computeExactClaim(filters: Array[Filter]): Option[ExactClaim] = {
+    val files = manifestFiles
+    if (files.isEmpty) return None
+    // candidate columns: monotone invertible transforms only (any spec
+    // generation counts — each file classifies under its own stamp)
+    val candCols: Map[String, Seq[Acid.PartSpec]] = partColsLogical
+      .filter { case (ps, _) => Acid.partCellRange(ps, 0L).isDefined }
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var claimed = Set.empty[Filter]
+    var inside: Option[Set[String]] = None
+    candCols.foreach { case (pc, specs) =>
+      val mine = filters.filter(f =>
+        f.references.nonEmpty && f.references.forall(_ == pc))
+      if (mine.nonEmpty) {
+        val time = specs.exists {
+          case _: Acid.PartDays | _: Acid.PartHours |
+               _: Acid.PartMonths | _: Acid.PartYears => true
+          case _ => false
+        }
+        AcidSql.exactInterval(mine.toSeq, pc, time).foreach { case (lo, hi) =>
+          val physPc = colMap.getOrElse(pc, pc)
+          val cls = files.map(classifyFile(_, specs, lo, hi, physPc))
+          if (cls.forall(_.isDefined)) {
+            val in = files.zip(cls)
+              .collect { case (f, Some(true)) => f.path }.toSet
+            inside = Some(inside.fold(in)(_ intersect in))
+            claimed ++= mine
+          }
+        }
+      }
+    }
+    inside.map(ip => ExactClaim(claimed, ip, files.filter(f => ip(f.path))))
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     allFilters = filters
     keyFilters = filters.filter(referencesOnlyKey)
@@ -1418,7 +1546,16 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
       else filters.filter(f =>
         f.references.nonEmpty && f.references.forall(cols.contains))
     }
-    filters // everything stays residual: Spark re-applies above the scan
+    exactClaim =
+      if (rowLevel || maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty)
+        None // offset-tracked / rewrite scans keep Spark's re-filter
+      else computeExactClaim(filters)
+    // claimed filters are EXACTLY applied by the scan (inside-file set);
+    // everything else stays residual: Spark re-applies it above
+    exactClaim match {
+      case Some(c) => filters.filterNot(c.claimed.contains)
+      case None    => filters
+    }
   }
   override def pushedFilters(): Array[Filter] = keyFilters ++ partFilters
 
@@ -1523,10 +1660,14 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   }
 
   private def buildFull(): Scan = {
-    val resolved = if (version < 0) Acid.latestVersion(dir) else version
-    val all =
-      if (resolved < 0) Seq.empty
-      else Acid.readManifest(dir, resolved).files
+    val resolved = resolvedVersion
+    val all0 = manifestFiles
+    // exact-claim enforcement: claimed filters were removed from Spark's
+    // residual, so the scan MUST serve exactly the inside files
+    val all = exactClaim match {
+      case Some(c) => all0.filter(f => c.insidePaths(f.path))
+      case None    => all0
+    }
     // Merge-on-read deletion vectors: when the manifest-declared deleted
     // key count is small (the point-delete case DVs exist for), the
     // sidecar keys are read ONCE driver-side and inlined per file into
@@ -1672,7 +1813,7 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
       }
       case _ => ranged
     }
-    AcidSql.lastScan.put((dir, resolved), (live.size, all.size))
+    AcidSql.lastScan.put((dir, resolved), (live.size, all0.size))
     onPlan(live.map(_.path))
     // Readers receive the PHYSICAL required schema (column-mapped tables)
     // but the scan reports the logical one to Spark — rows are positional,
