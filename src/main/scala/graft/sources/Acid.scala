@@ -6597,8 +6597,98 @@ object Acid {
       .toDF("n", "lo", "hi", "meta_only", "n2_plus_del", "dv_count_exact")
   }
 
+  /** tbl_agg_pushdown_part — PARTITION-ALIGNED filtered aggregate
+    * pushdown (round-16, the completion of tbl_agg_pushdown): a
+    * `count(*)/min(k)/max(k) WHERE ts` window whose bounds land exactly
+    * on `days(ts)` partition boundaries answers from the MANIFEST —
+    * zero parquet opens. The mechanism is the exact-filter claim: the
+    * pushed conjunction decodes to a closed micros interval, every live
+    * file's stamped day-range (through the same eval that rolled the
+    * writer's segments, inverted by partCellRange) proves it fully
+    * inside or fully outside, and inside files additionally carry a
+    * stamped ZERO nullCount for ts — so the inside files' rows are
+    * EXACTLY the qualifying rows and Spark drops its residual filter,
+    * which is the precondition for aggregate pushdown to fire at all.
+    * A mid-day boundary, any DV, or a null-bearing file refuses back
+    * to the (still pruned) scan. At 100 TB this turns the everyday
+    * "how many rows landed yesterday" from a partition scan into one
+    * metadata read — the shape Iceberg answers from its manifests.
+    */
+  val tblAggPushdownPart: Q = (s, d) => {
+    val root = fresh("tbl_aggpd_part_cat", d)
+    val cat = "graft_aggpp_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // same child-session discipline as tblPartDays: the events loader
+    // hands back a nanos-scoped child frame — its temp view and INSERT
+    // run there; the directory-backed table reads fine from the parent
+    val ev = Tables.events(s, d).select(col("event_id").as("k"), col("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val ss = ev.sparkSession
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ev.createOrReplaceTempView("graft_aggpp_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    s.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, cents BIGINT)
+             |PARTITIONED BY (days(ts))""".stripMargin)
+    ss.sql(s"INSERT INTO $cat.ev SELECT k, ts, cents FROM graft_aggpp_src")
+    val win = "ts >= TIMESTAMP'2024-01-08 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-15 00:00:00'"
+    AcidSql.resetRowGroupMetrics()
+    val q = s.sql(s"SELECT count(*) AS c, min(k) AS lo, max(k) AS hi " +
+      s"FROM $cat.ev WHERE $win")
+    val r = q.collect()(0)
+    val metaOnly = AcidSql.vecRowsFooter.sum() == 0L &&
+      AcidSql.rowGroupsRead.sum() == 0L &&
+      q.queryExecution.executedPlan.toString.contains("manifest-aggregate")
+    // a mid-day (straddling) bound must refuse the metadata answer and
+    // still count exactly through the pruned scan
+    val qs = s.sql(s"SELECT count(*) AS c FROM $cat.ev " +
+      "WHERE ts >= TIMESTAMP'2024-01-08 12:00:00' AND " +
+      "ts < TIMESTAMP'2024-01-15 00:00:00'")
+    val straddleRefused =
+      !qs.queryExecution.executedPlan.toString.contains("manifest-aggregate")
+    val straddleN = qs.collect()(0).getLong(0)
+    import s.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), metaOnly,
+      straddleN, straddleRefused))
+      .toDF("n", "lo", "hi", "meta_only", "n_straddle", "straddle_refused")
+  }
+
+  /** tbl_agg_pushdown_str — metadata min/max over EXACT-bounded string
+    * columns (round-16, r15 verdict missing #3): cstats bounds now carry
+    * a per-side exactness marker (`E:` manifest tag) — a short value
+    * stamps verbatim and IS the bound, a truncated one is only a pruning
+    * envelope. min/max(dimension string) folds the exact bounds under
+    * u8Cmp (the same UTF-8 binary order Spark compares strings in) with
+    * ZERO parquet opens; any truncated side, unstamped file, or pre-r16
+    * manifest (no marker) refuses back to the scan. Wide text columns —
+    * the shape the r15 truncation exists for — therefore never serve
+    * from metadata, and short dimension columns always do.
+    */
+  val tblAggPushdownStr: Q = (s, d) => {
+    val root = fresh("tbl_aggpd_str_cat", d)
+    val cat = "graft_aggps_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    create(s, dir, ordersKV(s, d), "k", 8)
+    AcidSql.resetRowGroupMetrics()
+    val q = s.sql(s"SELECT min(prio) AS lo_prio, max(prio) AS hi_prio, " +
+      s"count(*) AS n FROM $cat.t")
+    val r = q.collect()(0)
+    val metaOnly = AcidSql.vecRowsFooter.sum() == 0L &&
+      AcidSql.rowGroupsRead.sum() == 0L &&
+      q.queryExecution.executedPlan.toString.contains("manifest-aggregate")
+    import s.implicits._
+    Seq((r.getString(0), r.getString(1), r.getLong(2), metaOnly))
+      .toDF("lo_prio", "hi_prio", "n", "meta_only")
+  }
+
   val queries: Map[String, Q] = Map(
     "tbl_agg_pushdown"      -> tblAggPushdown,
+    "tbl_agg_pushdown_part" -> tblAggPushdownPart,
+    "tbl_agg_pushdown_str"  -> tblAggPushdownStr,
     "tbl_vacuum_scale"      -> tblVacuumScale,
     "tbl_describe_detail"   -> tblDescribeDetail,
     "tbl_branch_optimize"   -> tblBranchOptimize,
@@ -6680,6 +6770,21 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_agg_pushdown_str" ->
+      """SELECT min(o_orderpriority) AS lo_prio,
+        |       max(o_orderpriority) AS hi_prio,
+        |       count(*) AS n, TRUE AS meta_only
+        |FROM orders""".stripMargin,
+    "tbl_agg_pushdown_part" ->
+      """SELECT count(*) AS n, CAST(min(event_id) AS BIGINT) AS lo,
+        |       CAST(max(event_id) AS BIGINT) AS hi, TRUE AS meta_only,
+        |       (SELECT count(*) FROM events
+        |        WHERE ts >= TIMESTAMP '2024-01-08 12:00:00'
+        |          AND ts <  TIMESTAMP '2024-01-15 00:00:00') AS n_straddle,
+        |       TRUE AS straddle_refused
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
     "tbl_agg_pushdown" ->
       """SELECT count(*) AS n, CAST(min(o_orderkey) AS BIGINT) AS lo,
         |       CAST(max(o_orderkey) AS BIGINT) AS hi, TRUE AS meta_only,
