@@ -1,0 +1,252 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Scratch, TestSpark}
+
+/** Round-16 pins: partition-aligned FILTERED aggregate pushdown and the
+  * exact-filter claim beneath it (r15 verdict next #1).
+  *
+  * The claim: a pushed conjunction that decodes to EXACTLY an interval
+  * over one monotone-transform partition source column, where every live
+  * file's stamp proves it fully-inside or fully-outside, is removed from
+  * Spark's residual — the scan serves exactly the inside files. Soundness
+  * rests on three legs, each pinned here: (1) `partCellRange` is the
+  * EXACT inverse of each monotone transform's eval (cell-tight on both
+  * ends); (2) `exactInterval` REFUSES any filter shape that is not
+  * precisely an interval (an In's gaps or an Or would relax, and a
+  * relaxed claim returns wrong rows, not just unpruned ones); (3) an
+  * inside verdict requires a stamped ZERO nullCount for the source
+  * column — a restamped rewrite can carry a stamp over null-bearing
+  * data, and a null row fails the predicate but not the file-level
+  * classification. With the residual gone, Spark attempts aggregate
+  * pushdown, and count(*)/min(key)/max(key) over partition-aligned
+  * windows answer from the MANIFEST — zero parquet opens, the everyday
+  * "count yesterday's partition" Iceberg answers from metadata.
+  */
+class Round16Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("partCellRange is the exact cell inverse of every monotone transform") {
+    import Acid._
+    val specs: Seq[PartSpec] = Seq(PartIdentity("c"), PartDays("ts"),
+      PartHours("ts"), PartMonths("ts"), PartYears("ts"),
+      PartTruncate(1024, "c"))
+    // raw probes across sign, cell interiors and cell boundaries
+    val raws = Seq(-123456789012345L, -86400000000L, -1L, 0L, 1L,
+      999L, 86400000000L, 123456789012345L)
+    for (ps <- specs; raw <- raws) {
+      val p = ps.eval(raw)
+      val (lo, hi) = partCellRange(ps, p).getOrElse(
+        fail(s"$ps must be invertible"))
+      assert(lo <= raw && raw <= hi, s"$ps cell must contain its member $raw")
+      assert(ps.eval(lo) === p, s"$ps cell floor maps back")
+      assert(ps.eval(hi) === p, s"$ps cell ceiling maps back")
+      assert(ps.eval(lo - 1) < p, s"$ps cell floor is tight")
+      assert(ps.eval(hi + 1) > p, s"$ps cell ceiling is tight")
+    }
+    // hash and string-domain transforms are not invertible — no claim
+    assert(partCellRange(PartBucket(8, "k"), 3L).isEmpty)
+    assert(partCellRange(PartTruncateStr(4, "s"), 3L).isEmpty)
+  }
+
+  test("exactInterval decodes intervals and refuses every relaxing shape") {
+    import org.apache.spark.sql.sources._
+    def dec(fs: Filter*) = AcidSql.exactInterval(fs, "k", time = false)
+    assert(dec(GreaterThanOrEqual("k", 5L), LessThan("k", 10L),
+      IsNotNull("k")) === Some((5L, 9L)))
+    assert(dec(EqualTo("k", 7L)) === Some((7L, 7L)))
+    assert(dec(And(GreaterThan("k", 4L), LessThanOrEqual("k", 9L))) ===
+      Some((5L, 9L)))
+    // unbounded IsNotNull alone is the degenerate full interval
+    assert(dec(IsNotNull("k")) === Some((Long.MinValue, Long.MaxValue)))
+    // provably-empty predicates encode as lo > hi
+    assert(dec(GreaterThan("k", Long.MaxValue)).exists { case (l, h) => l > h })
+    assert(dec(EqualTo("k", 3L), EqualTo("k", 4L)).exists {
+      case (l, h) => l > h })
+    // REFUSALS — each of these would relax if folded like boundsFold does
+    assert(dec(In("k", Array(1L, 5L))).isEmpty, "In has gaps")
+    assert(dec(Or(EqualTo("k", 1L), EqualTo("k", 2L))).isEmpty)
+    assert(dec(Not(EqualTo("k", 1L))).isEmpty)
+    assert(dec(IsNull("k")).isEmpty)
+    assert(dec(EqualTo("k", "x")).isEmpty, "undecodable literal")
+    assert(dec(GreaterThan("other", 1L)).isEmpty, "wrong column")
+  }
+
+  test("aligned filtered aggregates answer from the manifest; straddle/DV/null refuse") {
+    val root = Scratch.fresh("r16_aggpart", sf)
+    val cat = "r16ap"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v BIGINT)
+                 |PARTITIONED BY (days(ts))""".stripMargin)
+    // 10 epoch-days x 100 rows: id 0..999 -> day id/100, second-of-day
+    // (id%100)*864 — k tracks ts so window extremes are checkable
+    spark.range(1000L).select(col("id").as("k"),
+      timestamp_seconds((col("id") / 100).cast("long") * 86400L +
+        (col("id") % 100) * 864L).as("ts"),
+      (col("id") * 3).as("v"))
+      .createOrReplaceTempView("r16_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM r16_src")
+    val win = "ts >= TIMESTAMP'1970-01-04 00:00:00' AND " +
+      "ts < TIMESTAMP'1970-01-07 00:00:00'" // days 3..5 exactly
+    AcidSql.resetRowGroupMetrics()
+    val q = spark.sql(
+      s"SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM $cat.ev WHERE $win")
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((300L, 300L, 599L)))
+    assert(AcidSql.vecRowsFooter.sum() === 0L && AcidSql.rowGroupsRead.sum() === 0L,
+      "partition-aligned filtered aggregate must open no data file")
+    assert(q.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    // the claim also serves plain scans: no residual Filter in the plan
+    val q3 = spark.sql(s"SELECT k FROM $cat.ev WHERE $win")
+    assert(q3.count() === 300L)
+    assert(q3.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, "aligned interval must be claimed exactly — no residual filter")
+    // a STRADDLING bound (mid-day) refuses the push and stays exact
+    val q2 = spark.sql(s"SELECT count(*) AS n FROM $cat.ev " +
+      "WHERE ts >= TIMESTAMP'1970-01-04 12:00:00'")
+    assert(q2.head.getLong(0) === 650L)
+    assert(!q2.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "a mid-cell boundary must refuse the metadata answer")
+    // an aligned window PAST the data counts 0 from metadata alone
+    AcidSql.resetRowGroupMetrics()
+    val q4 = spark.sql(s"SELECT count(*) AS n FROM $cat.ev " +
+      "WHERE ts >= TIMESTAMP'1980-01-01 00:00:00'")
+    assert(q4.head.getLong(0) === 0L)
+    assert(q4.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    assert(AcidSql.vecRowsFooter.sum() === 0L)
+    // ANY deletion vector refuses the filtered push; the claimed scan
+    // still serves the exact post-delete rows through the DV inline path
+    Acid.deleteWhereMor(spark, s"$root/ev", col("k") === 310L, None, "w"): Unit
+    val q5 = spark.sql(s"SELECT count(*) AS n FROM $cat.ev WHERE $win")
+    assert(q5.head.getLong(0) === 299L)
+    assert(!q5.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "a DV'd snapshot must never answer aggregates from metadata")
+    // NULL partition values: the null segment has no stamp, so the claim
+    // refuses and the residual filter keeps the count exact
+    spark.sql(s"DROP TABLE IF EXISTS $cat.nl")
+    spark.sql(s"""CREATE TABLE $cat.nl (k BIGINT, ts TIMESTAMP)
+                 |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.range(100L).select(col("id").as("k"),
+      when(col("id") % 10 === 0, lit(null).cast("timestamp"))
+        .otherwise(timestamp_seconds(col("id") * 1000L)).as("ts"))
+      .createOrReplaceTempView("r16_nl_src")
+    spark.sql(s"INSERT INTO $cat.nl SELECT k, ts FROM r16_nl_src")
+    val q6 = spark.sql(s"SELECT count(*) AS n FROM $cat.nl " +
+      "WHERE ts >= TIMESTAMP'1970-01-01 00:00:00'")
+    assert(q6.head.getLong(0) === 90L, "null ts rows fail the predicate")
+    assert(!q6.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "an unstamped (null-bearing) file must refuse the claim")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.nl")
+  }
+
+  test("truncate-partitioned key claims push and survive a rewrite restamp") {
+    val root = Scratch.fresh("r16_aggtr", sf)
+    val cat = "r16tr"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.tr")
+    spark.sql(s"""CREATE TABLE $cat.tr (k BIGINT, v BIGINT)
+                 |PARTITIONED BY (truncate(100, k))""".stripMargin)
+    spark.range(1000L).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("r16_tr_src")
+    spark.sql(s"INSERT INTO $cat.tr SELECT k, v FROM r16_tr_src")
+    AcidSql.resetRowGroupMetrics()
+    val q = spark.sql(s"SELECT count(*) AS n, min(k) AS lo, max(k) AS hi " +
+      s"FROM $cat.tr WHERE k >= 200 AND k < 500")
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((300L, 200L, 499L)))
+    assert(AcidSql.vecRowsFooter.sum() === 0L && AcidSql.rowGroupsRead.sum() === 0L)
+    assert(q.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    // a row-level UPDATE rewrites the 200-cell's file; the restamped
+    // entry must carry BOTH the transform stamp and the zero nullCount,
+    // keeping the metadata answer alive
+    spark.sql(s"UPDATE $cat.tr SET v = v + 1 WHERE k = 250")
+    AcidSql.resetRowGroupMetrics()
+    val q2 = spark.sql(s"SELECT count(*) AS n FROM $cat.tr " +
+      s"WHERE k >= 200 AND k < 500")
+    assert(q2.head.getLong(0) === 300L)
+    assert(q2.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "a restamped rewrite must keep the claim (stamp + zero nullCount)")
+    assert(AcidSql.vecRowsFooter.sum() === 0L && AcidSql.rowGroupsRead.sum() === 0L)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.tr")
+  }
+
+  test("exact-bounded string/date min/max answer from the manifest; envelopes refuse") {
+    val root = Scratch.fresh("r16_aggstr", sf)
+    val cat = "r16st"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, tag STRING, body STRING, d DATE)")
+    // tag: short (exact bounds); body: 40 chars (truncated envelopes)
+    spark.range(100L).select(col("id").as("k"),
+      concat(lit("c"), lpad((col("id") % 7).cast("string"), 2, "0")).as("tag"),
+      rpad(concat(lit("w"), col("id").cast("string")), 40, "x").as("body"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") % 30).cast("int")).as("d"))
+      .createOrReplaceTempView("r16_str_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, tag, body, d FROM r16_str_src")
+    AcidSql.resetRowGroupMetrics()
+    val q = spark.sql(s"SELECT min(tag) AS mnt, max(tag) AS mxt, " +
+      s"min(d) AS mnd, max(d) AS mxd, count(*) AS n FROM $cat.t")
+    val r = q.head
+    assert(r.getString(0) === "c00" && r.getString(1) === "c06")
+    assert(r.getDate(2).toString === "2024-01-01" &&
+      r.getDate(3).toString === "2024-01-30")
+    assert(r.getLong(4) === 100L)
+    assert(AcidSql.vecRowsFooter.sum() === 0L && AcidSql.rowGroupsRead.sum() === 0L,
+      "exact-bounded string/date min/max must open no data file")
+    assert(q.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    // a TRUNCATED (envelope) bound refuses — the stamped max is above
+    // the true max by construction, serving it would be wrong
+    val q2 = spark.sql(s"SELECT min(body) AS mn, max(body) AS mx FROM $cat.t")
+    val r2 = q2.head
+    assert(r2.getString(0) === ("w0" + "x" * 38))
+    assert(r2.getString(1) === ("w9" + "x" * 38), // 'x' > '9': w9xx beats w99x
+      r2.getString(1))
+    assert(!q2.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "truncated bounds are envelopes — min/max must scan")
+    // a mixed exact+envelope aggregate refuses as a whole and stays exact
+    val q3 = spark.sql(s"SELECT min(tag) AS a, min(body) AS b FROM $cat.t")
+    assert(q3.head.getString(0) === "c00")
+    assert(!q3.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    // the LIBRARY write path (statsOf) stamps the same marker
+    val dir2 = s"$root/t2"
+    Acid.create(spark, dir2, spark.range(50L).select(col("id").as("k"),
+      concat(lit("g"), (col("id") % 5).cast("string")).as("tag")), "k", 4)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.missing") // catalog refresh
+    AcidSql.resetRowGroupMetrics()
+    val q4 = spark.sql(s"SELECT min(tag) AS mn, max(tag) AS mx FROM $cat.t2")
+    val r4 = q4.head
+    assert(r4.getString(0) === "g0" && r4.getString(1) === "g4")
+    assert(AcidSql.vecRowsFooter.sum() === 0L &&
+      q4.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "library-written (statsOf) files must serve exact bounds too")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
+  test("tbl_agg_pushdown_part oracle row: meta-answered window, exact straddle") {
+    val df = graft.SparkEntry.queries("tbl_agg_pushdown_part")(spark, sf)
+    val r = df.collect()(0)
+    assert(r.getAs[Boolean]("meta_only"),
+      "the aligned window must answer from the manifest")
+    assert(r.getAs[Boolean]("straddle_refused"))
+    assert(r.getAs[Long]("n") > 0L && r.getAs[Long]("n_straddle") > 0L)
+    assert(r.getAs[Long]("n_straddle") < r.getAs[Long]("n"))
+  }
+
+  test("tbl_agg_pushdown_str oracle row: meta-answered string min/max") {
+    val df = graft.SparkEntry.queries("tbl_agg_pushdown_str")(spark, sf)
+    val r = df.collect()(0)
+    assert(r.getAs[Boolean]("meta_only"))
+    assert(r.getAs[String]("lo_prio").nonEmpty &&
+      r.getAs[String]("lo_prio") <= r.getAs[String]("hi_prio"))
+    assert(r.getAs[Long]("n") > 0L)
+  }
+}
