@@ -1311,3 +1311,126 @@ object Round15Probe {
     spark.stop()
   }
 }
+
+/** Round-16 probe — (1) estRowsOf ERROR across realistic merge-batch
+  * shapes (r15 verdict next #5): the bloom row floor and expected-NDV
+  * hint feed off this plan-statistics estimate, and the worry was a
+  * post-shuffle foreachBatch CDC batch misestimating badly enough to
+  * misfire the floor by >10x in either direction. Shapes: known-rowCount
+  * local, parquet scan, post-shuffle aggregate of a parquet scan, a
+  * stats-less LogicalRDD (the no-stats sentinel the r15 advice flagged —
+  * must now report UNKNOWN, never a fabricated huge count), and a REAL
+  * foreachBatch micro-batch captured in-flight. (2) The partition-aligned
+  * filtered aggregate pushdown payoff: an aligned `count(*) WHERE ts`
+  * window answered from the manifest vs the same window through the
+  * (pruned) scan.
+  *
+  *   sbt "runMain graft.Round16Probe"
+  */
+object Round16Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.{Acid, AcidSql}
+
+    def report(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val actual = df.count()
+      val est = Acid.estRowsOf(df)
+      val ratio = est.map(_.toDouble / math.max(1L, actual))
+      println(f"[r16-probe] estRowsOf $tag: actual=$actual%d " +
+        s"est=${est.map(_.toString).getOrElse("UNKNOWN")} " +
+        f"ratio=${ratio.map(r => f"$r%.2f").getOrElse("n/a")}")
+    }
+
+    report("local-range (rowCount known)", spark.range(50L).toDF("k"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    report("parquet filter (sizeInBytes/width)",
+      li.filter(col("l_quantity") > 25))
+    report("post-shuffle aggregate (CDC upsert shape)",
+      li.groupBy(col("l_orderkey").as("k"))
+        .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n")))
+    // stats-less LogicalRDD: pre-r16 this divided the Long.MaxValue
+    // sentinel and fabricated a quadrillion-row estimate
+    val rdd = spark.sparkContext.parallelize(Seq((1L, 2L), (3L, 4L)))
+    report("LogicalRDD (no-stats sentinel)",
+      spark.createDataFrame(rdd).toDF("k", "v"))
+
+    // a REAL foreachBatch micro-batch, captured in-flight: the exact
+    // frame mergeNdvHint sees in the streaming-upsert path
+    val srcDir = Scratch.fresh("r16_fb_src", sfDir)
+    spark.range(40000L).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .coalesce(2).write.mode("overwrite").parquet(srcDir)
+    val captured = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val q = spark.readStream
+      .schema("k BIGINT, v BIGINT").parquet(srcDir)
+      .groupBy((col("k") % 1000).as("g")).agg(sum(col("v")).as("sv"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val actual = b.count()
+        val est = Acid.estRowsOf(b)
+        captured.set(f"actual=$actual%d " +
+          s"est=${est.map(_.toString).getOrElse("UNKNOWN")} " +
+          f"ratio=${est.map(e => f"${e.toDouble / math.max(1L, actual)}%.2f")
+            .getOrElse("n/a")}")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Scratch.fresh("r16_fb_ckpt", sfDir))
+      .start()
+    q.awaitTermination(120000L)
+    println(s"[r16-probe] estRowsOf foreachBatch micro-batch: ${captured.get}")
+
+    // ---- partition-aligned filtered aggregate payoff ----
+    val root = Scratch.fresh("r16_alignpd", sfDir)
+    val cat = "r16pd"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    val n = 4000000L
+    spark.range(n).select(col("id").as("k"),
+      timestamp_seconds((col("id") / 100000L).cast("long") * 86400L +
+        (col("id") % 86400L)).as("ts"), (col("id") * 7).as("v"))
+      .createOrReplaceTempView("r16_pd_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM r16_pd_src")
+    val win = "ts >= TIMESTAMP'1970-01-11 00:00:00' AND " +
+      "ts < TIMESTAMP'1970-01-21 00:00:00'" // 10 of 40 days
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def run(sqlText: String): Double = {
+      val samples = (1 to 7).map { _ =>
+        val (r, t) = timed(spark.sql(sqlText).head.getLong(0))
+        require(r == 1000000L, s"window count $r"); t
+      }
+      median(samples)
+    }
+    val aligned = s"SELECT count(*) AS n FROM $cat.ev WHERE $win"
+    spark.sql(aligned).head // warm
+    val tPushed = run(aligned)
+    // the same window with the claim suppressed: straddle by one second
+    val winS = "ts >= TIMESTAMP'1970-01-10 23:59:59' AND " +
+      "ts < TIMESTAMP'1970-01-21 00:00:00'"
+    val scanSql = s"SELECT count(*) AS n FROM $cat.ev WHERE $winS"
+    val tScan = {
+      val samples = (1 to 7).map { _ =>
+        val (r, t) = timed(spark.sql(scanSql).head.getLong(0))
+        require(r == 1000001L, s"straddle count $r"); t
+      }
+      median(samples)
+    }
+    println(f"[r16-probe] aligned-window count(*): manifest ${tPushed * 1000}%5.1fms " +
+      f"vs pruned scan ${tScan * 1000}%5.1fms (${tScan / tPushed}%.0fx) " +
+      f"over 1M-row window of ${n}%d rows")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    AcidSql.resetRowGroupMetrics()
+    spark.stop()
+  }
+}
