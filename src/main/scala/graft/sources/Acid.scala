@@ -1200,18 +1200,41 @@ object Acid {
     * Feeds only perf heuristics (the bloom floor and expected-NDV hint)
     * — an error here flips a build-or-skip decision or a sizing hint,
     * never correctness, and the hint already drops to adaptive sizing
-    * above 50k keys. */
-  private[graft] def estRowsOf(df: DataFrame): Option[Long] = {
+    * above 50k keys. The boolean is the EXACTNESS of the estimate:
+    * true only for an optimizer-known rowCount; the sizeInBytes
+    * heuristic measured off by 0.33x (compressed parquet input) to 20x
+    * (post-shuffle streaming aggregate) on realistic merge batches
+    * (Round16Probe), which is what the floor's ambiguity band below
+    * absorbs. */
+  private[graft] def estRowsMeta(df: DataFrame): Option[(Long, Boolean)] = {
     val st = df.queryExecution.optimizedPlan.stats
-    st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).orElse {
+    st.rowCount.map(n =>
+      (n.min(BigInt(Long.MaxValue)).toLong, true)).orElse {
       val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
       if (st.sizeInBytes >= sentinel) None
       else {
         val w = BigInt(math.max(1, df.schema.defaultSize))
-        Some((st.sizeInBytes / w).min(BigInt(Long.MaxValue)).toLong)
+        Some(((st.sizeInBytes / w).min(BigInt(Long.MaxValue)).toLong, false))
       }
     }
   }
+  private[graft] def estRowsOf(df: DataFrame): Option[Long] =
+    estRowsMeta(df).map(_._1)
+
+  /** The sizeInBytes heuristic's measured worst-case error envelope
+    * (Round16Probe over realistic merge-batch shapes): up to ~3x UNDER
+    * on compressed parquet input (bytes are on-disk, width is in-memory)
+    * and up to ~20x OVER on post-shuffle aggregates (Catalyst propagates
+    * padded child sizes). The floor decision trusts an inexact estimate
+    * only OUTSIDE this envelope around the floor; inside it, one count
+    * of the batch decides exactly — scale-safe because the band itself
+    * bounds the frame: an inexact estimate inside it claims under
+    * `floorx24` rows (~100k), so the count job is trivial next to the
+    * merge's own joins (which already execute the batch plan twice for
+    * broadcasts), while a 100 TB-scan-backed batch estimates far above
+    * the band and never pays a count. */
+  private val EstOverFactor  = 24L
+  private val EstUnderFactor = 4L
 
   /** Per-file key estimate for a MERGE rewrite: pre-image rows of the
     * touched files PLUS the incoming batch's estimated rows, over the
@@ -1225,9 +1248,23 @@ object Acid {
     * and to no hint at all on a pure insert — the adaptive build from
     * actual keys is never a wrong skip, just the (rare) old build tax. */
   private def mergeNdvHint(touched: Seq[FileEntry],
-      batch: DataFrame): Option[Long] = estRowsOf(batch) match {
-    case Some(b) =>
-      Some((touched.map(_.rows).sum + b) / math.max(1, touched.size))
+      batch: DataFrame): Option[Long] = estRowsMeta(batch) match {
+    case Some((b0, exact)) =>
+      val pre = touched.map(_.rows).sum
+      val n = math.max(1, touched.size)
+      // Ambiguity band (r15 verdict next #5, measured by Round16Probe):
+      // when an INEXACT estimate's worst-case error envelope straddles
+      // the floor — the per-file estimate could sit on either side of
+      // BloomRowFloor within the measured 0.33x..20x error — one count
+      // of the batch decides exactly. Outside the band the estimate
+      // alone is safe: confidently-large builds, confidently-tiny skips.
+      val low  = (pre + b0 / EstOverFactor) / n
+      val high = (pre + b0 * EstUnderFactor) / n
+      val b =
+        if (!exact && low < BloomRowFloor && high >= BloomRowFloor)
+          batch.count()
+        else b0
+      Some((pre + b) / n)
     case None if touched.nonEmpty =>
       Some(touched.map(_.rows).sum / touched.size)
     case None => None

@@ -249,4 +249,53 @@ class Round16Spec extends AnyFunSuite {
       r.getAs[String]("lo_prio") <= r.getAs[String]("hi_prio"))
     assert(r.getAs[Long]("n") > 0L)
   }
+
+  /** Round16Probe measured the sizeInBytes row heuristic 20x OVER on a
+    * real post-shuffle foreachBatch micro-batch (est 20131, actual 1000)
+    * — past the r15 verdict's 10x line, so the bloom floor can no longer
+    * trust an inexact estimate near the floor: inside the measured error
+    * envelope one count of the (provably small) batch decides exactly.
+    * The shape below is the probe's, non-streaming: a ~1000-row
+    * aggregate of a 40k-row parquet source estimates well above the
+    * 4096-row floor, and before the band fix every such micro-batch
+    * paid the bloom build the floor exists to shed. */
+  test("bloom floor ambiguity band: over-estimated small batch decides by exact count") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val root = Scratch.fresh("r16_bloom_band", sf)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val srcDir = s"$root/src"
+    spark.range(40000L).select((col("id") % 1000L + 500000L).as("k"),
+      (col("id") * 3L).as("v")).write.parquet(srcDir)
+    val batch = spark.read.parquet(srcDir)
+      .groupBy("k").agg(max(col("v")).as("v"))
+    val est = Acid.estRowsMeta(batch)
+    assert(est.exists { case (n, exact) => !exact && n >= Acid.BloomRowFloor },
+      s"fixture must over-estimate past the floor to exercise the band: $est")
+    val dir = s"$root/t"
+    Acid.create(spark, dir,
+      spark.range(1000L).select(col("id").as("k"), lit(1L).as("v")), "k", 2)
+    val before = Acid.readManifest(dir, Acid.latestVersion(dir))
+      .files.map(_.path).toSet
+    val saved = Option(hc.get("parquet.enable.dictionary#k"))
+    hc.set("parquet.enable.dictionary#k", "false")
+    try assert(!Acid.merge(spark, dir, batch, "w").skipped)
+    finally saved.fold(hc.unset("parquet.enable.dictionary#k"))(
+      hc.set("parquet.enable.dictionary#k", _))
+    val fresh = Acid.readManifest(dir, Acid.latestVersion(dir))
+      .files.filterNot(f => before(f.path))
+    assert(fresh.nonEmpty, "insert-only merge must land a new file")
+    val offsets = fresh.flatMap { f =>
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/${f.path}"), hc))
+      try fr.getFooter.getBlocks.asScala.toSeq.map(
+        _.getColumns.asScala.find(_.getPath.toDotString == "k")
+          .get.getBloomFilterOffset)
+      finally fr.close()
+    }
+    assert(offsets.forall(_ < 0),
+      s"a 1000-actual-row batch must skip the bloom however inflated " +
+        s"its plan estimate: $offsets")
+  }
 }
