@@ -6722,10 +6722,58 @@ object Acid {
       .toDF("lo_prio", "hi_prio", "n", "meta_only")
   }
 
+  /** tbl_agg_pushdown_group — identity-partition GROUP BY answered from
+    * the MANIFEST (round-16): the layout contract makes every
+    * segment-rolled file single-valued in an identity partition source
+    * column, so groups ARE the stamped values and `SELECT sev, count(*),
+    * min(k), max(k) GROUP BY sev` folds per group over each group's
+    * manifest entries with zero parquet opens — the per-partition
+    * dashboard shape Iceberg's partitions metadata table serves (and
+    * `SELECT DISTINCT sev` rides the same push with no aggregates).
+    * Requires every counting file single-valued with a stamped ZERO
+    * nullCount for the column — a null-bearing file (the NULL group is
+    * invisible to the fold), a bin-packed multi-value file, a non-
+    * partition group column, or >1 group column refuses to the scan.
+    */
+  val tblAggPushdownGroup: Q = (s, d) => {
+    val root = fresh("tbl_aggpd_grp_cat", d)
+    val cat = "graft_aggpg_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ev = Tables.events(s, d).select(col("event_id").as("k"),
+      (col("event_id") % 8).as("sev"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val ss = ev.sparkSession
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ev.createOrReplaceTempView("graft_aggpg_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    s.sql(s"""CREATE TABLE $cat.ev (k BIGINT, sev BIGINT, cents BIGINT)
+             |PARTITIONED BY (sev)""".stripMargin)
+    ss.sql(s"INSERT INTO $cat.ev SELECT k, sev, cents FROM graft_aggpg_src")
+    AcidSql.resetRowGroupMetrics()
+    val q = s.sql(s"SELECT sev, count(*) AS n, min(k) AS lo, max(k) AS hi " +
+      s"FROM $cat.ev GROUP BY sev ORDER BY sev")
+    val rows = q.collect()
+    val metaOnly = AcidSql.vecRowsFooter.sum() == 0L &&
+      AcidSql.rowGroupsRead.sum() == 0L &&
+      q.queryExecution.executedPlan.toString.contains("manifest-aggregate")
+    // a non-partition group column must refuse back to the scan
+    val qr = s.sql(s"SELECT cents % 2 AS p, count(*) AS n FROM $cat.ev " +
+      "GROUP BY cents % 2")
+    val refused =
+      !qr.queryExecution.executedPlan.toString.contains("manifest-aggregate")
+    import s.implicits._
+    rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), metaOnly, refused))
+      .toDF("sev", "n", "lo", "hi", "meta_only", "nonpart_refused")
+  }
+
   val queries: Map[String, Q] = Map(
     "tbl_agg_pushdown"      -> tblAggPushdown,
     "tbl_agg_pushdown_part" -> tblAggPushdownPart,
     "tbl_agg_pushdown_str"  -> tblAggPushdownStr,
+    "tbl_agg_pushdown_group" -> tblAggPushdownGroup,
     "tbl_vacuum_scale"      -> tblVacuumScale,
     "tbl_describe_detail"   -> tblDescribeDetail,
     "tbl_branch_optimize"   -> tblBranchOptimize,
@@ -6807,6 +6855,12 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_agg_pushdown_group" ->
+      """SELECT CAST(event_id % 8 AS BIGINT) AS sev, count(*) AS n,
+        |       CAST(min(event_id) AS BIGINT) AS lo,
+        |       CAST(max(event_id) AS BIGINT) AS hi,
+        |       TRUE AS meta_only, TRUE AS nonpart_refused
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "tbl_agg_pushdown_str" ->
       """SELECT min(o_orderpriority) AS lo_prio,
         |       max(o_orderpriority) AS hi_prio,

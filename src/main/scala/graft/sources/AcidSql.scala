@@ -1392,17 +1392,20 @@ object AcidSqlDataWriter {
 }
 
 /** Manifest-answered aggregate Scan (round-15): one synthetic partition
-  * emitting ONE final row of pre-computed aggregate values — no data
-  * file is listed, opened, or decoded. Returned by the scan builder when
-  * an unfiltered count(*)/min(key)/max(key) aggregation pushes down. */
+  * emitting the pre-computed final rows — ONE row for a global
+  * aggregate, one row PER GROUP for an identity-partition GROUP BY
+  * (round-16) — no data file is listed, opened, or decoded. Returned by
+  * the scan builder when the aggregation pushes down completely. The
+  * group count is bounded by the table's live partition count (manifest
+  * -sized), so a single emitting partition is the right shape. */
 class AcidSqlAggScan(dir: String, aggSchema: StructType,
-    values: Array[Any], desc: String) extends Scan with Batch {
+    rows: Array[Array[Any]], desc: String) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-acid-sql $dir [manifest-aggregate: $desc]"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(AcidAggInputPartition(values))
+    Array(AcidAggInputPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     AcidAggReaderFactory
 }
@@ -1410,16 +1413,16 @@ class AcidSqlAggScan(dir: String, aggSchema: StructType,
 /** Values ride as plain JVM types (Long counts/keys, String bounds,
   * Integer epoch-days) — all Serializable; the reader converts to
   * catalyst representations at emit. */
-case class AcidAggInputPartition(values: Array[Any]) extends InputPartition
+case class AcidAggInputPartition(rows: Array[Array[Any]]) extends InputPartition
 
 object AcidAggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val vs = p.asInstanceOf[AcidAggInputPartition].values
+    val rows = p.asInstanceOf[AcidAggInputPartition].rows
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = !emitted && { emitted = true; true }
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow =
-        new GenericInternalRow(vs.map {
+        new GenericInternalRow(rows(i).map {
           case s: String => UTF8String.fromString(s)
           case other     => other
         })
@@ -1588,17 +1591,46 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   // synthetic partition emits the final row, so the answer is valid
   // under BOTH complete and partial pushdown (merging one partial count/
   // min/max is the identity).
-  private var aggPushed: Option[(StructType, Array[Any], String)] = None
+  private var aggPushed: Option[(StructType, Array[Array[Any]], String)] = None
 
   private def aggAnswer(agg: org.apache.spark.sql.connector.expressions
-      .aggregate.Aggregation): Option[(StructType, Array[Any], String)] = {
+      .aggregate.Aggregation): Option[(StructType, Array[Array[Any]], String)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (rowLevel || maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty)
       return None
-    if (agg.groupByExpressions.nonEmpty) return None
     if (tableSchema.fields.head.dataType != LongType) return None
     if (resolvedVersion < 0) return None
+    // GROUP BY over an IDENTITY-partition source column (round-16): the
+    // layout contract makes every segment-rolled file single-valued in
+    // the column, so groups ARE the stamped values and per-group
+    // aggregates fold over each group's files — `SELECT region,
+    // count(*) GROUP BY region` (the per-partition dashboard shape, and
+    // via empty aggregates SELECT DISTINCT region) answers from the
+    // manifest the way Iceberg's partitions metadata table does. One
+    // column, and only one that some identity transform in the spec
+    // history covers; every counting file must stamp it single-valued
+    // (an OPTIMIZE that bin-packed across partition values stamps a
+    // range and refuses) with a stamped ZERO nullCount (a null-bearing
+    // file belongs partly to the NULL group this fold cannot see).
+    val grouping: Option[(String, String, DataType)] =
+      agg.groupByExpressions.toSeq match {
+        case Seq() => None
+        case Seq(nr: NamedReference) if nr.fieldNames.length == 1 =>
+          val lo = nr.fieldNames.head
+          val phys = colMap.getOrElse(lo, lo)
+          val hasIdentity = partColsLogical.exists {
+            case (Acid.PartIdentity(c), _) => c == phys
+            case _                         => false
+          }
+          val dt = tableSchema.fields.find(_.name == lo).map(_.dataType)
+          dt match {
+            case Some(t) if hasIdentity && (t == LongType || t == IntegerType ||
+                t == DateType || t == TimestampType) => Some((lo, phys, t))
+            case _ => return None
+          }
+        case _ => return None
+      }
     val allFiles = manifestFiles
     // Partition-aligned FILTERED aggregates (round-16): when the exact
     // claim proved every pushed filter is an interval whose boundary
@@ -1625,28 +1657,30 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     // sidecar's stamped count is a table-level total, so any DV makes
     // metadata arithmetic unsafe regardless of which files it touches.
     val anyDv = allFiles.exists(f => f.dv.nonEmpty || f.pdv.nonEmpty)
-    val conservative = files.exists(f =>
-      f.minKey == Long.MinValue || f.maxKey == Long.MaxValue)
     def isKey(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case nr: NamedReference => nr.fieldNames.toSeq == Seq(keyCol)
         case _ => false
       }
+    // Each fold below runs over a SUBSET of the counting files: all of
+    // them for a global aggregate, one group's files for a GROUP BY row.
+    def conservative(fs: Seq[Acid.FileEntry]): Boolean = fs.exists(f =>
+      f.minKey == Long.MinValue || f.maxKey == Long.MaxValue)
     // count(col) = Σ rows − Σ nullCount(col), valid when EVERY entry
     // stamps the column's nullCount (post-r13 writes stamp zero
     // explicitly, so "stamped" is distinguishable from "unknown";
     // any unstamped entry — pre-r13 files, non-stats columns — refuses)
-    def nonNullCount(c: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[Long] = c match {
+    def nonNullCount(c: org.apache.spark.sql.connector.expressions.Expression,
+        fs: Seq[Acid.FileEntry]): Option[Long] = c match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         val phys = colMap.getOrElse(nr.fieldNames.head, nr.fieldNames.head)
         if (nr.fieldNames.head == keyCol)
           // merge-key rows are non-null wherever stats are exact; a file
           // that SAW a null key stamps the conservative full range and
           // `conservative` already refuses the push
-          (if (conservative) None else Some(files.map(_.rows).sum))
-        else if (files.forall(_.nulls.exists(_._1 == phys)))
-          Some(files.map(f => f.rows - f.nulls.find(_._1 == phys).get._2).sum)
+          (if (conservative(fs)) None else Some(fs.map(_.rows).sum))
+        else if (fs.forall(_.nulls.exists(_._1 == phys)))
+          Some(fs.map(f => f.rows - f.nulls.find(_._1 == phys).get._2).sum)
         else None
       case _ => None
     }
@@ -1661,14 +1695,15 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
     // the same UTF-8 binary order Spark's string comparison uses, and
     // ISO-rendered dates preserve date order under it.
     def colBound(ce: org.apache.spark.sql.connector.expressions.Expression,
-        wantMin: Boolean): Option[(String, DataType, Any)] = ce match {
-      case nr: NamedReference if nr.fieldNames.length == 1 && files.nonEmpty =>
+        wantMin: Boolean, fs: Seq[Acid.FileEntry])
+        : Option[(String, DataType, Any)] = ce match {
+      case nr: NamedReference if nr.fieldNames.length == 1 && fs.nonEmpty =>
         val lo = nr.fieldNames.head
         val phys = colMap.getOrElse(lo, lo)
         val dt = tableSchema.fields.find(_.name == lo).map(_.dataType)
         if (!dt.exists(d => d == StringType || d == DateType)) None
         else {
-          val stamps: Seq[Option[String]] = files.map { f =>
+          val stamps: Seq[Option[String]] = fs.map { f =>
             for {
               cs <- f.cstats.find(_._1 == phys)
               ex <- f.cexact.find(_._1 == phys)
@@ -1691,30 +1726,79 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         }
       case _ => None
     }
-    val mapped: Seq[Option[(String, DataType, Any)]] =
-      agg.aggregateExpressions.toSeq.map {
-        case _: CountStar if !anyDv =>
-          Some(("count_star", LongType: DataType, files.map(_.rows).sum))
-        case c: org.apache.spark.sql.connector.expressions.aggregate.Count
-            if !c.isDistinct && !anyDv =>
-          nonNullCount(c.column).map(n => ("count_col", LongType: DataType, n))
-        case m: Min if !anyDv =>
-          if (isKey(m.column) && files.nonEmpty && !conservative)
-            Some((s"min_$keyCol", LongType: DataType, files.map(_.minKey).min))
-          else colBound(m.column, wantMin = true)
-        case m: Max if !anyDv =>
-          if (isKey(m.column) && files.nonEmpty && !conservative)
-            Some((s"max_$keyCol", LongType: DataType, files.map(_.maxKey).max))
-          else colBound(m.column, wantMin = false)
-        case _ => None
-      }
-    if (mapped.isEmpty || mapped.exists(_.isEmpty)) None
-    else {
-      val cols = mapped.flatten
-      Some((StructType(cols.map { case (n, t, _) =>
-        org.apache.spark.sql.types.StructField(n, t, nullable = false) }),
-        cols.map(_._3).toArray,
-        cols.map(_._1).mkString(", ")))
+    def foldOver(fs: Seq[Acid.FileEntry])
+        : Option[Seq[(String, DataType, Any)]] = {
+      val mapped: Seq[Option[(String, DataType, Any)]] =
+        agg.aggregateExpressions.toSeq.map {
+          case _: CountStar if !anyDv =>
+            Some(("count_star", LongType: DataType, fs.map(_.rows).sum))
+          case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+              if !c.isDistinct && !anyDv =>
+            nonNullCount(c.column, fs)
+              .map(n => ("count_col", LongType: DataType, n))
+          case m: Min if !anyDv =>
+            if (isKey(m.column) && fs.nonEmpty && !conservative(fs))
+              Some((s"min_$keyCol", LongType: DataType, fs.map(_.minKey).min))
+            else colBound(m.column, wantMin = true, fs)
+          case m: Max if !anyDv =>
+            if (isKey(m.column) && fs.nonEmpty && !conservative(fs))
+              Some((s"max_$keyCol", LongType: DataType, fs.map(_.maxKey).max))
+            else colBound(m.column, wantMin = false, fs)
+          case _ => None
+        }
+      if (mapped.exists(_.isEmpty)) None else Some(mapped.flatten)
+    }
+
+    grouping match {
+      case None =>
+        foldOver(files).filter(_.nonEmpty).map { cols =>
+          (StructType(cols.map { case (n, t, _) =>
+            org.apache.spark.sql.types.StructField(n, t, nullable = false) }),
+            Array(cols.map(_._3).toArray),
+            cols.map(_._1).mkString(", "))
+        }
+      case Some((lo, phys, gType)) =>
+        // zero counting files would leave the aggregate field shapes
+        // underivable (they come from the folds) — the scan serves the
+        // empty table equally free
+        if (files.isEmpty) return None
+        // a file joins a group iff its identity stamp for the column is
+        // single-valued AND its stamped nullCount is zero (labels of
+        // non-identity transforms carry parens, so label == column name
+        // selects exactly the identity stamp); any file that can't be
+        // placed refuses the whole push
+        def groupOf(f: Acid.FileEntry): Option[Long] =
+          if (!f.nulls.contains((phys, 0L))) None
+          else (f.stats2.toSeq ++ f.pstats).collectFirst {
+            case (c, mn, mx) if c == phys && mn == mx => mn
+          }
+        val placed = files.map(f => groupOf(f).map(_ -> f))
+        if (placed.exists(_.isEmpty)) return None
+        def gVal(v: Long): Any = gType match {
+          case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
+          case _                      => java.lang.Long.valueOf(v)
+        }
+        val groups = placed.flatten.groupBy(_._1).toSeq.sortBy(_._1)
+        val folded = groups.map { case (v, fs) =>
+          foldOver(fs.map(_._2)).map(cols => (v, cols))
+        }
+        if (folded.exists(_.isEmpty)) None
+        else {
+          val rows = folded.flatten
+          // aggregate-free grouping is SELECT DISTINCT <col>
+          val aggFields = rows.headOption.map(_._2).getOrElse(Seq.empty)
+          Some((StructType(
+            org.apache.spark.sql.types.StructField(lo, gType,
+              nullable = false) +:
+              aggFields.map { case (n, t, _) =>
+                org.apache.spark.sql.types.StructField(n, t,
+                  nullable = false) }),
+            rows.map { case (v, cols) =>
+              (gVal(v) +: cols.map(_._3)).toArray }.toArray,
+            s"group by $lo (${rows.size} groups): " +
+              (if (aggFields.isEmpty) "distinct"
+               else aggFields.map(_._1).mkString(", "))))
+        }
     }
   }
 

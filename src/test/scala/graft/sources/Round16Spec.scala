@@ -241,6 +241,17 @@ class Round16Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_straddle") < r.getAs[Long]("n"))
   }
 
+  test("tbl_agg_pushdown_group oracle row: 8 meta-answered groups") {
+    val df = graft.SparkEntry.queries("tbl_agg_pushdown_group")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_.getAs[Boolean]("meta_only")),
+      "every group row must answer from the manifest")
+    assert(rows.forall(_.getAs[Boolean]("nonpart_refused")))
+    assert(rows.map(_.getAs[Long]("n")).sum > 0L)
+    assert(rows.forall(r => r.getAs[Long]("lo") <= r.getAs[Long]("hi")))
+  }
+
   test("tbl_agg_pushdown_str oracle row: meta-answered string min/max") {
     val df = graft.SparkEntry.queries("tbl_agg_pushdown_str")(spark, sf)
     val r = df.collect()(0)
@@ -248,6 +259,94 @@ class Round16Spec extends AnyFunSuite {
     assert(r.getAs[String]("lo_prio").nonEmpty &&
       r.getAs[String]("lo_prio") <= r.getAs[String]("hi_prio"))
     assert(r.getAs[Long]("n") > 0L)
+  }
+
+  /** GROUP BY over an identity-partition source column answers from the
+    * manifest: segment-rolled files are single-valued in the column, so
+    * groups ARE the stamped values — the per-partition dashboard shape
+    * (`SELECT region, count(*) ... GROUP BY region`) that Iceberg's
+    * partitions metadata table serves. Refusals: non-partition group
+    * columns, null-bearing files (the NULL group is invisible to the
+    * fold), more than one group column. */
+  test("identity-partition GROUP BY answers from the manifest; impurities refuse") {
+    val root = Scratch.fresh("r16_agggrp", sf)
+    val cat = "r16gp"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, sev BIGINT, v BIGINT)
+                 |PARTITIONED BY (sev)""".stripMargin)
+    // 8 groups x 125 rows; k global 0..999 so per-group extremes are
+    // checkable: group g holds k in {g, g+8, ...}
+    spark.range(1000L).select(col("id").as("k"), (col("id") % 8).as("sev"),
+      (col("id") * 3).as("v")).createOrReplaceTempView("r16_grp_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, sev, v FROM r16_grp_src")
+    AcidSql.resetRowGroupMetrics()
+    val q = spark.sql(s"SELECT sev, count(*) AS n, min(k) AS lo, " +
+      s"max(k) AS hi FROM $cat.t GROUP BY sev ORDER BY sev")
+    val rows = q.collect()
+    assert(rows.length === 8)
+    rows.zipWithIndex.foreach { case (r, g) =>
+      assert(r.getLong(0) === g.toLong)
+      assert(r.getLong(1) === 125L, s"group $g count")
+      assert(r.getLong(2) === g.toLong, s"group $g min k")
+      assert(r.getLong(3) === (992 + g).toLong, s"group $g max k")
+    }
+    assert(AcidSql.vecRowsFooter.sum() === 0L &&
+      AcidSql.rowGroupsRead.sum() === 0L,
+      "grouped metadata aggregate must open no data file")
+    assert(q.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    // SELECT DISTINCT <partition col> is the aggregate-free grouping
+    AcidSql.resetRowGroupMetrics()
+    val qd = spark.sql(s"SELECT DISTINCT sev FROM $cat.t ORDER BY sev")
+    assert(qd.collect().map(_.getLong(0)).toSeq === (0L to 7L))
+    assert(qd.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "aggregate-free grouping (DISTINCT) must push too")
+    assert(AcidSql.vecRowsFooter.sum() === 0L)
+    // count(sev) rides the round-16 partition-source nullCount stamps;
+    // count(v) has NO stamped nullCount (plain long, non-stats column)
+    // and must refuse — absent can't mean zero
+    val qc = spark.sql(s"SELECT sev, count(sev) AS n FROM $cat.t " +
+      s"GROUP BY sev ORDER BY sev")
+    assert(qc.collect().forall(_.getLong(1) === 125L))
+    assert(qc.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    val qv = spark.sql(s"SELECT sev, count(v) AS n FROM $cat.t GROUP BY sev")
+    assert(qv.collect().forall(_.getLong(1) === 125L))
+    assert(!qv.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "an unstamped column's count must refuse to the scan")
+    // a NON-partition group column refuses to the scan and stays exact
+    val qr = spark.sql(s"SELECT v % 2 AS p, count(*) AS n FROM $cat.t " +
+      s"GROUP BY v % 2")
+    assert(qr.collect().map(_.getLong(1)).sum === 1000L)
+    assert(!qr.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    // an aligned exact-claim window COMPOSES with the grouping: the
+    // group fold runs over the inside files only
+    AcidSql.resetRowGroupMetrics()
+    val qw = spark.sql(s"SELECT sev, count(*) AS n FROM $cat.t " +
+      s"WHERE sev >= 2 AND sev <= 3 GROUP BY sev ORDER BY sev")
+    val wr = qw.collect()
+    assert(wr.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((2L, 125L), (3L, 125L)))
+    assert(qw.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    assert(AcidSql.vecRowsFooter.sum() === 0L)
+    // NULL group values: a null-bearing file refuses the push and the
+    // scan serves the NULL group SQL requires
+    spark.sql(s"DROP TABLE IF EXISTS $cat.nl")
+    spark.sql(s"""CREATE TABLE $cat.nl (k BIGINT, sev BIGINT)
+                 |PARTITIONED BY (sev)""".stripMargin)
+    spark.range(100L).select(col("id").as("k"),
+      when(col("id") % 10 === 0, lit(null).cast("bigint"))
+        .otherwise(col("id") % 4).as("sev"))
+      .createOrReplaceTempView("r16_grpnl_src")
+    spark.sql(s"INSERT INTO $cat.nl SELECT k, sev FROM r16_grpnl_src")
+    val qn = spark.sql(s"SELECT sev, count(*) AS n FROM $cat.nl GROUP BY sev")
+    val nRows = qn.collect()
+    assert(nRows.length === 5 && nRows.exists(_.isNullAt(0)),
+      "the NULL group must appear")
+    assert(!qn.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "a null-bearing partition column must refuse the grouped push")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.nl")
   }
 
   /** Round16Probe measured the sizeInBytes row heuristic 20x OVER on a
