@@ -184,6 +184,15 @@ object Acid {
     * so length inference is unsafe. Absent (pre-r16 manifests) ⇒ the
     * aggregate pushdown refuses min/max on that column — conservative,
     * never wrong. */
+  /** `nstats` = per-column NUMERIC [min,max] for the first NStatsBudget
+    * non-key integral/timestamp columns (round-16, the numeric twin of
+    * cstats — Iceberg stamps lower/upper bounds for every column, Delta
+    * its first 32): longs verbatim, int/short/byte widened, timestamps
+    * as epoch micros. EXACT by nature (no truncation — a long is 8
+    * bytes), so min/max can always answer from them; float/double are
+    * deliberately excluded (NaN and -0.0 ordering differs between
+    * parquet, Java and SQL — a wrong bound prunes matching rows) and
+    * DECIMAL/NTZ stay unstamped until a use case needs them. */
   final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
                              stats2: Option[(String, Long, Long)] = None,
                              bloom: Option[(Int, String)] = None,
@@ -194,7 +203,8 @@ object Acid {
                              pstats: Seq[(String, Long, Long)] = Nil,
                              ndv: Seq[(String, Long)] = Nil,
                              nulls: Seq[(String, Long)] = Nil,
-                             cexact: Seq[(String, Boolean, Boolean)] = Nil)
+                             cexact: Seq[(String, Boolean, Boolean)] = Nil,
+                             nstats: Seq[(String, Long, Long)] = Nil)
   /** `batchHw` maps each writer identity (the `writerTag` a merge commits
     * under — the analogue of Delta's `txnAppId`) to the high-water mark of
     * batch ids THAT writer has committed. Keyed per writer, not
@@ -458,8 +468,16 @@ object Acid {
     var ndv: Seq[(String, Long)] = Nil
     var nulls: Seq[(String, Long)] = Nil
     var cexact: Seq[(String, Boolean, Boolean)] = Nil
+    var nstats: Seq[(String, Long, Long)] = Nil
     var rest = a.drop(4).toList
     while (rest.nonEmpty) rest.head match {
+      case ns if ns.startsWith("I:") =>
+        // numeric column stats "I:<col>:<min>:<max>" (round-16; absent
+        // on earlier manifests)
+        val p2 = ns.lastIndexOf(':'); val p1 = ns.lastIndexOf(':', p2 - 1)
+        nstats = nstats :+ ((ns.substring(2, p1),
+          ns.substring(p1 + 1, p2).toLong, ns.substring(p2 + 1).toLong))
+        rest = rest.tail
       case ex if ex.startsWith("E:") =>
         // cstats bound exactness "E:<col>:<mm>" with mm in {e,t}{e,t}
         // (min, max): e = the stamped bound IS the value, t = truncated
@@ -521,7 +539,7 @@ object Acid {
         rest = rest.drop(3)
     }
     FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom, dv, pdv,
-      bytes, cstats, pstats, ndv, nulls, cexact)
+      bytes, cstats, pstats, ndv, nulls, cexact, nstats)
   }
 
   private def renderEntry(f: FileEntry): String = {
@@ -557,7 +575,12 @@ object Acid {
         s"stats column '$c' must not contain manifest delimiters")
       s"|E:$c:${if (em) "e" else "t"}${if (ex) "e" else "t"}"
     }.mkString
-    s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs$sz$cs$pst$nd$nl$ce"
+    val ns = f.nstats.map { case (c, mn, mx) =>
+      require(!c.contains('|') && !c.contains(':'),
+        s"stats column '$c' must not contain manifest delimiters")
+      s"|I:$c:$mn:$mx"
+    }.mkString
+    s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs$sz$cs$pst$nd$nl$ce$ns"
   }
 
   private def parseHeader(line: String, files: Seq[FileEntry]): Manifest = {
@@ -845,6 +868,21 @@ object Acid {
     */
   private[graft] val CStatsBudget = 4
 
+  /** Budget for NUMERIC (integral/timestamp) non-key column stats — the
+    * round-16 numeric twin of CStatsBudget. Cheap per entry (two longs,
+    * ~24 B rendered) so it matches the string budget. */
+  private[graft] val NStatsBudget = 4
+
+  /** True for column types the numeric stats tier stamps: integral
+    * families widen to long losslessly; timestamps stamp their epoch
+    * micros (the storage grain, matching tsMicros predicate decode).
+    * float/double are excluded (NaN/-0.0 ordering hazards), NTZ too
+    * (its as-if-UTC micros decode is partition-tier-specific). */
+  private[graft] def nstatType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | TimestampType => true
+    case _ => false
+  }
+
   private def statsOf(s: SparkSession, tableDir: String, dataDir: String,
                       keyCol: String, col2: Option[String] = None): Seq[FileEntry] = {
     val prefix = Paths.get(tableDir).toAbsolutePath.toString
@@ -852,7 +890,8 @@ object Acid {
     // Measurement-only off-switch for the per-column stats tail (cstats
     // min/max + HLL NDV + nullCount — the round-14 commit-tax probe's
     // A/B). Production default is ON.
-    val strCols = if (!s.conf.get("spark.graft.stampColStats", "true").toBoolean)
+    val stampCols = s.conf.get("spark.graft.stampColStats", "true").toBoolean
+    val strCols = if (!stampCols)
       Seq.empty[String]
     else df.schema.fields.iterator
       .filter(f => f.name != keyCol && !col2.contains(f.name) &&
@@ -860,6 +899,18 @@ object Acid {
          f.dataType == org.apache.spark.sql.types.DateType) &&
         !f.name.contains('|') && !f.name.contains(':'))
       .map(_.name).take(CStatsBudget).toSeq
+    // numeric non-key stats (round-16): same single pass, long-widened
+    // min/max + HLL NDV + non-null count per column
+    val numCols: Seq[(String, Boolean)] = if (!stampCols)
+      Seq.empty
+    else df.schema.fields.iterator
+      .filter(f => f.name != keyCol && !col2.contains(f.name) &&
+        nstatType(f.dataType) &&
+        !f.name.contains('|') && !f.name.contains(':'))
+      .map(f => (f.name, f.dataType == TimestampType))
+      .take(NStatsBudget).toSeq
+    def numExpr(c: String, isTs: Boolean): Column =
+      if (isTs) unix_micros(col(c)) else col(c).cast("long")
     val aggs = Seq(count(lit(1)).as("rows"),
       min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx")) ++
       col2.toSeq.flatMap(c => Seq(min(col(c)).as("mn2"), max(col(c)).as("mx2"))) ++
@@ -873,7 +924,12 @@ object Acid {
         approx_count_distinct(col(c)).as(s"cnd_$c"),
         // non-null count, same pass (round-12 missing #2): nullCount =
         // rows - count(c), the CBO filter-selectivity feed
-        count(col(c)).as(s"cnn_$c")))
+        count(col(c)).as(s"cnn_$c"))) ++
+      numCols.flatMap { case (c, isTs) => Seq(
+        min(numExpr(c, isTs)).as(s"nmn_$c"),
+        max(numExpr(c, isTs)).as(s"nmx_$c"),
+        approx_count_distinct(col(c)).as(s"nnd_$c"),
+        count(col(c)).as(s"nnn_$c")) }
     df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -897,16 +953,26 @@ object Acid {
         val nd = strCols.flatMap { c =>
           val n = r.getAs[Long](s"cnd_$c")
           if (n > 0L) Some((c, n)) else None
+        } ++ numCols.flatMap { case (c, _) =>
+          val n = r.getAs[Long](s"nnd_$c")
+          if (n > 0L) Some((c, n)) else None
+        }
+        val ns = numCols.flatMap { case (c, _) =>
+          // an all-NULL column in this file gets no numeric stamp (its
+          // stamped nullCount == rows proves all-null to consumers)
+          if (r.isNullAt(r.fieldIndex(s"nmn_$c"))) None
+          else Some((c, r.getAs[Long](s"nmn_$c"), r.getAs[Long](s"nmx_$c")))
         }
         val rws = r.getAs[Long]("rows")
         // stamped even at zero: the fold must tell "no nulls" from
         // "file not stamped" (pre-round-13 manifests)
-        val nl = strCols.map(c => (c, rws - r.getAs[Long](s"cnn_$c")))
+        val nl = strCols.map(c => (c, rws - r.getAs[Long](s"cnn_$c"))) ++
+          numCols.map { case (c, _) => (c, rws - r.getAs[Long](s"nnn_$c")) }
         FileEntry(abs.stripPrefix(prefix).stripPrefix("/"),
           rws, r.getAs[Long]("mn"), r.getAs[Long]("mx"),
           col2.map(c => (c, r.getAs[Long]("mn2"), r.getAs[Long]("mx2"))),
           bytes = java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
-          cstats = cs, ndv = nd, nulls = nl, cexact = ce)
+          cstats = cs, ndv = nd, nulls = nl, cexact = ce, nstats = ns)
       }.sortBy(_.path).toSeq
   }
 

@@ -981,7 +981,8 @@ case class AcidWriteMessage(path: String, rows: Long, minKey: Long, maxKey: Long
     bytes: Long = 0L,
     pstats: Seq[(String, Long, Long)] = Nil,
     nulls: Seq[(String, Long)] = Nil,
-    cexact: Seq[(String, Boolean, Boolean)] = Nil)
+    cexact: Seq[(String, Boolean, Boolean)] = Nil,
+    nstats: Seq[(String, Long, Long)] = Nil)
   extends WriterCommitMessage
 
 /** A partitioned-table task commits one message carrying ALL the files it
@@ -997,7 +998,7 @@ object AcidWriteMessages {
     flatten(messages).filter(_.rows > 0)
       .map(m => Acid.FileEntry(m.path, m.rows, m.minKey, m.maxKey, m.stats2,
         bytes = m.bytes, cstats = m.cstats, pstats = m.pstats,
-        nulls = m.nulls, cexact = m.cexact))
+        nulls = m.nulls, cexact = m.cexact, nstats = m.nstats))
       .sortBy(_.path)
 
   /** Every staged relative path (for abort cleanup), empty files included. */
@@ -1105,6 +1106,25 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
       .map { case (f, i) => (f.name, i, f.dataType == DateType) }
       .take(Acid.CStatsBudget).toSeq
 
+  // numeric (integral/timestamp) stats columns (round-16, the numeric
+  // twin of cstatCols): (name, field index, accessor code) — 0 reads a
+  // long (long + timestamp micros), 1 int, 2 short, 3 byte. Partition
+  // source columns are excluded (their transform stamps already cover
+  // them; the days-source micros range additionally rides stats2/pstats
+  // inversion).
+  private val nstatCols: Seq[(String, Int, Int)] =
+    schema.fields.zipWithIndex.iterator
+      .filter { case (f, i) => i != 0 && !partSpecs.exists(_.col == f.name) &&
+        Acid.nstatType(f.dataType) &&
+        !f.name.contains('|') && !f.name.contains(':') }
+      .map { case (f, i) => (f.name, i, f.dataType match {
+        case IntegerType                     => 1
+        case org.apache.spark.sql.types.ShortType => 2
+        case org.apache.spark.sql.types.ByteType  => 3
+        case _                               => 0
+      }) }
+      .take(Acid.NStatsBudget).toSeq
+
   /** Per-file write state. A partitioned write keeps each partition
     * value's rows in their own segment so every file's stats2 is ONE
     * value wide — the property manifest partition-pruning depends on.
@@ -1149,6 +1169,9 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
     val cMin = new Array[org.apache.spark.unsafe.types.UTF8String](cstatCols.size)
     val cMax = new Array[org.apache.spark.unsafe.types.UTF8String](cstatCols.size)
     val cNull = new Array[Long](cstatCols.size)
+    val nMin = Array.fill(nstatCols.size)(Long.MaxValue)
+    val nMax = Array.fill(nstatCols.size)(Long.MinValue)
+    val nNull = new Array[Long](nstatCols.size)
   }
 
   private val done = scala.collection.mutable.ListBuffer.empty[AcidWriteMessage]
@@ -1198,19 +1221,27 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
             Acid.truncBoundMax(mxS) == mxS))
         }
       }
-      val nl = cstatCols.zipWithIndex.map { case ((n, _, _), j) =>
+      val nl = (cstatCols.zipWithIndex.map { case ((n, _, _), j) =>
         (n, sg.cNull(j))
+      } ++ nstatCols.zipWithIndex.map { case ((n, _, _), j) =>
+        (n, sg.nNull(j))
       } ++ partDims.zipWithIndex.collect {
         // partition-dim source-column null counts (round-16): only for
         // readable dims — an unreadable one was never null-checked
         case (((ps, _, true)), d) => (ps.col, sg.pNull(d))
-      }.distinctBy(_._1)
+      }).distinctBy(_._1)
+      // numeric stats (round-16): an all-null column gets no stamp; its
+      // stamped nullCount == rows proves all-null to consumers
+      val ns = nstatCols.zipWithIndex.flatMap { case ((n, _, _), j) =>
+        if (sg.nNull(j) == sg.rows) None // all-null: no stamp
+        else Some((n, sg.nMin(j), sg.nMax(j)))
+      }
       // file size for the manifest's S: field — the scan's statistics
       // report (broadcast decisions) reads it back; local metadata call
       val sz = try java.nio.file.Files.size(
         java.nio.file.Paths.get(tableDir, sg.path)) catch { case _: Exception => 0L }
       done += AcidWriteMessage(sg.path, sg.rows, mn, mx, s2, cs, sz, pst, nl,
-        cex)
+        cex, ns)
     } else
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(tableDir, sg.path)): Unit
@@ -1258,6 +1289,18 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         if (sg.cMax(j) == null || v.binaryCompare(sg.cMax(j)) > 0)
           sg.cMax(j) = v.clone()
       } else sg.cNull(j) += 1L
+    }
+    nstatCols.zipWithIndex.foreach { case ((_, i, code), j) =>
+      if (!row.isNullAt(i)) {
+        val v: Long = code match {
+          case 1 => row.getInt(i).toLong
+          case 2 => row.getShort(i).toLong
+          case 3 => row.getByte(i).toLong
+          case _ => row.getLong(i) // long, or timestamp micros
+        }
+        if (v < sg.nMin(j)) sg.nMin(j) = v
+        if (v > sg.nMax(j)) sg.nMax(j) = v
+      } else sg.nNull(j) += 1L
     }
     if (!sg.keyConservative) {
       if (row.isNullAt(0)) sg.keyConservative = true
