@@ -6835,7 +6835,64 @@ object Acid {
       .toDF("sev", "n", "lo", "hi", "meta_only", "nonpart_refused")
   }
 
+  /** tbl_stats_numeric — NUMERIC non-key column stats (round-16, the
+    * numeric twin of tbl_stats_multi's string/date tier; Iceberg stamps
+    * lower/upper bounds for every column, Delta its first 32): both
+    * write paths stamp exact long-widened [min,max] + nullCount + HLL
+    * NDV for the first NStatsBudget integral/timestamp non-key columns
+    * in the same single stats pass. Consumers: file skipping on
+    * range/equality/IN predicates (envelope + per-value IN probes, V2
+    * scan and V1 relation), metadata min/max (exact by nature — no
+    * truncation marker needed; PROVEN all-null files contribute
+    * nothing), count(col) via the stamped nullCounts, and the grouped
+    * fold. float/double stay deliberately unstamped (NaN/-0.0 ordering
+    * hazards) and refuse every consumer. At 100 TB a `WHERE amount >
+    * threshold` over a clustered numeric column goes from full-scan to
+    * the covering files.
+    */
+  val tblStatsNumeric: Q = (s, d) => {
+    val root = fresh("tbl_stats_num_cat", d)
+    val cat = "graft_nstat_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ev = Tables.events(s, d).select(col("event_id").as("k"),
+      (col("event_id") * 7).as("cents"))
+    val ss = ev.sparkSession
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    s.sql(s"CREATE TABLE $cat.ev (k BIGINT, cents BIGINT)")
+    // four single-task inserts of disjoint key quartiles: each file's
+    // cents range is tight and disjoint, so pruning verdicts are exact
+    val mx = ev.agg(max(col("k"))).head.getLong(0)
+    val q4 = mx / 4 + 1
+    (0 until 4).foreach { b =>
+      ev.filter(col("k") >= b * q4 && col("k") < (b + 1) * q4)
+        .coalesce(1).createOrReplaceTempView("graft_nstat_src")
+      ss.sql(s"INSERT INTO $cat.ev SELECT k, cents FROM graft_nstat_src")
+    }
+    val dir = s"$root/ev"
+    // windowed count over the first quartile's cents range: prunes
+    val win = s"cents >= 0 AND cents < ${q4 * 7}"
+    val nWin = s.sql(s"SELECT count(*) AS n FROM $cat.ev WHERE $win")
+      .head.getLong(0)
+    val (scanned, total) = AcidSql.lastScanFor(dir)
+    val pruned = scanned < total
+    // min/max/count(col) fold from the manifest, zero opens
+    AcidSql.resetRowGroupMetrics()
+    val q = s.sql(s"SELECT min(cents) AS lo, max(cents) AS hi, " +
+      s"count(cents) AS n_nonnull FROM $cat.ev")
+    val r = q.collect()(0)
+    val metaOnly = AcidSql.vecRowsFooter.sum() == 0L &&
+      AcidSql.rowGroupsRead.sum() == 0L &&
+      q.queryExecution.executedPlan.toString.contains("manifest-aggregate")
+    import s.implicits._
+    Seq((nWin, pruned, r.getLong(0), r.getLong(1), r.getLong(2), metaOnly))
+      .toDF("n_window", "pruned", "lo", "hi", "n_nonnull", "meta_only")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tbl_stats_numeric"     -> tblStatsNumeric,
     "tbl_agg_pushdown"      -> tblAggPushdown,
     "tbl_agg_pushdown_part" -> tblAggPushdownPart,
     "tbl_agg_pushdown_str"  -> tblAggPushdownStr,
@@ -6921,6 +6978,17 @@ object Acid {
     "tbl_sql_source"        -> tblSqlSource)
 
   val oracles: Map[String, String] = Map(
+    "tbl_stats_numeric" ->
+      """SELECT (SELECT count(*) FROM events
+        |        WHERE event_id * 7 >= 0
+        |          AND event_id * 7 <
+        |            ((SELECT CAST(max(event_id) AS BIGINT) // 4 FROM events) + 1) * 7
+        |       ) AS n_window,
+        |       TRUE AS pruned,
+        |       CAST(min(event_id) * 7 AS BIGINT) AS lo,
+        |       CAST(max(event_id) * 7 AS BIGINT) AS hi,
+        |       count(*) AS n_nonnull, TRUE AS meta_only
+        |FROM events""".stripMargin,
     "tbl_agg_pushdown_group" ->
       """SELECT CAST(event_id % 8 AS BIGINT) AS sev, count(*) AS n,
         |       CAST(min(event_id) AS BIGINT) AS lo,

@@ -117,6 +117,29 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
     // column mapping applies on this surface.
     val cb = AcidSql.cstatsBounds(filters)
     val inProbes = AcidSql.cstatsInProbes(filters)
+    // NUMERIC nstats pruning (round-16 — V1 parity with the V2 tier):
+    // integral/timestamp non-key predicates against the stamped [min,max]
+    val nb = schema.fields.iterator
+      .filter(f => f.name != keyCol && Acid.nstatType(f.dataType))
+      .flatMap { fld =>
+        val mine = filters.filter(f =>
+          f.references.nonEmpty && f.references.forall(_ == fld.name))
+        if (mine.isEmpty) None
+        else {
+          val isTs = fld.dataType ==
+            org.apache.spark.sql.types.TimestampType
+          val dec = AcidSql.numDecode(isTs)
+          val (l, h) = AcidSql.numBounds(mine, fld.name, isTs)
+          // per-value IN probes skip the gap files the envelope keeps
+          val probes: Seq[Long] = mine.toSeq.collect {
+            case In(c, vs) if c == fld.name && vs.nonEmpty =>
+              val ls = vs.toSeq.flatMap(dec(_))
+              if (ls.length == vs.length) ls else Seq.empty[Long]
+          }.flatten
+          if (l == Long.MinValue && h == Long.MaxValue && probes.isEmpty) None
+          else Some((fld.name, l, h, probes))
+        }
+      }.toSeq
     val live = manifest.files.filter(f =>
       f.maxKey >= lo && f.minKey <= hi &&
         cb.forall { case (c, (cLo, cHi)) =>
@@ -124,6 +147,13 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
             case Some((_, mn, mx)) =>
               cLo.forall(Acid.u8Cmp(_, mx) <= 0) &&
                 cHi.forall(Acid.u8Cmp(_, mn) >= 0)
+            case None => true
+          }
+        } && nb.forall { case (c, l, h, probes) =>
+          f.nstats.find(_._1 == c) match {
+            case Some((_, mn, mx)) =>
+              h >= mn && l <= mx &&
+                (probes.isEmpty || probes.exists(p => p >= mn && p <= mx))
             case None => true
           }
         } && AcidSql.survivesInProbes(f, inProbes))

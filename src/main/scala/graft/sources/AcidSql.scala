@@ -437,9 +437,11 @@ object AcidSql {
   }
 
   private def asLong(v: Any): Option[Long] = v match {
-    case l: Long => Some(l)
-    case i: Int  => Some(i.toLong)
-    case _       => None
+    case l: Long  => Some(l)
+    case i: Int   => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _        => None
   }
 
   /** Timestamp literal → epoch MICROS: Spark pushes java.sql.Timestamp
@@ -466,6 +468,17 @@ object AcidSql {
 
   private[sources] def keyBounds(filters: Array[Filter], keyCol: String): (Long, Long) =
     boundsFold(filters, keyCol, asLong)
+
+  /** Pushed-filter bounds over a NUMERIC stats column (round-16): long
+    * literals verbatim, timestamp literals as epoch micros — the same
+    * decoders the key/timestamp tiers use, against the nstats stamps. */
+  private[sources] def numBounds(filters: Array[Filter], c: String,
+      isTs: Boolean): (Long, Long) =
+    boundsFold(filters, c, numDecode(isTs))
+
+  /** The literal decoder a numeric stats column prunes under. */
+  private[sources] def numDecode(isTs: Boolean): Any => Option[Long] =
+    if (isTs) tsMicros else asLong
 
   /** Pushed-filter bounds over a TIMESTAMP column, in epoch micros —
     * the days(ts) partition transform's pruning input. */
@@ -1769,6 +1782,52 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         }
       case _ => None
     }
+    // min/max over a NUMERIC (integral/timestamp) non-key column
+    // (round-16): nstats stamps are EXACT by nature (no truncation), so
+    // the fold serves whenever every counting file either stamps the
+    // column or is PROVEN all-null (stamped nullCount == rows — SQL
+    // min/max skip nulls, so such a file contributes nothing). An
+    // unstamped, unproven file refuses; an all-null RESULT refuses too
+    // (the scan serves SQL's NULL properly).
+    def numBound(ce: org.apache.spark.sql.connector.expressions.Expression,
+        wantMin: Boolean, fs: Seq[Acid.FileEntry])
+        : Option[(String, DataType, Any)] = ce match {
+      case nr: NamedReference if nr.fieldNames.length == 1 && fs.nonEmpty =>
+        val lo = nr.fieldNames.head
+        val phys = colMap.getOrElse(lo, lo)
+        val dt = tableSchema.fields.find(_.name == lo).map(_.dataType)
+        if (!dt.exists(Acid.nstatType)) None
+        else {
+          val per: Seq[Option[Option[Long]]] = fs.map { f =>
+            f.nstats.find(_._1 == phys) match {
+              case Some((_, mn, mx)) => Some(Some(if (wantMin) mn else mx))
+              case None =>
+                if (f.nulls.exists(n => n._1 == phys && n._2 == f.rows))
+                  Some(None)
+                else None
+            }
+          }
+          if (per.exists(_.isEmpty)) None
+          else {
+            val vals = per.flatten.flatten
+            if (vals.isEmpty) None
+            else {
+              val v = if (wantMin) vals.min else vals.max
+              val (t, out): (DataType, Any) = dt.get match {
+                case IntegerType   => (IntegerType,
+                  java.lang.Integer.valueOf(v.toInt))
+                case ShortType     => (ShortType,
+                  java.lang.Short.valueOf(v.toShort))
+                case ByteType      => (ByteType, java.lang.Byte.valueOf(v.toByte))
+                case TimestampType => (TimestampType, java.lang.Long.valueOf(v))
+                case _             => (LongType, java.lang.Long.valueOf(v))
+              }
+              Some(((if (wantMin) s"min_$lo" else s"max_$lo"), t, out))
+            }
+          }
+        }
+      case _ => None
+    }
     def foldOver(fs: Seq[Acid.FileEntry])
         : Option[Seq[(String, DataType, Any)]] = {
       val mapped: Seq[Option[(String, DataType, Any)]] =
@@ -1783,10 +1842,12 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
             if (isKey(m.column) && fs.nonEmpty && !conservative(fs))
               Some((s"min_$keyCol", LongType: DataType, fs.map(_.minKey).min))
             else colBound(m.column, wantMin = true, fs)
+              .orElse(numBound(m.column, wantMin = true, fs))
           case m: Max if !anyDv =>
             if (isKey(m.column) && fs.nonEmpty && !conservative(fs))
               Some((s"max_$keyCol", LongType: DataType, fs.map(_.maxKey).max))
             else colBound(m.column, wantMin = false, fs)
+              .orElse(numBound(m.column, wantMin = false, fs))
           case _ => None
         }
       if (mapped.exists(_.isEmpty)) None else Some(mapped.flatten)
@@ -1999,11 +2060,50 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
           }
         }
       }
+    // NUMERIC stats pruning (round-16, the numeric twin of the cstats
+    // tier): pushed range/equality filters on integral/timestamp non-key
+    // columns drop files whose stamped [min,max] misses the predicate's
+    // envelope; an In additionally probes per value (the envelope keeps
+    // the gaps between scattered values). Files without a column's stamp
+    // stay — conservative, never wrong; Spark re-applies every filter.
+    val numColTypes: Map[String, Boolean] = tableSchema.fields.iterator
+      .filter(f => f.name != keyCol && Acid.nstatType(f.dataType))
+      .map(f => f.name -> (f.dataType == TimestampType)).toMap
+    val ranged2 = {
+      val perCol = numColTypes.flatMap { case (c, isTs) =>
+        val mine = allFilters.filter(f =>
+          f.references.nonEmpty && f.references.forall(_ == c))
+        if (mine.isEmpty) None
+        else {
+          val dec = AcidSql.numDecode(isTs)
+          val (l, h) = AcidSql.numBounds(mine, c, isTs)
+          val probes: Seq[Long] = mine.toSeq.collect {
+            case In(col2, vs) if col2 == c && vs.nonEmpty =>
+              val ls = vs.toSeq.flatMap(dec(_))
+              if (ls.length == vs.length) ls else Seq.empty[Long]
+          }.flatten
+          if (l == Long.MinValue && h == Long.MaxValue && probes.isEmpty) None
+          else Some((c, l, h, probes))
+        }
+      }
+      if (perCol.isEmpty) ranged1
+      else ranged1.filter { f =>
+        perCol.forall { case (c, l, h, probes) =>
+          val phys = colMap.getOrElse(c, c)
+          f.nstats.find(_._1 == phys) match {
+            case Some((_, mn, mx)) =>
+              h >= mn && l <= mx &&
+                (probes.isEmpty || probes.exists(p => p >= mn && p <= mx))
+            case None => true
+          }
+        }
+      }
+    }
     // per-value IN probes prune the gaps the envelope keeps (round-15)
     val inProbes = AcidSql.cstatsInProbes(allFilters)
     val ranged =
-      if (inProbes.isEmpty) ranged1
-      else ranged1.filter(AcidSql.survivesInProbes(_, inProbes, colMap))
+      if (inProbes.isEmpty) ranged2
+      else ranged2.filter(AcidSql.survivesInProbes(_, inProbes, colMap))
     // Point probes (IN / = on the key) engage the manifest's Bloom tier:
     // a file is dropped when no probe lands in its range, or its filter
     // rejects every in-range probe. Filterless files stay — conservative.
@@ -2139,7 +2239,24 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
             Some(math.min(
               live.iterator.map(_.nulls.find(_._1 == phys).get._2).sum, rows))
           else None
-        if (ndOpt.isDefined || nullOpt.isDefined)
+        // numeric min/max (round-16): exact nstats folds, served when
+        // every live entry stamps the column — the CBO range-selectivity
+        // feed (filter cardinality on numeric predicates). Boxed to the
+        // column's catalyst-facing type.
+        val rangeOpt: Option[(Object, Object)] =
+          if (Acid.nstatType(f.dataType) &&
+              live.forall(_.nstats.exists(_._1 == phys))) {
+            val mn = live.iterator.map(_.nstats.find(_._1 == phys).get._2).min
+            val mx = live.iterator.map(_.nstats.find(_._1 == phys).get._3).max
+            def box(v: Long): Object = f.dataType match {
+              case IntegerType => java.lang.Integer.valueOf(v.toInt)
+              case ShortType   => java.lang.Short.valueOf(v.toShort)
+              case ByteType    => java.lang.Byte.valueOf(v.toByte)
+              case _           => java.lang.Long.valueOf(v)
+            }
+            Some((box(mn), box(mx)))
+          } else None
+        if (ndOpt.isDefined || nullOpt.isDefined || rangeOpt.isDefined)
           colStatsMap.put(Expressions.column(f.name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
@@ -2148,6 +2265,12 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
               override def nullCount(): java.util.OptionalLong =
                 nullOpt.fold(java.util.OptionalLong.empty())(
                   java.util.OptionalLong.of)
+              override def min(): java.util.Optional[Object] =
+                rangeOpt.fold(java.util.Optional.empty[Object]())(
+                  p => java.util.Optional.of(p._1))
+              override def max(): java.util.Optional[Object] =
+                rangeOpt.fold(java.util.Optional.empty[Object]())(
+                  p => java.util.Optional.of(p._2))
             })
       }
     }

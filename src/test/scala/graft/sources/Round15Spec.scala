@@ -278,10 +278,11 @@ class Round15Spec extends AnyFunSuite {
     val rf = spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE k <= 104").head
     assert(rf.getLong(0) === 100L)
     // count(col): a stamped string column answers from rows − nullCount;
-    // an unstamped LONG column refuses and scans (both exact)
+    // so does a LONG column since round-16's numeric nulls (the r15
+    // refusal pin moved to DOUBLE, which stays deliberately unstamped)
     val dir2 = s"$root/t2"
     Acid.create(spark, dir2, spark.range(1000L).select(col("id").as("k"),
-      col("id").as("v"),
+      col("id").as("v"), (col("id") / 10.0).as("ratio"),
       when(col("id") % 5 === 0, lit(null)).otherwise(lit("x")).as("tag")),
       "k", 4)
     spark.sql(s"DROP TABLE IF EXISTS $cat.missing2") // catalog refresh
@@ -293,8 +294,12 @@ class Round15Spec extends AnyFunSuite {
       "count(stamped col) must answer from rows - nullCount")
     val qv = spark.sql(s"SELECT count(v) AS n FROM $cat.t2")
     assert(qv.head.getLong(0) === 1000L)
-    assert(!qv.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
-      "count(unstamped col) must refuse the push and scan")
+    assert(qv.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "count(numeric col) answers from the round-16 numeric nullCounts")
+    val qr = spark.sql(s"SELECT count(ratio) AS n FROM $cat.t2")
+    assert(qr.head.getLong(0) === 1000L)
+    assert(!qr.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "count(unstamped double col) must refuse the push and scan")
     // a DV delete: EVERY push falls back to the scan and stays CORRECT
     Acid.deleteWhereMor(spark, dir, col("k") === 5L || col("k") === 1004L,
       None, "w"): Unit

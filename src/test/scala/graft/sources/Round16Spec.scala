@@ -241,6 +241,17 @@ class Round16Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_straddle") < r.getAs[Long]("n"))
   }
 
+  test("tbl_stats_numeric oracle row: pruned window + meta min/max") {
+    val df = graft.SparkEntry.queries("tbl_stats_numeric")(spark, sf)
+    val r = df.collect()(0)
+    assert(r.getAs[Boolean]("pruned"), "the cents window must skip files")
+    assert(r.getAs[Boolean]("meta_only"))
+    assert(r.getAs[Long]("n_window") > 0L)
+    assert(r.getAs[Long]("lo") === 0L)
+    assert(r.getAs[Long]("hi") % 7 === 0L)
+    assert(r.getAs[Long]("n_nonnull") > r.getAs[Long]("n_window"))
+  }
+
   test("tbl_agg_pushdown_group oracle row: 8 meta-answered groups") {
     val df = graft.SparkEntry.queries("tbl_agg_pushdown_group")(spark, sf)
     val rows = df.collect()
@@ -304,16 +315,15 @@ class Round16Spec extends AnyFunSuite {
       "aggregate-free grouping (DISTINCT) must push too")
     assert(AcidSql.vecRowsFooter.sum() === 0L)
     // count(sev) rides the round-16 partition-source nullCount stamps;
-    // count(v) has NO stamped nullCount (plain long, non-stats column)
-    // and must refuse — absent can't mean zero
+    // count(v) rides the numeric nstats nullCounts (same round)
     val qc = spark.sql(s"SELECT sev, count(sev) AS n FROM $cat.t " +
       s"GROUP BY sev ORDER BY sev")
     assert(qc.collect().forall(_.getLong(1) === 125L))
     assert(qc.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
     val qv = spark.sql(s"SELECT sev, count(v) AS n FROM $cat.t GROUP BY sev")
     assert(qv.collect().forall(_.getLong(1) === 125L))
-    assert(!qv.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
-      "an unstamped column's count must refuse to the scan")
+    assert(qv.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "numeric nullCount stamps serve grouped count(col) too")
     // a NON-partition group column refuses to the scan and stays exact
     val qr = spark.sql(s"SELECT v % 2 AS p, count(*) AS n FROM $cat.t " +
       s"GROUP BY v % 2")
@@ -347,6 +357,122 @@ class Round16Spec extends AnyFunSuite {
       "a null-bearing partition column must refuse the grouped push")
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
     spark.sql(s"DROP TABLE IF EXISTS $cat.nl")
+  }
+
+  /** Numeric non-key column stats (round-16, the numeric twin of the
+    * round-9 string cstats — Iceberg stamps lower/upper bounds for every
+    * column): integral/timestamp non-key columns now stamp exact
+    * long-widened [min,max] (`I:` manifest tag) plus nullCount and NDV
+    * in the same write pass, on BOTH write paths. Consumers pinned here:
+    * file skipping on range/equality/IN predicates (V2 scan + V1
+    * relation), metadata min/max (exact by nature — no truncation
+    * marker needed), count(col) via the stamped nullCounts, and the
+    * all-null-file proof (nullCount == rows ⇒ the file contributes
+    * nothing to min/max, which skip nulls). */
+  test("numeric nstats: files skip, min/max/count answer from the manifest") {
+    import spark.implicits._
+    val root = Scratch.fresh("r16_nstats", sf)
+    val cat = "r16ns"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, cents BIGINT, note STRING, " +
+      "ratio DOUBLE)")
+    // 4 single-file inserts with disjoint cents ranges (cents = k * 3)
+    (0 until 4).foreach { b =>
+      (b * 250L until (b + 1) * 250L).map(k => (k, k * 3, s"n$k", k / 10.0))
+        .toDF("k", "cents", "note", "ratio").coalesce(1)
+        .createOrReplaceTempView(s"r16_ns_$b")
+      spark.sql(s"INSERT INTO $cat.t SELECT * FROM r16_ns_$b")
+    }
+    val dir = s"$root/t"
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m.files.size === 4)
+    m.files.foreach { f =>
+      val ns = f.nstats.find(_._1 == "cents")
+      assert(ns.exists { case (_, mn, mx) =>
+        mn == f.minKey * 3 && mx == f.maxKey * 3 },
+        s"exact numeric stamp expected: $ns vs keys [${f.minKey},${f.maxKey}]")
+      assert(f.nulls.contains(("cents", 0L)), "numeric nullCount stamped")
+    }
+    // range predicate prunes to the one covering file, rows stay exact
+    val q1 = spark.sql(s"SELECT count(*) AS n FROM $cat.t " +
+      "WHERE cents >= 900 AND cents < 1200")
+    assert(q1.head.getLong(0) === 100L)
+    assert(AcidSql.lastScanFor(dir) === ((1, 4)),
+      s"cents range must prune: ${AcidSql.lastScanFor(dir)}")
+    // scattered IN probes skip the gap files the envelope would keep
+    val q2 = spark.sql(s"SELECT count(*) AS n FROM $cat.t " +
+      "WHERE cents IN (30, 2700)")
+    assert(q2.head.getLong(0) === 2L)
+    assert(AcidSql.lastScanFor(dir) === ((2, 4)),
+      s"IN probes must skip the gap: ${AcidSql.lastScanFor(dir)}")
+    // min/max/count(col) answer from the manifest — exact, zero opens
+    AcidSql.resetRowGroupMetrics()
+    val q3 = spark.sql(s"SELECT min(cents) AS lo, max(cents) AS hi, " +
+      s"count(cents) AS n FROM $cat.t")
+    val r3 = q3.head
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) === ((0L, 2997L, 1000L)))
+    assert(AcidSql.vecRowsFooter.sum() === 0L &&
+      AcidSql.rowGroupsRead.sum() === 0L &&
+      q3.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "numeric min/max/count must fold from nstats")
+    // DOUBLE stays deliberately unstamped (NaN/-0.0 ordering hazards):
+    // min/max over it refuses to the scan and stays exact
+    val qd = spark.sql(s"SELECT min(ratio) AS lo FROM $cat.t")
+    assert(qd.head.getDouble(0) === 0.0)
+    assert(!qd.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "float/double min/max must refuse the metadata fold")
+    // an ALL-NULL-cents file: unstamped, but nullCount == rows proves it
+    // contributes nothing — min/max still push; range scans keep it
+    (1000L until 1100L)
+      .map(k => (k, null.asInstanceOf[java.lang.Long], s"n$k", k / 10.0))
+      .toDF("k", "cents", "note", "ratio").coalesce(1)
+      .createOrReplaceTempView("r16_ns_null")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM r16_ns_null")
+    val m2 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val nullFile = m2.files.find(_.minKey == 1000L).get
+    assert(nullFile.nstats.forall(_._1 != "cents") &&
+      nullFile.nulls.contains(("cents", 100L)),
+      "all-null file: no stamp, nullCount == rows")
+    AcidSql.resetRowGroupMetrics()
+    val q4 = spark.sql(s"SELECT min(cents) AS lo, max(cents) AS hi FROM $cat.t")
+    assert((q4.head.getLong(0), q4.head.getLong(1)) === ((0L, 2997L)))
+    assert(q4.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "a PROVEN all-null file must not block the metadata fold")
+    val q5 = spark.sql(s"SELECT count(*) AS n FROM $cat.t " +
+      "WHERE cents >= 900 AND cents < 1200")
+    assert(q5.head.getLong(0) === 100L)
+    assert(AcidSql.lastScanFor(dir) === ((2, 5)),
+      "the unstamped file is conservatively kept by range pruning")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
+  test("numeric nstats: V1 relation prunes, library path stamps") {
+    import spark.implicits._
+    val root = Scratch.fresh("r16_nstats_v1", sf)
+    val dir = s"$root/t"
+    Acid.create(spark, dir,
+      (0L until 100L).map(k => (k, k * 7, s"x$k")).toDF("k", "cents", "note"),
+      "k", 4)
+    val m = Acid.readManifest(dir, 0)
+    assert(m.files.size === 4)
+    m.files.foreach { f =>
+      assert(f.nstats.exists { case (c, mn, mx) =>
+        c == "cents" && mn == f.minKey * 7 && mx == f.maxKey * 7 },
+        s"library statsOf must stamp numeric bounds: ${f.nstats}")
+      assert(f.nulls.contains(("cents", 0L)))
+      assert(f.ndv.exists(_._1 == "cents"), "HLL NDV stamped for CBO")
+    }
+    val v1 = spark.read.format("graft-acid").load(dir)
+    assert(v1.filter(col("cents") === 7L * 50L).count() === 1L)
+    assert(AcidRelation.lastScanFor(dir) === ((1, 4)),
+      s"V1 numeric probe must prune: ${AcidRelation.lastScanFor(dir)}")
+    // scattered IN skips the gap files the envelope would keep (V1 too)
+    assert(v1.filter(col("cents").isin(7L * 5L, 7L * 95L)).count() === 2L)
+    assert(AcidRelation.lastScanFor(dir) === ((2, 4)),
+      s"V1 IN probes must skip the gap: ${AcidRelation.lastScanFor(dir)}")
+    assert(v1.filter(col("cents") >= 0L).count() === 100L)
   }
 
   /** Round16Probe measured the sizeInBytes row heuristic 20x OVER on a
