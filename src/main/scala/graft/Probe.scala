@@ -1430,6 +1430,73 @@ object Round16Probe {
       f"vs pruned scan ${tScan * 1000}%5.1fms (${tScan / tPushed}%.0fx) " +
       f"over 1M-row window of ${n}%d rows")
     spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+
+    // ---- numeric nstats payoff: range skipping + metadata min/max ----
+    // A 4M-row table clustered on a numeric amount column (the common
+    // time-ordered-ingest shape where a monotone-ish business value
+    // tracks the key): a selective range predicate with nstats prunes to
+    // the covering files; the A/B suppresses pruning by straddling every
+    // file (predicate true everywhere), isolating the skip's value.
+    val root2 = Scratch.fresh("r16_nstats_pd", sfDir)
+    val cat2 = "r16np"
+    spark.conf.set(s"spark.sql.catalog.$cat2", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat2.root", root2)
+    spark.sql(s"DROP TABLE IF EXISTS $cat2.t")
+    spark.sql(s"CREATE TABLE $cat2.t (k BIGINT, cents BIGINT, pad STRING)")
+    // decode-heavy rows (~260 B of string payload) so the A/B measures
+    // I/O+decode, not job fixed costs
+    val n2 = 4000000L
+    (0 until 8).foreach { b =>
+      spark.range(b * n2 / 8, (b + 1) * n2 / 8).select(col("id").as("k"),
+        (col("id") * 3).as("cents"),
+        concat(lit("pad-"), (col("id") % 997).cast("string"),
+          lit("-"), sha2(col("id").cast("string"), 256),
+          lit("-"), sha2((col("id") + 1).cast("string"), 256),
+          lit("-"), sha2((col("id") + 2).cast("string"), 256)).as("pad"))
+        .repartitionByRange(4, col("k")).createOrReplaceTempView("r16_np_src")
+      spark.sql(s"INSERT INTO $cat2.t SELECT * FROM r16_np_src")
+    }
+    def run2(sqlText: String, expect: Long): (Double, Long) = {
+      var decoded = 0L
+      val samples = (1 to 7).map { _ =>
+        AcidSql.resetRowGroupMetrics()
+        val (r, t) = timed(spark.sql(sqlText).head.getLong(0))
+        require(r == expect, s"count $r != $expect")
+        decoded = AcidSql.vecRowsFooter.sum(); t
+      }
+      (median(samples), decoded)
+    }
+    // 1-of-8-files window; length(pad) forces the wide column's decode
+    val sel = s"SELECT count(*) AS n FROM $cat2.t " +
+      s"WHERE cents >= 300000 AND cents < 1500000 AND length(pad) > 0"
+    spark.sql(sel).head
+    val (tSel, dSel) = run2(sel, 400000L)
+    val (sc1, tt1) = AcidSql.lastScanFor(s"$root2/t")
+    // the same selectivity WITHOUT file skipping: every file straddles
+    // the modular predicate, so nstats keep all 8 — reader-level work
+    // at full width
+    val mod = s"SELECT count(*) AS n FROM $cat2.t " +
+      s"WHERE cents % 30 < 3 AND length(pad) > 0"
+    spark.sql(mod).head
+    val (tMod, dMod) = run2(mod, 400000L)
+    val (sc2, tt2) = AcidSql.lastScanFor(s"$root2/t")
+    println(f"[r16-probe] numeric range skip: pruned $sc1/$tt1 files " +
+      f"${tSel * 1000}%5.1fms ($dSel%d rows decoded) vs unprunable " +
+      f"same-selectivity $sc2/$tt2 ${tMod * 1000}%5.1fms ($dMod%d rows) " +
+      f"— ${tMod / tSel}%.1fx time, ${dMod.toDouble / math.max(1L, dSel)}%.1fx decode, " +
+      f"over ${n2}%d rows")
+    // metadata min/max vs scan-side aggregate over the numeric column
+    val tMeta = {
+      val samples = (1 to 7).map { _ =>
+        val (r, t) = timed(spark.sql(
+          s"SELECT max(cents) AS hi FROM $cat2.t").head.getLong(0))
+        require(r == (n2 - 1) * 3, s"max $r"); t
+      }
+      median(samples)
+    }
+    println(f"[r16-probe] numeric max(cents): manifest ${tMeta * 1000}%5.1fms " +
+      f"(metadata fold; scan-side comparison is the straddle above)")
+    spark.sql(s"DROP TABLE IF EXISTS $cat2.t")
     AcidSql.resetRowGroupMetrics()
     spark.stop()
   }
