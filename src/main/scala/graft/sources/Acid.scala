@@ -184,6 +184,14 @@ object Acid {
     * so length inference is unsafe. Absent (pre-r16 manifests) ⇒ the
     * aggregate pushdown refuses min/max on that column — conservative,
     * never wrong. */
+  /** `nsums` = per-column exact Σ(non-null values) for the INTEGRAL
+    * nstats columns (round-16): feeds metadata-answered SUM (and the
+    * sum/count pair users write for averages). Stamped only when the
+    * file's sum fits a long EXACTLY — an overflowing file simply gets
+    * no stamp, and the fold refuses any unstamped (and not
+    * proven-all-null) file back to the scan, whose wrap-on-overflow
+    * semantics are Spark's own. Timestamps never stamp a sum (SQL SUM
+    * over timestamps isn't a thing). */
   /** `nstats` = per-column NUMERIC [min,max] for the first NStatsBudget
     * non-key integral/timestamp columns (round-16, the numeric twin of
     * cstats — Iceberg stamps lower/upper bounds for every column, Delta
@@ -204,7 +212,8 @@ object Acid {
                              ndv: Seq[(String, Long)] = Nil,
                              nulls: Seq[(String, Long)] = Nil,
                              cexact: Seq[(String, Boolean, Boolean)] = Nil,
-                             nstats: Seq[(String, Long, Long)] = Nil)
+                             nstats: Seq[(String, Long, Long)] = Nil,
+                             nsums: Seq[(String, Long)] = Nil)
   /** `batchHw` maps each writer identity (the `writerTag` a merge commits
     * under — the analogue of Delta's `txnAppId`) to the high-water mark of
     * batch ids THAT writer has committed. Keyed per writer, not
@@ -469,8 +478,15 @@ object Acid {
     var nulls: Seq[(String, Long)] = Nil
     var cexact: Seq[(String, Boolean, Boolean)] = Nil
     var nstats: Seq[(String, Long, Long)] = Nil
+    var nsums: Seq[(String, Long)] = Nil
     var rest = a.drop(4).toList
     while (rest.nonEmpty) rest.head match {
+      case sm if sm.startsWith("U:") =>
+        // numeric column sum "U:<col>:<sum>" (round-16; absent on
+        // earlier manifests or when the file's sum overflows a long)
+        val i = sm.lastIndexOf(':')
+        nsums = nsums :+ ((sm.substring(2, i), sm.substring(i + 1).toLong))
+        rest = rest.tail
       case ns if ns.startsWith("I:") =>
         // numeric column stats "I:<col>:<min>:<max>" (round-16; absent
         // on earlier manifests)
@@ -539,7 +555,7 @@ object Acid {
         rest = rest.drop(3)
     }
     FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom, dv, pdv,
-      bytes, cstats, pstats, ndv, nulls, cexact, nstats)
+      bytes, cstats, pstats, ndv, nulls, cexact, nstats, nsums)
   }
 
   private def renderEntry(f: FileEntry): String = {
@@ -580,7 +596,12 @@ object Acid {
         s"stats column '$c' must not contain manifest delimiters")
       s"|I:$c:$mn:$mx"
     }.mkString
-    s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs$sz$cs$pst$nd$nl$ce$ns"
+    val us = f.nsums.map { case (c, v) =>
+      require(!c.contains('|') && !c.contains(':'),
+        s"stats column '$c' must not contain manifest delimiters")
+      s"|U:$c:$v"
+    }.mkString
+    s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs$sz$cs$pst$nd$nl$ce$ns$us"
   }
 
   private def parseHeader(line: String, files: Seq[FileEntry]): Manifest = {
@@ -929,7 +950,13 @@ object Acid {
         min(numExpr(c, isTs)).as(s"nmn_$c"),
         max(numExpr(c, isTs)).as(s"nmx_$c"),
         approx_count_distinct(col(c)).as(s"nnd_$c"),
-        count(col(c)).as(s"nnn_$c")) }
+        count(col(c)).as(s"nnn_$c")) ++
+        // exact per-file sum for INTEGRAL columns, carried as a
+        // decimal so a long-overflowing file is detected (and simply
+        // not stamped) instead of wrapping
+        (if (isTs) Seq.empty else Seq(
+          sum(numExpr(c, isTs).cast(org.apache.spark.sql.types
+            .DecimalType(38, 0))).as(s"nsm_$c"))) }
     df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -963,6 +990,13 @@ object Acid {
           if (r.isNullAt(r.fieldIndex(s"nmn_$c"))) None
           else Some((c, r.getAs[Long](s"nmn_$c"), r.getAs[Long](s"nmx_$c")))
         }
+        val us = numCols.flatMap { case (c, isTs) =>
+          if (isTs) None
+          else Option(r.getAs[java.math.BigDecimal](s"nsm_$c")).flatMap { bd =>
+            try Some((c, bd.toBigInteger.longValueExact))
+            catch { case _: ArithmeticException => None } // overflow: no stamp
+          }
+        }
         val rws = r.getAs[Long]("rows")
         // stamped even at zero: the fold must tell "no nulls" from
         // "file not stamped" (pre-round-13 manifests)
@@ -972,7 +1006,8 @@ object Acid {
           rws, r.getAs[Long]("mn"), r.getAs[Long]("mx"),
           col2.map(c => (c, r.getAs[Long]("mn2"), r.getAs[Long]("mx2"))),
           bytes = java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
-          cstats = cs, ndv = nd, nulls = nl, cexact = ce, nstats = ns)
+          cstats = cs, ndv = nd, nulls = nl, cexact = ce, nstats = ns,
+          nsums = us)
       }.sortBy(_.path).toSeq
   }
 
@@ -6878,17 +6913,19 @@ object Acid {
       .head.getLong(0)
     val (scanned, total) = AcidSql.lastScanFor(dir)
     val pruned = scanned < total
-    // min/max/count(col) fold from the manifest, zero opens
+    // min/max/count(col)/sum(col) fold from the manifest, zero opens
     AcidSql.resetRowGroupMetrics()
     val q = s.sql(s"SELECT min(cents) AS lo, max(cents) AS hi, " +
-      s"count(cents) AS n_nonnull FROM $cat.ev")
+      s"count(cents) AS n_nonnull, sum(cents) AS s_cents FROM $cat.ev")
     val r = q.collect()(0)
     val metaOnly = AcidSql.vecRowsFooter.sum() == 0L &&
       AcidSql.rowGroupsRead.sum() == 0L &&
       q.queryExecution.executedPlan.toString.contains("manifest-aggregate")
     import s.implicits._
-    Seq((nWin, pruned, r.getLong(0), r.getLong(1), r.getLong(2), metaOnly))
-      .toDF("n_window", "pruned", "lo", "hi", "n_nonnull", "meta_only")
+    Seq((nWin, pruned, r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), metaOnly))
+      .toDF("n_window", "pruned", "lo", "hi", "n_nonnull", "s_cents",
+        "meta_only")
   }
 
   val queries: Map[String, Q] = Map(
@@ -6987,7 +7024,9 @@ object Acid {
         |       TRUE AS pruned,
         |       CAST(min(event_id) * 7 AS BIGINT) AS lo,
         |       CAST(max(event_id) * 7 AS BIGINT) AS hi,
-        |       count(*) AS n_nonnull, TRUE AS meta_only
+        |       count(*) AS n_nonnull,
+        |       CAST(sum(CAST(event_id AS BIGINT) * 7) AS BIGINT) AS s_cents,
+        |       TRUE AS meta_only
         |FROM events""".stripMargin,
     "tbl_agg_pushdown_group" ->
       """SELECT CAST(event_id % 8 AS BIGINT) AS sev, count(*) AS n,

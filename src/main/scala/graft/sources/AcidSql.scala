@@ -995,7 +995,8 @@ case class AcidWriteMessage(path: String, rows: Long, minKey: Long, maxKey: Long
     pstats: Seq[(String, Long, Long)] = Nil,
     nulls: Seq[(String, Long)] = Nil,
     cexact: Seq[(String, Boolean, Boolean)] = Nil,
-    nstats: Seq[(String, Long, Long)] = Nil)
+    nstats: Seq[(String, Long, Long)] = Nil,
+    nsums: Seq[(String, Long)] = Nil)
   extends WriterCommitMessage
 
 /** A partitioned-table task commits one message carrying ALL the files it
@@ -1011,7 +1012,8 @@ object AcidWriteMessages {
     flatten(messages).filter(_.rows > 0)
       .map(m => Acid.FileEntry(m.path, m.rows, m.minKey, m.maxKey, m.stats2,
         bytes = m.bytes, cstats = m.cstats, pstats = m.pstats,
-        nulls = m.nulls, cexact = m.cexact, nstats = m.nstats))
+        nulls = m.nulls, cexact = m.cexact, nstats = m.nstats,
+        nsums = m.nsums))
       .sortBy(_.path)
 
   /** Every staged relative path (for abort cleanup), empty files included. */
@@ -1134,6 +1136,7 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         case IntegerType                     => 1
         case org.apache.spark.sql.types.ShortType => 2
         case org.apache.spark.sql.types.ByteType  => 3
+        case TimestampType                   => 4 // long micros, no sum
         case _                               => 0
       }) }
       .take(Acid.NStatsBudget).toSeq
@@ -1185,6 +1188,11 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
     val nMin = Array.fill(nstatCols.size)(Long.MaxValue)
     val nMax = Array.fill(nstatCols.size)(Long.MinValue)
     val nNull = new Array[Long](nstatCols.size)
+    // running exact sum per INTEGRAL column; an overflow marks the
+    // column un-stampable for this file (the fold then refuses to the
+    // scan, whose wrap semantics are Spark's own)
+    val nSum = new Array[Long](nstatCols.size)
+    val nSumOv = new Array[Boolean](nstatCols.size)
   }
 
   private val done = scala.collection.mutable.ListBuffer.empty[AcidWriteMessage]
@@ -1249,12 +1257,16 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         if (sg.nNull(j) == sg.rows) None // all-null: no stamp
         else Some((n, sg.nMin(j), sg.nMax(j)))
       }
+      val us = nstatCols.zipWithIndex.flatMap { case ((n, _, code), j) =>
+        if (code == 4 || sg.nSumOv(j) || sg.nNull(j) == sg.rows) None
+        else Some((n, sg.nSum(j)))
+      }
       // file size for the manifest's S: field — the scan's statistics
       // report (broadcast decisions) reads it back; local metadata call
       val sz = try java.nio.file.Files.size(
         java.nio.file.Paths.get(tableDir, sg.path)) catch { case _: Exception => 0L }
       done += AcidWriteMessage(sg.path, sg.rows, mn, mx, s2, cs, sz, pst, nl,
-        cex, ns)
+        cex, ns, us)
     } else
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(tableDir, sg.path)): Unit
@@ -1309,10 +1321,13 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
           case 1 => row.getInt(i).toLong
           case 2 => row.getShort(i).toLong
           case 3 => row.getByte(i).toLong
-          case _ => row.getLong(i) // long, or timestamp micros
+          case _ => row.getLong(i) // long (0), or timestamp micros (4)
         }
         if (v < sg.nMin(j)) sg.nMin(j) = v
         if (v > sg.nMax(j)) sg.nMax(j) = v
+        if (code != 4 && !sg.nSumOv(j))
+          try sg.nSum(j) = Math.addExact(sg.nSum(j), v)
+          catch { case _: ArithmeticException => sg.nSumOv(j) = true }
       } else sg.nNull(j) += 1L
     }
     if (!sg.keyConservative) {
@@ -1828,12 +1843,48 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         }
       case _ => None
     }
+    // SUM over an INTEGRAL non-key column (round-16): folds the stamped
+    // per-file exact sums with overflow-checked arithmetic — a fold
+    // overflow refuses to the scan, whose wrap-on-overflow semantics
+    // are Spark's own (so the refusal is always behavior-identical).
+    // A PROVEN all-null file contributes nothing (SQL SUM skips nulls);
+    // every-file-all-null refuses (SUM of no values is NULL). Result is
+    // LongType — Spark's SUM output type for every integral input.
+    def sumFold(ce: org.apache.spark.sql.connector.expressions.Expression,
+        fs: Seq[Acid.FileEntry]): Option[(String, DataType, Any)] = ce match {
+      case nr: NamedReference if nr.fieldNames.length == 1 && fs.nonEmpty =>
+        val lo = nr.fieldNames.head
+        val phys = colMap.getOrElse(lo, lo)
+        val integral = tableSchema.fields.find(_.name == lo).exists(f =>
+          f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == ShortType || f.dataType == ByteType)
+        if (!integral) None
+        else {
+          var any = false
+          var acc = 0L
+          val good = fs.forall { f =>
+            f.nsums.find(_._1 == phys) match {
+              case Some((_, v)) =>
+                any = true
+                try { acc = Math.addExact(acc, v); true }
+                catch { case _: ArithmeticException => false }
+              case None => f.nulls.exists(n => n._1 == phys && n._2 == f.rows)
+            }
+          }
+          if (!good || !any) None
+          else Some((s"sum_$lo", LongType: DataType, java.lang.Long.valueOf(acc)))
+        }
+      case _ => None
+    }
     def foldOver(fs: Seq[Acid.FileEntry])
         : Option[Seq[(String, DataType, Any)]] = {
       val mapped: Seq[Option[(String, DataType, Any)]] =
         agg.aggregateExpressions.toSeq.map {
           case _: CountStar if !anyDv =>
             Some(("count_star", LongType: DataType, fs.map(_.rows).sum))
+          case sm: org.apache.spark.sql.connector.expressions.aggregate.Sum
+              if !sm.isDistinct && !anyDv =>
+            sumFold(sm.column, fs)
           case c: org.apache.spark.sql.connector.expressions.aggregate.Count
               if !c.isDistinct && !anyDv =>
             nonNullCount(c.column, fs)

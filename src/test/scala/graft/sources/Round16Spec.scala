@@ -249,6 +249,7 @@ class Round16Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_window") > 0L)
     assert(r.getAs[Long]("lo") === 0L)
     assert(r.getAs[Long]("hi") % 7 === 0L)
+    assert(r.getAs[Long]("s_cents") % 7 === 0L && r.getAs[Long]("s_cents") > 0L)
     assert(r.getAs[Long]("n_nonnull") > r.getAs[Long]("n_window"))
   }
 
@@ -324,6 +325,15 @@ class Round16Spec extends AnyFunSuite {
     assert(qv.collect().forall(_.getLong(1) === 125L))
     assert(qv.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
       "numeric nullCount stamps serve grouped count(col) too")
+    // grouped SUM rides the stamped per-file sums: v = k*3 and group g
+    // holds k in {g, g+8, ..., g+992}, so sum = 375g + 186000
+    val qsum = spark.sql(s"SELECT sev, sum(v) AS s FROM $cat.t " +
+      s"GROUP BY sev ORDER BY sev")
+    qsum.collect().zipWithIndex.foreach { case (r, g) =>
+      assert(r.getLong(1) === 375L * g + 186000L, s"group $g sum")
+    }
+    assert(qsum.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "grouped sum must fold from the manifest")
     // a NON-partition group column refuses to the scan and stays exact
     val qr = spark.sql(s"SELECT v % 2 AS p, count(*) AS n FROM $cat.t " +
       s"GROUP BY v % 2")
@@ -407,12 +417,14 @@ class Round16Spec extends AnyFunSuite {
     assert(q2.head.getLong(0) === 2L)
     assert(AcidSql.lastScanFor(dir) === ((2, 4)),
       s"IN probes must skip the gap: ${AcidSql.lastScanFor(dir)}")
-    // min/max/count(col) answer from the manifest — exact, zero opens
+    // min/max/count(col)/sum(col) answer from the manifest — exact,
+    // zero opens (sum folds the stamped per-file exact sums)
     AcidSql.resetRowGroupMetrics()
     val q3 = spark.sql(s"SELECT min(cents) AS lo, max(cents) AS hi, " +
-      s"count(cents) AS n FROM $cat.t")
+      s"count(cents) AS n, sum(cents) AS s FROM $cat.t")
     val r3 = q3.head
     assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) === ((0L, 2997L, 1000L)))
+    assert(r3.getLong(3) === 3L * 999L * 1000L / 2L, "exact metadata sum")
     assert(AcidSql.vecRowsFooter.sum() === 0L &&
       AcidSql.rowGroupsRead.sum() === 0L &&
       q3.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
@@ -436,8 +448,11 @@ class Round16Spec extends AnyFunSuite {
       nullFile.nulls.contains(("cents", 100L)),
       "all-null file: no stamp, nullCount == rows")
     AcidSql.resetRowGroupMetrics()
-    val q4 = spark.sql(s"SELECT min(cents) AS lo, max(cents) AS hi FROM $cat.t")
+    val q4 = spark.sql(s"SELECT min(cents) AS lo, max(cents) AS hi, " +
+      s"sum(cents) AS s FROM $cat.t")
     assert((q4.head.getLong(0), q4.head.getLong(1)) === ((0L, 2997L)))
+    assert(q4.head.getLong(2) === 3L * 999L * 1000L / 2L,
+      "an all-null file contributes nothing to the sum")
     assert(q4.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
       "a PROVEN all-null file must not block the metadata fold")
     val q5 = spark.sql(s"SELECT count(*) AS n FROM $cat.t " +
