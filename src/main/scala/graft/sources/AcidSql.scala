@@ -497,7 +497,7 @@ object AcidSql {
     * literal decoder: epoch-micros for timestamp columns (where `c > t`
     * is exactly `c >= t+1micro` — micros IS the storage grain), raw
     * long otherwise. */
-  private[sources] def exactInterval(filters: Seq[Filter], c: String,
+  private[graft] def exactInterval(filters: Seq[Filter], c: String,
       time: Boolean): Option[(Long, Long)] = {
     val dec: Any => Option[Long] = if (time) tsMicros else asLong
     var lo = Long.MinValue

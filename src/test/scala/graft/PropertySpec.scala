@@ -188,6 +188,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Round-16 exact-filter-claim soundness law: whenever `exactInterval`
+    * decodes a pushed conjunction to Some((lo, hi)), membership in
+    * [lo, hi] must EQUAL direct evaluation of the conjunction at every
+    * probe point — an unsound decode here returns wrong rows (the claim
+    * removes Spark's residual re-filter), not merely an unpruned plan.
+    * 300 generated conjunctions of Eq/Gt/Ge/Lt/Le/IsNotNull/And over one
+    * column, probed at every literal and its ±1 neighbours. */
+  test("exactInterval decode equals direct evaluation on 300 generated conjunctions") {
+    import org.apache.spark.sql.sources._
+    val lit: Gen[Long] = Gen.oneOf(
+      Gen.choose(-100L, 100L),
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+        Long.MaxValue - 1, Long.MaxValue))
+    def leaf(v: Long): Gen[Filter] = Gen.oneOf[Filter](
+      EqualTo("c", v), GreaterThan("c", v), GreaterThanOrEqual("c", v),
+      LessThan("c", v), LessThanOrEqual("c", v), IsNotNull("c"))
+    val conj: Gen[List[Filter]] = for {
+      n  <- Gen.choose(1, 4)
+      vs <- Gen.listOfN(n, lit)
+      fs <- Gen.sequence[List[Filter], Filter](vs.map(leaf))
+      anded <- Gen.oneOf(true, false)
+    } yield if (anded && fs.size >= 2)
+      List(fs.reduce[Filter]((a, b) => And(a, b))) else fs
+    def holds(f: Filter, x: Long): Boolean = f match {
+      case EqualTo(_, v: Long)            => x == v
+      case GreaterThan(_, v: Long)        => x > v
+      case GreaterThanOrEqual(_, v: Long) => x >= v
+      case LessThan(_, v: Long)           => x < v
+      case LessThanOrEqual(_, v: Long)    => x <= v
+      case IsNotNull(_)                   => true
+      case And(l, r)                      => holds(l, x) && holds(r, x)
+      case other => fail(s"unexpected shape $other")
+    }
+    def literalsOf(f: Filter): Seq[Long] = f match {
+      case EqualTo(_, v: Long)            => Seq(v)
+      case GreaterThan(_, v: Long)        => Seq(v)
+      case GreaterThanOrEqual(_, v: Long) => Seq(v)
+      case LessThan(_, v: Long)           => Seq(v)
+      case LessThanOrEqual(_, v: Long)    => Seq(v)
+      case And(l, r)                      => literalsOf(l) ++ literalsOf(r)
+      case _                              => Seq.empty
+    }
+    val cases = sample(Gen.listOfN(300, conj))
+    cases.foreach { fs =>
+      sources.AcidSql.exactInterval(fs, "c", time = false).foreach {
+        case (lo, hi) =>
+          val probes = (fs.flatMap(literalsOf).flatMap(v =>
+            Seq(v - 1, v, v + 1)) ++
+            Seq(lo - 1, lo, hi, hi + 1, Long.MinValue, 0L, Long.MaxValue))
+            .distinct
+          probes.foreach { x =>
+            val direct = fs.forall(holds(_, x))
+            val decoded = lo <= x && x <= hi
+            assert(direct == decoded,
+              s"decode [$lo,$hi] disagrees with $fs at x=$x " +
+                s"(direct=$direct decoded=$decoded)")
+          }
+      }
+    }
+  }
+
   private def dbg(s: String): String =
     s.codePoints().toArray.map(c => f"U+$c%04X").mkString("[", " ", "]")
 }
