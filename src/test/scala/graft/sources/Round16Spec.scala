@@ -488,6 +488,24 @@ class Round16Spec extends AnyFunSuite {
     assert(AcidRelation.lastScanFor(dir) === ((2, 4)),
       s"V1 IN probes must skip the gap: ${AcidRelation.lastScanFor(dir)}")
     assert(v1.filter(col("cents") >= 0L).count() === 100L)
+    // a MERGE rewrite re-stamps numeric stats through statsOf — the
+    // rewrite path is where column stamps historically got dropped
+    assert(!Acid.merge(spark, dir,
+      Seq((50L, 999999L, "upd")).toDF("k", "cents", "note"), "w").skipped)
+    val m2 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    m2.files.foreach { f =>
+      assert(f.nstats.exists(_._1 == "cents") &&
+        f.nsums.exists(_._1 == "cents") &&
+        f.nulls.contains(("cents", 0L)),
+        s"rewritten files must keep numeric stamps: ${f.path}")
+    }
+    val hit = m2.files.find(f => f.minKey <= 50L && 50L <= f.maxKey).get
+    assert(hit.nstats.exists { case (c, _, mx) => c == "cents" && mx == 999999L },
+      "the rewritten file's numeric max must cover the updated value")
+    assert(spark.read.format("graft-acid").load(dir)
+      .filter(col("cents") === 999999L).count() === 1L)
+    assert(AcidRelation.lastScanFor(dir)._1 === 1,
+      "post-rewrite stamps must keep pruning")
   }
 
   /** Round16Probe measured the sizeInBytes row heuristic 20x OVER on a
