@@ -933,7 +933,13 @@ object Acid {
     def numExpr(c: String, isTs: Boolean): Column =
       if (isTs) unix_micros(col(c)) else col(c).cast("long")
     val aggs = Seq(count(lit(1)).as("rows"),
-      min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx")) ++
+      min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
+      // key non-null count, same pass (round-16 aligned DELETE): the
+      // key's nullCount is stamped EXPLICITLY — whole-file drops must
+      // PROVE zero null keys (a null fails the delete predicate but not
+      // file-level bounds classification), and absent cannot mean zero
+      // on pre-round-16 manifests
+      count(col(keyCol)).as("knn")) ++
       col2.toSeq.flatMap(c => Seq(min(col(c)).as("mn2"), max(col(c)).as("mx2"))) ++
       strCols.flatMap(c => Seq(
         min(col(c).cast("string")).as(s"cmn_$c"),
@@ -998,12 +1004,22 @@ object Acid {
           }
         }
         val rws = r.getAs[Long]("rows")
+        val kNulls = rws - r.getAs[Long]("knn")
+        // null-bearing key column degrades to the conservative full
+        // range — the same rule the V2 writer's inline tracker applies
+        // (a tight min/max over only the non-null keys would let a
+        // whole-file drop delete the null-key rows the predicate keeps)
+        val (kMn, kMx) =
+          if (kNulls > 0L) (Long.MinValue, Long.MaxValue)
+          else (r.getAs[Long]("mn"), r.getAs[Long]("mx"))
         // stamped even at zero: the fold must tell "no nulls" from
         // "file not stamped" (pre-round-13 manifests)
         val nl = strCols.map(c => (c, rws - r.getAs[Long](s"cnn_$c"))) ++
-          numCols.map { case (c, _) => (c, rws - r.getAs[Long](s"nnn_$c")) }
+          numCols.map { case (c, _) => (c, rws - r.getAs[Long](s"nnn_$c")) } ++
+          (if (keyCol.contains('|') || keyCol.contains(':')) Nil
+           else Seq((keyCol, kNulls)))
         FileEntry(abs.stripPrefix(prefix).stripPrefix("/"),
-          rws, r.getAs[Long]("mn"), r.getAs[Long]("mx"),
+          rws, kMn, kMx,
           col2.map(c => (c, r.getAs[Long]("mn2"), r.getAs[Long]("mx2"))),
           bytes = java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
           cstats = cs, ndv = nd, nulls = nl, cexact = ce, nstats = ns,
@@ -2853,36 +2869,72 @@ object Acid {
                   writeCdf: Boolean = false): (Long, Int, Int) = {
     val base = latestVersion(dir)
     val m = readManifest(dir, base)
-    val key = keyColOf(s, dir)
     val (touched, untouched) = keyRange match {
       case Some((lo, hi)) => m.files.partition(f => f.maxKey >= lo && f.minKey <= hi)
       case None           => (m.files, Seq.empty[FileEntry])
     }
-    if (touched.isEmpty) return (0L, 0, m.files.size)
-    val touchedDf = applyDv(s, dir, touched, readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
-    // caller predicates are written against LOGICAL names; the files are
-    // physical — translate in, filter, translate back before the rewrite
-    val kept = toPhysicalDf(dir, toLogicalDf(dir, touchedDf).filter(!pred))
+    deleteCore(s, dir, base, m, touched, Nil, untouched, pred, writerTag, writeCdf)
+  }
+
+  /** Shared DELETE commit core. `touched` files are rewritten WITHOUT
+    * the rows matching `pred`; `dropped` files leave the manifest with
+    * NO read and NO rewrite — the metadata-only path of an ALIGNED
+    * delete (AcidSql.alignedDelete), valid only under the caller's
+    * proof that EVERY live row of a dropped file matches the predicate:
+    * exact stats fully inside the decoded interval, a stamped ZERO
+    * nullCount for the filtered column, and no deletion vector (a DV'd
+    * file's live-row count is not its stamped rows — such files take
+    * the rewrite path instead). `untouched` files carry forward
+    * verbatim. With CDC on, dropped files are read ONCE (read-only —
+    * still no write amplification) so the change feed carries their
+    * rows like any other delete.
+    */
+  private[sources] def deleteCore(s: SparkSession, dir: String, base: Int,
+      m: Manifest, touched: Seq[FileEntry], dropped: Seq[FileEntry],
+      untouched: Seq[FileEntry], pred: org.apache.spark.sql.Column,
+      writerTag: String, writeCdf: Boolean): (Long, Int, Int) = {
+    if (touched.isEmpty && dropped.isEmpty) return (0L, 0, m.files.size)
+    val key = keyColOf(s, dir)
     val nextV = base + 1
     val dataDir = s"d${nextV}_$writerTag"
-    bloomWrite(kept.repartitionByRange(math.max(1, touched.size), col(key)),
-      key, if (touched.nonEmpty)
-        Some(touched.map(_.rows).sum / touched.size) else None)
-      .mode("overwrite").parquet(s"$dir/$dataDir")
-    val newEntries = restampPartStats(s, dir,
-      statsOf(s, dir, dataDir, key))
+    val touchedDfOpt =
+      if (touched.isEmpty) None
+      else Some(applyDv(s, dir, touched,
+        readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*)))
+    val newEntries = touchedDfOpt match {
+      case None => Seq.empty[FileEntry]
+      case Some(touchedDf) =>
+        // caller predicates are written against LOGICAL names; the files
+        // are physical — translate in, filter, translate back. SQL DELETE
+        // deletes only rows where the predicate is TRUE: a NULL verdict
+        // KEEPS the row (a bare `!pred` filter would silently delete it —
+        // found live by the round-16 aligned-delete null pin)
+        val kept = toPhysicalDf(dir,
+          toLogicalDf(dir, touchedDf).filter(!coalesce(pred, lit(false))))
+        bloomWrite(kept.repartitionByRange(math.max(1, touched.size), col(key)),
+          key, Some(touched.map(_.rows).sum / touched.size))
+          .mode("overwrite").parquet(s"$dir/$dataDir")
+        restampPartStats(s, dir, statsOf(s, dir, dataDir, key))
+    }
     val cdcPathOpt =
       if (!writeCdf) None
       else {
-        val cdcDir = s"_cdc/$dataDir"
-        val valueCols = touchedDf.columns.filter(_ != key).toSeq
-        touchedDf.filter(pred)
-          .select(col(key) +: (
+        val delRows = (touchedDfOpt.map(_.filter(pred)).toSeq ++
+          // dropped files are DV-free by the drop contract, so a plain
+          // read IS their exact live row set — every row is a delete
+          (if (dropped.isEmpty) Nil
+           else Seq(readMerged(s, dir)(dropped.map(f => s"$dir/${f.path}"): _*))))
+          .reduceOption(_ unionByName _)
+        delRows.map { df =>
+          val cdcDir = s"_cdc/$dataDir"
+          val valueCols = df.columns.filter(_ != key).toSeq
+          df.select(col(key) +: (
             valueCols.map(c => col(c).as(s"old_$c")) ++
-            valueCols.map(c => lit(null).cast(touchedDf.schema(c).dataType).as(s"new_$c"))).toSeq
+            valueCols.map(c => lit(null).cast(df.schema(c).dataType).as(s"new_$c"))).toSeq
             :+ lit("delete").as("change_type"): _*)
-          .write.mode("overwrite").parquet(s"$dir/$cdcDir")
-        Some(cdcDir)
+            .write.mode("overwrite").parquet(s"$dir/$cdcDir")
+          cdcDir
+        }
       }
     commitManifest(dir,
       Manifest(nextV, -1L, untouched ++ newEntries, m.batchHw, cdcPathOpt,
@@ -2890,10 +2942,13 @@ object Acid {
     // physical row stats overcount when touched files carried deletion
     // vectors — count the DV-applied frame instead (those files were
     // just read for the rewrite anyway)
-    val touchedRows =
-      if (touched.exists(f => f.dv.isDefined || f.pdv.isDefined)) touchedDf.count()
-      else touched.map(_.rows).sum
-    val deleted = touchedRows - newEntries.map(_.rows).sum
+    val touchedRows = touchedDfOpt match {
+      case Some(df) if touched.exists(f => f.dv.isDefined || f.pdv.isDefined) =>
+        df.count()
+      case _ => touched.map(_.rows).sum
+    }
+    val deleted =
+      (touchedRows - newEntries.map(_.rows).sum) + dropped.map(_.rows).sum
     (deleted, touched.size, m.files.size)
   }
 
@@ -3500,7 +3555,8 @@ object Acid {
     * forward byte-identical, touched files' deletion vectors are
     * materialized away, transform partition stats re-stamp, and the
     * base's CHECK constraint enforces on the rewrite (NULL-predicate
-    * rows delete, matching deleteWhere). Branch writers serialize
+    * rows SURVIVE — SQL DELETE only removes rows where the predicate is
+    * TRUE, matching deleteWhere). Branch writers serialize
     * through put-if-absent on the branch manifest, like writeToBranch.
     * Returns (new branch head, rowsDeleted).
     */
@@ -3517,7 +3573,9 @@ object Acid {
     val keyPhys = colMapOf(dir).getOrElse(keyCols.head, keyCols.head)
     val touchedDf = applyDv(s, dir, touched,
       readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
-    val kept = toPhysicalDf(dir, toLogicalDf(dir, touchedDf).filter(!pred))
+    // NULL-predicate rows survive (SQL DELETE removes TRUE verdicts only)
+    val kept = toPhysicalDf(dir,
+      toLogicalDf(dir, touchedDf).filter(!coalesce(pred, lit(false))))
     val dd = s"d_br_${name}_d${java.util.UUID.randomUUID().toString.take(8)}"
     bloomWrite(kept.repartitionByRange(math.max(1, touched.size),
       col(keyPhys)), keyPhys, if (touched.nonEmpty)
@@ -5354,6 +5412,56 @@ object Acid {
       .withColumn("files_pruned", lit((v0 intersect v1).nonEmpty))
   }
 
+  /** tbl_delete_aligned — metadata-only ALIGNED DELETE (round-16): a
+    * `DELETE WHERE ts < <day boundary>` on a days(ts)-partitioned table
+    * decodes to an exact interval (AcidSql.alignedDelete); files whose
+    * stamped day range proves them fully-inside — with a stamped ZERO
+    * source-null count and no deletion vector — DROP from the manifest
+    * with no read and no rewrite, the retention shape Iceberg and Delta
+    * serve as a metadata operation. A second, MID-day boundary then
+    * shows the mixed shape: whole days still drop, only the straddling
+    * day's files pay the copy-on-write rewrite, later days carry
+    * forward byte-identical. At 100 TB this turns the everyday
+    * "expire old partitions" delete into one manifest commit.
+    */
+  val tblDeleteAligned: Q = (s, d) => {
+    val root = fresh("tbl_delete_aligned_cat", d)
+    val cat = "graft_dalign_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ev = Tables.events(s, d).select(col("event_id").as("k"), col("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val ss = ev.sparkSession
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ev.createOrReplaceTempView("graft_dalign_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    s.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, cents BIGINT)
+             |PARTITIONED BY (days(ts))""".stripMargin)
+    ss.sql(s"INSERT INTO $cat.ev SELECT k, ts, cents FROM graft_dalign_src")
+    val dir = s"$root/ev"
+    val vIns = latestVersion(dir)
+    val before = readManifest(dir, vIns).files.map(_.path).toSet
+    // aligned retention delete: whole days drop, metadata-only
+    s.sql(s"DELETE FROM $cat.ev WHERE ts < TIMESTAMP'2024-01-08 00:00:00'")
+    val v1 = latestVersion(dir)
+    val after1 = readManifest(dir, v1).files.map(_.path).toSet
+    val metadataOnly = v1 == vIns + 1 && after1.subsetOf(before) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"d${v1}_sqldel"))
+    // straddling mid-day boundary: whole days drop, the half-covered
+    // day rewrites, later days carry forward untouched
+    s.sql(s"DELETE FROM $cat.ev WHERE ts < TIMESTAMP'2024-01-10 12:00:00'")
+    val v2 = latestVersion(dir)
+    val after2 = readManifest(dir, v2).files.map(_.path)
+    val rewrote = after2.exists(_.startsWith(s"d${v2}_sqldel")) &&
+      after2.filterNot(after1).forall(_.startsWith(s"d${v2}_sqldel"))
+    s.sql(s"""SELECT count(*) AS n_rest, sum(cents) AS rest_cents,
+             |min(k) AS min_k FROM $cat.ev""".stripMargin)
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("straddle_rewrote", lit(rewrote))
+  }
+
   /** tbl_sql_alter — SQL DDL schema evolution: `ALTER TABLE ... ADD
     * COLUMN` widens the catalog schema (no data rewrite — the additive
     * contract), a subsequent INSERT writes the new column, and the
@@ -6951,6 +7059,7 @@ object Acid {
     "tbl_cdc_on_commit"     -> tblCdcOnCommit,
     "tbl_sql_insert"        -> tblSqlInsert,
     "tbl_sql_delete"        -> tblSqlDelete,
+    "tbl_delete_aligned"    -> tblDeleteAligned,
     "tbl_sql_ctas"          -> tblSqlCtas,
     "tbl_sql_travel"        -> tblSqlTravel,
     "tbl_sql_alter"         -> tblSqlAlter,
@@ -7340,6 +7449,14 @@ object Acid {
         |FROM base
         |WHERE k NOT BETWEEN (SELECT m FROM mx) // 2
         |                AND (SELECT m FROM mx) // 2 + (SELECT m FROM mx) // 8""".stripMargin,
+    "tbl_delete_aligned" ->
+      """SELECT count(*) AS n_rest,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS rest_cents,
+        |       min(event_id) AS min_k,
+        |       TRUE AS metadata_only, TRUE AS straddle_rewrote
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 12:00:00'""".stripMargin,
     "tbl_sql_alter" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -525,6 +525,95 @@ object AcidSql {
     if (filters.forall(walk)) Some((lo, hi)) else None
   }
 
+  /** Metadata-aligned SQL DELETE (round-16, the write-side twin of the
+    * exact-filter claim): when the pushed conjunction decodes to EXACTLY
+    * one closed interval over ONE column with exact per-file stats,
+    * every manifest entry classifies as fully-inside / fully-outside /
+    * straddling the interval. Fully-inside files with a stamped ZERO
+    * nullCount for the column and no deletion vector are DROPPED from
+    * the manifest — zero reads, zero rewrites, the retention shape
+    * (`DELETE WHERE ts < cutoff` on a days(ts) table) Iceberg and Delta
+    * serve as a metadata operation; fully-outside files carry forward
+    * untouched (including on NON-key columns, which the legacy key hint
+    * cannot prune); only straddlers pay the copy-on-write rewrite.
+    * Evidence tiers per file: the key's exact minKey/maxKey (requiring
+    * the round-16 EXPLICIT zero key-null stamp — tight bounds alone
+    * cannot prove no null keys on older manifests, and a null key fails
+    * the predicate but not the bounds check), a monotone partition
+    * transform stamp inverted by partCellRange, or an exact numeric
+    * nstats stamp. A file with no usable evidence falls to the rewrite
+    * path — conservative, never wrong. Returns None when the shape
+    * doesn't decode (multi-column conjunctions, In/Or/Not, strings) —
+    * the caller then runs the legacy key-hinted path. At 100 TB this
+    * turns the everyday retention delete from a full-partition rewrite
+    * into one manifest commit.
+    */
+  private[graft] def alignedDelete(s: SparkSession, dir: String,
+      filters: Array[Filter], tableSchema: StructType): Option[(Long, Int, Int)] = {
+    if (filters.isEmpty) return None
+    val refs = filters.flatMap(_.references).distinct
+    if (refs.length != 1) return None
+    val c = refs.head
+    val field = tableSchema.fields.find(_.name == c).getOrElse(return None)
+    val time = field.dataType == TimestampType ||
+      field.dataType == TimestampNTZType
+    val (lo, hi) = exactInterval(filters.toSeq, c, time).getOrElse(return None)
+    val base = Acid.latestVersion(dir)
+    if (base < 0) return None
+    val m = Acid.readManifest(dir, base)
+    val colMap = Acid.colMapOf(dir)
+    val phys = colMap.getOrElse(c, c)
+    val isKey = c == tableSchema.fields.head.name
+    val specs = Acid.partSpecHistory(dir).flatten.distinct
+      .filter(ps => ps.col == phys && Acid.partCellRange(ps, 0L).isDefined)
+    // Some(true)=every live row provably matches (droppable modulo DV),
+    // Some(false)=no row can match, None=straddle / no evidence
+    def classify(f: Acid.FileEntry): Option[Boolean] = {
+      if (lo > hi) return Some(false) // empty interval matches nothing
+      def fromRange(mn: Long, mx: Long): Option[Boolean] =
+        if (lo <= mn && mx <= hi)
+          // inside needs the explicit zero-null proof: a NULL fails the
+          // predicate (survives the delete) but not the bounds check
+          (if (f.nulls.contains((phys, 0L))) Some(true) else None)
+        else if (mx < lo || mn > hi) Some(false)
+        else None
+      if (isKey) fromRange(f.minKey, f.maxKey)
+      else {
+        val stamps = f.stats2.toSeq ++ f.pstats
+        val verdicts: Iterator[Option[Boolean]] =
+          specs.iterator.map { ps =>
+            stamps.collectFirst {
+              case (cc, mn2, mx2) if cc == ps.label => (mn2, mx2) }
+              .flatMap { case (mn2, mx2) =>
+                for {
+                  loCell <- Acid.partCellRange(ps, mn2)
+                  hiCell <- Acid.partCellRange(ps, mx2)
+                } yield (loCell._1, hiCell._2)
+              }
+              .flatMap { case (rl, rh) => fromRange(rl, rh) }
+          } ++ Iterator(
+            f.nstats.collectFirst {
+              case (cc, mn, mx) if cc == phys => (mn, mx) }
+              .flatMap { case (mn, mx) => fromRange(mn, mx) })
+        verdicts.collectFirst { case Some(b) => b }
+      }
+    }
+    val cls = m.files.map(f => f -> classify(f))
+    val dropped = cls.collect {
+      case (f, Some(true)) if f.dv.isEmpty && f.pdv.isEmpty => f }
+    val untouched = cls.collect { case (f, Some(false)) => f }
+    val touched = cls.collect {
+      case (f, None) => f
+      // a fully-inside DV'd file rewrites: its live-row count is not its
+      // stamped rows, and the rewrite path already applies the sidecar
+      case (f, Some(true)) if f.dv.isDefined || f.pdv.isDefined => f
+    }
+    val pred = filters.flatMap(filterToColumn).reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Some(Acid.deleteCore(s, dir, base, m, touched, dropped, untouched,
+      pred, "sqldel", writeCdf = false))
+  }
+
   /** Inline budget for merge-on-read deleted keys/positions in a SQL
     * scan: up to this many are read once driver-side and shipped inside
     * the input partitions (~800 KB of longs at the cap —
@@ -783,14 +872,19 @@ class AcidSqlTable(dir: String, tableSchema: StructType, pinnedVersion: Int = -1
     filters.forall(f => AcidSql.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val pred = filters.flatMap(AcidSql.filterToColumn)
-      .reduceOption(_ && _)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
-    val keyCol = tableSchema.fields.head.name
-    val (lo, hi) = AcidSql.keyBounds(filters, keyCol)
-    val hint =
-      if (lo == Long.MinValue && hi == Long.MaxValue) None else Some((lo, hi))
-    Acid.deleteWhere(SparkSession.active, dir, pred, hint, "sqldel"): Unit
+    val s = SparkSession.active
+    // aligned fast path first (round-16): exact-interval predicates drop
+    // provably fully-inside files from the manifest without a rewrite
+    AcidSql.alignedDelete(s, dir, filters, tableSchema).getOrElse {
+      val pred = filters.flatMap(AcidSql.filterToColumn)
+        .reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      val keyCol = tableSchema.fields.head.name
+      val (lo, hi) = AcidSql.keyBounds(filters, keyCol)
+      val hint =
+        if (lo == Long.MinValue && hi == Long.MaxValue) None else Some((lo, hi))
+      Acid.deleteWhere(s, dir, pred, hint, "sqldel")
+    }: Unit
   }
 }
 
@@ -1166,6 +1260,10 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
     var minKey = Long.MaxValue
     var maxKey = Long.MinValue
     var keyConservative = !keyIsLong
+    // observed NULL keys (round-16 aligned DELETE): stamped explicitly —
+    // a whole-file drop must PROVE zero null keys, and absent cannot
+    // mean zero on pre-round-16 manifests
+    var kNull = 0L
     val pMin = Array.fill(partDims.size)(Long.MaxValue)
     val pMax = Array.fill(partDims.size)(Long.MinValue)
     val pCons = partDims.map { case (_, i, ok) => i < 0 || !ok }.toArray
@@ -1250,6 +1348,11 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         // partition-dim source-column null counts (round-16): only for
         // readable dims — an unreadable one was never null-checked
         case (((ps, _, true)), d) => (ps.col, sg.pNull(d))
+      } ++ {
+        // the key's explicit null count (round-16 aligned DELETE proof)
+        val kn = schema.fields.head.name
+        if (kn.contains('|') || kn.contains(':')) Nil
+        else Seq((kn, sg.kNull))
       }).distinctBy(_._1)
       // numeric stats (round-16): an all-null column gets no stamp; its
       // stamped nullCount == rows proves all-null to consumers
@@ -1330,12 +1433,10 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
           catch { case _: ArithmeticException => sg.nSumOv(j) = true }
       } else sg.nNull(j) += 1L
     }
-    if (!sg.keyConservative) {
-      if (row.isNullAt(0)) sg.keyConservative = true
-      else {
-        val k = row.getLong(0)
-        sg.minKey = math.min(sg.minKey, k); sg.maxKey = math.max(sg.maxKey, k)
-      }
+    if (row.isNullAt(0)) { sg.keyConservative = true; sg.kNull += 1L }
+    else if (!sg.keyConservative) {
+      val k = row.getLong(0)
+      sg.minKey = math.min(sg.minKey, k); sg.maxKey = math.max(sg.maxKey, k)
     }
     pv.zipWithIndex.foreach {
       case (Some(v), d) =>

@@ -556,4 +556,158 @@ class Round16Spec extends AnyFunSuite {
       s"a 1000-actual-row batch must skip the bloom however inflated " +
         s"its plan estimate: $offsets")
   }
+
+  // ---- Metadata-aligned DELETE (round-16 continuation): fully-inside
+  // files DROP from the manifest with zero reads and zero rewrites; only
+  // straddlers pay copy-on-write; every refusal leg keeps rows exact ----
+
+  test("aligned SQL DELETE drops fully-inside day partitions without a rewrite") {
+    val root = Scratch.fresh("r16_deldays", sf)
+    val cat = "r16dd"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v BIGINT)
+                 |PARTITIONED BY (days(ts))""".stripMargin)
+    // 10 epoch-days x 100 rows: day = id/100, second-of-day (id%100)*864
+    spark.range(1000L).select(col("id").as("k"),
+      timestamp_seconds((col("id") / 100).cast("long") * 86400L +
+        (col("id") % 100) * 864L).as("ts"),
+      (col("id") * 3).as("v"))
+      .createOrReplaceTempView("r16_dd_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM r16_dd_src")
+    val dir = s"$root/ev"
+    val v0 = Acid.latestVersion(dir)
+    val files0 = Acid.readManifest(dir, v0).files.map(_.path).toSet
+    // retention delete at an exact day boundary: days 0..2 (300 rows)
+    spark.sql(s"DELETE FROM $cat.ev WHERE ts < TIMESTAMP'1970-01-04 00:00:00'")
+    val v1 = Acid.latestVersion(dir)
+    assert(v1 === v0 + 1, "the delete must be one commit")
+    val m1 = Acid.readManifest(dir, v1)
+    assert(m1.files.map(_.path).toSet.subsetOf(files0),
+      "a fully-aligned delete must be metadata-only: no rewritten file")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"d${v1}_sqldel")),
+      "no data directory may be written for a metadata-only delete")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) === 700L)
+    assert(spark.sql(s"SELECT min(k) FROM $cat.ev").head.getLong(0) === 300L)
+    // a STRADDLING boundary (mid-day 5): days 3..4 still drop whole,
+    // the half-covered day-5 file rewrites, days 6..9 carry forward
+    val files1 = m1.files.map(_.path).toSet
+    spark.sql(s"DELETE FROM $cat.ev WHERE ts < TIMESTAMP'1970-01-06 12:00:00'")
+    val m2 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val rewritten = m2.files.map(_.path).toSet -- files1
+    assert(rewritten.nonEmpty, "the straddling day must be rewritten")
+    assert(rewritten.forall(_.startsWith(s"d${v1 + 1}_sqldel")))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) === 450L)
+    assert(spark.sql(s"SELECT min(k) FROM $cat.ev").head.getLong(0) === 550L)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+  }
+
+  test("key-aligned SQL DELETE drops whole files via the explicit key-null stamp") {
+    val root = Scratch.fresh("r16_delkey", sf)
+    val dir = s"$root/t"
+    Acid.create(spark, dir, spark.range(800L).toDF("id")
+      .select(col("id").as("k"), (col("id") * 7).as("v")), "k", 8)
+    spark.sql("DROP TABLE IF EXISTS r16_delkey_t")
+    spark.sql(s"""CREATE TABLE r16_delkey_t (k BIGINT, v BIGINT)
+                 |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    val m0 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m0.files.forall(_.nulls.contains(("k", 0L))),
+      "the library stats pass must stamp the key's explicit zero null count")
+    // cutoff exactly on the 3rd file's upper bound
+    val sorted = m0.files.sortBy(_.minKey)
+    val cut = sorted(2).maxKey
+    spark.sql(s"DELETE FROM r16_delkey_t WHERE k <= $cut")
+    val m1 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m1.files.map(_.path).toSet.subsetOf(m0.files.map(_.path).toSet),
+      "a boundary-aligned key delete must drop files, not rewrite them")
+    assert(m1.files.size === m0.files.size - 3)
+    val r = spark.sql("SELECT count(*), min(k) FROM r16_delkey_t").head
+    assert((r.getLong(0), r.getLong(1)) === ((800L - (cut + 1), cut + 1)))
+    // pre-round-16 manifests carry no key null stamp: the drop must
+    // refuse (a tight min/max alone cannot prove the absence of null
+    // keys) and the rewrite path keeps the rows exact
+    val stripped = m1.copy(version = m1.version + 1,
+      files = m1.files.map(f => f.copy(nulls = f.nulls.filterNot(_._1 == "k"))),
+      cdcPath = None, op = "WRITE")
+    Acid.commitManifest(dir, stripped)
+    val cut2 = m1.files.sortBy(_.minKey).head.maxKey
+    spark.sql(s"DELETE FROM r16_delkey_t WHERE k <= $cut2")
+    // the refusal shows as the REWRITE path running: its data directory
+    // exists on disk (the covered file rewrites to zero rows, so no new
+    // manifest entry need appear)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir,
+      s"d${Acid.latestVersion(dir)}_sqldel")),
+      "an unstamped manifest must refuse the drop and rewrite instead")
+    val r2 = spark.sql("SELECT count(*), min(k) FROM r16_delkey_t").head
+    assert((r2.getLong(0), r2.getLong(1)) === ((800L - (cut2 + 1), cut2 + 1)))
+    spark.sql("DROP TABLE IF EXISTS r16_delkey_t")
+  }
+
+  test("aligned DELETE on a numeric column: nulls refuse the drop, null-free files drop") {
+    val root = Scratch.fresh("r16_delnum", sf)
+    val cat = "r16dn"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // null-bearing file: bounds land fully inside the interval, but the
+    // stamped nullCount>0 refuses the drop — the 10 NULL rows (which the
+    // predicate must NOT delete) survive through the rewrite
+    spark.sql(s"DROP TABLE IF EXISTS $cat.nn")
+    spark.sql(s"CREATE TABLE $cat.nn (k BIGINT, cents BIGINT)")
+    spark.range(100L).select(col("id").as("k"),
+      when(col("id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("cents"))
+      .createOrReplaceTempView("r16_dn_src")
+    spark.sql(s"INSERT INTO $cat.nn SELECT k, cents FROM r16_dn_src")
+    spark.sql(s"DELETE FROM $cat.nn WHERE cents >= 0 AND cents <= 99")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.nn").head.getLong(0) === 10L,
+      "NULL rows fail the predicate and must survive the delete")
+    assert(spark.sql(s"SELECT count(cents) FROM $cat.nn").head.getLong(0) === 0L)
+    // null-free files with exact numeric stamps DO drop: second commit's
+    // range is untouched, first commit's files leave without a rewrite
+    spark.sql(s"DROP TABLE IF EXISTS $cat.nf")
+    spark.sql(s"CREATE TABLE $cat.nf (k BIGINT, cents BIGINT)")
+    spark.range(100L).select(col("id").as("k"), col("id").as("cents"))
+      .createOrReplaceTempView("r16_dn_src1")
+    spark.range(100L).select((col("id") + 100L).as("k"),
+      (col("id") + 100L).as("cents")).createOrReplaceTempView("r16_dn_src2")
+    spark.sql(s"INSERT INTO $cat.nf SELECT k, cents FROM r16_dn_src1")
+    spark.sql(s"INSERT INTO $cat.nf SELECT k, cents FROM r16_dn_src2")
+    val dir = s"$root/nf"
+    val before = Acid.readManifest(dir, Acid.latestVersion(dir))
+      .files.map(_.path).toSet
+    spark.sql(s"DELETE FROM $cat.nf WHERE cents <= 99")
+    val after = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(after.files.map(_.path).toSet.subsetOf(before),
+      "null-free fully-inside files must drop on their nstats evidence")
+    val r = spark.sql(s"SELECT count(*), min(cents) FROM $cat.nf").head
+    assert((r.getLong(0), r.getLong(1)) === ((100L, 100L)))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.nn")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.nf")
+  }
+
+  test("aligned DELETE over a DV'd file takes the rewrite path with exact counts") {
+    val root = Scratch.fresh("r16_deldv", sf)
+    val dir = s"$root/t"
+    Acid.create(spark, dir, spark.range(200L).toDF("id")
+      .select(col("id").as("k"), (col("id") * 2).as("v")), "k", 2)
+    spark.sql("DROP TABLE IF EXISTS r16_deldv_t")
+    spark.sql(s"""CREATE TABLE r16_deldv_t (k BIGINT, v BIGINT)
+                 |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    // key-level deletion vector on the upper file (key 150)
+    val (nDel, _, _) = Acid.deleteWhereMor(spark, dir, col("k") === 150L,
+      Some((150L, 150L)), "w")
+    assert(nDel === 1L)
+    // the upper file is fully inside [100, inf) by bounds, but its DV
+    // means stamped rows != live rows — it must rewrite, not drop
+    spark.sql("DELETE FROM r16_deldv_t WHERE k >= 100")
+    val r = spark.sql("SELECT count(*), max(k) FROM r16_deldv_t").head
+    assert((r.getLong(0), r.getLong(1)) === ((100L, 99L)),
+      "live rows of the DV'd file delete exactly once (150 not re-counted)")
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m.files.forall(f => f.dv.isEmpty && f.pdv.isEmpty),
+      "the rewrite materializes the DV away for the deleted range")
+    spark.sql("DROP TABLE IF EXISTS r16_deldv_t")
+  }
 }
