@@ -5870,6 +5870,50 @@ object Acid {
     * (a broadcast join would also skip the shuffle but proves nothing);
     * the join aggregate's values travel through the DuckDB oracle.
     */
+  /** tbl_runtime_filter — join-driven RUNTIME file pruning (round-16,
+    * the V2 DPP shape): the fact table declares its merge key (and
+    * long-domain partition sources) runtime-filterable, the dim side's
+    * selective filter is only known at execution, and Catalyst plants a
+    * dynamic IN filter (reusing the dim's broadcast) that
+    * `AcidSqlScan.filter` answers by dropping every file whose exact key
+    * range / manifest bloom provably misses the probe set — no static
+    * predicate anywhere. The fixture pins the injection (plan contains
+    * `dynamicpruning`) and the actual decode cut (row counters), then
+    * returns the joined aggregate. At 100 TB: "join 5 years of fact
+    * against today's dim slice" reads the matching files only.
+    */
+  val tblRuntimeFilter: Q = (s, d) => {
+    val root = fresh("tbl_rtf", d)
+    val dir = s"$root/t"
+    val mk = maxKey(s, d)
+    create(s, dir, ordersKV(s, d), "k", 8)
+    s.sql("DROP TABLE IF EXISTS graft_rtf_t")
+    s.sql(
+      s"""CREATE TABLE graft_rtf_t (k BIGINT, price_cents BIGINT, prio STRING)
+         |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    // dim must be a FILE relation (a LocalRelation constant-folds before
+    // the PartitionPruning rule); its keys are real order keys, labeled
+    // hot only in the top key quarter
+    val dimPath = s"$root/dim"
+    ordersKV(s, d).filter(col("k") % 128 === 1)
+      .select(col("k").as("fk"),
+        when(col("k") >= lit(mk * 3 / 4), lit("hot"))
+          .otherwise(lit("cold")).as("label"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath).filter(col("label") === "hot")
+    val q = s.table("graft_rtf_t").join(dim, col("k") === col("fk"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price_cents")).as("sum_cents"), min(col("k")).as("min_k"))
+    AcidSql.resetRowGroupMetrics()
+    q.head
+    val decoded = AcidSql.vecRowsFooter.sum()
+    val total = readManifest(dir, latestVersion(dir)).files.map(_.rows).sum
+    val injected =
+      q.queryExecution.executedPlan.toString.contains("dynamicpruning")
+    q.withColumn("dpp_injected", lit(injected))
+      .withColumn("files_pruned", lit(decoded > 0 && decoded * 2 <= total))
+  }
+
   val tblSpjJoin: Q = (s, d) => {
     val root = fresh("tbl_spj_cat", d)
     val cat = "graft_spj_" + Paths.get(d).getFileName.toString.replace('.', '_')
@@ -7093,6 +7137,7 @@ object Acid {
     "tbl_bloom_skip"        -> tblBloomSkip,
     "tbl_rowgroup_skip"     -> tblRowgroupSkip,
     "tbl_spj_join"          -> tblSpjJoin,
+    "tbl_runtime_filter"    -> tblRuntimeFilter,
     "tbl_cbo_ndv"           -> tblCboNdv,
     "tbl_cbo_nulls"         -> tblCboNulls,
     "tbl_sql_clone"         -> tblSqlClone,
@@ -7449,6 +7494,17 @@ object Acid {
         |FROM base
         |WHERE k NOT BETWEEN (SELECT m FROM mx) // 2
         |                AND (SELECT m FROM mx) // 2 + (SELECT m FROM mx) // 8""".stripMargin,
+    "tbl_runtime_filter" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |dim AS (SELECT k FROM base
+        |        WHERE k % 128 = 1 AND k >= (SELECT m FROM mx) * 3 // 4)
+        |SELECT count(*) AS n, CAST(sum(b.pc) AS BIGINT) AS sum_cents,
+        |       min(b.k) AS min_k,
+        |       TRUE AS dpp_injected, TRUE AS files_pruned
+        |FROM base b JOIN dim ON b.k = dim.k""".stripMargin,
     "tbl_delete_aligned" ->
       """SELECT count(*) AS n_rest,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

@@ -2443,8 +2443,45 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
     * reads breaks PartitionPruning: once the scan reports real
     * statistics, broadcast joins qualify for DPP consideration, whose
     * resolver throws on a filter attribute the projection lacks. */
+  /** Row-level scans narrow on `_file` (matched-groups rewrite). NORMAL
+    * scans (round-16) declare the merge key and every long-domain
+    * partition source as runtime-filterable: Catalyst's PartitionPruning
+    * then plants a dynamic IN filter from a join's dim side (reusing its
+    * broadcast), and `filter` drops files the probe set provably misses —
+    * the DPP shape that turns "join 5 years of fact against one day of
+    * dim" into reading the matching files only, with no static predicate
+    * in sight. Offset-tracked streaming scans never participate. */
   override def filterAttributes(): Array[NamedReference] =
-    if (rowLevel) Array(Expressions.column("_file")) else Array.empty
+    if (rowLevel) Array(Expressions.column("_file"))
+    else if (maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty)
+      Array.empty
+    else {
+      val partCols = Acid.partSpecsOf(dir).collect {
+        // string-truncate evaluates strings — its probes don't decode to
+        // the long domain this pruning runs in
+        case ps if !ps.isInstanceOf[Acid.PartTruncateStr] =>
+          AcidSql.logicalName(dir, ps.col)
+      }
+      (AcidSql.logicalName(dir, keyCol) +: partCols).distinct
+        // PartitionPruning resolves these against the scan's PRUNED
+        // output — declaring a projected-away column is an
+        // AnalysisException, not a missed optimization
+        .filter(required.fieldNames.contains(_))
+        .map(Expressions.column).toArray
+    }
+
+  /** Runtime literal → long in the column's pruning domain: catalyst
+    * internal values ride V2 literals, so timestamps are ALREADY epoch
+    * micros. Undecodable literals disable the predicate (keep all). */
+  private def litLong(
+      l: org.apache.spark.sql.connector.expressions.Literal[_]): Option[Long] =
+    l.dataType() match {
+      case LongType | TimestampType | TimestampNTZType |
+           IntegerType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType =>
+        Some(l.value().asInstanceOf[Number].longValue())
+      case _ => None
+    }
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     // Sound narrowing only: an IN over _file keeps exactly the named
@@ -2462,6 +2499,63 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
     keep.foreach { absPaths =>
       live = live.filter(f => absPaths.contains(s"$dir/${f.path}"))
       onPlan(files)
+    }
+    if (rowLevel) return
+    // Join-driven runtime file pruning (round-16). NEVER under reported
+    // key-grouped (SPJ) partitioning: Spark requires runtime filtering
+    // to preserve the unique partition-value set there, and the
+    // exchange-free co-located join is already the bigger win. spjPlan
+    // here still reflects planning time — filter runs before any
+    // narrowing of a non-SPJ scan could change it.
+    if (spjPlan.isDefined) return
+    val specs = Acid.partSpecsOf(dir)
+    predicates.foreach { p =>
+      val inShape = p.name() == "IN" && p.children().nonEmpty &&
+        p.children().head.isInstanceOf[NamedReference] &&
+        p.children().head.asInstanceOf[NamedReference].fieldNames().length == 1
+      if (inShape) {
+        val colName = p.children().head
+          .asInstanceOf[NamedReference].fieldNames().head
+        val phys = pushedColMap.getOrElse(colName, colName)
+        val lits = p.children().tail.map {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            litLong(l)
+          case _ => None
+        }
+        // every literal must decode, else the predicate prunes nothing
+        if (lits.nonEmpty && lits.forall(_.isDefined)) {
+          val vals = lits.flatten.toSeq
+          if (phys == keyCol) {
+            // exact key ranges + the manifest bloom tier, the same
+            // evidence static point probes prune on
+            live = live.filter { f =>
+              val inR = vals.filter(k => k >= f.minKey && k <= f.maxKey)
+              inR.nonEmpty && f.bloom.forall {
+                case (b, hx) => inR.exists(k => Acid.bloomMayContain(b, hx, k))
+              }
+            }
+          } else {
+            val mySpecs = specs.filter(ps =>
+              ps.col == phys && !ps.isInstanceOf[Acid.PartTruncateStr])
+            if (mySpecs.nonEmpty) {
+              live = live.filter { f =>
+                val stamps = f.stats2.toSeq ++ f.pstats
+                // keep unless SOME stamped transform excludes every probe
+                mySpecs.forall { ps =>
+                  stamps.find(_._1 == ps.label) match {
+                    case Some((_, mn2, mx2)) =>
+                      vals.exists { v =>
+                        try { val pv = ps.eval(v); pv >= mn2 && pv <= mx2 }
+                        catch { case _: RuntimeException => true } // keep
+                      }
+                    case None => true // unstamped file: conservative keep
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
     }
   }
 

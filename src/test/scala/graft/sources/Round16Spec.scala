@@ -687,6 +687,69 @@ class Round16Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.nf")
   }
 
+  test("runtime V2 filtering: a join's dim side prunes fact files at execution") {
+    val root = Scratch.fresh("r16_rtf", sf)
+    val dir = s"$root/fact"
+    Acid.create(spark, dir, spark.range(8000L).toDF("id")
+      .select(col("id").as("k"), (col("id") % 97).as("v")), "k", 8)
+    spark.sql("DROP TABLE IF EXISTS r16_rtf_fact")
+    spark.sql(s"""CREATE TABLE r16_rtf_fact (k BIGINT, v BIGINT)
+                 |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    // dim must be a FILE relation (a LocalRelation constant-folds before
+    // the PartitionPruning rule) with a runtime-selective filter whose
+    // surviving keys land inside ONE fact file's range
+    val dimPath = s"$root/dim"
+    spark.range(8000L).select(col("id").as("fk"),
+      when(col("id").between(2000, 2002), lit("hot"))
+        .otherwise(lit("cold")).as("label"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("label") === "hot")
+    val q = spark.table("r16_rtf_fact").join(dim, col("k") === col("fk"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    AcidSql.resetRowGroupMetrics()
+    val r = q.head
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === (2000L % 97 + 2001L % 97 + 2002L % 97))
+    assert(q.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "the join must inject a runtime IN filter on the fact key")
+    val decoded = AcidSql.vecRowsFooter.sum()
+    assert(decoded > 0 && decoded * 4 <= 8000L,
+      s"runtime pruning must drop most fact files: decoded=$decoded")
+    spark.sql("DROP TABLE IF EXISTS r16_rtf_fact")
+  }
+
+  test("runtime filtering declines under SPJ key-grouped partitioning") {
+    val root = Scratch.fresh("r16_rtf_spj", sf)
+    val cat = "r16rs"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.f")
+    spark.sql(s"""CREATE TABLE $cat.f (k BIGINT, sev BIGINT, v BIGINT)
+                 |PARTITIONED BY (sev)""".stripMargin)
+    spark.range(800L).select(col("id").as("k"), (col("id") % 8).as("sev"),
+      (col("id") * 2).as("v")).createOrReplaceTempView("r16_rs_src")
+    spark.sql(s"INSERT INTO $cat.f SELECT k, sev, v FROM r16_rs_src")
+    val dimPath = s"$root/dim"
+    spark.range(8L).select(col("id").as("dsev"),
+      when(col("id") === 3, lit("hot")).otherwise(lit("cold")).as("label"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("label") === "hot")
+    // with v2 bucketing ON the scan reports KeyGroupedPartitioning, and
+    // Spark REQUIRES runtime filtering to preserve the partition-value
+    // set — the scan's guard declines the prune, the join stays exact,
+    // and no "must have preserved the original partitioning" error fires
+    val saved = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val q = spark.table(s"$cat.f").join(dim, col("sev") === col("dsev"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val r = q.head
+      assert(r.getLong(0) === 100L)
+      assert(r.getLong(1) === (0L until 800L).filter(_ % 8 == 3).map(_ * 2).sum)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", saved)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.f")
+  }
+
   test("aligned DELETE over a DV'd file takes the rewrite path with exact counts") {
     val root = Scratch.fresh("r16_deldv", sf)
     val dir = s"$root/t"
