@@ -7022,6 +7022,39 @@ object Acid {
       .toDF("sev", "n", "lo", "hi", "meta_only", "nonpart_refused")
   }
 
+  /** tbl_agg_pushdown_avg — metadata-answered AVG (round-16): Spark
+    * offers AVG to a scan only under COMPLETE pushdown, and the fold
+    * answers it as exact-stamped-sum over exact non-null count — the
+    * bit-exact IEEE quotient every engine computes while |sum| stays
+    * within 2^53 (past it the push refuses: Spark's own scan-side
+    * double accumulation is fold-order-dependent there, so metadata
+    * must not pretend to one canonical answer). Composes with the
+    * identity-partition GROUP BY fold, so the per-partition mean — the
+    * other half of the "revenue per region" dashboard — is one
+    * manifest read with zero parquet opens.
+    */
+  val tblAggPushdownAvg: Q = (s, d) => {
+    val root = fresh("tbl_aggpd_avg_cat", d)
+    val cat = "graft_aggpa_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_aggpa_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"""CREATE TABLE $cat.t (k BIGINT, sev BIGINT, cents BIGINT)
+             |PARTITIONED BY (sev)""".stripMargin)
+    s.sql(s"INSERT INTO $cat.t SELECT k, k % 7, price_cents FROM graft_aggpa_src")
+    AcidSql.resetRowGroupMetrics()
+    val g = s.sql(s"SELECT avg(cents) AS avg_all, count(*) AS n_all FROM $cat.t")
+    val gr = g.head
+    val metaOnly = AcidSql.vecRowsFooter.sum() == 0L &&
+      AcidSql.rowGroupsRead.sum() == 0L &&
+      g.queryExecution.executedPlan.toString.contains("manifest-aggregate")
+    s.sql(s"""SELECT sev, avg(cents) AS avg_cents, count(*) AS n
+             |FROM $cat.t GROUP BY sev ORDER BY sev""".stripMargin)
+      .withColumn("avg_all", lit(gr.getDouble(0)))
+      .withColumn("meta_only", lit(metaOnly))
+  }
+
   /** tbl_stats_numeric — NUMERIC non-key column stats (round-16, the
     * numeric twin of tbl_stats_multi's string/date tier; Iceberg stamps
     * lower/upper bounds for every column, Delta its first 32): both
@@ -7086,6 +7119,7 @@ object Acid {
     "tbl_agg_pushdown_part" -> tblAggPushdownPart,
     "tbl_agg_pushdown_str"  -> tblAggPushdownStr,
     "tbl_agg_pushdown_group" -> tblAggPushdownGroup,
+    "tbl_agg_pushdown_avg"  -> tblAggPushdownAvg,
     "tbl_vacuum_scale"      -> tblVacuumScale,
     "tbl_describe_detail"   -> tblDescribeDetail,
     "tbl_branch_optimize"   -> tblBranchOptimize,
@@ -7188,6 +7222,13 @@ object Acid {
         |       CAST(max(event_id) AS BIGINT) AS hi,
         |       TRUE AS meta_only, TRUE AS nonpart_refused
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tbl_agg_pushdown_avg" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT k % 7 AS sev, avg(pc) AS avg_cents, count(*) AS n,
+        |       (SELECT avg(pc) FROM base) AS avg_all, TRUE AS meta_only
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     "tbl_agg_pushdown_str" ->
       """SELECT min(o_orderpriority) AS lo_prio,
         |       max(o_orderpriority) AS hi_prio,

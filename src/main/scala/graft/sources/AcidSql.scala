@@ -1977,6 +1977,27 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         }
       case _ => None
     }
+    // AVG over an INTEGRAL non-key column (round-16): exact stamped sum
+    // over exact non-null count. Refused when |sum| exceeds 2^53 — above
+    // it Spark's scan-side double ACCUMULATION is fold-order-dependent
+    // in the last bits, below it the quotient is the one bit-exact IEEE
+    // division every engine (the scan, DuckDB) computes. All-null
+    // refuses (SQL AVG of no values is NULL — the scan serves it).
+    def avgFold(ce: org.apache.spark.sql.connector.expressions.Expression,
+        fs: Seq[Acid.FileEntry]): Option[(String, DataType, Any)] = ce match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val lo = nr.fieldNames.head
+        (sumFold(ce, fs), nonNullCount(ce, fs)) match {
+          case (Some((_, _, s)), Some(n)) if n > 0L =>
+            val sl = s.asInstanceOf[java.lang.Long].longValue
+            if (math.abs(sl) > (1L << 53)) None
+            else Some((s"avg_$lo",
+              org.apache.spark.sql.types.DoubleType: DataType,
+              java.lang.Double.valueOf(sl.toDouble / n.toDouble)))
+          case _ => None
+        }
+      case _ => None
+    }
     def foldOver(fs: Seq[Acid.FileEntry])
         : Option[Seq[(String, DataType, Any)]] = {
       val mapped: Seq[Option[(String, DataType, Any)]] =
@@ -1990,6 +2011,9 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
               if !c.isDistinct && !anyDv =>
             nonNullCount(c.column, fs)
               .map(n => ("count_col", LongType: DataType, n))
+          case a: org.apache.spark.sql.connector.expressions.aggregate.Avg
+              if !a.isDistinct && !anyDv =>
+            avgFold(a.column, fs)
           case m: Min if !anyDv =>
             if (isKey(m.column) && fs.nonEmpty && !conservative(fs))
               Some((s"min_$keyCol", LongType: DataType, fs.map(_.minKey).min))

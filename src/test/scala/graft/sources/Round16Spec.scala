@@ -718,6 +718,50 @@ class Round16Spec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS r16_rtf_fact")
   }
 
+  test("metadata AVG: exact sum over non-null count, overflow falls back whole") {
+    val root = Scratch.fresh("r16_avg", sf)
+    val cat = "r16av"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, sev BIGINT, cents BIGINT)
+                 |PARTITIONED BY (sev)""".stripMargin)
+    // cents NULL every 5th row: AVG skips nulls, so the fold must divide
+    // by the NON-NULL count, not the row count
+    spark.range(700L).select(col("id").as("k"), (col("id") % 7).as("sev"),
+      when(col("id") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("id") * 3).as("cents"))
+      .createOrReplaceTempView("r16_av_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, sev, cents FROM r16_av_src")
+    val ids = (0L until 700L).filterNot(_ % 5 == 0)
+    val expAvg = ids.map(_ * 3).sum.toDouble / ids.size
+    AcidSql.resetRowGroupMetrics()
+    val q = spark.sql(s"SELECT avg(cents) AS a, count(cents) AS n FROM $cat.t")
+    val r = q.head
+    assert(r.getDouble(0) === expAvg && r.getLong(1) === ids.size.toLong)
+    assert(AcidSql.vecRowsFooter.sum() === 0L &&
+      AcidSql.rowGroupsRead.sum() === 0L,
+      "the null-bearing AVG must still answer from the manifest")
+    assert(q.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    // grouped AVG composes with the identity-partition fold
+    val g = spark.sql(s"SELECT sev, avg(cents) AS a FROM $cat.t " +
+      "GROUP BY sev ORDER BY sev").collect()
+    val exp3 = ids.filter(_ % 7 == 3).map(_ * 3)
+    assert(g(3).getDouble(1) === exp3.sum.toDouble / exp3.size)
+    // a sum past 2^53 refuses the COMPLETE push (double accumulation is
+    // fold-order-dependent there) — Spark then rewrites avg to sum/count
+    // and the quotient stays exact through the partial push
+    spark.sql(s"DROP TABLE IF EXISTS $cat.o")
+    spark.sql(s"CREATE TABLE $cat.o (k BIGINT, v BIGINT)")
+    spark.range(4L).select(col("id").as("k"), lit(1L << 52).as("v"))
+      .createOrReplaceTempView("r16_av_big")
+    spark.sql(s"INSERT INTO $cat.o SELECT k, v FROM r16_av_big")
+    val q2 = spark.sql(s"SELECT avg(v) AS a FROM $cat.o")
+    assert(q2.head.getDouble(0) === (1L << 52).toDouble)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.o")
+  }
+
   test("runtime filtering declines under SPJ key-grouped partitioning") {
     val root = Scratch.fresh("r16_rtf_spj", sf)
     val cat = "r16rs"
