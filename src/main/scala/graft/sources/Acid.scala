@@ -213,7 +213,8 @@ object Acid {
                              nulls: Seq[(String, Long)] = Nil,
                              cexact: Seq[(String, Boolean, Boolean)] = Nil,
                              nstats: Seq[(String, Long, Long)] = Nil,
-                             nsums: Seq[(String, Long)] = Nil)
+                             nsums: Seq[(String, Long)] = Nil,
+                             fstats: Seq[(String, Long, Long, Long)] = Nil)
   /** `batchHw` maps each writer identity (the `writerTag` a merge commits
     * under — the analogue of Delta's `txnAppId`) to the high-water mark of
     * batch ids THAT writer has committed. Keyed per writer, not
@@ -479,6 +480,7 @@ object Acid {
     var cexact: Seq[(String, Boolean, Boolean)] = Nil
     var nstats: Seq[(String, Long, Long)] = Nil
     var nsums: Seq[(String, Long)] = Nil
+    var fstats: Seq[(String, Long, Long, Long)] = Nil
     var rest = a.drop(4).toList
     while (rest.nonEmpty) rest.head match {
       case sm if sm.startsWith("U:") =>
@@ -493,6 +495,15 @@ object Acid {
         val p2 = ns.lastIndexOf(':'); val p1 = ns.lastIndexOf(':', p2 - 1)
         nstats = nstats :+ ((ns.substring(2, p1),
           ns.substring(p1 + 1, p2).toLong, ns.substring(p2 + 1).toLong))
+        rest = rest.tail
+      case fl if fl.startsWith("F:") =>
+        // float/double column stats "F:<col>:<minSort>:<maxSort>:<nan>"
+        // (round-16; sortable-bits encoded non-NaN bounds + NaN count)
+        val p3 = fl.lastIndexOf(':'); val p2 = fl.lastIndexOf(':', p3 - 1)
+        val p1 = fl.lastIndexOf(':', p2 - 1)
+        fstats = fstats :+ ((fl.substring(2, p1),
+          fl.substring(p1 + 1, p2).toLong, fl.substring(p2 + 1, p3).toLong,
+          fl.substring(p3 + 1).toLong))
         rest = rest.tail
       case ex if ex.startsWith("E:") =>
         // cstats bound exactness "E:<col>:<mm>" with mm in {e,t}{e,t}
@@ -555,7 +566,7 @@ object Acid {
         rest = rest.drop(3)
     }
     FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toLong, s2, bloom, dv, pdv,
-      bytes, cstats, pstats, ndv, nulls, cexact, nstats, nsums)
+      bytes, cstats, pstats, ndv, nulls, cexact, nstats, nsums, fstats)
   }
 
   private def renderEntry(f: FileEntry): String = {
@@ -601,7 +612,12 @@ object Acid {
         s"stats column '$c' must not contain manifest delimiters")
       s"|U:$c:$v"
     }.mkString
-    s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs$sz$cs$pst$nd$nl$ce$ns$us"
+    val fs = f.fstats.map { case (c, mn, mx, nan) =>
+      require(!c.contains('|') && !c.contains(':'),
+        s"stats column '$c' must not contain manifest delimiters")
+      s"|F:$c:$mn:$mx:$nan"
+    }.mkString
+    s"${f.path}|${f.rows}|${f.minKey}|${f.maxKey}$s2$bl$dvs$pdvs$sz$cs$pst$nd$nl$ce$ns$us$fs"
   }
 
   private def parseHeader(line: String, files: Seq[FileEntry]): Manifest = {
@@ -897,12 +913,40 @@ object Acid {
   /** True for column types the numeric stats tier stamps: integral
     * families widen to long losslessly; timestamps stamp their epoch
     * micros (the storage grain, matching tsMicros predicate decode).
-    * float/double are excluded (NaN/-0.0 ordering hazards), NTZ too
-    * (its as-if-UTC micros decode is partition-tier-specific). */
+    * float/double are excluded (NaN/-0.0 ordering hazards — they get
+    * their OWN fstats tier below), NTZ too (its as-if-UTC micros decode
+    * is partition-tier-specific). */
   private[graft] def nstatType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | TimestampType => true
     case _ => false
   }
+
+  /** FLOAT/DOUBLE stats tier (round-16, the last bounds-parity leg vs
+    * Iceberg's lower/upper + nan_value_counts): per-file `fstats` =
+    * (col, minSort, maxSort, nanCount) where min/max are the ORDER-
+    * PRESERVING sortable-bits encoding of the file's non-NaN values
+    * with -0.0 normalized to +0.0 BEFORE encoding — Spark's comparisons
+    * equate the two zeros, so distinct stamps would prune rows equality
+    * can reach. NaN is excluded from the bounds and counted instead:
+    * under Spark's ordering NaN is LARGER than every value, so a
+    * predicate whose conjuncts are all lower bounds (`c > v`) can still
+    * match a NaN row — pruning keeps any nan-bearing file there, while
+    * upper-bounded or equality shapes exclude NaN and prune on bounds
+    * alone (Iceberg's nan-count rule, re-derived). Encoding facts the
+    * PropertySpec law pins: signed-long order on the encodings equals
+    * value order; the map is an involution; and +1 in the encoded
+    * domain is exactly nextUp, so strict bounds decode exactly. */
+  private[graft] def fstatType(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType => true
+    case _ => false
+  }
+  private[graft] def dblSortBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d + 0.0d) // -0.0 -> +0.0
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+  private[graft] def dblFromSortBits(s: Long): Double =
+    java.lang.Double.longBitsToDouble(s ^ ((s >> 63) & 0x7fffffffffffffffL))
 
   private def statsOf(s: SparkSession, tableDir: String, dataDir: String,
                       keyCol: String, col2: Option[String] = None): Seq[FileEntry] = {
@@ -932,6 +976,18 @@ object Acid {
       .take(NStatsBudget).toSeq
     def numExpr(c: String, isTs: Boolean): Column =
       if (isTs) unix_micros(col(c)) else col(c).cast("long")
+    // float/double columns (round-16 fstats tier): bounds over non-NaN
+    // values, -0.0 normalized by adding +0.0 (IEEE: -0.0 + 0.0 = +0.0),
+    // NaN counted separately for the pruning tier's NaN rule
+    val fltCols: Seq[String] = if (!stampCols)
+      Seq.empty
+    else df.schema.fields.iterator
+      .filter(f => f.name != keyCol && !col2.contains(f.name) &&
+        fstatType(f.dataType) &&
+        !f.name.contains('|') && !f.name.contains(':'))
+      .map(_.name).take(NStatsBudget).toSeq
+    def fltClean(c: String): Column =
+      when(isnan(col(c)), lit(null)).otherwise(col(c).cast("double") + lit(0.0d))
     val aggs = Seq(count(lit(1)).as("rows"),
       min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
       // key non-null count, same pass (round-16 aligned DELETE): the
@@ -962,7 +1018,12 @@ object Acid {
         // not stamped) instead of wrapping
         (if (isTs) Seq.empty else Seq(
           sum(numExpr(c, isTs).cast(org.apache.spark.sql.types
-            .DecimalType(38, 0))).as(s"nsm_$c"))) }
+            .DecimalType(38, 0))).as(s"nsm_$c"))) } ++
+      fltCols.flatMap(c => Seq(
+        min(fltClean(c)).as(s"fmn_$c"),
+        max(fltClean(c)).as(s"fmx_$c"),
+        sum(when(isnan(col(c)), lit(1L)).otherwise(lit(0L))).as(s"fna_$c"),
+        count(col(c)).as(s"fcn_$c")))
     df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1003,6 +1064,15 @@ object Acid {
             catch { case _: ArithmeticException => None } // overflow: no stamp
           }
         }
+        val fstats = fltCols.flatMap { c =>
+          // a column with no non-NaN non-null value gets no stamp (its
+          // nan/null counts still tell consumers what the file holds via
+          // nulls; an unstamped file is conservatively kept everywhere)
+          if (r.isNullAt(r.fieldIndex(s"fmn_$c"))) None
+          else Some((c, dblSortBits(r.getAs[Double](s"fmn_$c")),
+            dblSortBits(r.getAs[Double](s"fmx_$c")),
+            r.getAs[Long](s"fna_$c")))
+        }
         val rws = r.getAs[Long]("rows")
         val kNulls = rws - r.getAs[Long]("knn")
         // null-bearing key column degrades to the conservative full
@@ -1016,6 +1086,7 @@ object Acid {
         // "file not stamped" (pre-round-13 manifests)
         val nl = strCols.map(c => (c, rws - r.getAs[Long](s"cnn_$c"))) ++
           numCols.map { case (c, _) => (c, rws - r.getAs[Long](s"nnn_$c")) } ++
+          fltCols.map(c => (c, rws - r.getAs[Long](s"fcn_$c"))) ++
           (if (keyCol.contains('|') || keyCol.contains(':')) Nil
            else Seq((keyCol, kNulls)))
         FileEntry(abs.stripPrefix(prefix).stripPrefix("/"),
@@ -1023,7 +1094,7 @@ object Acid {
           col2.map(c => (c, r.getAs[Long]("mn2"), r.getAs[Long]("mx2"))),
           bytes = java.nio.file.Files.size(java.nio.file.Paths.get(abs)),
           cstats = cs, ndv = nd, nulls = nl, cexact = ce, nstats = ns,
-          nsums = us)
+          nsums = us, fstats = fstats)
       }.sortBy(_.path).toSeq
   }
 
@@ -7022,6 +7093,58 @@ object Acid {
       .toDF("sev", "n", "lo", "hi", "meta_only", "nonpart_refused")
   }
 
+  /** tbl_stats_float — FLOAT/DOUBLE column stats (round-16, the last
+    * bounds-parity leg vs Iceberg's lower/upper + nan_value_counts,
+    * closing the r15/r16 "deliberately unstamped" refusal): both write
+    * paths stamp per-file non-NaN [min,max] in the order-preserving
+    * sortable-bits domain (-0.0 normalized — Spark equates the zeros)
+    * plus a NaN count. Consumers: file skipping on range predicates
+    * (NaN-aware — a lower-bound-only predicate can still match NaN rows,
+    * so nan-bearing files survive those), and metadata min/max (refused
+    * under any NaN — Spark's max IS NaN then — or a ±0 bound, whose
+    * zero the scan would return being unknowable post-normalization).
+    * SUM/AVG never serve from metadata: float addition is fold-order-
+    * dependent, so no canonical stamped sum exists. The fixture pins a
+    * pruned value window and the metadata min/max on the shifted-
+    * positive `events.value` corpus column.
+    */
+  val tblStatsFloat: Q = (s, d) => {
+    val root = fresh("tbl_fstats_cat", d)
+    val cat = "graft_fstat_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ev = Tables.events(s, d).select(col("event_id").as("k"),
+      (col("value") + lit(1000.0d)).as("v"))
+    val ss = ev.sparkSession
+    ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ev.createOrReplaceTempView("graft_fstat_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"CREATE TABLE $cat.t (k BIGINT, v DOUBLE)")
+    // value-clustered insert (explicit range partition count — a bare
+    // ORDER BY coalesces to one file under AQE at small SF): files roll
+    // value-clustered, so fstats ranges are tight and the window prunes
+    // a strict file subset
+    ss.sql(s"""INSERT INTO $cat.t
+              |SELECT /*+ REPARTITION_BY_RANGE(8, v) */ k, v
+              |FROM graft_fstat_src""".stripMargin)
+    val dir = s"$root/t"
+    s.sql(s"SELECT count(*) FROM $cat.t WHERE v >= 1050.0 AND v < 1060.0").head
+    val (scanned, total) = AcidSql.lastScanFor(dir)
+    AcidSql.resetRowGroupMetrics()
+    val g = s.sql(s"SELECT min(v) AS vmin, max(v) AS vmax FROM $cat.t")
+    val gr = g.head
+    val metaMm = AcidSql.vecRowsFooter.sum() == 0L &&
+      AcidSql.rowGroupsRead.sum() == 0L &&
+      g.queryExecution.executedPlan.toString.contains("manifest-aggregate")
+    s.sql(s"SELECT count(*) AS n_window FROM $cat.t " +
+      "WHERE v >= 1050.0 AND v < 1060.0")
+      .withColumn("vmin", lit(gr.getDouble(0)))
+      .withColumn("vmax", lit(gr.getDouble(1)))
+      .withColumn("pruned", lit(scanned >= 1 && scanned * 2 <= total))
+      .withColumn("meta_minmax", lit(metaMm))
+  }
+
   /** tbl_agg_pushdown_avg — metadata-answered AVG (round-16): Spark
     * offers AVG to a scan only under COMPLETE pushdown, and the fold
     * answers it as exact-stamped-sum over exact non-null count — the
@@ -7120,6 +7243,7 @@ object Acid {
     "tbl_agg_pushdown_str"  -> tblAggPushdownStr,
     "tbl_agg_pushdown_group" -> tblAggPushdownGroup,
     "tbl_agg_pushdown_avg"  -> tblAggPushdownAvg,
+    "tbl_stats_float"       -> tblStatsFloat,
     "tbl_vacuum_scale"      -> tblVacuumScale,
     "tbl_describe_detail"   -> tblDescribeDetail,
     "tbl_branch_optimize"   -> tblBranchOptimize,
@@ -7222,6 +7346,13 @@ object Acid {
         |       CAST(max(event_id) AS BIGINT) AS hi,
         |       TRUE AS meta_only, TRUE AS nonpart_refused
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tbl_stats_float" ->
+      """WITH base AS (SELECT value + 1000.0 AS v FROM events)
+        |SELECT count(*) AS n_window,
+        |       (SELECT min(v) FROM base) AS vmin,
+        |       (SELECT max(v) FROM base) AS vmax,
+        |       TRUE AS pruned, TRUE AS meta_minmax
+        |FROM base WHERE v >= 1050.0 AND v < 1060.0""".stripMargin,
     "tbl_agg_pushdown_avg" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -480,6 +480,20 @@ object AcidSql {
   private[sources] def numDecode(isTs: Boolean): Any => Option[Long] =
     if (isTs) tsMicros else asLong
 
+  /** FLOAT/DOUBLE literal decoder (round-16 fstats tier): widen to
+    * double, normalize -0.0 (inside dblSortBits), REFUSE NaN — `c =
+    * NaN` is true for NaN rows under Spark's ordering and bounds
+    * exclude NaN, so no bound arithmetic is sound for it. Integer
+    * arithmetic on the encoded domain is exact: +1 is nextUp, so
+    * boundsFold's strict-bound adjustment carries over verbatim. */
+  private[sources] def fltDecode: Any => Option[Long] = {
+    case f: Float if !f.isNaN  => Some(Acid.dblSortBits(f.toDouble))
+    case d: Double if !d.isNaN => Some(Acid.dblSortBits(d))
+    case _                     => None
+  }
+  private[sources] def fltBounds(filters: Array[Filter], c: String): (Long, Long) =
+    boundsFold(filters, c, fltDecode)
+
   /** Pushed-filter bounds over a TIMESTAMP column, in epoch micros —
     * the days(ts) partition transform's pruning input. */
   private[sources] def timeBoundsMicros(filters: Array[Filter], c: String): (Long, Long) =
@@ -1090,7 +1104,8 @@ case class AcidWriteMessage(path: String, rows: Long, minKey: Long, maxKey: Long
     nulls: Seq[(String, Long)] = Nil,
     cexact: Seq[(String, Boolean, Boolean)] = Nil,
     nstats: Seq[(String, Long, Long)] = Nil,
-    nsums: Seq[(String, Long)] = Nil)
+    nsums: Seq[(String, Long)] = Nil,
+    fstats: Seq[(String, Long, Long, Long)] = Nil)
   extends WriterCommitMessage
 
 /** A partitioned-table task commits one message carrying ALL the files it
@@ -1107,7 +1122,7 @@ object AcidWriteMessages {
       .map(m => Acid.FileEntry(m.path, m.rows, m.minKey, m.maxKey, m.stats2,
         bytes = m.bytes, cstats = m.cstats, pstats = m.pstats,
         nulls = m.nulls, cexact = m.cexact, nstats = m.nstats,
-        nsums = m.nsums))
+        nsums = m.nsums, fstats = m.fstats))
       .sortBy(_.path)
 
   /** Every staged relative path (for abort cleanup), empty files included. */
@@ -1235,6 +1250,18 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
       }) }
       .take(Acid.NStatsBudget).toSeq
 
+  // float/double stats columns (round-16 fstats tier): (name, field
+  // index, isFloat) — bounds over non-NaN values with -0.0 normalized,
+  // NaN counted for the pruning tier's NaN rule
+  private val fstatCols: Seq[(String, Int, Boolean)] =
+    schema.fields.zipWithIndex.iterator
+      .filter { case (f, i) => i != 0 && !partSpecs.exists(_.col == f.name) &&
+        Acid.fstatType(f.dataType) &&
+        !f.name.contains('|') && !f.name.contains(':') }
+      .map { case (f, i) =>
+        (f.name, i, f.dataType == org.apache.spark.sql.types.FloatType) }
+      .take(Acid.NStatsBudget).toSeq
+
   /** Per-file write state. A partitioned write keeps each partition
     * value's rows in their own segment so every file's stats2 is ONE
     * value wide — the property manifest partition-pruning depends on.
@@ -1286,6 +1313,13 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
     val nMin = Array.fill(nstatCols.size)(Long.MaxValue)
     val nMax = Array.fill(nstatCols.size)(Long.MinValue)
     val nNull = new Array[Long](nstatCols.size)
+    // float/double bounds as DOUBLES (infinities are legal values, so a
+    // seen-flag tells "no non-NaN value yet" from "file of -inf")
+    val fMin = new Array[Double](fstatCols.size)
+    val fMax = new Array[Double](fstatCols.size)
+    val fSeen = new Array[Boolean](fstatCols.size)
+    val fNan = new Array[Long](fstatCols.size)
+    val fNull = new Array[Long](fstatCols.size)
     // running exact sum per INTEGRAL column; an overflow marks the
     // column un-stampable for this file (the fold then refuses to the
     // scan, whose wrap semantics are Spark's own)
@@ -1344,6 +1378,8 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         (n, sg.cNull(j))
       } ++ nstatCols.zipWithIndex.map { case ((n, _, _), j) =>
         (n, sg.nNull(j))
+      } ++ fstatCols.zipWithIndex.map { case ((n, _, _), j) =>
+        (n, sg.fNull(j))
       } ++ partDims.zipWithIndex.collect {
         // partition-dim source-column null counts (round-16): only for
         // readable dims — an unreadable one was never null-checked
@@ -1364,12 +1400,19 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
         if (code == 4 || sg.nSumOv(j) || sg.nNull(j) == sg.rows) None
         else Some((n, sg.nSum(j)))
       }
+      // a column with no non-NaN non-null value gets no stamp — kept
+      // conservatively by every consumer; nan/null counts still ride
+      val fst = fstatCols.zipWithIndex.flatMap { case ((n, _, _), j) =>
+        if (!sg.fSeen(j)) None
+        else Some((n, Acid.dblSortBits(sg.fMin(j)),
+          Acid.dblSortBits(sg.fMax(j)), sg.fNan(j)))
+      }
       // file size for the manifest's S: field — the scan's statistics
       // report (broadcast decisions) reads it back; local metadata call
       val sz = try java.nio.file.Files.size(
         java.nio.file.Paths.get(tableDir, sg.path)) catch { case _: Exception => 0L }
       done += AcidWriteMessage(sg.path, sg.rows, mn, mx, s2, cs, sz, pst, nl,
-        cex, ns, us)
+        cex, ns, us, fst)
     } else
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(tableDir, sg.path)): Unit
@@ -1432,6 +1475,23 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
           try sg.nSum(j) = Math.addExact(sg.nSum(j), v)
           catch { case _: ArithmeticException => sg.nSumOv(j) = true }
       } else sg.nNull(j) += 1L
+    }
+    fstatCols.zipWithIndex.foreach { case ((_, i, isFloat), j) =>
+      if (row.isNullAt(i)) sg.fNull(j) += 1L
+      else {
+        val v: Double =
+          if (isFloat) row.getFloat(i).toDouble else row.getDouble(i)
+        if (java.lang.Double.isNaN(v)) sg.fNan(j) += 1L
+        else {
+          val n = v + 0.0d // -0.0 -> +0.0 (Spark equates the zeros)
+          if (!sg.fSeen(j)) {
+            sg.fSeen(j) = true; sg.fMin(j) = n; sg.fMax(j) = n
+          } else {
+            if (n < sg.fMin(j)) sg.fMin(j) = n
+            if (n > sg.fMax(j)) sg.fMax(j) = n
+          }
+        }
+      }
     }
     if (row.isNullAt(0)) { sg.keyConservative = true; sg.kNull += 1L }
     else if (!sg.keyConservative) {
@@ -1944,6 +2004,57 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         }
       case _ => None
     }
+    // min/max over a FLOAT/DOUBLE non-key column (round-16 fstats tier):
+    // served only when EVERY counting file is NaN-free (stamped nan == 0)
+    // — with NaN present Spark's max IS NaN (NaN orders above all), and
+    // a file of only NaNs makes min NaN too; excluded-NaN bounds cannot
+    // re-derive either. A PROVEN all-null file contributes nothing; a
+    // resulting ±0 bound refuses (after zero-normalization the stamp
+    // cannot say which zero the scan would return). Decoded from the
+    // sortable-bits involution — the exact stamped value, no arithmetic.
+    def fltBound(ce: org.apache.spark.sql.connector.expressions.Expression,
+        wantMin: Boolean, fs: Seq[Acid.FileEntry])
+        : Option[(String, DataType, Any)] = ce match {
+      case nr: NamedReference if nr.fieldNames.length == 1 && fs.nonEmpty =>
+        val lo = nr.fieldNames.head
+        val phys = colMap.getOrElse(lo, lo)
+        val dt = tableSchema.fields.find(_.name == lo).map(_.dataType)
+        if (!dt.exists(Acid.fstatType)) None
+        else {
+          val per: Seq[Option[Option[Long]]] = fs.map { f =>
+            f.fstats.find(_._1 == phys) match {
+              case Some((_, mn, mx, nan)) =>
+                if (nan > 0L) None
+                else Some(Some(if (wantMin) mn else mx))
+              case None =>
+                if (f.nulls.exists(n => n._1 == phys && n._2 == f.rows))
+                  Some(None)
+                else None // unstamped or all-NaN: refuse
+            }
+          }
+          if (per.exists(_.isEmpty)) None
+          else {
+            val vals = per.flatten.flatten
+            if (vals.isEmpty) None
+            else {
+              val v = Acid.dblFromSortBits(
+                if (wantMin) vals.min else vals.max)
+              if (v == 0.0d) None
+              else {
+                val (t, out): (DataType, Any) = dt.get match {
+                  case org.apache.spark.sql.types.FloatType =>
+                    (org.apache.spark.sql.types.FloatType,
+                      java.lang.Float.valueOf(v.toFloat))
+                  case _ => (org.apache.spark.sql.types.DoubleType,
+                    java.lang.Double.valueOf(v))
+                }
+                Some(((if (wantMin) s"min_$lo" else s"max_$lo"), t, out))
+              }
+            }
+          }
+        }
+      case _ => None
+    }
     // SUM over an INTEGRAL non-key column (round-16): folds the stamped
     // per-file exact sums with overflow-checked arithmetic — a fold
     // overflow refuses to the scan, whose wrap-on-overflow semantics
@@ -2019,11 +2130,13 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
               Some((s"min_$keyCol", LongType: DataType, fs.map(_.minKey).min))
             else colBound(m.column, wantMin = true, fs)
               .orElse(numBound(m.column, wantMin = true, fs))
+              .orElse(fltBound(m.column, wantMin = true, fs))
           case m: Max if !anyDv =>
             if (isKey(m.column) && fs.nonEmpty && !conservative(fs))
               Some((s"max_$keyCol", LongType: DataType, fs.map(_.maxKey).max))
             else colBound(m.column, wantMin = false, fs)
               .orElse(numBound(m.column, wantMin = false, fs))
+              .orElse(fltBound(m.column, wantMin = false, fs))
           case _ => None
         }
       if (mapped.exists(_.isEmpty)) None else Some(mapped.flatten)
@@ -2275,11 +2388,56 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         }
       }
     }
+    // FLOAT/DOUBLE stats pruning (round-16 fstats tier): literals encode
+    // into the sortable-bits domain where the integer envelope is exact.
+    // The NaN rule: NaN orders ABOVE every value in Spark, so a
+    // conjunction made only of lower bounds (`c > v`) can still match
+    // NaN rows — a nan-bearing file survives those whatever its bounds;
+    // any upper-bounding or equality conjunct excludes NaN and prunes
+    // on bounds alone (Iceberg's nan_value_counts rule, re-derived).
+    val fltColNames: Seq[String] = tableSchema.fields.iterator
+      .filter(f => f.name != keyCol && Acid.fstatType(f.dataType))
+      .map(_.name).toSeq
+    val ranged3 = {
+      val perCol = fltColNames.flatMap { c =>
+        val mine = allFilters.filter(f =>
+          f.references.nonEmpty && f.references.forall(_ == c))
+        if (mine.isEmpty) None
+        else {
+          val (l, h) = AcidSql.fltBounds(mine, c)
+          val probes: Seq[Long] = mine.toSeq.collect {
+            case In(col2, vs) if col2 == c && vs.nonEmpty =>
+              val ls = vs.toSeq.flatMap(AcidSql.fltDecode(_))
+              if (ls.length == vs.length) ls else Seq.empty[Long]
+          }.flatten
+          val nanPossible = mine.forall {
+            case GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+                 IsNotNull(_) => true
+            case _ => false
+          }
+          if (l == Long.MinValue && h == Long.MaxValue && probes.isEmpty) None
+          else Some((c, l, h, probes, nanPossible))
+        }
+      }
+      if (perCol.isEmpty) ranged2
+      else ranged2.filter { f =>
+        perCol.forall { case (c, l, h, probes, nanPossible) =>
+          val phys = colMap.getOrElse(c, c)
+          f.fstats.find(_._1 == phys) match {
+            case Some((_, mn, mx, nan)) =>
+              (nanPossible && nan > 0L) ||
+                (h >= mn && l <= mx &&
+                  (probes.isEmpty || probes.exists(p => p >= mn && p <= mx)))
+            case None => true // unstamped (incl. all-NaN files): keep
+          }
+        }
+      }
+    }
     // per-value IN probes prune the gaps the envelope keeps (round-15)
     val inProbes = AcidSql.cstatsInProbes(allFilters)
     val ranged =
-      if (inProbes.isEmpty) ranged2
-      else ranged2.filter(AcidSql.survivesInProbes(_, inProbes, colMap))
+      if (inProbes.isEmpty) ranged3
+      else ranged3.filter(AcidSql.survivesInProbes(_, inProbes, colMap))
     // Point probes (IN / = on the key) engage the manifest's Bloom tier:
     // a file is dropped when no probe lands in its range, or its filter
     // rejects every in-range probe. Filterless files stay — conservative.

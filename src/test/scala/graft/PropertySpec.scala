@@ -252,4 +252,32 @@ class PropertySpec extends AnyFunSuite {
 
   private def dbg(s: String): String =
     s.codePoints().toArray.map(c => f"U+$c%04X").mkString("[", " ", "]")
+
+  test("sortable-bits law: double order, involution, nextUp adjacency") {
+    import graft.sources.Acid.{dblSortBits, dblFromSortBits}
+    val gen: Gen[Double] = Gen.oneOf(
+      Gen.chooseNum(-1e12, 1e12),
+      Gen.chooseNum(Double.MinValue, Double.MaxValue),
+      Gen.oneOf(0.0d, -0.0d, Double.MinPositiveValue,
+        -Double.MinPositiveValue, 1e-310, -1e-310,
+        Double.PositiveInfinity, Double.NegativeInfinity))
+    val vals = sample(Gen.listOfN(400, gen))
+    // order: signed-long comparison of encodings equals value comparison
+    // after zero-normalization (Spark's semantics equate the zeros)
+    for (a <- vals; b <- vals.take(60)) {
+      val c = java.lang.Double.compare(a + 0.0d, b + 0.0d)
+      val s = java.lang.Long.compare(dblSortBits(a), dblSortBits(b))
+      assert(s == c, s"order mismatch: $a vs $b")
+    }
+    for (v <- vals) {
+      // involution: decode returns the exact normalized value, bitwise
+      assert(java.lang.Double.doubleToLongBits(dblFromSortBits(dblSortBits(v)))
+        === java.lang.Double.doubleToLongBits(v + 0.0d), s"involution: $v")
+      // adjacency: +1 in the encoded domain is exactly nextUp, so the
+      // strict-bound adjustment (`c > v` -> lo = enc(v)+1) is exact
+      if (!v.isInfinite)
+        assert(dblFromSortBits(dblSortBits(v) + 1L) === Math.nextUp(v + 0.0d),
+          s"adjacency: $v")
+    }
+  }
 }

@@ -278,11 +278,14 @@ class Round15Spec extends AnyFunSuite {
     val rf = spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE k <= 104").head
     assert(rf.getLong(0) === 100L)
     // count(col): a stamped string column answers from rows − nullCount;
-    // so does a LONG column since round-16's numeric nulls (the r15
-    // refusal pin moved to DOUBLE, which stays deliberately unstamped)
+    // so does a LONG column since round-16's numeric nulls, and a DOUBLE
+    // column since round-16's float tier (each capability superseded the
+    // previous refusal pin; the refusal now lives on BOOLEAN, which no
+    // stats tier stamps)
     val dir2 = s"$root/t2"
     Acid.create(spark, dir2, spark.range(1000L).select(col("id").as("k"),
       col("id").as("v"), (col("id") / 10.0).as("ratio"),
+      (col("id") % 2 === 0).as("flag"),
       when(col("id") % 5 === 0, lit(null)).otherwise(lit("x")).as("tag")),
       "k", 4)
     spark.sql(s"DROP TABLE IF EXISTS $cat.missing2") // catalog refresh
@@ -298,8 +301,12 @@ class Round15Spec extends AnyFunSuite {
       "count(numeric col) answers from the round-16 numeric nullCounts")
     val qr = spark.sql(s"SELECT count(ratio) AS n FROM $cat.t2")
     assert(qr.head.getLong(0) === 1000L)
-    assert(!qr.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
-      "count(unstamped double col) must refuse the push and scan")
+    assert(qr.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "count(double col) answers from the round-16 float-tier nullCounts")
+    val qb = spark.sql(s"SELECT count(flag) AS n FROM $cat.t2")
+    assert(qb.head.getLong(0) === 1000L)
+    assert(!qb.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "count(unstamped boolean col) must refuse the push and scan")
     // a DV delete: EVERY push falls back to the scan and stays CORRECT
     Acid.deleteWhereMor(spark, dir, col("k") === 5L || col("k") === 1004L,
       None, "w"): Unit

@@ -718,6 +718,76 @@ class Round16Spec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS r16_rtf_fact")
   }
 
+  test("float stats: NaN-aware pruning, zero equality, metadata min/max refusals") {
+    val root = Scratch.fresh("r16_flt", sf)
+    val cat = "r16fl"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, x DOUBLE)")
+    // file A: x in [0.5, 99.5]
+    spark.range(100L).select(col("id").as("k"), (col("id") + lit(0.5d)).as("x"))
+      .createOrReplaceTempView("r16_fl_a")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, x FROM r16_fl_a")
+    // file B: x in [1000.5, 1099.5] with a NaN every 10th row
+    spark.range(100L).select((col("id") + 100L).as("k"),
+      when(col("id") % 10 === 0, lit(Double.NaN))
+        .otherwise(col("id") + lit(1000.5d)).as("x"))
+      .createOrReplaceTempView("r16_fl_b")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, x FROM r16_fl_b")
+    // a LOWER-bound-only predicate no finite row satisfies still matches
+    // the NaN rows (NaN orders above everything): the nan-bearing file
+    // must survive pruning, the NaN-free file must not
+    AcidSql.resetRowGroupMetrics()
+    val q1 = spark.sql(s"SELECT count(*) AS n FROM $cat.t WHERE x >= 2000.0")
+    assert(q1.head.getLong(0) === 10L, "NaN rows satisfy x >= 2000")
+    val decoded1 = AcidSql.vecRowsFooter.sum()
+    assert(decoded1 === 100L,
+      s"only the nan-bearing file may be read: decoded=$decoded1")
+    // an UPPER-bounded window excludes NaN — the nan-bearing file prunes
+    // on bounds alone
+    AcidSql.resetRowGroupMetrics()
+    val q2 = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.t WHERE x > 50.0 AND x < 60.0")
+    assert(q2.head.getLong(0) === 10L) // 50.5 .. 59.5
+    val decoded2 = AcidSql.vecRowsFooter.sum()
+    assert(decoded2 > 0L && decoded2 <= 75L,
+      s"the nan-bearing file must prune under an upper-bounded window " +
+        s"(decoded=$decoded2 includes no B rows)")
+    // metadata min/max refuses while ANY file holds a NaN (max IS NaN)
+    val g1 = spark.sql(s"SELECT max(x) AS mx FROM $cat.t")
+    assert(java.lang.Double.isNaN(g1.head.getDouble(0)))
+    assert(!g1.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    // -0.0 equals 0.0 in Spark: a file stamped from -0.0 rows must keep
+    // an x = 0.0 probe, and min/max over a ±0 bound refuses to the scan
+    spark.sql(s"DROP TABLE IF EXISTS $cat.z")
+    spark.sql(s"CREATE TABLE $cat.z (k BIGINT, x DOUBLE)")
+    spark.range(4L).select(col("id").as("k"),
+      when(col("id") % 2 === 0, lit(-0.0d)).otherwise(lit(0.0d)).as("x"))
+      .createOrReplaceTempView("r16_fl_z")
+    spark.sql(s"INSERT INTO $cat.z SELECT k, x FROM r16_fl_z")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.z WHERE x = 0.0")
+      .head.getLong(0) === 4L, "-0.0 rows equal 0.0")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.z WHERE x < 0.0")
+      .head.getLong(0) === 0L)
+    val gz = spark.sql(s"SELECT min(x) AS mn FROM $cat.z")
+    assert(gz.head.getDouble(0) === 0.0d)
+    assert(!gz.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "a ±0 bound is ambiguous post-normalization and must refuse")
+    // a NaN-free positive-range table serves min/max from the manifest
+    spark.sql(s"DROP TABLE IF EXISTS $cat.c")
+    spark.sql(s"CREATE TABLE $cat.c (k BIGINT, x DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.c SELECT k, x FROM r16_fl_a")
+    AcidSql.resetRowGroupMetrics()
+    val gc = spark.sql(s"SELECT min(x) AS mn, max(x) AS mx FROM $cat.c")
+    val rc = gc.head
+    assert((rc.getDouble(0), rc.getDouble(1)) === ((0.5d, 99.5d)))
+    assert(AcidSql.vecRowsFooter.sum() === 0L &&
+      gc.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "NaN-free float min/max must answer from the manifest")
+    Seq("t", "z", "c").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $cat.$t"))
+  }
+
   test("metadata AVG: exact sum over non-null count, overflow falls back whole") {
     val root = Scratch.fresh("r16_avg", sf)
     val cat = "r16av"
