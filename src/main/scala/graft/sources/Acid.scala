@@ -2947,6 +2947,21 @@ object Acid {
     deleteCore(s, dir, base, m, touched, Nil, untouched, pred, writerTag, writeCdf)
   }
 
+  /** TRUNCATE TABLE — metadata-only (round-16): one commit with an EMPTY
+    * file list; no data file is read, rewritten or deleted (time travel
+    * to pre-truncate versions keeps working, vacuum collects the
+    * now-unreferenced files past the grace period). The SQL path routes
+    * here for both `TRUNCATE TABLE t` (TruncatableTable's default
+    * delegates to deleteWhere(AlwaysTrue)) and `DELETE FROM t` with no
+    * WHERE — the legacy path would rewrite every file to empty instead.
+    */
+  def truncate(s: SparkSession, dir: String): Unit = {
+    val base = latestVersion(dir)
+    val m = readManifest(dir, base)
+    commitManifest(dir, Manifest(base + 1, -1L, Seq.empty, m.batchHw, None,
+      m.constraint, op = "TRUNCATE"))
+  }
+
   /** Shared DELETE commit core. `touched` files are rewritten WITHOUT
     * the rows matching `pred`; `dropped` files leave the manifest with
     * NO read and NO rewrite — the metadata-only path of an ALIGNED
@@ -5533,6 +5548,52 @@ object Acid {
       .withColumn("straddle_rewrote", lit(rewrote))
   }
 
+  /** tbl_sql_truncate — METADATA-ONLY TRUNCATE (round-16): `TRUNCATE
+    * TABLE` (and `DELETE FROM t` with no WHERE) commits ONE manifest
+    * with an empty file list — zero reads, zero rewrites, zero deletes
+    * (the legacy path rewrote every file to empty). Time travel to the
+    * pre-truncate version still serves the old rows from the retained
+    * manifests; vacuum collects the unreferenced data files later; the
+    * table stays fully writable. At 100 TB "reset the staging table"
+    * stops being a full-table I/O event.
+    */
+  val tblSqlTruncate: Q = (s, d) => {
+    val root = fresh("tbl_trunc_cat", d)
+    val cat = "graft_trunc_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_trunc_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"CREATE TABLE $cat.t (k BIGINT, price_cents BIGINT, prio STRING)")
+    s.sql(s"INSERT INTO $cat.t SELECT k, price_cents, prio FROM graft_trunc_src")
+    val dir = s"$root/t"
+    val vIns = latestVersion(dir)
+    val nDataDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("d")).count()
+    s.sql(s"TRUNCATE TABLE $cat.t")
+    val vTr = latestVersion(dir)
+    val m = readManifest(dir, vTr)
+    val nDataDirs2 = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("d")).count()
+    val emptied = s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 0L
+    val metadataOnly = vTr == vIns + 1 && m.files.isEmpty &&
+      m.op == "TRUNCATE" && nDataDirs2 == nDataDirs
+    // time travel still serves the pre-truncate snapshot; the table
+    // stays writable
+    val preRows = s.sql(
+      s"SELECT count(*) FROM $cat.t VERSION AS OF $vIns").head.getLong(0)
+    s.sql(s"""INSERT INTO $cat.t
+             |SELECT k, price_cents, prio FROM graft_trunc_src
+             |WHERE prio = '1-URGENT'""".stripMargin)
+    s.sql(s"""SELECT count(*) AS n, CAST(sum(price_cents) AS BIGINT)
+             |  AS sum_cents FROM $cat.t""".stripMargin)
+      .withColumn("emptied", lit(emptied))
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("travel_preserved",
+        lit(preRows > 0L && s.sql(s"SELECT count(*) FROM graft_trunc_src")
+          .head.getLong(0) == preRows))
+  }
+
   /** tbl_sql_alter — SQL DDL schema evolution: `ALTER TABLE ... ADD
     * COLUMN` widens the catalog schema (no data rewrite — the additive
     * contract), a subsequent INSERT writes the new column, and the
@@ -7262,6 +7323,7 @@ object Acid {
     "tbl_sql_insert"        -> tblSqlInsert,
     "tbl_sql_delete"        -> tblSqlDelete,
     "tbl_delete_aligned"    -> tblDeleteAligned,
+    "tbl_sql_truncate"      -> tblSqlTruncate,
     "tbl_sql_ctas"          -> tblSqlCtas,
     "tbl_sql_travel"        -> tblSqlTravel,
     "tbl_sql_alter"         -> tblSqlAlter,
@@ -7677,6 +7739,15 @@ object Acid {
         |       min(b.k) AS min_k,
         |       TRUE AS dpp_injected, TRUE AS files_pruned
         |FROM base b JOIN dim ON b.k = dim.k""".stripMargin,
+    "tbl_sql_truncate" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |         o_orderpriority AS prio FROM orders)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       TRUE AS emptied, TRUE AS metadata_only,
+        |       TRUE AS travel_preserved
+        |FROM base WHERE prio = '1-URGENT'""".stripMargin,
     "tbl_delete_aligned" ->
       """SELECT count(*) AS n_rest,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

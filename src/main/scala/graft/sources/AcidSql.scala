@@ -887,7 +887,11 @@ class AcidSqlTable(dir: String, tableSchema: StructType, pinnedVersion: Int = -1
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val s = SparkSession.active
-    // aligned fast path first (round-16): exact-interval predicates drop
+    // TRUNCATE (and DELETE with no WHERE): every live row goes — one
+    // manifest commit with an empty file list, zero reads, zero writes
+    if (filters.nonEmpty && filters.forall(_.isInstanceOf[AlwaysTrue]))
+      return Acid.truncate(s, dir)
+    // aligned fast path (round-16): exact-interval predicates drop
     // provably fully-inside files from the manifest without a rewrite
     AcidSql.alignedDelete(s, dir, filters, tableSchema).getOrElse {
       val pred = filters.flatMap(AcidSql.filterToColumn)

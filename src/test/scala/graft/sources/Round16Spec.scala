@@ -718,6 +718,35 @@ class Round16Spec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS r16_rtf_fact")
   }
 
+  test("TRUNCATE and unconditional DELETE are one metadata commit") {
+    val root = Scratch.fresh("r16_trunc", sf)
+    val cat = "r16tc"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.range(500L).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("r16_tc_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, v FROM r16_tc_src")
+    val dir = s"$root/t"
+    val vIns = Acid.latestVersion(dir)
+    spark.sql(s"TRUNCATE TABLE $cat.t")
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m.files.isEmpty && m.op === "TRUNCATE")
+    assert(Acid.latestVersion(dir) === vIns + 1, "one commit, no rewrite")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) === 0L)
+    // pre-truncate rows still time-travel; the table stays writable
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF $vIns")
+      .head.getLong(0) === 500L)
+    spark.sql(s"INSERT INTO $cat.t SELECT k, v FROM r16_tc_src")
+    // DELETE with no WHERE routes through the same metadata path
+    spark.sql(s"DELETE FROM $cat.t")
+    val m2 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m2.files.isEmpty && m2.op === "TRUNCATE")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) === 0L)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("float stats: NaN-aware pruning, zero equality, metadata min/max refusals") {
     val root = Scratch.fresh("r16_flt", sf)
     val cat = "r16fl"
