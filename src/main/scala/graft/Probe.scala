@@ -1501,3 +1501,118 @@ object Round16Probe {
     spark.stop()
   }
 }
+
+/** Round-16 continuation probe — the session's two write/plan-side
+  * capabilities measured at fixture scale (4M rows):
+  * (1) ALIGNED DELETE vs legacy copy-on-write: the same day-boundary
+  *     retention delete as one metadata commit vs rewriting the covered
+  *     files, timing both and weighing the bytes each wrote.
+  * (2) RUNTIME (join-driven) file pruning: fact⋈selective-dim with the
+  *     dynamic IN filter on vs off (DPP disabled), decode rows + time.
+  *
+  *   sbt "runMain graft.Round16bProbe"
+  */
+object Round16bProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.{Acid, AcidSql}
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def dirBytes(p: String): Long = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      } finally w.close()
+    }
+
+    // ---- (1) aligned DELETE vs legacy copy-on-write ----
+    val n = 4000000L
+    def buildDays(tag: String): (String, String) = {
+      val root = Scratch.fresh(tag, sfDir)
+      val cat = tag.takeRight(8).replace('.', '_')
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+      spark.sql(s"CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v BIGINT) " +
+        "PARTITIONED BY (days(ts))")
+      spark.range(n).select(col("id").as("k"),
+        timestamp_seconds((col("id") / 100000L).cast("long") * 86400L +
+          (col("id") % 86400L)).as("ts"), (col("id") * 7).as("v"))
+        .createOrReplaceTempView(s"${cat}_src")
+      spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM ${cat}_src")
+      (root, cat)
+    }
+    val (rootA, catA) = buildDays("r16b_del_meta")
+    val (rootB, _) = buildDays("r16b_del_cow")
+    val preBytesA = dirBytes(rootA)
+    val preBytesB = dirBytes(rootB)
+    // half the table leaves: days 0..19 of 40
+    val (_, tMeta) = timed(spark.sql(
+      s"DELETE FROM $catA.ev WHERE ts < TIMESTAMP'1970-01-21 00:00:00'"))
+    val nA = spark.sql(s"SELECT count(*) FROM $catA.ev").head.getLong(0)
+    val cut = java.sql.Timestamp.valueOf("1970-01-21 00:00:00")
+    val (_, tCow) = timed(Acid.deleteWhere(spark, s"$rootB/ev",
+      col("ts") < lit(cut), None, "probe"))
+    val nB = Acid.snapshot(spark, s"$rootB/ev").count()
+    val wroteA = dirBytes(rootA) - preBytesA
+    val wroteB = dirBytes(rootB) - preBytesB
+    require(nA == nB && nA == n / 2, s"post-delete rows: aligned=$nA cow=$nB")
+    println(f"[r16b-probe] retention delete of ${n / 2}%d/${n}%d rows: " +
+      f"ALIGNED ${tMeta}%.2fs (+${wroteA / 1024}%d KB written) vs " +
+      f"copy-on-write ${tCow}%.2fs (+${wroteB / 1024 / 1024}%d MB written) " +
+      f"— ${tCow / tMeta}%.1fx time, write amplification removed")
+
+    // ---- (2) runtime (join-driven) file pruning A/B ----
+    val rootF = Scratch.fresh("r16b_rtf", sfDir)
+    val dirF = s"$rootF/t"
+    Acid.create(spark, dirF, spark.range(n).toDF("id")
+      .select(col("id").as("k"), (col("id") % 97).as("v")), "k", 32)
+    spark.sql("DROP TABLE IF EXISTS r16b_rtf_t")
+    spark.sql(s"""CREATE TABLE r16b_rtf_t (k BIGINT, v BIGINT)
+                 |USING `graft-acid-sql` OPTIONS (path '$dirF')""".stripMargin)
+    val dimPath = s"$rootF/dim"
+    spark.range(n).select(col("id").as("fk"),
+      when(col("id") % 1000L === 7L &&
+        col("id") >= n * 7L / 8L, lit("hot"))
+        .otherwise(lit("cold")).as("label"))
+      .write.mode("overwrite").parquet(dimPath)
+    def joinCount(): Long = {
+      val dim = spark.read.parquet(dimPath).filter(col("label") === "hot")
+      spark.table("r16b_rtf_t").join(dim, col("k") === col("fk"))
+        .agg(count(lit(1))).head.getLong(0)
+    }
+    def ab(on: Boolean): (Double, Long) = {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", on.toString)
+      joinCount() // warm
+      val samples = (1 to 5).map { _ =>
+        AcidSql.resetRowGroupMetrics()
+        val (r, t) = timed(joinCount())
+        require(r == n / 8L / 1000L, s"join count $r"); t
+      }
+      val decoded = AcidSql.vecRowsFooter.sum()
+      (samples.sorted.apply(samples.size / 2), decoded)
+    }
+    val (tOn, dOn) = ab(on = true)
+    val (tOff, dOff) = ab(on = false)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    println(f"[r16b-probe] runtime file pruning (fact $n%d rows / 32 files, " +
+      f"dim slice ${n / 8L / 1000L}%d keys in the top eighth): " +
+      f"ON ${tOn * 1000}%5.1fms ($dOn%d rows decoded) vs " +
+      f"OFF ${tOff * 1000}%5.1fms ($dOff%d rows) — " +
+      f"${dOff.toDouble / math.max(1L, dOn)}%.1fx decode cut")
+    spark.sql("DROP TABLE IF EXISTS r16b_rtf_t")
+    spark.stop()
+  }
+}

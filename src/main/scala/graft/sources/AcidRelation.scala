@@ -140,6 +140,32 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
           else Some((fld.name, l, h, probes))
         }
       }.toSeq
+    // FLOAT/DOUBLE fstats pruning (round-16 — V1 parity with the V2
+    // tier): sortable-bits envelope with the NaN rule — a conjunction
+    // made only of lower bounds can still match NaN rows (NaN orders
+    // above every value), so nan-bearing files survive it
+    val fb = schema.fields.iterator
+      .filter(f => f.name != keyCol && Acid.fstatType(f.dataType))
+      .flatMap { fld =>
+        val mine = filters.filter(f =>
+          f.references.nonEmpty && f.references.forall(_ == fld.name))
+        if (mine.isEmpty) None
+        else {
+          val (l, h) = AcidSql.fltBounds(mine, fld.name)
+          val probes: Seq[Long] = mine.toSeq.collect {
+            case In(c, vs) if c == fld.name && vs.nonEmpty =>
+              val ls = vs.toSeq.flatMap(AcidSql.fltDecode(_))
+              if (ls.length == vs.length) ls else Seq.empty[Long]
+          }.flatten
+          val nanPossible = mine.forall {
+            case GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+                 IsNotNull(_) => true
+            case _ => false
+          }
+          if (l == Long.MinValue && h == Long.MaxValue && probes.isEmpty) None
+          else Some((fld.name, l, h, probes, nanPossible))
+        }
+      }.toSeq
     val live = manifest.files.filter(f =>
       f.maxKey >= lo && f.minKey <= hi &&
         cb.forall { case (c, (cLo, cHi)) =>
@@ -154,6 +180,14 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
             case Some((_, mn, mx)) =>
               h >= mn && l <= mx &&
                 (probes.isEmpty || probes.exists(p => p >= mn && p <= mx))
+            case None => true
+          }
+        } && fb.forall { case (c, l, h, probes, nanPossible) =>
+          f.fstats.find(_._1 == c) match {
+            case Some((_, mn, mx, nan)) =>
+              (nanPossible && nan > 0L) ||
+                (h >= mn && l <= mx &&
+                  (probes.isEmpty || probes.exists(p => p >= mn && p <= mx)))
             case None => true
           }
         } && AcidSql.survivesInProbes(f, inProbes))

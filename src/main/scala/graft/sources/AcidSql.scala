@@ -2593,6 +2593,21 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
               case _           => java.lang.Long.valueOf(v)
             }
             Some((box(mn), box(mx)))
+          } else if (Acid.fstatType(f.dataType) &&
+              live.forall(_.fstats.exists(s => s._1 == phys && s._4 == 0L))) {
+            // float/double bounds (round-16 fstats tier), NaN-free files
+            // only — a NaN extreme is not a value range selectivity can
+            // use; decoded through the sortable-bits involution
+            val mn = Acid.dblFromSortBits(
+              live.iterator.map(_.fstats.find(_._1 == phys).get._2).min)
+            val mx = Acid.dblFromSortBits(
+              live.iterator.map(_.fstats.find(_._1 == phys).get._3).max)
+            def boxD(v: Double): Object = f.dataType match {
+              case org.apache.spark.sql.types.FloatType =>
+                java.lang.Float.valueOf(v.toFloat)
+              case _ => java.lang.Double.valueOf(v)
+            }
+            Some((boxD(mn), boxD(mx)))
           } else None
         if (ndOpt.isDefined || nullOpt.isDefined || rangeOpt.isDefined)
           colStatsMap.put(Expressions.column(f.name),
@@ -2623,12 +2638,6 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
     }
   }
 
-  /** `_file` is advertised ONLY for row-level-operation scans (where
-    * RowLevelOperationRuntimeGroupFiltering consumes it and the
-    * `_file` metadata column is in scope). Advertising it on ordinary
-    * reads breaks PartitionPruning: once the scan reports real
-    * statistics, broadcast joins qualify for DPP consideration, whose
-    * resolver throws on a filter attribute the projection lacks. */
   /** Row-level scans narrow on `_file` (matched-groups rewrite). NORMAL
     * scans (round-16) declare the merge key and every long-domain
     * partition source as runtime-filterable: Catalyst's PartitionPruning

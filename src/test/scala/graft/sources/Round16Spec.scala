@@ -508,6 +508,41 @@ class Round16Spec extends AnyFunSuite {
       "post-rewrite stamps must keep pruning")
   }
 
+  test("float fstats: V1 relation prunes with the NaN rule, library path stamps") {
+    import spark.implicits._
+    val root = Scratch.fresh("r16_fstats_v1", sf)
+    val dir = s"$root/t"
+    // file layout by key quartiles: scores 0.5..99.5 track k; the last
+    // quartile additionally carries NaN rows
+    Acid.create(spark, dir,
+      (0L until 100L).map(k =>
+        (k, if (k >= 75L && k % 10 == 0) Double.NaN else k + 0.5))
+        .toDF("k", "score"),
+      "k", 4)
+    val m = Acid.readManifest(dir, 0)
+    assert(m.files.size === 4)
+    m.files.foreach { f =>
+      val st = f.fstats.find(_._1 == "score")
+      assert(st.isDefined, s"library statsOf must stamp float bounds: ${f.path}")
+      val (_, mn, mx, nan) = st.get
+      assert(Acid.dblFromSortBits(mn) >= f.minKey + 0.5 - 1e-9)
+      assert(if (f.minKey >= 75L) nan > 0L else nan === 0L,
+        s"NaN count must be stamped: ${f.path} nan=$nan")
+      assert(Acid.dblFromSortBits(mx) <= f.maxKey + 0.5 + 1e-9)
+    }
+    val v1 = spark.read.format("graft-acid").load(dir)
+    // upper-bounded window prunes to the covering file, NaN file included
+    // only if its bounds overlap (they don't here)
+    assert(v1.filter(col("score") > 30.0 && col("score") < 40.0).count() === 10L)
+    assert(AcidRelation.lastScanFor(dir) === ((1, 4)),
+      s"V1 float window must prune: ${AcidRelation.lastScanFor(dir)}")
+    // a lower-bound-only predicate past all finite values still reads the
+    // nan-bearing file — its NaN rows MATCH
+    assert(v1.filter(col("score") >= 1000.0).count() === 2L) // k=80, 90
+    assert(AcidRelation.lastScanFor(dir) === ((1, 4)),
+      s"only the nan-bearing file may survive: ${AcidRelation.lastScanFor(dir)}")
+  }
+
   /** Round16Probe measured the sizeInBytes row heuristic 20x OVER on a
     * real post-shuffle foreachBatch micro-batch (est 20131, actual 1000)
     * — past the r15 verdict's 10x line, so the bloom floor can no longer
