@@ -5548,6 +5548,41 @@ object Acid {
       .withColumn("straddle_rewrote", lit(rewrote))
   }
 
+  /** tbl_delete_partition — METADATA-ONLY partition-set DELETE
+    * (round-16, the tenant-drop shape): `DELETE WHERE tenant IN (2, 5)`
+    * on an identity-partitioned table decodes to an exact finite set
+    * (AcidSql.exactSet — In conjuncts intersect, anything else
+    * refuses); a file whose identity stamp is SINGLE-VALUED with the
+    * value in the set (and a stamped zero nullCount, no DV) DROPS from
+    * the manifest with no read and no rewrite, files whose range holds
+    * no set member carry forward untouched, anything else rewrites. At
+    * 100 TB "purge these tenants / regions" — the GDPR-by-partition
+    * shape — becomes one manifest commit.
+    */
+  val tblDeletePartition: Q = (s, d) => {
+    val root = fresh("tbl_delpart_cat", d)
+    val cat = "graft_delpart_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_delpart_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"""CREATE TABLE $cat.t (k BIGINT, sev BIGINT, cents BIGINT)
+             |PARTITIONED BY (sev)""".stripMargin)
+    s.sql(s"INSERT INTO $cat.t SELECT k, k % 8, price_cents FROM graft_delpart_src")
+    val dir = s"$root/t"
+    val vIns = latestVersion(dir)
+    val before = readManifest(dir, vIns).files.map(_.path).toSet
+    s.sql(s"DELETE FROM $cat.t WHERE sev IN (2, 5)")
+    val v1 = latestVersion(dir)
+    val after = readManifest(dir, v1).files.map(_.path).toSet
+    val metadataOnly = v1 == vIns + 1 && after.subsetOf(before) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"d${v1}_sqldel"))
+    s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(DISTINCT sev) AS n_sev FROM $cat.t""".stripMargin)
+      .withColumn("metadata_only", lit(metadataOnly))
+  }
+
   /** tbl_sql_truncate — METADATA-ONLY TRUNCATE (round-16): `TRUNCATE
     * TABLE` (and `DELETE FROM t` with no WHERE) commits ONE manifest
     * with an empty file list — zero reads, zero rewrites, zero deletes
@@ -7324,6 +7359,7 @@ object Acid {
     "tbl_sql_delete"        -> tblSqlDelete,
     "tbl_delete_aligned"    -> tblDeleteAligned,
     "tbl_sql_truncate"      -> tblSqlTruncate,
+    "tbl_delete_partition"  -> tblDeletePartition,
     "tbl_sql_ctas"          -> tblSqlCtas,
     "tbl_sql_travel"        -> tblSqlTravel,
     "tbl_sql_alter"         -> tblSqlAlter,
@@ -7739,6 +7775,13 @@ object Acid {
         |       min(b.k) AS min_k,
         |       TRUE AS dpp_injected, TRUE AS files_pruned
         |FROM base b JOIN dim ON b.k = dim.k""".stripMargin,
+    "tbl_delete_partition" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS sev,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
+        |       count(DISTINCT sev) AS n_sev, TRUE AS metadata_only
+        |FROM base WHERE sev NOT IN (2, 5)""".stripMargin,
     "tbl_sql_truncate" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

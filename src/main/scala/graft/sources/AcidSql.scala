@@ -539,6 +539,30 @@ object AcidSql {
     if (filters.forall(walk)) Some((lo, hi)) else None
   }
 
+  /** STRICT finite-set decode (round-16 continuation, the aligned
+    * DELETE's second shape): Some(S) iff the conjunction of `filters`
+    * over column `c` is EXACTLY `c IN S` — In conjuncts intersect,
+    * EqualTo is a singleton, IsNotNull is absorbed (IN already excludes
+    * nulls), anything else fails the whole decode. Sets cap at 64
+    * values (the IN-probe budget elsewhere); an empty intersection is a
+    * provably-empty predicate, returned as such. */
+  private[graft] def exactSet(filters: Seq[Filter], c: String,
+      dec: Any => Option[Long]): Option[Set[Long]] = {
+    var s: Option[Set[Long]] = None
+    def narrow(vs: Set[Long]): Unit = s = Some(s.fold(vs)(_ intersect vs))
+    def walk(f: Filter): Boolean = f match {
+      case In(col, vs) if col == c && vs.nonEmpty && vs.length <= 64 =>
+        val ls = vs.toSeq.flatMap(dec(_))
+        ls.length == vs.length && { narrow(ls.toSet); true }
+      case EqualTo(col, v) if col == c =>
+        dec(v).exists { l => narrow(Set(l)); true }
+      case IsNotNull(col) if col == c => true
+      case FAnd(l, r)                 => walk(l) && walk(r)
+      case _                          => false
+    }
+    if (filters.forall(walk)) s else None
+  }
+
   /** Metadata-aligned SQL DELETE (round-16, the write-side twin of the
     * exact-filter claim): when the pushed conjunction decodes to EXACTLY
     * one closed interval over ONE column with exact per-file stats,
@@ -557,10 +581,19 @@ object AcidSql {
     * transform stamp inverted by partCellRange, or an exact numeric
     * nstats stamp. A file with no usable evidence falls to the rewrite
     * path — conservative, never wrong. Returns None when the shape
-    * doesn't decode (multi-column conjunctions, In/Or/Not, strings) —
+    * doesn't decode (multi-column conjunctions, Or/Not, strings) —
     * the caller then runs the legacy key-hinted path. At 100 TB this
     * turns the everyday retention delete from a full-partition rewrite
     * into one manifest commit.
+    *
+    * Beyond intervals, an exact IN-SET decode (round-16 continuation)
+    * covers the tenant-drop shape: `DELETE WHERE tenant IN (2, 5)` on
+    * an identity-partitioned table drops those partitions' files
+    * metadata-only — inside needs a SINGLE-VALUED raw range whose value
+    * is in the set (the identity segment-roll contract), outside needs
+    * no set member within the range; day/hour cells are never
+    * single-valued in the raw micros domain, so time transforms
+    * correctly refuse set-inside.
     */
   private[graft] def alignedDelete(s: SparkSession, dir: String,
       filters: Array[Filter], tableSchema: StructType): Option[(Long, Int, Int)] = {
@@ -571,7 +604,13 @@ object AcidSql {
     val field = tableSchema.fields.find(_.name == c).getOrElse(return None)
     val time = field.dataType == TimestampType ||
       field.dataType == TimestampNTZType
-    val (lo, hi) = exactInterval(filters.toSeq, c, time).getOrElse(return None)
+    // the predicate's value semantics: a closed interval, or an exact
+    // finite set (interval tried first — it subsumes EqualTo)
+    val intervalOpt = exactInterval(filters.toSeq, c, time)
+    val setOpt =
+      if (intervalOpt.isDefined) None
+      else exactSet(filters.toSeq, c, if (time) tsMicros else asLong)
+    if (intervalOpt.isEmpty && setOpt.isEmpty) return None
     val base = Acid.latestVersion(dir)
     if (base < 0) return None
     val m = Acid.readManifest(dir, base)
@@ -580,16 +619,28 @@ object AcidSql {
     val isKey = c == tableSchema.fields.head.name
     val specs = Acid.partSpecHistory(dir).flatten.distinct
       .filter(ps => ps.col == phys && Acid.partCellRange(ps, 0L).isDefined)
+    // does every long in [mn, mx] satisfy the predicate? / can none?
+    def allIn(mn: Long, mx: Long): Boolean = intervalOpt match {
+      case Some((lo, hi)) => lo <= mn && mx <= hi
+      case None           => mn == mx && setOpt.get.contains(mn)
+    }
+    def noneIn(mn: Long, mx: Long): Boolean = intervalOpt match {
+      case Some((lo, hi)) => mx < lo || mn > hi
+      case None           => !setOpt.get.exists(v => v >= mn && v <= mx)
+    }
+    // a provably-empty predicate (lo > hi / empty set) matches nothing
+    val provablyEmpty = intervalOpt.exists(p => p._1 > p._2) ||
+      setOpt.exists(_.isEmpty)
     // Some(true)=every live row provably matches (droppable modulo DV),
     // Some(false)=no row can match, None=straddle / no evidence
     def classify(f: Acid.FileEntry): Option[Boolean] = {
-      if (lo > hi) return Some(false) // empty interval matches nothing
+      if (provablyEmpty) return Some(false)
       def fromRange(mn: Long, mx: Long): Option[Boolean] =
-        if (lo <= mn && mx <= hi)
+        if (allIn(mn, mx))
           // inside needs the explicit zero-null proof: a NULL fails the
           // predicate (survives the delete) but not the bounds check
           (if (f.nulls.contains((phys, 0L))) Some(true) else None)
-        else if (mx < lo || mn > hi) Some(false)
+        else if (noneIn(mn, mx)) Some(false)
         else None
       if (isKey) fromRange(f.minKey, f.maxKey)
       else {

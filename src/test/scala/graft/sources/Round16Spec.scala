@@ -753,6 +753,44 @@ class Round16Spec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS r16_rtf_fact")
   }
 
+  test("partition-set DELETE drops identity partitions metadata-only") {
+    val root = Scratch.fresh("r16_delset", sf)
+    val cat = "r16ds"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, sev BIGINT, v BIGINT)
+                 |PARTITIONED BY (sev)""".stripMargin)
+    spark.range(800L).select(col("id").as("k"), (col("id") % 8).as("sev"),
+      (col("id") * 3).as("v")).createOrReplaceTempView("r16_ds_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, sev, v FROM r16_ds_src")
+    val dir = s"$root/t"
+    val v0 = Acid.latestVersion(dir)
+    val files0 = Acid.readManifest(dir, v0).files.map(_.path).toSet
+    spark.sql(s"DELETE FROM $cat.t WHERE sev IN (2, 5)")
+    val v1 = Acid.latestVersion(dir)
+    val m1 = Acid.readManifest(dir, v1)
+    assert(v1 === v0 + 1 && m1.files.map(_.path).toSet.subsetOf(files0),
+      "set-aligned partition delete must be metadata-only")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"d${v1}_sqldel")))
+    val r = spark.sql(
+      s"SELECT count(*), count(DISTINCT sev) FROM $cat.t").head
+    assert((r.getLong(0), r.getLong(1)) === ((600L, 6L)))
+    // a set no live partition holds is a pure no-op: no commit at all
+    spark.sql(s"DELETE FROM $cat.t WHERE sev IN (97, 99)")
+    assert(Acid.latestVersion(dir) === v1, "no-member set must not commit")
+    // conjunction of INs intersects exactly: {1,3} ∩ {3,4} = {3}
+    spark.sql(s"DELETE FROM $cat.t WHERE sev IN (1, 3) AND sev IN (3, 4)")
+    val r2 = spark.sql(
+      s"SELECT count(*), count(DISTINCT sev) FROM $cat.t").head
+    assert((r2.getLong(0), r2.getLong(1)) === ((500L, 5L)),
+      "only sev=3 may leave")
+    assert(Acid.readManifest(dir, Acid.latestVersion(dir))
+      .files.map(_.path).toSet.subsetOf(files0), "still metadata-only")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("TRUNCATE and unconditional DELETE are one metadata commit") {
     val root = Scratch.fresh("r16_trunc", sf)
     val cat = "r16tc"
