@@ -502,6 +502,8 @@ class Round16Spec extends AnyFunSuite {
     val hit = m2.files.find(f => f.minKey <= 50L && 50L <= f.maxKey).get
     assert(hit.nstats.exists { case (c, _, mx) => c == "cents" && mx == 999999L },
       "the rewritten file's numeric max must cover the updated value")
+    // (no float column in this fixture — the fstats rewrite-survival pin
+    // lives in the float V1 test below via the same statsOf path)
     assert(spark.read.format("graft-acid").load(dir)
       .filter(col("cents") === 999999L).count() === 1L)
     assert(AcidRelation.lastScanFor(dir)._1 === 1,
@@ -541,6 +543,17 @@ class Round16Spec extends AnyFunSuite {
     assert(v1.filter(col("score") >= 1000.0).count() === 2L) // k=80, 90
     assert(AcidRelation.lastScanFor(dir) === ((1, 4)),
       s"only the nan-bearing file may survive: ${AcidRelation.lastScanFor(dir)}")
+    // a MERGE rewrite re-stamps float stats through the same statsOf
+    // pass that stamps everything else — pruning survives maintenance
+    assert(!Acid.merge(spark, dir,
+      Seq((35L, 999.25)).toDF("k", "score"), "w").skipped)
+    val m2 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val hit = m2.files.find(f => f.minKey <= 35L && 35L <= f.maxKey).get
+    val st2 = hit.fstats.find(_._1 == "score").get
+    assert(Acid.dblFromSortBits(st2._3) === 999.25,
+      "the rewritten file's float max must cover the updated value")
+    assert(spark.read.format("graft-acid").load(dir)
+      .filter(col("score") === 999.25).count() === 1L)
   }
 
   /** Round16Probe measured the sizeInBytes row heuristic 20x OVER on a
@@ -751,6 +764,32 @@ class Round16Spec extends AnyFunSuite {
     assert(decoded > 0 && decoded * 4 <= 8000L,
       s"runtime pruning must drop most fact files: decoded=$decoded")
     spark.sql("DROP TABLE IF EXISTS r16_rtf_fact")
+  }
+
+  test("deleteCore with dropped files: CDC reads them once, counts stay exact") {
+    import spark.implicits._
+    val root = Scratch.fresh("r16_dropcdc", sf)
+    val dir = s"$root/t"
+    Acid.create(spark, dir, (0L until 100L).map(k => (k, k * 2))
+      .toDF("k", "v"), "k", 4)
+    val m = Acid.readManifest(dir, 0)
+    val sorted = m.files.sortBy(_.minKey)
+    // drop the first file wholesale (DV-free, every live row "matches"),
+    // carry the rest — the aligned path's shape, driven directly so the
+    // CDC-on-drop contract stays pinned even though the SQL path never
+    // sets writeCdf
+    val dropped = Seq(sorted.head)
+    val untouched = sorted.tail
+    val (nDel, nRewritten, _) = Acid.deleteCore(spark, dir, 0, m,
+      Seq.empty, dropped, untouched,
+      col("k") <= sorted.head.maxKey, "cdctest", writeCdf = true)
+    assert(nDel === sorted.head.rows && nRewritten === 0)
+    assert(Acid.snapshot(spark, dir).count() === 100L - sorted.head.rows)
+    // the change feed carries every dropped row as a delete
+    val cdc = Acid.changeFeed(spark, dir, 0, 1)
+    assert(cdc.filter(col("change_type") === "delete").count() === sorted.head.rows)
+    assert(cdc.agg(min(col("k")), max(col("k"))).head.toSeq ===
+      Seq(sorted.head.minKey, sorted.head.maxKey))
   }
 
   test("partition-set DELETE drops identity partitions metadata-only") {
