@@ -2718,14 +2718,18 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
 
   /** Runtime literal → long in the column's pruning domain: catalyst
     * internal values ride V2 literals, so timestamps are ALREADY epoch
-    * micros. Undecodable literals disable the predicate (keep all). */
+    * micros. A NULL literal (a nullable dim key reaches the IN-set) is
+    * INERT — a null probe matches no row under IN semantics, and the
+    * join above re-filters rows either way — so it decodes to an empty
+    * contribution rather than disabling the predicate. Undecodable
+    * TYPES disable the whole predicate (keep all files). */
   private def litLong(
-      l: org.apache.spark.sql.connector.expressions.Literal[_]): Option[Long] =
+      l: org.apache.spark.sql.connector.expressions.Literal[_]): Option[Seq[Long]] =
     l.dataType() match {
       case LongType | TimestampType | TimestampNTZType |
            IntegerType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.ByteType =>
-        Some(l.value().asInstanceOf[Number].longValue())
+        Some(Option(l.value()).map(_.asInstanceOf[Number].longValue()).toSeq)
       case _ => None
     }
 
@@ -2768,9 +2772,11 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
             litLong(l)
           case _ => None
         }
-        // every literal must decode, else the predicate prunes nothing
-        if (lits.nonEmpty && lits.forall(_.isDefined)) {
-          val vals = lits.flatten.toSeq
+        // every literal must decode (null decodes to an inert empty
+        // contribution), else the predicate prunes nothing
+        if (lits.nonEmpty && lits.forall(_.isDefined) &&
+            lits.exists(_.exists(_.nonEmpty))) {
+          val vals = lits.flatten.flatten.toSeq
           if (phys == keyCol) {
             // exact key ranges + the manifest bloom tier, the same
             // evidence static point probes prune on

@@ -763,6 +763,25 @@ class Round16Spec extends AnyFunSuite {
     val decoded = AcidSql.vecRowsFooter.sum()
     assert(decoded > 0 && decoded * 4 <= 8000L,
       s"runtime pruning must drop most fact files: decoded=$decoded")
+    // a NULLABLE dim key puts a null literal in the runtime IN-set: it
+    // is inert (a null probe matches no row), never a crash, and the
+    // remaining literals keep pruning
+    val dimNull = s"$root/dimnull"
+    spark.range(8000L).select(
+      when(col("id") === 4000L, lit(null).cast("long"))
+        .otherwise(col("id")).as("fk"),
+      when(col("id").between(2000, 2002) || col("id") === 4000L, lit("hot"))
+        .otherwise(lit("cold")).as("label"))
+      .write.mode("overwrite").parquet(dimNull)
+    AcidSql.resetRowGroupMetrics()
+    val qn = spark.table("r16_rtf_fact")
+      .join(spark.read.parquet(dimNull).filter(col("label") === "hot"),
+        col("k") === col("fk"))
+      .agg(count(lit(1)).as("n"))
+    assert(qn.head.getLong(0) === 3L, "the null dim key matches nothing")
+    val decodedN = AcidSql.vecRowsFooter.sum()
+    assert(decodedN > 0 && decodedN * 4 <= 8000L,
+      s"pruning must survive a null probe: decoded=$decodedN")
     spark.sql("DROP TABLE IF EXISTS r16_rtf_fact")
   }
 
