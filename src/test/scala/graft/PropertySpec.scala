@@ -253,6 +253,52 @@ class PropertySpec extends AnyFunSuite {
   private def dbg(s: String): String =
     s.codePoints().toArray.map(c => f"U+$c%04X").mkString("[", " ", "]")
 
+  test("exactSet decode equals direct evaluation on 300 generated conjunctions") {
+    import org.apache.spark.sql.sources._
+    val lit: Gen[Long] = Gen.oneOf(
+      Gen.choose(-20L, 20L),
+      Gen.oneOf(Long.MinValue, -1L, 0L, 1L, Long.MaxValue))
+    def leaf: Gen[Filter] = Gen.oneOf[Gen[Filter]](
+      Gen.nonEmptyListOf(lit).map(vs =>
+        In("c", vs.take(64).map(_.asInstanceOf[Any]).toArray): Filter),
+      lit.map(v => EqualTo("c", v): Filter),
+      Gen.const(IsNotNull("c"): Filter)).flatMap(identity)
+    val conj: Gen[List[Filter]] = for {
+      n  <- Gen.choose(1, 3)
+      fs <- Gen.listOfN(n, leaf)
+      anded <- Gen.oneOf(true, false)
+    } yield if (anded && fs.size >= 2)
+      List(fs.reduce[Filter]((a, b) => And(a, b))) else fs
+    def holds(f: Filter, x: Long): Boolean = f match {
+      case In(_, vs)           => vs.exists(_.asInstanceOf[Long] == x)
+      case EqualTo(_, v: Long) => x == v
+      case IsNotNull(_)        => true
+      case And(l, r)           => holds(l, x) && holds(r, x)
+      case other               => fail(s"unexpected shape $other")
+    }
+    def literalsOf(f: Filter): Seq[Long] = f match {
+      case In(_, vs)           => vs.toSeq.map(_.asInstanceOf[Long])
+      case EqualTo(_, v: Long) => Seq(v)
+      case And(l, r)           => literalsOf(l) ++ literalsOf(r)
+      case _                   => Seq.empty
+    }
+    val asLong: Any => Option[Long] = { case l: Long => Some(l); case _ => None }
+    var decodedCount = 0
+    sample(Gen.listOfN(300, conj)).foreach { fs =>
+      sources.AcidSql.exactSet(fs, "c", asLong).foreach { s =>
+        decodedCount += 1
+        val probes = (fs.flatMap(literalsOf).flatMap(v => Seq(v - 1, v, v + 1))
+          ++ Seq(Long.MinValue, 0L, Long.MaxValue)).distinct
+        probes.foreach { x =>
+          val direct = fs.forall(holds(_, x))
+          assert(direct == s.contains(x),
+            s"exactSet($fs) = $s disagrees with direct evaluation at $x")
+        }
+      }
+    }
+    assert(decodedCount > 50, s"law must exercise real decodes: $decodedCount")
+  }
+
   test("sortable-bits law: double order, involution, nextUp adjacency") {
     import graft.sources.Acid.{dblSortBits, dblFromSortBits}
     val gen: Gen[Double] = Gen.oneOf(
