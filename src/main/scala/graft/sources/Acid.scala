@@ -5548,6 +5548,46 @@ object Acid {
       .withColumn("straddle_rewrote", lit(rewrote))
   }
 
+  /** tbl_delete_aligned_date — aligned DELETE over a DATE column
+    * (round-16): the interval decoder reads date literals as epoch days
+    * (day-grained like micros — strict bounds adjust by ±1 exactly) and
+    * files classify on their cstats ISO bounds converted to epoch days
+    * (lexicographic ISO order IS date order; even a truncated envelope
+    * stays sound for both verdicts, though a 10-char date never
+    * truncates). `DELETE WHERE dt < DATE'...'` on a date-clustered
+    * table drops the wholly-covered files metadata-only and rewrites
+    * only the boundary-sharing straddler — retention on date columns
+    * without a partition transform in sight.
+    */
+  val tblDeleteAlignedDate: Q = (s, d) => {
+    val root = fresh("tbl_deldate_cat", d)
+    val cat = "graft_deldate_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderdate").cast("date").as("dt"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("graft_deldate_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"CREATE TABLE $cat.t (k BIGINT, dt DATE, cents BIGINT)")
+    s.sql(s"""INSERT INTO $cat.t
+             |SELECT /*+ REPARTITION_BY_RANGE(8, dt) */ k, dt, cents
+             |FROM graft_deldate_src""".stripMargin)
+    val dir = s"$root/t"
+    val vIns = latestVersion(dir)
+    val files0 = readManifest(dir, vIns).files.map(_.path).toSet
+    s.sql(s"DELETE FROM $cat.t WHERE dt < DATE'1997-01-01'")
+    val files1 = readManifest(dir, latestVersion(dir)).files.map(_.path).toSet
+    val removed = files0 -- files1
+    val added = files1 -- files0
+    // wholly-covered files drop without a replacement; only the
+    // boundary-sharing straddler produces rewritten output
+    val droppedDominates = removed.nonEmpty && removed.size > added.size
+    s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(min(dt) AS STRING) AS min_dt FROM $cat.t""".stripMargin)
+      .withColumn("dropped_dominates", lit(droppedDominates))
+  }
+
   /** tbl_delete_partition — METADATA-ONLY partition-set DELETE
     * (round-16, the tenant-drop shape): `DELETE WHERE tenant IN (2, 5)`
     * on an identity-partitioned table decodes to an exact finite set
@@ -7360,6 +7400,7 @@ object Acid {
     "tbl_delete_aligned"    -> tblDeleteAligned,
     "tbl_sql_truncate"      -> tblSqlTruncate,
     "tbl_delete_partition"  -> tblDeletePartition,
+    "tbl_delete_aligned_date" -> tblDeleteAlignedDate,
     "tbl_sql_ctas"          -> tblSqlCtas,
     "tbl_sql_travel"        -> tblSqlTravel,
     "tbl_sql_alter"         -> tblSqlAlter,
@@ -7775,6 +7816,14 @@ object Acid {
         |       min(b.k) AS min_k,
         |       TRUE AS dpp_injected, TRUE AS files_pruned
         |FROM base b JOIN dim ON b.k = dim.k""".stripMargin,
+    "tbl_delete_aligned_date" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS dt,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(min(dt) AS VARCHAR) AS min_dt, TRUE AS dropped_dominates
+        |FROM base WHERE dt >= DATE '1997-01-01'""".stripMargin,
     "tbl_delete_partition" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderkey % 8 AS sev,

@@ -499,6 +499,15 @@ object AcidSql {
   private[sources] def timeBoundsMicros(filters: Array[Filter], c: String): (Long, Long) =
     boundsFold(filters, c, tsMicros)
 
+  /** DATE literal → epoch days: Spark pushes java.sql.Date or (java8
+    * API) LocalDate. Day-grained like micros for timestamps, so strict
+    * bounds adjust by ±1 exactly. */
+  private[sources] def dateDays: Any => Option[Long] = {
+    case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+    case ld: java.time.LocalDate => Some(ld.toEpochDay)
+    case _                      => None
+  }
+
   /** STRICT interval decode (round-16, the exact-filter claim's input):
     * Some((lo, hi)) iff the conjunction of `filters` over column `c` is
     * EXACTLY `lo <= c <= hi` (IsNotNull conjuncts are absorbed — the
@@ -510,10 +519,14 @@ object AcidSql {
     * provably-empty predicate (e.g. `c > MAX_LONG`). `time` picks the
     * literal decoder: epoch-micros for timestamp columns (where `c > t`
     * is exactly `c >= t+1micro` — micros IS the storage grain), raw
-    * long otherwise. */
+    * long otherwise; `exactIntervalWith` takes any day/grain-exact
+    * decoder (the aligned DELETE passes epoch-days for DATE columns). */
   private[graft] def exactInterval(filters: Seq[Filter], c: String,
-      time: Boolean): Option[(Long, Long)] = {
-    val dec: Any => Option[Long] = if (time) tsMicros else asLong
+      time: Boolean): Option[(Long, Long)] =
+    exactIntervalWith(filters, c, if (time) tsMicros else asLong)
+
+  private[graft] def exactIntervalWith(filters: Seq[Filter], c: String,
+      dec: Any => Option[Long]): Option[(Long, Long)] = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
     def markEmpty(): Boolean = { lo = 1L; hi = 0L; true }
@@ -602,14 +615,20 @@ object AcidSql {
     if (refs.length != 1) return None
     val c = refs.head
     val field = tableSchema.fields.find(_.name == c).getOrElse(return None)
-    val time = field.dataType == TimestampType ||
-      field.dataType == TimestampNTZType
+    // the pruning domain's literal decoder: epoch micros for timestamps,
+    // epoch days for dates (both grain-exact under ±1 strict-bound
+    // adjustment), raw long otherwise
+    val dec: Any => Option[Long] = field.dataType match {
+      case TimestampType | TimestampNTZType => tsMicros
+      case org.apache.spark.sql.types.DateType => dateDays
+      case _ => asLong
+    }
     // the predicate's value semantics: a closed interval, or an exact
     // finite set (interval tried first — it subsumes EqualTo)
-    val intervalOpt = exactInterval(filters.toSeq, c, time)
+    val intervalOpt = exactIntervalWith(filters.toSeq, c, dec)
     val setOpt =
       if (intervalOpt.isDefined) None
-      else exactSet(filters.toSeq, c, if (time) tsMicros else asLong)
+      else exactSet(filters.toSeq, c, dec)
     if (intervalOpt.isEmpty && setOpt.isEmpty) return None
     val base = Acid.latestVersion(dir)
     if (base < 0) return None
@@ -659,7 +678,23 @@ object AcidSql {
           } ++ Iterator(
             f.nstats.collectFirst {
               case (cc, mn, mx) if cc == phys => (mn, mx) }
-              .flatMap { case (mn, mx) => fromRange(mn, mx) })
+              .flatMap { case (mn, mx) => fromRange(mn, mx) },
+            // DATE columns classify on their cstats ISO bounds converted
+            // to epoch days (lexicographic ISO order IS date order, and
+            // even a truncated envelope stays sound for both verdicts:
+            // an envelope inside the interval proves every value inside,
+            // an envelope missing it proves none — dates are 10 chars,
+            // under the truncation bound anyway)
+            if (field.dataType != org.apache.spark.sql.types.DateType) None
+            else f.cstats.collectFirst {
+              case (cc, mn, mx) if cc == phys => (mn, mx) }
+              .flatMap { case (mn, mx) =>
+                try fromRange(java.time.LocalDate.parse(mn).toEpochDay,
+                  java.time.LocalDate.parse(mx).toEpochDay)
+                catch {
+                  case _: java.time.format.DateTimeParseException => None
+                }
+              })
         verdicts.collectFirst { case Some(b) => b }
       }
     }

@@ -785,6 +785,43 @@ class Round16Spec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS r16_rtf_fact")
   }
 
+  test("date-aligned DELETE classifies on cstats ISO bounds in epoch days") {
+    val root = Scratch.fresh("r16_deldate", sf)
+    val cat = "r16dd2"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, dt DATE, v BIGINT)")
+    // 400 rows over 100 consecutive days, date-clustered into 4 files
+    spark.range(400L).select(col("id").as("k"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") / 4).cast("int")).as("dt"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("r16_dd2_src")
+    spark.sql(s"""INSERT INTO $cat.t
+                 |SELECT /*+ REPARTITION_BY_RANGE(4, dt) */ k, dt, v
+                 |FROM r16_dd2_src""".stripMargin)
+    val dir = s"$root/t"
+    val m0 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    // cutoff exactly one day past a file's max date: that file (and any
+    // earlier) is wholly covered — the delete must be metadata-only
+    val firstMax = m0.files.flatMap(_.cstats.find(_._1 == "dt").map(_._3))
+      .sorted.head
+    val cutoff = java.time.LocalDate.parse(firstMax).plusDays(1)
+    val before = m0.files.map(_.path).toSet
+    spark.sql(s"DELETE FROM $cat.t WHERE dt < DATE'$cutoff'")
+    val v1 = Acid.latestVersion(dir)
+    val m1 = Acid.readManifest(dir, v1)
+    assert(m1.files.map(_.path).toSet.subsetOf(before),
+      "a boundary-aligned date delete must drop files, not rewrite")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"d${v1}_sqldel")))
+    val expected = spark.sql(s"SELECT count(*) FROM r16_dd2_src " +
+      s"WHERE NOT (dt < DATE'$cutoff')").head.getLong(0)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
+      === expected)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("deleteCore with dropped files: CDC reads them once, counts stay exact") {
     import spark.implicits._
     val root = Scratch.fresh("r16_dropcdc", sf)
