@@ -149,7 +149,10 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
       .flatMap { fld =>
         val mine = filters.filter(f =>
           f.references.nonEmpty && f.references.forall(_ == fld.name))
-        if (mine.isEmpty) None
+        // an undecodable (NaN) literal anywhere in the conjunction makes
+        // bound arithmetic unsound for this column — skip its pruning
+        // entirely (AcidSql.fltNanLiteral doc; ADVICE r16 wrong-rows hole)
+        if (mine.isEmpty || AcidSql.fltNanLiteral(mine, fld.name)) None
         else {
           val (l, h) = AcidSql.fltBounds(mine, fld.name)
           val probes: Seq[Long] = mine.toSeq.collect {

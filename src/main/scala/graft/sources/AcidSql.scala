@@ -494,6 +494,27 @@ object AcidSql {
   private[sources] def fltBounds(filters: Array[Filter], c: String): (Long, Long) =
     boundsFold(filters, c, fltDecode)
 
+  /** True when any conjunct on float/double column `c` carries a literal
+    * `fltDecode` refuses (NaN, or a null/foreign literal). Such conjuncts
+    * can be TRUE for NaN rows under Spark semantics (NaN = NaN holds and
+    * NaN orders above every value, so `c = NaN`, `c >= NaN`, `c IN (NaN)`
+    * all match NaN rows) while their literal silently drops out of the
+    * sortable-bits envelope — pruning on the REMAINING bounds would drop
+    * a nan-bearing file whose matching rows are exactly the NaNs (round-16
+    * ADVICE: the `c = NaN AND c >= 0` hole). Callers skip fstats pruning
+    * for the column entirely when this holds — conservative, never wrong. */
+  private[sources] def fltNanLiteral(filters: Iterable[Filter], c: String): Boolean =
+    filters.exists {
+      case EqualTo(`c`, v)            => fltDecode(v).isEmpty
+      case EqualNullSafe(`c`, v)      => v != null && fltDecode(v).isEmpty
+      case GreaterThan(`c`, v)        => fltDecode(v).isEmpty
+      case GreaterThanOrEqual(`c`, v) => fltDecode(v).isEmpty
+      case LessThan(`c`, v)           => fltDecode(v).isEmpty
+      case LessThanOrEqual(`c`, v)    => fltDecode(v).isEmpty
+      case In(`c`, vs)                => vs.exists(v => fltDecode(v).isEmpty)
+      case _                          => false
+    }
+
   /** Pushed-filter bounds over a TIMESTAMP column, in epoch micros —
     * the days(ts) partition transform's pruning input. */
   private[sources] def timeBoundsMicros(filters: Array[Filter], c: String): (Long, Long) =
@@ -2191,7 +2212,9 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         (sumFold(ce, fs), nonNullCount(ce, fs)) match {
           case (Some((_, _, s)), Some(n)) if n > 0L =>
             val sl = s.asInstanceOf[java.lang.Long].longValue
-            if (math.abs(sl) > (1L << 53)) None
+            // range check, not math.abs: abs(Long.MinValue) is negative
+            // and would slip through the exactness guard (ADVICE r16)
+            if (sl > (1L << 53) || sl < -(1L << 53)) None
             else Some((s"avg_$lo",
               org.apache.spark.sql.types.DoubleType: DataType,
               java.lang.Double.valueOf(sl.toDouble / n.toDouble)))
@@ -2492,7 +2515,10 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
       val perCol = fltColNames.flatMap { c =>
         val mine = allFilters.filter(f =>
           f.references.nonEmpty && f.references.forall(_ == c))
-        if (mine.isEmpty) None
+        // an undecodable (NaN) literal anywhere in the conjunction makes
+        // bound arithmetic unsound for this column — skip its pruning
+        // entirely (fltNanLiteral doc; ADVICE r16 wrong-rows hole)
+        if (mine.isEmpty || AcidSql.fltNanLiteral(mine, c)) None
         else {
           val (l, h) = AcidSql.fltBounds(mine, c)
           val probes: Seq[Long] = mine.toSeq.collect {
