@@ -1996,10 +1996,21 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
           c.insideFiles
         case _ => return None
       }
-    // DV refusal stays SNAPSHOT-WIDE (the r15-pinned contract): a
-    // sidecar's stamped count is a table-level total, so any DV makes
-    // metadata arithmetic unsafe regardless of which files it touches.
-    val anyDv = allFiles.exists(f => f.dv.nonEmpty || f.pdv.nonEmpty)
+    // Per-file DV discipline (round-17, superseding the r15 snapshot-wide
+    // refusal): every vector-bearing entry committed since r17 stamps its
+    // EXACT per-file deleted-row count (`dvRows`; the dv/pdv tuple's own
+    // count stays the shared sidecar TOTAL and is never summed — the
+    // 1444-vs-1463 trap). Counting folds subtract per file; value folds
+    // (min/max/SUM/AVG) still refuse when any COUNTING file carries a
+    // vector — the deleted rows may have held the extreme or the summed
+    // values — but the refusal is now scoped to the files the fold
+    // actually runs over, not the snapshot. An unstamped vector (pre-r17
+    // manifest) refuses counting too: absent never means zero.
+    def hasDv(f: Acid.FileEntry) = f.dv.nonEmpty || f.pdv.nonEmpty
+    def anyDvIn(fs: Seq[Acid.FileEntry]) = fs.exists(hasDv)
+    def dvCountable(fs: Seq[Acid.FileEntry]) =
+      fs.forall(f => !hasDv(f) || f.dvRows.isDefined)
+    def liveRows(f: Acid.FileEntry) = f.rows - f.dvRows.getOrElse(0L)
     def isKey(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case nr: NamedReference => nr.fieldNames.toSeq == Seq(keyCol)
@@ -2020,11 +2031,27 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         if (nr.fieldNames.head == keyCol)
           // merge-key rows are non-null wherever stats are exact; a file
           // that SAW a null key stamps the conservative full range and
-          // `conservative` already refuses the push
-          (if (conservative(fs)) None else Some(fs.map(_.rows).sum))
-        else if (fs.forall(_.nulls.exists(_._1 == phys)))
-          Some(fs.map(f => f.rows - f.nulls.find(_._1 == phys).get._2).sum)
-        else None
+          // `conservative` already refuses the push. DV'd files subtract
+          // their stamped per-file count (every key row is non-null).
+          (if (conservative(fs) || !dvCountable(fs)) None
+           else Some(fs.map(liveRows).sum))
+        else {
+          // per-file live non-null count. A vector-bearing file serves
+          // only at the null extremes: zero stamped nulls (every deleted
+          // row was non-null → rows − dvRows) or all-null (count(col) is
+          // 0 whatever the vector deleted). In between the split of
+          // deletions across null/non-null rows is unknowable — refuse.
+          val per: Seq[Option[Long]] = fs.map { f =>
+            f.nulls.find(_._1 == phys).map(_._2) match {
+              case Some(nn) if nn == f.rows => Some(0L)
+              case Some(0L)                 =>
+                if (!hasDv(f)) Some(f.rows) else f.dvRows.map(f.rows - _)
+              case Some(nn) if !hasDv(f)    => Some(f.rows - nn)
+              case _                        => None
+            }
+          }
+          if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+        }
       case _ => None
     }
     // min/max over a NON-key STRING/DATE column (round-16, r15 verdict
@@ -2226,25 +2253,26 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         : Option[Seq[(String, DataType, Any)]] = {
       val mapped: Seq[Option[(String, DataType, Any)]] =
         agg.aggregateExpressions.toSeq.map {
-          case _: CountStar if !anyDv =>
-            Some(("count_star", LongType: DataType, fs.map(_.rows).sum))
+          case _: CountStar if dvCountable(fs) =>
+            Some(("count_star", LongType: DataType, fs.map(liveRows).sum))
           case sm: org.apache.spark.sql.connector.expressions.aggregate.Sum
-              if !sm.isDistinct && !anyDv =>
+              if !sm.isDistinct && !anyDvIn(fs) =>
             sumFold(sm.column, fs)
           case c: org.apache.spark.sql.connector.expressions.aggregate.Count
-              if !c.isDistinct && !anyDv =>
+              if !c.isDistinct =>
+            // per-file DV handling lives inside nonNullCount
             nonNullCount(c.column, fs)
               .map(n => ("count_col", LongType: DataType, n))
           case a: org.apache.spark.sql.connector.expressions.aggregate.Avg
-              if !a.isDistinct && !anyDv =>
+              if !a.isDistinct && !anyDvIn(fs) =>
             avgFold(a.column, fs)
-          case m: Min if !anyDv =>
+          case m: Min if !anyDvIn(fs) =>
             if (isKey(m.column) && fs.nonEmpty && !conservative(fs))
               Some((s"min_$keyCol", LongType: DataType, fs.map(_.minKey).min))
             else colBound(m.column, wantMin = true, fs)
               .orElse(numBound(m.column, wantMin = true, fs))
               .orElse(fltBound(m.column, wantMin = true, fs))
-          case m: Max if !anyDv =>
+          case m: Max if !anyDvIn(fs) =>
             if (isKey(m.column) && fs.nonEmpty && !conservative(fs))
               Some((s"max_$keyCol", LongType: DataType, fs.map(_.maxKey).max))
             else colBound(m.column, wantMin = false, fs)
@@ -2284,7 +2312,16 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
           case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
           case _                      => java.lang.Long.valueOf(v)
         }
+        // (round-17) a group whose rows were ALL deleted by vectors has
+        // no live rows — it must not surface a result row. Proving that
+        // needs per-file stamps on every vector-bearing file; without
+        // them liveness is unknowable and the whole push refuses.
+        if (!dvCountable(files)) return None
         val groups = placed.flatten.groupBy(_._1).toSeq.sortBy(_._1)
+          .filter { case (_, fs) => fs.map(p => liveRows(p._2)).sum > 0L }
+        // every group empty (or none placed): the scan serves the empty
+        // result with the right shape — the folds cannot derive it
+        if (groups.isEmpty) return None
         val folded = groups.map { case (v, fs) =>
           foldOver(fs.map(_._2)).map(cols => (v, cols))
         }

@@ -263,11 +263,17 @@ class Round7Spec extends AnyFunSuite {
     val v2 = spark.read.format("graft-acid-sql").load(dir)
     assert(v2.count() == total - n1)
     assert(v2.filter(col("qty") % 7 === 0).count() == 0)
-    // above the (conf-shrunk) inline budget the scan refuses toward OPTIMIZE
+    // above the (conf-shrunk) inline budget: a pure COUNT answers from
+    // the round-17 per-file dvRows stamps and never opens the sidecar
+    // (capability superseding this pin's original refusal — SURVEY
+    // §6.17); any ROW-producing scan still refuses toward OPTIMIZE
     spark.conf.set("spark.graft.dvInlineBudget", (n1 - 1).toString)
     try {
+      assert(spark.read.format("graft-acid-sql").load(dir).count() == total - n1,
+        "metadata count must not need the sidecar inline")
       val ex = intercept[IllegalArgumentException] {
-        spark.read.format("graft-acid-sql").load(dir).count()
+        spark.read.format("graft-acid-sql").load(dir)
+          .filter(col("qty") % 7 === 0).count()
       }
       assert(ex.getMessage.contains("positional"))
     } finally spark.conf.unset("spark.graft.dvInlineBudget")

@@ -307,18 +307,26 @@ class Round15Spec extends AnyFunSuite {
     assert(qb.head.getLong(0) === 1000L)
     assert(!qb.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
       "count(unstamped boolean col) must refuse the push and scan")
-    // a DV delete: EVERY push falls back to the scan and stays CORRECT
+    // a DV delete: counting pushes SUBTRACT the per-file stamps (the
+    // round-17 capability superseding this pin's original snapshot-wide
+    // refusal — recorded in SURVEY §6.17); value folds still refuse
     Acid.deleteWhereMor(spark, dir, col("k") === 5L || col("k") === 1004L,
       None, "w"): Unit
+    AcidSql.resetRowGroupMetrics()
     val qDv = spark.sql(s"SELECT count(*) AS n FROM $cat.t")
     assert(qDv.head.getLong(0) === 998L,
-      "DV count must be exact (sidecar counts are table-level uppers — " +
-        "metadata arithmetic would overcount)")
-    assert(!qDv.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
-      "count(*) over a DV table must NOT push to the manifest")
-    val r2 = spark.sql(s"SELECT min(k) AS lo, max(k) AS hi FROM $cat.t").head
+      "DV count must be exact (per-file dvRows stamps, never the shared " +
+        "sidecar total)")
+    assert(qDv.queryExecution.executedPlan.toString.contains("manifest-aggregate") &&
+      AcidSql.vecRowsFooter.sum() === 0L,
+      "count(*) over a r17-stamped DV table answers from the manifest")
+    val q2Dv = spark.sql(s"SELECT min(k) AS lo, max(k) AS hi FROM $cat.t")
+    val r2 = q2Dv.head
     assert((r2.getLong(0), r2.getLong(1)) === ((6L, 1003L)),
       "DV-deleted extremes must not surface from stale manifest bounds")
+    assert(!q2Dv.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "min/max over a DV'd file set must still refuse — the vector may " +
+        "have deleted the extreme rows (it did)")
     // OPTIMIZE materializes the DVs away and re-enables the push
     Acid.optimize(spark, dir, 2): Unit
     AcidSql.resetRowGroupMetrics()

@@ -119,13 +119,24 @@ class Round16Spec extends AnyFunSuite {
     assert(q4.head.getLong(0) === 0L)
     assert(q4.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
     assert(AcidSql.vecRowsFooter.sum() === 0L)
-    // ANY deletion vector refuses the filtered push; the claimed scan
-    // still serves the exact post-delete rows through the DV inline path
+    // a deletion vector with round-17 per-file stamps: the aligned
+    // COUNT still answers from the manifest by subtracting the stamped
+    // per-file deleted count (capability superseding this pin's
+    // original any-DV refusal — recorded in SURVEY §6.17); the claimed
+    // scan path stays exact underneath
     Acid.deleteWhereMor(spark, s"$root/ev", col("k") === 310L, None, "w"): Unit
+    AcidSql.resetRowGroupMetrics()
     val q5 = spark.sql(s"SELECT count(*) AS n FROM $cat.ev WHERE $win")
     assert(q5.head.getLong(0) === 299L)
-    assert(!q5.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
-      "a DV'd snapshot must never answer aggregates from metadata")
+    assert(q5.queryExecution.executedPlan.toString.contains("manifest-aggregate") &&
+      AcidSql.vecRowsFooter.sum() === 0L,
+      "an aligned count over r17-stamped DVs answers from the manifest")
+    // min/max inside the same window still refuse — the vector may have
+    // deleted the extreme rows
+    val q5mm = spark.sql(s"SELECT min(k) AS lo FROM $cat.ev WHERE $win")
+    assert(q5mm.head.getLong(0) === 300L)
+    assert(!q5mm.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "min over a DV'd inside set must refuse")
     // NULL partition values: the null segment has no stamp, so the claim
     // refuses and the residual filter keeps the count exact
     spark.sql(s"DROP TABLE IF EXISTS $cat.nl")

@@ -78,4 +78,122 @@ class Round17Spec extends AnyFunSuite {
     assert(AcidRelation.lastScanFor(dir)._1 === 2,
       "the NaN-literal column must not prune any file on V1")
   }
+
+  /** Second family: per-file DV row-count stamps (r16 verdict missing
+    * #2). At DV commit time the writer knows exactly how many of EACH
+    * file's rows the sidecar deletes — it attributes every deleted
+    * key/position to its file and stamps `dvRows` (V: tag) per entry.
+    * Metadata counting then subtracts per file instead of the old
+    * snapshot-wide `anyDv` refusal; value folds (min/max/SUM/AVG) still
+    * refuse on any vector-bearing counting file (the deleted rows may
+    * have held the extreme/summed values); absent stamps (pre-r17
+    * manifests) refuse counting too — absent never means zero.
+    */
+  test("per-file DV stamps: counting subtracts, groups drop when emptied, value folds refuse") {
+    val root = Scratch.fresh("r17_dvstamp", sf)
+    val cat = "r17dv"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, sev BIGINT, v BIGINT, tag STRING)
+                 |PARTITIONED BY (sev)""".stripMargin)
+    spark.range(800L).select(col("id").as("k"), (col("id") % 8).as("sev"),
+      (col("id") * 3).as("v"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(lit("x")).as("tag"))
+      .createOrReplaceTempView("r17_dv_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, sev, v, tag FROM r17_dv_src")
+    val dir = s"$root/t"
+    // one MoR delete emptying partition sev=3 entirely, a second folding
+    // into it deleting one row of sev=4 — repeated deletes must keep the
+    // per-file stamps exact through the sidecar fold
+    Acid.deleteWhereMor(spark, dir, col("sev") === 3L, None, "w"): Unit
+    Acid.deleteWhereMor(spark, dir, col("k") === 12L, None, "w"): Unit
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m.files.forall(f => f.dv.nonEmpty && f.dvRows.isDefined),
+      "every touched entry must stamp its per-file deleted count")
+    assert(m.files.flatMap(_.dvRows).sum === 101L,
+      s"stamps must attribute all 101 deletions: ${m.files.map(_.dvRows)}")
+    // count(*) answers from the manifest by per-file subtraction
+    AcidSql.resetRowGroupMetrics()
+    val q = spark.sql(s"SELECT count(*) AS n FROM $cat.t")
+    assert(q.head.getLong(0) === 699L)
+    assert(q.queryExecution.executedPlan.toString.contains("manifest-aggregate") &&
+      AcidSql.vecRowsFooter.sum() === 0L,
+      "count(*) must answer from the per-file stamps with zero opens")
+    // count(zero-null col): every deleted row was non-null -> subtract
+    val qv = spark.sql(s"SELECT count(v) AS n FROM $cat.t")
+    assert(qv.head.getLong(0) === 699L)
+    assert(qv.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "count(col) with zero stamped nulls subtracts the per-file count")
+    // count(null-bearing col): the deletions' null/non-null split is
+    // unknowable from metadata -> refuse, scan stays exact
+    val expTag = (0L until 800L).count(k => k % 5 != 0 && k % 8 != 3 && k != 12)
+    val qt = spark.sql(s"SELECT count(tag) AS n FROM $cat.t")
+    assert(qt.head.getLong(0) === expTag.toLong)
+    assert(!qt.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "count(null-bearing col) must refuse under a DV")
+    // identity-partition GROUP BY: per-group counts subtract; the
+    // fully-deleted sev=3 group must NOT surface a row
+    val qg = spark.sql(s"SELECT sev, count(*) AS n FROM $cat.t GROUP BY sev ORDER BY sev")
+    val rows = qg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((0L, 100L), (1L, 100L), (2L, 100L), (4L, 99L),
+      (5L, 100L), (6L, 100L), (7L, 100L)),
+      s"grouped counts must subtract per file and drop the emptied group: $rows")
+    assert(qg.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "the grouped fold must still answer from the manifest under stamps")
+    // value folds refuse on vector-bearing files — stale extremes/sums
+    // must never surface (k=12's v=36 was NOT the extreme; sev=3 held
+    // global min candidates k=3 -> the scan must serve post-delete)
+    for (sqlTxt <- Seq(s"SELECT min(k) AS x FROM $cat.t",
+      s"SELECT sum(v) AS x FROM $cat.t", s"SELECT avg(v) AS x FROM $cat.t")) {
+      val qq = spark.sql(sqlTxt)
+      assert(!qq.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+        s"value fold must refuse under DVs: $sqlTxt")
+    }
+    assert(spark.sql(s"SELECT min(k) AS x FROM $cat.t").head.getLong(0) === 0L)
+    assert(spark.sql(s"SELECT sum(v) AS x FROM $cat.t").head.getLong(0) ===
+      (0L until 800L).filter(k => k % 8 != 3 && k != 12).map(_ * 3).sum)
+    // pre-r17 manifests carry vectors WITHOUT stamps: absent never means
+    // zero — counting must refuse back to the (exact) scan. Simulated by
+    // stripping the V: tags from the live log text.
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    val logDir = JPaths.get(dir, "_log")
+    JFiles.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".txt")).foreach { p =>
+        val txt = new String(JFiles.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        JFiles.write(p, txt.replaceAll("\\|V:[0-9]+", "")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
+    Acid.clearManifestCache()
+    val mLegacy = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(mLegacy.files.forall(f => f.dv.nonEmpty && f.dvRows.isEmpty),
+      "the legacy simulation must leave vectors unstamped")
+    val qLegacy = spark.sql(s"SELECT count(*) AS n FROM $cat.t")
+    assert(qLegacy.head.getLong(0) === 699L)
+    assert(!qLegacy.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "an unstamped vector (pre-r17 manifest) must refuse metadata counting")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+
+    // positional vectors stamp per file too (the sidecar names its files)
+    import spark.implicits._
+    val dir2 = s"$root/p"
+    Acid.create(spark, dir2,
+      spark.range(400L).select(col("id").as("k"), (col("id") % 10).as("g")),
+      "k", 4)
+    Acid.deleteWherePositional(spark, dir2, col("g") === 7L, None, "w"): Unit
+    val m2 = Acid.readManifest(dir2, Acid.latestVersion(dir2))
+    assert(m2.files.forall(f => f.pdv.nonEmpty && f.dvRows.isDefined))
+    assert(m2.files.flatMap(_.dvRows).sum === 40L)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.missing_refresh")
+    AcidSql.resetRowGroupMetrics()
+    val qp = spark.sql(s"SELECT count(*) AS n FROM $cat.p")
+    assert(qp.head.getLong(0) === 360L)
+    assert(qp.queryExecution.executedPlan.toString.contains("manifest-aggregate") &&
+      AcidSql.vecRowsFooter.sum() === 0L,
+      "positional per-file stamps must serve the metadata count")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.p")
+  }
 }
