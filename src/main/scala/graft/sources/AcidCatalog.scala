@@ -202,10 +202,18 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     def labelOf(t: Transform): String = t match {
       case t if t.name() == "identity" && t.references().length == 1 =>
         val f = fieldOf(t)
-        if (f.dataType != LongType)
-          throw new UnsupportedOperationException(
-            s"$catName: PARTITIONED BY needs a BIGINT column, ${f.name} is ${f.dataType.sql}")
-        Acid.PartIdentity(f.name).label
+        f.dataType match {
+          case LongType => Acid.PartIdentity(f.name).label
+          // STRING identity stores as the identstr flavor (packed-prefix
+          // segment cells + cstats value evidence — see
+          // Acid.PartIdentityStr's scaladoc); round-17, the lang/region/
+          // tenant layout
+          case org.apache.spark.sql.types.StringType =>
+            Acid.PartIdentityStr(f.name).label
+          case other => throw new UnsupportedOperationException(
+            s"$catName: PARTITIONED BY needs a BIGINT or STRING column, " +
+              s"${f.name} is ${other.sql}")
+        }
       case t if t.name() == "days" && t.references().length == 1 =>
         val f = fieldOf(t)
         if (f.dataType != TimestampType && f.dataType != TimestampNTZType)

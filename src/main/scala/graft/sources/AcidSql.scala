@@ -955,6 +955,9 @@ class AcidSqlTable(dir: String, tableSchema: StructType, pinnedVersion: Int = -1
       // truncstr flavor is an internal stats representation
       case Acid.PartTruncateStr(n, c) => Expressions.apply("truncate",
         Expressions.literal(n), Expressions.column(AcidSql.logicalName(dir, c)))
+      // string identity reports plain identity; identstr is internal
+      case Acid.PartIdentityStr(c) =>
+        Expressions.identity(AcidSql.logicalName(dir, c))
     }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -1117,6 +1120,12 @@ class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
       case Some(Acid.PartIdentity(c)) =>
         Distributions.clustered(Array(
           Expressions.identity(AcidSql.logicalName(dir, c))))
+      // string identity clusters like long identity: one task per value,
+      // so every rolled segment is single-valued — the property the
+      // cstats-evidence GROUP BY fold depends on
+      case Some(Acid.PartIdentityStr(c)) =>
+        Distributions.clustered(Array(
+          Expressions.identity(AcidSql.logicalName(dir, c))))
       case _ => Distributions.unspecified()
     }
     override def requiredOrdering(): Array[SortOrder] = partSpec match {
@@ -1144,6 +1153,9 @@ class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
       // string truncate: packing is monotone in the string, so a local
       // sort on the source column rolls contiguous one-prefix segments
       case Some(Acid.PartTruncateStr(_, c)) => Array(Expressions.sort(
+        Expressions.identity(AcidSql.logicalName(dir, c)),
+        SortDirection.ASCENDING))
+      case Some(Acid.PartIdentityStr(c)) => Array(Expressions.sort(
         Expressions.identity(AcidSql.logicalName(dir, c)),
         SortDirection.ASCENDING))
       case _ => Array.empty
@@ -1311,9 +1323,10 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
   private val partDims: Seq[(Acid.PartSpec, Int, Boolean)] = partSpecs.map { ps =>
     val i = schema.fields.indexWhere(_.name == ps.col)
     val ok = i >= 0 && ((ps, schema.fields(i).dataType) match {
-      // the string-truncate flavor reads bytes; everything else a long
-      case (_: Acid.PartTruncateStr, StringType) => true
-      case (_: Acid.PartTruncateStr, _) => false
+      // the string flavors read bytes; everything else a long
+      case (_: Acid.PartTruncateStr | _: Acid.PartIdentityStr, StringType) =>
+        true
+      case (_: Acid.PartTruncateStr | _: Acid.PartIdentityStr, _) => false
       case (_, LongType | TimestampType | TimestampNTZType) => true
       case _ => false
     })
@@ -1335,7 +1348,13 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
   // ISO `yyyy-MM-dd`; a column with no non-null value gets no stats.
   private val cstatCols: Seq[(String, Int, Boolean)] =
     schema.fields.zipWithIndex.iterator
-      .filter { case (f, i) => i != 0 && !partSpecs.exists(_.col == f.name) &&
+      .filter { case (f, i) => i != 0 &&
+        // partition sources are covered by their transform stamps —
+        // EXCEPT string identity, whose packed stamp is not the value:
+        // its cstats (min == max == the value on a rolled segment) ARE
+        // the GROUP BY fold's and the runtime string filter's evidence
+        !partSpecs.exists(ps =>
+          ps.col == f.name && !ps.isInstanceOf[Acid.PartIdentityStr]) &&
         (f.dataType == StringType || f.dataType == DateType) &&
         !f.name.contains('|') && !f.name.contains(':') }
       .map { case (f, i) => (f.name, i, f.dataType == DateType) }
@@ -1551,6 +1570,8 @@ class AcidSqlDataWriter(tableDir: String, relPath: String, schema: StructType,
       else ps match {
         case st: Acid.PartTruncateStr =>
           Some(st.evalBytes(row.getUTF8String(i).getBytes))
+        case is: Acid.PartIdentityStr =>
+          Some(is.evalBytes(row.getUTF8String(i).getBytes))
         case _ => Some(ps.eval(row.getLong(i)))
       }
     }
@@ -1966,10 +1987,18 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
             case (Acid.PartIdentity(c), _) => c == phys
             case _                         => false
           }
+          val hasIdentityStr = partColsLogical.exists {
+            case (Acid.PartIdentityStr(c), _) => c == phys
+            case _                            => false
+          }
           val dt = tableSchema.fields.find(_.name == lo).map(_.dataType)
           dt match {
             case Some(t) if hasIdentity && (t == LongType || t == IntegerType ||
                 t == DateType || t == TimestampType) => Some((lo, phys, t))
+            // STRING identity (round-17): groups are the files' EXACT
+            // cstats values — see groupOf below
+            case Some(StringType) if hasIdentityStr =>
+              Some((lo, phys, StringType))
             case _ => return None
           }
         case _ => return None
@@ -2301,23 +2330,40 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
         // non-identity transforms carry parens, so label == column name
         // selects exactly the identity stamp); any file that can't be
         // placed refuses the whole push
-        def groupOf(f: Acid.FileEntry): Option[Long] =
+        def groupOf(f: Acid.FileEntry): Option[Any] =
           if (!f.nulls.contains((phys, 0L))) None
+          else if (gType == StringType)
+            // STRING identity (round-17): the group value is the file's
+            // EXACT cstats pair — min == max with BOTH sides marked
+            // exact proves the single value (the identstr packed stamp
+            // is NOT evidence: distinct strings can share its 8-byte
+            // cell). Truncated/multi-value/unstamped files refuse.
+            (for {
+              cs <- f.cstats.find(_._1 == phys)
+              ex <- f.cexact.find(_._1 == phys)
+              if ex._2 && ex._3 && cs._2 == cs._3
+            } yield cs._2)
           else (f.stats2.toSeq ++ f.pstats).collectFirst {
             case (c, mn, mx) if c == phys && mn == mx => mn
           }
         val placed = files.map(f => groupOf(f).map(_ -> f))
         if (placed.exists(_.isEmpty)) return None
-        def gVal(v: Long): Any = gType match {
-          case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
-          case _                      => java.lang.Long.valueOf(v)
+        def gVal(v: Any): Any = (gType, v) match {
+          case (StringType, s: String) => s
+          case (IntegerType | DateType, l: Long) =>
+            java.lang.Integer.valueOf(l.toInt)
+          case (_, l: Long) => java.lang.Long.valueOf(l)
+          case _ => return None
         }
         // (round-17) a group whose rows were ALL deleted by vectors has
         // no live rows — it must not surface a result row. Proving that
         // needs per-file stamps on every vector-bearing file; without
         // them liveness is unknowable and the whole push refuses.
         if (!dvCountable(files)) return None
-        val groups = placed.flatten.groupBy(_._1).toSeq.sortBy(_._1)
+        val groups0 = placed.flatten.groupBy(_._1).toSeq
+        val groups = (if (gType == StringType)
+            groups0.sortBy(_._1.asInstanceOf[String])
+          else groups0.sortBy(_._1.asInstanceOf[Long]))
           .filter { case (_, fs) => fs.map(p => liveRows(p._2)).sum > 0L }
         // every group empty (or none placed): the scan serves the empty
         // result with the right shape — the folds cannot derive it
@@ -2466,6 +2512,15 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
             val plo = sLo.fold(Long.MinValue)(st.evalString)
             val phi = sHi.fold(Long.MaxValue)(st.evalString)
             f => statFor(f, st.label).forall {
+              case (mn2, mx2) => mx2 >= plo && mn2 <= phi }
+          case is: Acid.PartIdentityStr =>
+            // same monotone packing verdict at the full 8-byte grain;
+            // the cstats tier below additionally prunes on exact bounds
+            val (sLo, sHi) = AcidSql.cstatsBounds(mine)
+              .getOrElse(pc, (None, None))
+            val plo = sLo.fold(Long.MinValue)(is.evalString)
+            val phi = sHi.fold(Long.MaxValue)(is.evalString)
+            f => statFor(f, is.label).forall {
               case (mn2, mx2) => mx2 >= plo && mn2 <= phi }
           case pb: Acid.PartBucket =>
             AcidSql.probeKeys(mine, pc).map(_.map(pb.eval).toSet) match {
@@ -2831,6 +2886,17 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
       case _ => None
     }
 
+  /** litLong's STRING twin (round-17, r16 verdict missing #3): catalyst
+    * internal string literals are UTF8String — `toString` round-trips the
+    * UTF-8 bytes, and the cstats evidence they probe compares in the same
+    * UTF-8 binary order (u8Cmp). A NULL literal is inert, as in litLong. */
+  private def litStr(
+      l: org.apache.spark.sql.connector.expressions.Literal[_]): Option[Seq[String]] =
+    l.dataType() match {
+      case StringType => Some(Option(l.value()).map(_.toString).toSeq)
+      case _          => None
+    }
+
   override def filter(predicates: Array[V2Predicate]): Unit = {
     // Sound narrowing only: an IN over _file keeps exactly the named
     // files; any predicate shape we can't interpret keeps the full list.
@@ -2869,6 +2935,36 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
             litLong(l)
           case _ => None
+        }
+        // STRING dim keys (round-17): probe the files' cstats envelopes
+        // in UTF-8 order — a truncated bound only WIDENS the envelope, so
+        // keeping a file whose envelope holds some probe is sound — plus
+        // any identstr packed stamp (monotone full-grain packing). The
+        // everyday "join facts against today's tenants" prunes fact
+        // files by tenant at execution time, the string DPP shape.
+        val slits = p.children().tail.map {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            litStr(l)
+          case _ => None
+        }
+        if (slits.nonEmpty && slits.forall(_.isDefined) &&
+            slits.exists(_.exists(_.nonEmpty))) {
+          val vals = slits.flatten.flatten.toSeq
+          val myIdent = specs.collect {
+            case is: Acid.PartIdentityStr if is.col == phys => is
+          }
+          live = live.filter { f =>
+            f.cstats.find(_._1 == phys).forall { case (_, mn, mx) =>
+              vals.exists(v =>
+                Acid.u8Cmp(v, mn) >= 0 && Acid.u8Cmp(v, mx) <= 0)
+            } && myIdent.forall { is =>
+              (f.stats2.toSeq ++ f.pstats).find(_._1 == is.label).forall {
+                case (_, mn2, mx2) =>
+                  vals.exists { v =>
+                    val pv = is.evalString(v); pv >= mn2 && pv <= mx2 }
+              }
+            }
+          }
         }
         // every literal must decode (null decodes to an inert empty
         // contribution), else the predicate prunes nothing
@@ -2934,6 +3030,11 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
     if (rowLevel || live.isEmpty) return None
     val specs = Acid.partSpecsOf(dir)
     if (specs.isEmpty) return None
+    // string identity declines SPJ: its stamped cell is the 8-byte
+    // packed prefix, NOT the identity value Spark would align on —
+    // reporting identity with packed keys would co-locate wrongly.
+    // A shuffle, never a wrong join.
+    if (specs.exists(_.isInstanceOf[Acid.PartIdentityStr])) return None
     val keyed = live.map { f =>
       val vs = specs.map(ps =>
         Acid.partitionValueOfAny(f, ps.label).map(spjValue(ps, _)))
@@ -2969,6 +3070,10 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
           case Acid.PartTruncateStr(n, c) =>
             Expressions.apply(s"truncstr_$n",
               Expressions.column(AcidSql.logicalName(dir, c)))
+          case ps: Acid.PartIdentityStr =>
+            // unreachable: spjPlan declines string identity (the packed
+            // cell is not the identity value Spark would align on)
+            throw new IllegalStateException(s"SPJ over ${ps.label}")
         }.toArray
       new KeyGroupedPartitioning(transforms,
         keyed.map(_._2.toSeq).distinct.size)

@@ -196,4 +196,129 @@ class Round17Spec extends AnyFunSuite {
       "positional per-file stamps must serve the metadata count")
     spark.sql(s"DROP TABLE IF EXISTS $cat.p")
   }
+
+  /** Third family: STRING identity partitions (r16 verdict missing #3).
+    * `PARTITIONED BY (lang)` over a STRING column stores the identstr
+    * flavor: segment rolling and monotone range stamps ride the packed-
+    * prefix long domain (8-byte grain), while the GROUP BY fold and the
+    * runtime string filter consume the files' EXACT cstats bounds —
+    * min == max with both exactness bits IS the value, proven per file.
+    * SPJ declines (the packed cell is not the identity value), exact
+    * claims refuse (partCellRange = None), and a null-bearing file
+    * refuses the fold (its rows belong partly to the NULL group).
+    */
+  test("string identity partitions: manifest GROUP BY, static + runtime pruning") {
+    val root = Scratch.fresh("r17_langpart", sf)
+    val cat = "r17lg"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, lang STRING, v BIGINT)
+                 |PARTITIONED BY (lang)""".stripMargin)
+    val langs = Seq("de", "en", "fr", "ja", "pt", "zh")
+    spark.range(600L).select(col("id").as("k"),
+      element_at(typedLit(langs), (col("id") % 6 + 1).cast("int")).as("lang"),
+      (col("id") * 7).as("v"))
+      .createOrReplaceTempView("r17_lg_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, lang, v FROM r17_lg_src")
+    val dir = s"$root/t"
+    // every rolled segment is single-valued with EXACT cstats + a zero
+    // null stamp — the fold's whole evidence chain
+    val m = Acid.readManifest(dir, Acid.latestVersion(dir))
+    assert(m.files.nonEmpty)
+    m.files.foreach { f =>
+      val cs = f.cstats.find(_._1 == "lang").getOrElse(
+        fail(s"identstr source must stamp cstats: ${f.path}"))
+      assert(cs._2 === cs._3, s"segment must be single-valued: $cs")
+      val ex = f.cexact.find(_._1 == "lang").get
+      assert(ex._2 && ex._3)
+      assert(f.nulls.contains(("lang", 0L)))
+    }
+    // GROUP BY lang answers from the manifest with zero opens
+    AcidSql.resetRowGroupMetrics()
+    val qg = spark.sql(
+      s"SELECT lang, count(*) AS n FROM $cat.t GROUP BY lang ORDER BY lang")
+    assert(qg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      langs.map(_ -> 100L))
+    assert(qg.queryExecution.executedPlan.toString.contains("manifest-aggregate") &&
+      AcidSql.vecRowsFooter.sum() === 0L,
+      "GROUP BY lang must fold from the manifest")
+    // SELECT DISTINCT rides the same push; per-group key folds compose
+    val qd = spark.sql(s"SELECT DISTINCT lang FROM $cat.t")
+    assert(qd.collect().map(_.getString(0)).sorted === langs)
+    assert(qd.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    val qk = spark.sql(s"SELECT lang, count(*) AS n, min(k) AS lo FROM $cat.t " +
+      "GROUP BY lang ORDER BY lang")
+    assert(qk.queryExecution.executedPlan.toString.contains("manifest-aggregate"))
+    assert(qk.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === langs.zipWithIndex.map { case (l, i) => (l, 100L, i.toLong) })
+    // static pruning: an equality on lang reads only that partition
+    AcidSql.resetRowGroupMetrics()
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $cat.t WHERE lang = 'ja'")
+      .head.getLong(0) === (0L until 600L).filter(_ % 6 == 3).map(_ * 7).sum)
+    val decodedStatic = AcidSql.vecRowsFooter.sum()
+    assert(decodedStatic <= 100L,
+      s"lang equality must prune to one partition: $decodedStatic")
+    // runtime pruning: a join's string dim side prunes fact files at
+    // execution through the cstats envelope probe
+    spark.sql("DROP TABLE IF EXISTS r17_lg_fact")
+    spark.sql(s"""CREATE TABLE r17_lg_fact (k BIGINT, lang STRING, v BIGINT)
+                 |USING `graft-acid-sql` OPTIONS (path '$dir')""".stripMargin)
+    val dimPath = s"$root/dim"
+    spark.range(6L).select(
+      element_at(typedLit(langs), (col("id") + 1).cast("int")).as(  "dl"),
+      when(element_at(typedLit(langs), (col("id") + 1).cast("int")) === "pt",
+        lit("hot")).otherwise(lit("cold")).as("label"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("label") === "hot")
+    AcidSql.resetRowGroupMetrics()
+    val qj = spark.table("r17_lg_fact")
+      .join(dim, col("lang") === col("dl"))
+      .agg(count(lit(1)).as("n"))
+    assert(qj.head.getLong(0) === 100L)
+    assert(qj.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "the join must inject a runtime IN filter on the string dim key")
+    val decoded = AcidSql.vecRowsFooter.sum()
+    assert(decoded > 0 && decoded <= 100L,
+      s"string runtime pruning must read only the matching partition: $decoded")
+    // NULL lang rows: the null segment refuses the fold; scans stay exact
+    spark.sql(s"DROP TABLE IF EXISTS $cat.nl")
+    spark.sql(s"""CREATE TABLE $cat.nl (k BIGINT, lang STRING)
+                 |PARTITIONED BY (lang)""".stripMargin)
+    spark.range(100L).select(col("id").as("k"),
+      when(col("id") % 10 === 0, lit(null))
+        .otherwise(lit("en")).as("lang"))
+      .createOrReplaceTempView("r17_lg_nl")
+    spark.sql(s"INSERT INTO $cat.nl SELECT k, lang FROM r17_lg_nl")
+    val qnl = spark.sql(s"SELECT lang, count(*) AS n FROM $cat.nl GROUP BY lang")
+    val rows = qnl.collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(rows === Set((Some("en"), 90L), (None, 10L)))
+    assert(!qnl.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "a null-bearing segment must refuse the manifest fold")
+    spark.sql("DROP TABLE IF EXISTS r17_lg_fact")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.nl")
+  }
+
+  test("tbl_part_identstr oracle row: meta-answered lang groups, runtime-pruned join") {
+    val df = graft.SparkEntry.queries("tbl_part_identstr")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length > 1, "documents must span several languages")
+    assert(rows.forall(_.getAs[Boolean]("meta_only")),
+      "every lang group must answer from the manifest")
+    assert(rows.forall(_.getAs[Boolean]("rt_pruned")),
+      "the string dim join must runtime-prune the fact scan")
+    val hot = rows.map(_.getAs[String]("lang")).min
+    assert(rows.find(_.getAs[String]("lang") == hot).get.getAs[Long]("n") ===
+      rows.head.getAs[Long]("rt_n"))
+  }
+
+  test("tbl_agg_pushdown_dv oracle row: stamped subtraction, refused extremes") {
+    val df = graft.SparkEntry.queries("tbl_agg_pushdown_dv")(spark, sf)
+    val r = df.collect()(0)
+    assert(r.getAs[Boolean]("meta_only") && r.getAs[Boolean]("stamped") &&
+      r.getAs[Boolean]("mm_refused"))
+    assert(r.getAs[Long]("n_live") < r.getAs[Long]("n_total"))
+    assert(r.getAs[Long]("lo") <= r.getAs[Long]("hi"))
+  }
 }
