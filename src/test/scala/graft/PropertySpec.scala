@@ -299,6 +299,81 @@ class PropertySpec extends AnyFunSuite {
     assert(decodedCount > 50, s"law must exercise real decodes: $decodedCount")
   }
 
+  /** Round-17 union-of-cells soundness law: whenever `exactCellsWith`
+    * decodes a conjunction-of-Or-trees to Some(cells), membership in the
+    * cell union must EQUAL direct evaluation at every probe point, the
+    * cells must be DISJOINT and SORTED (the aligned DELETE's allIn/
+    * noneIn checks assume both), and a wrong decode DELETES wrong rows.
+    * Generated: Or-trees of interval conjunctions over one column. */
+  test("exactCellsWith decode equals direct evaluation on 300 generated predicates") {
+    import org.apache.spark.sql.sources._
+    val lit: Gen[Long] = Gen.oneOf(
+      Gen.choose(-50L, 50L),
+      Gen.oneOf(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+        Long.MaxValue - 1, Long.MaxValue))
+    def leaf(v: Long): Gen[Filter] = Gen.oneOf[Filter](
+      EqualTo("c", v), GreaterThan("c", v), GreaterThanOrEqual("c", v),
+      LessThan("c", v), LessThanOrEqual("c", v), IsNotNull("c"))
+    val branch: Gen[Filter] = for {
+      n  <- Gen.choose(1, 3)
+      vs <- Gen.listOfN(n, lit)
+      fs <- Gen.sequence[List[Filter], Filter](vs.map(leaf))
+    } yield fs.reduce[Filter]((a, b) => And(a, b))
+    val orTree: Gen[Filter] = for {
+      n  <- Gen.choose(1, 4)
+      bs <- Gen.listOfN(n, branch)
+    } yield bs.reduce[Filter]((a, b) => Or(a, b))
+    val conj: Gen[List[Filter]] =
+      Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, orTree))
+    def holds(f: Filter, x: Long): Boolean = f match {
+      case EqualTo(_, v: Long)            => x == v
+      case GreaterThan(_, v: Long)        => x > v
+      case GreaterThanOrEqual(_, v: Long) => x >= v
+      case LessThan(_, v: Long)           => x < v
+      case LessThanOrEqual(_, v: Long)    => x <= v
+      case IsNotNull(_)                   => true
+      case And(l, r)                      => holds(l, x) && holds(r, x)
+      case Or(l, r)                       => holds(l, x) || holds(r, x)
+      case other => fail(s"unexpected shape $other")
+    }
+    def literalsOf(f: Filter): Seq[Long] = f match {
+      case EqualTo(_, v: Long)            => Seq(v)
+      case GreaterThan(_, v: Long)        => Seq(v)
+      case GreaterThanOrEqual(_, v: Long) => Seq(v)
+      case LessThan(_, v: Long)           => Seq(v)
+      case LessThanOrEqual(_, v: Long)    => Seq(v)
+      case And(l, r)                      => literalsOf(l) ++ literalsOf(r)
+      case Or(l, r)                       => literalsOf(l) ++ literalsOf(r)
+      case _                              => Seq.empty
+    }
+    val asLong: Any => Option[Long] = { case l: Long => Some(l); case _ => None }
+    var decodedCount = 0
+    sample(Gen.listOfN(300, conj)).foreach { fs =>
+      sources.AcidSql.exactCellsWith(fs, "c", asLong).foreach { cells =>
+        decodedCount += 1
+        // structure: sorted, disjoint, non-adjacent (normalize merged)
+        cells.sliding(2).foreach {
+          case Seq((_, ah), (bl, _)) =>
+            assert(ah < Long.MaxValue && ah + 1 < bl,
+              s"cells must be sorted, disjoint, non-adjacent: $cells")
+          case _ =>
+        }
+        val probes = (fs.flatMap(literalsOf).flatMap(v =>
+          Seq(v - 1, v, v + 1)) ++
+          cells.flatMap { case (lo, hi) => Seq(lo - 1, lo, hi, hi + 1) } ++
+          Seq(Long.MinValue, 0L, Long.MaxValue)).distinct
+        probes.foreach { x =>
+          val direct = fs.forall(holds(_, x))
+          val decoded = cells.exists { case (lo, hi) => lo <= x && x <= hi }
+          assert(direct == decoded,
+            s"exactCellsWith($fs) = $cells disagrees at x=$x " +
+              s"(direct=$direct decoded=$decoded)")
+        }
+      }
+    }
+    assert(decodedCount > 50, s"law must exercise real decodes: $decodedCount")
+  }
+
   test("sortable-bits law: double order, involution, nextUp adjacency") {
     import graft.sources.Acid.{dblSortBits, dblFromSortBits}
     val gen: Gen[Double] = Gen.oneOf(

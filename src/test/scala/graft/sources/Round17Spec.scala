@@ -300,6 +300,100 @@ class Round17Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.nl")
   }
 
+  /** Fourth family: OR-of-disjoint-intervals in the exact decoders (r16
+    * verdict missing #4). `exactCellsWith` decodes a pushed predicate to
+    * a union of DISJOINT SORTED closed intervals — each Or branch must
+    * decode as exactly one interval, conjunctions intersect pairwise,
+    * normalization merges overlap/adjacency, >8 cells refuse. The
+    * aligned DELETE consumes it, so the retention-window COMPLEMENT
+    * (`dt < lo OR dt >= hi` — "keep only the window") drops both
+    * flanks metadata-only.
+    */
+  test("exactCellsWith decode laws: branches, intersection, merge, refusals") {
+    import org.apache.spark.sql.sources._
+    def dec: Any => Option[Long] = {
+      case l: Long => Some(l); case i: Int => Some(i.toLong); case _ => None
+    }
+    def cells(fs: Filter*): Option[Seq[(Long, Long)]] =
+      AcidSql.exactCellsWith(fs.toSeq, "c", dec)
+    // a single interval is one cell; IsNotNull absorbs
+    assert(cells(GreaterThanOrEqual("c", 5L), LessThan("c", 10L),
+      IsNotNull("c")) === Some(Seq((5L, 9L))))
+    // the retention complement: two disjoint flanks
+    assert(cells(Or(LessThan("c", 100L), GreaterThanOrEqual("c", 200L))) ===
+      Some(Seq((Long.MinValue, 99L), (200L, Long.MaxValue))))
+    // overlapping branches merge to one cell; adjacency merges too
+    assert(cells(Or(LessThanOrEqual("c", 150L), GreaterThanOrEqual("c", 100L)))
+      === Some(Seq((Long.MinValue, Long.MaxValue))))
+    assert(cells(Or(EqualTo("c", 7L), EqualTo("c", 8L))) === Some(Seq((7L, 8L))))
+    // a conjunction of unions intersects pairwise
+    assert(cells(
+      Or(LessThan("c", 100L), GreaterThanOrEqual("c", 200L)),
+      And(GreaterThanOrEqual("c", 50L), LessThan("c", 250L))) ===
+      Some(Seq((50L, 99L), (200L, 249L))))
+    // empty result = provably-empty predicate (kept, not refused)
+    assert(cells(LessThan("c", 10L), GreaterThan("c", 20L)) ===
+      Some(Seq.empty))
+    // refusals: In inside a branch, Not, foreign column, >8 cells
+    assert(cells(Or(In("c", Array(1L, 2L)), GreaterThan("c", 10L))).isEmpty)
+    assert(cells(Not(EqualTo("c", 1L))).isEmpty)
+    assert(cells(Or(EqualTo("c", 1L), EqualTo("d", 2L))).isEmpty)
+    val nine = (0 until 9).map(i => EqualTo("c", i * 10L): Filter)
+      .reduceLeft[Filter]((a, b) => Or(a, b))
+    assert(cells(nine).isEmpty, "9 disjoint cells exceed the cap")
+    val eight = (0 until 8).map(i => EqualTo("c", i * 10L): Filter)
+      .reduceLeft[Filter]((a, b) => Or(a, b))
+    assert(cells(eight).map(_.size) === Some(8))
+  }
+
+  test("retention-complement DELETE drops both flanks metadata-only") {
+    val root = Scratch.fresh("r17_delcomp", sf)
+    val cat = "r17dc"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v BIGINT)
+                 |PARTITIONED BY (days(ts))""".stripMargin)
+    // 10 epoch-days x 100 rows, day = id/100
+    spark.range(1000L).select(col("id").as("k"),
+      timestamp_seconds((col("id") / 100).cast("long") * 86400L +
+        (col("id") % 100) * 864L).as("ts"),
+      (col("id") * 3).as("v"))
+      .createOrReplaceTempView("r17_dc_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM r17_dc_src")
+    val dir = s"$root/ev"
+    val v0 = Acid.latestVersion(dir)
+    val files0 = Acid.readManifest(dir, v0).files.map(_.path).toSet
+    // keep only days 3..6: both flanks are day-aligned and drop whole
+    spark.sql(s"DELETE FROM $cat.ev WHERE " +
+      "ts < TIMESTAMP'1970-01-04 00:00:00' OR " +
+      "ts >= TIMESTAMP'1970-01-08 00:00:00'")
+    val v1 = Acid.latestVersion(dir)
+    assert(v1 === v0 + 1, "the complement delete must be one commit")
+    val m1 = Acid.readManifest(dir, v1)
+    assert(m1.files.map(_.path).toSet.subsetOf(files0),
+      "both flanks must drop metadata-only: no rewritten file")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"d${v1}_sqldel")),
+      "no data directory may be written for a metadata-only delete")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) === 400L)
+    val mm = spark.sql(s"SELECT min(k) AS lo, max(k) AS hi FROM $cat.ev").head
+    assert((mm.getLong(0), mm.getLong(1)) === ((300L, 699L)))
+    // a complement with one straddling flank rewrites ONLY the straddler
+    val files1 = m1.files.map(_.path).toSet
+    spark.sql(s"DELETE FROM $cat.ev WHERE " +
+      "ts < TIMESTAMP'1970-01-05 00:00:00' OR " +
+      "ts >= TIMESTAMP'1970-01-07 12:00:00'")
+    val m2 = Acid.readManifest(dir, Acid.latestVersion(dir))
+    val rewritten = m2.files.map(_.path).toSet -- files1
+    assert(rewritten.nonEmpty && rewritten.forall(_.startsWith(
+      s"d${v1 + 1}_sqldel")), "only the straddling day may rewrite")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) === 250L)
+    assert(spark.sql(s"SELECT min(k) FROM $cat.ev").head.getLong(0) === 400L)
+    assert(spark.sql(s"SELECT max(k) FROM $cat.ev").head.getLong(0) === 649L)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+  }
+
   test("tbl_part_identstr oracle row: meta-answered lang groups, runtime-pruned join") {
     val df = graft.SparkEntry.queries("tbl_part_identstr")(spark, sf)
     val rows = df.collect()
