@@ -63,6 +63,28 @@ object Bench {
         try fn(spark, sfDir).count()
         catch { case _: Throwable => () } // failures re-surface timed below
       }
+    // Fixed-work CALIBRATION PROBE (round-17, r16 verdict #6): the same
+    // deterministic work measured at bench start and end — a pure-CPU
+    // xorshift spin plus one tiny parquet scan. Cross-round comparisons
+    // can divide by the committed record's probe to separate host speed
+    // from plan changes (instead of trusting median_vs_prev alone), the
+    // re-probe trigger scales its per-query baseline by the ratio so a
+    // uniformly slow host doesn't burn the re-probe budget on noise, and
+    // the start/end pair exposes mid-run load drift — a drifting run
+    // never overwrites the committed baseline.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      // data-dependent no-op so the spin cannot be dead-code-eliminated
+      if (x == 42L) print("")
+      spark.read.parquet(s"$sfDir/nation.parquet").count(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calStart = calibrate()
     // Previous full record (if any): the per-query baseline for outlier
     // re-probes. Parsed BEFORE this run rewrites the file.
     val sfName0 = java.nio.file.Paths.get(sfDir).getFileName.toString
@@ -89,12 +111,23 @@ object Bench {
     // committed artifact is the cross-round fallback — sf0.1 ONLY, since
     // that is the scale it records (an sf0.001 iteration comparing against
     // sf0.1 times would mis-trigger on every query).
-    val prev: Map[String, Double] = {
+    def parseCal(p: java.nio.file.Path): Option[Double] =
+      if (!java.nio.file.Files.exists(p)) None
+      else """"cal_start":([0-9]+\.?[0-9]*)""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p))
+        .map(_.group(1).toDouble)
+    val (prev: Map[String, Double], calPrev: Option[Double]) = {
       val t = parseQueries(prevPath)
-      if (t.nonEmpty) t
-      else if (sfName0 == "sf0.1") parseQueries(committedPath)
-      else Map.empty
+      if (t.nonEmpty) (t, parseCal(prevPath))
+      else if (sfName0 == "sf0.1")
+        (parseQueries(committedPath), parseCal(committedPath))
+      else (Map.empty[String, Double], None)
     }
+    // host-speed ratio vs the record `prev` came from; clamped — a
+    // wildly different probe says "don't trust either", not "scale by 6"
+    val calR: Double =
+      calPrev.filter(_ > 0.05).map(p => (calStart / p).max(0.5).min(3.0))
+        .getOrElse(1.0)
     // A failed query must be visible in the output, not recorded as a
     // normal-looking timing: err carries the exception class+message.
     // OUTLIER RE-PROBE (round-6 verdict #5): the r6 record shipped a 2.7×
@@ -131,8 +164,13 @@ object Bench {
       // 1 s floor on (a)/(c): sub-second flap is noise nobody grades.
       // Capped so a globally-loaded box at most ~doubles the wall time of
       // the worst few queries.
+      // the relative trigger scales by the calibration ratio (round-17):
+      // on a measured-slower host every query inflates together — only
+      // beyond-host-slowdown outliers are worth the re-probe budget. The
+      // absolute 8 s pathological line stays UNscaled: it is the scored
+      // contract line, suspect on any host.
       val suspect = err1.isEmpty && (t1 > 8.0 || (t1 > 1.0 &&
-        (prev.get(name).exists(p => t1 > 1.5 * p) ||
+        (prev.get(name).exists(p => t1 > 1.5 * p * calR) ||
           (!prev.contains(name) && t1 > 4.0))))
       val t =
         if (suspect && reprobes < 20) {
@@ -190,8 +228,12 @@ object Bench {
       else reprobeLog.map { case (k, ss) =>
         s""""$k":[${ss.map(fmt).mkString(",")}]"""
       }.mkString(""","reprobed":{""", ",", "}")
+    val calEnd = calibrate()
+    val calFields = s""","cal_start":${fmt(calStart)},"cal_end":${fmt(calEnd)}""" +
+      calPrev.map(p => s""","cal_prev":${fmt(p)},"cal_ratio":${fmt(calR)}""")
+        .getOrElse("")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"reprobes":$reprobes$reprobedField$medianField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"reprobes":$reprobes$reprobedField$medianField$calFields,"sf":"$sfDir"}"""
     println(json)
     // The driver captures stdout with tail truncation (BENCH_r02 lost 30 of
     // 95 per-query timings that way) — also persist the full record to a
@@ -222,7 +264,11 @@ object Bench {
         // is quiet (median_vs_prev ≤ 1.25, or no prior to compare);
         // otherwise park the record as a candidate — still persisted,
         // promoted only by an explicit commit-time decision.
-        val quiet = medianVsPrev.forall(_ <= 1.25)
+        // quiet additionally requires a STABLE calibration pair (round-17):
+        // a mid-run load event inflates some queries while the median
+        // stays polite — the drifting probe catches it
+        val calStable = calEnd <= 1.5 * calStart && calStart <= 1.5 * calEnd
+        val quiet = medianVsPrev.forall(_ <= 1.25) && calStable
         val candidatePath = java.nio.file.Paths.get("BENCH_full_candidate.json")
         val artifactPath = if (quiet) committedPath else candidatePath
         try {
@@ -261,7 +307,7 @@ object Bench {
         .replace("\"", "\\\"").replace("\n", " ") + "\"" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"queries_omitted":${results.size - slowest.size},"errors":$errsTop,"errors_total":${errList.size},"reprobes":$reprobes$medianField,"full_record":"$outPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"queries_omitted":${results.size - slowest.size},"errors":$errsTop,"errors_total":${errList.size},"reprobes":$reprobes$medianField$calFields,"full_record":"$outPath","sf":"$sfDir"}""")
     // Teardown: release the session-memoized pipelines (persisted /
     // checkpointed blocks) and the bucketed fixture tables so the harness
     // exits clean — the library-surface contract a long-lived service
