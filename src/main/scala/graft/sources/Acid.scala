@@ -255,11 +255,20 @@ object Acid {
     * Delta's commitInfo analogue, served by the `.history` metadata
     * table. Informational only: no reader branches on it. Empty on
     * manifests written before the field existed. */
+  /** `colMap` (round-17, versioned schema metadata): the logical →
+    * physical column mapping IN EFFECT at this version, stamped by every
+    * commit from the live sidecar (commitManifest fills it when the
+    * caller doesn't), so version-pinned reads resolve the names the
+    * table had THEN — time travel across a RENAME shows the old names,
+    * the Delta metadata-action semantic. None = pre-r17 manifest =
+    * readers fall back to the version-less sidecar (legacy behavior:
+    * the rename applies to all time-traveled versions). */
   final case class Manifest(version: Int, batchId: Long, files: Seq[FileEntry],
                             batchHw: Map[String, Long] = Map.empty,
                             cdcPath: Option[String] = None,
                             constraint: Option[String] = None,
-                            op: String = "")
+                            op: String = "",
+                            colMap: Option[Map[String, String]] = None)
   final case class MergeResult(version: Int, filesRewritten: Int, filesTotal: Int,
                                skipped: Boolean)
 
@@ -656,7 +665,27 @@ object Acid {
           StandardCharsets.UTF_8))
       else None
     val op = if (header.length >= 6) header(5) else ""
-    Manifest(header(0).toInt, header(1).toLong, files, hw, cdc, constraint, op)
+    // 7th field (round-17): "@" + base64("lo|ph\n" lines) = the recorded
+    // column mapping ("@" alone = recorded identity); absent/empty =
+    // pre-r17 manifest, no record
+    val cmap =
+      if (header.length >= 7 && header(6).startsWith("@"))
+        Some(new String(java.util.Base64.getDecoder.decode(
+          header(6).substring(1)), StandardCharsets.UTF_8)
+          .split('\n').iterator.filter(_.nonEmpty).map { l =>
+            val i = l.indexOf('|')
+            (l.substring(0, i), l.substring(i + 1))
+          }.toMap)
+      else None
+    Manifest(header(0).toInt, header(1).toLong, files, hw, cdc, constraint,
+      op, cmap)
+  }
+
+  private def renderColMapField(m: Manifest): String = m.colMap match {
+    case None => ""
+    case Some(cm) => "@" + java.util.Base64.getEncoder.encodeToString(
+      cm.toSeq.sorted.map { case (lo, ph) => s"$lo|$ph" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
   }
 
   /** One parsed log file: the version's header plus either its full file
@@ -830,8 +859,13 @@ object Acid {
     * HDFS/object stores the same contract is the atomic rename / if-none-
     * match PUT.)
     */
-  private[graft] def commitManifest(dir: String, m: Manifest): Unit = {
+  private[graft] def commitManifest(dir: String, m0: Manifest): Unit = {
     Files.createDirectories(logDir(dir))
+    // stamp the live column mapping into the version (round-17): every
+    // commit records the logical → physical map in effect at its moment,
+    // so version-pinned reads resolve THEIR names. One Files.exists for
+    // the overwhelmingly common unmapped table.
+    val m = if (m0.colMap.isDefined) m0 else m0.copy(colMap = Some(colMapOf(dir)))
     // writer tags are manifest-header tokens: forbid the delimiters
     m.batchHw.keys.foreach(t => require(t.matches("[A-Za-z0-9_.-]+"),
       s"writer tag '$t' must be [A-Za-z0-9_.-]+"))
@@ -843,7 +877,7 @@ object Acid {
       .encodeToString(c.getBytes(StandardCharsets.UTF_8))).getOrElse("")
     require(!m.op.contains('|') && !m.op.contains('\n'),
       s"op '${m.op}' must not contain header delimiters")
-    val header = s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}|$cstr|${m.op}"
+    val header = s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}|$cstr|${m.op}|${renderColMapField(m)}"
     // Delta encoding vs the parent (O(changed files) write amplification):
     // only when the parent resolves and the delta is strictly smaller
     // than the full list — v0, truncating overwrites, and wholesale
@@ -900,7 +934,7 @@ object Acid {
       .map { case (t, v) => s"$t=$v" }.mkString(",")
     val cstr = m.constraint.map(c => java.util.Base64.getEncoder
       .encodeToString(c.getBytes(StandardCharsets.UTF_8))).getOrElse("")
-    val body = (s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}|$cstr|${m.op}" +: {
+    val body = (s"${m.version}|${m.batchId}|$hwStr|${m.cdcPath.getOrElse("")}|$cstr|${m.op}|${renderColMapField(m)}" +: {
       if (m.files.size <= CheckpointShardEntries) m.files.map(renderEntry)
       else writeShards(dir, "c", m.version, m.files)
     }).mkString("\n")
@@ -1557,6 +1591,16 @@ object Acid {
     }.toMap
   }
 
+  /** The column mapping IN EFFECT at version `v` (round-17): the
+    * version's own recorded map when the manifest carries one, else the
+    * version-less sidecar (pre-r17 manifests — legacy semantics, the
+    * rename applies to all time-traveled versions). v < 0 = latest =
+    * the live sidecar. */
+  private[graft] def colMapAt(dir: String, v: Int): Map[String, String] =
+    if (v < 0) colMapOf(dir)
+    else Try(readManifest(dir, v)).toOption.flatMap(_.colMap)
+      .getOrElse(colMapOf(dir))
+
   private[sources] def writeColMap(dir: String, m: Map[String, String]): Unit = {
     Files.createDirectories(logDir(dir))
     Files.writeString(logDir(dir).resolve("colmap.txt"),
@@ -2114,7 +2158,9 @@ object Acid {
     val dropped = droppedOf(dir)
     val undead =
       if (dropped.isEmpty) raw else raw.drop(dropped.filter(raw.columns.contains): _*)
-    val cm = colMapOf(dir)
+    // version-pinned reads resolve the names the table had AT that
+    // version (round-17); latest reads use the live sidecar as before
+    val cm = colMapAt(dir, version)
     if (cm.isEmpty) undead
     else cm.foldLeft(undead) { case (df, (lo, ph)) =>
       if (df.columns.contains(ph)) df.withColumnRenamed(ph, lo) else df
@@ -6361,8 +6407,11 @@ object Acid {
       s"""INSERT INTO $cat.t SELECT k + $mk + 1, k * 3 + 45, 'INS'
          |FROM graft_ren_src WHERE k % 100 = 0""".stripMargin)
     // the post-rename INSERT's files must still carry the PHYSICAL name
-    val newFiles = readManifest(dir = s"$root/t", v = 1).files
-      .filterNot(readManifest(s"$root/t", 0).files.toSet)
+    // (the rename commits its own ALTER version since round-17, so the
+    // INSERT is the latest version, not v1)
+    val vIns = latestVersion(s"$root/t")
+    val newFiles = readManifest(dir = s"$root/t", v = vIns).files
+      .filterNot(readManifest(s"$root/t", vIns - 1).files.toSet)
     val physicalKept = newFiles.nonEmpty && newFiles.forall { f =>
       s.read.parquet(s"$root/t/${f.path}").schema.fieldNames
         .contains("price_cents")

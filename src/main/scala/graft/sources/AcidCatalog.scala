@@ -414,6 +414,17 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
         }
         val physical = cmPre.getOrElse(from, from)
         Acid.writeColMap(dir, (cmPre - from) + (to -> physical))
+        // the rename IS a version (round-17, the Delta metadata-action
+        // semantic): commit an ALTER manifest carrying the NEW mapping
+        // (same file list), so `VERSION AS OF` any earlier version reads
+        // the OLD logical names while latest reads the new ones, and the
+        // rename shows in .history
+        if (v >= 0) {
+          val mm = Acid.readManifest(dir, v)
+          Acid.commitManifest(dir, mm.copy(version = v + 1, batchId = -1L,
+            cdcPath = None, op = "ALTER",
+            colMap = Some((cmPre - from) + (to -> physical))))
+        }
         StructType(sch.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
       case (sch, del: TableChange.DeleteColumn) =>

@@ -1856,7 +1856,10 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   private val keyCol = tableSchema.fields.head.name
   // colmap: partcol sidecar and file stats carry PHYSICAL names; pushed
   // filters reference LOGICAL ones
-  private val colMap = Acid.colMapOf(dir)
+  // version-pinned builders translate under the mapping in effect AT the
+  // pinned version (round-17) — a rename later must not re-name a time
+  // travel's output; latest builders (version < 0) read the live sidecar
+  private val colMap = Acid.colMapAt(dir, version)
   // every transform the table has EVER declared (spec evolution): each
   // file prunes under the labels its writing spec stamped
   private val partSpecs = Acid.partSpecHistory(dir).flatten.distinct

@@ -556,21 +556,32 @@ class AcidSpec extends AnyFunSuite {
         "a > 0 AND b IS NOT NULL", "x | weird || chars\t-- comment"))
       op <- Gen.oneOf("", "CREATE", "WRITE", "MERGE", "DELETE", "OPTIMIZE",
         "RESTORE", "REPLACE PARTITION", "STREAMING UPDATE")
-    } yield (bid, hw, fs, cdc, cstr, op)
+      // round-17 versioned column mapping: generated Some maps round-trip
+      // verbatim; None is auto-stamped at commit (asserted below)
+      cmap <- Gen.option(Gen.listOf(Gen.zip(
+        Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty),
+        Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty))).map(_.toMap))
+    } yield (bid, hw, fs, cdc, cstr, op, cmap)
     val dir = Scratch.fresh("acid_spec_roundtrip", sf)
     sample(Gen.listOfN(200, manifestGen)).zipWithIndex.foreach {
-      case ((bid, hw, fs, cdc, cstr, op), v) =>
-        val m = Acid.Manifest(v, bid, fs, hw, cdc, cstr, op)
+      case ((bid, hw, fs, cdc, cstr, op, cmap), v) =>
+        val m = Acid.Manifest(v, bid, fs, hw, cdc, cstr, op, cmap)
         Acid.commitManifest(dir, m)
         Acid.clearManifestCache() // exercise the on-disk format, not the cache
-        assert(Acid.readManifest(dir, v) == m, s"round-trip failed at v$v")
+        // a caller-supplied map round-trips verbatim; a None is stamped
+        // with the live sidecar map at commit time (round-17 — empty
+        // here, this scratch table has no colmap sidecar)
+        val expected = m.copy(colMap = cmap.orElse(Some(Map.empty)))
+        assert(Acid.readManifest(dir, v) == expected, s"round-trip failed at v$v")
     }
     assert(Acid.latestVersion(dir) == 199)
-    // pre-op-field manifests (5-field header) still read, op defaults ""
+    // pre-op-field manifests (5-field header) still read, op defaults "",
+    // colMap None (no record — readers fall back to the sidecar)
     val legacy = java.nio.file.Paths.get(dir, "_log", "v00200.txt")
     java.nio.file.Files.write(legacy,
       "200|-1|||".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(Acid.readManifest(dir, 200).op == "")
+    assert(Acid.readManifest(dir, 200).colMap.isEmpty)
   }
 
   test("graft-acid SQL source: pushed filters prune files, results stay exact") {

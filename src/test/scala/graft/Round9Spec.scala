@@ -48,9 +48,12 @@ class Round9Spec extends AnyFunSuite {
     assert(snap.filter(col("k") === 10).head.getLong(1) === -1L)
     assert(snap.filter(col("k") === 200).head.getLong(1) === -2L)
     assert(snap.filter(col("k") === 11).head.getLong(1) === 22L)
-    // the rewritten files must carry the PHYSICAL field name
-    val newFiles = Acid.readManifest(dir, 1).files
-      .filterNot(Acid.readManifest(dir, 0).files.toSet)
+    // the rewritten files must carry the PHYSICAL field name (the rename
+    // commits its own ALTER version since round-17, so the merge is the
+    // LATEST version, not v1)
+    val vM = Acid.latestVersion(dir)
+    val newFiles = Acid.readManifest(dir, vM).files
+      .filterNot(Acid.readManifest(dir, vM - 1).files.toSet)
     assert(newFiles.nonEmpty && newFiles.forall(f =>
       spark.read.parquet(s"$dir/${f.path}").schema.fieldNames.contains("v")))
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")

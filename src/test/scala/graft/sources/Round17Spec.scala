@@ -394,6 +394,62 @@ class Round17Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
   }
 
+  /** Fifth family: versioned column mapping (r16 verdict missing #5,
+    * the structural unlock for DEFAULT/type changes later). Every commit
+    * stamps the live logical → physical map into its manifest header
+    * (7th field, "@"+b64; absent = pre-r17 = legacy fall-back to the
+    * version-less sidecar), and RENAME COLUMN itself commits an ALTER
+    * version carrying the new map — so `VERSION AS OF` a pre-rename
+    * version reads the OLD logical names (the Delta metadata-action
+    * semantic) while latest reads the new ones.
+    */
+  test("time travel across RENAME COLUMN reads the old logical names") {
+    val root = Scratch.fresh("r17_vrename", sf)
+    val cat = "r17vr"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, amount BIGINT)")
+    spark.range(100L).select(col("id").as("k"), (col("id") * 2).as("amount"))
+      .createOrReplaceTempView("r17_vr_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, amount FROM r17_vr_src")
+    val dir = s"$root/t"
+    val vPre = Acid.latestVersion(dir)
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN amount TO total")
+    val vAlter = Acid.latestVersion(dir)
+    assert(vAlter === vPre + 1, "the rename must commit an ALTER version")
+    assert(Acid.readManifest(dir, vAlter).op === "ALTER")
+    // latest reads the NEW name; the pinned pre-rename version the OLD
+    assert(spark.sql(s"SELECT sum(total) FROM $cat.t").head.getLong(0) === 9900L)
+    val old = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $vPre")
+    assert(old.columns.toSeq === Seq("k", "amount"),
+      s"pre-rename version must read the OLD logical names: ${old.columns.toSeq}")
+    assert(spark.sql(
+      s"SELECT sum(amount) FROM $cat.t VERSION AS OF $vPre").head.getLong(0)
+      === 9900L)
+    // filters push under the OLD name on the pinned scan
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF $vPre " +
+      "WHERE amount >= 100").head.getLong(0) === 50L)
+    // data committed AFTER the rename still time-travels consistently:
+    // the new version records the new map
+    spark.sql(s"INSERT INTO $cat.t SELECT k + 100, (k + 100) * 2 FROM r17_vr_src")
+    val vPost = Acid.latestVersion(dir)
+    val post = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $vPost")
+    assert(post.columns.toSeq === Seq("k", "total"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) === 200L)
+    // the library surface agrees on both pins
+    assert(Acid.snapshot(spark, dir, vPre).columns.toSeq === Seq("k", "amount"))
+    assert(Acid.snapshot(spark, dir).columns.toSeq === Seq("k", "total"))
+    // a second rename: three name epochs, each version pinned to its own
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN total TO cents")
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $vPre").columns.toSeq
+      === Seq("k", "amount"))
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $vPost").columns.toSeq
+      === Seq("k", "total"))
+    assert(Acid.snapshot(spark, dir).columns.toSeq === Seq("k", "cents"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("tbl_part_identstr oracle row: meta-answered lang groups, runtime-pruned join") {
     val df = graft.SparkEntry.queries("tbl_part_identstr")(spark, sf)
     val rows = df.collect()
