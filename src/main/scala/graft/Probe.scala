@@ -1616,3 +1616,144 @@ object Round16bProbe {
     spark.stop()
   }
 }
+
+/** Round-17 evidence probe: (1) DV-tolerant metadata counting — per-file
+  * dvRows stamps keep count(*) a metadata read between OPTIMIZE runs
+  * where the r15 contract fell back to a full scan; (2) string identity
+  * partitions — GROUP BY lang answered from the manifest vs the scan;
+  * (3) the retention-window complement DELETE (`< lo OR >= hi`) dropping
+  * both flanks as one manifest commit vs the copy-on-write it used to
+  * pay. Sized at 4M rows so the scan-side comparisons measure real I/O.
+  */
+object Round17Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.{Acid, AcidSql}
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def med(f: => Double): Double = {
+      val xs = (1 to 5).map(_ => f).sorted; xs(xs.size / 2)
+    }
+    def dirBytes(p: String): Long = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      } finally w.close()
+    }
+    val n = 4000000L
+
+    // ---- (1) DV-tolerant metadata count ----
+    locally {
+      val root = Scratch.fresh("r17p_dv", sfDir)
+      val cat = "r17p_dv_c"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = s"$root/t"
+      Acid.create(spark, dir, spark.range(n)
+        .select(col("id").as("k"), (col("id") * 7).as("v")), "k", 32)
+      spark.sql(s"DROP TABLE IF EXISTS $cat.missing")
+      val (nDel, _, _) = Acid.deleteWhereMor(spark, dir,
+        col("k") % 9973 === 5, None, "p")
+      val tMeta = med(timed {
+        val c = spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
+        require(c == n - nDel, s"meta count $c"); c
+      }._2)
+      require(spark.sql(s"SELECT count(*) FROM $cat.t").queryExecution
+        .executedPlan.toString.contains("manifest-aggregate"))
+      val tScan = med(timed {
+        val c = spark.read.format("graft-acid").load(dir).count()
+        require(c == n - nDel, s"scan count $c"); c
+      }._2)
+      println(f"[r17-probe] DV-tolerant count ($n%d rows, $nDel%d MoR-deleted): " +
+        f"metadata ${tMeta * 1000}%6.1fms vs DV-applying scan " +
+        f"${tScan * 1000}%6.1fms — ${tScan / tMeta}%.1fx")
+    }
+
+    // ---- (2) string identity GROUP BY from the manifest ----
+    locally {
+      val root = Scratch.fresh("r17p_lang", sfDir)
+      val cat = "r17p_lg_c"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+      spark.sql(s"CREATE TABLE $cat.t (k BIGINT, lang STRING, v BIGINT) " +
+        "PARTITIONED BY (lang)")
+      val langs = Seq("ar", "de", "en", "es", "fr", "ja", "pt", "zh")
+      spark.range(n).select(col("id").as("k"),
+        element_at(typedLit(langs), (col("id") % 8 + 1).cast("int")).as("lang"),
+        (col("id") * 3).as("v"))
+        .createOrReplaceTempView("r17p_lg_src")
+      spark.sql(s"INSERT INTO $cat.t SELECT k, lang, v FROM r17p_lg_src")
+      val q = s"SELECT lang, count(*) AS c, sum(v) AS s FROM $cat.t GROUP BY lang"
+      require(spark.sql(q).queryExecution.executedPlan.toString
+        .contains("manifest-aggregate"))
+      val tMeta = med(timed {
+        require(spark.sql(q).collect().length == 8); ()
+      }._2)
+      val dir = s"$root/t"
+      val tScan = med(timed {
+        require(spark.read.format("graft-acid").load(dir)
+          .groupBy("lang").agg(count(lit(1)), sum(col("v")))
+          .collect().length == 8); ()
+      }._2)
+      println(f"[r17-probe] GROUP BY lang ($n%d rows, 8 langs): manifest fold " +
+        f"${tMeta * 1000}%6.1fms vs scan ${tScan * 1000}%6.1fms — " +
+        f"${tScan / tMeta}%.1fx")
+    }
+
+    // ---- (3) retention-complement DELETE: metadata vs copy-on-write ----
+    locally {
+      def build(tag: String): (String, String) = {
+        val root = Scratch.fresh(tag, sfDir)
+        val cat = tag.takeRight(10).replace('.', '_')
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+        spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+        spark.sql(s"CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v BIGINT) " +
+          "PARTITIONED BY (days(ts))")
+        spark.range(n).select(col("id").as("k"),
+          timestamp_seconds((col("id") / 100000L).cast("long") * 86400L +
+            (col("id") % 86400L)).as("ts"), (col("id") * 7).as("v"))
+          .createOrReplaceTempView(s"${cat}_src")
+        spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM ${cat}_src")
+        (root, cat)
+      }
+      // keep only days 10..29 of 40: both flanks drop metadata-only
+      val aligned = "ts < TIMESTAMP'1970-01-11 00:00:00' OR " +
+        "ts >= TIMESTAMP'1970-01-31 00:00:00'"
+      // shift one bound mid-day: the flank straddler pays copy-on-write
+      val straddle = "ts < TIMESTAMP'1970-01-11 12:00:00' OR " +
+        "ts >= TIMESTAMP'1970-01-31 00:00:00'"
+      val (rootA, catA) = build("r17p_cmeta")
+      val (rootB, catB) = build("r17p_ccow")
+      val preA = dirBytes(rootA); val preB = dirBytes(rootB)
+      val (_, tA) = timed(
+        spark.sql(s"DELETE FROM $catA.ev WHERE $aligned"))
+      val (_, tB) = timed(
+        spark.sql(s"DELETE FROM $catB.ev WHERE $straddle"))
+      val remA = spark.sql(s"SELECT count(*) FROM $catA.ev").head.getLong(0)
+      require(remA == n / 2, s"aligned remainder $remA")
+      println(f"[r17-probe] retention-complement DELETE ($n%d rows, 40 days, " +
+        f"both flanks = 20 days): aligned ${tA}%5.2fs " +
+        f"(+${(dirBytes(rootA) - preA) / 1024}%d KB written) vs one " +
+        f"straddling flank ${tB}%5.2fs " +
+        f"(+${(dirBytes(rootB) - preB) / 1024}%d KB) — " +
+        f"${tB / tA}%.1fx, metadata commit writes no data file")
+      spark.sql(s"DROP TABLE IF EXISTS $catA.ev")
+      spark.sql(s"DROP TABLE IF EXISTS $catB.ev")
+    }
+    spark.stop()
+  }
+}

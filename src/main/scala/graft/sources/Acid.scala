@@ -263,12 +263,17 @@ object Acid {
     * the Delta metadata-action semantic. None = pre-r17 manifest =
     * readers fall back to the version-less sidecar (legacy behavior:
     * the rename applies to all time-traveled versions). */
+  /** `dropped` (round-17, colMap's twin): the PHYSICAL names hidden by
+    * DROP COLUMN as of this version — stamped from the sidecar by every
+    * commit, so a version pinned BEFORE a drop still surfaces the
+    * column with its real values. None = pre-r17 = sidecar fallback. */
   final case class Manifest(version: Int, batchId: Long, files: Seq[FileEntry],
                             batchHw: Map[String, Long] = Map.empty,
                             cdcPath: Option[String] = None,
                             constraint: Option[String] = None,
                             op: String = "",
-                            colMap: Option[Map[String, String]] = None)
+                            colMap: Option[Map[String, String]] = None,
+                            dropped: Option[Seq[String]] = None)
   final case class MergeResult(version: Int, filesRewritten: Int, filesTotal: Int,
                                skipped: Boolean)
 
@@ -677,16 +682,27 @@ object Acid {
             (l.substring(0, i), l.substring(i + 1))
           }.toMap)
       else None
+    // 8th field (round-17): the dropped-column list, same "@"+b64 codec
+    val dropped =
+      if (header.length >= 8 && header(7).startsWith("@"))
+        Some(new String(java.util.Base64.getDecoder.decode(
+          header(7).substring(1)), StandardCharsets.UTF_8)
+          .split('\n').toSeq.filter(_.nonEmpty))
+      else None
     Manifest(header(0).toInt, header(1).toLong, files, hw, cdc, constraint,
-      op, cmap)
+      op, cmap, dropped)
   }
 
-  private def renderColMapField(m: Manifest): String = m.colMap match {
+  private def renderColMapField(m: Manifest): String = (m.colMap match {
     case None => ""
     case Some(cm) => "@" + java.util.Base64.getEncoder.encodeToString(
       cm.toSeq.sorted.map { case (lo, ph) => s"$lo|$ph" }.mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
-  }
+  }) + "|" + (m.dropped match {
+    case None => ""
+    case Some(ds) => "@" + java.util.Base64.getEncoder.encodeToString(
+      ds.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  })
 
   /** One parsed log file: the version's header plus either its full file
     * list or its delta actions against version-1. */
@@ -861,11 +877,12 @@ object Acid {
     */
   private[graft] def commitManifest(dir: String, m0: Manifest): Unit = {
     Files.createDirectories(logDir(dir))
-    // stamp the live column mapping into the version (round-17): every
-    // commit records the logical → physical map in effect at its moment,
-    // so version-pinned reads resolve THEIR names. One Files.exists for
-    // the overwhelmingly common unmapped table.
-    val m = if (m0.colMap.isDefined) m0 else m0.copy(colMap = Some(colMapOf(dir)))
+    // stamp the live column mapping and dropped list into the version
+    // (round-17): every commit records the schema metadata in effect at
+    // its moment, so version-pinned reads resolve THEIR names/columns.
+    // Two Files.exists for the overwhelmingly common unevolved table.
+    val m1 = if (m0.colMap.isDefined) m0 else m0.copy(colMap = Some(colMapOf(dir)))
+    val m = if (m1.dropped.isDefined) m1 else m1.copy(dropped = Some(droppedOf(dir)))
     // writer tags are manifest-header tokens: forbid the delimiters
     m.batchHw.keys.foreach(t => require(t.matches("[A-Za-z0-9_.-]+"),
       s"writer tag '$t' must be [A-Za-z0-9_.-]+"))
@@ -1643,6 +1660,14 @@ object Acid {
     * no reader ever surfaces them, and a later ADD COLUMN with the same
     * logical name allocates a FRESH physical name so the dead bytes can
     * never resurface (Delta's physical-id discipline). */
+  /** The dropped list IN EFFECT at version `v` (round-17, colMapAt's
+    * twin): a version pinned BEFORE a DROP COLUMN still surfaces the
+    * column. Pre-r17 manifests (no record) fall back to the sidecar. */
+  private[graft] def droppedAt(dir: String, v: Int): Seq[String] =
+    if (v < 0) droppedOf(dir)
+    else Try(readManifest(dir, v)).toOption.flatMap(_.dropped)
+      .getOrElse(droppedOf(dir))
+
   private[graft] def droppedOf(dir: String): Seq[String] = {
     val p = logDir(dir).resolve("dropped.txt")
     if (!Files.exists(p)) Seq.empty
@@ -2155,7 +2180,7 @@ object Acid {
     */
   def snapshot(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val raw = snapshotPhysical(s, dir, version)
-    val dropped = droppedOf(dir)
+    val dropped = droppedAt(dir, version)
     val undead =
       if (dropped.isEmpty) raw else raw.drop(dropped.filter(raw.columns.contains): _*)
     // version-pinned reads resolve the names the table had AT that

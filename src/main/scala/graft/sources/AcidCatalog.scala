@@ -464,6 +464,15 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
         }
         Acid.writeDropped(dir, Acid.droppedOf(dir) :+ physD)
         Acid.writeColMap(dir, cmD - from)
+        // the drop IS a version (round-17, the rename's twin): commit an
+        // ALTER manifest with colMap/dropped left for commitManifest to
+        // stamp from the just-updated sidecars — earlier versions keep
+        // surfacing the column with its real values
+        if (vD >= 0) {
+          val mm = Acid.readManifest(dir, vD)
+          Acid.commitManifest(dir, mm.copy(version = vD + 1, batchId = -1L,
+            cdcPath = None, op = "ALTER", colMap = None, dropped = None))
+        }
         StructType(sch.fields.filterNot(_.name == from))
       case (sch, up: TableChange.UpdateColumnType) =>
         // ALTER COLUMN ... TYPE — Delta's explicit type-widening DDL

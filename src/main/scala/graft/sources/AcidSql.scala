@@ -588,6 +588,10 @@ object AcidSql {
     * drop without a rewrite. A single interval decodes to one cell, so
     * this strictly supersedes exactIntervalWith at the aligned-DELETE
     * call site. */
+  private[graft] def exactCells(filters: Seq[Filter], c: String,
+      time: Boolean): Option[Seq[(Long, Long)]] =
+    exactCellsWith(filters, c, if (time) tsMicros else asLong)
+
   private[graft] def exactCellsWith(filters: Seq[Filter], c: String,
       dec: Any => Option[Long]): Option[Seq[(Long, Long)]] = {
     def branch(f: Filter): Option[Seq[(Long, Long)]] = f match {
@@ -1904,8 +1908,8 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
   /** Some(true)=provably fully-inside [lo,hi] (and null-free),
     * Some(false)=provably fully-outside, None=cannot prove either. */
   private def classifyFile(f: Acid.FileEntry, specs: Seq[Acid.PartSpec],
-      lo: Long, hi: Long, physPc: String): Option[Boolean] = {
-    if (lo > hi) return Some(false) // empty interval excludes every row
+      cells: Seq[(Long, Long)], physPc: String): Option[Boolean] = {
+    if (cells.isEmpty) return Some(false) // empty predicate excludes all
     val stamps = f.stats2.toSeq ++ f.pstats
     specs.iterator.flatMap { ps =>
       stamps.collectFirst { case (c, mn2, mx2) if c == ps.label =>
@@ -1914,12 +1918,16 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
           hiCell <- Acid.partCellRange(ps, mx2)
         } yield (loCell._1, hiCell._2)
       }.flatten.flatMap { case (rawLo, rawHi) =>
-        if (lo <= rawLo && rawHi <= hi)
+        // cells are disjoint and sorted (exactCellsWith's contract):
+        // "fully inside" = one cell contains the file's raw range,
+        // "fully outside" = no cell intersects it
+        if (cells.exists { case (lo, hi) => lo <= rawLo && rawHi <= hi })
           // fully inside — valid only with a stamped zero nullCount
           // (restamped files can carry a stamp yet hold null source
           // rows, which the predicate excludes but the file wouldn't)
           (if (f.nulls.contains((physPc, 0L))) Some(true) else None)
-        else if (rawHi < lo || rawLo > hi) Some(false)
+        else if (!cells.exists { case (lo, hi) => rawHi >= lo && rawLo <= hi })
+          Some(false)
         else None
       }
     }.nextOption()
@@ -1944,9 +1952,12 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
                _: Acid.PartMonths | _: Acid.PartYears => true
           case _ => false
         }
-        AcidSql.exactInterval(mine.toSeq, pc, time).foreach { case (lo, hi) =>
+        // union-of-disjoint-cells decode (round-17; single intervals are
+        // one cell) — `WHERE ts < a OR ts >= b` claims exactly when both
+        // flanks land on cell boundaries
+        AcidSql.exactCells(mine.toSeq, pc, time).foreach { cells =>
           val physPc = colMap.getOrElse(pc, pc)
-          val cls = files.map(classifyFile(_, specs, lo, hi, physPc))
+          val cls = files.map(classifyFile(_, specs, cells, physPc))
           if (cls.forall(_.isDefined)) {
             val in = files.zip(cls)
               .collect { case (f, Some(true)) => f.path }.toSet

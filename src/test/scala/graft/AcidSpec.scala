@@ -561,17 +561,20 @@ class AcidSpec extends AnyFunSuite {
       cmap <- Gen.option(Gen.listOf(Gen.zip(
         Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty),
         Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty))).map(_.toMap))
-    } yield (bid, hw, fs, cdc, cstr, op, cmap)
+      drop <- Gen.option(Gen.listOf(
+        Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)).map(_.distinct))
+    } yield (bid, hw, fs, cdc, cstr, op, cmap, drop)
     val dir = Scratch.fresh("acid_spec_roundtrip", sf)
     sample(Gen.listOfN(200, manifestGen)).zipWithIndex.foreach {
-      case ((bid, hw, fs, cdc, cstr, op, cmap), v) =>
-        val m = Acid.Manifest(v, bid, fs, hw, cdc, cstr, op, cmap)
+      case ((bid, hw, fs, cdc, cstr, op, cmap, drop), v) =>
+        val m = Acid.Manifest(v, bid, fs, hw, cdc, cstr, op, cmap, drop)
         Acid.commitManifest(dir, m)
         Acid.clearManifestCache() // exercise the on-disk format, not the cache
-        // a caller-supplied map round-trips verbatim; a None is stamped
-        // with the live sidecar map at commit time (round-17 — empty
-        // here, this scratch table has no colmap sidecar)
-        val expected = m.copy(colMap = cmap.orElse(Some(Map.empty)))
+        // caller-supplied schema metadata round-trips verbatim; a None is
+        // stamped with the live sidecar state at commit time (round-17 —
+        // empty here, this scratch table has no colmap/dropped sidecars)
+        val expected = m.copy(colMap = cmap.orElse(Some(Map.empty)),
+          dropped = drop.orElse(Some(Seq.empty)))
         assert(Acid.readManifest(dir, v) == expected, s"round-trip failed at v$v")
     }
     assert(Acid.latestVersion(dir) == 199)
@@ -582,6 +585,7 @@ class AcidSpec extends AnyFunSuite {
       "200|-1|||".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(Acid.readManifest(dir, 200).op == "")
     assert(Acid.readManifest(dir, 200).colMap.isEmpty)
+    assert(Acid.readManifest(dir, 200).dropped.isEmpty)
   }
 
   test("graft-acid SQL source: pushed filters prune files, results stay exact") {

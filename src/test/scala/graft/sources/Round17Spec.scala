@@ -450,6 +450,92 @@ class Round17Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
+  test("time travel across DROP COLUMN surfaces the old column with its values") {
+    val root = Scratch.fresh("r17_vdrop", sf)
+    val cat = "r17vd"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, score BIGINT, note STRING)")
+    spark.range(50L).select(col("id").as("k"), (col("id") * 5).as("score"),
+      concat(lit("n"), col("id")).as("note"))
+      .createOrReplaceTempView("r17_vd_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, score, note FROM r17_vd_src")
+    val dir = s"$root/t"
+    val vPre = Acid.latestVersion(dir)
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN score")
+    assert(Acid.latestVersion(dir) === vPre + 1,
+      "the drop must commit an ALTER version")
+    assert(Acid.readManifest(dir, vPre + 1).op === "ALTER")
+    // latest hides the column; the pinned pre-drop version serves it
+    assert(spark.sql(s"SELECT * FROM $cat.t").columns.toSeq ===
+      Seq("k", "note"))
+    val old = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $vPre")
+    assert(old.columns.toSeq === Seq("k", "score", "note"),
+      s"pre-drop version must surface the dropped column: ${old.columns.toSeq}")
+    assert(spark.sql(
+      s"SELECT sum(score) FROM $cat.t VERSION AS OF $vPre").head.getLong(0)
+      === (0L until 50L).map(_ * 5).sum)
+    // re-ADD the name: fresh physical, NULLs at latest — and the pinned
+    // pre-drop version still reads the ORIGINAL values, never the nulls
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN score BIGINT")
+    assert(spark.sql(s"SELECT count(score) FROM $cat.t").head.getLong(0) === 0L,
+      "re-added column must read NULL, never the dead bytes")
+    assert(spark.sql(
+      s"SELECT sum(score) FROM $cat.t VERSION AS OF $vPre").head.getLong(0)
+      === (0L until 50L).map(_ * 5).sum,
+      "the pre-drop pin must keep serving the original values")
+    assert(Acid.snapshot(spark, dir, vPre).columns.toSeq ===
+      Seq("k", "score", "note"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
+  test("OR-window filtered aggregates claim and answer from the manifest") {
+    val root = Scratch.fresh("r17_orclaim", sf)
+    val cat = "r17oc"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    spark.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, v BIGINT)
+                 |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.range(1000L).select(col("id").as("k"),
+      timestamp_seconds((col("id") / 100).cast("long") * 86400L +
+        (col("id") % 100) * 864L).as("ts"),
+      (col("id") * 3).as("v"))
+      .createOrReplaceTempView("r17_oc_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT k, ts, v FROM r17_oc_src")
+    // both flanks day-aligned: the OR window claims exactly and the
+    // aggregate answers from the manifest with zero opens
+    val win = "ts < TIMESTAMP'1970-01-03 00:00:00' OR " +
+      "ts >= TIMESTAMP'1970-01-09 00:00:00'"
+    AcidSql.resetRowGroupMetrics()
+    val q = spark.sql(s"SELECT count(*) AS n, min(k) AS lo, max(k) AS hi " +
+      s"FROM $cat.ev WHERE $win")
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((400L, 0L, 999L)))
+    assert(q.queryExecution.executedPlan.toString.contains("manifest-aggregate") &&
+      AcidSql.vecRowsFooter.sum() === 0L,
+      "a cell-aligned OR window must answer from the manifest")
+    // the claimed plain scan drops the residual filter and reads only
+    // the flank files
+    AcidSql.resetRowGroupMetrics()
+    val q2 = spark.sql(s"SELECT k FROM $cat.ev WHERE $win")
+    assert(q2.collect().length === 400, "the claimed row scan stays exact")
+    assert(q2.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, "an aligned OR window must be claimed exactly — no residual")
+    assert(AcidSql.vecRowsFooter.sum() === 400L,
+      "only the flank files may be read")
+    // a straddling flank refuses the claim; the count stays exact
+    val q3 = spark.sql(s"SELECT count(*) AS n FROM $cat.ev WHERE " +
+      "ts < TIMESTAMP'1970-01-03 12:00:00' OR " +
+      "ts >= TIMESTAMP'1970-01-09 00:00:00'")
+    assert(q3.head.getLong(0) === 450L)
+    assert(!q3.queryExecution.executedPlan.toString.contains("manifest-aggregate"),
+      "a mid-cell OR boundary must refuse the metadata answer")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
+  }
+
   test("tbl_part_identstr oracle row: meta-answered lang groups, runtime-pruned join") {
     val df = graft.SparkEntry.queries("tbl_part_identstr")(spark, sf)
     val rows = df.collect()
