@@ -8,9 +8,9 @@ import scala.util.Try
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType,
-  FloatType, IntegerType, LongType, MapType, ShortType, StringType,
-  StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType,
+  DateType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType,
+  StringType, StructType, TimestampNTZType, TimestampType}
 
 import graft.Tables
 
@@ -1668,6 +1668,92 @@ object Acid {
     else Try(readManifest(dir, v)).toOption.flatMap(_.dropped)
       .getOrElse(droppedOf(dir))
 
+  /** Column DEFAULT values (round-17, landing on the versioned-schema
+    * work; the SQL-standard ADD COLUMN ... DEFAULT semantic): one entry
+    * per defaulted column — (physical name, data type, CURRENT_DEFAULT
+    * SQL text, EXISTS-default internal value). The EXISTS default fills
+    * the column for files that PREDATE it (a file not carrying the
+    * column physically was written before the ALTER — every post-ALTER
+    * write includes the declared column, so stored NULLs stay NULL);
+    * the CURRENT_DEFAULT text rides the catalog schema's field metadata,
+    * where Spark's own ResolveDefaultColumns fills INSERTs that omit
+    * the column. Constant defaults only — non-foldable expressions
+    * refuse at DDL. Time-travel soundness needs no versioning here:
+    * pinned schemas are file-derived, so a pre-ALTER version never
+    * requests the column and the fill can never fabricate values into
+    * old snapshots. */
+  private[graft] def defaultsOf(dir: String): Seq[(String, DataType, String, Any)] = {
+    val p = logDir(dir).resolve("defaults.txt")
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val a = l.split('|')
+      def b64d(x: String) =
+        new String(java.util.Base64.getDecoder.decode(x), StandardCharsets.UTF_8)
+      val dt = DataType.fromDDL(b64d(a(1)))
+      (a(0), dt, b64d(a(2)), decodeDefault(dt, b64d(a(3))))
+    }.toSeq
+  }
+
+  /** The catalog schema with each defaulted column's CURRENT_DEFAULT /
+    * EXISTS_DEFAULT field metadata attached — the keys Spark's own
+    * ResolveDefaultColumns reads to fill INSERTs that omit the column.
+    * Metadata-only: writers/readers compare schemas modulo metadata. */
+  private[sources] def withDefaultsMeta(dir: String,
+      schema: StructType): StructType = {
+    val ds = defaultsOf(dir)
+    if (ds.isEmpty) schema
+    else {
+      val cm = colMapOf(dir)
+      StructType(schema.fields.map { f =>
+        val phys = cm.getOrElse(f.name, f.name)
+        ds.find(_._1 == phys) match {
+          case Some((_, _, sql, _)) =>
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString("CURRENT_DEFAULT", sql)
+              .putString("EXISTS_DEFAULT", sql).build())
+          case None => f
+        }
+      })
+    }
+  }
+
+  private[sources] def writeDefaults(dir: String,
+      ds: Seq[(String, DataType, String, String)]): Unit = {
+    Files.createDirectories(logDir(dir))
+    def b64(x: String) = java.util.Base64.getEncoder
+      .encodeToString(x.getBytes(StandardCharsets.UTF_8))
+    Files.writeString(logDir(dir).resolve("defaults.txt"),
+      ds.map { case (c, dt, sql, repr) =>
+        s"$c|${b64(dt.sql)}|${b64(sql)}|${b64(repr)}"
+      }.mkString("\n")): Unit
+  }
+
+  /** The persisted plain-text rendition of a default's CATALYST-internal
+    * value, and its decoder — the supported type set is deliberately
+    * the scalar one every reader fill handles. */
+  private[sources] def encodeDefault(dt: DataType, v: Any): Option[String] =
+    (dt, v) match {
+      case (_, null) => None
+      case (LongType | IntegerType | ShortType | ByteType |
+            DoubleType | FloatType | BooleanType |
+            DateType | TimestampType | TimestampNTZType, x) => Some(x.toString)
+      case (StringType, x) => Some(x.toString) // UTF8String round-trips
+      case _ => None
+    }
+  private[graft] def decodeDefault(dt: DataType, repr: String): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType => repr.toLong
+    case IntegerType | DateType => repr.toInt
+    case ShortType   => repr.toShort
+    case ByteType    => repr.toByte
+    case DoubleType  => repr.toDouble
+    case FloatType   => repr.toFloat
+    case BooleanType => repr.toBoolean
+    case StringType  => org.apache.spark.unsafe.types.UTF8String.fromString(repr)
+    case other => throw new IllegalStateException(
+      s"defaults.txt: unsupported default type $other")
+  }
+
   private[graft] def droppedOf(dir: String): Seq[String] = {
     val p = logDir(dir).resolve("dropped.txt")
     if (!Files.exists(p)) Seq.empty
@@ -2348,8 +2434,50 @@ object Acid {
     val v = if (version < 0) latestVersion(dir) else version
     val m = readManifest(dir, v)
     if (m.files.isEmpty) emptySnapshot(s, dir, v)
-    else applyDv(s, dir, m.files,
-      readMerged(s, dir)(m.files.map(f => s"$dir/${f.path}"): _*))
+    else {
+      val raw = applyDv(s, dir, m.files,
+        readMerged(s, dir)(m.files.map(f => s"$dir/${f.path}"): _*))
+      fillDefaults(s, dir, m.files, raw)
+    }
+  }
+
+  /** EXISTS-default fill on the LIBRARY read path (round-17): files that
+    * predate a defaulted column read the default instead of NULL — the
+    * same per-file rule the V2 readers apply at open. The per-file
+    * evidence here is the parquet FOOTER (one driver read per file,
+    * defaulted tables only — every other table pays one Files.exists);
+    * the fill targets exactly the rows of column-less files via the
+    * `_metadata` filename, so post-ALTER stored NULLs stay NULL. */
+  private def fillDefaults(s: SparkSession, dir: String,
+      files: Seq[FileEntry], raw: DataFrame): DataFrame = {
+    val ds = defaultsOf(dir)
+    if (ds.isEmpty) return raw
+    val present: Map[String, Set[String]] = files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/${f.path}"),
+        new org.apache.hadoop.conf.Configuration())
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val fields =
+        try fr.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+        finally fr.close()
+      f.path.substring(f.path.lastIndexOf('/') + 1) -> fields
+    }.toMap
+    val withName = raw.withColumn("__gf",
+      expr("substring_index(_metadata.file_path, '/', -1)"))
+    val filled = ds.foldLeft(withName) { case (df, (c, dt, _, value)) =>
+      if (!df.columns.contains(c)) df
+      else {
+        val lacking = present.collect { case (fn, fs) if !fs(c) => fn }.toSeq
+        if (lacking.isEmpty) df
+        else df.withColumn(c,
+          when(col("__gf").isin(lacking: _*),
+            org.apache.spark.sql.GraftSqlBridge.column(
+              org.apache.spark.sql.catalyst.expressions.Literal(value, dt)))
+            .otherwise(col(c)))
+      }
+    }
+    filled.drop("__gf")
   }
 
   /** Stats-based file skipping for a key-range predicate: manifest-only
@@ -7359,6 +7487,84 @@ object Acid {
       .toDF("lang", "n", "chars", "meta_only", "rt_n", "rt_pruned")
   }
 
+  /** tbl_schema_travel — VERSIONED schema metadata (round-17, r16
+    * verdict missing #5): every commit stamps the logical→physical
+    * column map and the dropped list into its manifest header, and
+    * RENAME/DROP COLUMN each commit an ALTER version — so `VERSION AS
+    * OF` a pre-rename version reads the OLD logical names (and pushes
+    * filters under them) and a pre-drop version surfaces the dropped
+    * column with its REAL values, the Delta metadata-action semantic.
+    * Pre-r17 manifests carry no record and fall back to the
+    * version-less sidecars (legacy behavior, never misread).
+    */
+  val tblSchemaTravel: Q = (s, d) => {
+    val root = fresh("tbl_schema_travel_cat", d)
+    val cat = "graft_stv_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ordersKV(s, d).createOrReplaceTempView("graft_stv_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"CREATE TABLE $cat.t AS SELECT k, price_cents, prio FROM graft_stv_src")
+    val dir = s"$root/t"
+    val vPre = latestVersion(dir)
+    s.sql(s"ALTER TABLE $cat.t RENAME COLUMN price_cents TO amount_cents")
+    val vRen = latestVersion(dir)
+    s.sql(s"ALTER TABLE $cat.t DROP COLUMN prio")
+    // the pre-rename pin reads (and filters under) the OLD name; the
+    // pre-drop pin still serves the dropped column's values
+    val oldSum = s.sql(s"SELECT sum(price_cents) AS sc FROM $cat.t " +
+      s"VERSION AS OF $vPre WHERE price_cents > 0").collect()(0).getLong(0)
+    val oldCols = s.sql(s"SELECT * FROM $cat.t VERSION AS OF $vPre")
+      .columns.toSeq == Seq("k", "price_cents", "prio")
+    val prioKept = s.sql(s"SELECT count(prio) AS n FROM $cat.t " +
+      s"VERSION AS OF $vRen").collect()(0).getLong(0)
+    val renSum = s.sql(s"SELECT sum(amount_cents) AS sc FROM $cat.t " +
+      s"VERSION AS OF $vRen").collect()(0).getLong(0)
+    val latestCols = s.sql(s"SELECT * FROM $cat.t").columns.toSeq ==
+      Seq("k", "amount_cents")
+    val altersVersioned = readManifest(dir, vPre + 1).op == "ALTER" &&
+      latestVersion(dir) == vPre + 2
+    import s.implicits._
+    Seq((oldSum, renSum, prioKept, oldCols, latestCols, altersVersioned))
+      .toDF("old_sum", "ren_sum", "prio_n", "old_names", "new_names",
+        "alters_versioned")
+  }
+
+  /** tbl_column_default — ADD COLUMN ... DEFAULT (round-17, the §6.16b
+    * recorded non-goal unlocked by versioned schema metadata): the
+    * EXISTS default fills the column for files that PREDATE it — a file
+    * not carrying the column physically was written before the ALTER,
+    * every post-ALTER write includes the declared column, so stored
+    * NULLs stay NULL (the fill is per-FILE at reader open, zero cost).
+    * The CURRENT_DEFAULT SQL rides the catalog schema's field metadata
+    * where Spark's own resolver fills INSERTs that omit the column;
+    * pre-ALTER pinned versions never show the column (file-derived
+    * schemas), so the default can never fabricate values into old
+    * snapshots. Metadata-only: no data rewrite at any point.
+    */
+  val tblColumnDefault: Q = (s, d) => {
+    val root = fresh("tbl_default_cat", d)
+    val cat = "graft_dflt_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val mk = maxKey(s, d)
+    ordersKV(s, d).createOrReplaceTempView("graft_dflt_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"CREATE TABLE $cat.t AS SELECT k, price_cents FROM graft_dflt_src")
+    s.sql(s"ALTER TABLE $cat.t ADD COLUMN tier STRING DEFAULT 'basic'")
+    s.sql(s"ALTER TABLE $cat.t ADD COLUMN bonus BIGINT DEFAULT 25")
+    // pre-ALTER rows read the defaults; an omitting INSERT fills them;
+    // an explicit NULL survives
+    s.sql(s"INSERT INTO $cat.t (k, price_cents) VALUES (${mk + 1}, 100)")
+    s.sql(s"INSERT INTO $cat.t VALUES (${mk + 2}, 200, NULL, NULL)")
+    s.sql(s"INSERT INTO $cat.t VALUES (${mk + 3}, 300, 'gold', 50)")
+    s.sql(
+      s"""SELECT tier, count(*) AS n,
+         |       CAST(sum(price_cents) AS BIGINT) AS cents,
+         |       CAST(sum(bonus) AS BIGINT) AS bonus_sum
+         |FROM $cat.t GROUP BY tier ORDER BY tier NULLS FIRST""".stripMargin)
+  }
+
   /** tbl_agg_pushdown_part — PARTITION-ALIGNED filtered aggregate
     * pushdown (round-16, the completion of tbl_agg_pushdown): a
     * `count(*)/min(k)/max(k) WHERE ts` window whose bounds land exactly
@@ -7642,6 +7848,8 @@ object Acid {
     "tbl_agg_pushdown"      -> tblAggPushdown,
     "tbl_agg_pushdown_dv"   -> tblAggPushdownDv,
     "tbl_part_identstr"     -> tblPartIdentstr,
+    "tbl_schema_travel"     -> tblSchemaTravel,
+    "tbl_column_default"    -> tblColumnDefault,
     "tbl_agg_pushdown_part" -> tblAggPushdownPart,
     "tbl_agg_pushdown_str"  -> tblAggPushdownStr,
     "tbl_agg_pushdown_group" -> tblAggPushdownGroup,
@@ -7781,6 +7989,29 @@ object Acid {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "tbl_column_default" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |t AS (
+        |  SELECT k, pc, 'basic' AS tier, CAST(25 AS BIGINT) AS bonus FROM base
+        |  UNION ALL SELECT m + 1, 100, 'basic', 25 FROM mx
+        |  UNION ALL SELECT m + 2, 200, NULL, NULL FROM mx
+        |  UNION ALL SELECT m + 3, 300, 'gold', 50 FROM mx)
+        |SELECT tier, count(*) AS n, CAST(sum(pc) AS BIGINT) AS cents,
+        |       CAST(sum(bonus) AS BIGINT) AS bonus_sum
+        |FROM t GROUP BY tier ORDER BY tier NULLS FIRST""".stripMargin,
+    "tbl_schema_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |SELECT CAST(sum(pc) AS BIGINT) AS old_sum,
+        |       CAST(sum(pc) AS BIGINT) AS ren_sum,
+        |       count(*) AS prio_n,
+        |       TRUE AS old_names, TRUE AS new_names,
+        |       TRUE AS alters_versioned
+        |FROM base WHERE pc > 0""".stripMargin,
     "tbl_part_identstr" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
         |       TRUE AS meta_only,

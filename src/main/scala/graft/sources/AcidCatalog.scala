@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, StagedTable, StagingTableCatalog, SupportsRead, SupportsWrite, Table, TableCapability, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.{ColumnDefaultValue, FunctionCatalog, Identifier, StagedTable, StagingTableCatalog, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalogCapability, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -49,6 +49,42 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
   private var catName: String = _
   private var root: String = _
+
+  /** Column DEFAULT support (round-17): declaring the capability makes
+    * Spark route `DEFAULT <expr>` through CREATE/ADD COLUMN (and fill
+    * INSERTs that omit the column from the CURRENT_DEFAULT field
+    * metadata this catalog serves). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** Persist one column's DEFAULT: the analyzer hands a pre-folded
+    * constant (`getValue`); non-constant defaults refuse loudly, and
+    * `DEFAULT NULL` is the plain nullable add (readers serve NULL
+    * without a sidecar entry). The EXISTS default fills files that
+    * predate the column at read time; the CURRENT_DEFAULT SQL rides the
+    * schema's field metadata for Spark's own INSERT filling. */
+  private def persistDefault(dir: String, phys: String,
+      dt: org.apache.spark.sql.types.DataType, dv: ColumnDefaultValue): Unit = {
+    val lit = dv.getValue()
+    if (lit == null)
+      throw new UnsupportedOperationException(
+        s"$catName: DEFAULT must fold to a constant, got '${dv.getSql}'")
+    require(lit.dataType() == dt,
+      s"$catName: default type ${lit.dataType()} does not match column $dt")
+    Acid.encodeDefault(dt, lit.value()) match {
+      case Some(repr) =>
+        val sql = Option(dv.getSql).getOrElse(String.valueOf(lit.value()))
+        val kept = Acid.defaultsOf(dir).filterNot(_._1 == phys).map {
+          case (c, t, s0, v) => (c, t, s0, Acid.encodeDefault(t, v).get)
+        }
+        Acid.writeDefaults(dir, kept :+ ((phys, dt, sql, repr)))
+      case None if lit.value() == null => () // DEFAULT NULL
+      case None => throw new UnsupportedOperationException(
+        s"$catName: unsupported DEFAULT type ${dt.sql} — integral, " +
+          "float/double, string, boolean, date and timestamp defaults " +
+          "are supported")
+    }
+  }
 
   /** The format's partition-transform functions (round-11 verdict #3):
     * resolving `bucket`/`days` through the TABLE's catalog is what lets
@@ -120,7 +156,8 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (exists(dir))
-      new AcidSqlTable(dir, Acid.tableSchema(SparkSession.active, dir))
+      new AcidSqlTable(dir,
+        Acid.withDefaultsMeta(dir, Acid.tableSchema(SparkSession.active, dir)))
     else if (ident.name() == "files" && ident.namespace().nonEmpty) {
       // `<cat>.t.files` — live manifest entries as a metadata table
       val base = dirOf(Identifier.of(
@@ -309,6 +346,9 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     AcidSql.toParquetSchema(info.schema()): Unit
     Files.createDirectories(Paths.get(dir))
     Acid.writeDeclaredSchema(dir, info.schema())
+    // CREATE TABLE (c T DEFAULT <expr>): persist each column's default
+    info.columns().toSeq.filter(_.defaultValue() != null).foreach(c =>
+      persistDefault(dir, c.name(), c.dataType(), c.defaultValue()))
     partColFrom(info).foreach(Acid.writePartCol(dir, _))
     Acid.appendCommitAt(dir, -1, Seq.empty) match {
       case Right(_) => new AcidSqlTable(dir, info.schema())
@@ -324,6 +364,8 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     // CTAS with a zero-row SELECT commits an empty v0 too — persist the
     // declared schema so the created table is still readable/insertable.
     Acid.writeDeclaredSchema(dir, info.schema())
+    info.columns().toSeq.filter(_.defaultValue() != null).foreach(c =>
+      persistDefault(dir, c.name(), c.dataType(), c.defaultValue()))
     partColFrom(info).foreach(Acid.writePartCol(dir, _))
     new AcidStagedTable(dir, info.schema())
   }
@@ -351,15 +393,19 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
           throw new UnsupportedOperationException(
             s"$catName: ADD COLUMN FIRST/AFTER would reorder existing data; " +
               "only appended columns are additive")
-        if (add.fieldNames().length > 1)
+        if (add.fieldNames().length > 1) {
           // ADD COLUMN INTO A STRUCT (round-11 verdict #6): splice the
           // new field into the declared schema — metadata-only; readers
           // NULL-fill the leaf on files that predate it (the nested
           // projection intersect in the V2 row reader / the library's
           // widenToDeclared splice). Shares Acid.addColumnInto so SQL
           // ALTER and Acid.addColumn stay one implementation.
+          if (add.defaultValue() != null)
+            throw new UnsupportedOperationException(
+              s"$catName: DEFAULT on a nested field is not supported — " +
+                "only top-level column defaults")
           Acid.addColumnInto(sch, add.fieldNames().toSeq, add.dataType())
-        else {
+        } else {
         val name = add.fieldNames().head
         if (sch.fieldNames.exists(_.equalsIgnoreCase(name)))
           throw new IllegalArgumentException(
@@ -373,6 +419,12 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
         if (gens > 0)
           Acid.writeColMap(dir,
             Acid.colMapOf(dir) + (name -> s"${name}__v$gens"))
+        // ADD COLUMN ... DEFAULT (round-17): persist under the PHYSICAL
+        // name (a re-add's fresh generation keys its own default)
+        Option(add.defaultValue()).foreach { dv =>
+          persistDefault(dir,
+            if (gens > 0) s"${name}__v$gens" else name, add.dataType(), dv)
+        }
         sch.add(name, add.dataType(), nullable = true)
         }
       case (sch, rn: TableChange.RenameColumn) =>
@@ -464,6 +516,10 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
         }
         Acid.writeDropped(dir, Acid.droppedOf(dir) :+ physD)
         Acid.writeColMap(dir, cmD - from)
+        // a dropped column's default dies with it (a later re-ADD keys a
+        // fresh physical generation)
+        Acid.writeDefaults(dir, Acid.defaultsOf(dir).filterNot(_._1 == physD)
+          .map { case (c, t, s0, v) => (c, t, s0, Acid.encodeDefault(t, v).get) })
         // the drop IS a version (round-17, the rename's twin): commit an
         // ALTER manifest with colMap/dropped left for commitManifest to
         // stamp from the just-updated sidecars — earlier versions keep
@@ -510,7 +566,7 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
             "ADD COLUMN, RENAME COLUMN, DROP COLUMN, and ALTER COLUMN TYPE")
     }
     Acid.writeDeclaredSchema(dir, evolved)
-    new AcidSqlTable(dir, evolved)
+    new AcidSqlTable(dir, Acid.withDefaultsMeta(dir, evolved))
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -494,6 +494,30 @@ object AcidSql {
   private[sources] def fltBounds(filters: Array[Filter], c: String): (Long, Long) =
     boundsFold(filters, c, fltDecode)
 
+  /** Fill an on-heap vector with one constant CATALYST-internal value —
+    * the columnar reader's EXISTS-default (round-17). The supported set
+    * matches Acid.encodeDefault's. */
+  private[sources] def fillConstant(
+      v: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector,
+      dt: DataType, d: Any, capacity: Int): Unit = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      v.putLongs(0, capacity, d.asInstanceOf[Long])
+    case IntegerType | DateType => v.putInts(0, capacity, d.asInstanceOf[Int])
+    case org.apache.spark.sql.types.ShortType =>
+      v.putShorts(0, capacity, d.asInstanceOf[Short])
+    case org.apache.spark.sql.types.ByteType =>
+      v.putBytes(0, capacity, d.asInstanceOf[Byte])
+    case DoubleType => v.putDoubles(0, capacity, d.asInstanceOf[Double])
+    case FloatType  => v.putFloats(0, capacity, d.asInstanceOf[Float])
+    case BooleanType => v.putBooleans(0, capacity, d.asInstanceOf[Boolean])
+    case StringType =>
+      val b = d.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      var i = 0
+      while (i < capacity) { v.putByteArray(i, b): Unit; i += 1 }
+    case other => throw new IllegalStateException(
+      s"graft-acid-sql: unsupported default type $other")
+  }
+
   /** True when any conjunct on float/double column `c` carries a literal
     * `fltDecode` refuses (NaN, or a null/foreign literal). Such conjuncts
     * can be TRUE for NaN rows under Spark semantics (NaN = NaN holds and
@@ -3156,7 +3180,12 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
     new AcidSqlReaderFactory(physicalRequired, keyCol,
       anyDv = files.exists(p => dvKeys.get(p).exists(_.nonEmpty) ||
         dvPos.get(p).exists(_.nonEmpty)),
-      pushed = pushed, colMap = pushedColMap)
+      pushed = pushed, colMap = pushedColMap,
+      // EXISTS defaults for files that predate their column (round-17):
+      // physical-name keyed, restricted to requested columns
+      defaults = Acid.defaultsOf(dir).collect {
+        case (c, _, _, v) if physicalRequired.fieldNames.contains(c) => c -> v
+      }.toMap)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -3283,7 +3312,10 @@ class AcidSqlMicroBatchStream(dir: String, required: StructType,
     added.map(f => AcidSqlInputPartition(s"$dir/${f.path}"): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new AcidSqlReaderFactory(required)
+    new AcidSqlReaderFactory(required,
+      defaults = Acid.defaultsOf(dir).collect {
+        case (c, _, _, v) if required.fieldNames.contains(c) => c -> v
+      }.toMap)
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -3317,15 +3349,16 @@ case class AcidSqlKeyedInputPartition(absPath: String,
 
 class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
     anyDv: Boolean = false, pushed: Array[Filter] = Array.empty,
-    colMap: Map[String, String] = Map.empty) extends PartitionReaderFactory {
+    colMap: Map[String, String] = Map.empty,
+    defaults: Map[String, Any] = Map.empty) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case part: AcidSqlInputPartition =>
         new AcidSqlPartitionReader(part.absPath, required, keyCol,
-          part.dvKeys, part.dvPos, pushed, colMap)
+          part.dvKeys, part.dvPos, pushed, colMap, defaults)
       case part: AcidSqlKeyedInputPartition =>
         new AcidSqlPartitionReader(part.absPath, required, keyCol,
-          part.dvKeys, part.dvPos, pushed, colMap)
+          part.dvKeys, part.dvPos, pushed, colMap, defaults)
     }
 
   /** Columnar fast path: the whole scan (Spark requires the choice to be
@@ -3368,7 +3401,7 @@ class AcidSqlReaderFactory(required: StructType, keyCol: String = "",
         (part.absPath, part.dvKeys, part.dvPos)
     }
     new AcidSqlColumnarReader(absPath, required, pushed, colMap,
-      keyCol, dvK, dvP)
+      keyCol, dvK, dvP, defaults)
   }
 }
 
@@ -3385,7 +3418,8 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
     colMap: Map[String, String] = Map.empty,
     keyCol: String = "",
     dvKeys: Array[Long] = Array.empty,
-    dvPos: Array[Long] = Array.empty)
+    dvPos: Array[Long] = Array.empty,
+    defaults: Map[String, Any] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
   private val capacity = 4096
   private val conf = new Configuration()
@@ -3488,7 +3522,12 @@ class AcidSqlColumnarReader(absPath: String, required: StructType,
         case None =>
           val v = new org.apache.spark.sql.execution.vectorized
             .OnHeapColumnVector(capacity, f.dataType)
-          v.putNulls(0, capacity)
+          defaults.get(f.name) match {
+            // EXISTS-default fill (round-17): the file predates the
+            // defaulted column — one constant vector, reused per batch
+            case Some(d) => AcidSql.fillConstant(v, f.dataType, d, capacity)
+            case None    => v.putNulls(0, capacity)
+          }
           v: org.apache.spark.sql.vectorized.ColumnVector
       }
     }
@@ -3743,7 +3782,8 @@ class WideningColumnVector(base: org.apache.spark.sql.vectorized.ColumnVector,
 class AcidSqlPartitionReader(absPath: String, required: StructType,
     keyCol: String = "", dvKeys: Array[Long] = Array.empty,
     dvPos: Array[Long] = Array.empty, pushed: Array[Filter] = Array.empty,
-    colMap: Map[String, String] = Map.empty)
+    colMap: Map[String, String] = Map.empty,
+    defaults: Map[String, Any] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val conf = new Configuration()
   private val deleted: java.util.HashSet[java.lang.Long] = {
@@ -3850,6 +3890,12 @@ class AcidSqlPartitionReader(absPath: String, required: StructType,
     required.fields.zipWithIndex.foreach { case (f, i) =>
       if (f.name == "_file")
         vals(i) = fileTag
+      else if (!fileFields(f.name) && defaults.contains(f.name))
+        // EXISTS-default fill (round-17): a file not carrying the column
+        // physically predates its ALTER — every later write includes the
+        // declared column, so stored NULLs stay NULL and only truly
+        // pre-ALTER rows read the default
+        vals(i) = defaults(f.name)
       else if (fileFields(f.name) && current.getFieldRepetitionCount(f.name) > 0) {
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{FLOAT, INT32}
         vals(i) = f.dataType match {

@@ -536,6 +536,76 @@ class Round17Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
   }
 
+  /** Sixth family: ADD COLUMN ... DEFAULT (the §6.16b recorded non-goal,
+    * unlocked by this round's versioned schema work). The EXISTS default
+    * fills the column for files that PREDATE it — a file not carrying
+    * the column physically was written before the ALTER, and every
+    * post-ALTER write includes the declared column, so stored NULLs stay
+    * NULL. The CURRENT_DEFAULT SQL rides the catalog schema's field
+    * metadata, where Spark's own resolver fills INSERTs that omit the
+    * column. Pre-ALTER pinned versions never request the column
+    * (file-derived schemas), so the default can never fabricate values
+    * into old snapshots.
+    */
+  test("ADD COLUMN DEFAULT: old files read the default, inserts fill it, NULLs stay") {
+    val root = Scratch.fresh("r17_default", sf)
+    val cat = "r17df"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.range(100L).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("r17_df_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, v FROM r17_df_src")
+    val dir = s"$root/t"
+    val vPre = Acid.latestVersion(dir)
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN tier STRING DEFAULT 'basic'")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN score BIGINT DEFAULT 7")
+    // pre-ALTER rows read the defaults on the V2 scan (columnar for
+    // these types) — never NULL
+    val r1 = spark.sql(s"SELECT count(*) AS n FROM $cat.t " +
+      "WHERE tier = 'basic' AND score = 7").head
+    assert(r1.getLong(0) === 100L,
+      "files that predate the columns must read the EXISTS defaults")
+    assert(spark.sql(s"SELECT count(tier) FROM $cat.t").head.getLong(0) === 100L)
+    // an INSERT omitting the columns gets the CURRENT default filled by
+    // Spark's resolver from the schema metadata this catalog serves
+    spark.sql(s"INSERT INTO $cat.t (k, v) VALUES (1000, 1), (1001, 2)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t " +
+      "WHERE k >= 1000 AND tier = 'basic' AND score = 7").head.getLong(0) === 2L)
+    // an EXPLICIT NULL stays NULL — stored values are never overridden
+    spark.sql(s"INSERT INTO $cat.t VALUES (2000, 3, NULL, NULL)")
+    val r2 = spark.sql(s"SELECT tier, score FROM $cat.t WHERE k = 2000").head
+    assert(r2.isNullAt(0) && r2.isNullAt(1),
+      "post-ALTER stored NULLs must stay NULL (fill is per-FILE, not per-value)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE tier = 'basic'")
+      .head.getLong(0) === 102L)
+    assert(spark.sql(s"SELECT sum(score) FROM $cat.t").head.getLong(0) ===
+      102L * 7L)
+    // the library surface fills identically (footer-evidenced per file)
+    val lib = Acid.snapshot(spark, dir)
+    assert(lib.filter(col("tier") === "basic").count() === 102L)
+    assert(lib.filter(col("k") === 2000L).head.isNullAt(2))
+    // a pre-ALTER pinned version never shows the columns — the default
+    // cannot fabricate values into old snapshots
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $vPre")
+      .columns.toSeq === Seq("k", "v"))
+    // row-reader parity: force row reads and re-check the fill
+    AcidSql.forceRowReads = true
+    try {
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t " +
+        "WHERE tier = 'basic' AND score = 7").head.getLong(0) === 100L + 2L)
+      val rr = spark.sql(s"SELECT tier FROM $cat.t WHERE k = 2000").head
+      assert(rr.isNullAt(0))
+    } finally AcidSql.forceRowReads = false
+    // DROP kills the default; a re-ADD without one serves NULL again
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN score")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN score BIGINT")
+    assert(spark.sql(s"SELECT count(score) FROM $cat.t").head.getLong(0) === 0L,
+      "a re-added column without DEFAULT must read NULL everywhere")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("tbl_part_identstr oracle row: meta-answered lang groups, runtime-pruned join") {
     val df = graft.SparkEntry.queries("tbl_part_identstr")(spark, sf)
     val rows = df.collect()
@@ -547,6 +617,26 @@ class Round17Spec extends AnyFunSuite {
     val hot = rows.map(_.getAs[String]("lang")).min
     assert(rows.find(_.getAs[String]("lang") == hot).get.getAs[Long]("n") ===
       rows.head.getAs[Long]("rt_n"))
+  }
+
+  test("tbl_column_default oracle row: per-tier groups with filled defaults") {
+    val df = graft.SparkEntry.queries("tbl_column_default")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 3, s"NULL, basic and gold tiers: ${rows.toSeq}")
+    val basic = rows.find(r => !r.isNullAt(0) && r.getString(0) == "basic").get
+    assert(basic.getAs[Long]("bonus_sum") === basic.getAs[Long]("n") * 25L,
+      "every pre-ALTER and omitted-column row must carry the defaults")
+    assert(rows.exists(_.isNullAt(0)), "the explicit NULL row must survive")
+    assert(rows.exists(r => !r.isNullAt(0) && r.getString(0) == "gold"))
+  }
+
+  test("tbl_schema_travel oracle row: pinned names and values across ALTERs") {
+    val df = graft.SparkEntry.queries("tbl_schema_travel")(spark, sf)
+    val r = df.collect()(0)
+    assert(r.getAs[Boolean]("old_names") && r.getAs[Boolean]("new_names") &&
+      r.getAs[Boolean]("alters_versioned"))
+    assert(r.getAs[Long]("old_sum") === r.getAs[Long]("ren_sum"))
+    assert(r.getAs[Long]("prio_n") > 0L)
   }
 
   test("tbl_agg_pushdown_dv oracle row: stamped subtraction, refused extremes") {
