@@ -1682,15 +1682,25 @@ object Acid {
     * pinned schemas are file-derived, so a pre-ALTER version never
     * requests the column and the fill can never fabricate values into
     * old snapshots. */
-  private[graft] def defaultsOf(dir: String): Seq[(String, DataType, String, Any)] = {
+  /** One entry per defaulted column: (physical name, type, CURRENT
+    * default SQL — fills future INSERTs, SET/DROP DEFAULT edits it —
+    * and the EXISTS default's internal value — fills files that predate
+    * the column, fixed at ADD time like Iceberg's initial-default, so a
+    * later SET DEFAULT never rewrites history). Either side may be
+    * absent: `SET DEFAULT` on a column added without one creates a
+    * CURRENT-only entry (pre-existing rows correctly stay NULL), and
+    * `DROP DEFAULT` keeps the EXISTS side alive. */
+  private[graft] def defaultsOf(dir: String)
+      : Seq[(String, DataType, Option[String], Option[Any])] = {
     val p = logDir(dir).resolve("defaults.txt")
     if (!Files.exists(p)) Seq.empty
     else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
       val a = l.split('|')
       def b64d(x: String) =
         new String(java.util.Base64.getDecoder.decode(x), StandardCharsets.UTF_8)
+      def opt(x: String) = if (x == "-") None else Some(b64d(x))
       val dt = DataType.fromDDL(b64d(a(1)))
-      (a(0), dt, b64d(a(2)), decodeDefault(dt, b64d(a(3))))
+      (a(0), dt, opt(a(2)), opt(a(3)).map(decodeDefault(dt, _)))
     }.toSeq
   }
 
@@ -1707,11 +1717,14 @@ object Acid {
       StructType(schema.fields.map { f =>
         val phys = cm.getOrElse(f.name, f.name)
         ds.find(_._1 == phys) match {
-          case Some((_, _, sql, _)) =>
-            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          case Some((_, _, curSql, _)) =>
+            // CURRENT_DEFAULT is what Spark's resolver fills INSERTs
+            // from; EXISTS filling is the readers' own per-file job, so
+            // no EXISTS_DEFAULT metadata is advertised
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
-              .putString("CURRENT_DEFAULT", sql)
-              .putString("EXISTS_DEFAULT", sql).build())
+            curSql.foreach(mb.putString("CURRENT_DEFAULT", _))
+            f.copy(metadata = mb.build())
           case None => f
         }
       })
@@ -1719,15 +1732,24 @@ object Acid {
   }
 
   private[sources] def writeDefaults(dir: String,
-      ds: Seq[(String, DataType, String, String)]): Unit = {
+      ds: Seq[(String, DataType, Option[String], Option[String])]): Unit = {
     Files.createDirectories(logDir(dir))
     def b64(x: String) = java.util.Base64.getEncoder
       .encodeToString(x.getBytes(StandardCharsets.UTF_8))
+    def opt(x: Option[String]) = x.fold("-")(b64)
     Files.writeString(logDir(dir).resolve("defaults.txt"),
       ds.map { case (c, dt, sql, repr) =>
-        s"$c|${b64(dt.sql)}|${b64(sql)}|${b64(repr)}"
+        s"$c|${b64(dt.sql)}|${opt(sql)}|${opt(repr)}"
       }.mkString("\n")): Unit
   }
+
+  /** The live entries re-encoded for writeDefaults — the edit paths'
+    * read-modify-write helper. */
+  private[sources] def defaultsEncoded(dir: String)
+      : Seq[(String, DataType, Option[String], Option[String])] =
+    defaultsOf(dir).map { case (c, t, sql, v) =>
+      (c, t, sql, v.flatMap(encodeDefault(t, _)))
+    }
 
   /** The persisted plain-text rendition of a default's CATALYST-internal
     * value, and its decoder — the supported type set is deliberately
@@ -2465,9 +2487,8 @@ object Acid {
     }.toMap
     val withName = raw.withColumn("__gf",
       expr("substring_index(_metadata.file_path, '/', -1)"))
-    val filled = ds.foldLeft(withName) { case (df, (c, dt, _, value)) =>
-      if (!df.columns.contains(c)) df
-      else {
+    val filled = ds.foldLeft(withName) {
+      case (df, (c, dt, _, Some(value))) if df.columns.contains(c) =>
         val lacking = present.collect { case (fn, fs) if !fs(c) => fn }.toSeq
         if (lacking.isEmpty) df
         else df.withColumn(c,
@@ -2475,7 +2496,7 @@ object Acid {
             org.apache.spark.sql.GraftSqlBridge.column(
               org.apache.spark.sql.catalyst.expressions.Literal(value, dt)))
             .otherwise(col(c)))
-      }
+      case (df, _) => df // CURRENT-only entry: pre-existing rows stay NULL
     }
     filled.drop("__gf")
   }

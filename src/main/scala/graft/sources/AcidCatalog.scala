@@ -74,10 +74,9 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     Acid.encodeDefault(dt, lit.value()) match {
       case Some(repr) =>
         val sql = Option(dv.getSql).getOrElse(String.valueOf(lit.value()))
-        val kept = Acid.defaultsOf(dir).filterNot(_._1 == phys).map {
-          case (c, t, s0, v) => (c, t, s0, Acid.encodeDefault(t, v).get)
-        }
-        Acid.writeDefaults(dir, kept :+ ((phys, dt, sql, repr)))
+        Acid.writeDefaults(dir,
+          Acid.defaultsEncoded(dir).filterNot(_._1 == phys) :+
+            ((phys, dt, Some(sql), Some(repr))))
       case None if lit.value() == null => () // DEFAULT NULL
       case None => throw new UnsupportedOperationException(
         s"$catName: unsupported DEFAULT type ${dt.sql} — integral, " +
@@ -518,8 +517,8 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
         Acid.writeColMap(dir, cmD - from)
         // a dropped column's default dies with it (a later re-ADD keys a
         // fresh physical generation)
-        Acid.writeDefaults(dir, Acid.defaultsOf(dir).filterNot(_._1 == physD)
-          .map { case (c, t, s0, v) => (c, t, s0, Acid.encodeDefault(t, v).get) })
+        Acid.writeDefaults(dir,
+          Acid.defaultsEncoded(dir).filterNot(_._1 == physD))
         // the drop IS a version (round-17, the rename's twin): commit an
         // ALTER manifest with colMap/dropped left for commitManifest to
         // stamp from the just-updated sidecars — earlier versions keep
@@ -530,6 +529,33 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
             cdcPath = None, op = "ALTER", colMap = None, dropped = None))
         }
         StructType(sch.fields.filterNot(_.name == from))
+      case (sch, ud: TableChange.UpdateColumnDefaultValue) =>
+        // ALTER COLUMN ... SET/DROP DEFAULT (round-17): edits the
+        // CURRENT default only — future INSERTs that omit the column
+        // fill the new value; the EXISTS default (what pre-ALTER files
+        // read) is fixed at ADD time, Iceberg's initial-default
+        // discipline, so changing the write default never rewrites
+        // history. SET on a column added WITHOUT a default creates a
+        // CURRENT-only entry: pre-existing rows correctly stay NULL.
+        if (ud.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catName: only top-level SET/DROP DEFAULT is supported")
+        val name = ud.fieldNames().head
+        val fld = sch.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"$catName.$ident: no such column $name"))
+        val physU = Acid.colMapOf(dir).getOrElse(name, name)
+        val rest = Acid.defaultsEncoded(dir)
+        val existing = rest.find(_._1 == physU)
+        val newSql = Option(ud.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(ud.newDefaultValue())).filter(_.nonEmpty)
+        val entry = (physU, fld.dataType, newSql,
+          existing.flatMap(_._4))
+        // an entry with neither side is dead weight — drop it
+        val updated = rest.filterNot(_._1 == physU) ++
+          (if (entry._3.isEmpty && entry._4.isEmpty) Nil else Seq(entry))
+        Acid.writeDefaults(dir, updated)
+        sch
       case (sch, up: TableChange.UpdateColumnType) =>
         // ALTER COLUMN ... TYPE — Delta's explicit type-widening DDL
         // re-derived (round 9): metadata-only, the declared sidecar

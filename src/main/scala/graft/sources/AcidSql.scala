@@ -3184,7 +3184,8 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
       // EXISTS defaults for files that predate their column (round-17):
       // physical-name keyed, restricted to requested columns
       defaults = Acid.defaultsOf(dir).collect {
-        case (c, _, _, v) if physicalRequired.fieldNames.contains(c) => c -> v
+        case (c, _, _, Some(v))
+          if physicalRequired.fieldNames.contains(c) => c -> v
       }.toMap)
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -3314,7 +3315,7 @@ class AcidSqlMicroBatchStream(dir: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new AcidSqlReaderFactory(required,
       defaults = Acid.defaultsOf(dir).collect {
-        case (c, _, _, v) if required.fieldNames.contains(c) => c -> v
+        case (c, _, _, Some(v)) if required.fieldNames.contains(c) => c -> v
       }.toMap)
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()

@@ -606,6 +606,40 @@ class Round17Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
+  test("SET/DROP DEFAULT edit the write default; the exists default is fixed at ADD") {
+    val root = Scratch.fresh("r17_setdflt", sf)
+    val cat = "r17sd"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10), (2, 20)")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN score BIGINT DEFAULT 7")
+    // SET DEFAULT changes what future INSERTs fill — never history
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN score SET DEFAULT 9")
+    spark.sql(s"INSERT INTO $cat.t (k, v) VALUES (3, 30)")
+    val r = spark.sql(s"SELECT k, score FROM $cat.t ORDER BY k").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r === Seq((1L, 7L), (2L, 7L), (3L, 9L)),
+      "pre-ADD rows keep the ADD-time exists default; new inserts fill 9")
+    // DROP DEFAULT: future omitting inserts get NULL, history unchanged
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN score DROP DEFAULT")
+    spark.sql(s"INSERT INTO $cat.t (k, v) VALUES (4, 40)")
+    val r2 = spark.sql(s"SELECT k, score FROM $cat.t ORDER BY k").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSeq
+    assert(r2 === Seq((1L, 7L), (2L, 7L), (3L, 9L), (4L, -1L)))
+    // SET DEFAULT on a column added WITHOUT one: a CURRENT-only entry —
+    // pre-existing rows correctly stay NULL
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN note STRING")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN note SET DEFAULT 'n/a'")
+    spark.sql(s"INSERT INTO $cat.t (k, v) VALUES (5, 50)")
+    assert(spark.sql(s"SELECT count(note) FROM $cat.t").head.getLong(0) === 1L,
+      "only the post-SET insert may carry the new write default")
+    assert(spark.sql(s"SELECT note FROM $cat.t WHERE k = 5").head.getString(0)
+      === "n/a")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   test("tbl_part_identstr oracle row: meta-answered lang groups, runtime-pruned join") {
     val df = graft.SparkEntry.queries("tbl_part_identstr")(spark, sf)
     val rows = df.collect()
