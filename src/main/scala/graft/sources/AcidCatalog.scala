@@ -93,7 +93,12 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     * transform resolution looks (`Identifier.of(Array.empty, name)`). */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array("bucket", "days", "hours", "truncate")
+      // every FIXED name loadFunction serves (round-18 — months/years
+      // were loadable but unlisted, a catalog-discovery gap). The
+      // width-specialized truncate_N / truncstr_N spellings are a
+      // parametric family (one name per width), so they cannot be
+      // enumerated here; loadFunction resolves them on demand.
+      Array("bucket", "days", "hours", "months", "years", "truncate")
         .map(Identifier.of(Array.empty[String], _))
     else Array.empty
 
