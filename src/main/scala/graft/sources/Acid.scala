@@ -1960,6 +1960,17 @@ object Acid {
       case _: java.time.DateTimeException => None
     }
 
+  /** The OPERATOR-FACING spelling of a partition spec (round-18):
+    * `identstr`/`truncstr` are internal stats-representation flavors —
+    * DDL, DESCRIBE DETAIL and `partitioning()` all report the standard
+    * identity / `truncate(n, col)` forms, matching what the user
+    * declared. Every other transform's label IS its public spelling. */
+  private[sources] def publicSpecLabel(ps: PartSpec): String = ps match {
+    case PartIdentityStr(c)    => c // plain identity, like PartIdentity
+    case PartTruncateStr(n, c) => s"truncate($n,$c)"
+    case other                 => other.label
+  }
+
   /** The ONE-VALUE partition rule shared by `.partitions` reporting and
     * `optimizePartitions`: an entry belongs to partition value v iff its
     * stats2 carries the table's transform label with lo == hi == v —
@@ -4138,7 +4149,7 @@ object Acid {
       "graft-acid", v.toLong, m.files.size.toLong, phys - dvN,
       m.files.map(_.bytes).sum > 0L,
       listRefs(dir, "branch").size.toLong, listRefs(dir, "tag").size.toLong,
-      partSpecsOf(dir).map(_.label).mkString(",")))
+      partSpecsOf(dir).map(publicSpecLabel).mkString(",")))
       .toDF("format", "version", "num_files", "n_rows", "size_positive",
         "n_branches", "n_tags", "partition_spec")
   }

@@ -202,11 +202,19 @@ object AcidPartitions {
     StructField("value", LongType, nullable = true),
     StructField("n_files", LongType, nullable = false),
     StructField("rows", LongType, nullable = false),
-    StructField("bytes", LongType, nullable = false)))
+    StructField("bytes", LongType, nullable = false),
+    // round-18: the DECODED partition value for STRING identity layouts
+    // (the packed `value` cell is an internal stat, not the language /
+    // tenant code the operator partitioned by). The real string when
+    // every file in the cell proves ONE value through its exact cstats
+    // pair; a marked `~[lo..hi]` envelope when values collide in the
+    // 8-byte prefix or a stamp is truncated; NULL for non-string
+    // transforms and for the stats-less reconciliation row.
+    StructField("value_str", StringType, nullable = true)))
 }
 
 case class AcidPartitionsRow(value: Option[Long], nFiles: Long, rows: Long,
-    bytes: Long)
+    bytes: Long, valueStr: Option[String] = None)
 case class AcidPartitionsInputPartition(label: String,
     rows: Seq[AcidPartitionsRow]) extends InputPartition
 
@@ -223,10 +231,37 @@ class AcidPartitionsScan(dir: String) extends Scan with Batch {
     val labels = if (specs.isEmpty) Seq("") else specs.map(_.label)
     val m = Acid.readManifest(dir, Acid.latestVersion(dir))
     labels.map { label =>
+      // STRING identity cells decode to their real value (round-18):
+      // the packed stamp is NOT single-valued evidence (distinct strings
+      // share an 8-byte prefix), so the decode rides the same exact
+      // cstats pair the manifest GROUP BY fold trusts — min == max with
+      // BOTH exactness bits proves the file holds one value. A cell
+      // whose files all prove the SAME value displays it; anything else
+      // (collision, truncated stamp, multi-value file) displays a
+      // marked `~[lo..hi]` cstats envelope, never a wrong value.
+      val strCol: Option[String] = specs.collectFirst {
+        case ps @ Acid.PartIdentityStr(c) if ps.label == label => c
+      }
+      def decodeCell(fs: Seq[Acid.FileEntry]): Option[String] =
+        strCol.flatMap { c =>
+          def exactVal(f: Acid.FileEntry): Option[String] = for {
+            cs <- f.cstats.find(_._1 == c)
+            ex <- f.cexact.find(_._1 == c)
+            if ex._2 && ex._3 && cs._2 == cs._3
+          } yield cs._2
+          val vals = fs.map(exactVal)
+          if (vals.forall(_.isDefined) && vals.flatten.distinct.size == 1)
+            vals.head
+          else {
+            val bounds = fs.flatMap(_.cstats.find(_._1 == c))
+            if (bounds.isEmpty) None
+            else Some(s"~[${bounds.map(_._2).min}..${bounds.map(_._3).max}]")
+          }
+        }
       val grouped = m.files.groupBy(Acid.partitionValueOfAny(_, label))
       val rows = grouped.toSeq.map { case (v, fs) =>
         AcidPartitionsRow(v, fs.size.toLong, fs.map(_.rows).sum,
-          fs.map(_.bytes).sum)
+          fs.map(_.bytes).sum, if (v.isDefined) decodeCell(fs) else None)
       }.sortBy(_.value.getOrElse(Long.MinValue))
       AcidPartitionsInputPartition(label, rows)
     }.toArray
@@ -241,10 +276,11 @@ class AcidPartitionsScan(dir: String) extends Scan with Batch {
           override def next(): Boolean = {
             if (!it.hasNext) return false
             val g = it.next()
-            val r = new GenericInternalRow(5)
+            val r = new GenericInternalRow(6)
             r.update(0, UTF8String.fromString(ip.label))
             r.update(1, g.value.map(Long.box).orNull)
             r.update(2, g.nFiles); r.update(3, g.rows); r.update(4, g.bytes)
+            r.update(5, g.valueStr.map(UTF8String.fromString).orNull)
             cur = r
             true
           }
