@@ -5941,6 +5941,51 @@ object Acid {
       .withColumn("metadata_only", lit(metadataOnly))
   }
 
+  /** tbl_delete_partition_str — METADATA-ONLY partition-set DELETE over
+    * STRING identity partitions (round-18, r17 verdict next #2; the
+    * GDPR language/tenant purge on curation tables): `DELETE WHERE lang
+    * IN ('es','zh')` decodes to an exact finite STRING set
+    * (AcidSql.exactSetStr) and classifies each file on the EXACT cstats
+    * single-value evidence the manifest GROUP BY fold already trusts —
+    * min == max with BOTH exactness bits proves the file holds one
+    * value (the identstr packed cell is NOT evidence: distinct strings
+    * can share its 8-byte prefix). Proven-in-set files with a zero-null
+    * stamp and no DV DROP from the manifest with zero reads and zero
+    * writes; envelopes missing every set member carry forward; anything
+    * else (collided, truncated, null-bearing, DV'd) rewrites. identstr
+    * segment rolling makes every short-code file single-valued by
+    * construction, so at 100 TB the language purge over a million-file
+    * corpus is one manifest commit.
+    */
+  val tblDeletePartitionStr: Q = (s, d) => {
+    val root = fresh("tbl_delpstr_cat", d)
+    val cat = "graft_delpstr_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.documents(s, d)
+      .select(col("doc_id").as("k"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_delpstr_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"""CREATE TABLE $cat.t (k BIGINT, lang STRING, n_chars BIGINT)
+             |PARTITIONED BY (lang)""".stripMargin)
+    s.sql(s"INSERT INTO $cat.t SELECT k, lang, n_chars FROM graft_delpstr_src")
+    val dir = s"$root/t"
+    val vIns = latestVersion(dir)
+    val before = readManifest(dir, vIns).files.map(_.path).toSet
+    s.sql(s"DELETE FROM $cat.t WHERE lang IN ('es', 'zh')")
+    val v1 = latestVersion(dir)
+    val after = readManifest(dir, v1).files.map(_.path).toSet
+    // one commit, files strictly dropped, no rewrite output written
+    val metadataOnly = v1 == vIns + 1 && after.subsetOf(before) &&
+      after.size < before.size &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"d${v1}_sqldel"))
+    s.sql(s"""SELECT lang, count(*) AS n,
+             |       CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM $cat.t GROUP BY lang ORDER BY lang""".stripMargin)
+      .withColumn("metadata_only", lit(metadataOnly))
+  }
+
   /** tbl_sql_truncate — METADATA-ONLY TRUNCATE (round-16): `TRUNCATE
     * TABLE` (and `DELETE FROM t` with no WHERE) commits ONE manifest
     * with an empty file list — zero reads, zero rewrites, zero deletes
@@ -7907,6 +7952,7 @@ object Acid {
     "tbl_delete_aligned"    -> tblDeleteAligned,
     "tbl_sql_truncate"      -> tblSqlTruncate,
     "tbl_delete_partition"  -> tblDeletePartition,
+    "tbl_delete_partition_str" -> tblDeletePartitionStr,
     "tbl_delete_aligned_date" -> tblDeleteAlignedDate,
     "tbl_sql_ctas"          -> tblSqlCtas,
     "tbl_sql_travel"        -> tblSqlTravel,
@@ -8377,6 +8423,11 @@ object Acid {
         |SELECT count(*) AS n, CAST(sum(pc) AS BIGINT) AS sum_cents,
         |       count(DISTINCT sev) AS n_sev, TRUE AS metadata_only
         |FROM base WHERE sev NOT IN (2, 5)""".stripMargin,
+    "tbl_delete_partition_str" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       TRUE AS metadata_only
+        |FROM documents WHERE lang NOT IN ('es', 'zh')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "tbl_sql_truncate" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -668,6 +668,27 @@ object AcidSql {
     if (filters.forall(walk)) s else None
   }
 
+  /** exactSet's STRING twin (round-18, r17 verdict next #2): Some(S)
+    * iff the conjunction over column `c` is EXACTLY `c IN S` with every
+    * member a string literal — same In-intersect / EqualTo-singleton /
+    * IsNotNull-absorb algebra as the long decoder. V1 filter values
+    * carry external Scala types, so string literals ARE String. */
+  private[graft] def exactSetStr(filters: Seq[Filter], c: String)
+      : Option[Set[String]] = {
+    var s: Option[Set[String]] = None
+    def narrow(vs: Set[String]): Unit = s = Some(s.fold(vs)(_ intersect vs))
+    def walk(f: Filter): Boolean = f match {
+      case In(col, vs) if col == c && vs.nonEmpty && vs.length <= 64 =>
+        val ss = vs.toSeq.collect { case x: String => x }
+        ss.length == vs.length && { narrow(ss.toSet); true }
+      case EqualTo(col, v: String) if col == c => narrow(Set(v)); true
+      case IsNotNull(col) if col == c          => true
+      case FAnd(l, r)                          => walk(l) && walk(r)
+      case _                                   => false
+    }
+    if (filters.forall(walk)) s else None
+  }
+
   /** Metadata-aligned SQL DELETE (round-16, the write-side twin of the
     * exact-filter claim): when the pushed conjunction decodes to EXACTLY
     * one closed interval over ONE column with exact per-file stats,
@@ -707,6 +728,14 @@ object AcidSql {
     if (refs.length != 1) return None
     val c = refs.head
     val field = tableSchema.fields.find(_.name == c).getOrElse(return None)
+    // STRING columns (round-18, r17 verdict next #2 — the GDPR-shaped
+    // language/tenant purge on curation tables): `DELETE WHERE lang IN
+    // ('es','zh')` classifies each file on the EXACT cstats single-value
+    // evidence the manifest GROUP BY fold already trusts. The identstr
+    // packed stamp is deliberately NOT consulted — distinct strings can
+    // share its 8-byte cell, so only per-file exactness drops files.
+    if (field.dataType == StringType)
+      return alignedDeleteStr(s, dir, filters, c)
     // the pruning domain's literal decoder: epoch micros for timestamps,
     // epoch days for dates (both grain-exact under ±1 strict-bound
     // adjustment), raw long otherwise
@@ -801,6 +830,54 @@ object AcidSql {
       case (f, None) => f
       // a fully-inside DV'd file rewrites: its live-row count is not its
       // stamped rows, and the rewrite path already applies the sidecar
+      case (f, Some(true)) if f.dv.isDefined || f.pdv.isDefined => f
+    }
+    val pred = filters.flatMap(filterToColumn).reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Some(Acid.deleteCore(s, dir, base, m, touched, dropped, untouched,
+      pred, "sqldel", writeCdf = false))
+  }
+
+  /** alignedDelete's STRING tier (round-18): the predicate must decode
+    * to an exact finite string set; evidence is per-file cstats.
+    * Some(true) — droppable — needs the file to PROVE one value (min ==
+    * max with BOTH exactness bits; a truncated bound can hide distinct
+    * >16-code-point values behind equal prefixes) in the set, plus the
+    * explicit zero-null stamp (a NULL survives the delete) and no
+    * deletion vector. Some(false) — untouched — needs no set member
+    * inside the file's [min, max] envelope under UTF-8 binary order
+    * (truncation only WIDENS the envelope, so the verdict stays sound).
+    * Everything else rewrites — conservative, never wrong. At 100 TB
+    * the lang-partitioned corpus purge (`DELETE WHERE lang IN (...)`)
+    * becomes one manifest commit: identstr segment rolling makes every
+    * short-code file single-valued by construction. */
+  private[graft] def alignedDeleteStr(s: SparkSession, dir: String,
+      filters: Array[Filter], c: String): Option[(Long, Int, Int)] = {
+    val set = exactSetStr(filters.toSeq, c).getOrElse(return None)
+    val base = Acid.latestVersion(dir)
+    if (base < 0) return None
+    val m = Acid.readManifest(dir, base)
+    val phys = Acid.colMapOf(dir).getOrElse(c, c)
+    def classify(f: Acid.FileEntry): Option[Boolean] = {
+      if (set.isEmpty) return Some(false) // provably-empty predicate
+      f.cstats.find(_._1 == phys).flatMap { case (_, mn, mx) =>
+        val single = f.cexact.find(_._1 == phys)
+          .exists(e => e._2 && e._3) && mn == mx
+        if (single && set.contains(mn))
+          (if (f.nulls.contains((phys, 0L))) Some(true) else None)
+        else if (set.forall(v =>
+          Acid.u8Cmp(v, mn) < 0 || Acid.u8Cmp(v, mx) > 0)) Some(false)
+        else None
+      }
+    }
+    val cls = m.files.map(f => f -> classify(f))
+    val dropped = cls.collect {
+      case (f, Some(true)) if f.dv.isEmpty && f.pdv.isEmpty => f }
+    val untouched = cls.collect { case (f, Some(false)) => f }
+    val touched = cls.collect {
+      case (f, None) => f
+      // fully-inside but DV'd: live rows ≠ stamped rows — rewrite (the
+      // rewrite path applies the sidecar), same rule as the long tier
       case (f, Some(true)) if f.dv.isDefined || f.pdv.isDefined => f
     }
     val pred = filters.flatMap(filterToColumn).reduceOption(_ && _)
