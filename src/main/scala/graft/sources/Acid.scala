@@ -267,13 +267,24 @@ object Acid {
     * DROP COLUMN as of this version — stamped from the sidecar by every
     * commit, so a version pinned BEFORE a drop still surfaces the
     * column with its real values. None = pre-r17 = sidecar fallback. */
+  /** `declared` / `defaultsRec` (round-18, closing the last unversioned
+    * schema metadata): every commit stamps the declared-schema sidecar's
+    * DDL and the defaults sidecar's raw lines into its manifest header
+    * (9th/10th "@"+base64 fields), so a version pinned between an ALTER
+    * and its first INSERT serves the schema — and the write defaults —
+    * declared AT that version. None = the sidecar was absent at commit
+    * time OR a pre-r18 manifest; both read identically (pinned schemas
+    * stay file-derived, the pre-r18 behavior), so no flag is needed to
+    * tell them apart. */
   final case class Manifest(version: Int, batchId: Long, files: Seq[FileEntry],
                             batchHw: Map[String, Long] = Map.empty,
                             cdcPath: Option[String] = None,
                             constraint: Option[String] = None,
                             op: String = "",
                             colMap: Option[Map[String, String]] = None,
-                            dropped: Option[Seq[String]] = None)
+                            dropped: Option[Seq[String]] = None,
+                            declared: Option[String] = None,
+                            defaultsRec: Option[String] = None)
   final case class MergeResult(version: Int, filesRewritten: Int, filesTotal: Int,
                                skipped: Boolean)
 
@@ -689,8 +700,17 @@ object Acid {
           header(7).substring(1)), StandardCharsets.UTF_8)
           .split('\n').toSeq.filter(_.nonEmpty))
       else None
+    // 9th/10th fields (round-18): the declared schema's DDL and the
+    // defaults sidecar's raw lines, same "@"+b64 codec; absent/empty =
+    // no sidecar at commit time or a pre-r18 manifest — both serve the
+    // file-derived pinned schema, so one reading covers them
+    def b64Field(i: Int): Option[String] =
+      if (header.length > i && header(i).startsWith("@"))
+        Some(new String(java.util.Base64.getDecoder.decode(
+          header(i).substring(1)), StandardCharsets.UTF_8)).filter(_.nonEmpty)
+      else None
     Manifest(header(0).toInt, header(1).toLong, files, hw, cdc, constraint,
-      op, cmap, dropped)
+      op, cmap, dropped, b64Field(8), b64Field(9))
   }
 
   private def renderColMapField(m: Manifest): String = (m.colMap match {
@@ -702,7 +722,13 @@ object Acid {
     case None => ""
     case Some(ds) => "@" + java.util.Base64.getEncoder.encodeToString(
       ds.mkString("\n").getBytes(StandardCharsets.UTF_8))
-  })
+  }) + "|" + b64HeaderField(m.declared) + "|" + b64HeaderField(m.defaultsRec)
+
+  // 9th/10th header fields (round-18): declared-schema DDL / defaults
+  // sidecar text, "@"+b64 like colMap; "" = no sidecar at commit time
+  private def b64HeaderField(v: Option[String]): String =
+    v.filter(_.nonEmpty).fold("")(x => "@" + java.util.Base64.getEncoder
+      .encodeToString(x.getBytes(StandardCharsets.UTF_8)))
 
   /** One parsed log file: the version's header plus either its full file
     * list or its delta actions against version-1. */
@@ -882,7 +908,13 @@ object Acid {
     // its moment, so version-pinned reads resolve THEIR names/columns.
     // Two Files.exists for the overwhelmingly common unevolved table.
     val m1 = if (m0.colMap.isDefined) m0 else m0.copy(colMap = Some(colMapOf(dir)))
-    val m = if (m1.dropped.isDefined) m1 else m1.copy(dropped = Some(droppedOf(dir)))
+    val m2 = if (m1.dropped.isDefined) m1 else m1.copy(dropped = Some(droppedOf(dir)))
+    // round-18: stamp the declared schema + write defaults IN EFFECT at
+    // this commit (the sidecars land before every commit that changes
+    // them — CREATE, ALTER, widening merge — so the record is exact);
+    // unevolved tables pay two Files.exists and stamp nothing
+    val m = m2.copy(declared = declaredDdlOf(dir),
+      defaultsRec = defaultsRawOf(dir))
     // writer tags are manifest-header tokens: forbid the delimiters
     m.batchHw.keys.foreach(t => require(t.matches("[A-Za-z0-9_.-]+"),
       s"writer tag '$t' must be [A-Za-z0-9_.-]+"))
@@ -1691,29 +1723,60 @@ object Acid {
     * CURRENT-only entry (pre-existing rows correctly stay NULL), and
     * `DROP DEFAULT` keeps the EXISTS side alive. */
   private[graft] def defaultsOf(dir: String)
-      : Seq[(String, DataType, Option[String], Option[Any])] = {
+      : Seq[(String, DataType, Option[String], Option[Any])] =
+    defaultsRawOf(dir).fold(
+      Seq.empty[(String, DataType, Option[String], Option[Any])])(
+      parseDefaultLines)
+
+  /** The defaults sidecar's raw text (what commits stamp); None when
+    * absent or empty. */
+  private[sources] def defaultsRawOf(dir: String): Option[String] = {
     val p = logDir(dir).resolve("defaults.txt")
-    if (!Files.exists(p)) Seq.empty
-    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p)).filter(_.trim.nonEmpty)
+  }
+
+  private def parseDefaultLines(text: String)
+      : Seq[(String, DataType, Option[String], Option[Any])] =
+    text.split('\n').toSeq.filter(_.nonEmpty).map { l =>
       val a = l.split('|')
       def b64d(x: String) =
         new String(java.util.Base64.getDecoder.decode(x), StandardCharsets.UTF_8)
       def opt(x: String) = if (x == "-") None else Some(b64d(x))
       val dt = DataType.fromDDL(b64d(a(1)))
       (a(0), dt, opt(a(2)), opt(a(3)).map(decodeDefault(dt, _)))
-    }.toSeq
-  }
+    }
+
+  /** The column defaults IN EFFECT at version `v` (round-18,
+    * declaredSchemaAt's twin): the version's recorded sidecar lines. A
+    * pre-r18 manifest reads as no defaults — pinned loads never attached
+    * default metadata before versioning, so legacy pins are unchanged.
+    * v < 0 = latest = the live sidecar. */
+  private[graft] def defaultsAt(dir: String, v: Int)
+      : Seq[(String, DataType, Option[String], Option[Any])] =
+    if (v < 0) defaultsOf(dir)
+    else Try(readManifest(dir, v)).toOption.flatMap(_.defaultsRec)
+      .fold(Seq.empty[(String, DataType, Option[String], Option[Any])])(
+        parseDefaultLines)
 
   /** The catalog schema with each defaulted column's CURRENT_DEFAULT /
     * EXISTS_DEFAULT field metadata attached — the keys Spark's own
     * ResolveDefaultColumns reads to fill INSERTs that omit the column.
     * Metadata-only: writers/readers compare schemas modulo metadata. */
   private[sources] def withDefaultsMeta(dir: String,
+      schema: StructType): StructType =
+    withDefaultsMetaAt(dir, -1, schema)
+
+  /** withDefaultsMeta at a PINNED version (round-18): a pinned load
+    * straddling a SET DEFAULT shows the write default that was current
+    * THEN — the recorded sidecar lines, resolved through the version's
+    * own column mapping. */
+  private[sources] def withDefaultsMetaAt(dir: String, v: Int,
       schema: StructType): StructType = {
-    val ds = defaultsOf(dir)
+    val ds = defaultsAt(dir, v)
     if (ds.isEmpty) schema
     else {
-      val cm = colMapOf(dir)
+      val cm = colMapAt(dir, v)
       StructType(schema.fields.map { f =>
         val phys = cm.getOrElse(f.name, f.name)
         ds.find(_._1 == phys) match {
@@ -2252,10 +2315,25 @@ object Acid {
   }
 
   private[sources] def declaredSchema(dir: String): Option[StructType] =
+    declaredDdlOf(dir).map(StructType.fromDDL)
+
+  /** The declared-schema sidecar's raw DDL (what commits stamp). */
+  private[sources] def declaredDdlOf(dir: String): Option[String] =
     if (Files.exists(schemaPath(dir)))
-      Some(StructType.fromDDL(new String(
-        Files.readAllBytes(schemaPath(dir)), StandardCharsets.UTF_8)))
+      Some(new String(Files.readAllBytes(schemaPath(dir)),
+        StandardCharsets.UTF_8)).filter(_.nonEmpty)
     else None
+
+  /** The declared schema IN EFFECT at version `v` (round-18, the last
+    * unversioned schema sidecar closed — colMapAt's pattern): the
+    * version's own recorded DDL when the manifest carries one. A pre-r18
+    * manifest (no record) reads file-derived ONLY — exactly the pinned
+    * behavior before versioning existed, so legacy pins never widen.
+    * v < 0 = latest = the live sidecar. */
+  private[graft] def declaredSchemaAt(dir: String, v: Int): Option[StructType] =
+    if (v < 0) declaredSchema(dir)
+    else Try(readManifest(dir, v)).toOption.flatMap(_.declared)
+      .map(StructType.fromDDL)
 
   /** The table's LOGICAL schema at latest: file-derived (mergeSchema)
     * plus any declared-sidecar columns no data file carries yet. ALTER
@@ -2265,9 +2343,26 @@ object Acid {
     * carries the column the file-derived side takes over, exactly the
     * additive tbl_schema_evolve contract. Tables never ALTERed are
     * unaffected: their sidecar (if any) matches the file schema. */
-  private[sources] def tableSchema(s: SparkSession, dir: String): StructType = {
-    val base = snapshot(s, dir).schema
-    declaredSchema(dir).fold(base) { ds =>
+  private[sources] def tableSchema(s: SparkSession, dir: String): StructType =
+    mergeDeclared(snapshot(s, dir).schema, declaredSchema(dir))
+
+  /** The table's LOGICAL schema at a PINNED version (round-18): the
+    * file-derived base (already drop/rename-resolved at `v`) extended by
+    * the schema DECLARED at `v` — so a version pinned between an ALTER
+    * ADD COLUMN and its first INSERT serves the declared-at-that-version
+    * shape (the scan NULL/EXISTS-default-fills the column), while a
+    * pre-ALTER pin (or a pre-r18 manifest with no record) stays
+    * file-derived and never shows it. Numeric widenings and nested
+    * splices inside file-carried columns remain live-sidecar (readMerged
+    * applies them to every read) — value-preserving, so a pinned read at
+    * the wide type serves the same values. */
+  private[graft] def tableSchemaAt(s: SparkSession, dir: String,
+      v: Int): StructType =
+    mergeDeclared(snapshot(s, dir, v).schema, declaredSchemaAt(dir, v))
+
+  private def mergeDeclared(base: StructType,
+      declared: Option[StructType]): StructType =
+    declared.fold(base) { ds =>
       // declared WIDENINGS override the file-derived type (the state
       // right after a metadata-only ALTER COLUMN TYPE — round 9); for
       // anything else the file-derived side stays authoritative
@@ -2281,11 +2376,14 @@ object Acid {
       ds.fields.filterNot(f => base.fieldNames.contains(f.name))
         .foldLeft(widened)((acc, f) => acc.add(f.copy(nullable = true)))
     }
-  }
 
   private def emptySnapshot(s: SparkSession, dir: String, v: Int): DataFrame = {
-    val schema = declaredSchema(dir).getOrElse(throw new IllegalStateException(
-      s"$dir: version $v has no data files and no declared schema"))
+    // the schema declared AT the pinned version (round-18) — a v0 pin on
+    // a later-ALTERed table serves its CREATE shape; pre-r18 manifests
+    // (no record) fall back to the live sidecar, the legacy behavior
+    val schema = declaredSchemaAt(dir, v).orElse(declaredSchema(dir))
+      .getOrElse(throw new IllegalStateException(
+        s"$dir: version $v has no data files and no declared schema"))
     s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 

@@ -211,7 +211,11 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
         s"$catName.$ident: VERSION AS OF expects an integer version, got '$version'")
     }
     if (Acid.latestVersion(dir) < v || v < 0) throw new NoSuchTableException(ident)
-    new AcidSqlTable(dir, Acid.snapshot(SparkSession.active, dir, v).schema, v)
+    // the schema (and write-default metadata) DECLARED at v (round-18):
+    // a pin between an ALTER ADD COLUMN and its first INSERT serves the
+    // declared shape; pre-ALTER pins stay file-derived
+    new AcidSqlTable(dir, Acid.withDefaultsMetaAt(dir, v,
+      Acid.tableSchemaAt(SparkSession.active, dir, v)), v)
   }
 
   /** `TIMESTAMP AS OF` (epoch micros): resolves to the greatest version
@@ -222,7 +226,8 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     val v = Acid.versionAtTimestamp(dir, timestampMicros).getOrElse(
       throw new IllegalArgumentException(
         s"$catName.$ident: timestamp predates the table's first commit"))
-    new AcidSqlTable(dir, Acid.snapshot(SparkSession.active, dir, v).schema, v)
+    new AcidSqlTable(dir, Acid.withDefaultsMetaAt(dir, v,
+      Acid.tableSchemaAt(SparkSession.active, dir, v)), v)
   }
 
   /** `PARTITIONED BY` support: any combination of single-column identity
@@ -470,17 +475,11 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
         }
         val physical = cmPre.getOrElse(from, from)
         Acid.writeColMap(dir, (cmPre - from) + (to -> physical))
-        // the rename IS a version (round-17, the Delta metadata-action
-        // semantic): commit an ALTER manifest carrying the NEW mapping
-        // (same file list), so `VERSION AS OF` any earlier version reads
-        // the OLD logical names while latest reads the new ones, and the
-        // rename shows in .history
-        if (v >= 0) {
-          val mm = Acid.readManifest(dir, v)
-          Acid.commitManifest(dir, mm.copy(version = v + 1, batchId = -1L,
-            cdcPath = None, op = "ALTER",
-            colMap = Some((cmPre - from) + (to -> physical))))
-        }
+        // the ALTER version (round-17 for the mapping; round-18 moved
+        // the commit to the END of alterTable so it stamps EVERY updated
+        // sidecar — colmap, dropped, declared schema, defaults — in one
+        // place): `VERSION AS OF` any earlier version reads the OLD
+        // logical names while latest reads the new ones
         StructType(sch.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
       case (sch, del: TableChange.DeleteColumn) =>
@@ -524,15 +523,9 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
         // fresh physical generation)
         Acid.writeDefaults(dir,
           Acid.defaultsEncoded(dir).filterNot(_._1 == physD))
-        // the drop IS a version (round-17, the rename's twin): commit an
-        // ALTER manifest with colMap/dropped left for commitManifest to
-        // stamp from the just-updated sidecars — earlier versions keep
-        // surfacing the column with its real values
-        if (vD >= 0) {
-          val mm = Acid.readManifest(dir, vD)
-          Acid.commitManifest(dir, mm.copy(version = vD + 1, batchId = -1L,
-            cdcPath = None, op = "ALTER", colMap = None, dropped = None))
-        }
+        // the drop's ALTER version commits at the END of alterTable
+        // (round-18 — see the closing commit below): earlier versions
+        // keep surfacing the column with its real values
         StructType(sch.fields.filterNot(_.name == from))
       case (sch, ud: TableChange.UpdateColumnDefaultValue) =>
         // ALTER COLUMN ... SET/DROP DEFAULT (round-17): edits the
@@ -597,6 +590,24 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
             "ADD COLUMN, RENAME COLUMN, DROP COLUMN, and ALTER COLUMN TYPE")
     }
     Acid.writeDeclaredSchema(dir, evolved)
+    // EVERY schema change is a VERSION (round-18, the Delta
+    // metadata-action semantic completed — round 17 versioned only
+    // RENAME/DROP, and committed mid-fold BEFORE the declared sidecar
+    // updated, which would stamp a stale schema record): one ALTER
+    // manifest per alterTable call, committed AFTER all sidecar writes
+    // so commitManifest stamps the colmap, dropped list, declared schema
+    // and defaults exactly as this ALTER left them. Same file list as
+    // the parent (a metadata-only commit — the delta encodes empty);
+    // pinned reads of earlier versions serve THEIR schemas, and a pin
+    // taken between this ALTER and its first INSERT serves the
+    // just-declared shape.
+    val vEnd = Acid.latestVersion(dir)
+    if (vEnd >= 0) {
+      val mm = Acid.readManifest(dir, vEnd)
+      Acid.commitManifest(dir, mm.copy(version = vEnd + 1, batchId = -1L,
+        cdcPath = None, op = "ALTER", colMap = None, dropped = None,
+        declared = None, defaultsRec = None))
+    }
     new AcidSqlTable(dir, Acid.withDefaultsMeta(dir, evolved))
   }
 

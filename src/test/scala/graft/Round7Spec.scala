@@ -436,8 +436,16 @@ class Round7Spec extends AnyFunSuite {
     val before = dataShas(dir)
     val vBefore = Acid.latestVersion(dir)
     spark.sql(s"ALTER TABLE $cat.t ADD COLUMN discount_cents BIGINT")
-    // metadata-only: no new table version, no data file touched
-    assert(Acid.latestVersion(dir) == vBefore, "ALTER must not commit a data version")
+    // SUPERSEDED (round-18, declared-schema versioning — SURVEY §6.18):
+    // the original r7 pin said "ALTER must not commit a data version".
+    // Since r17 RENAME/DROP commit metadata-only ALTER versions, and r18
+    // extended that to EVERY schema change so each version's manifest
+    // records the schema declared at its moment (the Delta
+    // metadata-action semantic). The ALTER commits exactly ONE version
+    // with the SAME file list — still metadata-only: no data file is
+    // written or touched.
+    assert(Acid.latestVersion(dir) == vBefore + 1,
+      "ALTER commits one metadata version (round-18 schema versioning)")
     assert(dataShas(dir) == before, "ALTER must not rewrite data files")
     // every pre-ALTER row surfaces NULL; count and pruning intact
     val t = spark.table(s"$cat.t")
