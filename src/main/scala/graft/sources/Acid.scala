@@ -6084,6 +6084,45 @@ object Acid {
       .withColumn("metadata_only", lit(metadataOnly))
   }
 
+  /** tbl_delete_range_str — METADATA-ONLY string-RANGE DELETE
+    * (round-18, the set shape's interval sibling; the alphabetic-shard /
+    * prefix-range purge): `DELETE WHERE lang >= 'es' AND lang < 'zz'`
+    * decodes through `exactIntervalStr` (explicit-inclusivity bounds —
+    * no ±1 adjustment exists in the string domain) and classifies on
+    * the cstats ENVELOPE alone, exactness-free: the stored bounds only
+    * WIDEN under truncation, so envelope-inside proves every row
+    * matches and envelope-disjoint proves none — the DATE tier's
+    * argument ported to strings. Wholly-covered files drop with zero
+    * reads and writes; only boundary-straddling files rewrite.
+    */
+  val tblDeleteRangeStr: Q = (s, d) => {
+    val root = fresh("tbl_delrstr_cat", d)
+    val cat = "graft_delrstr_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.documents(s, d)
+      .select(col("doc_id").as("k"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_delrstr_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"""CREATE TABLE $cat.t (k BIGINT, lang STRING, n_chars BIGINT)
+             |PARTITIONED BY (lang)""".stripMargin)
+    s.sql(s"INSERT INTO $cat.t SELECT k, lang, n_chars FROM graft_delrstr_src")
+    val dir = s"$root/t"
+    val vIns = latestVersion(dir)
+    val before = readManifest(dir, vIns).files.map(_.path).toSet
+    s.sql(s"DELETE FROM $cat.t WHERE lang >= 'es' AND lang < 'zz'")
+    val v1 = latestVersion(dir)
+    val after = readManifest(dir, v1).files.map(_.path).toSet
+    val metadataOnly = v1 == vIns + 1 && after.subsetOf(before) &&
+      after.size < before.size &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"d${v1}_sqldel"))
+    s.sql(s"""SELECT lang, count(*) AS n,
+             |       CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM $cat.t GROUP BY lang ORDER BY lang""".stripMargin)
+      .withColumn("metadata_only", lit(metadataOnly))
+  }
+
   /** tbl_sql_truncate — METADATA-ONLY TRUNCATE (round-16): `TRUNCATE
     * TABLE` (and `DELETE FROM t` with no WHERE) commits ONE manifest
     * with an empty file list — zero reads, zero rewrites, zero deletes
@@ -8051,6 +8090,7 @@ object Acid {
     "tbl_sql_truncate"      -> tblSqlTruncate,
     "tbl_delete_partition"  -> tblDeletePartition,
     "tbl_delete_partition_str" -> tblDeletePartitionStr,
+    "tbl_delete_range_str"  -> tblDeleteRangeStr,
     "tbl_delete_aligned_date" -> tblDeleteAlignedDate,
     "tbl_sql_ctas"          -> tblSqlCtas,
     "tbl_sql_travel"        -> tblSqlTravel,
@@ -8525,6 +8565,11 @@ object Acid {
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
         |       TRUE AS metadata_only
         |FROM documents WHERE lang NOT IN ('es', 'zh')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "tbl_delete_range_str" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       TRUE AS metadata_only
+        |FROM documents WHERE NOT (lang >= 'es' AND lang < 'zz')
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "tbl_sql_truncate" ->
       """WITH base AS (

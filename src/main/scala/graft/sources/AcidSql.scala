@@ -838,8 +838,52 @@ object AcidSql {
       pred, "sqldel", writeCdf = false))
   }
 
+  /** exactIntervalWith's STRING twin (round-18, the set decoder's
+    * sibling): Some((lo, hi)) iff the conjunction over `c` is EXACTLY
+    * one interval with string-literal bounds — each side an Option of
+    * (bound, inclusive), both None never returned (a bare IsNotNull is
+    * not a range shape). No ±1 bound adjustment exists in the string
+    * domain, so inclusivity is carried explicitly and every consumer
+    * compares with it. Bounds tighten under conjunction in UTF-8 binary
+    * order (the order the cstats envelopes are stamped in). */
+  private[graft] def exactIntervalStr(filters: Seq[Filter], c: String)
+      : Option[(Option[(String, Boolean)], Option[(String, Boolean)])] = {
+    var lo: Option[(String, Boolean)] = None
+    var hi: Option[(String, Boolean)] = None
+    def tightenLo(v: String, inc: Boolean): Unit =
+      lo = Some(lo.fold((v, inc)) { case (cv, ci) =>
+        val cmp = Acid.u8Cmp(v, cv)
+        if (cmp > 0) (v, inc)
+        else if (cmp < 0) (cv, ci)
+        else (cv, ci && inc)
+      })
+    def tightenHi(v: String, inc: Boolean): Unit =
+      hi = Some(hi.fold((v, inc)) { case (cv, ci) =>
+        val cmp = Acid.u8Cmp(v, cv)
+        if (cmp < 0) (v, inc)
+        else if (cmp > 0) (cv, ci)
+        else (cv, ci && inc)
+      })
+    def walk(f: Filter): Boolean = f match {
+      case GreaterThan(col, v: String) if col == c =>
+        tightenLo(v, inc = false); true
+      case GreaterThanOrEqual(col, v: String) if col == c =>
+        tightenLo(v, inc = true); true
+      case LessThan(col, v: String) if col == c =>
+        tightenHi(v, inc = false); true
+      case LessThanOrEqual(col, v: String) if col == c =>
+        tightenHi(v, inc = true); true
+      case IsNotNull(col) if col == c => true
+      case FAnd(l, r)                 => walk(l) && walk(r)
+      case _                          => false
+    }
+    if (filters.forall(walk) && (lo.isDefined || hi.isDefined)) Some((lo, hi))
+    else None
+  }
+
   /** alignedDelete's STRING tier (round-18): the predicate must decode
-    * to an exact finite string set; evidence is per-file cstats.
+    * to an exact finite string set OR one string interval (the
+    * alphabetic-shard / prefix-range purge); evidence is per-file cstats.
     * Some(true) — droppable — needs the file to PROVE one value (min ==
     * max with BOTH exactness bits; a truncated bound can hide distinct
     * >16-code-point values behind equal prefixes) in the set, plus the
@@ -853,20 +897,53 @@ object AcidSql {
     * short-code file single-valued by construction. */
   private[graft] def alignedDeleteStr(s: SparkSession, dir: String,
       filters: Array[Filter], c: String): Option[(Long, Int, Int)] = {
-    val set = exactSetStr(filters.toSeq, c).getOrElse(return None)
+    val setOpt = exactSetStr(filters.toSeq, c)
+    val ivOpt =
+      if (setOpt.isDefined) None else exactIntervalStr(filters.toSeq, c)
+    if (setOpt.isEmpty && ivOpt.isEmpty) return None
     val base = Acid.latestVersion(dir)
     if (base < 0) return None
     val m = Acid.readManifest(dir, base)
     val phys = Acid.colMapOf(dir).getOrElse(c, c)
+    // Interval containment runs on the ENVELOPE, exactness-free: the
+    // stored mn is ≤ every real value and the stored mx ≥ (truncation
+    // only widens — truncBoundMin keeps a prefix, truncBoundMax
+    // increments), so envelope-inside-interval proves every row matches
+    // and envelope-disjoint proves none does — the same argument the
+    // DATE tier uses. The SET tier still demands per-file exactness:
+    // membership of an envelope is not membership of its values.
+    def ivAllIn(mn: String, mx: String): Boolean = ivOpt.exists {
+      case (lo, hi) =>
+        lo.forall { case (v, inc) =>
+          if (inc) Acid.u8Cmp(v, mn) <= 0 else Acid.u8Cmp(v, mn) < 0 } &&
+        hi.forall { case (v, inc) =>
+          if (inc) Acid.u8Cmp(mx, v) <= 0 else Acid.u8Cmp(mx, v) < 0 }
+    }
+    def ivNoneIn(mn: String, mx: String): Boolean = ivOpt.exists {
+      case (lo, hi) =>
+        lo.exists { case (v, inc) =>
+          if (inc) Acid.u8Cmp(mx, v) < 0 else Acid.u8Cmp(mx, v) <= 0 } ||
+        hi.exists { case (v, inc) =>
+          if (inc) Acid.u8Cmp(mn, v) > 0 else Acid.u8Cmp(mn, v) >= 0 }
+    }
     def classify(f: Acid.FileEntry): Option[Boolean] = {
-      if (set.isEmpty) return Some(false) // provably-empty predicate
+      if (setOpt.exists(_.isEmpty)) return Some(false) // provably empty
       f.cstats.find(_._1 == phys).flatMap { case (_, mn, mx) =>
-        val single = f.cexact.find(_._1 == phys)
-          .exists(e => e._2 && e._3) && mn == mx
-        if (single && set.contains(mn))
+        val allIn = setOpt match {
+          case Some(set) =>
+            val single = f.cexact.find(_._1 == phys)
+              .exists(e => e._2 && e._3) && mn == mx
+            single && set.contains(mn)
+          case None => ivAllIn(mn, mx)
+        }
+        val noneIn = setOpt match {
+          case Some(set) => set.forall(v =>
+            Acid.u8Cmp(v, mn) < 0 || Acid.u8Cmp(v, mx) > 0)
+          case None => ivNoneIn(mn, mx)
+        }
+        if (allIn)
           (if (f.nulls.contains((phys, 0L))) Some(true) else None)
-        else if (set.forall(v =>
-          Acid.u8Cmp(v, mn) < 0 || Acid.u8Cmp(v, mx) > 0)) Some(false)
+        else if (noneIn) Some(false)
         else None
       }
     }
