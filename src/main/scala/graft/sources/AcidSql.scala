@@ -3263,19 +3263,43 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
     case _ => java.lang.Integer.valueOf(v.toInt)
   }
 
+  /** STRING identity SPJ keys (round-18, r17 verdict next #5; OPT-IN —
+    * see spjPlan): the packed cell is NOT the identity value, so the
+    * key is the file's PROVEN single value — the exact cstats pair the
+    * GROUP BY fold and the string DELETE already trust (min == max,
+    * both exactness bits) plus the zero-null stamp (a NULL row is not
+    * the key value). Served as UTF8String, the catalyst internal form
+    * an identity transform over a STRING column clusters by. Any
+    * collided / truncated / null-bearing / unstamped file declines the
+    * whole plan — a shuffle, never a wrong co-location. */
+  private def identstrKey(phys: String, f: Acid.FileEntry): Option[Any] =
+    if (!f.nulls.contains((phys, 0L))) None
+    else for {
+      cs <- f.cstats.find(_._1 == phys)
+      ex <- f.cexact.find(_._1 == phys)
+      if ex._2 && ex._3 && cs._2 == cs._3
+    } yield UTF8String.fromString(cs._2)
+
   private def spjPlan
       : Option[(Seq[Acid.PartSpec], Seq[(Acid.FileEntry, Array[Any])])] = {
     if (rowLevel || live.isEmpty) return None
     val specs = Acid.partSpecsOf(dir)
     if (specs.isEmpty) return None
-    // string identity declines SPJ: its stamped cell is the 8-byte
-    // packed prefix, NOT the identity value Spark would align on —
-    // reporting identity with packed keys would co-locate wrongly.
-    // A shuffle, never a wrong join.
-    if (specs.exists(_.isInstanceOf[Acid.PartIdentityStr])) return None
+    // String identity serves SPJ ONLY behind the session knob: reporting
+    // KeyGroupedPartitioning forfeits join-driven runtime FILE pruning
+    // (the filter() guard below — Spark requires runtime filtering to
+    // preserve the key set), and for the common fact⋈dim shape on a
+    // lang-partitioned corpus that pruning is the bigger win. Enable for
+    // lang⋈lang co-located joins; keys are per-file proven values
+    // (identstrKey), so a collided or unstamped file still declines.
+    if (specs.exists(_.isInstanceOf[Acid.PartIdentityStr]) &&
+        !SparkSession.active.conf
+          .get("spark.graft.identstrSpj", "false").toBoolean) return None
     val keyed = live.map { f =>
-      val vs = specs.map(ps =>
-        Acid.partitionValueOfAny(f, ps.label).map(spjValue(ps, _)))
+      val vs = specs.map {
+        case is: Acid.PartIdentityStr => identstrKey(is.col, f)
+        case ps => Acid.partitionValueOfAny(f, ps.label).map(spjValue(ps, _))
+      }
       f -> (if (vs.forall(_.isDefined)) Some(vs.map(_.get).toArray) else None)
     }
     if (keyed.exists(_._2.isEmpty)) None
@@ -3308,10 +3332,11 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
           case Acid.PartTruncateStr(n, c) =>
             Expressions.apply(s"truncstr_$n",
               Expressions.column(AcidSql.logicalName(dir, c)))
-          case ps: Acid.PartIdentityStr =>
-            // unreachable: spjPlan declines string identity (the packed
-            // cell is not the identity value Spark would align on)
-            throw new IllegalStateException(s"SPJ over ${ps.label}")
+          case Acid.PartIdentityStr(c) =>
+            // reachable only behind the identstrSpj knob (spjPlan):
+            // keys are the files' PROVEN single values, so plain
+            // identity clustering is exact
+            Expressions.identity(AcidSql.logicalName(dir, c))
         }.toArray
       new KeyGroupedPartitioning(transforms,
         keyed.map(_._2.toSeq).distinct.size)
