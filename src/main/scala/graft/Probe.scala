@@ -1757,3 +1757,147 @@ object Round17Probe {
     spark.stop()
   }
 }
+
+/** Round-18 scale evidence (run ad hoc, local[32], defaults 4M rows):
+  *
+  *   sbt "runMain graft.Round18Probe [sfDir]"
+  *
+  * (1) STRING partition-set DELETE: `DELETE WHERE lang IN (...)` on an
+  *     identstr-partitioned corpus (metadata-only drop on exact cstats
+  *     evidence) vs the same rows UNPARTITIONED (key-clustered files
+  *     are multi-valued in lang — every file straddles, the full
+  *     copy-on-write). Times + bytes written: the metadata commit
+  *     writes no data file, so at 100 TB the language purge is one
+  *     manifest commit however many files hold the language.
+  * (2) ALTER version write amplification: ADD COLUMN on a 256-file
+  *     table commits a delta manifest — O(1) bytes, not O(table), the
+  *     precondition for versioning EVERY schema change.
+  * (3) identstr SPJ (opt-in knob): lang⋈lang at 4M rows, shuffle vs
+  *     exchange-free co-located join.
+  */
+object Round18Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Acid
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def dirBytes(p: String): Long = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      } finally w.close()
+    }
+    val n = 4000000L
+    val langs = 40
+    // lang_00 .. lang_39 — 7 bytes, packs injectively
+    val src = spark.range(n).select(col("id").as("k"),
+      format_string("lang_%02d", col("id") % langs).as("lang"),
+      (col("id") * 3).as("nc"))
+
+    // ---- (1) metadata-only string partition DELETE vs copy-on-write --
+    locally {
+      val root = Scratch.fresh("r18p_sdel", sfDir)
+      val cat = "r18p_sd_c"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      src.createOrReplaceTempView("r18p_src")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.p")
+      spark.sql(s"""CREATE TABLE $cat.p (k BIGINT, lang STRING, nc BIGINT)
+                   |PARTITIONED BY (lang)""".stripMargin)
+      spark.sql(s"INSERT INTO $cat.p SELECT k, lang, nc FROM r18p_src")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.u")
+      spark.sql(s"CREATE TABLE $cat.u (k BIGINT, lang STRING, nc BIGINT)")
+      spark.sql(s"INSERT INTO $cat.u SELECT /*+ REPARTITION_BY_RANGE(32, k) */ " +
+        "k, lang, nc FROM r18p_src")
+      val purge = "lang IN ('lang_03','lang_11','lang_27','lang_33','lang_39')"
+      val preP = dirBytes(s"$root/p"); val preU = dirBytes(s"$root/u")
+      val (_, tP) = timed(spark.sql(s"DELETE FROM $cat.p WHERE $purge"))
+      val (_, tU) = timed(spark.sql(s"DELETE FROM $cat.u WHERE $purge"))
+      val remP = spark.sql(s"SELECT count(*) FROM $cat.p").head.getLong(0)
+      val remU = spark.sql(s"SELECT count(*) FROM $cat.u").head.getLong(0)
+      require(remP == n * (langs - 5) / langs && remP == remU,
+        s"remainders $remP / $remU")
+      println(f"[r18-probe] string partition DELETE ($n%d rows, $langs%d langs, " +
+        f"purge 5): identstr metadata ${tP}%5.2fs " +
+        f"(+${(dirBytes(s"$root/p") - preP) / 1024}%d KB written) vs " +
+        f"unpartitioned copy-on-write ${tU}%5.2fs " +
+        f"(+${(dirBytes(s"$root/u") - preU) / 1024}%d KB) — ${tU / tP}%.1fx")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.p")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.u")
+    }
+
+    // ---- (2) ALTER version write amplification ------------------------
+    locally {
+      val root = Scratch.fresh("r18p_alter", sfDir)
+      val cat = "r18p_al_c"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = s"$root/t"
+      Acid.create(spark, dir, spark.range(n)
+        .select(col("id").as("k"), (col("id") * 7).as("v")), "k", 256)
+      spark.sql(s"DROP TABLE IF EXISTS $cat.missing")
+      val v0 = Acid.latestVersion(dir)
+      val full = java.nio.file.Files.size(
+        java.nio.file.Paths.get(dir, "_log", f"v$v0%05d.txt"))
+      val (_, tA) = timed(
+        spark.sql(s"ALTER TABLE $cat.t ADD COLUMN tier STRING DEFAULT 'basic'"))
+      val v1 = Acid.latestVersion(dir)
+      require(v1 == v0 + 1, s"ALTER version $v1")
+      val alter = java.nio.file.Files.size(
+        java.nio.file.Paths.get(dir, "_log", f"v$v1%05d.txt"))
+      val pinned = spark.sql(
+        s"SELECT count(*) FROM $cat.t VERSION AS OF $v1 WHERE tier = 'basic'")
+        .head.getLong(0)
+      require(pinned == n, s"pinned exists-default count $pinned")
+      println(f"[r18-probe] ALTER version on a 256-file table: commit " +
+        f"${tA * 1000}%6.1fms, manifest $alter%d B (vs $full%d B full " +
+        f"base) — O(1) delta; pinned read serves the declared schema")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    }
+
+    // ---- (3) identstr key-grouped reporting: exchange-free GROUP BY --
+    // The co-location the knob buys: KeyGroupedPartitioning(identity
+    // (lang)) satisfies the aggregate's clustering, so `GROUP BY lang`
+    // over a non-foldable measure (sum(nc*nc) — the manifest fold only
+    // serves plain count/sum/min/max/avg) runs with NO exchange; off,
+    // the same plan shuffles 4M rows to the final aggregation.
+    locally {
+      val root = Scratch.fresh("r18p_spj", sfDir)
+      val cat = "r18p_sj_c"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.sql(s"DROP TABLE IF EXISTS $cat.a")
+      spark.sql(s"""CREATE TABLE $cat.a (k BIGINT, lang STRING, nc BIGINT)
+                   |PARTITIONED BY (lang)""".stripMargin)
+      spark.sql(s"INSERT INTO $cat.a SELECT k, lang, nc FROM r18p_src")
+      val q = s"SELECT lang, sum(nc * nc) AS s2 FROM $cat.a GROUP BY lang"
+      val (c1, tOff) = timed(spark.sql(q).collect().length)
+      spark.conf.set("spark.graft.identstrSpj", "true")
+      try {
+        val qq = spark.sql(q)
+        val exchangeFree = !qq.queryExecution.executedPlan.toString
+          .contains("Exchange")
+        val (c2, tOn) = timed(qq.collect().length)
+        require(c1 == langs && c2 == langs, s"groups $c1 / $c2")
+        println(f"[r18-probe] identstr key-grouped GROUP BY ($n%d rows, " +
+          f"$langs%d langs, non-foldable measure): shuffle ${tOff}%5.2fs " +
+          f"vs exchange-free ${tOn}%5.2fs (exchange-free: $exchangeFree) " +
+          f"— ${tOff / tOn}%.1fx")
+      } finally spark.conf.set("spark.graft.identstrSpj", "false")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.a")
+    }
+    spark.stop()
+  }
+}
