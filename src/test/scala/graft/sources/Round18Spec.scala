@@ -228,4 +228,121 @@ class Round18Spec extends AnyFunSuite {
       "WHERE tier = 'basic'").head.getLong(0) >= 100L)
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
+
+  /** Fifth family: SPJ over STRING identity partitions (round-17
+    * verdict next #5) — OPT-IN via spark.graft.identstrSpj. Keys are
+    * the files' PROVEN single values (the exact cstats pair + zero-null
+    * stamp), never the packed prefix cell, so a lang⋈lang join goes
+    * exchange-free; a >8-byte prefix collision declines the whole plan
+    * (a shuffle, never a wrong co-location). The knob defaults OFF
+    * deliberately: reporting KeyGroupedPartitioning forfeits
+    * join-driven runtime FILE pruning (Spark requires runtime filters
+    * to preserve the key set), and for the common fact⋈dim shape that
+    * pruning is the bigger win — tbl_part_identstr pins it. */
+  test("identstr SPJ (opt-in): lang joins go exchange-free on proven " +
+      "values; collisions decline; default keeps runtime pruning") {
+    import spark.implicits._
+    val root = Scratch.fresh("r18_sspj", sf)
+    val cat = "r18sj"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Seq("a", "b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $cat.$t")
+      spark.sql(s"""CREATE TABLE $cat.$t (k BIGINT, lang STRING, n BIGINT)
+                   |PARTITIONED BY (lang)""".stripMargin)
+    }
+    (0L until 300L).map(i => (i, Seq("en", "de", "zh", "fr")((i % 4).toInt), i))
+      .toDF("k", "lang", "n").createOrReplaceTempView("r18_sj_src")
+    spark.sql(s"INSERT INTO $cat.a SELECT k, lang, n FROM r18_sj_src")
+    spark.sql(s"INSERT INTO $cat.b SELECT k, lang, n * 10 FROM r18_sj_src " +
+      "WHERE k % 2 = 0")
+    val q = s"""SELECT a.lang, count(*) AS n, sum(b.n) AS bn
+               |FROM $cat.a a JOIN $cat.b b ON a.lang = b.lang
+               |GROUP BY a.lang""".stripMargin
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // default OFF: the scans report UnknownPartitioning — a shuffle
+      val off = spark.sql(q)
+      assert(off.queryExecution.executedPlan.toString.contains("Exchange"),
+        "identstr SPJ must stay opt-in (runtime pruning is the default win)")
+      val expect = off.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      // knob ON: exchange-free co-located join, identical results
+      spark.conf.set("spark.graft.identstrSpj", "true")
+      val on = spark.sql(q)
+      val plan = on.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected an exchange-free lang join:\n$plan")
+      assert(on.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).sortBy(_._1).toSeq == expect)
+      // a colliding >8-byte value declines the plan even with the knob
+      spark.sql(s"INSERT INTO $cat.a VALUES " +
+        "(900, 'languagecode_aa', 1), (901, 'languagecode_bb', 1)")
+      val coll = spark.sql(q)
+      assert(coll.queryExecution.executedPlan.toString.contains("Exchange"),
+        "a collided cell must decline SPJ — shuffle, never wrong")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      spark.conf.set("spark.graft.identstrSpj", "false")
+    }
+    Seq("a", "b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $cat.$t"))
+  }
+
+  /** Sixth family: string-RANGE aligned DELETE (the set shape's interval
+    * sibling). Interval containment classifies on the cstats ENVELOPE,
+    * exactness-free — truncation only WIDENS the stored bounds
+    * (truncBoundMin keeps a prefix, truncBoundMax increments), so
+    * envelope-inside proves every row matches even for >16-code-point
+    * values whose exactness bits are OFF; a file whose envelope straddles
+    * a bound rewrites. */
+  test("string range DELETE: covered files drop (even with truncated " +
+      "envelopes), straddlers rewrite") {
+    import spark.implicits._
+    val root = Scratch.fresh("r18_rdel", sf)
+    val cat = "r18rd"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, tenant STRING, n BIGINT)")
+    // one file per tenant "shard": short codes plus one LONG tenant id
+    // (> 16 code points — its cstats bounds truncate, exactness bits off)
+    val longT = "tenant_mmmmmmmmmmmmmmmmmmmm" // sorts inside [f, z)
+    Seq("alpha", "echo", "golf", longT, "zulu").zipWithIndex.foreach {
+      case (t, i) =>
+        (0L until 20L).map(j => (i * 100L + j, t, j)).toDF("k", "tenant", "n")
+          .coalesce(1).createOrReplaceTempView("r18_rd_one")
+        spark.sql(s"INSERT INTO $cat.t SELECT k, tenant, n FROM r18_rd_one")
+    }
+    val dir = s"$root/t"
+    val v0 = Acid.latestVersion(dir)
+    // purge the [f, z) shard: echo/alpha/zulu survive; golf and the
+    // truncated-envelope long tenant drop WITHOUT a rewrite
+    spark.sql(s"DELETE FROM $cat.t WHERE tenant >= 'f' AND tenant < 'z'")
+    val v1 = Acid.latestVersion(dir)
+    assert(v1 == v0 + 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"d${v1}_sqldel")),
+      "wholly-covered files (incl. the truncated envelope) drop metadata-only")
+    val left = spark.sql(s"SELECT tenant, count(*) AS n FROM $cat.t " +
+      "GROUP BY tenant ORDER BY tenant").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(left == Seq(("alpha", 20L), ("echo", 20L), ("zulu", 20L)), left.toString)
+    // a straddling file rewrites: one file spanning the 'e'..'g' range
+    (0L until 30L).map(j =>
+      (1000L + j, if (j % 2 == 0) "echo" else "golf", j))
+      .toDF("k", "tenant", "n").coalesce(1)
+      .createOrReplaceTempView("r18_rd_mix")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, tenant, n FROM r18_rd_mix")
+    spark.sql(s"DELETE FROM $cat.t WHERE tenant >= 'f' AND tenant < 'z'")
+    val v3 = Acid.latestVersion(dir)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"d${v3}_sqldel")),
+      "the mixed echo/golf file straddles the bound and must rewrite")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE tenant = 'golf'")
+      .head.getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE tenant = 'echo'")
+      .head.getLong(0) == 35L)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
 }
