@@ -2403,9 +2403,34 @@ object Acid {
     // version-pinned reads resolve the names the table had AT that
     // version (round-17); latest reads use the live sidecar as before
     val cm = colMapAt(dir, version)
-    if (cm.isEmpty) undead
-    else cm.foldLeft(undead) { case (df, (lo, ph)) =>
-      if (df.columns.contains(ph)) df.withColumnRenamed(ph, lo) else df
+    val named =
+      if (cm.isEmpty) undead
+      else cm.foldLeft(undead) { case (df, (lo, ph)) =>
+        if (df.columns.contains(ph)) df.withColumnRenamed(ph, lo) else df
+      }
+    // PINNED reads also serve the schema DECLARED at that version
+    // (round-18, catalog parity — tableSchemaAt is the SQL side): a
+    // top-level column declared at v that no file carries yet splices
+    // in as the EXISTS default (every row predates the column — the
+    // per-file rule degenerates to a constant) or NULL. Latest
+    // (version < 0) stays file-derived, the library's live-view
+    // semantic; `tableSchema` is the latest-schema helper.
+    if (version < 0) named
+    else declaredSchemaAt(dir, version).fold(named) { ds =>
+      val cmV = colMapAt(dir, version)
+      val dfl = defaultsAt(dir, version)
+      ds.fields.filterNot(f => named.columns.contains(f.name))
+        .foldLeft(named) { (d, f) =>
+          val phys = cmV.getOrElse(f.name, f.name)
+          val fill = dfl.find(_._1 == phys).flatMap(_._4) match {
+            // decodeDefault yields CATALYST-internal values (UTF8String
+            // etc.) — wrap as a typed Literal through the bridge
+            case Some(v) => org.apache.spark.sql.GraftSqlBridge.column(
+              org.apache.spark.sql.catalyst.expressions.Literal(v, f.dataType))
+            case None => lit(null).cast(f.dataType)
+          }
+          d.withColumn(f.name, fill)
+        }
     }
   }
 
