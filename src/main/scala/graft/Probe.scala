@@ -1898,6 +1898,27 @@ object Round18Probe {
       } finally spark.conf.set("spark.graft.identstrSpj", "false")
       spark.sql(s"DROP TABLE IF EXISTS $cat.a")
     }
+
+    // ---- (4) MoR delete-commit cost (the r17 verdict watch item) ------
+    // Times the key-level deleteWhereMor commit itself: first delete
+    // (no prior sidecar) and a second folding delete. The r17
+    // attribution re-scanned every touched file a second time; the
+    // r18 sidecar carries the filename, so attribution is delete-sized.
+    locally {
+      val root = Scratch.fresh("r18p_mor", sfDir)
+      val dir = s"$root/t"
+      Acid.create(spark, dir, spark.range(n)
+        .select(col("id").as("k"), (col("id") * 7).as("v"),
+          (col("id") % 97).as("w")), "k", 32)
+      val (r1, t1) = timed(Acid.deleteWhereMor(spark, dir,
+        col("k") % 9973 === 5, None, "p1"))
+      val (r2, t2) = timed(Acid.deleteWhereMor(spark, dir,
+        col("k") % 9973 === 6, None, "p2"))
+      require(r1._1 > 0 && r2._1 > 0)
+      println(f"[r18-probe] MoR delete commit ($n%d rows, 32 files, " +
+        f"~${r1._1}%d keys/delete): first ${t1}%5.2fs, folding second " +
+        f"${t2}%5.2fs — attribution rides the sidecar write")
+    }
     spark.stop()
   }
 }

@@ -208,6 +208,13 @@ class Round18Spec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $cat.t (k, v) VALUES (1000, 1)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF $vAlter")
       .head.getLong(0) == 100L, "the pin is immutable across the insert")
+    // LIBRARY parity: Acid.snapshot at a pinned version serves the same
+    // declared-at-v shape (EXISTS-default-filled) the catalog pin does
+    val lib = Acid.snapshot(spark, dir, vAlter)
+    assert(lib.columns.contains("tier") &&
+      lib.filter(col("tier") === "basic").count() == 100L,
+      "library pinned snapshot must match the catalog pin")
+    assert(!Acid.snapshot(spark, dir, vIns).columns.contains("tier"))
     // SET DEFAULT commits a version; a pinned load on either side shows
     // the write default current THEN (the catalog's field metadata)
     spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN tier SET DEFAULT 'gold'")
