@@ -242,8 +242,35 @@ class AcidPartitionsScan(dir: String) extends Scan with Batch {
       val strCol: Option[String] = specs.collectFirst {
         case ps @ Acid.PartIdentityStr(c) if ps.label == label => c
       }
-      def decodeCell(fs: Seq[Acid.FileEntry]): Option[String] =
-        strCol.flatMap { c =>
+      // truncstr cells render their byte-prefix as `prefix*` (round-18):
+      // the packed cell IS the min(n, 8)-byte prefix (zero-padded,
+      // sign-flipped), so unpacking the cell value decodes it directly —
+      // no cstats needed (cstatCols deliberately skips truncstr source
+      // columns, their transform stamp covers pruning). A trailing
+      // partial multi-byte sequence is dropped, display never splits a
+      // character; real strings carry no NUL, so stripping zero padding
+      // is unambiguous.
+      val isTruncStr = specs.exists {
+        case ps: Acid.PartTruncateStr => ps.label == label
+        case _ => false
+      }
+      def unpackCell(cell: Long): String = {
+        val v = cell ^ Long.MinValue
+        val bs = (0 until 8).map(i =>
+          ((v >>> ((7 - i) * 8)) & 0xFFL).toByte).toArray
+        val len = { var e = 8; while (e > 0 && bs(e - 1) == 0) e -= 1; e }
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        var l = len
+        while (l > 0) {
+          try return dec.decode(java.nio.ByteBuffer.wrap(bs, 0, l)).toString
+          catch { case _: java.nio.charset.CharacterCodingException => l -= 1 }
+        }
+        ""
+      }
+      def decodeCell(v: Long, fs: Seq[Acid.FileEntry]): Option[String] =
+        strCol.map { c =>
           def exactVal(f: Acid.FileEntry): Option[String] = for {
             cs <- f.cstats.find(_._1 == c)
             ex <- f.cexact.find(_._1 == c)
@@ -257,11 +284,12 @@ class AcidPartitionsScan(dir: String) extends Scan with Batch {
             if (bounds.isEmpty) None
             else Some(s"~[${bounds.map(_._2).min}..${bounds.map(_._3).max}]")
           }
-        }
+        }.getOrElse(
+          if (isTruncStr) Some(unpackCell(v) + "*") else None)
       val grouped = m.files.groupBy(Acid.partitionValueOfAny(_, label))
       val rows = grouped.toSeq.map { case (v, fs) =>
         AcidPartitionsRow(v, fs.size.toLong, fs.map(_.rows).sum,
-          fs.map(_.bytes).sum, if (v.isDefined) decodeCell(fs) else None)
+          fs.map(_.bytes).sum, v.flatMap(decodeCell(_, fs)))
       }.sortBy(_.value.getOrElse(Long.MinValue))
       AcidPartitionsInputPartition(label, rows)
     }.toArray

@@ -87,6 +87,17 @@ class Round18Spec extends AnyFunSuite {
       !byStr.contains("languagecode_bb"), byStr.toSeq.toString)
     // row/file totals still reconcile with .files
     assert(parts.map(_.getAs[Long]("rows")).sum == 60L)
+    // truncstr cells render their shared byte-prefix as `prefix*`
+    spark.sql(s"DROP TABLE IF EXISTS $cat.tr")
+    spark.sql(s"""CREATE TABLE $cat.tr (k BIGINT, url STRING, n BIGINT)
+                 |PARTITIONED BY (truncate(4, url))""".stripMargin)
+    (0L until 40L).map(i => (i, s"http${i % 2}/page$i", i))
+      .toDF("k", "url", "n").createOrReplaceTempView("r18_pd_tr")
+    spark.sql(s"INSERT INTO $cat.tr SELECT k, url, n FROM r18_pd_tr")
+    val trParts = spark.read.table(s"$cat.tr.partitions").collect()
+      .flatMap(r => Option(r.getAs[String]("value_str"))).toSet
+    assert(trParts == Set("http*"), trParts.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.tr")
     // DESCRIBE DETAIL reports the public identity spelling
     val spec = Acid.describeDetail(spark, s"$root/docs")
       .select("partition_spec").head.getString(0)
