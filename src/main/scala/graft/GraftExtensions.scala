@@ -56,6 +56,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           args(0), args(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Cost-based identstr SPJ must run AFTER V2 pushdown and
+    // PartitionPruning; the injectOptimizerRule batch runs before both,
+    // so the builder registers the real rule into the session's
+    // experimental extraOptimizations ("User Provided Optimizers", the
+    // LAST optimizer batch) and contributes nothing itself.
+    ext.injectOptimizerRule { session =>
+      if (!session.experimental.extraOptimizations
+            .contains(graft.plans.IdentstrSpjAutoRule))
+        session.experimental.extraOptimizations =
+          session.experimental.extraOptimizations :+
+            graft.plans.IdentstrSpjAutoRule
+      new org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+        override def apply(p: org.apache.spark.sql.catalyst.plans.logical
+            .LogicalPlan) = p
+      }
+    }
     // SQL maintenance statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY)
     // — the Delta-style injected-parser surface; see GraftSqlParser.
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))

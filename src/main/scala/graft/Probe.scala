@@ -1895,7 +1895,7 @@ object Round18Probe {
           f"$langs%d langs, non-foldable measure): shuffle ${tOff}%5.2fs " +
           f"vs exchange-free ${tOn}%5.2fs (exchange-free: $exchangeFree) " +
           f"— ${tOff / tOn}%.1fx")
-      } finally spark.conf.set("spark.graft.identstrSpj", "false")
+      } finally spark.conf.set("spark.graft.identstrSpj", "auto")
       spark.sql(s"DROP TABLE IF EXISTS $cat.a")
     }
 
@@ -1918,6 +1918,82 @@ object Round18Probe {
       println(f"[r18-probe] MoR delete commit ($n%d rows, 32 files, " +
         f"~${r1._1}%d keys/delete): first ${t1}%5.2fs, folding second " +
         f"${t2}%5.2fs — attribution rides the sidecar write")
+    }
+    spark.stop()
+  }
+}
+
+/** Round-19 probe — monotone-transform write fan-out (the r18 weak mark,
+  * tbl_part_evolve 13.67 s scored): a days(ts)-partitioned INSERT from a
+  * RANDOM-arrival scan (each task spans the full time range) under
+  *   (a) the pre-r19 local-sort-only write (knob=none) and
+  *   (b) the r19 default ordered-range REBALANCE distribution,
+  * printing gen-2 file counts + wall time, then times the slimmed
+  * tbl_part_evolve fixture end-to-end.
+  *
+  *   sbt "runMain graft.Round19Probe /root/testdata/sf0.1"
+  */
+object Round19Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.Acid
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // random-arrival events: ts spans ~90 days, scan order is event_id.
+    // Tables.events binds its DataFrame to a newSession(), so the view and
+    // the INSERT both run on ev.sparkSession (the fixture does the same).
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id").as("k"), col("ts"),
+        (col("user_id") % 4).as("p"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val ss = ev.sparkSession
+    ev.createOrReplaceTempView("r19p_src")
+
+    Seq("none" -> "local-sort-only (pre-r19)",
+        "range" -> "ordered-range rebalance (r19 default)").foreach {
+      case (mode, label) =>
+        val root = Scratch.fresh(s"r19p_fan_$mode", sfDir)
+        val cat = s"r19p_$mode"
+        ss.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+        ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+        ss.sql(s"DROP TABLE IF EXISTS $cat.ev")
+        ss.sql(s"""CREATE TABLE $cat.ev (k BIGINT, ts TIMESTAMP, p BIGINT,
+                  |cents BIGINT) PARTITIONED BY (days(ts))""".stripMargin)
+        ss.conf.set("spark.graft.write.monotoneDistribution", mode)
+        try {
+          val (_, t) = timed(
+            ss.sql(s"INSERT INTO $cat.ev SELECT * FROM r19p_src"))
+          val m = Acid.readManifest(s"$root/ev",
+            Acid.latestVersion(s"$root/ev"))
+          println(f"[r19-probe] days(ts) INSERT, random arrival, $label%s: " +
+            f"${m.files.size}%d files in ${t}%5.2fs")
+        } finally
+          ss.conf.set("spark.graft.write.monotoneDistribution", "range")
+        ss.sql(s"DROP TABLE IF EXISTS $cat.ev")
+    }
+
+    // slimmed fixture end-to-end (the scored row), cold then warm
+    Seq("cold", "warm").foreach { tag =>
+      val (df, tFix) = timed {
+        val r = Acid.queries("tbl_part_evolve")(spark, sfDir)
+        r.collect()
+      }
+      require(df.nonEmpty && df.head.getBoolean(2) && df.head.getBoolean(3) &&
+        df.head.getBoolean(4) && df.head.getBoolean(5),
+        s"fixture booleans regressed: ${df.toSeq}")
+      println(f"[r19-probe] tbl_part_evolve fixture end-to-end ($tag%s): " +
+        f"${tFix}%5.2fs (r18 scored 13.67s, builder 3.74s)")
     }
     spark.stop()
   }

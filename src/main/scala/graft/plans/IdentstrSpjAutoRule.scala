@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, IsNotNull}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => V2KeyGrouped}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.AcidSqlScan
+
+/** Cost-based storage-partitioned-join enablement for STRING identity
+  * partitions (round 19, r18 verdict next #4). Reporting
+  * KeyGroupedPartitioning from a scan forfeits join-driven runtime FILE
+  * pruning (Spark requires runtime filters to preserve the key set), so
+  * blanket reporting loses the fact⋈dim shape while never reporting
+  * loses the co-partitioned lang⋈lang shape — previously the user chose
+  * via `spark.graft.identstrSpj`. This rule chooses PER JOIN.
+  *
+  * It runs in the LAST optimizer batch ("User Provided Optimizers",
+  * registered through `session.experimental.extraOptimizations` — the
+  * `injectOptimizerRule` batch would run BEFORE V2 pushdown, where no
+  * scan exists yet), i.e. after `V2ScanRelationPushDown` snapshotted
+  * each relation's key-grouped partitioning and after `PartitionPruning`
+  * planted any DynamicPruning filters. A join qualifies when BOTH sides
+  * are BARE graft scans — nothing but column-pruning Projects between
+  * scan and join, so a side that received a DPP filter (it sits as a
+  * Filter node) or carries any pushed/residual predicate declines —
+  * over single-transform string-identity tables, equi-joined on the
+  * partition source column. Qualifying scans get their SPJ flag flipped
+  * and, when every live file PROVES its single value (the scan's own
+  * spjPlan gate — a collided/truncated/null-bearing file still declines
+  * to a shuffle), the relation's snapshotted partitioning is upgraded to
+  * the join-key attribute so EnsureRequirements plans the join
+  * exchange-free. The session knob stays an override: "true" forces
+  * reporting on every scan, "off"/"false" disables this rule.
+  */
+object IdentstrSpjAutoRule extends Rule[LogicalPlan] {
+  private def knob: String = SparkSession.active.conf
+    .get("spark.graft.identstrSpj", "auto")
+
+  /** The scan and its relation when `p` is a bare (Project-only) chain
+    * down to an un-upgraded graft scan that is an SPJ candidate. */
+  private def bareScan(p: LogicalPlan)
+      : Option[(AcidSqlScan, DataSourceV2ScanRelation, String)] = p match {
+    case r: DataSourceV2ScanRelation if r.keyGroupedPartitioning.isEmpty =>
+      r.scan match {
+        case s: AcidSqlScan => s.identstrSpjCandidateCol.map(c => (s, r, c))
+        case _              => None
+      }
+    case pj: Project => bareScan(pj.child)
+    // the IsNotNull residue an equi-join infers on its keys is benign —
+    // a real predicate (or a planted DynamicPruning filter) declines
+    case f: Filter if conjuncts(f.condition).forall(_.isInstanceOf[IsNotNull]) =>
+      bareScan(f.child)
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x         => Seq(x)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (knob == "off" || knob == "false") return plan
+    val upgrades = new java.util.IdentityHashMap[
+      DataSourceV2ScanRelation, DataSourceV2ScanRelation]
+    plan.foreach {
+      case Join(l, r, _, Some(cond), _) =>
+        for ((ls, lRel, lCol) <- bareScan(l); (rs, rRel, rCol) <- bareScan(r)) {
+          val joined = conjuncts(cond).exists {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              (lRel.outputSet.contains(a) && a.name == lCol &&
+                rRel.outputSet.contains(b) && b.name == rCol) ||
+              (lRel.outputSet.contains(b) && b.name == lCol &&
+                rRel.outputSet.contains(a) && a.name == rCol)
+            case _ => false
+          }
+          if (joined) {
+            ls.enableIdentstrSpjAuto(); rs.enableIdentstrSpjAuto()
+            // upgrade the snapshotted relation partitioning only when the
+            // scan actually proves every file's key (spjPlan's verdict) —
+            // otherwise the flag is inert and the join shuffles as before
+            def upgraded(scan: AcidSqlScan, rel: DataSourceV2ScanRelation,
+                c: String): Option[DataSourceV2ScanRelation] =
+              scan.outputPartitioning() match {
+                case _: V2KeyGrouped =>
+                  rel.output.find(_.name == c).map(a =>
+                    rel.copy(keyGroupedPartitioning = Some(Seq(a))))
+                case _ => None
+              }
+            for (lu <- upgraded(ls, lRel, lCol); ru <- upgraded(rs, rRel, rCol)) {
+              upgrades.put(lRel, lu); upgrades.put(rRel, ru)
+            }
+          }
+        }
+      case _ => ()
+    }
+    if (upgrades.isEmpty) plan
+    else plan.transformUp {
+      case r: DataSourceV2ScanRelation if upgrades.containsKey(r) =>
+        upgrades.get(r)
+    }
+  }
+}

@@ -2547,15 +2547,137 @@ object Acid {
     * NULLs. Tables that never widened take the mergeSchema path
     * unchanged (the sidecar, if any, agrees with the file union).
     */
-  private[sources] def readMerged(s: SparkSession, dir: String)(paths: String*): DataFrame = {
-    val df =
-      try s.read.option("mergeSchema", "true").parquet(paths: _*)
-      catch {
-        case e: Throwable if declaredSchema(dir).isDefined && e.getMessage != null &&
-            e.getMessage.contains("MERGE_SCHEMAS") =>
-          s.read.schema(toPhysical(dir, declaredSchema(dir).get)).parquet(paths: _*)
+  private[sources] def readMerged(s: SparkSession, dir: String)(paths: String*): DataFrame =
+    widenToDeclared(dir, inferMerged(s, dir)(paths: _*))
+
+  private def inferMerged(s: SparkSession, dir: String)(paths: String*): DataFrame =
+    try s.read.option("mergeSchema", "true").parquet(paths: _*)
+    catch {
+      case e: Throwable if declaredSchema(dir).isDefined && e.getMessage != null &&
+          e.getMessage.contains("MERGE_SCHEMAS") =>
+        s.read.schema(toPhysical(dir, declaredSchema(dir).get)).parquet(paths: _*)
+    }
+
+  // ---- Merged-schema cache (round 19) ---------------------------------
+  // mergeSchema inference reads EVERY data file's footer before the read —
+  // O(live files) driver IO per loadTable/snapshot call, which was the
+  // suite's dominant per-query planning cost (0.33 s at 90 files) and a
+  // real 100-TB cliff: a 10^6-file table would pay minutes of driver IO
+  // per ANALYZE. A committed version's file set is immutable (manifests
+  // are put-if-absent; rewrites commit NEW versions), so the footer-union
+  // schema is fully determined by the manifest file's identity — cached
+  // per (dir, version), guarded by the manifest's (fileKey, size, mtime)
+  // so a DROP/recreate under the same path misses instead of serving the
+  // dead table's shape. A mergeSchema read IS "infer union, then read
+  // with the union schema", so replaying the cached union through
+  // s.read.schema(...) is semantics-preserving by construction; the
+  // declared-sidecar widenings still apply fresh on every call.
+  private final case class ManifestId(key: AnyRef, size: Long, mtime: Long)
+  private val mergedSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (ManifestId, StructType)]
+  private def manifestIdOf(dir: String, v: Int): Option[ManifestId] = Try {
+    val a = Files.readAttributes(manifestPath(dir, v),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    ManifestId(a.fileKey, a.size, a.lastModifiedTime.toMillis)
+  }.toOption
+
+  // Identity of the live (non-manifest) sidecar set — colmap/dropped/
+  // declared-schema/defaults files under _log. Any sidecar write changes
+  // its (name, size, mtime-nanos, inode) tuple; manifest files are
+  // excluded so ordinary commits don't invalidate sibling versions'
+  // entries. One directory listing — microseconds against the 0.33 s
+  // footer sweep this replaces. Since r18 every schema change ALSO
+  // commits a metadata version (so the version key alone usually moves);
+  // the fingerprint is belt and braces for library-path sidecar writes.
+  private def logFingerprint(dir: String): Long = {
+    val ld = logDir(dir)
+    if (!Files.exists(ld)) return 0L
+    val st = Files.list(ld)
+    try {
+      var h = 1125899906842597L
+      st.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (!n.matches("v\\d+\\.txt")) {
+          val a = Files.readAttributes(p,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          h = h * 31 + n.hashCode
+          h = h * 31 + a.size()
+          h = h * 31 + a.lastModifiedTime().to(
+            java.util.concurrent.TimeUnit.NANOSECONDS)
+          h = h * 31 + (if (a.fileKey() == null) 0 else a.fileKey().hashCode)
+        }
       }
-    widenToDeclared(dir, df)
+      h
+    } finally st.close()
+  }
+
+  /** The TABLE-level schema cache (round 19): caches the fully composed
+    * logical schema the catalog serves (footer union + sidecar renames/
+    * drops/widenings + declared splice + default metadata) keyed by
+    * (dir, version, pinned?), guarded by the manifest's file identity
+    * AND the sidecar fingerprint. loadTable runs on EVERY query against
+    * a catalog table — before this cache each one re-listed and re-read
+    * state linear in the table's file count. */
+  private val tableSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Boolean), (ManifestId, Long, StructType)]
+  private[sources] def schemaVia(dir: String, v: Int, pinned: Boolean)(
+      compute: => StructType): StructType = manifestIdOf(dir, v) match {
+    case Some(id) =>
+      val fp = logFingerprint(dir)
+      val k = (dir, v, pinned)
+      tableSchemaCache.get(k) match {
+        case (cid, cfp, sch) if cid == id && cfp == fp => sch
+        case _ =>
+          val sch = compute
+          if (tableSchemaCache.size > 16384) tableSchemaCache.clear()
+          tableSchemaCache.put(k, (id, fp, sch))
+          sch
+      }
+    case None => compute
+  }
+
+  /** Commit-time cache SEEDING: an append whose (physical) write schema
+    * matches the parent version's footer union — by catalogString, i.e.
+    * names+types, nullability/metadata-insensitive — cannot change the
+    * union, so the child version inherits the parent's cached schemas
+    * and its first post-commit query skips the footer sweep entirely.
+    * Schema-evolving or truncating commits simply don't seed (their
+    * first read re-infers). The composed table schema is inherited with
+    * the parent's sidecar fingerprint — lookups re-check the live
+    * fingerprint, so a sidecar write between commit and query still
+    * misses correctly. */
+  private[sources] def seedSchemaCaches(dir: String, v: Int,
+      physWrite: StructType): Unit =
+    for (idv <- manifestIdOf(dir, v); idp <- manifestIdOf(dir, v - 1)) {
+      Option(mergedSchemaCache.get((dir, v - 1))).foreach { case (cid, sch) =>
+        if (cid == idp && sch.catalogString == physWrite.catalogString) {
+          mergedSchemaCache.put((dir, v), (idv, sch))
+          Option(tableSchemaCache.get((dir, v - 1, false))).foreach {
+            case (tid, tfp, tsch) =>
+              if (tid == idp) tableSchemaCache.put((dir, v, false), (idv, tfp, tsch))
+          }
+        }
+      }
+    }
+
+  /** readMerged for the FULL live file set of version `v`, with the
+    * footer-union schema cached per manifest identity. Subset reads
+    * (merge/delete touched-file scans) stay on plain readMerged — their
+    * unions are subset-dependent and the sets are operation-bounded. */
+  private[sources] def readMergedAt(s: SparkSession, dir: String, v: Int,
+      paths: Seq[String]): DataFrame = manifestIdOf(dir, v) match {
+    case Some(id) =>
+      val k = (dir, v)
+      mergedSchemaCache.get(k) match {
+        case (cid, sch) if cid == id =>
+          widenToDeclared(dir, s.read.schema(sch).parquet(paths: _*))
+        case _ =>
+          val df = inferMerged(s, dir)(paths: _*)
+          if (mergedSchemaCache.size > 16384) mergedSchemaCache.clear()
+          mergedSchemaCache.put(k, (id, df.schema))
+          widenToDeclared(dir, df)
+      }
+    case None => readMerged(s, dir)(paths: _*)
   }
 
   /** Upcast columns the declared sidecar records at a WIDER type than the
@@ -2592,7 +2714,7 @@ object Acid {
     if (m.files.isEmpty) emptySnapshot(s, dir, v)
     else {
       val raw = applyDv(s, dir, m.files,
-        readMerged(s, dir)(m.files.map(f => s"$dir/${f.path}"): _*))
+        readMergedAt(s, dir, v, m.files.map(f => s"$dir/${f.path}")))
       fillDefaults(s, dir, m.files, raw)
     }
   }
@@ -6166,16 +6288,18 @@ object Acid {
   }
 
   /** tbl_spj_identstr — storage-partitioned JOIN over STRING identity
-    * partitions (round-18, r17 verdict next #5; OPT-IN via
-    * `spark.graft.identstrSpj`): both sides report
-    * KeyGroupedPartitioning with each file keyed by its PROVEN single
-    * value — the exact cstats pair + zero-null stamp, never the packed
-    * 8-byte cell — so a lang ⋈ lang join plans with ZERO exchanges.
-    * The knob defaults OFF (reporting key-grouped forfeits join-driven
-    * runtime file pruning, the bigger win for fact⋈dim; see
-    * tbl_part_identstr); collided or unstamped files decline the whole
-    * plan — a shuffle, never a wrong co-location. At 100 TB, corpus ⋈
-    * per-language dims co-locate without shuffling either side.
+    * partitions (round-18, r17 verdict next #5; COST-BASED since round
+    * 19, r18 verdict next #4): both sides report KeyGroupedPartitioning
+    * with each file keyed by its PROVEN single value — the exact cstats
+    * pair + zero-null stamp, never the packed 8-byte cell — so a
+    * lang ⋈ lang join plans with ZERO exchanges. The engine now chooses
+    * per join (IdentstrSpjAutoRule): BARE co-partitioned graft⋈graft
+    * equi-joins on the partition column report key-grouped
+    * automatically, while a filtered/DPP-subscribed side keeps
+    * join-driven runtime file pruning (see tbl_part_identstr) — no knob
+    * in this fixture since r19. Collided or unstamped files decline the
+    * whole plan — a shuffle, never a wrong co-location. At 100 TB,
+    * corpus ⋈ per-language dims co-locate without shuffling either side.
     */
   val tblSpjIdentstr: Q = (s, d) => {
     val root = fresh("tbl_spj_istr_cat", d)
@@ -6201,7 +6325,8 @@ object Acid {
     val (rows, exchangeFree) =
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        s.conf.set("spark.graft.identstrSpj", "true")
+        // NO knob since r19 — the cost rule recognizes the bare
+        // co-partitioned shape by itself
         val q = s.sql(
           s"""SELECT a.lang AS lang, count(*) AS n,
              |       CAST(sum(a.n_chars) AS BIGINT) AS chars,
@@ -6210,10 +6335,8 @@ object Acid {
              |GROUP BY a.lang""".stripMargin)
         val free = !q.queryExecution.executedPlan.toString.contains("Exchange")
         (q.collect(), free)
-      } finally {
+      } finally
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
-        s.conf.set("spark.graft.identstrSpj", "false")
-      }
     import s.implicits._
     rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
       exchangeFree)).toSeq
@@ -7331,16 +7454,23 @@ object Acid {
     val ownSpec = gen1.nonEmpty && gen2.nonEmpty &&
       gen1.forall(f => m.files.contains(f) && f.stats2.exists(_._1 == "p")) &&
       gen2.forall(_.stats2.exists(_._1 == "days(ts)"))
-    s.sql(s"SELECT count(*) FROM $cat.ev WHERE p = 2").head
+    // ONE pruning probe per generation (r18 verdict: the fixture was the
+    // suite's most file-creation-heavy row) — the gen-1-spec probe IS the
+    // scored aggregate, so its scan serves both the pruning boolean and
+    // the result values; the row is re-materialized from literals below
+    // rather than re-scanned at collect time
+    val row = s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT)
+             |AS p2_cents FROM $cat.ev WHERE p = 2""".stripMargin).head
     val (sP, total) = AcidSql.lastScanFor(dir)
     val win = "ts >= TIMESTAMP'2024-01-08 00:00:00' AND " +
       "ts < TIMESTAMP'2024-01-15 00:00:00'"
     s.sql(s"SELECT count(*) FROM $cat.ev WHERE $win").head
     val (sT, _) = AcidSql.lastScanFor(dir)
-    val dropRefused = Try(s.sql(s"ALTER TABLE $cat.ev DROP COLUMN p")).isFailure &&
-      Try(s.sql(s"ALTER TABLE $cat.ev DROP COLUMN ts")).isFailure
-    s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS p2_cents
-             |FROM $cat.ev WHERE p = 2""".stripMargin)
+    // one refused-ALTER analysis: the evolved spec's source column is the
+    // sharper guard (gen-1 `p` refusal is pinned in Round10Spec)
+    val dropRefused = Try(s.sql(s"ALTER TABLE $cat.ev DROP COLUMN ts")).isFailure
+    import s.implicits._
+    Seq((row.getLong(0), row.getLong(1))).toDF("n", "p2_cents")
       .withColumn("own_spec_stats", lit(ownSpec))
       .withColumn("old_spec_prunes", lit(sP >= gen2.size && sP < total))
       .withColumn("new_spec_prunes", lit(sT >= gen1.size && sT < total))
@@ -8026,6 +8156,67 @@ object Acid {
       .toDF("lo_prio", "hi_prio", "n", "meta_only")
   }
 
+  /** tbl_agg_pushdown_identstr — manifest-only FILTERED aggregates over
+    * STRING identity partitions (round-19, r18 verdict next #3):
+    * `count(*) WHERE lang = 'es'` / `WHERE lang IN (...)` on a
+    * `PARTITIONED BY (lang)` table now answers from the MANIFEST with
+    * zero parquet opens. The mechanism is the exact-filter claim's new
+    * string tier: the pushed conjunction decodes through strClassifier —
+    * the same exact-cstats single-value evidence the aligned string
+    * DELETE trusts — and every live file proves fully-inside (exact
+    * single value in the set, stamped zero nulls) or fully-outside
+    * (envelope excludes every member), so Spark drops its residual
+    * filter and aggregate pushdown folds Σ rows over the inside files.
+    * The per-language corpus-accounting query — THE daily curation
+    * shape — becomes one metadata read at any table size. A
+    * prefix-collided cell (>16-code-point values behind an equal
+    * truncated cstats prefix) cannot prove single-valuedness and
+    * refuses the whole claim back to the (still pruned, still exact)
+    * scan — conservative, never wrong.
+    */
+  val tblAggPushdownIdentstr: Q = (s, d) => {
+    val root = fresh("tbl_aggpd_istr_cat", d)
+    val cat = "graft_aggpi_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+    s.sql(s"""CREATE TABLE $cat.docs (k BIGINT, lang STRING, n_chars BIGINT)
+             |PARTITIONED BY (lang)""".stripMargin)
+    Tables.documents(s, d)
+      .select(col("doc_id").as("k"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_aggpi_src")
+    s.sql(s"INSERT INTO $cat.docs SELECT k, lang, n_chars FROM graft_aggpi_src")
+    AcidSql.resetRowGroupMetrics()
+    val qEq = s.sql(s"SELECT count(*) AS n FROM $cat.docs WHERE lang = 'es'")
+    val nEs = qEq.collect()(0).getLong(0)
+    val qIn = s.sql(
+      s"SELECT count(*) AS n FROM $cat.docs WHERE lang IN ('es', 'de')")
+    val nIn = qIn.collect()(0).getLong(0)
+    val metaOnly = AcidSql.vecRowsFooter.sum() == 0L &&
+      AcidSql.rowGroupsRead.sum() == 0L &&
+      qEq.queryExecution.executedPlan.toString.contains("manifest-aggregate") &&
+      qIn.queryExecution.executedPlan.toString.contains("manifest-aggregate")
+    // collision refusal: two >16-code-point values behind one truncated
+    // cstats prefix — the cell cannot prove single-valuedness, the claim
+    // refuses, and the count answers exactly through the scan
+    s.sql(s"DROP TABLE IF EXISTS $cat.coll")
+    s.sql(s"""CREATE TABLE $cat.coll (k BIGINT, tag STRING, v BIGINT)
+             |PARTITIONED BY (tag)""".stripMargin)
+    s.range(100).selectExpr("id AS k",
+      "concat('collision-prefix-', CASE WHEN id % 2 = 0 THEN 'AAAA' " +
+        "ELSE 'BBBB' END) AS tag", "id AS v")
+      .createOrReplaceTempView("graft_aggpi_coll")
+    s.sql(s"INSERT INTO $cat.coll SELECT k, tag, v FROM graft_aggpi_coll")
+    val qc = s.sql(s"SELECT count(*) AS n FROM $cat.coll " +
+      "WHERE tag = 'collision-prefix-AAAA'")
+    val collN = qc.collect()(0).getLong(0)
+    val collRefused =
+      !qc.queryExecution.executedPlan.toString.contains("manifest-aggregate")
+    import s.implicits._
+    Seq((nEs, nIn, metaOnly, collN, collRefused))
+      .toDF("n_es", "n_in", "meta_only", "coll_n", "coll_refused")
+  }
+
   /** tbl_agg_pushdown_group — identity-partition GROUP BY answered from
     * the MANIFEST (round-16): the layout contract makes every
     * segment-rolled file single-valued in an identity partition source
@@ -8225,6 +8416,7 @@ object Acid {
     "tbl_column_default"    -> tblColumnDefault,
     "tbl_agg_pushdown_part" -> tblAggPushdownPart,
     "tbl_agg_pushdown_str"  -> tblAggPushdownStr,
+    "tbl_agg_pushdown_identstr" -> tblAggPushdownIdentstr,
     "tbl_agg_pushdown_group" -> tblAggPushdownGroup,
     "tbl_agg_pushdown_avg"  -> tblAggPushdownAvg,
     "tbl_stats_float"       -> tblStatsFloat,
@@ -8356,6 +8548,12 @@ object Acid {
         |       max(o_orderpriority) AS hi_prio,
         |       count(*) AS n, TRUE AS meta_only
         |FROM orders""".stripMargin,
+    "tbl_agg_pushdown_identstr" ->
+      """SELECT (SELECT count(*) FROM documents WHERE lang = 'es') AS n_es,
+        |       (SELECT count(*) FROM documents
+        |        WHERE lang IN ('es', 'de')) AS n_in,
+        |       TRUE AS meta_only, CAST(50 AS BIGINT) AS coll_n,
+        |       TRUE AS coll_refused""".stripMargin,
     "tbl_agg_pushdown_part" ->
       """SELECT count(*) AS n, CAST(min(event_id) AS BIGINT) AS lo,
         |       CAST(max(event_id) AS BIGINT) AS hi, TRUE AS meta_only,

@@ -161,7 +161,8 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     val dir = dirOf(ident)
     if (exists(dir))
       new AcidSqlTable(dir,
-        Acid.withDefaultsMeta(dir, Acid.tableSchema(SparkSession.active, dir)))
+        Acid.schemaVia(dir, Acid.latestVersion(dir), pinned = false)(
+          Acid.withDefaultsMeta(dir, Acid.tableSchema(SparkSession.active, dir))))
     else if (ident.name() == "files" && ident.namespace().nonEmpty) {
       // `<cat>.t.files` — live manifest entries as a metadata table
       val base = dirOf(Identifier.of(
@@ -214,8 +215,9 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     // the schema (and write-default metadata) DECLARED at v (round-18):
     // a pin between an ALTER ADD COLUMN and its first INSERT serves the
     // declared shape; pre-ALTER pins stay file-derived
-    new AcidSqlTable(dir, Acid.withDefaultsMetaAt(dir, v,
-      Acid.tableSchemaAt(SparkSession.active, dir, v)), v)
+    new AcidSqlTable(dir, Acid.schemaVia(dir, v, pinned = true)(
+      Acid.withDefaultsMetaAt(dir, v,
+        Acid.tableSchemaAt(SparkSession.active, dir, v))), v)
   }
 
   /** `TIMESTAMP AS OF` (epoch micros): resolves to the greatest version
@@ -226,8 +228,9 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     val v = Acid.versionAtTimestamp(dir, timestampMicros).getOrElse(
       throw new IllegalArgumentException(
         s"$catName.$ident: timestamp predates the table's first commit"))
-    new AcidSqlTable(dir, Acid.withDefaultsMetaAt(dir, v,
-      Acid.tableSchemaAt(SparkSession.active, dir, v)), v)
+    new AcidSqlTable(dir, Acid.schemaVia(dir, v, pinned = true)(
+      Acid.withDefaultsMetaAt(dir, v,
+        Acid.tableSchemaAt(SparkSession.active, dir, v))), v)
   }
 
   /** `PARTITIONED BY` support: any combination of single-column identity

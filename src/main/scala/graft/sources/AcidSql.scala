@@ -895,23 +895,30 @@ object AcidSql {
     * the lang-partitioned corpus purge (`DELETE WHERE lang IN (...)`)
     * becomes one manifest commit: identstr segment rolling makes every
     * short-code file single-valued by construction. */
-  private[graft] def alignedDeleteStr(s: SparkSession, dir: String,
-      filters: Array[Filter], c: String): Option[(Long, Int, Int)] = {
-    val setOpt = exactSetStr(filters.toSeq, c)
+  /** The per-file inside/outside classifier for a STRING-column
+    * predicate, extracted (round 19) so the exact-filter CLAIM shares
+    * the alignedDeleteStr evidence verbatim: Some(clsf) iff the
+    * conjunction over `c` decodes to an exact finite string set or one
+    * string interval; clsf(f) = Some(true) when every live row of `f`
+    * provably matches (exact single cstats value in the set / envelope
+    * inside the interval, PLUS the explicit zero-null stamp — a NULL
+    * fails the predicate but not the bounds check), Some(false) when no
+    * row can match, None when the evidence cannot decide.
+    *
+    * Interval containment runs on the ENVELOPE, exactness-free: the
+    * stored mn is ≤ every real value and the stored mx ≥ (truncation
+    * only widens — truncBoundMin keeps a prefix, truncBoundMax
+    * increments), so envelope-inside-interval proves every value matches
+    * and envelope-disjoint proves none does — the same argument the
+    * DATE tier uses. The SET tier still demands per-file exactness:
+    * membership of an envelope is not membership of its values.
+    */
+  private[graft] def strClassifier(filters: Seq[Filter], c: String,
+      phys: String): Option[Acid.FileEntry => Option[Boolean]] = {
+    val setOpt = exactSetStr(filters, c)
     val ivOpt =
-      if (setOpt.isDefined) None else exactIntervalStr(filters.toSeq, c)
+      if (setOpt.isDefined) None else exactIntervalStr(filters, c)
     if (setOpt.isEmpty && ivOpt.isEmpty) return None
-    val base = Acid.latestVersion(dir)
-    if (base < 0) return None
-    val m = Acid.readManifest(dir, base)
-    val phys = Acid.colMapOf(dir).getOrElse(c, c)
-    // Interval containment runs on the ENVELOPE, exactness-free: the
-    // stored mn is ≤ every real value and the stored mx ≥ (truncation
-    // only widens — truncBoundMin keeps a prefix, truncBoundMax
-    // increments), so envelope-inside-interval proves every row matches
-    // and envelope-disjoint proves none does — the same argument the
-    // DATE tier uses. The SET tier still demands per-file exactness:
-    // membership of an envelope is not membership of its values.
     def ivAllIn(mn: String, mx: String): Boolean = ivOpt.exists {
       case (lo, hi) =>
         lo.forall { case (v, inc) =>
@@ -947,6 +954,16 @@ object AcidSql {
         else None
       }
     }
+    Some(classify)
+  }
+
+  private[graft] def alignedDeleteStr(s: SparkSession, dir: String,
+      filters: Array[Filter], c: String): Option[(Long, Int, Int)] = {
+    val base = Acid.latestVersion(dir)
+    if (base < 0) return None
+    val m = Acid.readManifest(dir, base)
+    val phys = Acid.colMapOf(dir).getOrElse(c, c)
+    val classify = strClassifier(filters.toSeq, c, phys).getOrElse(return None)
     val cls = m.files.map(f => f -> classify(f))
     val dropped = cls.collect {
       case (f, Some(true)) if f.dv.isEmpty && f.pdv.isEmpty => f }
@@ -1333,17 +1350,38 @@ class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
     private val partSpec = Acid.partSpecsOf(dir).headOption
     /** identity keeps the round-8 contract: cluster + sort on the
       * partition column, one value per task, tight one-value stats2.
-      * days(ts) asks only for a LOCAL sort on the source column — the
-      * transform is monotone, so sorted tasks roll contiguous one-day
-      * segments without any shuffle (time-ordered ingest, the dominant
-      * 100 TB arrival order, lands ~1 task per day range); clustering
-      * by identity(ts) would scatter a day across every task. bucket
-      * asks for nothing: hash values interleave under ANY sort the
-      * engine can express without a function catalog, and the writer's
-      * per-bucket open-segment map absorbs the interleave (files per
-      * task ≤ bucket count; OPTIMIZE compacts). */
+      * Monotone transforms (days/hours/months/years/truncate) declare an
+      * ORDERED (range) distribution on the source column, NOT strictly
+      * required, so Spark plans an AQE REBALANCE-by-range: under random
+      * arrival order each partition value lands in at most ~2 tasks
+      * (range boundaries), bounding files-per-partition at any scale —
+      * the 100x backfill shape — while AQE splits a hot day across tasks
+      * instead of hanging on it. The range key is the PLAIN source
+      * column (no transform function), so the declaration resolves even
+      * on path-routed writes with no FunctionCatalog attached. Ingest
+      * that is already time-ordered can skip the shuffle with
+      * `spark.graft.write.monotoneDistribution=none` (local-sort-only,
+      * the pre-r19 behavior — optimal when ~1 task already spans ~1 day
+      * range). bucket asks for nothing: hash values interleave under ANY
+      * sort the engine can express without a function catalog, and the
+      * writer's per-bucket open-segment map absorbs the interleave
+      * (files per task ≤ bucket count; OPTIMIZE compacts). */
     // declarations resolve against the LOGICAL schema (a renamed table's
     // sidecar carries physical names); the writer itself stays physical
+    // TIME transforms only: truncate/truncstr tables tend to have few,
+    // coarse cells where a rebalance would coalesce the whole write into
+    // one task and rob later row-level rewrites of their per-prefix file
+    // layout (Round13Spec pins that shape); the backfill fan-out this
+    // bounds is a calendar-partition phenomenon
+    private def monotoneSrc(p: Acid.PartSpec): Option[String] = p match {
+      case Acid.PartDays(c)   => Some(c)
+      case Acid.PartHours(c)  => Some(c)
+      case Acid.PartMonths(c) => Some(c)
+      case Acid.PartYears(c)  => Some(c)
+      case _                  => None
+    }
+    private def monotoneRange: Boolean = SparkSession.active.conf
+      .get("spark.graft.write.monotoneDistribution", "range") != "none"
     override def requiredDistribution(): Distribution = partSpec match {
       case Some(Acid.PartIdentity(c)) =>
         Distributions.clustered(Array(
@@ -1354,7 +1392,19 @@ class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
       case Some(Acid.PartIdentityStr(c)) =>
         Distributions.clustered(Array(
           Expressions.identity(AcidSql.logicalName(dir, c))))
+      case Some(p) if monotoneSrc(p).isDefined && monotoneRange =>
+        Distributions.ordered(Array(Expressions.sort(
+          Expressions.identity(AcidSql.logicalName(dir, monotoneSrc(p).get)),
+          SortDirection.ASCENDING)))
       case _ => Distributions.unspecified()
+    }
+    // identity stays a STRICT cluster (one task per value is the
+    // single-value-stats2 contract); the monotone range is best-effort —
+    // false plans RebalancePartitions, letting AQE coalesce small ranges
+    // and split skewed ones rather than pinning shuffle.partitions tasks
+    override def distributionStrictlyRequired(): Boolean = partSpec match {
+      case Some(p) if monotoneSrc(p).isDefined => false
+      case _                                   => true
     }
     override def requiredOrdering(): Array[SortOrder] = partSpec match {
       case Some(Acid.PartIdentity(c)) => Array(Expressions.sort(
@@ -1507,7 +1557,9 @@ class AcidSqlBatchWrite(dir: String, writeSchema: StructType, truncate: Boolean)
       Acid.enforceConstraint(SparkSession.active, dir, stageDir, c)
     }
     // metadata-only atomic commit; put-if-absent rebase on conflict
-    Acid.appendCommit(dir, entries, truncate): Unit
+    val v = Acid.appendCommit(dir, entries, truncate)
+    // same-shape appends inherit the parent's cached schemas (round 19)
+    if (!truncate) Acid.seedSchemaCaches(dir, v, Acid.toPhysical(dir, writeSchema))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -2141,6 +2193,36 @@ class AcidSqlScanBuilder(dir: String, version: Int, tableSchema: StructType,
               .collect { case (f, Some(true)) => f.path }.toSet
             inside = Some(inside.fold(in)(_ intersect in))
             claimed ++= mine
+          }
+        }
+      }
+    }
+    // STRING partition source columns (round 19, r18 verdict next #3):
+    // `lang = 'es'` / `lang IN (...)` / a string interval classifies
+    // every live file on the EXACT cstats single-value evidence the
+    // aligned DELETE already trusts (strClassifier) — identstr segment
+    // rolling makes every short-code file single-valued by construction,
+    // so the everyday per-language corpus accounting
+    // (`count(*) WHERE lang = 'es'`) claims fully and then answers from
+    // the manifest via aggAnswer. A prefix-collided (>8-byte truncated)
+    // or null-bearing file yields None and refuses the whole claim —
+    // conservative, never wrong.
+    partColsLogical.collect {
+      case (Acid.PartIdentityStr(_) | Acid.PartTruncateStr(_, _), lo) => lo
+    }.distinct.foreach { pc =>
+      if (tableSchema.fields.find(_.name == pc).exists(_.dataType == StringType)) {
+        val mine = filters.filter(f =>
+          f.references.nonEmpty && f.references.forall(_ == pc))
+        if (mine.nonEmpty) {
+          val physPc = colMap.getOrElse(pc, pc)
+          AcidSql.strClassifier(mine.toSeq, pc, physPc).foreach { clsf =>
+            val cls = files.map(clsf)
+            if (cls.forall(_.isDefined)) {
+              val in = files.zip(cls)
+                .collect { case (f, Some(true)) => f.path }.toSet
+              inside = Some(inside.fold(in)(_ intersect in))
+              claimed ++= mine
+            }
           }
         }
       }
@@ -3280,21 +3362,47 @@ class AcidSqlScan(dir: String, live0: Seq[Acid.FileEntry], required: StructType,
       if ex._2 && ex._3 && cs._2 == cs._3
     } yield UTF8String.fromString(cs._2)
 
+  // COST-BASED identstr SPJ (round 19, r18 verdict next #4): reporting
+  // KeyGroupedPartitioning forfeits join-driven runtime FILE pruning
+  // (the filter() guard below — Spark requires runtime filtering to
+  // preserve the key set), so the engine now CHOOSES per join instead
+  // of per session: IdentstrSpjAutoRule (a last-batch optimizer rule,
+  // running AFTER PartitionPruning) flips this flag only when BOTH join
+  // sides are bare unfiltered graft scans co-partitioned on the join
+  // key and no DynamicPruning filter was planted — the lang⋈lang
+  // reporting shape where exchange-free wins 3.5x (Round18Probe). The
+  // fact⋈dim shape keeps runtime pruning untouched. The session knob
+  // remains an override: "true" forces reporting, "off"/"false"
+  // disables the auto rule, "auto" (default) is rule-driven.
+  @volatile private[graft] var identstrSpjAuto: Boolean = false
+  private[graft] def enableIdentstrSpjAuto(): Unit = identstrSpjAuto = true
+  /** The single identstr partition source column (LOGICAL name) when
+    * this scan is an SPJ-auto candidate: batch, single string-identity
+    * transform spec, and nothing pushed beyond the IsNotNull artifacts
+    * an equi-join infers on its keys (null-intolerant trivia — no
+    * pruning opportunity lives in them). */
+  private[graft] def identstrSpjCandidateCol: Option[String] =
+    if (rowLevel || maxFilesPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty ||
+        !pushed.forall(_.isInstanceOf[org.apache.spark.sql.sources.IsNotNull]))
+      None
+    else Acid.partSpecsOf(dir) match {
+      case Seq(Acid.PartIdentityStr(c)) => Some(AcidSql.logicalName(dir, c))
+      case _                            => None
+    }
+
   private def spjPlan
       : Option[(Seq[Acid.PartSpec], Seq[(Acid.FileEntry, Array[Any])])] = {
     if (rowLevel || live.isEmpty) return None
     val specs = Acid.partSpecsOf(dir)
     if (specs.isEmpty) return None
-    // String identity serves SPJ ONLY behind the session knob: reporting
-    // KeyGroupedPartitioning forfeits join-driven runtime FILE pruning
-    // (the filter() guard below — Spark requires runtime filtering to
-    // preserve the key set), and for the common fact⋈dim shape on a
-    // lang-partitioned corpus that pruning is the bigger win. Enable for
-    // lang⋈lang co-located joins; keys are per-file proven values
-    // (identstrKey), so a collided or unstamped file still declines.
+    // String identity serves SPJ when the cost rule picked this scan
+    // (identstrSpjAuto) or the knob forces it; keys are per-file proven
+    // values (identstrKey), so a collided or unstamped file still
+    // declines the whole plan — a shuffle, never a wrong co-location.
     if (specs.exists(_.isInstanceOf[Acid.PartIdentityStr]) &&
-        !SparkSession.active.conf
-          .get("spark.graft.identstrSpj", "false").toBoolean) return None
+        !identstrSpjAuto &&
+        SparkSession.active.conf
+          .get("spark.graft.identstrSpj", "auto") != "true") return None
     val keyed = live.map { f =>
       val vs = specs.map {
         case is: Acid.PartIdentityStr => identstrKey(is.col, f)

@@ -248,17 +248,18 @@ class Round18Spec extends AnyFunSuite {
   }
 
   /** Fifth family: SPJ over STRING identity partitions (round-17
-    * verdict next #5) — OPT-IN via spark.graft.identstrSpj. Keys are
-    * the files' PROVEN single values (the exact cstats pair + zero-null
-    * stamp), never the packed prefix cell, so a lang⋈lang join goes
-    * exchange-free; a >8-byte prefix collision declines the whole plan
-    * (a shuffle, never a wrong co-location). The knob defaults OFF
-    * deliberately: reporting KeyGroupedPartitioning forfeits
-    * join-driven runtime FILE pruning (Spark requires runtime filters
-    * to preserve the key set), and for the common fact⋈dim shape that
-    * pruning is the bigger win — tbl_part_identstr pins it. */
-  test("identstr SPJ (opt-in): lang joins go exchange-free on proven " +
-      "values; collisions decline; default keeps runtime pruning") {
+    * verdict next #5; COST-BASED since round 19, r18 verdict next #4).
+    * Keys are the files' PROVEN single values (the exact cstats pair +
+    * zero-null stamp), never the packed prefix cell. The engine now
+    * chooses per join (IdentstrSpjAutoRule): a BARE co-partitioned
+    * lang⋈lang equi-join goes exchange-free by DEFAULT, while a side
+    * carrying a real predicate declines (runtime/static pruning stays
+    * the win there — tbl_part_identstr pins the fact⋈dim shape); knob
+    * "off" disables the rule, "true" still forces. A >8-byte prefix
+    * collision declines the whole plan (a shuffle, never a wrong
+    * co-location) under either mode. */
+  test("identstr SPJ (cost-based): bare lang joins go exchange-free by " +
+      "default; filtered sides and collisions decline; knob overrides") {
     import spark.implicits._
     val root = Scratch.fresh("r18_sspj", sf)
     val cat = "r18sj"
@@ -280,29 +281,41 @@ class Round18Spec extends AnyFunSuite {
     val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      // default OFF: the scans report UnknownPartitioning — a shuffle
+      // knob "off": the rule stands down — a shuffle
+      spark.conf.set("spark.graft.identstrSpj", "off")
       val off = spark.sql(q)
       assert(off.queryExecution.executedPlan.toString.contains("Exchange"),
-        "identstr SPJ must stay opt-in (runtime pruning is the default win)")
+        "knob off must keep the scans unreported — a shuffle")
       val expect = off.collect().map(r =>
         (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
-      // knob ON: exchange-free co-located join, identical results
-      spark.conf.set("spark.graft.identstrSpj", "true")
+      // DEFAULT (auto): bare co-partitioned join — exchange-free,
+      // identical results
+      spark.conf.set("spark.graft.identstrSpj", "auto")
       val on = spark.sql(q)
       val plan = on.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
-        s"expected an exchange-free lang join:\n$plan")
+        s"expected an exchange-free lang join by default:\n$plan")
       assert(on.collect().map(r => (r.getString(0), r.getLong(1),
         r.getLong(2))).sortBy(_._1).toSeq == expect)
-      // a colliding >8-byte value declines the plan even with the knob
+      // a REAL predicate on one side declines the auto rule (that side
+      // may prune instead) — correctness unchanged
+      val fq = spark.sql(
+        s"""SELECT a.lang, count(*) AS n
+           |FROM $cat.a a JOIN $cat.b b ON a.lang = b.lang
+           |WHERE b.n > 100 GROUP BY a.lang""".stripMargin)
+      assert(fq.queryExecution.executedPlan.toString.contains("Exchange"),
+        "a filtered side must decline cost-based SPJ")
+      fq.collect(): Unit
+      // a colliding >8-byte value declines the plan even when forced
       spark.sql(s"INSERT INTO $cat.a VALUES " +
         "(900, 'languagecode_aa', 1), (901, 'languagecode_bb', 1)")
+      spark.conf.set("spark.graft.identstrSpj", "true")
       val coll = spark.sql(q)
       assert(coll.queryExecution.executedPlan.toString.contains("Exchange"),
         "a collided cell must decline SPJ — shuffle, never wrong")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
-      spark.conf.set("spark.graft.identstrSpj", "false")
+      spark.conf.set("spark.graft.identstrSpj", "auto")
     }
     Seq("a", "b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $cat.$t"))
   }
