@@ -1983,6 +1983,41 @@ object Round19Probe {
         ss.sql(s"DROP TABLE IF EXISTS $cat.ev")
     }
 
+    // ---- skewed IDENTITY ingest: strict one-task-per-value vs AQE
+    // rebalance (round-19: identity distribution is best-effort now) —
+    // 4 M rows, 90% one lang; strict serializes the hot value through
+    // ONE writer, rebalance splits it while every rolled file stays
+    // single-valued (the stats2/cstats contract is per FILE)
+    locally {
+      val n = 4000000L
+      val skew = spark.range(n).select(col("id").as("k"),
+        when(col("id") % 10 < 9, "lang_hot")
+          .otherwise(format_string("lang_%02d", col("id") % 37)).as("lang"),
+        (col("id") * 3).as("nc"))
+      skew.createOrReplaceTempView("r19p_skew")
+      Seq("strict", "rebalance").foreach { mode =>
+        val root = Scratch.fresh(s"r19p_skew_$mode", sfDir)
+        val cat = s"r19ps_$mode"
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+        spark.sql(s"DROP TABLE IF EXISTS $cat.p")
+        spark.sql(s"""CREATE TABLE $cat.p (k BIGINT, lang STRING, nc BIGINT)
+                     |PARTITIONED BY (lang)""".stripMargin)
+        spark.conf.set("spark.graft.write.identityDistribution", mode)
+        try {
+          val (_, t) = timed(
+            spark.sql(s"INSERT INTO $cat.p SELECT * FROM r19p_skew"))
+          val m = Acid.readManifest(s"$root/p", Acid.latestVersion(s"$root/p"))
+          val single = m.files.forall(f =>
+            f.cstats.find(_._1 == "lang").exists(c => c._2 == c._3))
+          println(f"[r19-probe] skewed identity insert ($mode%s): " +
+            f"${t}%5.2fs, ${m.files.size}%d files, all single-valued: $single%s")
+        } finally spark.conf.set(
+          "spark.graft.write.identityDistribution", "rebalance")
+        spark.sql(s"DROP TABLE IF EXISTS $cat.p")
+      }
+    }
+
     // slimmed fixture end-to-end (the scored row), cold then warm
     Seq("cold", "warm").foreach { tag =>
       val (df, tFix) = timed {

@@ -2663,21 +2663,35 @@ object Acid {
   /** readMerged for the FULL live file set of version `v`, with the
     * footer-union schema cached per manifest identity. Subset reads
     * (merge/delete touched-file scans) stay on plain readMerged — their
-    * unions are subset-dependent and the sets are operation-bounded. */
+    * unions are subset-dependent and the sets are operation-bounded.
+    * On a schema-cache hit with every entry's exact byte length stamped,
+    * the frame builds over the MANIFEST file index (zero filesystem
+    * listing — `spark.read.parquet(paths)` re-stats every path, a
+    * distributed listing job at >32 paths, 1.1 s at 600 files and
+    * minutes at 10^6); any unstamped entry falls back to the listed
+    * reader, never a wrong length. */
   private[sources] def readMergedAt(s: SparkSession, dir: String, v: Int,
-      paths: Seq[String]): DataFrame = manifestIdOf(dir, v) match {
-    case Some(id) =>
-      val k = (dir, v)
-      mergedSchemaCache.get(k) match {
-        case (cid, sch) if cid == id =>
-          widenToDeclared(dir, s.read.schema(sch).parquet(paths: _*))
-        case _ =>
-          val df = inferMerged(s, dir)(paths: _*)
-          if (mergedSchemaCache.size > 16384) mergedSchemaCache.clear()
-          mergedSchemaCache.put(k, (id, df.schema))
-          widenToDeclared(dir, df)
-      }
-    case None => readMerged(s, dir)(paths: _*)
+      files: Seq[FileEntry]): DataFrame = {
+    val paths = files.map(f => s"$dir/${f.path}")
+    manifestIdOf(dir, v) match {
+      case Some(id) =>
+        val k = (dir, v)
+        mergedSchemaCache.get(k) match {
+          case (cid, sch) if cid == id =>
+            val df =
+              if (files.nonEmpty && files.forall(_.bytes > 0L))
+                org.apache.spark.sql.GraftSqlBridge.manifestParquetFrame(
+                  s, sch, files.map(f => (s"$dir/${f.path}", f.bytes)))
+              else s.read.schema(sch).parquet(paths: _*)
+            widenToDeclared(dir, df)
+          case _ =>
+            val df = inferMerged(s, dir)(paths: _*)
+            if (mergedSchemaCache.size > 16384) mergedSchemaCache.clear()
+            mergedSchemaCache.put(k, (id, df.schema))
+            widenToDeclared(dir, df)
+        }
+      case None => readMerged(s, dir)(paths: _*)
+    }
   }
 
   /** Upcast columns the declared sidecar records at a WIDER type than the
@@ -2713,8 +2727,7 @@ object Acid {
     val m = readManifest(dir, v)
     if (m.files.isEmpty) emptySnapshot(s, dir, v)
     else {
-      val raw = applyDv(s, dir, m.files,
-        readMergedAt(s, dir, v, m.files.map(f => s"$dir/${f.path}")))
+      val raw = applyDv(s, dir, m.files, readMergedAt(s, dir, v, m.files))
       fillDefaults(s, dir, m.files, raw)
     }
   }
@@ -2726,20 +2739,37 @@ object Acid {
     * defaulted tables only — every other table pays one Files.exists);
     * the fill targets exactly the rows of column-less files via the
     * `_metadata` filename, so post-ALTER stored NULLs stay NULL. */
+  // Per-file footer FIELD-NAME cache (round 19, fillDefaults' footer
+  // sweep was O(live files) driver IO per snapshot call on defaulted
+  // tables): data files are immutable once committed and staged names
+  // are UUID-unique, so the field set is keyed by (absolute path,
+  // manifest-stamped bytes) and never invalidates.
+  private val fileFieldsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Set[String]]
+  private def fileFields(absPath: String, bytes: Long): Set[String] = {
+    val k = (absPath, bytes)
+    val hit = fileFieldsCache.get(k)
+    if (hit != null) return hit
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(absPath),
+      new org.apache.hadoop.conf.Configuration())
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val fields =
+      try fr.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(_.getName).toSet
+      finally fr.close()
+    if (fileFieldsCache.size > 65536) fileFieldsCache.clear()
+    fileFieldsCache.put(k, fields)
+    fields
+  }
+
   private def fillDefaults(s: SparkSession, dir: String,
       files: Seq[FileEntry], raw: DataFrame): DataFrame = {
     val ds = defaultsOf(dir)
     if (ds.isEmpty) return raw
     val present: Map[String, Set[String]] = files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$dir/${f.path}"),
-        new org.apache.hadoop.conf.Configuration())
-      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val fields =
-        try fr.getFooter.getFileMetaData.getSchema.getFields.asScala
-          .map(_.getName).toSet
-        finally fr.close()
-      f.path.substring(f.path.lastIndexOf('/') + 1) -> fields
+      f.path.substring(f.path.lastIndexOf('/') + 1) ->
+        fileFields(s"$dir/${f.path}", f.bytes)
     }.toMap
     val withName = raw.withColumn("__gf",
       expr("substring_index(_metadata.file_path, '/', -1)"))

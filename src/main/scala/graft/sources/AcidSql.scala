@@ -1398,13 +1398,23 @@ class AcidSqlWriteBuilder(dir: String, writeSchema: StructType,
           SortDirection.ASCENDING)))
       case _ => Distributions.unspecified()
     }
-    // identity stays a STRICT cluster (one task per value is the
-    // single-value-stats2 contract); the monotone range is best-effort —
-    // false plans RebalancePartitions, letting AQE coalesce small ranges
-    // and split skewed ones rather than pinning shuffle.partitions tasks
+    // NOTHING is strictly required (round 19): identity clustering is
+    // best-effort too — RebalancePartitions instead of a pinned
+    // RepartitionByExpression, so AQE SPLITS a hot partition value
+    // across tasks (the skewed-lang ingest that would otherwise
+    // serialize 90% of a 100 TB batch through ONE writer) and coalesces
+    // many small values into one. The single-value-stats2 contract is
+    // PER FILE, not per task, and the writer's per-task segment rolling
+    // preserves it under any grouping: a split hot value yields several
+    // single-valued files, a coalesced task rolls one file per value.
+    // `spark.graft.write.identityDistribution=strict` restores the
+    // pinned one-task-per-value shuffle for layouts that want exactly
+    // one file per value (OPTIMIZE compacts either way).
     override def distributionStrictlyRequired(): Boolean = partSpec match {
-      case Some(p) if monotoneSrc(p).isDefined => false
-      case _                                   => true
+      case Some(Acid.PartIdentity(_)) | Some(Acid.PartIdentityStr(_)) =>
+        SparkSession.active.conf
+          .get("spark.graft.write.identityDistribution", "rebalance") == "strict"
+      case _ => false
     }
     override def requiredOrdering(): Array[SortOrder] = partSpec match {
       case Some(Acid.PartIdentity(c)) => Array(Expressions.sort(

@@ -19,6 +19,46 @@ object GraftSqlBridge {
   def ofRows(s: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 
+  /** A parquet DataFrame over a MANIFEST-KNOWN file list (round 19,
+    * Delta's TahoeLogFileIndex pattern): `spark.read.parquet(paths)`
+    * re-stats every path through InMemoryFileIndex — at >32 paths a
+    * distributed LISTING JOB per call (measured 1.1 s at 600 local
+    * files; minutes at 10^6 remote ones) to learn lengths the manifest
+    * already stamps exactly (`Files.size` at commit). This builds the
+    * HadoopFsRelation directly over a FileIndex fed from the manifest
+    * entries — ZERO filesystem listing at plan time; the scan,
+    * pushdown, and `_metadata` behave exactly as the listed reader.
+    * Callers must pass EXACT lengths (a wrong length truncates or
+    * over-reads the file) — the graft caller guards on stamped
+    * bytes > 0 for every entry and falls back to the listing reader
+    * otherwise.
+    */
+  def manifestParquetFrame(s: SparkSession, schema: types.StructType,
+      files: Seq[(String, Long)]): DataFrame = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+    val cs = s.asInstanceOf[classic.SparkSession]
+    val statuses = files.map { case (p, len) =>
+      new FileStatus(len, false, 1, 134217728L, 0L, new Path(p))
+    }
+    val index = new FileIndex {
+      override def rootPaths: Seq[Path] = statuses.map(_.getPath)
+      override def listFiles(
+          partitionFilters: Seq[Expression],
+          dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+        Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
+      override def inputFiles: Array[String] = files.map(_._1).toArray
+      override def refresh(): Unit = ()
+      override def sizeInBytes: Long = files.map(_._2).sum
+      override def partitionSchema: types.StructType = new types.StructType()
+    }
+    val rel = HadoopFsRelation(index, new types.StructType(), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty)(cs)
+    classic.Dataset.ofRows(cs, LogicalRelation(rel))
+  }
+
   /** Wrap an InternalRow RDD as a STREAMING DataFrame — what a V1
     * streaming `Source.getBatch` must return (MicroBatchExecution asserts
     * `isStreaming`). This is the same `internalCreateDataFrame(...,

@@ -131,6 +131,48 @@ class Round19Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.ev")
   }
 
+  /** Second-and-a-half: identity write distribution is BEST-EFFORT now
+    * (AQE rebalance) — a hot partition value no longer serializes
+    * through one writer at scale. The per-FILE single-value contract
+    * (stats2/cstats — what the GROUP BY fold, SPJ keys, and partition
+    * DELETE all trust) must hold under any AQE grouping; `strict`
+    * restores the pinned one-task-per-value shuffle. */
+  test("skewed identity insert: rebalanced files stay single-valued; " +
+      "strict knob still honored") {
+    val root = Scratch.fresh("r19_iskew", sf)
+    val cat = "r19ik"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // 50k rows, 90% one value — enough for AQE to see the skew
+    spark.range(50000).selectExpr("id AS k",
+      "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('c', id % 13) END AS lang",
+      "id AS n").createOrReplaceTempView("r19_ik_src")
+    Seq("rebalance", "strict").foreach { mode =>
+      spark.sql(s"DROP TABLE IF EXISTS $cat.p")
+      spark.sql(s"""CREATE TABLE $cat.p (k BIGINT, lang STRING, n BIGINT)
+                   |PARTITIONED BY (lang)""".stripMargin)
+      spark.conf.set("spark.graft.write.identityDistribution", mode)
+      try spark.sql(s"INSERT INTO $cat.p SELECT * FROM r19_ik_src")
+      finally spark.conf.set(
+        "spark.graft.write.identityDistribution", "rebalance")
+      val m = Acid.readManifest(s"$root/p", Acid.latestVersion(s"$root/p"))
+      assert(m.files.nonEmpty && m.files.forall(f =>
+        f.cstats.find(_._1 == "lang").exists(c => c._2 == c._3)),
+        s"$mode: every rolled file must stay single-valued")
+      // the manifest GROUP BY fold (which trusts that contract) agrees
+      // with the data
+      val g = spark.sql(
+        s"SELECT lang, count(*) AS n FROM $cat.p GROUP BY lang")
+      assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == Map("hot" -> 45000L) ++
+          (0 until 13).map(i => s"c$i" ->
+            spark.sql(s"SELECT count(*) FROM r19_ik_src WHERE lang = 'c$i'")
+              .head.getLong(0)).filter(_._2 > 0L).toMap,
+        s"$mode: manifest fold must match")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $cat.p")
+  }
+
   /** Third family: manifest-only FILTERED aggregates over identstr
     * cells (verdict next #3) — the exact-filter claim's string tier.
     * The fixture (tbl_agg_pushdown_identstr) is the scored row; these
