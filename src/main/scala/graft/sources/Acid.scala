@@ -1336,7 +1336,8 @@ object Acid {
     }
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
-      else applyDv(s, dir, live, readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*))
+      else applyDv(s, dir, live,
+        readMergedSubsetAt(s, dir, latestVersion(dir), live))
     (df.filter(col(c).cast("string").between(lo, hi)), live.size, m.files.size)
   }
 
@@ -2131,6 +2132,50 @@ object Acid {
     Files.writeString(logDir(dir).resolve("partcol.txt"), c): Unit
   }
 
+  // ---- REPLACE TABLE (round 19, the RTAS staging core) -----------------
+  // A replaced table is a NEW definition over the same path: identity
+  // sidecars reset, the next manifest lists only the staged files with
+  // constraint and streaming high-water marks cleared. Prior versions
+  // stay readable — each manifest stamps the schema metadata in effect
+  // at ITS commit (r17/r18), so pinned reads resolve the old shape.
+  private[sources] def parseSpecLine(l: String): Seq[PartSpec] =
+    splitTransforms(l).map(parsePartSpec)
+
+  private[sources] def resetIdentitySidecars(dir: String): Unit =
+    Seq("colmap.txt", "dropped.txt", "defaults.txt", "keycols.txt").foreach(
+      n => Files.deleteIfExists(logDir(dir).resolve(n)): Unit)
+
+  /** New CURRENT partition spec for a replaced table: a partitioned
+    * definition APPENDS a spec generation (old files keep classifying
+    * under the spec that wrote them — the evolve semantics); an
+    * unpartitioned one drops the sidecar (pinned pre-replace reads keep
+    * correctness — absent specs only forfeit pruning, never rows). */
+  private[sources] def replacePartCol(dir: String, label: Option[String]): Unit =
+    label match {
+      case Some(l) =>
+        Files.createDirectories(logDir(dir))
+        val p = logDir(dir).resolve("partcol.txt")
+        val prev =
+          if (Files.exists(p)) Files.readString(p).stripLineEnd + "\n" else ""
+        Files.writeString(p, prev + l): Unit
+      case None =>
+        Files.deleteIfExists(logDir(dir).resolve("partcol.txt")): Unit
+    }
+
+  private[sources] def replaceTableCommit(dir: String,
+      entries: Seq[FileEntry]): Int = {
+    var attempt = 0
+    while (attempt < 10) {
+      val next = latestVersion(dir) + 1
+      try {
+        commitManifest(dir, Manifest(next, -1L, entries, op = "REPLACE"))
+        return next
+      } catch { case _: FileAlreadyExistsException => attempt += 1 }
+    }
+    throw new IllegalStateException(
+      "replaceTableCommit: too many commit conflicts")
+  }
+
   /** PARTITION-SPEC EVOLUTION (Iceberg `ALTER TABLE ... PARTITION`,
     * re-derived): append a new spec version — METADATA ONLY, no file is
     * rewritten. Existing files keep the stats of the spec they were
@@ -2671,25 +2716,44 @@ object Acid {
     * minutes at 10^6); any unstamped entry falls back to the listed
     * reader, never a wrong length. */
   private[sources] def readMergedAt(s: SparkSession, dir: String, v: Int,
-      files: Seq[FileEntry]): DataFrame = {
-    val paths = files.map(f => s"$dir/${f.path}")
-    manifestIdOf(dir, v) match {
-      case Some(id) =>
-        val k = (dir, v)
-        mergedSchemaCache.get(k) match {
-          case (cid, sch) if cid == id =>
-            val df =
-              if (files.nonEmpty && files.forall(_.bytes > 0L))
-                org.apache.spark.sql.GraftSqlBridge.manifestParquetFrame(
-                  s, sch, files.map(f => (s"$dir/${f.path}", f.bytes)))
-              else s.read.schema(sch).parquet(paths: _*)
-            widenToDeclared(dir, df)
-          case _ =>
-            val df = inferMerged(s, dir)(paths: _*)
-            if (mergedSchemaCache.size > 16384) mergedSchemaCache.clear()
-            mergedSchemaCache.put(k, (id, df.schema))
-            widenToDeclared(dir, df)
+      files: Seq[FileEntry]): DataFrame = readMergedSubsetAt(s, dir, v, files)
+
+  /** The version's footer-union schema, from the cache when the
+    * manifest identity still matches, inferred (and cached) otherwise.
+    * None when the manifest is unreadable or has no files. */
+  private[sources] def mergedSchemaOf(s: SparkSession, dir: String,
+      v: Int): Option[StructType] = manifestIdOf(dir, v).flatMap { id =>
+    mergedSchemaCache.get((dir, v)) match {
+      case (cid, sch) if cid == id => Some(sch)
+      case _ =>
+        val files = Try(readManifest(dir, v).files).getOrElse(Seq.empty)
+        if (files.isEmpty) None
+        else {
+          val sch =
+            inferMerged(s, dir)(files.map(f => s"$dir/${f.path}"): _*).schema
+          if (mergedSchemaCache.size > 16384) mergedSchemaCache.clear()
+          mergedSchemaCache.put((dir, v), (id, sch))
+          Some(sch)
         }
+    }
+  }
+
+  /** Read ANY subset of version `v`'s files under the version's
+    * footer-union schema (files missing a column null-fill — the same
+    * rows a mergeSchema read of the full set serves for them), through
+    * the manifest file index when every entry stamps its exact length —
+    * zero listing, zero footer IO on a schema-cache hit. */
+  private[sources] def readMergedSubsetAt(s: SparkSession, dir: String,
+      v: Int, subset: Seq[FileEntry]): DataFrame = {
+    val paths = subset.map(f => s"$dir/${f.path}")
+    mergedSchemaOf(s, dir, v) match {
+      case Some(sch) =>
+        val df =
+          if (subset.nonEmpty && subset.forall(_.bytes > 0L))
+            org.apache.spark.sql.GraftSqlBridge.manifestParquetFrame(
+              s, sch, subset.map(f => (s"$dir/${f.path}", f.bytes)))
+          else s.read.schema(sch).parquet(paths: _*)
+        widenToDeclared(dir, df)
       case None => readMerged(s, dir)(paths: _*)
     }
   }
@@ -2798,7 +2862,8 @@ object Acid {
     val (live, total, _) = planRangeEntries(dir, latestVersion(dir), lo, hi)
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
-      else applyDv(s, dir, live, readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*))
+      else applyDv(s, dir, live,
+        readMergedSubsetAt(s, dir, latestVersion(dir), live))
     // the key column's name comes from a surviving file's footer, not a
     // full-manifest read (which would defeat the pruned planning)
     val key = live.headOption
@@ -2933,7 +2998,8 @@ object Acid {
     }
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
-      else applyDv(s, dir, live, readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*))
+      else applyDv(s, dir, live,
+        readMergedSubsetAt(s, dir, latestVersion(dir), live))
     (df.filter(col(key).isInCollection(probes)), live.size, rangeLive.size, total)
   }
 
@@ -3970,7 +4036,8 @@ object Acid {
     })
     val df =
       if (live.isEmpty) snapshot(s, dir).limit(0)
-      else applyDv(s, dir, live, readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*))
+      else applyDv(s, dir, live,
+        readMergedSubsetAt(s, dir, latestVersion(dir), live))
     (df.filter(col(col2).between(lo, hi)), live.size, m.files.size)
   }
 
@@ -5875,6 +5942,55 @@ object Acid {
       .withColumn("one_commit", lit(oneCommit))
       .withColumn("atomic_abort", lit(failed && ghostGone))
       .orderBy(col("prio"))
+  }
+
+  /** tbl_sql_rtas — atomic REPLACE TABLE AS SELECT (round-19): the
+    * everyday "rebuild this derived table" DDL, staged like CTAS — the
+    * replacing query's files land beside the live table's (UUID stage
+    * names, invisible to readers), and only `commitStagedChanges` resets
+    * the identity sidecars to the NEW definition and commits a REPLACE
+    * manifest listing the staged files alone. Three pinned semantics:
+    * the replaced table serves the new shape; `VERSION AS OF` a
+    * pre-replace version still reads the OLD rows under the OLD schema
+    * (each manifest stamps its own schema metadata); and a FAILING
+    * replace (raise_error mid-query) aborts without touching the live
+    * table — the atomicity Delta/Iceberg RTAS guarantees. At 100 TB the
+    * swap is one manifest rename regardless of data size.
+    */
+  val tblSqlRtas: Q = (s, d) => {
+    val root = fresh("tbl_rtas_cat", d)
+    val cat = "graft_rtas_" + Paths.get(d).getFileName.toString.replace('.', '_')
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = s"$root/t"
+    ordersKV(s, d).createOrReplaceTempView("graft_rtas_src")
+    s.sql(s"DROP TABLE IF EXISTS $cat.t")
+    s.sql(s"""CREATE TABLE $cat.t AS
+             |SELECT k, price_cents FROM graft_rtas_src""".stripMargin)
+    val vPre = latestVersion(dir)
+    val preN = s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
+    // the replace: different shape (aggregated), one statement
+    s.sql(s"""CREATE OR REPLACE TABLE $cat.t AS
+             |SELECT k % 7 AS sev, count(*) AS n,
+             |       CAST(sum(price_cents) AS BIGINT) AS cents_sum
+             |FROM graft_rtas_src GROUP BY k % 7""".stripMargin)
+    val newCols = s.table(s"$cat.t").columns.toSeq
+    val replacedSchema = newCols == Seq("sev", "n", "cents_sum")
+    // pre-replace version still reads the old rows under the old schema
+    val pre = s.sql(s"SELECT * FROM $cat.t VERSION AS OF $vPre")
+    val preTravelOk = pre.columns.toSeq == Seq("k", "price_cents") &&
+      pre.count() == preN
+    // a FAILING replace must leave the live table untouched
+    val failed = Try(s.sql(s"""CREATE OR REPLACE TABLE $cat.t AS
+      |SELECT k, raise_error('rtas boom') AS boom
+      |FROM graft_rtas_src""".stripMargin)).isFailure
+    val intact = s.table(s"$cat.t").columns.toSeq == newCols &&
+      s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 7L
+    s.sql(s"""SELECT sev, n, cents_sum FROM $cat.t""")
+      .withColumn("replaced_schema", lit(replacedSchema))
+      .withColumn("pre_travel_ok", lit(preTravelOk))
+      .withColumn("abort_keeps_old", lit(failed && intact))
+      .orderBy(col("sev"))
   }
 
   /** tbl_sql_travel — SQL time travel through the staging catalog:
@@ -8476,6 +8592,7 @@ object Acid {
     "tbl_schema_default_travel" -> tblSchemaDefaultTravel,
     "tbl_delete_aligned_date" -> tblDeleteAlignedDate,
     "tbl_sql_ctas"          -> tblSqlCtas,
+    "tbl_sql_rtas"          -> tblSqlRtas,
     "tbl_sql_travel"        -> tblSqlTravel,
     "tbl_sql_alter"         -> tblSqlAlter,
     "tbl_catalog_evolve"    -> tblCatalogEvolve,
@@ -9307,6 +9424,16 @@ object Acid {
         |       TRUE AS one_commit, TRUE AS atomic_abort
         |FROM base WHERE k % 3 = 0
         |GROUP BY prio ORDER BY prio""".stripMargin,
+    "tbl_sql_rtas" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders)
+        |SELECT k % 7 AS sev, count(*) AS n,
+        |       CAST(sum(pc) AS BIGINT) AS cents_sum,
+        |       TRUE AS replaced_schema, TRUE AS pre_travel_ok,
+        |       TRUE AS abort_keeps_old
+        |FROM base GROUP BY k % 7 ORDER BY sev""".stripMargin,
     "tbl_bloom_skip" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

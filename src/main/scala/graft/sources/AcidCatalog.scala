@@ -382,6 +382,43 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
     new AcidStagedTable(dir, info.schema())
   }
 
+  /** `REPLACE TABLE ... AS SELECT` / `CREATE OR REPLACE TABLE ... AS
+    * SELECT` (round 19): the staged query's files land beside the live
+    * table's (UUID-unique stage names — no collisions), and NOTHING
+    * about the live table changes until `commitStagedChanges`, which
+    * resets the identity sidecars to the NEW definition and commits a
+    * REPLACE manifest listing only the staged files (constraint and
+    * streaming high-water marks cleared). An abort deletes only the
+    * staged files — the old table is untouched. Prior versions stay
+    * time-travelable: each manifest stamps the schema metadata in
+    * effect at its own commit. */
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    val dir = dirOf(ident)
+    if (!exists(dir)) throw new NoSuchTableException(ident)
+    stagedReplace(dir, info)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    val dir = dirOf(ident)
+    if (exists(dir)) stagedReplace(dir, info) else stageCreate(ident, info)
+  }
+
+  private def stagedReplace(dir: String, info: TableInfo): StagedTable = {
+    AcidSql.toParquetSchema(info.schema()): Unit
+    val label = partColFrom(info)
+    val prepare = () => {
+      Acid.resetIdentitySidecars(dir)
+      Acid.writeDeclaredSchema(dir, info.schema())
+      info.columns().toSeq.filter(_.defaultValue() != null).foreach(c =>
+        persistDefault(dir, c.name(), c.dataType(), c.defaultValue()))
+      Acid.replacePartCol(dir, label)
+    }
+    new AcidStagedTable(dir, info.schema(),
+      specs = label.map(Acid.parseSpecLine).getOrElse(Seq.empty),
+      replace = true, prepare = prepare)
+  }
+
   /** `ALTER TABLE <cat>.t ADD COLUMN c T` — additive schema evolution as
     * a metadata-only commit: the declared-schema sidecar widens (no data
     * rewrite), `loadTable` serves declared ∪ file-derived from then on,
@@ -641,14 +678,18 @@ class AcidCatalog extends StagingTableCatalog with FunctionCatalog {
   * commit message) but its driver commit PARKS the entries here instead
   * of touching the log; visibility happens only in commitStagedChanges.
   */
-class AcidStagedTable(dir: String, tableSchema: StructType)
+class AcidStagedTable(dir: String, tableSchema: StructType,
+    specs: Seq[Acid.PartSpec] = Seq.empty, replace: Boolean = false,
+    prepare: () => Unit = () => ())
     extends StagedTable with SupportsWrite with SupportsRead {
   @volatile private var pending: Seq[Acid.FileEntry] = Seq.empty
 
   override def name(): String = s"graft-acid-staged:$dir"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ)
+    // TRUNCATE: RTAS plans its staged write truncate-then-write
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ,
+      TableCapability.TRUNCATE)
 
   // CTAS never reads the staged table, but SupportsRead + a real builder
   // keeps the handle honest if an engine change ever validates it.
@@ -656,13 +697,19 @@ class AcidStagedTable(dir: String, tableSchema: StructType)
     new AcidSqlTable(dir, tableSchema).newScanBuilder(options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    // SupportsTruncate: RTAS plans its staged write as truncate-then-
+    // write; the staged handle has no prior data and the REPLACE commit
+    // swaps the file list wholesale, so accepting it is a no-op
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           private val stageDir = s"d0_ctas_${java.util.UUID.randomUUID().toString.take(8)}"
           override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+            // a REPLACE stages under the NEW definition's spec — the
+            // sidecar still carries the old one until commit
             new AcidSqlWriterFactory(dir, stageDir, info.schema(),
-              Acid.partSpecsOf(dir))
+              if (replace) specs else Acid.partSpecsOf(dir))
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             pending = AcidWriteMessages.entriesOf(messages)
           }
@@ -675,7 +722,13 @@ class AcidStagedTable(dir: String, tableSchema: StructType)
     }
 
   override def commitStagedChanges(): Unit =
-    Acid.appendCommitAt(dir, -1, pending) match {
+    if (replace) {
+      // identity reset + new definition land immediately before the
+      // REPLACE manifest — an abort before this point leaves the old
+      // table byte-identical
+      prepare()
+      Acid.replaceTableCommit(dir, pending): Unit
+    } else Acid.appendCommitAt(dir, -1, pending) match {
       case Right(_) => ()
       case Left(err) => throw new IllegalStateException(
         s"CTAS commit lost the table-creation race: $err")

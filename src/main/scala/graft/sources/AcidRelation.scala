@@ -65,11 +65,13 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
 
   override def sqlContext: SQLContext = ctx
 
-  // readMerged: survives TYPE-WIDENED tables (declared-schema fallback +
-  // upcast to the declared width) — same contract as the library reads
+  // readMergedAt: survives TYPE-WIDENED tables (declared-schema fallback
+  // + upcast to the declared width) — same contract as the library
+  // reads, served from the round-19 version-keyed schema cache (the
+  // footer sweep + listing job ran ONCE per version, not per relation)
   override val schema: StructType =
-    Acid.readMerged(ctx.sparkSession, dir)(
-      manifest.files.map(f => s"$dir/${f.path}"): _*).schema
+    Acid.readMergedAt(ctx.sparkSession, dir, resolvedVersion,
+      manifest.files).schema
 
   // Conservative key bounds from the pushed predicates: unhandled shapes
   // widen the range (never narrow it) — pruning stays sound because Spark
@@ -199,7 +201,7 @@ class AcidRelation(ctx: SQLContext, dir: String, version: Int)
     val raw =
       if (live.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-      else Acid.readMerged(s, dir)(live.map(f => s"$dir/${f.path}"): _*)
+      else Acid.readMergedSubsetAt(s, dir, resolvedVersion, live)
     // merge-on-read deletion vectors: subtract the live entries'
     // sidecar union — key-level with a key anti-join, positional with a
     // (fname, pos) anti-join on the file-source metadata (the same

@@ -222,6 +222,17 @@ class Round19Spec extends AnyFunSuite {
     assert(r.getBoolean(5), "drop_guarded")
   }
 
+  /** Sixth family: atomic REPLACE TABLE AS SELECT (the new staging-
+    * catalog surface). The fixture's booleans carry the three pinned
+    * semantics — new shape served, pre-replace version travel, failing
+    * replace leaves the live table untouched. */
+  test("tbl_sql_rtas: replace swaps atomically, travels, aborts clean") {
+    val rows = Acid.queries("tbl_sql_rtas")(spark, sf).collect()
+    assert(rows.length == 7)
+    assert(rows.forall(r => r.getBoolean(3) && r.getBoolean(4) &&
+      r.getBoolean(5)), "replaced_schema/pre_travel_ok/abort_keeps_old")
+  }
+
   /** Fifth family: cost-based identstr SPJ — the fixture runs WITHOUT
     * the knob and must still go exchange-free (Round18Spec pins the
     * decline shapes). */
