@@ -1317,8 +1317,11 @@ class AcidReplaceGroupsWrite(dir: String, writeSchema: StructType,
     // library merge runs) or partition pruning decays with every rewrite
     val entries = Acid.restampPartStats(SparkSession.active, dir,
       AcidWriteMessages.entriesOf(messages))
-    Acid.replaceCommit(dir, op.scannedFiles.toSet, entries,
-      op = "REWRITE"): Unit
+    val v = Acid.replaceCommit(dir, op.scannedFiles.toSet, entries,
+      op = "REWRITE")
+    // a full-row rewrite writes the table's own shape: when it matches
+    // the parent union, the child inherits the cached schemas (r19)
+    Acid.seedSchemaCaches(dir, v, Acid.toPhysical(dir, writeSchema))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1481,7 +1484,11 @@ class AcidSqlStreamingWrite(dir: String, writeSchema: StructType,
     // partitioned table keeps its pruning (cost ∝ epoch, not stage dir)
     val entries = Acid.restampPartStats(SparkSession.active, dir,
       AcidWriteMessages.entriesOf(messages))
-    Acid.appendCommitExactlyOnce(dir, entries, writerTag, epochId): Unit
+    val v = Acid.appendCommitExactlyOnce(dir, entries, writerTag, epochId)
+    // same-shape micro-batch appends inherit the parent's cached
+    // schemas (r19) — replays return the already-committed version,
+    // where the same union-unchanged reasoning holds
+    Acid.seedSchemaCaches(dir, v, Acid.toPhysical(dir, writeSchema))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
