@@ -233,6 +233,38 @@ class Round19Spec extends AnyFunSuite {
       r.getBoolean(5)), "replaced_schema/pre_travel_ok/abort_keeps_old")
   }
 
+  test("partitioned REPLACE: new spec clusters and prunes; old version " +
+      "still travels") {
+    val root = Scratch.fresh("r19_rtasp", sf)
+    val cat = "r19rp"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.range(4000).selectExpr("id AS k",
+      "CASE WHEN id % 4 = 0 THEN 'en' WHEN id % 4 = 1 THEN 'de' " +
+        "WHEN id % 4 = 2 THEN 'es' ELSE 'fr' END AS lang", "id AS n")
+      .createOrReplaceTempView("r19_rp_src")
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT k, n FROM r19_rp_src")
+    val vPre = Acid.latestVersion(s"$root/t")
+    // replace WITH a partition spec: the new definition's identstr
+    // layout must govern the staged write (segment-rolled, prunable)
+    spark.sql(s"""CREATE OR REPLACE TABLE $cat.t PARTITIONED BY (lang) AS
+                 |SELECT k, lang, n FROM r19_rp_src""".stripMargin)
+    val m = Acid.readManifest(s"$root/t", Acid.latestVersion(s"$root/t"))
+    assert(m.files.nonEmpty && m.files.forall(f =>
+      f.cstats.find(_._1 == "lang").exists(c => c._2 == c._3)),
+      "replaced table's files must roll single-valued under the new spec")
+    spark.sql(s"SELECT count(*) FROM $cat.t WHERE lang = 'es'").head
+    val (scanned, total) = AcidSql.lastScanFor(s"$root/t")
+    assert(scanned * 2 <= total, s"lang probe must prune: $scanned/$total")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE lang = 'es'")
+      .head.getLong(0) == 1000L)
+    // pre-replace version: old 2-column shape, full row count
+    val pre = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $vPre")
+    assert(pre.columns.toSeq == Seq("k", "n") && pre.count() == 4000L)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   /** Fifth family: cost-based identstr SPJ — the fixture runs WITHOUT
     * the knob and must still go exchange-free (Round18Spec pins the
     * decline shapes). */
