@@ -265,6 +265,51 @@ class Round19Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t")
   }
 
+  /** The RTAS concurrency CONTRACT (round-20 residual #2, decided and
+    * pinned here): an append that lands BETWEEN stage and commit is
+    * SUPERSEDED by the replace — the new definition wins the live view
+    * (REPLACE means "the table is now this"), and nothing is lost: the
+    * appended rows remain readable at their own committed version.
+    * Interleaved through the catalog API (SQL can't split the two
+    * halves of one statement). */
+  test("RTAS vs concurrent append: replace wins the live view, the " +
+      "append survives in history") {
+    import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, StagingTableCatalog, TableInfo}
+    val root = Scratch.fresh("r19_rtasc", sf)
+    val cat = "r19rc"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.AcidCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10)")
+    val plugin = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[StagingTableCatalog]
+    val info = new TableInfo.Builder()
+      .withColumns(Array(
+        V2Column.create("a", org.apache.spark.sql.types.LongType),
+        V2Column.create("b", org.apache.spark.sql.types.StringType)))
+      .withProperties(java.util.Collections.emptyMap[String, String]())
+      .build()
+    val staged = plugin.stageReplace(
+      Identifier.of(Array.empty[String], "t"), info)
+    // the interleaved append — commits a version while the replace is
+    // staged
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 20)")
+    val vAppend = Acid.latestVersion(s"$root/t")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 2L)
+    staged.asInstanceOf[org.apache.spark.sql.connector.catalog.StagedTable]
+      .commitStagedChanges()
+    // live view: the new (empty, reshaped) definition — append superseded
+    val live = spark.table(s"$cat.t")
+    assert(live.columns.toSeq == Seq("a", "b") && live.count() == 0L,
+      "the replace must win the live view")
+    // history: the appended rows stay readable at their version
+    val pre = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $vAppend")
+    assert(pre.columns.toSeq == Seq("k", "v") && pre.count() == 2L,
+      "the superseded append must survive in history")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t")
+  }
+
   /** Fifth family: cost-based identstr SPJ — the fixture runs WITHOUT
     * the knob and must still go exchange-free (Round18Spec pins the
     * decline shapes). */
