@@ -294,6 +294,8 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(20)
     val qsTop = slowest.map { case (k, v, _) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
+    // Compact record built once — printed here AND re-emitted as the very
+    // last stdout line after the session stops (see below).
     // Cap the compact line's error map too: a widespread failure (say a
     // missing testdata dir erroring all ~138 queries) would otherwise blow
     // the same 2000-char tail budget the compact line exists to respect.
@@ -306,8 +308,15 @@ object Bench {
       "\"" + k + "\":\"" + e.take(120).replace("\\", "\\\\")
         .replace("\"", "\\\"").replace("\n", " ") + "\"" }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"queries_omitted":${results.size - slowest.size},"errors":$errsTop,"errors_total":${errList.size},"reprobes":$reprobes$medianField$calFields,"full_record":"$outPath","sf":"$sfDir"}""")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTop,"queries_omitted":${results.size - slowest.size},"errors":$errsTop,"errors_total":${errList.size},"reprobes":$reprobes$medianField$calFields,"full_record":"$outPath","sf":"$sfDir"}"""
+    println(compact)
+    // Shutdown emits WARN lines (e.g. "RDD ... was locally checkpointed"
+    // when clearCaches unpersists op_pagerank/llm_dedup_cluster's
+    // localCheckpoint blocks) AFTER the record — BENCH_r19's tail parse
+    // failed on exactly that ("parsed": null). Quiet the loggers for
+    // teardown; the record is already printed.
+    spark.sparkContext.setLogLevel("ERROR")
     // Teardown: release the session-memoized pipelines (persisted /
     // checkpointed blocks) and the bucketed fixture tables so the harness
     // exits clean — the library-surface contract a long-lived service
@@ -316,5 +325,11 @@ object Bench {
     graft.operators.Relational.dropBucketedTables()
     graft.sources.Acid.dropSqlTables(spark)
     spark.stop()
+    // Re-emit the compact record as the very LAST stdout line, after the
+    // session is fully stopped — nothing can log past this point, so the
+    // driver's tail parse always lands on valid JSON. Same record, same
+    // numbers; purely an emission-protocol hardening (round-19 verdict
+    // missing #3).
+    println(compact)
   }
 }
