@@ -2634,6 +2634,17 @@ object Acid {
   // footer sweep this replaces. Since r18 every schema change ALSO
   // commits a metadata version (so the version key alone usually moves);
   // the fingerprint is belt and braces for library-path sidecar writes.
+  // Round 20 (r19 ADVICE): ALL commit-driven _log artifacts are excluded,
+  // not just delta manifests — log checkpoints (c*.txt + shards +
+  // _last_checkpoint, rewritten every LogCheckpointInterval commits),
+  // branch manifests/refs (b_*.txt / refs_*.txt, written per branch
+  // commit), and .tmp-* staging files. None of them feed the composed
+  // table schema, and any of them changing would otherwise invalidate
+  // every cached entry for the table on exactly the long-history path
+  // the cache targets (a footer re-sweep every 10th commit).
+  private val commitArtifact =
+    java.util.regex.Pattern.compile(
+      "v\\d+\\.txt|c\\d+\\.txt|s_.*\\.txt|b_.*\\.txt|refs_.*\\.txt|_last_checkpoint|\\.tmp-.*")
   private def logFingerprint(dir: String): Long = {
     val ld = logDir(dir)
     if (!Files.exists(ld)) return 0L
@@ -2642,7 +2653,7 @@ object Acid {
       var h = 1125899906842597L
       st.iterator().asScala.foreach { p =>
         val n = p.getFileName.toString
-        if (!n.matches("v\\d+\\.txt")) {
+        if (!commitArtifact.matcher(n).matches()) {
           val a = Files.readAttributes(p,
             classOf[java.nio.file.attribute.BasicFileAttributes])
           h = h * 31 + n.hashCode
@@ -3387,7 +3398,21 @@ object Acid {
     * latest version.
     */
   def appendCommitExactlyOnce(dir: String, newEntries: Seq[FileEntry],
-      writerTag: String, batchId: Long, maxAttempts: Int = 10): Int = {
+      writerTag: String, batchId: Long, maxAttempts: Int = 10): Int =
+    appendCommitExactlyOnceTagged(dir, newEntries, writerTag, batchId,
+      maxAttempts)._1
+
+  /** As appendCommitExactlyOnce, plus whether THIS call actually landed
+    * the commit. On a replayed epoch (batchId at or below the writer's
+    * high-water) the returned version is merely the CURRENT latest —
+    * possibly another writer's, possibly schema-evolved — so callers
+    * must not attribute this writer's shape to it (r19 ADVICE: the
+    * streaming sink seeded mergedSchemaCache with the replaying writer's
+    * narrower union against such a version, and evolved-column reads
+    * could have served NULLs). */
+  private[sources] def appendCommitExactlyOnceTagged(dir: String,
+      newEntries: Seq[FileEntry], writerTag: String, batchId: Long,
+      maxAttempts: Int = 10): (Int, Boolean) = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = latestVersion(dir)
@@ -3396,18 +3421,18 @@ object Acid {
           commitManifest(dir,
             Manifest(0, batchId, newEntries, Map(writerTag -> batchId),
               op = "STREAMING UPDATE"))
-          return 0
+          return (0, true)
         } catch { case _: FileAlreadyExistsException => attempt += 1 }
       } else {
         val m = readManifest(dir, base)
-        if (batchId <= m.batchHw.getOrElse(writerTag, -1L)) return base
+        if (batchId <= m.batchHw.getOrElse(writerTag, -1L)) return (base, false)
         val hw = m.batchHw.updated(writerTag,
           math.max(m.batchHw.getOrElse(writerTag, -1L), batchId))
         try {
           commitManifest(dir,
             Manifest(base + 1, batchId, m.files ++ newEntries, hw, None,
               m.constraint, op = "STREAMING UPDATE"))
-          return base + 1
+          return (base + 1, true)
         } catch { case _: FileAlreadyExistsException => attempt += 1 }
       }
     }

@@ -1484,11 +1484,14 @@ class AcidSqlStreamingWrite(dir: String, writeSchema: StructType,
     // partitioned table keeps its pruning (cost ∝ epoch, not stage dir)
     val entries = Acid.restampPartStats(SparkSession.active, dir,
       AcidWriteMessages.entriesOf(messages))
-    val v = Acid.appendCommitExactlyOnce(dir, entries, writerTag, epochId)
+    val (v, appended) =
+      Acid.appendCommitExactlyOnceTagged(dir, entries, writerTag, epochId)
     // same-shape micro-batch appends inherit the parent's cached
-    // schemas (r19) — replays return the already-committed version,
-    // where the same union-unchanged reasoning holds
-    Acid.seedSchemaCaches(dir, v, Acid.toPhysical(dir, writeSchema))
+    // schemas (r19). Seed ONLY when this call actually committed: a
+    // replayed epoch returns the CURRENT latest version — possibly a
+    // concurrent writer's schema-evolved commit — and seeding would
+    // stamp this writer's narrower union onto it (r19 ADVICE medium #1).
+    if (appended) Acid.seedSchemaCaches(dir, v, Acid.toPhysical(dir, writeSchema))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
