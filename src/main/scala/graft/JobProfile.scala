@@ -33,10 +33,12 @@ object JobProfile {
     val order = new java.util.concurrent.CopyOnWriteArrayList[J]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
+        // The result stage's name carries the action's call site
+        // ("collect at Acid.scala:1132") — the attribution that matters;
+        // an explicit job description (file-listing jobs set one) wins.
         val d = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .orElse(e.stageInfos.lastOption.map(_.name))
           .getOrElse("?")
         val j = J(e.jobId, d, System.nanoTime())
         jobs.put(e.jobId, j); order.add(j): Unit

@@ -32,6 +32,15 @@ object GraftSqlBridge {
     * over-reads the file) — the graft caller guards on stamped
     * bytes > 0 for every entry and falls back to the listing reader
     * otherwise.
+    *
+    * KNOWN DEVIATION (r19 ADVICE low #4): the fabricated FileStatus
+    * carries modificationTime = 0, so `_metadata.file_modification_time`
+    * reads 1970-01-01 on this path while the listed-reader fallback
+    * returns real mtimes. The manifest stamps no mtime (adding one is a
+    * format change), and no declared query or engine-internal reader
+    * consumes `_metadata.file_modification_time` (`file_path` /
+    * `row_index`, which the DV machinery uses, are exact). Documented
+    * rather than fixed.
     */
   def manifestParquetFrame(s: SparkSession, schema: types.StructType,
       files: Seq[(String, Long)]): DataFrame = {

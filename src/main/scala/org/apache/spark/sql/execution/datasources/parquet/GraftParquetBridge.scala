@@ -52,4 +52,28 @@ object GraftParquetBridge {
     r.initialize(fileSchema, requested, new RowGroups(fr),
       Math.toIntExact(fr.getFilteredRecordCount()))
   }
+
+  /** One committed file's Spark schema exactly as Spark's own mergeSchema
+    * inference derives it (round 20, commit-time schema-cache seeding):
+    * the footer's stored Spark-schema JSON when present (Spark-written
+    * files), else the MessageType conversion under the session's parquet
+    * flags (the V2 writer's raw files) — the same
+    * `ParquetFileFormat.readSchemaFromFooter` call `mergeSchemasInParallel`
+    * applies per footer. One driver-side footer read with row groups
+    * skipped, no job — vs a whole-directory
+    * `spark.read.parquet(...).schema`, which pays a listing plus a
+    * DataFrame analysis. */
+  def footerSchema(s: org.apache.spark.sql.SparkSession,
+      absPath: String): Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val p = new org.apache.hadoop.fs.Path(absPath)
+      val meta = ParquetFooterReader.readFooter(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          p, cs.sessionState.newHadoopConf()),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
+      val conv = new ParquetToSparkSchemaConverter(cs.sessionState.conf)
+      Some(ParquetFileFormat.readSchemaFromFooter(
+        new org.apache.parquet.hadoop.Footer(p, meta), conv))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
