@@ -2846,6 +2846,53 @@ object Acid {
     }
   }
 
+  // Per-file FOOTER SCHEMA cache (round 20, the per-file twin of
+  // fileFieldsCache): data files are immutable once committed and staged
+  // names are UUID-unique, so the schema is keyed by (absolute path,
+  // manifest-stamped bytes) and never invalidates. One raw footer read
+  // on first touch (~1 ms, row groups skipped), zero after.
+  private val fileSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]
+  private def cachedFooterSchema(s: SparkSession, absPath: String,
+      bytes: Long): Option[StructType] = {
+    val k = (absPath, bytes)
+    val hit = fileSchemaCache.get(k)
+    if (hit != null) return Some(hit)
+    org.apache.spark.sql.execution.datasources.parquet.GraftParquetBridge
+      .footerSchema(s, absPath).map { sch =>
+        if (fileSchemaCache.size > 65536) fileSchemaCache.clear()
+        fileSchemaCache.put(k, sch)
+        sch
+      }
+  }
+
+  /** Subset read with readMerged's EXACT subset-union semantics, minus
+    * the distributed inference in the overwhelmingly common case: when
+    * every file of the subset carries the IDENTICAL footer schema
+    * (checked against the per-file cache — op-bounded driver reads, then
+    * free), the mergeSchema union IS that schema, so the frame builds
+    * over the manifest file index with zero listing and zero inference
+    * jobs. Any schema divergence (an evolved subset) falls back to plain
+    * readMerged — same result, paid inference. Used by the REWRITE paths
+    * (merge / delete / optimize touched-file scans), which must keep
+    * subset-union semantics: reading under the full-version union would
+    * write explicit NULLs into files that never carried a column and
+    * flip the EXISTS-default fill for those rows. */
+  private[sources] def readMergedSubset(s: SparkSession, dir: String,
+      files: Seq[FileEntry]): DataFrame = {
+    val paths = files.map(f => s"$dir/${f.path}")
+    val schemas = files.map(f => cachedFooterSchema(s, s"$dir/${f.path}", f.bytes))
+    if (files.nonEmpty && schemas.forall(_.isDefined) &&
+        schemas.forall(_ == schemas.head)) {
+      val df =
+        if (files.forall(_.bytes > 0L))
+          org.apache.spark.sql.GraftSqlBridge.manifestParquetFrame(
+            s, schemas.head.get, files.map(f => (s"$dir/${f.path}", f.bytes)))
+        else s.read.schema(schemas.head.get).parquet(paths: _*)
+      widenToDeclared(dir, df)
+    } else readMerged(s, dir)(paths: _*)
+  }
+
   /** Read ANY subset of version `v`'s files under the version's
     * footer-union schema (files missing a column null-fill — the same
     * rows a mergeSchema read of the full set serves for them), through
@@ -3201,8 +3248,7 @@ object Acid {
     val touchedDf =
       if (touched.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
-      else applyDv(s, dir, touched,
-        readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
+      else applyDv(s, dir, touched, readMergedSubset(s, dir, touched))
 
     // Union column set; batch wins where it carries the column (UPDATE SET),
     // target survives where it doesn't, batch-only columns evolve the schema.
@@ -3768,8 +3814,7 @@ object Acid {
     val dataDir = s"d${nextV}_$writerTag"
     val touchedDfOpt =
       if (touched.isEmpty) None
-      else Some(applyDv(s, dir, touched,
-        readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*)))
+      else Some(applyDv(s, dir, touched, readMergedSubset(s, dir, touched)))
     val newEntries = touchedDfOpt match {
       case None => Seq.empty[FileEntry]
       case Some(touchedDf) =>
@@ -3792,7 +3837,7 @@ object Acid {
           // dropped files are DV-free by the drop contract, so a plain
           // read IS their exact live row set — every row is a delete
           (if (dropped.isEmpty) Nil
-           else Seq(readMerged(s, dir)(dropped.map(f => s"$dir/${f.path}"): _*))))
+           else Seq(readMergedSubset(s, dir, dropped))))
           .reduceOption(_ unionByName _)
         delRows.map { df =>
           val cdcDir = s"_cdc/$dataDir"
@@ -3859,7 +3904,7 @@ object Acid {
     // sidecar reader selects by name or reads field 0 (the key stays the
     // FIRST column), so the extra column is invisible to scans.
     val touchedDf = applyDv(s, dir, touched,
-      readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*)
+      readMergedSubset(s, dir, touched)
         .withColumn("__gfname",
           expr("substring_index(_metadata.file_path, '/', -1)")))
     val newDel = touchedDf.filter(pred)
@@ -3878,7 +3923,7 @@ object Acid {
       else newDel.unionByName(
         // legacy prior: re-derive each key's file from the touched scan
         // (the one-time upgrade cost, paid only on pre-r18 sidecars)
-        readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*)
+        readMergedSubset(s, dir, touched)
           .select(col(key),
             expr("substring_index(_metadata.file_path, '/', -1)").as("fname"))
           .join(priorDf.get.select(col(key)), Seq(key), "left_semi"))
@@ -3929,7 +3974,7 @@ object Acid {
     require(touched.forall(_.dv.isEmpty),
       "entries carry key-level deletion vectors — positional and key-level " +
         "vectors never mix on one entry; run Acid.optimize first")
-    val withPos = readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*)
+    val withPos = readMergedSubset(s, dir, touched)
       .withColumn("fname", expr("substring_index(_metadata.file_path, '/', -1)"))
       .withColumn("pos", col("_metadata.row_index"))
     val prior = touched.flatMap(_.pdv.map(_._1)).distinct
@@ -4064,8 +4109,7 @@ object Acid {
     val touched = m.files.filter(f => f.maxKey >= keyLo && f.minKey <= keyHi)
     if (touched.isEmpty) return (0, m.files.size, m.files.size)
     val dataDir = s"d${v + 1}_optr"
-    val rewrite = applyDv(s, dir, touched,
-      readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
+    val rewrite = applyDv(s, dir, touched, readMergedSubset(s, dir, touched))
     // The stats2 label is only a real column on identity/col2-stamped
     // tables; on a transform table it is 'days(ts)'/'bucket(n,k)' — not a
     // column statsOf could aggregate. Promote it only when it resolves;
@@ -4122,8 +4166,7 @@ object Acid {
     val added = scala.collection.mutable.ListBuffer.empty[FileEntry]
     compact.foreach { case (pv, fs) =>
       val dd = s"d${v + 1}_optp_$pv"
-      bloomWrite(applyDv(s, dir, fs,
-        readMerged(s, dir)(fs.map(f => s"$dir/${f.path}"): _*))
+      bloomWrite(applyDv(s, dir, fs, readMergedSubset(s, dir, fs))
         .repartitionByRange(math.max(1, targetPerValue), col(key)),
         key, Some(fs.map(_.rows).sum / math.max(1, targetPerValue)))
         .mode("overwrite").parquet(s"$dir/$dd")
@@ -4455,8 +4498,7 @@ object Acid {
     val dd = s"d_br_${name}_m${java.util.UUID.randomUUID().toString.take(8)}"
     val kept =
       if (touched.isEmpty) b.limit(0)
-      else applyDv(s, dir, touched,
-        readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
+      else applyDv(s, dir, touched, readMergedSubset(s, dir, touched))
         .join(b.select(keysPhys.map(col): _*).distinct(), keysPhys, "left_anti")
     bloomWrite(kept.unionByName(b)
       .repartitionByRange(math.max(1, touched.size), col(keyPhys)),
@@ -4494,8 +4536,7 @@ object Acid {
     if (touched.isEmpty) return (h, 0L)
     val keyCols = keyColsOf(s, dir)
     val keyPhys = colMapOf(dir).getOrElse(keyCols.head, keyCols.head)
-    val touchedDf = applyDv(s, dir, touched,
-      readMerged(s, dir)(touched.map(f => s"$dir/${f.path}"): _*))
+    val touchedDf = applyDv(s, dir, touched, readMergedSubset(s, dir, touched))
     // NULL-predicate rows survive (SQL DELETE removes TRUE verdicts only)
     val kept = toPhysicalDf(dir,
       toLogicalDf(dir, touchedDf).filter(!coalesce(pred, lit(false))))
@@ -4624,8 +4665,7 @@ object Acid {
     val keyCols = keyColsOf(s, dir)
     val keyPhys = colMapOf(dir).getOrElse(keyCols.head, keyCols.head)
     val dd = s"d_br_${name}_o${java.util.UUID.randomUUID().toString.take(8)}"
-    bloomWrite(applyDv(s, dir, files,
-      readMerged(s, dir)(files.map(f => s"$dir/${f.path}"): _*))
+    bloomWrite(applyDv(s, dir, files, readMergedSubset(s, dir, files))
       .repartitionByRange(math.max(1, targetFiles), col(keyPhys)),
       keyPhys, Some(files.map(_.rows).sum / math.max(1, targetFiles)))
       .mode("overwrite").parquet(s"$dir/$dd")
@@ -4677,8 +4717,7 @@ object Acid {
     * query surface. Same dropped/rename post-processing as snapshot. */
   def snapshotBranch(s: SparkSession, dir: String, name: String): DataFrame = {
     val fs = branchFilesAt(dir, name, branchHead(dir, name))
-    val raw = applyDv(s, dir, fs,
-      readMerged(s, dir)(fs.map(f => s"$dir/${f.path}"): _*))
+    val raw = applyDv(s, dir, fs, readMergedSubset(s, dir, fs))
     val dropped = droppedOf(dir)
     val undead =
       if (dropped.isEmpty) raw

@@ -70,12 +70,19 @@ class PlanSpec extends AnyFunSuite {
       "LSH candidate generation degenerated into an all-pairs join")
   }
 
-  test("llm_dedup_substring never materializes a pair join") {
+  test("llm_dedup_substring never materializes a pair join and scans the " +
+      "corpus exactly once") {
     val p = plan("llm_dedup_substring")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "exact-substring dedup degenerated into an all-pairs join")
-    // the anchor → dup-set membership is a semi-join on the hash
-    assert(p.contains("LeftSemi"), "expected a left-semi membership probe")
+    // round 20: the single-pass shape — (anchor, doc) hash-agg + one
+    // window verdict — replaced the hash-agg + left-semi probe, which
+    // re-ran the explode + md5 corpus scan three times. Pin ONE scan.
+    // formatted mode prints each operator in the tree AND the details
+    // list — count the numbered detail headers (the old 3-subtree shape
+    // showed (1)/(9)/(14) Scan parquet)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "exact-substring dedup must read the corpus exactly once")
   }
 
   test("llm_semdedup pairs are cluster-bounded equi-joins, never a cartesian") {
